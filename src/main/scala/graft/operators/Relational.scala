@@ -2,21 +2,25 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational suite (SURVEY.md §2a): TPC-H-style queries exercising
   * grouped aggregation, star joins, window functions, semi/anti joins,
   * distinct aggregation, rollup, set ops, top-k and subqueries.
   *
-  * Scale notes: dimension tables are broadcast explicitly; aggregations
-  * are declarative so Catalyst plans partial (map-side) aggregation; all
-  * filters/projections sit directly on the scan for pushdown/pruning.
+  * Scale notes: dimension tables are broadcast explicitly so the fact
+  * table never shuffles for star joins; aggregations are declarative so
+  * Catalyst plans partial (map-side) aggregation; filters/projections sit
+  * directly on the scan for parquet pushdown + column pruning. Every
+  * query ends in a deterministic ORDER BY with unique tiebreaks so the
+  * driver's hash compare is stable.
   */
 object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** TPC-H Q1: pricing summary. Single shuffle on the (tiny) group keys. */
+  /** TPC-H Q1: pricing summary. One shuffle on tiny group keys; partial agg. */
   def q1Pricing: Q = (s, d) =>
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -47,9 +51,269 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q3 (adapted to schema): top-10 unshipped orders by revenue.
+    * customer is broadcast; orders⋈lineitem is the only shuffle pair. */
+  def q3TopkJoin: Q = (s, d) => {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3TopkJoinSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 (adapted): revenue per nation for one region+year. All dims
+    * broadcast — lineitem⋈orders is the only distributed join. */
+  def q5RegionJoin: Q = (s, d) => {
+    val dims = Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    Tables.lineitem(s, d)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5RegionJoinSql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6: forecast revenue — selective scan, all predicates pushed to
+    * parquet, 4-column read, single global agg. */
+  def q6FilterAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6FilterAggSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10 (adapted): top-20 customers by returned-item revenue. */
+  def q10Returns: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnsSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** Window functions: per-customer order sequence with row_number, lag and
+    * running sum. Partition key (custkey) is high-cardinality → state per
+    * partition stays bounded at scale. */
+  def qWindowRank: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("seq", row_number().over(w))
+      .withColumn("prev_orderdate", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
+      .drop("o_orderdate")
+      .withColumn("o_totalprice", round(col("o_totalprice"), 2))
+      .orderBy(col("o_custkey"), col("seq"))
+  }
+
+  val qWindowRankSql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+      |  row_number() OVER w AS seq,
+      |  lag(o_orderdate, 1) OVER w AS prev_orderdate,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, seq""".stripMargin
+
+  /** Left-semi + left-anti joins: per-nation counts of customers with and
+    * without orders. Both sides aggregated before the final tiny union. */
+  def qSemiAnti: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d).select(col("o_custkey"))
+    val nat = broadcast(Tables.nation(s, d))
+    def cnt(j: DataFrame, tag: String) = j
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
+      .withColumn("kind", lit(tag))
+    cnt(cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi"), "with_orders")
+      .unionByName(cnt(cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti"), "without_orders"))
+      .orderBy(col("kind"), col("n_name"))
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT n_name, count(*) AS n_customers, 'with_orders' AS kind
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY n_name
+      |UNION ALL
+      |SELECT n_name, count(*) AS n_customers, 'without_orders' AS kind
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY n_name
+      |ORDER BY kind, n_name""".stripMargin
+
+  /** Distinct aggregation: exact distinct users/days per event type.
+    * (Spark plans this as expand + two-level agg — still one shuffle.) */
+  def qDistinctAgg: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(date_trunc("day", col("ts"))).as("n_days"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val qDistinctAggSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT date_trunc('day', ts)) AS n_days, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Rollup aggregation over returnflag × linestatus (subtotals + total). */
+  def qRollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val qRollupSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Set operations: customers active in 1996 vs 1997 (intersect/except). */
+  def qUnionSet: Q = (s, d) => {
+    def buyers(year: Int) = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(f"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(f"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val both = buyers(1996).intersect(buyers(1997)).withColumn("kind", lit("both_years"))
+    val only96 = buyers(1996).except(buyers(1997)).withColumn("kind", lit("only_1996"))
+    both.unionByName(only96).orderBy(col("kind"), col("o_custkey"))
+  }
+
+  val qUnionSetSql: String =
+    """WITH b96 AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |b97 AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+      |SELECT o_custkey, 'both_years' AS kind FROM (SELECT o_custkey FROM b96 INTERSECT SELECT o_custkey FROM b97)
+      |UNION ALL
+      |SELECT o_custkey, 'only_1996' AS kind FROM (SELECT o_custkey FROM b96 EXCEPT SELECT o_custkey FROM b97)
+      |ORDER BY kind, o_custkey""".stripMargin
+
+  /** Global top-k: TakeOrderedAndProject — no full sort, no single-node
+    * shuffle; each partition contributes its local top 25. */
+  def qTopkGlobal: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(25)
+
+  val qTopkGlobalSql: String =
+    """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      |FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin
+
+  /** Correlated scalar subquery, expressed decorrelated (window avg per
+    * customer) — the plan Catalyst would rewrite the subquery into. */
+  def qCorrSubquery: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, d)
+      .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qCorrSubquerySql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   def queries: Map[String, Q] = Map(
-    "q1_pricing" -> q1Pricing)
+    "q1_pricing" -> q1Pricing,
+    "q3_topk_join" -> q3TopkJoin,
+    "q5_region_join" -> q5RegionJoin,
+    "q6_filter_agg" -> q6FilterAgg,
+    "q10_returns" -> q10Returns,
+    "q_window_rank" -> qWindowRank,
+    "q_semi_anti" -> qSemiAnti,
+    "q_distinct_agg" -> qDistinctAgg,
+    "q_rollup" -> qRollup,
+    "q_union_set" -> qUnionSet,
+    "q_topk_global" -> qTopkGlobal,
+    "q_corr_subquery" -> qCorrSubquery)
 
   def oracleSql: Map[String, String] = Map(
-    "q1_pricing" -> q1PricingSql)
+    "q1_pricing" -> q1PricingSql,
+    "q3_topk_join" -> q3TopkJoinSql,
+    "q5_region_join" -> q5RegionJoinSql,
+    "q6_filter_agg" -> q6FilterAggSql,
+    "q10_returns" -> q10ReturnsSql,
+    "q_window_rank" -> qWindowRankSql,
+    "q_semi_anti" -> qSemiAntiSql,
+    "q_distinct_agg" -> qDistinctAggSql,
+    "q_rollup" -> qRollupSql,
+    "q_union_set" -> qUnionSetSql,
+    "q_topk_global" -> qTopkGlobalSql,
+    "q_corr_subquery" -> qCorrSubquerySql)
 }
