@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics (SURVEY.md §2c) — the batch twins of the
+  * Structured Streaming operators in `graft.streaming`: tumbling windows,
+  * gap sessionization and late-data accounting against the running
+  * watermark (RewindingPartitionGroupSinker's replay window, re-expressed).
+  */
+object EventAnalytics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling 1-hour window aggregation per event type. At scale this is a
+    * single shuffle on (window, type) with partial aggregation. */
+  def evTumbling: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  val evTumblingSql: String =
+    """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour_start, event_type,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  /** Gap-based sessionization: a new session starts after >30 min of user
+    * inactivity. Partitioned by user_id (high cardinality → bounded state). */
+  def evSessions: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 4).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val evSessionsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+      |    CASE WHEN lag(epoch_us(ts::TIMESTAMP), 1) OVER w IS NULL
+      |           OR epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP), 1) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  round(sum(value), 4) AS session_value
+      |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  /** Late-data accounting: a record is late if its event time trails the
+    * running watermark (max ts over earlier offsets in its partition) by
+    * more than the allowed lateness (10 min). */
+  def evLateData: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("wm_us", unix_micros(max(col("ts")).over(w)))
+      .withColumn("late",
+        when(col("wm_us").isNotNull &&
+          unix_micros(col("ts")) < col("wm_us") - 600000000L, 1).otherwise(0))
+      .groupBy(col("event_type"))
+      .agg(sum(col("late")).as("n_late"), count(lit(1)).as("n_total"))
+      .orderBy(col("event_type"))
+  }
+
+  val evLateDataSql: String =
+    """WITH marked AS (
+      |  SELECT event_type,
+      |    CASE WHEN max(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY event_type ORDER BY event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
+      |      AND epoch_us(ts::TIMESTAMP) <
+      |          max(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY event_type ORDER BY event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600000000
+      |      THEN 1 ELSE 0 END AS late
+      |  FROM events)
+      |SELECT event_type, sum(late) AS n_late, count(*) AS n_total
+      |FROM marked GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "ev_tumbling" -> evTumbling,
+    "ev_sessions" -> evSessions,
+    "ev_late_data" -> evLateData)
+
+  def oracleSql: Map[String, String] = Map(
+    "ev_tumbling" -> evTumblingSql,
+    "ev_sessions" -> evSessionsSql,
+    "ev_late_data" -> evLateDataSql)
+}

@@ -1,0 +1,235 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stream-loader core semantics re-expressed as batch-checkable Spark plans
+  * (SURVEY.md §2b). The `events` table models the stream: `event_type` is
+  * the topic partition, `event_id` the offset, `ts` the event time.
+  *
+  * References (semantics only, no code reuse):
+  *  - StreamPosition (offset, watermark): model/StreamPosition.scala:17
+  *  - StreamRange merge: model/StreamRange.scala:28
+  *  - monotonic watermark: source/WatermarkProvider.scala
+  *  - committed-offset replay filtering: sink/batch/storage/RecordBatchStorage.scala
+  *  - time partitioning: sink/file/TimePartitioningFilePathFormatter.scala
+  *  - commit strategies: sink/file/FileCommitStrategy.scala:40 (ReachedAnyOf)
+  *  - CSV encoding: sink/encoding/csv/CsvRecordEncoder.scala
+  */
+object StreamSemantics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** End StreamPosition per partition: (max offset, watermark = max event time). */
+  def slPositions: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(max(col("event_id")).as("end_offset"), max(col("ts")).as("watermark"))
+      .orderBy(col("event_type"))
+
+  val slPositionsSql: String =
+    """SELECT event_type, max(event_id) AS end_offset, max(ts)::TIMESTAMP AS watermark
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Merged consumed range per partition: start/end offsets with the
+    * watermark at each boundary (StreamRange.merge over the whole stream). */
+  def slRangeMerge: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("event_id")).as("start_offset"),
+        max(col("event_id")).as("end_offset"),
+        min_by(col("ts"), col("event_id")).as("start_watermark"),
+        max(col("ts")).as("end_watermark"),
+        count(lit(1)).as("n_records"))
+      .orderBy(col("event_type"))
+
+  val slRangeMergeSql: String =
+    """SELECT event_type, min(event_id) AS start_offset, max(event_id) AS end_offset,
+      |  arg_min(ts, event_id)::TIMESTAMP AS start_watermark,
+      |  max(ts)::TIMESTAMP AS end_watermark, count(*) AS n_records
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Monotonic running watermark per partition (max event time seen so far,
+    * in offset order) — WatermarkProvider semantics, per record. */
+  def slWatermark: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts"))
+      .withColumn("watermark", max(col("ts")).over(w))
+      .orderBy(col("event_id"))
+  }
+
+  val slWatermarkSql: String =
+    """SELECT event_id, event_type, ts::TIMESTAMP AS ts,
+      |  (max(ts) OVER (PARTITION BY event_type ORDER BY event_id))::TIMESTAMP AS watermark
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Exactly-once replay: given committed positions (the max offset among
+    * records with event time before the cutoff, per partition), keep only
+    * records strictly past the committed offset and summarize what would
+    * be (re)loaded. Partitions with nothing committed replay from start. */
+  def slReplayFilter: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val committed = ev
+      .filter(col("ts") < lit("2024-01-15").cast("timestamp"))
+      .groupBy(col("event_type").as("p"))
+      .agg(max(col("event_id")).as("committed_offset"))
+    ev.join(broadcast(committed), col("event_type") === col("p"), "left")
+      .filter(col("event_id") > coalesce(col("committed_offset"), lit(-1L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_new"),
+        min(col("event_id")).as("first_offset"),
+        max(col("event_id")).as("last_offset"))
+      .orderBy(col("event_type"))
+  }
+
+  val slReplayFilterSql: String =
+    """WITH committed AS (
+      |  SELECT event_type AS p, max(event_id) AS committed_offset
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY event_type)
+      |SELECT event_type, count(*) AS n_new, min(event_id) AS first_offset,
+      |  max(event_id) AS last_offset
+      |FROM events LEFT JOIN committed ON event_type = p
+      |WHERE event_id > coalesce(committed_offset, -1)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Time partitioning: route each record to its `dt=yyyyMMdd` path and
+    * report per-(path, partition) file stats. */
+  def slTimePartition: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("path", concat(lit("dt="), date_format(col("ts"), "yyyyMMdd")))
+      .groupBy(col("path"), col("event_type"))
+      .agg(count(lit(1)).as("n_records"),
+        min(col("event_id")).as("min_offset"),
+        max(col("event_id")).as("max_offset"))
+      .orderBy(col("path"), col("event_type"))
+
+  val slTimePartitionSql: String =
+    """SELECT 'dt=' || strftime(ts::TIMESTAMP, '%Y%m%d') AS path, event_type,
+      |  count(*) AS n_records, min(event_id) AS min_offset, max(event_id) AS max_offset
+      |FROM events GROUP BY 1, 2 ORDER BY path, event_type""".stripMargin
+
+  /** Record-count commit strategy (ReachedAnyOf(recordsWritten=1000)):
+    * assign each record to its batch within the partition and emit one row
+    * per committed batch with its range and watermark. */
+  def slBatchAssign: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .withColumn("batch_id", floor((row_number().over(w) - 1) / 1000))
+      .groupBy(col("event_type"), col("batch_id"))
+      .agg(count(lit(1)).as("n_records"),
+        min(col("event_id")).as("start_offset"),
+        max(col("event_id")).as("end_offset"),
+        max(col("ts")).as("watermark"))
+      .orderBy(col("event_type"), col("batch_id"))
+  }
+
+  val slBatchAssignSql: String =
+    """WITH numbered AS (
+      |  SELECT event_type, event_id, ts,
+      |    (row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1) // 1000 AS batch_id
+      |  FROM events)
+      |SELECT event_type, batch_id, count(*) AS n_records,
+      |  min(event_id) AS start_offset, max(event_id) AS end_offset,
+      |  max(ts)::TIMESTAMP AS watermark
+      |FROM numbered GROUP BY event_type, batch_id ORDER BY event_type, batch_id""".stripMargin
+
+  /** Byte-size commit strategy: quantize the cumulative encoded size per
+    * partition into 64 KiB byte-budget batches (deterministic proxy for
+    * ReachedAnyOf(fileSize=64k)). */
+  def slByteBatches: Q = (s, d) => {
+    val line = concat_ws(",",
+      col("event_id").cast("string"), col("user_id").cast("string"),
+      col("event_type"), unix_millis(col("ts")).cast("string"), col("props"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("nbytes", octet_length(line))
+      .withColumn("batch_id", floor((sum(col("nbytes")).over(w) - col("nbytes")) / 65536))
+      .groupBy(col("event_type"), col("batch_id"))
+      .agg(count(lit(1)).as("n_records"), sum(col("nbytes")).as("n_bytes"),
+        min(col("event_id")).as("start_offset"), max(col("event_id")).as("end_offset"))
+      .orderBy(col("event_type"), col("batch_id"))
+  }
+
+  val slByteBatchesSql: String =
+    """WITH enc AS (
+      |  SELECT event_type, event_id,
+      |    strlen(concat_ws(',', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+      |      event_type, CAST(epoch_ms(ts::TIMESTAMP) AS VARCHAR), props)) AS nbytes
+      |  FROM events),
+      |cum AS (
+      |  SELECT event_type, event_id, nbytes,
+      |    (sum(nbytes) OVER (PARTITION BY event_type ORDER BY event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nbytes) // 65536 AS batch_id
+      |  FROM enc)
+      |SELECT event_type, batch_id, count(*) AS n_records, sum(nbytes) AS n_bytes,
+      |  min(event_id) AS start_offset, max(event_id) AS end_offset
+      |FROM cum GROUP BY event_type, batch_id ORDER BY event_type, batch_id""".stripMargin
+
+  /** CSV record encoding with RFC-4180-style quoting of the free-form
+    * payload column (CsvRecordEncoder semantics, codegen'd concat). */
+  def slCsvEncode: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("line", concat_ws(",",
+        col("event_id").cast("string"),
+        col("user_id").cast("string"),
+        col("event_type"),
+        unix_millis(col("ts")).cast("string"),
+        concat(lit("\""), regexp_replace(coalesce(col("props"), lit("")), "\"", "\"\""), lit("\""))))
+      .select(col("event_id"), col("line"), md5(col("line").cast("binary")).as("line_md5"))
+      .orderBy(col("event_id"))
+
+  val slCsvEncodeSql: String =
+    """SELECT event_id,
+      |  concat_ws(',', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), event_type,
+      |    CAST(epoch_ms(ts::TIMESTAMP) AS VARCHAR),
+      |    '"' || replace(coalesce(props, ''), '"', '""') || '"') AS line,
+      |  md5(concat_ws(',', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), event_type,
+      |    CAST(epoch_ms(ts::TIMESTAMP) AS VARCHAR),
+      |    '"' || replace(coalesce(props, ''), '"', '""') || '"')) AS line_md5
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Payload parsing (RecordFormatter): extract the numeric `k` field from
+    * the JSON props and aggregate it per partition. */
+  def slJsonProps: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(-?\\d+)", 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_parsed"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  val slJsonPropsSql: String =
+    """SELECT event_type, count(k) AS n_parsed, min(k) AS min_k, max(k) AS max_k,
+      |  round(avg(k), 4) AS avg_k
+      |FROM (SELECT event_type,
+      |        CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "sl_positions" -> slPositions,
+    "sl_range_merge" -> slRangeMerge,
+    "sl_watermark" -> slWatermark,
+    "sl_replay_filter" -> slReplayFilter,
+    "sl_time_partition" -> slTimePartition,
+    "sl_batch_assign" -> slBatchAssign,
+    "sl_byte_batches" -> slByteBatches,
+    "sl_csv_encode" -> slCsvEncode,
+    "sl_json_props" -> slJsonProps)
+
+  def oracleSql: Map[String, String] = Map(
+    "sl_positions" -> slPositionsSql,
+    "sl_range_merge" -> slRangeMergeSql,
+    "sl_watermark" -> slWatermarkSql,
+    "sl_replay_filter" -> slReplayFilterSql,
+    "sl_time_partition" -> slTimePartitionSql,
+    "sl_batch_assign" -> slBatchAssignSql,
+    "sl_byte_batches" -> slByteBatchesSql,
+    "sl_csv_encode" -> slCsvEncodeSql,
+    "sl_json_props" -> slJsonPropsSql)
+}
