@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reusable text columns (all codegen-friendly built-ins, no UDFs).
+  * Cross-engine note: every function here has an exact DuckDB twin used by
+  * the oracles (string_split_regex/list_filter/list_transform/md5), so
+  * results are bit-identical between Spark and the oracle.
+  */
+object TextFns {
+
+  /** Whitespace tokenization with empty-token removal. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Word 3-gram shingles (space-joined); empty for docs under 3 tokens.
+    * Guarded because Spark's sequence() flips direction when stop < start. */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** md5 hex of a string column (Spark needs an explicit binary cast). */
+  def md5s(c: Column): Column = md5(c.cast("binary"))
+
+  /** MinHash permutation j: md5 of the salted shingle; signature value is
+    * the lexicographic min over a doc's shingles (hex strings compare
+    * identically in Spark and DuckDB — both byte-wise). */
+  def minhashTerm(j: Int, shingle: Column): Column =
+    md5s(concat(lit(s"$j|"), shingle))
+}

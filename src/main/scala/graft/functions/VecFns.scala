@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns using codegen'd
+  * higher-order functions (zip_with + ordered aggregate fold), no UDFs.
+  *
+  * Determinism contract: folds run left-to-right starting from 0.0, which
+  * is bit-identical to DuckDB's `list_reduce` over the same doubles — so
+  * cosine scores hash-match the oracle exactly.
+  */
+object VecFns {
+
+  /** Cast float vector to double for exact cross-engine arithmetic. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Ordered left fold sum. */
+  def foldSum(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x * y))
+
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Sign-bit LSH bucket over fixed dimensions (1-based), the scale path
+    * for ANN: vectors only compete within their bucket. */
+  def signBucket(v: Column, dims: Seq[Int]): Column =
+    concat(dims.map(i => when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+}

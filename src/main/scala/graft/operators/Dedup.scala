@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import graft.functions.VecFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite (SURVEY.md §2d) over the `documents` and
+  * `embeddings` tables — the operators a training-data pipeline runs at
+  * 100 TB. Scale invariants: nothing here is O(n²); candidate generation
+  * always goes through a key (content hash, LSH band bucket, sign bucket)
+  * so the self-joins shuffle on keys with bounded group sizes.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- exact dedup -------------------------------------------------------
+
+  /** Exact dedup: hash-groupBy on content md5, min-id representative. */
+  def ddExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5s(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("rep_id"))
+
+  val ddExactSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY rep_id""".stripMargin
+
+  /** Normalized exact dedup: lowercase, strip non-alphanumerics, collapse
+    * whitespace, then hash-groupBy. */
+  def ddExactNorm: Q = (s, d) => {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "\\s+", " "))
+    Tables.documents(s, d)
+      .groupBy(md5s(norm).as("content_hash"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("rep_id"))
+  }
+
+  val ddExactNormSql: String =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                               '\s+', ' ', 'g'))) AS content_hash,
+      |  min(doc_id) AS rep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY rep_id""".stripMargin
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  private val NumHashes = 8
+  private val NumBands = 4 // 2 rows per band
+
+  /** doc_id + m0..m7 minhash signature over word 3-gram shingles. */
+  private def minhashDf(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("s"))
+    val aggs = (0 until NumHashes).map(j => min(minhashTerm(j, col("s"))).as(s"m$j"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val minhashCte: String = {
+    val mins = (0 until NumHashes).map(j => s"min(md5('$j|' || s)) AS m$j").mkString(", ")
+    s"""toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS tk FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+       |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM toks),
+       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** MinHash signatures per document (8 permutations, 3-gram shingles). */
+  def ddMinhash: Q = (s, d) => minhashDf(s, d).orderBy(col("doc_id"))
+
+  val ddMinhashSql: String =
+    s"""WITH $minhashCte
+       |SELECT * FROM mh ORDER BY doc_id""".stripMargin
+
+  /** LSH banding: 4 bands × 2 rows; docs sharing any band key are
+    * candidate near-dup pairs. The band-key join bounds work to truly
+    * similar docs — no quadratic blowup at scale. */
+  def ddLshPairs: Q = (s, d) => {
+    val mh = minhashDf(s, d)
+    val bands = (0 until NumBands).map { b =>
+      mh.select(col("doc_id"), lit(b).as("band"),
+        md5s(concat_ws("|", lit(b), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("bkey"))
+    }.reduce(_ unionByName _)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ddLshPairsSql: String = {
+    val bandSelects = (0 until NumBands).map { b =>
+      s"SELECT doc_id, $b AS band, md5('$b' || '|' || m${2 * b} || '|' || m${2 * b + 1}) AS bkey FROM mh"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $minhashCte,
+       |bands AS ($bandSelects)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Exact n-gram (token-set) Jaccard on candidate pairs — here adjacent
+    * doc ids, the deterministic candidate set for the synthetic corpus. */
+  def ddJaccard: Q = (s, d) => {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
+    val a = t.as("a")
+    val b = t.select(col("doc_id").as("b_id"), col("tk").as("b_tk")).as("b")
+    a.join(b, col("b_id") === col("doc_id") + 1)
+      .select(col("doc_id").as("doc_a"), col("b_id").as("doc_b"),
+        size(col("tk")).as("n_a"), size(col("b_tk")).as("n_b"),
+        size(array_intersect(col("tk"), col("b_tk"))).as("n_common"),
+        round(size(array_intersect(col("tk"), col("b_tk"))) /
+          size(array_union(col("tk"), col("b_tk"))), 4).as("jaccard"))
+      .orderBy(col("doc_a"))
+  }
+
+  val ddJaccardSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_distinct(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS tk
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  len(a.tk) AS n_a, len(b.tk) AS n_b,
+      |  len(list_intersect(a.tk, b.tk)) AS n_common,
+      |  round(len(list_intersect(a.tk, b.tk)) /
+      |        len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+      |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_a""".stripMargin
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 16-bit SimHash: per token, md5's first 4 hex nibbles supply the bits;
+    * each bit votes ±1; fingerprint bit j is 1 iff the vote is positive. */
+  def ddSimhash: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", md5s(col("t")))
+    val withNibbles = (0 until 4).foldLeft(tok) { (df, k) =>
+      df.withColumn(s"v$k",
+        expr(s"instr('0123456789abcdef', substring(h, ${k + 1}, 1)) - 1"))
+    }
+    val voteAggs = (0 until 16).map { j =>
+      val nib = j / 4; val shift = 3 - j % 4
+      sum(when(expr(s"(v$nib div ${1 << shift}) % 2") === 1, 1).otherwise(-1)).as(s"vote$j")
+    }
+    val votes = withNibbles.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val fp = (0 until 16).map(j => when(col(s"vote$j") > 0, 1L << j).otherwise(0L))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), fp.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  val ddSimhashSql: String = {
+    val votes = (0 until 16).map { j =>
+      val nib = j / 4; val shift = 3 - j % 4; val pos = nib + 1
+      s"sum(CASE WHEN ((instr('0123456789abcdef', substring(h, $pos, 1)) - 1) // ${1 << shift}) % 2 = 1 THEN 1 ELSE -1 END) AS vote$j"
+    }.mkString(",\n    ")
+    val fp = (0 until 16).map(j => s"CASE WHEN vote$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(unnest(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0))) AS h
+       |  FROM documents),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, $fp AS simhash FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- embedding near-dup ------------------------------------------------
+
+  /** Embedding-cosine near-dup: sign-bucket (4 bits) candidate generation,
+    * then exact cosine within buckets; pairs above threshold survive. */
+  def ddEmbedCos: Q = (s, d) => {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+      .withColumn("sig", signBucket(col("e"), Seq(1, 2, 3, 4)))
+    val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"), col("sig"))
+    val b = v.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"), col("sig").as("sigb"))
+    a.join(b, col("sig") === col("sigb") && col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") > 0.25)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val ddEmbedCosSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+      |    sqrt(list_reduce(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm,
+      |    concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+      |           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+      |           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+      |           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS sig
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_reduce(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]), (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cos
+      |FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+      |WHERE round(list_reduce(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]), (x, y) -> x + y) / (a.nrm * b.nrm), 4) > 0.25
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "dd_exact" -> ddExact,
+    "dd_exact_norm" -> ddExactNorm,
+    "dd_minhash" -> ddMinhash,
+    "dd_lsh_pairs" -> ddLshPairs,
+    "dd_jaccard" -> ddJaccard,
+    "dd_simhash" -> ddSimhash,
+    "dd_embed_cos" -> ddEmbedCos)
+
+  def oracleSql: Map[String, String] = Map(
+    "dd_exact" -> ddExactSql,
+    "dd_exact_norm" -> ddExactNormSql,
+    "dd_minhash" -> ddMinhashSql,
+    "dd_lsh_pairs" -> ddLshPairsSql,
+    "dd_jaccard" -> ddJaccardSql,
+    "dd_simhash" -> ddSimhashSql,
+    "dd_embed_cos" -> ddEmbedCosSql)
+}

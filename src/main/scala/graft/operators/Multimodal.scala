@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (SURVEY.md §2g): media payloads as opaque
+  * `binary` columns with typed metadata. The real decode libraries are not
+  * in this container, so decode is a clearly-marked deterministic STUB —
+  * but the Spark-side plumbing (binary schema, metadata extraction,
+  * frame-index explosion, partition-parallel `mapPartitions` batch shape)
+  * is real and oracle-/test-checked.
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Binary payload + typed metadata: byte length, checksum, format tag.
+    * (Payload is the utf-8 text here; at 100 TB it is the media blob and
+    * this plan is unchanged — metadata extraction never decodes.) */
+  def mmMeta: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"))
+      .orderBy(col("doc_id"))
+
+  val mmMetaSql: String =
+    """SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS payload_md5,
+      |  (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling plumbing: derive a fake duration from the payload size
+    * and emit one row per sampled frame index (every 2nd frame). The
+    * sequence+explode shape is exactly what a real video pipeline uses. */
+  def mmFramesample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("duration", (col("n_chars") / 100).cast("long") + 1)
+      .select(col("doc_id"), col("duration"),
+        explode(sequence(lit(0L), col("duration"), lit(2L))).as("frame_idx"))
+      .withColumn("frame_key", md5s(concat_ws(":", col("doc_id"), col("frame_idx"))))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val mmFramesampleSql: String =
+    """SELECT doc_id, (n_chars // 100) + 1 AS duration,
+      |  unnest(generate_series(0, (n_chars // 100) + 1, 2)) AS frame_idx,
+      |  md5(concat_ws(':', doc_id, unnest(generate_series(0, (n_chars // 100) + 1, 2)))) AS frame_key
+      |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Decode stub (rows-only check, no SQL oracle): partition-parallel
+    * "decode" of binary payloads into fixed-width feature vectors via
+    * `mapPartitions` — the batch shape a Pandas-UDF/JNI decoder would use.
+    * STUB: features are a deterministic fake (first bytes scaled); swap
+    * `fakeDecode` for a real image/audio decoder at deployment. */
+  def mmDecodeStub: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val feat = fakeDecode(payload)
+        (id, payload.length, feat.sum.toDouble, feat.length)
+      }
+    }.toDF("doc_id", "n_bytes", "feat_sum", "feat_dim")
+      .withColumn("feat_sum", round(col("feat_sum"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** STUB decoder: stands in for libjpeg/ffmpeg/etc. (absent here).
+    * Deterministic: first 8 bytes scaled to [0,1) floats. */
+  private def fakeDecode(payload: Array[Byte]): Array[Float] =
+    payload.take(8).map(b => (b & 0xff) / 256.0f)
+
+  def queries: Map[String, Q] = Map(
+    "mm_meta" -> mmMeta,
+    "mm_framesample" -> mmFramesample,
+    "mm_decode_stub" -> mmDecodeStub)
+
+  /** mm_decode_stub intentionally omitted → rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "mm_meta" -> mmMetaSql,
+    "mm_framesample" -> mmFramesampleSql)
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VecFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search (SURVEY.md §2e) over the 64-dim `embeddings` table.
+  *
+  * `ann_bruteforce` is the exact baseline: broadcast the (small) query set
+  * against all candidates — at cluster scale the candidate side stays
+  * partitioned and each executor scores its shard, so the only shuffle is
+  * the final per-query top-k.
+  *
+  * `ann_lsh` is the scale path: sign-bit LSH buckets prune candidates to
+  * the query's bucket (IVF-style), turning the crossJoin into a keyed join.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def vectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+
+  private val vectorsCte: String =
+    """v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+      |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  /** Exact cosine top-10 for every query vector (vec_id % 4 = 0). */
+  def annBruteforce: Q = (s, d) => {
+    val v = vectors(s, d)
+    val q = v.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annBruteforceSql: String =
+    s"""WITH $vectorsCte,
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v WHERE vec_id % 4 = 0),
+       |scored AS (
+       |  SELECT q.query_id, v.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(generate_series(1, 64), i -> qe[i] * e[i]), (x, y) -> x + y) / (qn * nrm) AS cos
+       |  FROM q JOIN v ON v.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  /** Bucketed ANN: queries only score candidates sharing their 4-bit sign
+    * bucket (dims 1, 8, 22, 43) — ~16× candidate pruning, keyed join. */
+  def annLsh: Q = (s, d) => {
+    val dims = Seq(1, 8, 22, 43)
+    val v = vectors(s, d).withColumn("sig", signBucket(col("e"), dims))
+    val q = v.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("sig").as("qsig"))
+    val scored = v.join(broadcast(q),
+        col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annLshSql: String = {
+    def sig(tbl: String) = Seq(1, 8, 22, 43)
+      .map(i => s"CASE WHEN $tbl.e[$i] >= 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    s"""WITH $vectorsCte,
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, ${sig("v")} AS qsig
+       |      FROM v WHERE vec_id % 4 = 0),
+       |scored AS (
+       |  SELECT q.query_id, v.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(generate_series(1, 64), i -> qe[i] * e[i]), (x, y) -> x + y) / (qn * nrm) AS cos
+       |  FROM q JOIN v ON ${sig("v")} = qsig AND v.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  def queries: Map[String, Q] = Map(
+    "ann_bruteforce" -> annBruteforce,
+    "ann_lsh" -> annLsh)
+
+  def oracleSql: Map[String, String] = Map(
+    "ann_bruteforce" -> annBruteforceSql,
+    "ann_lsh" -> annLshSql)
+}

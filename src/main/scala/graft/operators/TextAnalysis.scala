@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis suite (SURVEY.md §2f) over `documents`: token counting,
+  * quality scoring, language identification and order-insensitive
+  * fingerprinting. All pure column expressions — whole-stage codegen, no
+  * UDFs, embarrassingly parallel at any scale.
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Token / char / byte counting with mean token length. */
+  def taTokens: Q = (s, d) => {
+    val tk = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tk).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        octet_length(col("text")).as("n_bytes"),
+        round(aggregate(transform(tk, t => length(t)), lit(0), (a, x) => a + x) /
+          size(tk), 4).as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taTokensSql: String =
+    """WITH t AS (SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+      |  FROM documents)
+      |SELECT doc_id, len(tk) AS n_tokens, length(text) AS n_chars,
+      |  strlen(text) AS n_bytes,
+      |  round(list_reduce(list_transform(tk, x -> length(x)), (a, b) -> a + b) / len(tk), 4) AS avg_tok_len
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /** Quality scoring: punctuation ratio, stopword ratio, mean word length
+    * and a combined keep/drop flag (the usual pre-training heuristics). */
+  def taQuality: Q = (s, d) => {
+    val tk = tokens(col("text"))
+    val nChars = length(col("text"))
+    val punct = nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+    val stops = size(array_intersect(array_distinct(tk),
+      array(stopwords.map(lit): _*)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(tk).as("n_tokens"),
+        round(punct / nChars, 4).as("punct_ratio"),
+        round(stops / size(array_distinct(tk)), 4).as("stop_ratio"),
+        round(aggregate(transform(tk, t => length(t)), lit(0), (a, x) => a + x) /
+          size(tk), 4).as("mean_tok_len"))
+      .withColumn("is_quality",
+        col("n_tokens").between(20, 1000) && col("punct_ratio") < 0.1 &&
+          col("stop_ratio") > 0.01 && col("mean_tok_len").between(2.0, 12.0))
+      .orderBy(col("doc_id"))
+  }
+
+  val taQualitySql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, text,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+       |  FROM documents),
+       |m AS (SELECT doc_id, len(tk) AS n_tokens,
+       |    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / length(text), 4) AS punct_ratio,
+       |    round(len(list_intersect(list_distinct(tk), $stopList)) / len(list_distinct(tk)), 4) AS stop_ratio,
+       |    round(list_reduce(list_transform(tk, x -> length(x)), (a, b) -> a + b) / len(tk), 4) AS mean_tok_len
+       |  FROM t)
+       |SELECT doc_id, n_tokens, punct_ratio, stop_ratio, mean_tok_len,
+       |  (n_tokens BETWEEN 20 AND 1000) AND punct_ratio < 0.1
+       |    AND stop_ratio > 0.01 AND (mean_tok_len BETWEEN 2.0 AND 12.0) AS is_quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "los", "las", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** Language ID via stopword-profile overlap (n-gram heuristic), with a
+    * Han-script check for zh; deterministic argmax with fixed priority. */
+  def taLangid: Q = (s, d) => {
+    val tk = array_distinct(tokens(col("text")))
+    val scores: Seq[(String, Column)] = profiles.map { case (l, ws) =>
+      l -> size(array_intersect(tk, array(ws.map(lit): _*)))
+    }
+    val zh = length(col("text")) - length(regexp_replace(col("text"), "\\p{IsHan}", ""))
+    val all = scores :+ ("zh" -> zh)
+    val g = greatest(all.map(_._2): _*)
+    val guessed = all.foldRight(lit("und")) { case ((l, sc), acc) =>
+      when(g > 0 && sc === g, lit(l)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .select(col("lang"), guessed.as("guessed_lang"))
+      .groupBy(col("lang"), col("guessed_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("guessed_lang"))
+  }
+
+  val taLangidSql: String = {
+    def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scoreCols = profiles.map { case (l, ws) =>
+      s"len(list_intersect(tk, ${lst(ws)})) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = profiles.map(_._1) :+ "zh"
+    val gExpr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val caseExpr = langs.map(l => s"WHEN s_$l = g THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang, text,
+       |    list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS tk
+       |  FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |    $scoreCols,
+       |    length(text) - length(regexp_replace(text, '\\p{Han}', '', 'g')) AS s_zh
+       |  FROM t),
+       |gg AS (SELECT *, $gExpr AS g FROM sc),
+       |guessed AS (SELECT lang,
+       |    CASE WHEN g <= 0 THEN 'und' $caseExpr ELSE 'und' END AS guessed_lang
+       |  FROM gg)
+       |SELECT lang, guessed_lang, count(*) AS n_docs
+       |FROM guessed GROUP BY lang, guessed_lang ORDER BY lang, guessed_lang""".stripMargin
+  }
+
+  /** Order-insensitive fingerprint: md5 over the sorted distinct token set
+    * (rolling-hash style canonicalization for shuffled near-dups). */
+  def taFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5s(concat_ws(" ", sort_array(array_distinct(tokens(col("text")))))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val taFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0))), ' ')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "ta_tokens" -> taTokens,
+    "ta_quality" -> taQuality,
+    "ta_langid" -> taLangid,
+    "ta_fingerprint" -> taFingerprint)
+
+  def oracleSql: Map[String, String] = Map(
+    "ta_tokens" -> taTokensSql,
+    "ta_quality" -> taQualitySql,
+    "ta_langid" -> taLangidSql,
+    "ta_fingerprint" -> taFingerprintSql)
+}
