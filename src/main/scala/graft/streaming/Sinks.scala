@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Storage sinks with the reference's delivery guarantees, re-expressed on
+  * Structured Streaming's epoch model.
+  *
+  * References (semantics only):
+  *  - RecordBatchingSink + PartitioningFileRecordBatcher + FileCommitStrategy
+  *    (sink/batch/RecordBatchingSink.scala, sink/file): batch records per
+  *    time partition, roll files at N records.
+  *  - TwoPhaseCommitBatchStorage (sink/batch/storage/TwoPhaseCommitBatchStorage.scala):
+  *    stage, then atomically commit with the consumed ranges recorded.
+  *  - InDataOffsetBatchStorage (sink/batch/storage/InDataOffsetBatchStorage.scala):
+  *    offsets stored inside the data; recovery = read back the max batch id.
+  */
+object Sinks {
+
+  /** Partitioned file sink: routes records to `dt=yyyyMMdd` directories
+    * (TimePartitioningFilePathFormatter) and rolls files at
+    * `maxRecordsPerFile` (ReachedAnyOf(recordsWritten=N)). Exactly-once
+    * via Spark's transactional file-sink commit log. */
+  def recordBatchingSink(
+      events: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      maxRecordsPerFile: Long = 100000): DataStreamWriter[Row] =
+    events
+      .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+      .writeStream
+      .format("parquet")
+      .partitionBy("dt")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .trigger(Trigger.AvailableNow())
+
+  /** Two-phase commit storage: every epoch is (1) staged to a temp dir,
+    * (2) renamed into place, (3) recorded in the manifest together with
+    * the consumed offset ranges. A replayed epoch (restart between stage
+    * and manifest write) is detected in the manifest and skipped, giving
+    * exactly-once end-to-end — the TwoPhaseCommitBatchStorage protocol on
+    * Spark's epoch ids instead of Kafka offsets. */
+  class TwoPhaseCommitSink(outDir: String) extends Serializable {
+
+    def attach(events: DataFrame, checkpointDir: String): StreamingQuery =
+      events.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(writeBatch _)
+        .start()
+
+    def committedBatchIds(spark: org.apache.spark.sql.SparkSession): Seq[Long] = {
+      val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val manifest = new Path(outDir, "_manifest")
+      if (!fs.exists(manifest)) Seq.empty
+      else {
+        val in = fs.open(manifest)
+        val lines = scala.io.Source.fromInputStream(in).getLines()
+          .map(_.split(":")(0).toLong).toList
+        in.close(); lines
+      }
+    }
+
+    /** Idempotent epoch write (the two phases + manifest commit). */
+    def writeBatch(batch: DataFrame, batchId: Long): Unit = {
+      val spark = batch.sparkSession
+      if (committedBatchIds(spark).contains(batchId)) return // replay → skip
+      val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new Path(outDir, s"_staging/batch=$batchId")
+      val dest = new Path(outDir, s"batch=$batchId")
+      // Phase 1: stage
+      batch.write.mode("overwrite").parquet(staging.toString)
+      // Phase 2: atomic publish
+      fs.mkdirs(dest.getParent)
+      if (fs.exists(dest)) fs.delete(dest, true)
+      fs.rename(staging, dest)
+      // Commit: manifest line `batchId:partition=min..max,...;rows=n`
+      val ranges = batch.groupBy(col("event_type"))
+        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+        .collect()
+        .sortBy(_.getString(0))
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}..${r.getLong(2)}")
+        .mkString(",")
+      val line = s"$batchId:$ranges;rows=${batch.count()}\n"
+      val out = if (fs.exists(new Path(outDir, "_manifest")))
+        fs.append(new Path(outDir, "_manifest"))
+      else fs.create(new Path(outDir, "_manifest"))
+      out.write(line.getBytes("UTF-8")); out.close()
+    }
+  }
+
+  /** In-data offset storage: the epoch id travels inside the data as a
+    * `_batch_id` column; recovery scans the sink for the max committed
+    * batch and drops replays — no external commit log needed. */
+  class InDataOffsetSink(outDir: String) extends Serializable {
+
+    def attach(events: DataFrame, checkpointDir: String): StreamingQuery =
+      events.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(writeBatch _)
+        .start()
+
+    def committedMaxBatchId(spark: org.apache.spark.sql.SparkSession): Long = {
+      val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(outDir)) || fs.listStatus(new Path(outDir)).isEmpty) -1L
+      else spark.read.parquet(outDir).agg(max(col("_batch_id"))).collect()(0).getLong(0)
+    }
+
+    def writeBatch(batch: DataFrame, batchId: Long): Unit = {
+      if (batchId <= committedMaxBatchId(batch.sparkSession)) return // replay
+      batch.withColumn("_batch_id", lit(batchId))
+        .write.mode("append").parquet(outDir)
+    }
+  }
+}

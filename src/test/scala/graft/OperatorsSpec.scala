@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Batch-operator smoke/determinism spec at sf0.001. Full value-level
+  * correctness is enforced by the DuckDB oracle gate (tools/check.py /
+  * the driver's t2); these tests pin structural invariants and catch
+  * regressions without the oracle in the loop.
+  */
+class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-operators-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  behavior of "SparkEntry"
+
+  it should "expose an oracle for every query except rows-only ops" in {
+    val rowsOnly = Set("mm_decode_stub")
+    (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) shouldBe rowsOnly
+    SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
+  }
+
+  it should "run the flagship entry with rows" in {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+
+  it should "run every registered query non-empty and deterministically" in {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      withClue(s"query $name: ") {
+        val first = fn(spark, sf)
+        val n = first.count()
+        n should be > 0L
+        // determinism: same plan re-run hashes identically
+        val a = first.collect().map(_.toString).mkString("\n")
+        val b = fn(spark, sf).collect().map(_.toString).mkString("\n")
+        a shouldBe b
+      }
+    }
+  }
+
+  behavior of "operator invariants"
+
+  it should "produce 8 minhash columns" in {
+    operators.Dedup.ddMinhash(spark, sf).columns.toSeq shouldBe
+      ("doc_id" +: (0 until 8).map(j => s"m$j"))
+  }
+
+  it should "keep ann ranks within k and unique per query" in {
+    import org.apache.spark.sql.functions._
+    val df = operators.Similarity.annBruteforce(spark, sf)
+    df.agg(max("rnk")).collect()(0).getInt(0) should be <= 10
+    val dup = df.groupBy("query_id", "rnk").count().filter(col("count") > 1).count()
+    dup shouldBe 0L
+  }
+
+  it should "assign every event to exactly one session" in {
+    import org.apache.spark.sql.functions._
+    val sessions = operators.EventAnalytics.evSessions(spark, sf)
+    val total = sessions.agg(sum("n_events")).collect()(0).getLong(0)
+    total shouldBe Tables.events(spark, sf).count()
+  }
+}

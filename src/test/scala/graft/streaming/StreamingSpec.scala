@@ -1,0 +1,152 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-streaming-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private def tmp(): String = Files.createTempDirectory("graft-test").toString
+
+  private def eventsStream(rows: Seq[Ev]): (MemoryStream[Ev], org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(rows: _*)
+    (ms, ms.toDF())
+  }
+
+  behavior of "RecordBatchingSink"
+
+  it should "write time-partitioned files exactly once" in {
+    import spark.implicits._
+    val src = tmp(); val out = tmp(); val cp = tmp()
+    Seq(
+      Ev(0, ts(10), 1, "click", 1.0, "{}"),
+      Ev(1, ts(20), 2, "view", 2.0, "{}"),
+      Ev(2, Timestamp.valueOf("2024-01-02 01:00:00"), 1, "click", 3.0, "{}"))
+      .toDF().write.mode("overwrite").parquet(src)
+    val stream = EventSource.fileStream(spark, src)
+    Sinks.recordBatchingSink(stream, out, cp).start().awaitTermination()
+    val result = spark.read.parquet(out)
+    result.count() shouldBe 3
+    result.select("dt").distinct().as[String].collect().sorted shouldBe Array("20240101", "20240102")
+    // restart with same checkpoint: no duplicates (file-sink commit log)
+    Sinks.recordBatchingSink(EventSource.fileStream(spark, src), out, cp).start().awaitTermination()
+    spark.read.parquet(out).count() shouldBe 3
+  }
+
+  behavior of "TwoPhaseCommitSink"
+
+  it should "commit batches with ranges in the manifest and skip replays" in {
+    val (_, df) = eventsStream(Seq(
+      Ev(0, ts(1), 1, "click", 1.0, "{}"),
+      Ev(1, ts(2), 1, "view", 2.0, "{}"),
+      Ev(2, ts(3), 2, "click", 3.0, "{}")))
+    val out = tmp()
+    val sink = new Sinks.TwoPhaseCommitSink(out)
+    sink.attach(df, tmp()).awaitTermination()
+    val committed = sink.committedBatchIds(spark)
+    committed should contain(0L)
+    spark.read.parquet(s"$out/batch=0").count() shouldBe 3
+    // replaying the same epoch must be a no-op
+    val replay = spark.read.parquet(s"$out/batch=0")
+    sink.writeBatch(replay, 0L)
+    sink.committedBatchIds(spark).count(_ == 0L) shouldBe 1
+    spark.read.parquet(s"$out/batch=0").count() shouldBe 3
+  }
+
+  behavior of "InDataOffsetSink"
+
+  it should "store batch ids in the data and drop replayed epochs" in {
+    val (_, df) = eventsStream(Seq(
+      Ev(0, ts(1), 1, "click", 1.0, "{}"),
+      Ev(1, ts(2), 2, "view", 2.0, "{}")))
+    val out = tmp()
+    val sink = new Sinks.InDataOffsetSink(out)
+    sink.attach(df, tmp()).awaitTermination()
+    sink.committedMaxBatchId(spark) shouldBe 0L
+    spark.read.parquet(out).count() shouldBe 2
+    // replay epoch 0 → skipped
+    sink.writeBatch(spark.read.parquet(out).drop("_batch_id"), 0L)
+    spark.read.parquet(out).count() shouldBe 2
+  }
+
+  behavior of "Transforms"
+
+  it should "aggregate tumbling windows with watermark" in {
+    val (_, df) = eventsStream(Seq(
+      Ev(0, ts(10), 1, "click", 1.0, "{}"),
+      Ev(1, ts(40), 2, "click", 2.0, "{}"),
+      Ev(2, ts(70), 1, "view", 4.0, "{}")))
+    val q = Transforms.windowedAggregation(df)
+      .writeStream.format("memory").queryName("win").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win").collect()
+    rows.map(_.getLong(2)).sum shouldBe 3
+    rows.length shouldBe 2 // (hour0, click ×2), (hour1, view)
+  }
+
+  it should "drop duplicate offsets within the watermark" in {
+    val (ms, df) = eventsStream(Seq(
+      Ev(0, ts(1), 1, "click", 1.0, "{}"),
+      Ev(0, ts(1), 1, "click", 1.0, "{}"), // exact replay
+      Ev(1, ts(2), 2, "view", 2.0, "{}")))
+    val q = Transforms.streamDedup(df)
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    spark.table("dedup").count() shouldBe 2
+  }
+
+  it should "sessionize with session_window" in {
+    val (_, df) = eventsStream(Seq(
+      Ev(0, ts(0), 1, "click", 1.0, "{}"),
+      Ev(1, ts(10), 1, "click", 1.0, "{}"),  // same session (10 < 30 gap)
+      Ev(2, ts(120), 1, "click", 1.0, "{}"), // new session
+      Ev(3, ts(5), 2, "view", 1.0, "{}")))
+    val q = Transforms.sessionize(df)
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess").collect()
+    rows.length shouldBe 3
+    rows.filter(_.getLong(2) == 1L).map(_.getLong(3)).sorted shouldBe Array(1L, 2L)
+  }
+
+  it should "keep running user totals via mapGroupsWithState" in {
+    val (ms, df) = eventsStream(Seq(
+      Ev(0, ts(1), 1, "click", 1.0, "{}"),
+      Ev(1, ts(2), 1, "view", 2.0, "{}"),
+      Ev(2, ts(3), 2, "click", 5.0, "{}")))
+    val q = Transforms.runningUserTotals(spark, df)
+      .writeStream.format("memory").queryName("totals").outputMode("update").start()
+    q.processAllAvailable()
+    ms.addData(Ev(3, ts(4), 1, "click", 4.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("totals").collect()
+      .filter(_.getLong(0) == 1L).maxBy(_.getLong(1))
+    last.getLong(1) shouldBe 3
+    last.getDouble(2) shouldBe 7.0
+  }
+}
