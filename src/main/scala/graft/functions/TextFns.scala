@@ -25,9 +25,10 @@ object TextFns {
   /** md5 hex of a string column (Spark needs an explicit binary cast). */
   def md5s(c: Column): Column = md5(c.cast("binary"))
 
-  /** MinHash permutation j: md5 of the salted shingle; signature value is
-    * the lexicographic min over a doc's shingles (hex strings compare
-    * identically in Spark and DuckDB — both byte-wise). */
+  /** MinHash permutation j: an 8-hex-char slice of a salted md5 digest —
+    * 4 permutations per digest, so 8 permutations cost 2 md5s per shingle
+    * instead of 8. Signature value is the lexicographic min over a doc's
+    * shingles (hex strings compare identically in Spark and DuckDB). */
   def minhashTerm(j: Int, shingle: Column): Column =
-    md5s(concat(lit(s"$j|"), shingle))
+    substring(md5s(concat(lit(s"${j / 4}|"), shingle)), 8 * (j % 4) + 1, 8)
 }

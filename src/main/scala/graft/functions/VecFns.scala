@@ -19,7 +19,15 @@ object VecFns {
   def foldSum(v: Column): Column =
     aggregate(v, lit(0.0), (acc, x) => acc + x)
 
+  /** Native codegen'd dot product (graft.functions.DotProduct). Works
+    * directly on `array<float>` with double accumulation; the session must
+    * have graft functions registered (GraftFunctions.register / extension). */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** Interpreted fallback with identical semantics (for sessions without
+    * the registry; ~10× slower per pair). */
+  def dotHof(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x * y))
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))

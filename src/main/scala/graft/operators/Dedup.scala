@@ -51,16 +51,28 @@ object Dedup {
   private val NumHashes = 8
   private val NumBands = 4 // 2 rows per band
 
-  /** doc_id + m0..m7 minhash signature over word 3-gram shingles. */
+  /** doc_id + m0..m7 minhash signature over word 3-gram shingles, computed
+    * record-local in one pass by the native MinHashSig expression — no
+    * explode, no shuffle (the aggregation-shaped plan pays a ~300× row
+    * explosion for the same result). */
   private def minhashDf(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("s"))
-    val aggs = (0 until NumHashes).map(j => min(minhashTerm(j, col("s"))).as(s"m$j"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    graft.plans.GraftFunctions.register(s)
+    // tokens/shingles materialize through separate projections: inlining
+    // them into the transform lambda re-evaluates split() per element
+    // (O(tokens²) per doc — measured 2× wall on dd_lsh_pairs).
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), shingles3(col("tk")).as("sh"))
+      .select(col("doc_id"), call_function("graft_minhash", col("sh")).as("sig"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
   }
 
   private val minhashCte: String = {
-    val mins = (0 until NumHashes).map(j => s"min(md5('$j|' || s)) AS m$j").mkString(", ")
+    val mins = (0 until NumHashes)
+      .map(j => s"min(substr(md5('${j / 4}|' || s), ${8 * (j % 4) + 1}, 8)) AS m$j")
+      .mkString(", ")
     s"""toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS tk FROM documents),
        |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM toks),
@@ -78,16 +90,20 @@ object Dedup {
     * candidate near-dup pairs. The band-key join bounds work to truly
     * similar docs — no quadratic blowup at scale. */
   def ddLshPairs: Q = (s, d) => {
+    // Single minhash pass: explode the 4 band keys per doc, bucket docs by
+    // (band, key), emit pairs inside each bucket. One aggregation, one
+    // shuffle on band keys, no self-join recomputation of the signatures.
     val mh = minhashDf(s, d)
-    val bands = (0 until NumBands).map { b =>
-      mh.select(col("doc_id"), lit(b).as("band"),
-        md5s(concat_ws("|", lit(b), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("bkey"))
-    }.reduce(_ unionByName _)
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val bandKeys = array((0 until NumBands).map { b =>
+      md5s(concat_ws("|", lit(b), col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
+    }: _*)
+    mh.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "bkey")))
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), explode(col("ids")).as("doc_a"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -174,8 +190,9 @@ object Dedup {
   /** Embedding-cosine near-dup: sign-bucket (4 bits) candidate generation,
     * then exact cosine within buckets; pairs above threshold survive. */
   def ddEmbedCos: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
     val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", l2norm(col("e")))
       .withColumn("sig", signBucket(col("e"), Seq(1, 2, 3, 4)))
     val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"), col("sig"))

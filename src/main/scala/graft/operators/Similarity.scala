@@ -20,10 +20,12 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def vectors(s: SparkSession, d: String): DataFrame =
+  private def vectors(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", l2norm(col("e")))
+  }
 
   private val vectorsCte: String =
     """v AS (

@@ -55,7 +55,10 @@ object StreamSemantics {
   /** Monotonic running watermark per partition (max event time seen so far,
     * in offset order) — WatermarkProvider semantics, per record. */
   def slWatermark: Q = (s, d) => {
+    // ROWS frame: cheaper than the default RANGE frame and identical here
+    // (event_id is unique within a partition).
     val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("ts"))
       .withColumn("watermark", max(col("ts")).over(w))
