@@ -96,13 +96,80 @@ object EventAnalytics {
       |SELECT event_type, sum(late) AS n_late, count(*) AS n_total
       |FROM marked GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Gap-filled hourly resample: build the full hour spine per event type
+    * (min..max hour), left-join the actual hourly aggregates, fill gaps
+    * with zeros — the time-series densify operator. The spine is generated
+    * distributed (sequence+explode per type), never on the driver. */
+  def evResample: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type").as("et"))
+      .agg(count(lit(1)).as("n_events_raw"), sum(col("value")).as("sum_value_raw"))
+    val spine = ev.groupBy(col("event_type"))
+      .agg(min(date_trunc("hour", col("ts"))).as("h0"),
+        max(date_trunc("hour", col("ts"))).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour_start"))
+    spine.join(hourly,
+        spine("event_type") === hourly("et") && spine("hour_start") === hourly("hour_start"),
+        "left")
+      .select(spine("hour_start"), col("event_type"),
+        coalesce(col("n_events_raw"), lit(0L)).as("n_events"),
+        round(coalesce(col("sum_value_raw"), lit(0.0)), 4).as("sum_value"))
+      .orderBy(col("event_type"), spine("hour_start"))
+  }
+
+  val evResampleSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts::TIMESTAMP) AS hour_start, event_type,
+      |    count(*) AS n_events, sum(value) AS sum_value
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT event_type, min(date_trunc('hour', ts::TIMESTAMP)) AS h0,
+      |    max(date_trunc('hour', ts::TIMESTAMP)) AS h1
+      |  FROM events GROUP BY event_type),
+      |spine AS (
+      |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start
+      |  FROM bounds)
+      |SELECT s.hour_start, s.event_type,
+      |  coalesce(h.n_events, 0) AS n_events,
+      |  round(coalesce(h.sum_value, 0), 4) AS sum_value
+      |FROM spine s LEFT JOIN hourly h
+      |  ON h.event_type = s.event_type AND h.hour_start = s.hour_start
+      |ORDER BY s.event_type, s.hour_start""".stripMargin
+
+  /** Skew-proof aggregation: two-phase salted groupBy (partial per
+    * (key, salt), then final per key). Result is identical to the direct
+    * groupBy — the oracle proves it — while the shuffle spreads hot keys
+    * over 16 salt buckets (the pattern for skewed keys at 100 TB). */
+  def evSaltedAgg: Q = (s, d) => {
+    val salted = Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+    salted.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"), round(sum(col("psum")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val evSaltedAggSql: String =
+    """WITH partial AS (
+      |  SELECT event_type, event_id % 16 AS salt, count(*) AS pn, sum(value) AS psum
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, sum(pn) AS n_events, round(sum(psum), 2) AS sum_value
+      |FROM partial GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ev_tumbling" -> evTumbling,
     "ev_sessions" -> evSessions,
-    "ev_late_data" -> evLateData)
+    "ev_late_data" -> evLateData,
+    "ev_resample" -> evResample,
+    "ev_salted_agg" -> evSaltedAgg)
 
   def oracleSql: Map[String, String] = Map(
     "ev_tumbling" -> evTumblingSql,
     "ev_sessions" -> evSessionsSql,
-    "ev_late_data" -> evLateDataSql)
+    "ev_late_data" -> evLateDataSql,
+    "ev_resample" -> evResampleSql,
+    "ev_salted_agg" -> evSaltedAggSql)
 }

@@ -289,7 +289,27 @@ object Relational {
       |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Pivot: daily event counts spread into one column per event type
+    * (explicit value list → single shuffle, no value-discovery pass). */
+  def qPivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+
+  val qPivotSql: String =
+    """SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_pivot" -> qPivot,
     "q1_pricing" -> q1Pricing,
     "q3_topk_join" -> q3TopkJoin,
     "q5_region_join" -> q5RegionJoin,
@@ -304,6 +324,7 @@ object Relational {
     "q_corr_subquery" -> qCorrSubquery)
 
   def oracleSql: Map[String, String] = Map(
+    "q_pivot" -> qPivotSql,
     "q1_pricing" -> q1PricingSql,
     "q3_topk_join" -> q3TopkJoinSql,
     "q5_region_join" -> q5RegionJoinSql,

@@ -214,7 +214,21 @@ object StreamSemantics {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** ClickHouse-RowBinary-style binary record encoding (rows-only check;
+    * byte-level vectors are pinned in RowBinarySpec — binary output is not
+    * expressible in the SQL oracle). */
+  def slRowbinary: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .select(col("event_id"),
+        hex(call_function("graft_rowbinary",
+          struct(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"), col("value")))).as("rowbinary_hex"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "sl_rowbinary" -> slRowbinary,
     "sl_positions" -> slPositions,
     "sl_range_merge" -> slRangeMerge,
     "sl_watermark" -> slWatermark,

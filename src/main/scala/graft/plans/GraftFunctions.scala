@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, MinHashSig}
+import graft.functions.{DotProduct, MinHashSig, RowBinaryEncode}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -21,7 +21,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     (new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
-      (args: Seq[Expression]) => MinHashSig(args(0))))
+      (args: Seq[Expression]) => MinHashSig(args(0))),
+    (new FunctionIdentifier("graft_rowbinary"),
+      new ExpressionInfo(classOf[RowBinaryEncode].getName, "graft_rowbinary"),
+      (args: Seq[Expression]) => RowBinaryEncode(args(0))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>
     if (!spark.sessionState.functionRegistry.functionExists(id)) {

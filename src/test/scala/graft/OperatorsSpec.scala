@@ -27,7 +27,7 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   behavior of "SparkEntry"
 
   it should "expose an oracle for every query except rows-only ops" in {
-    val rowsOnly = Set("mm_decode_stub")
+    val rowsOnly = Set("mm_decode_stub", "sl_rowbinary")
     (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) shouldBe rowsOnly
     SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
   }

@@ -1,0 +1,68 @@
+package graft.functions
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Byte-level vectors for the RowBinary encoder, hand-computed from the
+  * format spec (LE primitives, LEB128 strings, int32-seconds DateTime,
+  * 0x01/0x00 null flags). */
+class RowBinarySpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def encodeHex(df: org.apache.spark.sql.DataFrame, structCols: String): String = {
+    graft.plans.GraftFunctions.register(spark)
+    df.selectExpr(s"hex(graft_rowbinary($structCols)) AS h").collect()(0).getString(0)
+  }
+
+  behavior of "graft_rowbinary"
+
+  it should "encode non-nullable primitives little-endian" in {
+    import spark.implicits._
+    val df = Seq((1L, 2, "ab")).toDF("l", "i", "s")
+    // schema from toDF: l and i are non-nullable, s is nullable (ref type)
+    // 1L → 0100000000000000, 2 → 02000000, "ab" → flag 00, len 02, 6162
+    encodeHex(df, "struct(l, i, s)") shouldBe
+      "0100000000000000" + "02000000" + "00" + "02" + "6162"
+  }
+
+  it should "encode nulls as a 0x01 flag with no payload" in {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String])).toDF("l", "s")
+    encodeHex(df, "struct(l, s)") shouldBe "0100000000000000" + "01"
+  }
+
+  it should "encode timestamps as int32 epoch seconds" in {
+    import spark.implicits._
+    val df = Seq(Tuple1(Timestamp.valueOf("1970-01-01 00:00:10"))).toDF("t")
+    encodeHex(df, "struct(t)") shouldBe "00" + "0A000000"
+  }
+
+  it should "use multi-byte LEB128 lengths for long strings" in {
+    import spark.implicits._
+    val s200 = "x" * 200 // 200 = 0xC8 → LEB128: C8 01
+    val df = Seq(Tuple1(s200)).toDF("s")
+    val hex = encodeHex(df, "struct(s)")
+    hex.take(6) shouldBe "00" + "C801"
+    hex.length shouldBe 6 + 200 * 2
+  }
+
+  it should "encode doubles as IEEE-754 LE" in {
+    import spark.implicits._
+    val df = Seq(Tuple1(1.0)).toDF("d")
+    // 1.0 = 0x3FF0000000000000 big-endian → LE bytes reversed
+    encodeHex(df, "struct(d)") shouldBe "000000000000F03F"
+  }
+}
