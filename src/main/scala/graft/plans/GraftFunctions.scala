@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, MinHashSig, RowBinaryEncode}
+import graft.functions.{DotProduct, MinHashSig, RowBinaryEncode, VerticaNativeEncode}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,7 +24,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => MinHashSig(args(0))),
     (new FunctionIdentifier("graft_rowbinary"),
       new ExpressionInfo(classOf[RowBinaryEncode].getName, "graft_rowbinary"),
-      (args: Seq[Expression]) => RowBinaryEncode(args(0))))
+      (args: Seq[Expression]) => RowBinaryEncode(args(0))),
+    (new FunctionIdentifier("graft_verticarow"),
+      new ExpressionInfo(classOf[VerticaNativeEncode].getName, "graft_verticarow"),
+      (args: Seq[Expression]) => VerticaNativeEncode(args(0))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>
     if (!spark.sessionState.functionRegistry.functionExists(id)) {

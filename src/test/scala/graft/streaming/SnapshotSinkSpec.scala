@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.concurrent.Eventually
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.time.{Seconds, Span}
+
+import graft.util.{GraftMetrics, Retry}
+
+class SnapshotSinkSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll with Eventually {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+  private def tmp(): String = Files.createTempDirectory("graft-snap").toString
+
+  behavior of "SnapshotTableSink"
+
+  it should "commit epochs as snapshots, read committed data, skip replays" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val table = tmp(); val cp = tmp()
+    val sink = new SnapshotTableSink(table)
+
+    ms.addData(Ev(0, ts(1), 1, "click", 1.0, "{}"), Ev(1, ts(2), 2, "view", 2.0, "{}"))
+    sink.attach(ms.toDF(), cp).awaitTermination()
+    sink.currentSnapshot(spark).map(_._2) shouldBe Some(Seq(0L))
+    sink.read(spark).count() shouldBe 2
+
+    // second epoch via the same checkpoint
+    ms.addData(Ev(2, ts(3), 1, "purchase", 3.0, "{}"))
+    sink.attach(ms.toDF(), cp).awaitTermination()
+    sink.currentSnapshot(spark).map(_._2) shouldBe Some(Seq(0L, 1L))
+    sink.read(spark).count() shouldBe 3
+
+    // replaying an already-committed epoch is a no-op
+    sink.writeBatch(sink.read(spark), 0L)
+    sink.read(spark).count() shouldBe 3
+    sink.currentSnapshot(spark).map(_._2) shouldBe Some(Seq(0L, 1L))
+  }
+
+  behavior of "GraftMetrics"
+
+  it should "count rows and epochs per streaming query" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val metrics = GraftMetrics.install(spark)
+    val ms = MemoryStream[Ev]
+    ms.addData(Ev(0, ts(1), 1, "click", 1.0, "{}"), Ev(1, ts(2), 2, "view", 2.0, "{}"))
+    val q = ms.toDF().writeStream.format("memory")
+      .queryName("metered").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    eventually(timeout(Span(10, Seconds))) {
+      metrics.rowsLoaded("metered") shouldBe 2L
+      metrics.epochsCommitted("metered") shouldBe 1L
+    }
+    spark.streams.removeListener(metrics)
+  }
+
+  behavior of "Retry"
+
+  it should "retry with backoff until success" in {
+    var attempts = 0
+    val result = Retry.withBackoff(maxAttempts = 3, initialDelay = scala.concurrent.duration.Duration(1, "ms")) {
+      attempts += 1
+      if (attempts < 3) sys.error("transient") else "ok"
+    }
+    result shouldBe "ok"
+    attempts shouldBe 3
+  }
+
+  it should "rethrow after exhausting attempts" in {
+    var attempts = 0
+    an[RuntimeException] should be thrownBy {
+      Retry.withBackoff(maxAttempts = 2, initialDelay = scala.concurrent.duration.Duration(1, "ms")) {
+        attempts += 1; sys.error("always")
+      }
+    }
+    attempts shouldBe 2
+  }
+}
