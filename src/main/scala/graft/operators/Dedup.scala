@@ -147,6 +147,63 @@ object Dedup {
       |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
       |ORDER BY doc_a""".stripMargin
 
+  /** Near-dup cluster assignment: connected components over the LSH
+    * candidate-pair graph via iterative min-label propagation (each round
+    * is one distributed join; converges in O(graph diameter) rounds —
+    * the standard large-scale CC algorithm). Singletons keep their own id.
+    * Oracle: recursive-CTE transitive closure (same fixpoint). */
+  def ddDupGroups: Q = (s, d) => {
+    val pairs = ddLshPairs(s, d).select(col("doc_a"), col("doc_b"))
+    // symmetric edge list
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+    val nodes = edges.select(col("doc_a").as("id")).distinct()
+    var labels = nodes.withColumn("lbl", col("id")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val viaNeighbors = edges
+        .join(labels, edges("doc_b") === labels("id"))
+        .groupBy(col("doc_a").as("id2")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(viaNeighbors, col("id") === col("id2"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val clustered = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+    // singletons: documents not in any candidate pair
+    val all = Tables.documents(s, d).select(col("doc_id"))
+    all.join(clustered, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ddDupGroupsSql: String = {
+    val bandSelects = (0 until NumBands).map { b =>
+      s"SELECT doc_id, $b AS band, md5('$b' || '|' || m${2 * b} || '|' || m${2 * b + 1}) AS bkey FROM mh"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $minhashCte,
+       |bands AS ($bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT doc_a, doc_a FROM edges
+       |  UNION
+       |  SELECT e.doc_a, reach.r FROM reach JOIN edges e ON e.doc_b = reach.id),
+       |clustered AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep
+       |FROM documents d LEFT JOIN clustered c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 16-bit SimHash: per token, md5's first 4 hex nibbles supply the bits;
@@ -224,6 +281,7 @@ object Dedup {
     "dd_exact_norm" -> ddExactNorm,
     "dd_minhash" -> ddMinhash,
     "dd_lsh_pairs" -> ddLshPairs,
+    "dd_dup_groups" -> ddDupGroups,
     "dd_jaccard" -> ddJaccard,
     "dd_simhash" -> ddSimhash,
     "dd_embed_cos" -> ddEmbedCos)
@@ -233,6 +291,7 @@ object Dedup {
     "dd_exact_norm" -> ddExactNormSql,
     "dd_minhash" -> ddMinhashSql,
     "dd_lsh_pairs" -> ddLshPairsSql,
+    "dd_dup_groups" -> ddDupGroupsSql,
     "dd_jaccard" -> ddJaccardSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_embed_cos" -> ddEmbedCosSql)

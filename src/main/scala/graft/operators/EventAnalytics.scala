@@ -159,7 +159,35 @@ object EventAnalytics {
       |SELECT event_type, sum(pn) AS n_events, round(sum(psum), 2) AS sum_value
       |FROM partial GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Hopping (sliding) windows: 1-hour windows every 30 minutes — each
+    * event lands in exactly two windows, generated distributed via
+    * explode (the batch twin of window(ts, "1 hour", "30 minutes")). */
+  def evHopping: Q = (s, d) => {
+    val grid = timestamp_micros(expr("unix_micros(ts) div 1800000000") * 1800000000L)
+    Tables.events(s, d)
+      .withColumn("g", grid)
+      .select(col("event_type"), col("value"),
+        explode(array(col("g"), col("g") - expr("INTERVAL 30 MINUTE"))).as("window_start"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val evHoppingSql: String =
+    """WITH g AS (
+      |  SELECT event_type, value,
+      |    make_timestamp((epoch_us(ts::TIMESTAMP) // 1800000000) * 1800000000) AS g0
+      |  FROM events),
+      |expanded AS (
+      |  SELECT event_type, value, g0 AS window_start FROM g
+      |  UNION ALL
+      |  SELECT event_type, value, g0 - INTERVAL 30 MINUTE FROM g)
+      |SELECT window_start, event_type, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM expanded GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ev_hopping" -> evHopping,
     "ev_tumbling" -> evTumbling,
     "ev_sessions" -> evSessions,
     "ev_late_data" -> evLateData,
@@ -167,6 +195,7 @@ object EventAnalytics {
     "ev_salted_agg" -> evSaltedAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "ev_hopping" -> evHoppingSql,
     "ev_tumbling" -> evTumblingSql,
     "ev_sessions" -> evSessionsSql,
     "ev_late_data" -> evLateDataSql,

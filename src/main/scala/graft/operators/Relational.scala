@@ -308,7 +308,18 @@ object Relational {
       |  count(*) FILTER (event_type = 'error') AS error
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** Sketch-based distinct counting (HLL++): the scale path when exact
+    * distinct is too expensive — no oracle (approximate by design; bounds
+    * are pinned in OperatorsSpec at <5% error vs exact). */
+  def qApproxDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   def queries: Map[String, Q] = Map(
+    "q_approx_distinct" -> qApproxDistinct,
     "q_pivot" -> qPivot,
     "q1_pricing" -> q1Pricing,
     "q3_topk_join" -> q3TopkJoin,

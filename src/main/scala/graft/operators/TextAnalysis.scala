@@ -137,13 +137,36 @@ object TextAnalysis {
       |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0))), ' ')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish subword-boundary token counting: word pieces and punctuation
+    * as separate tokens (`\w+` | single non-space symbol), the common
+    * pre-tokenizer shape; counts + unique ratio per doc. */
+  def taBpeTokens: Q = (s, d) => {
+    val toks = regexp_extract_all(col("text"), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("bt"))
+      .select(col("doc_id"), size(col("bt")).as("n_bpe_tokens"),
+        size(array_distinct(col("bt"))).as("n_unique"),
+        round(size(array_distinct(col("bt"))) / size(col("bt")), 4).as("unique_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taBpeTokensSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]') AS bt
+      |  FROM documents)
+      |SELECT doc_id, len(bt) AS n_bpe_tokens, len(list_distinct(bt)) AS n_unique,
+      |  round(len(list_distinct(bt)) / len(bt), 4) AS unique_ratio
+      |FROM t ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ta_bpe_tokens" -> taBpeTokens,
     "ta_tokens" -> taTokens,
     "ta_quality" -> taQuality,
     "ta_langid" -> taLangid,
     "ta_fingerprint" -> taFingerprint)
 
   def oracleSql: Map[String, String] = Map(
+    "ta_bpe_tokens" -> taBpeTokensSql,
     "ta_tokens" -> taTokensSql,
     "ta_quality" -> taQualitySql,
     "ta_langid" -> taLangidSql,

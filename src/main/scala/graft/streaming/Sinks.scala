@@ -28,16 +28,20 @@ object Sinks {
       events: DataFrame,
       outDir: String,
       checkpointDir: String,
-      maxRecordsPerFile: Long = 100000): DataStreamWriter[Row] =
-    events
+      maxRecordsPerFile: Long = 100000,
+      format: String = "parquet",
+      compression: Option[String] = None): DataStreamWriter[Row] = {
+    val w = events
       .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
       .writeStream
-      .format("parquet")
+      .format(format) // parquet | csv | json (AvroParquetFileBuilder / CsvFileBuilder analogs; avro needs the spark-avro module)
       .partitionBy("dt")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .trigger(Trigger.AvailableNow())
+    compression.fold(w)(c => w.option("compression", c)) // Compression.ZSTD etc.
+  }
 
   /** Two-phase commit storage: every epoch is (1) staged to a temp dir,
     * (2) renamed into place, (3) recorded in the manifest together with

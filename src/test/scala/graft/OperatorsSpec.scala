@@ -27,7 +27,7 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   behavior of "SparkEntry"
 
   it should "expose an oracle for every query except rows-only ops" in {
-    val rowsOnly = Set("mm_decode_stub", "sl_rowbinary")
+    val rowsOnly = Set("mm_decode_stub", "sl_rowbinary", "q_approx_distinct")
     (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) shouldBe rowsOnly
     SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
   }
@@ -63,6 +63,31 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     df.agg(max("rnk")).collect()(0).getInt(0) should be <= 10
     val dup = df.groupBy("query_id", "rnk").count().filter(col("count") > 1).count()
     dup shouldBe 0L
+  }
+
+  it should "keep approx distinct within 5% of exact" in {
+    import org.apache.spark.sql.functions._
+    val approx = operators.Relational.qApproxDistinct(spark, sf)
+      .select(col("event_type"), col("approx_users")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      math.abs(approx(k) - n).toDouble / n should be < 0.05
+    }
+  }
+
+  it should "cluster LSH pairs consistently with the pair graph" in {
+    import org.apache.spark.sql.functions._
+    val pairs = operators.Dedup.ddLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = operators.Dedup.ddDupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every candidate pair must land in the same cluster
+    pairs.foreach { case (a, b) => clusters(a) shouldBe clusters(b) }
+    // representative is a member of its own cluster
+    clusters.values.foreach(rep => clusters(rep) shouldBe rep)
   }
 
   it should "assign every event to exactly one session" in {

@@ -58,6 +58,25 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     spark.read.parquet(out).count() shouldBe 3
   }
 
+  it should "support csv format and zstd-compressed parquet" in {
+    import spark.implicits._
+    val src = tmp()
+    Seq(Ev(0, ts(10), 1, "click", 1.0, "{}"), Ev(1, ts(20), 2, "view", 2.0, "{}"))
+      .toDF().write.mode("overwrite").parquet(src)
+    val csvOut = tmp()
+    Sinks.recordBatchingSink(EventSource.fileStream(spark, src), csvOut, tmp(),
+      format = "csv").start().awaitTermination()
+    spark.read.schema(EventSource.schema).csv(csvOut).count() shouldBe 2
+    val zstdOut = tmp()
+    Sinks.recordBatchingSink(EventSource.fileStream(spark, src), zstdOut, tmp(),
+      compression = Some("zstd")).start().awaitTermination()
+    spark.read.parquet(zstdOut).count() shouldBe 2
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(zstdOut))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toList
+    all(files) should include(".zstd.")
+  }
+
   behavior of "TwoPhaseCommitSink"
 
   it should "commit batches with ranges in the manifest and skip replays" in {
