@@ -34,7 +34,12 @@ object Similarity {
       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
       |  FROM embeddings)""".stripMargin
 
-  /** Exact cosine top-10 for every query vector (vec_id % 4 = 0). */
+  /** Exact cosine top-10 for every query vector (vec_id % 4 = 0).
+    * Candidate scoring stays partitioned (queries broadcast); the top-k
+    * itself runs on graft's TopKPerGroup operator — two-phase bounded
+    * heaps instead of a full per-group sort, so the shuffle carries at
+    * most k rows per (query, input-partition) rather than every scored
+    * pair. The rank window afterwards only sees k×queries rows. */
   def annBruteforce: Q = (s, d) => {
     val v = vectors(s, d)
     val q = v.filter(col("vec_id") % 4 === 0)
@@ -42,9 +47,10 @@ object Similarity {
     val scored = v.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val top = graft.plans.TopKPerGroup.transform(scored,
+      Seq(col("query_id")), Seq(col("cos").desc, col("vec_id").asc), 10)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+    top.withColumn("rnk", row_number().over(w))
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cos"))
       .orderBy(col("query_id"), col("rnk"))
@@ -75,9 +81,10 @@ object Similarity {
     val scored = v.join(broadcast(q),
         col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val top = graft.plans.TopKPerGroup.transform(scored,
+      Seq(col("query_id")), Seq(col("cos").desc, col("vec_id").asc), 5)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+    top.withColumn("rnk", row_number().over(w))
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cos"))
       .orderBy(col("query_id"), col("rnk"))

@@ -38,8 +38,10 @@ object GraftFunctions {
 
 /** Session-extension hook: `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    ext.injectPlannerStrategy(_ => GraftStrategy)
+  }
 }

@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class TopKPerGroupSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  behavior of "TopKPerGroup"
+
+  it should "return exactly the window-row_number top-k per group" in {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val viaHeap = TopKPerGroup.transform(ev,
+        Seq(col("event_type")), Seq(col("value").desc, col("event_id").asc), 3)
+      .select(col("event_type"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+    val viaWindow = ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("event_type"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    viaHeap shouldBe viaWindow
+    viaHeap.size shouldBe 15 // 5 event types × 3
+  }
+
+  it should "handle groups smaller than k and plan without Window/Sort" in {
+    val ev = graft.Tables.events(spark, sf).filter(col("event_id") < 7)
+      .select(col("event_type"), col("event_id"))
+    val df = TopKPerGroup.transform(ev,
+      Seq(col("event_type")), Seq(col("event_id").asc), 100)
+    df.count() shouldBe 7
+    val physical = df.queryExecution.executedPlan.toString
+    physical should include("TopKPerGroup")
+    physical should not include "Window"
+    physical should not include "Sort"
+  }
+}
