@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with graft's recommended configuration: UTC session
+  * time, AQE with skew handling, shuffle parallelism sized to the
+  * environment, and all graft extensions (native functions + planner
+  * strategy) installed.
+  *
+  * At cluster scale the same settings apply — only `master` and the
+  * shuffle-partition count change (rule of thumb: 2–3× total cores, or
+  * let AQE coalesce from a higher initial number).
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+
+  /** Build and finish wiring (extension injection needs the config path;
+    * runtime registration covers externally-built sessions too). */
+  def create(master: String, shufflePartitions: Int): SparkSession = {
+    val spark = builder(master, shufflePartitions).getOrCreate()
+    plans.GraftFunctions.register(spark)
+    plans.TopKPerGroup.install(spark)
+    spark
+  }
+}

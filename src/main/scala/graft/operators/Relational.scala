@@ -318,7 +318,27 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Exact percentiles (linear interpolation — same algorithm in Spark's
+    * `percentile` and DuckDB's `quantile_cont`). */
+  def qPercentiles: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("median_value"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90_value"),
+        round(min(col("value")), 6).as("min_value"),
+        round(max(col("value")), 6).as("max_value"))
+      .orderBy(col("event_type"))
+
+  val qPercentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS median_value,
+      |  round(quantile_cont(value, 0.9), 6) AS p90_value,
+      |  round(min(value), 6) AS min_value,
+      |  round(max(value), 6) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_percentiles" -> qPercentiles,
     "q_approx_distinct" -> qApproxDistinct,
     "q_pivot" -> qPivot,
     "q1_pricing" -> q1Pricing,
@@ -335,6 +355,7 @@ object Relational {
     "q_corr_subquery" -> qCorrSubquery)
 
   def oracleSql: Map[String, String] = Map(
+    "q_percentiles" -> qPercentilesSql,
     "q_pivot" -> qPivotSql,
     "q1_pricing" -> q1PricingSql,
     "q3_topk_join" -> q3TopkJoinSql,
