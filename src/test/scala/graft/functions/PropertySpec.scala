@@ -1,0 +1,89 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Property-based coverage for graft's native functions (the reference
+  * pins its encoders the same way in its stream-loader-tests property
+  * suites). Uses ScalaCheck generators with a fixed seed driven from a
+  * plain loop — the scalatestplus bridge isn't available offline.
+  */
+class PropertySpec extends AnyFlatSpec with Matchers {
+
+  private def samples[T](gen: Gen[T], n: Int = 200): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  behavior of "LEB128"
+
+  it should "round-trip any non-negative long at minimal length" in {
+    samples(Gen.chooseNum(0L, Long.MaxValue)).foreach { n =>
+      val out = new ByteArrayOutputStream()
+      RowBinaryEncode.writeLeb128(out, n)
+      val bytes = out.toByteArray
+      var (v, shift, i) = (0L, 0, 0)
+      var continue = true
+      while (continue) {
+        val b = bytes(i) & 0xff
+        v |= (b & 0x7fL) << shift
+        shift += 7; i += 1
+        continue = (b & 0x80) != 0
+      }
+      withClue(s"n=$n: ") {
+        v shouldBe n
+        i shouldBe bytes.length
+        val expectLen = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(n) + 6) / 7)
+        bytes.length shouldBe expectLen
+      }
+    }
+  }
+
+  behavior of "MinHashSig"
+
+  private def sig(shingles: Seq[String]): Seq[String] = {
+    val arr = new GenericArrayData(shingles.map(s => UTF8String.fromString(s)).toArray[Any])
+    val out = MinHashSig.compute(arr)
+    (0 until out.numElements()).map(i => out.getUTF8String(i).toString)
+  }
+
+  private val shingleGen: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+
+  it should "merge by elementwise min over concatenated shingle sets" in {
+    samples(Gen.zip(shingleGen, shingleGen), 100).foreach { case (a, b) =>
+      val merged = sig(a ++ b)
+      val expected = sig(a).zip(sig(b)).map { case (x, y) => if (x <= y) x else y }
+      withClue(s"a=$a b=$b: ")(merged shouldBe expected)
+    }
+  }
+
+  it should "be order- and duplication-insensitive" in {
+    val rnd = new scala.util.Random(7)
+    samples(shingleGen, 100).foreach { a =>
+      sig(rnd.shuffle(a ++ a)) shouldBe sig(a)
+    }
+  }
+
+  behavior of "DotProduct eval"
+
+  it should "match the naive double fold on random float vectors" in {
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-100f, 100f))
+    samples(Gen.zip(vecGen, vecGen), 100).foreach { case (a, b) =>
+      val arrA = new GenericArrayData(a.toArray[Any])
+      val arrB = new GenericArrayData(b.toArray[Any])
+      val expr = DotProduct(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(null,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(null,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+      val got = expr.nullSafeEval(arrA, arrB).asInstanceOf[Double]
+      val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      got shouldBe want // bit-identical: same fold order
+    }
+  }
+}
