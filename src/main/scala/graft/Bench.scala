@@ -20,7 +20,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Loader throughput (the reference's headline number): stream the
+    // events table through the exactly-once partitioned file sink and
+    // measure end-to-end records/sec.
+    val loadRate = try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val cp = s"$tmp/cp"
+      Tables.events(spark, sfDir).write.parquet(src)
+      val n = spark.read.parquet(src).count()
+      val t0 = System.nanoTime()
+      streaming.Sinks.recordBatchingSink(
+        streaming.EventSource.fileStream(spark, src, maxFilesPerTrigger = 64),
+        out, cp).start().awaitTermination()
+      n / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong}}""")
     spark.stop()
   }
 }

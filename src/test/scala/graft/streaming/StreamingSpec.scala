@@ -153,6 +153,41 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     rows.filter(_.getLong(2) == 1L).map(_.getLong(3)).sorted shouldBe Array(1L, 2L)
   }
 
+  it should "compute the same windows as the batch operator (batch-stream parity)" in {
+    // stream the real sf0.001 events table through windowedAggregation and
+    // compare against the batch twin ev_tumbling.
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp()
+    graft.Tables.events(spark, sf).write.mode("overwrite").parquet(src)
+    val q = Transforms.windowedAggregation(EventSource.fileStream(spark, src, 4))
+      .writeStream.format("memory").queryName("parity").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("parity")
+      .select(col("window_start"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.EventAnalytics.evTumbling(spark, sf)
+      .select(col("hour_start"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    streamed shouldBe batch
+  }
+
+  it should "fan out one source to independently-committed sinks" in {
+    // PartitionGroupingSink analog: two sinks, separate checkpoints,
+    // each commits its own progress over the same source.
+    import spark.implicits._
+    val src = tmp()
+    Seq(Ev(0, ts(1), 1, "click", 1.0, "{}"), Ev(1, ts(2), 2, "view", 2.0, "{}"))
+      .toDF().write.mode("overwrite").parquet(src)
+    val outA = tmp(); val outB = tmp()
+    Sinks.recordBatchingSink(EventSource.fileStream(spark, src), outA, tmp())
+      .start().awaitTermination()
+    Sinks.recordBatchingSink(EventSource.fileStream(spark, src), outB, tmp(),
+      format = "json").start().awaitTermination()
+    spark.read.parquet(outA).count() shouldBe 2
+    spark.read.schema(EventSource.schema).json(outB).count() shouldBe 2
+  }
+
   it should "keep running user totals via mapGroupsWithState" in {
     val (ms, df) = eventsStream(Seq(
       Ev(0, ts(1), 1, "click", 1.0, "{}"),
