@@ -109,11 +109,78 @@ object Similarity {
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** IVF-style ANN: coarse-quantize vectors into cells (centroids = the
+    * first 16 vectors, deterministic), probe the query's 4 nearest cells,
+    * exact-score only candidates in probed cells. This is the structure
+    * that scales: the candidate join is keyed on cell id, cells partition
+    * the corpus, and nprobe bounds per-query work regardless of corpus
+    * size. Top-k via TopKPerGroup (bounded heaps). */
+  def annIvf: Q = (s, d) => {
+    val nCentroids = 16
+    val nProbe = 4
+    val v = vectors(s, d)
+    val cents = v.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    def nearestCells(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("ccos", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("crnk", row_number().over(w)).filter(col("crnk") <= keep)
+    }
+    val assigned = nearestCells(v, "vec_id", 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid").as("cell"))
+    val probes = nearestCells(
+      v.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id").as("query_id"), col("e"), col("nrm")), "query_id", nProbe)
+      .select(col("query_id"), col("e").as("qe"), col("nrm").as("qn"), col("cid").as("cell"))
+    val scored = assigned.join(broadcast(probes),
+        assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val top = graft.plans.TopKPerGroup.transform(scored,
+      Seq(col("query_id")), Seq(col("cos").desc, col("vec_id").asc), 5)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annIvfSql: String =
+    s"""WITH $vectorsCte,
+       |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+       |assign_scored AS (
+       |  SELECT v.vec_id, v.e, v.nrm, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      list_reduce(list_transform(generate_series(1, 64), i -> v.e[i] * c.ce[i]), (x, y) -> x + y) / (v.nrm * c.cn) DESC,
+       |      c.cid) AS crnk
+       |  FROM v, cents c),
+       |assigned AS (SELECT vec_id, e, nrm, cid AS cell FROM assign_scored WHERE crnk = 1),
+       |q AS (SELECT vec_id AS query_id, e, nrm FROM v WHERE vec_id % 4 = 0),
+       |probe_scored AS (
+       |  SELECT q.query_id, q.e AS qe, q.nrm AS qn, c.cid,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      list_reduce(list_transform(generate_series(1, 64), i -> q.e[i] * c.ce[i]), (x, y) -> x + y) / (q.nrm * c.cn) DESC,
+       |      c.cid) AS crnk
+       |  FROM q, cents c),
+       |probes AS (SELECT query_id, qe, qn, cid AS cell FROM probe_scored WHERE crnk <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(generate_series(1, 64), i -> p.qe[i] * a.e[i]), (x, y) -> x + y) / (p.qn * a.nrm) AS cos
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ann_bruteforce" -> annBruteforce,
-    "ann_lsh" -> annLsh)
+    "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf)
 
   def oracleSql: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
-    "ann_lsh" -> annLshSql)
+    "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql)
 }
