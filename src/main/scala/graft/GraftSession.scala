@@ -21,6 +21,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // RocksDB-backed streaming state: bounded memory for large keyed
+      // state (sessionization/dedup at 100 TB), incremental checkpoints.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
 
   /** Build and finish wiring (extension injection needs the config path;

@@ -1,0 +1,37 @@
+package graft
+
+import graft.streaming.{EventSource, Sinks}
+import graft.util.GraftMetrics
+
+/** Standalone loader entrypoint — the `StreamLoader` analog
+  * (reference: StreamLoader.scala wires source→sink with lifecycle;
+  * here the Spark runtime owns lifecycle/commit, we wire and block).
+  *
+  * Usage: runMain graft.LoaderApp <srcDir> <outDir> <checkpointDir> [sink]
+  *   sink: files (default) | 2pc | indata | snapshot
+  *
+  * Swap the file source for `format("kafka")` at deployment; everything
+  * downstream is unchanged.
+  */
+object LoaderApp {
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, checkpointDir) = args.take(3)
+    val sinkKind = args.lift(3).getOrElse("files")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.create(s"local[$cpus]", cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = GraftMetrics.install(spark)
+    val events = EventSource.fileStream(spark, srcDir, maxFilesPerTrigger = 64)
+    val query = sinkKind match {
+      case "2pc" => new Sinks.TwoPhaseCommitSink(outDir).attach(events, checkpointDir)
+      case "indata" => new Sinks.InDataOffsetSink(outDir).attach(events, checkpointDir)
+      case "snapshot" => new streaming.SnapshotTableSink(outDir).attach(events, checkpointDir)
+      case _ => Sinks.recordBatchingSink(events, outDir, checkpointDir).start()
+    }
+    sys.addShutdownHook { query.stop() }
+    query.awaitTermination()
+    println(s"[loader] done; rows=${metrics.rowsLoaded(Option(query.name).getOrElse(query.id.toString))}")
+    spark.stop()
+  }
+}

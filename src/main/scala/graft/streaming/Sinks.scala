@@ -43,6 +43,30 @@ object Sinks {
     compression.fold(w)(c => w.option("compression", c)) // Compression.ZSTD etc.
   }
 
+  /** Small-files compaction for file sinks: rewrite a (partition of a)
+    * table into ~`targetFileBytes` files and swap directories atomically.
+    * Long-running loaders accumulate per-epoch small files (the reference
+    * bounds this up front via FileCommitStrategy sizes; a Spark sink
+    * compacts after the fact — same end state, and the rewrite is
+    * distributed). Returns the number of files after compaction. */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizeBytes = fs.getContentSummary(new Path(dir)).getLength
+    val nFiles = math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(dir + ".compact.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(dir).repartition(nFiles).write.parquet(tmp.toString)
+    val old = new Path(dir + ".compact.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(new Path(dir), old)
+    fs.rename(tmp, new Path(dir))
+    fs.delete(old, true)
+    fs.listStatus(new Path(dir)).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Two-phase commit storage: every epoch is (1) staged to a temp dir,
     * (2) renamed into place, (3) recorded in the manifest together with
     * the consumed offset ranges. A replayed epoch (restart between stage
@@ -70,10 +94,13 @@ object Sinks {
       }
     }
 
-    /** Idempotent epoch write (the two phases + manifest commit). */
-    def writeBatch(batch: DataFrame, batchId: Long): Unit = {
-      val spark = batch.sparkSession
+    /** Idempotent epoch write (the two phases + manifest commit). The
+      * epoch is cached: foreachBatch re-executes the source scan for every
+      * action otherwise (write + ranges + count = 3 source reads). */
+    def writeBatch(batchRaw: DataFrame, batchId: Long): Unit = {
+      val spark = batchRaw.sparkSession
       if (committedBatchIds(spark).contains(batchId)) return // replay → skip
+      val batch = batchRaw.persist()
       val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val staging = new Path(outDir, s"_staging/batch=$batchId")
       val dest = new Path(outDir, s"batch=$batchId")
@@ -95,6 +122,7 @@ object Sinks {
         fs.append(new Path(outDir, "_manifest"))
       else fs.create(new Path(outDir, "_manifest"))
       out.write(line.getBytes("UTF-8")); out.close()
+      batch.unpersist()
     }
   }
 

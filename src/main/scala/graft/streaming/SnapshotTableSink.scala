@@ -56,16 +56,19 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
     if (paths.isEmpty) spark.emptyDataFrame else spark.read.parquet(paths: _*)
   }
 
-  def writeBatch(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
+  def writeBatch(batchRaw: DataFrame, batchId: Long): Unit = {
+    val spark = batchRaw.sparkSession
     val f = fs(spark)
     val prev = currentSnapshot(spark)
     if (prev.exists(_._2.contains(batchId))) return // replayed epoch
+    // cache: the write and the ranges agg would otherwise each re-read the source
+    val batch = batchRaw.persist()
     // data files (distributed write)
     batch.write.mode("overwrite").parquet(s"$tableDir/data/batch=$batchId")
     // consumed ranges recorded with the commit (StreamRange analog)
     val ranges = batch.agg(min(col("event_id")), max(col("event_id")), count(lit(1)))
       .collect()(0)
+    batch.unpersist()
     val committed = prev.map(_._2).getOrElse(Seq.empty) :+ batchId
     val snapshotId = prev.map(_._1 + 1).getOrElse(0L)
     val json =

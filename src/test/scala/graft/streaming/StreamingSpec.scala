@@ -77,6 +77,18 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     all(files) should include(".zstd.")
   }
 
+  it should "compact many small files into the target count" in {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    (0 until 50).map(i => Ev(i.toLong, ts(i % 60), i % 5, "click", 1.0, "{}"))
+      .toDF().repartition(25).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    before should be >= 20
+    val after = Sinks.compact(spark, dir, targetFileBytes = 1024L * 1024 * 1024)
+    after shouldBe 1
+    spark.read.parquet(dir).count() shouldBe 50
+  }
+
   behavior of "TwoPhaseCommitSink"
 
   it should "commit batches with ranges in the manifest and skip replays" in {
