@@ -227,7 +227,35 @@ object StreamSemantics {
       .orderBy(col("event_id"))
   }
 
+  /** Offset-gap detection (loader monitoring): find missing offsets per
+    * partition — places where consecutive consumed offsets differ by more
+    * than the partition stride (events are round-robin across 5 types, so
+    * the in-partition stride varies; a "gap" here means an unusually large
+    * jump, > 2× the median stride proxy of 15). */
+  def slGapDetect: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .filter(col("prev_id").isNotNull && col("event_id") - col("prev_id") > 15)
+      .select(col("event_type"), col("prev_id").as("gap_start"),
+        col("event_id").as("gap_end"),
+        (col("event_id") - col("prev_id") - 1).as("missing"))
+      .orderBy(col("event_type"), col("gap_start"))
+  }
+
+  val slGapDetectSql: String =
+    """WITH g AS (
+      |  SELECT event_type, event_id,
+      |    lag(event_id, 1) OVER (PARTITION BY event_type ORDER BY event_id) AS prev_id
+      |  FROM events)
+      |SELECT event_type, prev_id AS gap_start, event_id AS gap_end,
+      |  event_id - prev_id - 1 AS missing
+      |FROM g WHERE prev_id IS NOT NULL AND event_id - prev_id > 15
+      |ORDER BY event_type, gap_start""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "sl_gap_detect" -> slGapDetect,
     "sl_rowbinary" -> slRowbinary,
     "sl_positions" -> slPositions,
     "sl_range_merge" -> slRangeMerge,
@@ -240,6 +268,7 @@ object StreamSemantics {
     "sl_json_props" -> slJsonProps)
 
   def oracleSql: Map[String, String] = Map(
+    "sl_gap_detect" -> slGapDetectSql,
     "sl_positions" -> slPositionsSql,
     "sl_range_merge" -> slRangeMergeSql,
     "sl_watermark" -> slWatermarkSql,

@@ -125,6 +125,28 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     spark.read.parquet(out).count() shouldBe 2
   }
 
+  behavior of "GraftLoader builder"
+
+  it should "wire source → transform → sink like the reference API" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = tmp()
+    Seq(
+      Ev(0, ts(1), 1, "click", 1.0, "{}"),
+      Ev(1, ts(2), 2, "error", 2.0, "{}"),
+      Ev(2, ts(3), 1, "view", 3.0, "{}"))
+      .toDF().write.mode("overwrite").parquet(src)
+    val out = tmp() + "/table"
+    GraftLoader.builder()
+      .source(GraftLoader.FileSource(src, maxFilesPerTrigger = 4))
+      .transform(_.filter(col("event_type") =!= "error"))
+      .sink(GraftLoader.SnapshotTable(out))
+      .checkpoint(tmp())
+      .start(spark)
+      .awaitTermination()
+    new SnapshotTableSink(out).read(spark).count() shouldBe 2
+  }
+
   behavior of "Transforms"
 
   it should "aggregate tumbling windows with watermark" in {
