@@ -89,7 +89,9 @@ object Dedup {
   /** LSH banding: 4 bands × 2 rows; docs sharing any band key are
     * candidate near-dup pairs. The band-key join bounds work to truly
     * similar docs — no quadratic blowup at scale. */
-  def ddLshPairs: Q = (s, d) => {
+  /** Candidate pairs without the presentation sort (for internal reuse —
+    * sorting before a downstream join/groupBy is wasted work). */
+  private def lshPairsUnsorted(s: SparkSession, d: String): DataFrame = {
     // Single minhash pass: explode the 4 band keys per doc, bucket docs by
     // (band, key), emit pairs inside each bucket. One aggregation, one
     // shuffle on band keys, no self-join recomputation of the signatures.
@@ -105,8 +107,10 @@ object Dedup {
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def ddLshPairs: Q = (s, d) =>
+    lshPairsUnsorted(s, d).orderBy(col("doc_a"), col("doc_b"))
 
   val ddLshPairsSql: String = {
     val bandSelects = (0 until NumBands).map { b =>
@@ -153,25 +157,31 @@ object Dedup {
     * the standard large-scale CC algorithm). Singletons keep their own id.
     * Oracle: recursive-CTE transitive closure (same fixpoint). */
   def ddDupGroups: Q = (s, d) => {
-    val pairs = ddLshPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val pairs = lshPairsUnsorted(s, d)
     // symmetric edge list
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
     val nodes = edges.select(col("doc_a").as("id")).distinct()
     var labels = nodes.withColumn("lbl", col("id")).cache()
+    var prevCached: DataFrame = labels
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
+      // one pass carries both the updated label and the old one, so the
+      // convergence check is a count over the same cached result — one
+      // materializing action per round instead of two.
       val viaNeighbors = edges
         .join(labels, edges("doc_b") === labels("id"))
         .groupBy(col("doc_a").as("id2")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(viaNeighbors, col("id") === col("id2"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val step = labels.withColumnRenamed("lbl", "old")
+        .join(viaNeighbors, col("id") === col("id2"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = step.filter(col("lbl") =!= col("old")).count()
+      prevCached.unpersist()
+      prevCached = step
+      labels = step.select(col("id"), col("lbl"))
       rounds += 1
     }
     val clustered = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
