@@ -132,8 +132,8 @@ object Dedup {
     val b = t.select(col("doc_id").as("b_id"), col("tk").as("b_tk")).as("b")
     a.join(b, col("b_id") === col("doc_id") + 1)
       .select(col("doc_id").as("doc_a"), col("b_id").as("doc_b"),
-        size(col("tk")).as("n_a"), size(col("b_tk")).as("n_b"),
-        size(array_intersect(col("tk"), col("b_tk"))).as("n_common"),
+        size(col("tk")).cast("long").as("n_a"), size(col("b_tk")).cast("long").as("n_b"),
+        size(array_intersect(col("tk"), col("b_tk"))).cast("long").as("n_common"),
         round(size(array_intersect(col("tk"), col("b_tk"))) /
           size(array_union(col("tk"), col("b_tk"))), 4).as("jaccard"))
       .orderBy(col("doc_a"))
@@ -249,7 +249,7 @@ object Dedup {
        |  SELECT doc_id,
        |    $votes
        |  FROM tok GROUP BY doc_id)
-       |SELECT doc_id, $fp AS simhash FROM votes ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes ORDER BY doc_id""".stripMargin
   }
 
   // ---- embedding near-dup ------------------------------------------------

@@ -59,8 +59,8 @@ object EventAnalytics {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)),
       |sessions AS (
       |  SELECT user_id, event_id, ts, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  min(ts) AS session_start, max(ts) AS session_end,
@@ -93,7 +93,7 @@ object EventAnalytics {
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600000000
       |      THEN 1 ELSE 0 END AS late
       |  FROM events)
-      |SELECT event_type, sum(late) AS n_late, count(*) AS n_total
+      |SELECT event_type, CAST(sum(late) AS BIGINT) AS n_late, count(*) AS n_total
       |FROM marked GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Gap-filled hourly resample: build the full hour spine per event type
@@ -156,7 +156,7 @@ object EventAnalytics {
     """WITH partial AS (
       |  SELECT event_type, event_id % 16 AS salt, count(*) AS pn, sum(value) AS psum
       |  FROM events GROUP BY 1, 2)
-      |SELECT event_type, sum(pn) AS n_events, round(sum(psum), 2) AS sum_value
+      |SELECT event_type, CAST(sum(pn) AS BIGINT) AS n_events, round(sum(psum), 2) AS sum_value
       |FROM partial GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Hopping (sliding) windows: 1-hour windows every 30 minutes — each

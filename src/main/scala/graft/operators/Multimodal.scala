@@ -23,7 +23,7 @@ object Multimodal {
     Tables.documents(s, d)
       .withColumn("payload", col("text").cast("binary"))
       .select(col("doc_id"),
-        octet_length(col("payload")).as("n_bytes"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("payload_md5"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"))

@@ -160,7 +160,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
-      .withColumn("seq", row_number().over(w))
+      .withColumn("seq", row_number().over(w).cast("long"))
       .withColumn("prev_orderdate", lag(col("o_orderdate"), 1).over(w))
       .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
       .drop("o_orderdate")

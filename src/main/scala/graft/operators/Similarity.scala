@@ -50,7 +50,7 @@ object Similarity {
     val top = graft.plans.TopKPerGroup.transform(scored,
       Seq(col("query_id")), Seq(col("cos").desc, col("vec_id").asc), 10)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    top.withColumn("rnk", row_number().over(w))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cos"))
       .orderBy(col("query_id"), col("rnk"))
@@ -84,7 +84,7 @@ object Similarity {
     val top = graft.plans.TopKPerGroup.transform(scored,
       Seq(col("query_id")), Seq(col("cos").desc, col("vec_id").asc), 5)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    top.withColumn("rnk", row_number().over(w))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cos"))
       .orderBy(col("query_id"), col("rnk"))
@@ -139,7 +139,7 @@ object Similarity {
     val top = graft.plans.TopKPerGroup.transform(scored,
       Seq(col("query_id")), Seq(col("cos").desc, col("vec_id").asc), 5)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    top.withColumn("rnk", row_number().over(w))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cos"))
       .orderBy(col("query_id"), col("rnk"))

@@ -169,7 +169,8 @@ object StreamSemantics {
       |    (sum(nbytes) OVER (PARTITION BY event_type ORDER BY event_id
       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nbytes) // 65536 AS batch_id
       |  FROM enc)
-      |SELECT event_type, batch_id, count(*) AS n_records, sum(nbytes) AS n_bytes,
+      |SELECT event_type, CAST(batch_id AS BIGINT) AS batch_id, count(*) AS n_records,
+      |  CAST(sum(nbytes) AS BIGINT) AS n_bytes,
       |  min(event_id) AS start_offset, max(event_id) AS end_offset
       |FROM cum GROUP BY event_type, batch_id ORDER BY event_type, batch_id""".stripMargin
 

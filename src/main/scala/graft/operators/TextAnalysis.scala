@@ -19,9 +19,9 @@ object TextAnalysis {
     val tk = tokens(col("text"))
     Tables.documents(s, d)
       .select(col("doc_id"),
-        size(tk).as("n_tokens"),
-        length(col("text")).as("n_chars"),
-        octet_length(col("text")).as("n_bytes"),
+        size(tk).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
         round(aggregate(transform(tk, t => length(t)), lit(0), (a, x) => a + x) /
           size(tk), 4).as("avg_tok_len"))
       .orderBy(col("doc_id"))
@@ -47,7 +47,7 @@ object TextAnalysis {
     val stops = size(array_intersect(array_distinct(tk),
       array(stopwords.map(lit): _*)))
     Tables.documents(s, d)
-      .select(col("doc_id"), size(tk).as("n_tokens"),
+      .select(col("doc_id"), size(tk).cast("long").as("n_tokens"),
         round(punct / nChars, 4).as("punct_ratio"),
         round(stops / size(array_distinct(tk)), 4).as("stop_ratio"),
         round(aggregate(transform(tk, t => length(t)), lit(0), (a, x) => a + x) /
@@ -144,8 +144,8 @@ object TextAnalysis {
     val toks = regexp_extract_all(col("text"), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0))
     Tables.documents(s, d)
       .select(col("doc_id"), toks.as("bt"))
-      .select(col("doc_id"), size(col("bt")).as("n_bpe_tokens"),
-        size(array_distinct(col("bt"))).as("n_unique"),
+      .select(col("doc_id"), size(col("bt")).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(col("bt"))).cast("long").as("n_unique"),
         round(size(array_distinct(col("bt"))) / size(col("bt")), 4).as("unique_ratio"))
       .orderBy(col("doc_id"))
   }

@@ -60,7 +60,7 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   it should "keep ann ranks within k and unique per query" in {
     import org.apache.spark.sql.functions._
     val df = operators.Similarity.annBruteforce(spark, sf)
-    df.agg(max("rnk")).collect()(0).getInt(0) should be <= 10
+    df.agg(max("rnk")).collect()(0).getLong(0) should be <= 10L
     val dup = df.groupBy("query_id", "rnk").count().filter(col("count") > 1).count()
     dup shouldBe 0L
   }
