@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composed training-data pipeline operators (SURVEY.md §2d/§2f end to
+  * end): the stages a 100 TB curation job chains — quality gate →
+  * normalize-dedup → pack into fixed token budgets. Everything stays one
+  * declarative plan, so Catalyst fuses the stages (single scan, pushed
+  * filters) rather than materializing between steps.
+  */
+object Pipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Curation: quality-gate the corpus, then keep one representative per
+    * normalized-content group, and report the per-language yield. */
+  def pipeCuration: Q = (s, d) => {
+    val tk = tokens(col("text"))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "\\s+", " "))
+    val quality = Tables.documents(s, d)
+      .withColumn("n_tokens", size(tk).cast("long"))
+      .filter(col("n_tokens").between(20, 1000))
+      .withColumn("content_hash", md5s(norm))
+    val reps = quality
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    quality.join(reps, quality("doc_id") === reps("rep_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val pipeCurationSql: String =
+    """WITH quality AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                            '\s+', ' ', 'g'))) AS content_hash
+      |  FROM documents
+      |  WHERE len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) BETWEEN 20 AND 1000),
+      |reps AS (SELECT content_hash, min(doc_id) AS rep_id FROM quality GROUP BY content_hash)
+      |SELECT lang, count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM quality JOIN reps ON doc_id = rep_id
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Sequence packing: assign docs (in doc_id order, per language) to
+    * fixed 4096-token training-batch budgets via a cumulative-sum window —
+    * the distributed form of greedy pack-by-order. */
+  def pipePacking: Q = (s, d) => {
+    val tk = tokens(col("text"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), size(tk).cast("long").as("n_tokens"))
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 4096))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
+  val pipePackingSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 4096 AS pack_id
+      |  FROM toks)
+      |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM cum GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "pipe_curation" -> pipeCuration,
+    "pipe_packing" -> pipePacking)
+
+  def oracleSql: Map[String, String] = Map(
+    "pipe_curation" -> pipeCurationSql,
+    "pipe_packing" -> pipePackingSql)
+}

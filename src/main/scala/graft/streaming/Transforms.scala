@@ -46,6 +46,12 @@ object Transforms {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Stream-static enrichment: join the stream against a (small) static
+    * dimension — the dimension is broadcast per epoch, no stream state.
+    * (RecordFormatter-with-lookup analog: enrich records on the way in.) */
+  def enrich(events: DataFrame, dim: DataFrame, joinCol: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), joinCol)
+
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state via mapGroupsWithState: running per-user totals

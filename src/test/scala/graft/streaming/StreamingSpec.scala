@@ -222,6 +222,19 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     spark.read.schema(EventSource.schema).json(outB).count() shouldBe 2
   }
 
+  it should "enrich a stream against a broadcast static dimension" in {
+    import spark.implicits._
+    val (_, df) = eventsStream(Seq(
+      Ev(0, ts(1), 1, "click", 1.0, "{}"),
+      Ev(1, ts(2), 2, "view", 2.0, "{}")))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Transforms.enrich(df, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    spark.table("enriched").select("user_id", "tier").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe Set((1L, "gold"), (2L, "silver"))
+  }
+
   it should "keep running user totals via mapGroupsWithState" in {
     val (ms, df) = eventsStream(Seq(
       Ev(0, ts(1), 1, "click", 1.0, "{}"),
