@@ -66,7 +66,13 @@ def main():
             print(f"FAIL {name}: {e}"); fails += 1; continue
         err = compare(name, spark_df, duck_df)
         if err: print(f"FAIL {name}: {err}"); fails += 1
-        else: print(f"OK   {name} ({len(spark_df)} rows)")
+        else:
+            drift = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+                     for c in spark_df.columns
+                     if str(spark_df[c].dtype) != str(duck_df[c].dtype)
+                     and not str(spark_df[c].dtype).startswith("datetime")]
+            note = f"  [dtype drift: {drift}]" if drift else ""
+            print(f"OK   {name} ({len(spark_df)} rows){note}")
     missing = [n for n in names if n not in oracles]
     print(f"{len(names)-fails}/{len(names)} queries match")
     sys.exit(1 if fails else 0)
