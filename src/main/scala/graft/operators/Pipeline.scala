@@ -22,14 +22,13 @@ object Pipeline {
     val tk = tokens(col("text"))
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "\\s+", " "))
-    val quality = Tables.documents(s, d)
+    val w = Window.partitionBy(col("content_hash"))
+    Tables.documents(s, d)
       .withColumn("n_tokens", size(tk).cast("long"))
       .filter(col("n_tokens").between(20, 1000))
       .withColumn("content_hash", md5s(norm))
-    val reps = quality
-      .groupBy(col("content_hash"))
-      .agg(min(col("doc_id")).as("rep_id"))
-    quality.join(reps, quality("doc_id") === reps("rep_id"))
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("rep_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_tokens")).as("total_tokens"))
@@ -44,9 +43,12 @@ object Pipeline {
       |                            '\s+', ' ', 'g'))) AS content_hash
       |  FROM documents
       |  WHERE len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) BETWEEN 20 AND 1000),
-      |reps AS (SELECT content_hash, min(doc_id) AS rep_id FROM quality GROUP BY content_hash)
+      |reps AS (
+      |  SELECT lang, n_tokens, doc_id,
+      |    min(doc_id) OVER (PARTITION BY content_hash) AS rep_id
+      |  FROM quality)
       |SELECT lang, count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-      |FROM quality JOIN reps ON doc_id = rep_id
+      |FROM reps WHERE doc_id = rep_id
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Sequence packing: assign docs (in doc_id order, per language) to

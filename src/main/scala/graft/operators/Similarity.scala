@@ -70,14 +70,22 @@ object Similarity {
        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
        |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
-  /** Bucketed ANN: queries only score candidates sharing their 4-bit sign
-    * bucket (dims 1, 8, 22, 43) — ~16× candidate pruning, keyed join. */
+  /** Bucketed ANN with multi-probe: queries score candidates in their
+    * 4-bit sign bucket (dims 1, 8, 22, 43) AND the 4 buckets at Hamming
+    * distance 1 — 5/16 of the corpus per query instead of 1/16, which
+    * triples recall on isotropic vectors (measured in OperatorsSpec)
+    * while keeping the join keyed and the pruning ~3×. */
   def annLsh: Q = (s, d) => {
     val dims = Seq(1, 8, 22, 43)
     val v = vectors(s, d).withColumn("sig", signBucket(col("e"), dims))
+    val flip = (i: Int) => concat(
+      substring(col("sig"), 1, i),
+      when(substring(col("sig"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(col("sig"), i + 2, dims.length - i - 1))
+    val probeSigs = array(col("sig") +: dims.indices.map(flip): _*)
     val q = v.filter(col("vec_id") % 4 === 0)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("nrm").as("qn"), col("sig").as("qsig"))
+        col("nrm").as("qn"), explode(probeSigs).as("qsig"))
     val scored = v.join(broadcast(q),
         col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
@@ -94,9 +102,13 @@ object Similarity {
     def sig(tbl: String) = Seq(1, 8, 22, 43)
       .map(i => s"CASE WHEN $tbl.e[$i] >= 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
+    val flips = (0 until 4).map { i =>
+      s"substr(sig0, 1, $i) || (CASE WHEN substr(sig0, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END) || substr(sig0, ${i + 2}, ${4 - i - 1})"
+    }.mkString(", ")
     s"""WITH $vectorsCte,
-       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, ${sig("v")} AS qsig
+       |q0 AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, ${sig("v")} AS sig0
        |      FROM v WHERE vec_id % 4 = 0),
+       |q AS (SELECT query_id, qe, qn, unnest([sig0, $flips]) AS qsig FROM q0),
        |scored AS (
        |  SELECT q.query_id, v.vec_id AS neighbor_id,
        |    list_reduce(list_transform(generate_series(1, 64), i -> qe[i] * e[i]), (x, y) -> x + y) / (qn * nrm) AS cos

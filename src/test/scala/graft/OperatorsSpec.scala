@@ -90,6 +90,27 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     clusters.values.foreach(rep => clusters(rep) shouldBe rep)
   }
 
+  it should "report ANN recall of the pruned variants vs bruteforce" in {
+    def neighbors(df: org.apache.spark.sql.DataFrame, k: Int): Map[Long, Set[Long]] =
+      df.filter(org.apache.spark.sql.functions.col("rnk") <= k).collect()
+        .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val exact = neighbors(operators.Similarity.annBruteforce(spark, sf), 5)
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = neighbors(df, 5)
+      val scores = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      scores.sum / scores.size
+    }
+    val rLsh = recall(operators.Similarity.annLsh(spark, sf))
+    val rIvf = recall(operators.Similarity.annIvf(spark, sf))
+    info(f"recall@5 vs bruteforce: multiprobe-LSH=$rLsh%.3f IVF(nprobe=4)=$rIvf%.3f")
+    // pruned variants must find a meaningful fraction of true neighbors
+    // even on isotropic random vectors (the hardest case for ANN)
+    rLsh should be > 0.25
+    rIvf should be > 0.3
+  }
+
   it should "assign every event to exactly one session" in {
     import org.apache.spark.sql.functions._
     val sessions = operators.EventAnalytics.evSessions(spark, sf)
