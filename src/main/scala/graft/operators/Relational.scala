@@ -289,6 +289,54 @@ object Relational {
       |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** TPC-H Q4 (adapted): order-priority check — EXISTS semi-join with a
+    * non-equi condition (late-shipped line item). */
+  def q4OrderPriority: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4OrderPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q14 (adapted): promo revenue share — ratio of conditional sums
+    * over one scan (no separate pass per condition). */
+  def q14PromoShare: Q = (s, d) => {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        // lit(100) * x / y mirrors the oracle's operator order exactly
+        // (IEEE doubles: (100*x)/y != (x/y)*100 in the last ulp)
+        round(lit(100) * sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) / sum(rev), 4)
+          .as("promo_share_pct"),
+        round(sum(rev), 2).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q14PromoShareSql: String =
+    """SELECT
+      |  round(100 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      |        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin
+
   /** Pivot: daily event counts spread into one column per event type
     * (explicit value list → single shuffle, no value-discovery pass). */
   def qPivot: Q = (s, d) =>
@@ -338,6 +386,8 @@ object Relational {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   def queries: Map[String, Q] = Map(
+    "q4_order_priority" -> q4OrderPriority,
+    "q14_promo_share" -> q14PromoShare,
     "q_percentiles" -> qPercentiles,
     "q_approx_distinct" -> qApproxDistinct,
     "q_pivot" -> qPivot,
@@ -355,6 +405,8 @@ object Relational {
     "q_corr_subquery" -> qCorrSubquery)
 
   def oracleSql: Map[String, String] = Map(
+    "q4_order_priority" -> q4OrderPrioritySql,
+    "q14_promo_share" -> q14PromoShareSql,
     "q_percentiles" -> qPercentilesSql,
     "q_pivot" -> qPivotSql,
     "q1_pricing" -> q1PricingSql,
