@@ -83,11 +83,35 @@ object Pipeline {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM cum GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
 
+  /** Deterministic hash sampling: ~10% of docs per language, selected by
+    * content-independent hash of the key — reproducible across engines,
+    * runs and cluster sizes (unlike rand()-based sampling), which is what
+    * a training-data pipeline needs for auditable subsets. */
+  def pipeSample: Q = (s, d) => {
+    val bucket = conv(substring(md5s(concat(lit("sample|"), col("doc_id"))), 1, 4), 16, 10)
+      .cast("long") % 100
+    Tables.documents(s, d)
+      .filter(bucket < 10)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val pipeSampleSql: String =
+    """SELECT lang, count(*) AS n_sampled,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 10
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "pipe_curation" -> pipeCuration,
-    "pipe_packing" -> pipePacking)
+    "pipe_packing" -> pipePacking,
+    "pipe_sample" -> pipeSample)
 
   def oracleSql: Map[String, String] = Map(
     "pipe_curation" -> pipeCurationSql,
-    "pipe_packing" -> pipePackingSql)
+    "pipe_packing" -> pipePackingSql,
+    "pipe_sample" -> pipeSampleSql)
 }

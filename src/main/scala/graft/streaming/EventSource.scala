@@ -24,10 +24,16 @@ object EventSource {
 
   /** Rate-limited streaming read of a directory of event files.
     * `maxFilesPerTrigger` is the poll-size knob (KafkaSource.pollTimeout/
-    * max.poll.records analog). */
-  def fileStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    * max.poll.records analog); `format` accepts parquet | csv | json
+    * (the wire-format flexibility of the reference's RecordFormatter). */
+  def fileStream(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Int = 1,
+      format: String = "parquet"): DataFrame =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
+      .format(format)
+      .load(dir)
 }

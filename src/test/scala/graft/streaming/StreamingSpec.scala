@@ -67,6 +67,12 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     Sinks.recordBatchingSink(EventSource.fileStream(spark, src), csvOut, tmp(),
       format = "csv").start().awaitTermination()
     spark.read.schema(EventSource.schema).csv(csvOut).count() shouldBe 2
+    // round-trip: stream the csv sink output back in through a csv SOURCE
+    val reread = tmp()
+    Sinks.recordBatchingSink(
+      EventSource.fileStream(spark, csvOut + "/dt=20240101", format = "csv"),
+      reread, tmp()).start().awaitTermination()
+    spark.read.parquet(reread).count() shouldBe 2
     val zstdOut = tmp()
     Sinks.recordBatchingSink(EventSource.fileStream(spark, src), zstdOut, tmp(),
       compression = Some("zstd")).start().awaitTermination()
