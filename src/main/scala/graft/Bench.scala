@@ -12,14 +12,22 @@ object Bench {
     graft.Tables.events(spark, sfDir).count()
     graft.Tables.names.filterNot(_ == "events")
       .foreach(t => graft.Tables.load(spark, sfDir, t).count())
+    // A failed query reports -1 (never a fake elapsed time) and is listed
+    // in "failed" — a crash must not read as a speedup.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
     // Loader throughput (the reference's headline number): stream the
     // events table through the exactly-once partitioned file sink and
     // measure end-to-end records/sec.
@@ -34,7 +42,7 @@ object Bench {
         out, cp).start().awaitTermination()
       n / ((System.nanoTime() - t0) / 1e9)
     } catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong}}""")
     spark.stop()
   }
 }

@@ -26,13 +26,30 @@ object Tables {
   /** `events.parquet` stores `ts` as TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects; read nanos as long and floor-convert to microseconds
     * (exactly what DuckDB's `ts::TIMESTAMP` cast does on TIMESTAMP_NS).
-    */
+    *
+    * The `nanosAsLong` legacy conf is scoped to an isolated child session
+    * (shared SparkContext, own SQLConf) rather than set on the caller's
+    * session: the conf is consulted again when the scan builds its Hadoop
+    * conf at EXECUTION time, so a set-then-restore would break lazy plans,
+    * and mutating the shared session would make every later TIMESTAMP(NANOS)
+    * read in unrelated code silently come back as longs. With the child
+    * session, only this relation reads nanos-as-long; any other nanos
+    * parquet read still fails loudly. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts",
+    val ns = nanosSessions.computeIfAbsent(s, (ss: SparkSession) => {
+      val n = ss.newSession()
+      n.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // runtime-registered functions don't carry over to a new session;
+      // queries compose graft expressions onto this relation's datasets
+      graft.plans.GraftFunctions.register(n)
+      n
+    })
+    load(ns, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+  private val nanosSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

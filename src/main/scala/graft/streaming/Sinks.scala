@@ -44,16 +44,25 @@ object Sinks {
   }
 
   /** Small-files compaction for file sinks: rewrite a (partition of a)
-    * table into ~`targetFileBytes` files and swap directories atomically.
+    * table into ~`targetFileBytes` files and swap directories.
     * Long-running loaders accumulate per-epoch small files (the reference
     * bounds this up front via FileCommitStrategy sizes; a Spark sink
     * compacts after the fact — same end state, and the rewrite is
-    * distributed). Returns the number of files after compaction. */
+    * distributed). Returns the number of files after compaction.
+    *
+    * Crash safety: the swap is two renames (dir → .compact.old, then
+    * .compact.tmp → dir), so there is a window where `dir` does not exist
+    * and concurrent readers would fail. A crash inside that window is
+    * repaired by [[recoverCompaction]], which every `compact` call runs
+    * first — the original data is never deleted until the compacted copy
+    * is in place. Run compaction from the single loader process that owns
+    * the table (the reference's storages assume a single committer too). */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(spark, dir)
     val sizeBytes = fs.getContentSummary(new Path(dir)).getLength
     val nFiles = math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(dir + ".compact.tmp")
@@ -65,6 +74,21 @@ object Sinks {
     fs.rename(tmp, new Path(dir))
     fs.delete(old, true)
     fs.listStatus(new Path(dir)).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Repair an interrupted [[compact]]: if the table dir is missing but
+    * `<dir>.compact.old` survives (crash between the two swap renames),
+    * restore the original; stray `.compact.tmp` staging is discarded
+    * (recomputed on the next compact). Idempotent. Returns true if a
+    * restore happened. */
+  def recoverCompaction(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dir + ".compact.old")
+    val restored = if (!fs.exists(new Path(dir)) && fs.exists(old)) {
+      fs.rename(old, new Path(dir))
+    } else false
+    if (fs.exists(new Path(dir)) && fs.exists(old)) fs.delete(old, true)
+    restored
   }
 
   /** Two-phase commit storage: every epoch is (1) staged to a temp dir,
@@ -128,7 +152,18 @@ object Sinks {
 
   /** In-data offset storage: the epoch id travels inside the data as a
     * `_batch_id` column; recovery scans the sink for the max committed
-    * batch and drops replays — no external commit log needed. */
+    * batch and drops replays — no external commit log needed.
+    *
+    * The reference's InDataOffsetBatchStorage relies on the store making
+    * each batch insert transactional (Vertica COPY); a plain parquet
+    * append is not (a crash mid job-commit leaves a PARTIAL epoch whose
+    * max `_batch_id` would wrongly mask the retry). Here each epoch
+    * becomes visible via one atomic directory rename: stage the whole
+    * epoch under `_staging/<id>`, then rename to `batch_<id>`. Data that
+    * is readable is therefore always a complete epoch, and a replayed or
+    * half-staged epoch is simply re-written. (Directory rename is atomic
+    * on HDFS/POSIX; on S3 front this with the committer's staging layer,
+    * exactly as the reference does with S3MultiFileStaging.) */
   class InDataOffsetSink(outDir: String) extends Serializable {
 
     def attach(events: DataFrame, checkpointDir: String): StreamingQuery =
@@ -138,16 +173,38 @@ object Sinks {
         .foreachBatch(writeBatch _)
         .start()
 
-    def committedMaxBatchId(spark: org.apache.spark.sql.SparkSession): Long = {
+    /** All committed (= atomically published) rows across epochs. */
+    def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+
+    private def committedDirs(spark: org.apache.spark.sql.SparkSession): Seq[Path] = {
       val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new Path(outDir)) || fs.listStatus(new Path(outDir)).isEmpty) -1L
-      else spark.read.parquet(outDir).agg(max(col("_batch_id"))).collect()(0).getLong(0)
+      if (!fs.exists(new Path(outDir))) Seq.empty
+      else fs.listStatus(new Path(outDir)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+        .map(_.getPath)
+    }
+
+    /** Recovery position, read back from the data itself (the reference's
+      * `SELECT max(batch_id)`): only published epoch dirs are scanned, so
+      * a crashed partial write never advances the position. */
+    def committedMaxBatchId(spark: org.apache.spark.sql.SparkSession): Long = {
+      val dirs = committedDirs(spark)
+      if (dirs.isEmpty) -1L
+      else spark.read.parquet(dirs.map(_.toString): _*)
+        .agg(max(col("_batch_id"))).collect()(0).getLong(0)
     }
 
     def writeBatch(batch: DataFrame, batchId: Long): Unit = {
-      if (batchId <= committedMaxBatchId(batch.sparkSession)) return // replay
+      val spark = batch.sparkSession
+      if (batchId <= committedMaxBatchId(spark)) return // replay of a COMPLETE epoch
+      val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new Path(outDir, s"_staging/$batchId")
       batch.withColumn("_batch_id", lit(batchId))
-        .write.mode("append").parquet(outDir)
+        .write.mode("overwrite").parquet(staging.toString)
+      val dest = new Path(outDir, s"batch_$batchId")
+      if (fs.exists(dest)) fs.delete(dest, true) // unreachable unless max-id scan raced; defensive
+      fs.rename(staging, dest) // the commit point
     }
   }
 }

@@ -125,10 +125,46 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     val sink = new Sinks.InDataOffsetSink(out)
     sink.attach(df, tmp()).awaitTermination()
     sink.committedMaxBatchId(spark) shouldBe 0L
-    spark.read.parquet(out).count() shouldBe 2
+    sink.read(spark).count() shouldBe 2
     // replay epoch 0 → skipped
-    sink.writeBatch(spark.read.parquet(out).drop("_batch_id"), 0L)
-    spark.read.parquet(out).count() shouldBe 2
+    sink.writeBatch(sink.read(spark).drop("_batch_id"), 0L)
+    sink.read(spark).count() shouldBe 2
+  }
+
+  it should "re-write a crashed partial epoch instead of skipping it" in {
+    import spark.implicits._
+    val out = tmp()
+    val sink = new Sinks.InDataOffsetSink(out)
+    val epoch0 = Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")).toDF()
+    sink.writeBatch(epoch0, 0L)
+    // simulate a crash mid-write of epoch 1: data reached staging but the
+    // publish rename never happened — it must stay invisible
+    val epoch1 = Seq(Ev(1, ts(2), 2, "view", 2.0, "{}"), Ev(2, ts(3), 2, "view", 3.0, "{}")).toDF()
+    epoch1.withColumn("_batch_id", lit(1L))
+      .write.mode("overwrite").parquet(s"$out/_staging/1")
+    sink.committedMaxBatchId(spark) shouldBe 0L
+    sink.read(spark).count() shouldBe 1
+    // the retry of epoch 1 must WRITE (not be masked by the partial data)
+    sink.writeBatch(epoch1, 1L)
+    sink.committedMaxBatchId(spark) shouldBe 1L
+    sink.read(spark).count() shouldBe 3
+    sink.read(spark).where(col("_batch_id") === 1L).count() shouldBe 2
+  }
+
+  it should "recover an interrupted compaction swap" in {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    (0 until 10).map(i => Ev(i.toLong, ts(i), 1, "click", 1.0, "{}"))
+      .toDF().write.parquet(dir)
+    // simulate a crash between the two swap renames: dir moved aside, tmp lost
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.fs.Path(dir + ".compact.old"))
+    Sinks.recoverCompaction(spark, dir) shouldBe true
+    spark.read.parquet(dir).count() shouldBe 10
+    // a fresh compact over the recovered table still works end-to-end
+    Sinks.compact(spark, dir, targetFileBytes = 1024L * 1024 * 1024) shouldBe 1
+    spark.read.parquet(dir).count() shouldBe 10
   }
 
   behavior of "GraftLoader builder"
