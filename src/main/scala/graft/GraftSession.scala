@@ -17,6 +17,9 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT96 (the Spark default) is deprecated and reads back as ns in
+      // arrow-based tooling; int64 micros is the portable representation
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

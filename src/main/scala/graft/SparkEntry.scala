@@ -12,14 +12,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ StreamSemantics.queries ++ EventAnalytics.queries ++
+    Relational.queries ++ RelationalExt.queries ++ StreamSemantics.queries ++
+      EventAnalytics.queries ++ Joins.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
       Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ StreamSemantics.oracleSql ++ EventAnalytics.oracleSql ++
+    Relational.oracleSql ++ RelationalExt.oracleSql ++ StreamSemantics.oracleSql ++
+      EventAnalytics.oracleSql ++ Joins.oracleSql ++
       Dedup.oracleSql ++ TextAnalysis.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
       Pipeline.oracleSql
 }

@@ -38,6 +38,13 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val ns = nanosSessions.computeIfAbsent(s, (ss: SparkSession) => {
       val n = ss.newSession()
+      // newSession() does NOT inherit the parent's runtime/builder SQL
+      // confs (session timezone, parquet writer type, shuffle sizing…) —
+      // clone them so frames rooted here behave identically, then add the
+      // one scoped difference (nanos-as-long for this relation only).
+      ss.conf.getAll.foreach { case (k, v) =>
+        try n.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
       n.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // runtime-registered functions don't carry over to a new session;
       // queries compose graft expressions onto this relation's datasets

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins (SURVEY.md §2c),
+  * composed from existing ops instead of naive inequality joins — the
+  * preference order for custom semantics (compose > custom plan node).
+  *
+  *  - As-of join: each left row matched to the latest right row at or
+  *    before its timestamp. The classic implementation is a range join
+  *    (O(n·m) comparisons); here it's the union-and-carry pattern — tag
+  *    both sides, union, one window pass per key carrying the last seen
+  *    right-side attributes forward. One shuffle on the join key, linear
+  *    work, no range explosion at 100 TB.
+  *  - Range join: count right rows inside a time window around each left
+  *    row. Naive is a per-key cross join; here timestamps are bucketed to
+  *    window-width bins so each left row probes exactly 2 (key, bin)
+  *    buckets, then the exact range predicate filters inside the bucket —
+  *    the bin join bounds candidates the same way LSH bounds dedup pairs.
+  */
+object Joins {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** As-of join: for every click, the most recent view (id + ts) of the
+    * same user at or before the click. Views are first deduped to one per
+    * (user, ts) — max event_id — so ties are deterministic. */
+  def evAsofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("view_id").as("event_id"), col("view_id"), col("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
+        lit(null).cast("long").as("view_id"), lit(null).cast("timestamp").as("view_ts"))
+    // at equal ts the view (kind 0) sorts first → "at or before" inclusive
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("last_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .withColumn("last_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_view_ts"), col("last_view_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val evAsofJoinSql: String =
+    """WITH v AS (
+      |  SELECT user_id, ts::TIMESTAMP AS vts, max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_id, user_id, ts::TIMESTAMP AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |lv AS (
+      |  SELECT c.event_id, c.user_id, c.cts,
+      |    (SELECT max(v.vts) FROM v WHERE v.user_id = c.user_id AND v.vts <= c.cts) AS last_view_ts
+      |  FROM c)
+      |SELECT lv.event_id, lv.user_id, lv.cts AS ts, lv.last_view_ts,
+      |  v.view_id AS last_view_id
+      |FROM lv LEFT JOIN v ON v.user_id = lv.user_id AND v.vts = lv.last_view_ts
+      |ORDER BY event_id""".stripMargin
+
+  /** Range join: for every error, how many clicks the same user made in
+    * the preceding 10 minutes (inclusive of the error instant). Bucketed:
+    * clicks keyed by 10-min bin, each error probes its bin and the one
+    * before, exact (t-10min, t] predicate applied inside the bucket. */
+  def evRangeJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val binUs = 600000000L // 10 min in µs = the window width, so 2 probes suffice
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        (unix_micros(col("ts")) / binUs).cast("long").as("c_bin"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val probes = errors
+      .withColumn("e_bin", (unix_micros(col("ts")) / binUs).cast("long"))
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"),
+        explode(array(col("e_bin") - 1, col("e_bin"))).as("p_bin"))
+    val counts = probes
+      .join(clicks, col("p_user") === col("c_user") && col("p_bin") === col("c_bin") &&
+        col("c_ts") <= col("p_ts") && col("c_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n"))
+    errors.join(counts, col("event_id") === col("p_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("n"), lit(0L)).as("n_recent_clicks"))
+      .orderBy(col("event_id"))
+  }
+
+  val evRangeJoinSql: String =
+    """SELECT e.event_id, e.user_id, e.ts::TIMESTAMP AS ts,
+      |  count(c.user_id) AS n_recent_clicks
+      |FROM events e LEFT JOIN events c
+      |  ON c.event_type = 'click' AND c.user_id = e.user_id
+      |  AND c.ts::TIMESTAMP <= e.ts::TIMESTAMP
+      |  AND c.ts::TIMESTAMP > e.ts::TIMESTAMP - INTERVAL 10 MINUTE
+      |WHERE e.event_type = 'error'
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "ev_asof_join" -> evAsofJoin,
+    "ev_range_join" -> evRangeJoin)
+
+  def oracleSql: Map[String, String] = Map(
+    "ev_asof_join" -> evAsofJoinSql,
+    "ev_range_join" -> evRangeJoinSql)
+}

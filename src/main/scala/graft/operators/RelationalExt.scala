@@ -1,0 +1,364 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extended relational suite (SURVEY.md §2a, second tranche): the
+  * remaining TPC-H query shapes expressible on the testdata schema —
+  * nation-pair volume, market share, late-shipment priority mix,
+  * customer-order distribution, argmax subquery, correlated-average
+  * filter, big-order HAVING semi-join, disjunctive multi-predicate scan,
+  * exists/not-exists self-joins, and scalar-subquery + anti-join.
+  * (Q2/Q9/Q11/Q16/Q20 need the partsupp table, which the testdata
+  * doesn't ship; Q12/Q17/Q19/Q21/Q22 are adapted to the columns that
+  * exist with the plan shape preserved.)
+  *
+  * Scale notes mirror Relational: dims broadcast, facts shuffle at most
+  * once on their join key, self-joins key on l_orderkey (bounded groups
+  * — ≤7 lines/order at any SF), aggregates are partial-agg friendly.
+  */
+object RelationalExt {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** TPC-H Q7: volume shipped between two nations, per direction per year.
+    * Both nation dims are pre-filtered to the pair, so the disjunction
+    * collapses to one cross-direction filter after broadcast joins. */
+  def q7NationVolume: Q = (s, d) => {
+    val pair = Seq("NATION_2", "NATION_3")
+    val suppN = Tables.supplier(s, d)
+      .join(Tables.nation(s, d).filter(col("n_name").isin(pair: _*)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custN = Tables.customer(s, d)
+      .join(Tables.nation(s, d).filter(col("n_name").isin(pair: _*)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7NationVolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_2', 'NATION_3')
+      |  AND n2.n_name IN ('NATION_2', 'NATION_3')
+      |  AND n1.n_name <> n2.n_name
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8: market share of one supplier nation within one customer
+    * region for one part type, per order year — a conditional-sum ratio
+    * over a 7-table star, every dimension broadcast. */
+  def q8MarketShare: Q = (s, d) => {
+    val custAsia = Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppN = Tables.supplier(s, d)
+      .join(Tables.nation(s, d).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_5", rev).otherwise(0.0)) / sum(rev), 6)
+          .as("mkt_share"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8MarketShareSql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  round(sum(CASE WHEN n2.n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      |        / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q12 (adapted: lateness from l_shipdate vs o_orderdate — the
+    * testdata has no commit/receipt dates): priority mix of late
+    * shipments per linestatus, conditional counts in one pass. */
+  def q12LateShip: Q = (s, d) => {
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q12LateShipSql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q13: distribution of customers by order count, zeros included
+    * (left join, count non-null keys, re-aggregate the counts). */
+  def q13CustDist: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val q13CustDistSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15: top supplier(s) by quarterly revenue — argmax via a
+    * broadcast scalar max joined back, no window over a single partition. */
+  def q15TopSupplier: Q = (s, d) => {
+    val revenue = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(rev), 2).as("total_revenue"))
+    revenue
+      .join(broadcast(revenue.agg(max(col("total_revenue")).as("mx"))),
+        col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17 (adapted: brand only — no container column): revenue from
+    * below-average-quantity lines of one brand; the correlated per-part
+    * average decorrelates to a groupBy + equi-join (l_quantity is
+    * integral, so the avg is float-deterministic across engines). */
+  def q17SmallQty: Q = (s, d) => {
+    val brandLines = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#11")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+    val partAvg = brandLines.groupBy(col("p_partkey").as("pk"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
+    brandLines.join(broadcast(partAvg), col("p_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q17SmallQtySql: String =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#11'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+
+  /** TPC-H Q18: large-volume orders — HAVING sum(qty) > 300 as a derived
+    * fact joined back (the big-order key set is tiny → broadcast). */
+  def q18BigOrders: Q = (s, d) => {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    Tables.orders(s, d)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        round(col("sum_qty"), 2).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18BigOrdersSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      |  round(o_totalprice, 2) AS o_totalprice, round(b.sum_qty, 2) AS sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+      |      GROUP BY l_orderkey HAVING sum(l_quantity) > 300) b
+      |  ON o_orderkey = b.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q19 (adapted: size in place of container): revenue under three
+    * OR'd brand/size/quantity band predicates — one scan, the disjunction
+    * evaluated post-broadcast-join in a single codegen stage. */
+  def q19Disjunctive: Q = (s, d) => {
+    def band(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(band("Brand#12", 15, 1, 20) || band("Brand#23", 25, 10, 30) ||
+        band("Brand#4", 35, 20, 40))
+      .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val q19DisjunctiveSql: String =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
+  /** TPC-H Q21 (adapted: lateness from l_shipdate vs o_orderdate):
+    * suppliers who were the sole late shipper on a multi-supplier order —
+    * EXISTS (another supplier on the order) + NOT EXISTS (another LATE
+    * supplier), as semi + anti self-joins keyed on l_orderkey (bounded
+    * groups: ≤7 lines per order at any scale). */
+  def q21WaitingSupplier: Q = (s, d) => {
+    val lines = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+    val late = lines.filter(col("late"))
+    val others = lines.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    late
+      .join(others, col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"), "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21WaitingSupplierSql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q22 (adapted: nation in place of phone prefix): dormant
+    * high-balance customers per nation — above-average balance (scalar
+    * subquery, broadcast) with no orders since 1999 (anti join against
+    * the filtered orders, mirroring Q22's "no orders for N years"). */
+  def q22Dormant: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("abal"))
+    cust
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("abal"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  val q22DormantSql: String =
+    """SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q7_nation_volume" -> q7NationVolume,
+    "q8_market_share" -> q8MarketShare,
+    "q12_late_ship" -> q12LateShip,
+    "q13_cust_dist" -> q13CustDist,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q17_small_qty" -> q17SmallQty,
+    "q18_big_orders" -> q18BigOrders,
+    "q19_disjunctive" -> q19Disjunctive,
+    "q21_waiting_supplier" -> q21WaitingSupplier,
+    "q22_dormant" -> q22Dormant)
+
+  def oracleSql: Map[String, String] = Map(
+    "q7_nation_volume" -> q7NationVolumeSql,
+    "q8_market_share" -> q8MarketShareSql,
+    "q12_late_ship" -> q12LateShipSql,
+    "q13_cust_dist" -> q13CustDistSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q17_small_qty" -> q17SmallQtySql,
+    "q18_big_orders" -> q18BigOrdersSql,
+    "q19_disjunctive" -> q19DisjunctiveSql,
+    "q21_waiting_supplier" -> q21WaitingSupplierSql,
+    "q22_dormant" -> q22DormantSql)
+}
