@@ -5,7 +5,7 @@ import java.io.ByteArrayOutputStream
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
 /** ClickHouse-RowBinary-style row encoding as a Catalyst expression:
@@ -18,12 +18,12 @@ import org.apache.spark.sql.types._
   *  - LEB128 + string/DateTime: clickhouse/rowbinary/RowBinaryClickHousePrimitiveTypeWriter.scala:27
   *
   * Usage: `graft_rowbinary(struct(cols...))` → binary. At 100 TB this runs
-  * embarrassingly parallel in the projection before a sink write; the
-  * same expression serves the Vertica-native-style path with a different
-  * writer table. (CodegenFallback: encoding is I/O-bound at the sink, not
-  * a hot analytic loop.)
-  */
-case class RowBinaryEncode(child: Expression) extends UnaryExpression with CodegenFallback {
+  * embarrassingly parallel in the projection before a sink write.
+  * Participates in whole-stage codegen: `doGenCode` emits straight-line
+  * per-field writes specialized at compile time (the type dispatch the
+  * interpreted path does per row happens once, at codegen), mirroring the
+  * reference's macro-derived compile-time encoders. */
+case class RowBinaryEncode(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = BinaryType
 
@@ -58,6 +58,24 @@ case class RowBinaryEncode(child: Expression) extends UnaryExpression with Codeg
     out.toByteArray
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val buf = ctx.addMutableState("java.io.ByteArrayOutputStream", "rowBinaryBuf",
+      v => s"$v = new java.io.ByteArrayOutputStream(64);")
+    nullSafeCodeGen(ctx, ev, row => {
+      val writes = fields.zipWithIndex.map { case (f, i) =>
+        val w = RowBinaryEncode.genWrite(f.dataType, buf, row, i)
+        if (f.nullable)
+          s"if ($row.isNullAt($i)) { $buf.write(1); } else { $buf.write(0); $w }"
+        else w
+      }.mkString("\n")
+      s"""
+         |$buf.reset();
+         |$writes
+         |${ev.value} = $buf.toByteArray();
+       """.stripMargin
+    })
+  }
+
   override protected def withNewChildInternal(c: Expression): RowBinaryEncode = copy(child = c)
 
   override def prettyName: String = "graft_rowbinary"
@@ -71,44 +89,46 @@ object RowBinaryEncode {
     case _ => false
   }
 
-  private def writeLE(out: ByteArrayOutputStream, v: Long, nBytes: Int): Unit = {
-    var i = 0
-    while (i < nBytes) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
-  }
-
-  /** Unsigned LEB128 varint. */
-  def writeLeb128(out: ByteArrayOutputStream, value: Long): Unit = {
-    var v = value
-    var continue = true
-    while (continue) {
-      val b = (v & 0x7f).toInt
-      v = v >>> 7
-      if (v != 0) out.write(b | 0x80) else { out.write(b); continue = false }
-    }
-  }
+  /** Unsigned LEB128 varint (kept here for spec/property tests). */
+  def writeLeb128(out: ByteArrayOutputStream, value: Long): Unit =
+    BinaryRowWriters.writeLeb128(out, value)
 
   def writeValue(out: ByteArrayOutputStream, t: DataType, row: InternalRow, i: Int): Unit = t match {
-    case LongType => writeLE(out, row.getLong(i), 8)
-    case IntegerType => writeLE(out, row.getInt(i).toLong, 4)
-    case ShortType => writeLE(out, row.getShort(i).toLong, 2)
+    case LongType => BinaryRowWriters.writeLE(out, row.getLong(i), 8)
+    case IntegerType => BinaryRowWriters.writeLE(out, row.getInt(i).toLong, 4)
+    case ShortType => BinaryRowWriters.writeLE(out, row.getShort(i).toLong, 2)
     case ByteType => out.write(row.getByte(i).toInt)
-    case DoubleType => writeLE(out, java.lang.Double.doubleToLongBits(row.getDouble(i)), 8)
-    case FloatType => writeLE(out, java.lang.Float.floatToIntBits(row.getFloat(i)).toLong, 4)
+    case DoubleType => BinaryRowWriters.writeLE(out, java.lang.Double.doubleToLongBits(row.getDouble(i)), 8)
+    case FloatType => BinaryRowWriters.writeLE(out, java.lang.Float.floatToIntBits(row.getFloat(i)).toLong, 4)
     case BooleanType => out.write(if (row.getBoolean(i)) 1 else 0)
-    case StringType =>
-      val bytes = row.getUTF8String(i).getBytes
-      writeLeb128(out, bytes.length.toLong)
-      out.write(bytes, 0, bytes.length)
-    case BinaryType =>
-      val bytes = row.getBinary(i)
-      writeLeb128(out, bytes.length.toLong)
-      out.write(bytes, 0, bytes.length)
+    case StringType => BinaryRowWriters.writeBytesLeb(out, row.getUTF8String(i).getBytes)
+    case BinaryType => BinaryRowWriters.writeBytesLeb(out, row.getBinary(i))
     case TimestampType =>
       // DateTime: int32 epoch seconds (micros floor-divided)
-      writeLE(out, Math.floorDiv(row.getLong(i), 1000000L), 4)
+      BinaryRowWriters.writeLE(out, Math.floorDiv(row.getLong(i), 1000000L), 4)
     case DateType =>
       // Date: uint16 days since epoch
-      writeLE(out, row.getInt(i).toLong, 2)
+      BinaryRowWriters.writeLE(out, row.getInt(i).toLong, 2)
     case other => throw new UnsupportedOperationException(s"graft_rowbinary: $other")
+  }
+
+  /** Java statement writing field `i` of `row` to `buf` — the codegen
+    * twin of [[writeValue]], specialized per type at compile time. */
+  private[functions] def genWrite(t: DataType, buf: String, row: String, i: Int): String = {
+    val W = "graft.functions.BinaryRowWriters"
+    t match {
+      case LongType => s"$W.writeLE($buf, $row.getLong($i), 8);"
+      case IntegerType => s"$W.writeLE($buf, (long) $row.getInt($i), 4);"
+      case ShortType => s"$W.writeLE($buf, (long) $row.getShort($i), 2);"
+      case ByteType => s"$buf.write((int) $row.getByte($i));"
+      case DoubleType => s"$W.writeLE($buf, java.lang.Double.doubleToLongBits($row.getDouble($i)), 8);"
+      case FloatType => s"$W.writeLE($buf, (long) java.lang.Float.floatToIntBits($row.getFloat($i)), 4);"
+      case BooleanType => s"$buf.write($row.getBoolean($i) ? 1 : 0);"
+      case StringType => s"$W.writeBytesLeb($buf, $row.getUTF8String($i).getBytes());"
+      case BinaryType => s"$W.writeBytesLeb($buf, $row.getBinary($i));"
+      case TimestampType => s"$W.writeLE($buf, java.lang.Math.floorDiv($row.getLong($i), 1000000L), 4);"
+      case DateType => s"$W.writeLE($buf, (long) $row.getInt($i), 2);"
+      case other => throw new UnsupportedOperationException(s"graft_rowbinary: $other")
+    }
   }
 }

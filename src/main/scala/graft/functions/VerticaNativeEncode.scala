@@ -5,7 +5,7 @@ import java.io.ByteArrayOutputStream
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
 /** Vertica-native-file row encoding as a Catalyst expression: per record,
@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
   *
   * `VerticaNativeEncode.fileHeader` supplies the file-level magic/header so
   * a foreachBatch sink can assemble complete native files per partition.
+  * Participates in whole-stage codegen: per-field writes are specialized
+  * at compile time (see RowBinaryEncode for the rationale).
   */
-case class VerticaNativeEncode(child: Expression) extends UnaryExpression with CodegenFallback {
+case class VerticaNativeEncode(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = BinaryType
 
@@ -57,6 +59,34 @@ case class VerticaNativeEncode(child: Expression) extends UnaryExpression with C
     out.write(nullBits, 0, nullBits.length)
     body.writeTo(out)
     out.toByteArray
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val body = ctx.addMutableState("java.io.ByteArrayOutputStream", "verticaBodyBuf",
+      v => s"$v = new java.io.ByteArrayOutputStream(64);")
+    val out = ctx.addMutableState("java.io.ByteArrayOutputStream", "verticaOutBuf",
+      v => s"$v = new java.io.ByteArrayOutputStream(80);")
+    val nBitBytes = (fields.length + 7) / 8
+    nullSafeCodeGen(ctx, ev, row => {
+      val bits = ctx.freshName("nullBits")
+      val writes = fields.zipWithIndex.map { case (f, i) =>
+        val w = VerticaNativeEncode.genWrite(f.dataType, body, row, i)
+        if (f.nullable)
+          s"""if ($row.isNullAt($i)) { $bits[${i / 8}] |= (byte) ${1 << (8 - (i % 8) - 1)}; }
+             |else { $w }""".stripMargin
+        else w
+      }.mkString("\n")
+      s"""
+         |$body.reset();
+         |byte[] $bits = new byte[$nBitBytes];
+         |$writes
+         |$out.reset();
+         |graft.functions.BinaryRowWriters.writeLE($out, (long) $body.size(), 4);
+         |$out.write($bits, 0, $nBitBytes);
+         |graft.functions.BinaryRowWriters.transfer($body, $out);
+         |${ev.value} = $out.toByteArray();
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): VerticaNativeEncode = copy(child = c)
@@ -110,18 +140,31 @@ object VerticaNativeEncode {
     case FloatType => // Vertica FLOAT = 8-byte double
       writeLE(out, java.lang.Double.doubleToLongBits(row.getFloat(i).toDouble), 8)
     case BooleanType => out.write(if (row.getBoolean(i)) 1 else 0)
-    case StringType =>
-      val bytes = row.getUTF8String(i).getBytes
-      writeLE(out, bytes.length.toLong, 4)
-      out.write(bytes, 0, bytes.length)
-    case BinaryType =>
-      val bytes = row.getBinary(i)
-      writeLE(out, bytes.length.toLong, 4)
-      out.write(bytes, 0, bytes.length)
+    case StringType => BinaryRowWriters.writeBytesI32(out, row.getUTF8String(i).getBytes)
+    case BinaryType => BinaryRowWriters.writeBytesI32(out, row.getBinary(i))
     case TimestampType =>
       writeLE(out, row.getLong(i) - VerticaEpochMicros, 8)
     case DateType =>
       writeLE(out, row.getInt(i).toLong - VerticaEpochDays, 8)
     case other => throw new UnsupportedOperationException(s"graft_verticarow: $other")
+  }
+
+  /** Codegen twin of [[writeValue]] — Java statement per field. */
+  private[functions] def genWrite(t: DataType, buf: String, row: String, i: Int): String = {
+    val W = "graft.functions.BinaryRowWriters"
+    t match {
+      case LongType => s"$W.writeLE($buf, $row.getLong($i), 8);"
+      case IntegerType => s"$W.writeLE($buf, (long) $row.getInt($i), 8);"
+      case ShortType => s"$W.writeLE($buf, (long) $row.getShort($i), 8);"
+      case ByteType => s"$W.writeLE($buf, (long) $row.getByte($i), 8);"
+      case DoubleType => s"$W.writeLE($buf, java.lang.Double.doubleToLongBits($row.getDouble($i)), 8);"
+      case FloatType => s"$W.writeLE($buf, java.lang.Double.doubleToLongBits((double) $row.getFloat($i)), 8);"
+      case BooleanType => s"$buf.write($row.getBoolean($i) ? 1 : 0);"
+      case StringType => s"$W.writeBytesI32($buf, $row.getUTF8String($i).getBytes());"
+      case BinaryType => s"$W.writeBytesI32($buf, $row.getBinary($i));"
+      case TimestampType => s"$W.writeLE($buf, $row.getLong($i) - ${VerticaEpochMicros}L, 8);"
+      case DateType => s"$W.writeLE($buf, (long) $row.getInt($i) - ${VerticaEpochDays}L, 8);"
+      case other => throw new UnsupportedOperationException(s"graft_verticarow: $other")
+    }
   }
 }

@@ -15,6 +15,7 @@ class GraftMetrics extends StreamingQueryListener {
 
   private val rows = new ConcurrentHashMap[String, LongAdder]()
   private val batches = new ConcurrentHashMap[String, LongAdder]()
+  private val durations = new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
 
   private def name(n: String, id: java.util.UUID): String =
     Option(n).getOrElse(id.toString)
@@ -24,14 +25,36 @@ class GraftMetrics extends StreamingQueryListener {
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val key = name(e.progress.name, e.progress.id)
     rows.computeIfAbsent(key, _ => new LongAdder).add(e.progress.numInputRows)
-    if (e.progress.numInputRows > 0)
+    if (e.progress.numInputRows > 0) {
       batches.computeIfAbsent(key, _ => new LongAdder).increment()
+      durations.computeIfAbsent(key, _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+        .add(e.progress.batchDuration)
+    }
   }
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
 
   def rowsLoaded(query: String): Long = Option(rows.get(query)).map(_.sum).getOrElse(0L)
   def epochsCommitted(query: String): Long = Option(batches.get(query)).map(_.sum).getOrElse(0L)
+
+  /** Epoch-latency percentile (ms) over non-empty epochs of `query`
+    * (nearest-rank); -1 with no completed epochs. The reference surfaces
+    * the same signal as its micrometer batch-commit timers. */
+  def epochLatencyMs(query: String, p: Double): Long = {
+    val q = durations.get(query)
+    if (q == null || q.isEmpty) -1L
+    else {
+      import scala.jdk.CollectionConverters._
+      val sorted = q.asScala.toArray.sorted
+      sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1).max(0))
+    }
+  }
+
+  /** All epoch latencies seen across queries (for whole-run percentiles). */
+  def allEpochLatenciesMs: Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    durations.values.asScala.flatMap(_.asScala).toSeq
+  }
 }
 
 object GraftMetrics {

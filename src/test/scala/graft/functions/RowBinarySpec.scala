@@ -65,4 +65,23 @@ class RowBinarySpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // 1.0 = 0x3FF0000000000000 big-endian → LE bytes reversed
     encodeHex(df, "struct(d)") shouldBe "000000000000F03F"
   }
+
+  it should "produce identical bytes from the interpreted and codegen paths" in {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("l", LongType, nullable = false),
+      StructField("s", StringType, nullable = true),
+      StructField("d", DoubleType, nullable = true)))
+    val interpreted = RowBinaryEncode(
+      Literal.create(Row(42L, "héllo", null), schema)).eval(null).asInstanceOf[Array[Byte]]
+    // df execution goes through whole-stage codegen (doGenCode)
+    graft.plans.GraftFunctions.register(spark)
+    val viaCodegen = Seq((42L, "héllo", Option.empty[Double])).toDF("l", "s", "d")
+      .selectExpr("graft_rowbinary(struct(l, s, d)) AS b")
+      .collect()(0).getAs[Array[Byte]]("b")
+    viaCodegen shouldBe interpreted
+  }
 }

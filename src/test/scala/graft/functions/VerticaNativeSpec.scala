@@ -51,6 +51,23 @@ class VerticaNativeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
     encodeHex(df, "struct(t)") shouldBe "08000000" + "00" + "40420F0000000000"
   }
 
+  it should "produce identical bytes from the interpreted and codegen paths" in {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("l", LongType, nullable = false),
+      StructField("s", StringType, nullable = true),
+      StructField("d", DoubleType, nullable = true)))
+    val interpreted = VerticaNativeEncode(
+      Literal.create(Row(7L, null, 2.5), schema)).eval(null).asInstanceOf[Array[Byte]]
+    graft.plans.GraftFunctions.register(spark)
+    val viaCodegen = Seq((7L, Option.empty[String], 2.5)).toDF("l", "s", "d")
+      .selectExpr("graft_verticarow(struct(l, s, d)) AS b")
+      .collect()(0).getAs[Array[Byte]]("b")
+    viaCodegen shouldBe interpreted
+  }
+
   it should "emit the native file header with magic and column sizes" in {
     val schema = StructType(Seq(
       StructField("l", LongType), StructField("s", StringType)))
