@@ -105,13 +105,45 @@ object Pipeline {
       |WHERE CAST(('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 10
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Weighted source interleaving (training-data mixing): each source
+    * gets weight 1–3; a document's virtual position is its rank within
+    * its source divided by the weight, and the training order reads docs
+    * by ascending virtual position — heavier sources surface
+    * proportionally more often. The global pick is ORDER BY + LIMIT
+    * (TakeOrderedAndProject: each partition contributes its local top,
+    * no single-partition global window), the per-source rank partitions
+    * on source — both scale-safe. */
+  def pipeInterleave: Q = (s, d) => {
+    val w = (expr("cast(substring(source, 4) as int)") % 3 + 1).cast("double")
+    val rn = row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("double")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("vpos", round(rn / w, 4))
+      .orderBy(col("vpos"), col("source"), col("doc_id"))
+      .limit(200)
+  }
+
+  val pipeInterleaveSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+      |    (CAST(substr(source, 4, 10) AS INT) % 3 + 1) AS w
+      |  FROM documents)
+      |SELECT doc_id, source, round(rn / (w * 1.0), 4) AS vpos
+      |FROM ranked
+      |ORDER BY vpos, source, doc_id
+      |LIMIT 200""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "pipe_curation" -> pipeCuration,
     "pipe_packing" -> pipePacking,
-    "pipe_sample" -> pipeSample)
+    "pipe_sample" -> pipeSample,
+    "pipe_interleave" -> pipeInterleave)
 
   def oracleSql: Map[String, String] = Map(
     "pipe_curation" -> pipeCurationSql,
     "pipe_packing" -> pipePackingSql,
-    "pipe_sample" -> pipeSampleSql)
+    "pipe_sample" -> pipeSampleSql,
+    "pipe_interleave" -> pipeInterleaveSql)
 }

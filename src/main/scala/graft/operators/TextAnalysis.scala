@@ -158,17 +158,58 @@ object TextAnalysis {
       |  round(len(list_distinct(bt)) / len(bt), 4) AS unique_ratio
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Corpus n-gram statistics: top-5 word bigrams per language by count.
+    * Bigrams are built record-local (transform over the materialized
+    * token array — no self-join), counted with partial aggregation, and
+    * the per-language top-k runs on TopKPerGroup's bounded heaps instead
+    * of sorting every (lang, bigram) count. */
+  def taNgramFreq: Q = (s, d) => {
+    val bigrams = expr(
+      "transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))")
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val top = graft.plans.TopKPerGroup.transform(counts,
+      Seq(col("lang")), Seq(col("n").desc, col("bigram").asc), 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("lang"), col("rnk"), col("bigram"), col("n"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val taNgramFreqSql: String =
+    """WITH toks AS (
+      |  SELECT lang, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |bg AS (
+      |  SELECT lang, unnest(list_transform(generate_series(1, len(tk) - 1),
+      |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+      |  FROM toks WHERE len(tk) >= 2),
+      |cnt AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT lang, bigram, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+      |  FROM cnt)
+      |SELECT lang, rnk, bigram, n FROM ranked WHERE rnk <= 5
+      |ORDER BY lang, rnk""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ta_bpe_tokens" -> taBpeTokens,
     "ta_tokens" -> taTokens,
     "ta_quality" -> taQuality,
     "ta_langid" -> taLangid,
-    "ta_fingerprint" -> taFingerprint)
+    "ta_fingerprint" -> taFingerprint,
+    "ta_ngram_freq" -> taNgramFreq)
 
   def oracleSql: Map[String, String] = Map(
     "ta_bpe_tokens" -> taBpeTokensSql,
     "ta_tokens" -> taTokensSql,
     "ta_quality" -> taQualitySql,
     "ta_langid" -> taLangidSql,
-    "ta_fingerprint" -> taFingerprintSql)
+    "ta_fingerprint" -> taFingerprintSql,
+    "ta_ngram_freq" -> taNgramFreqSql)
 }
