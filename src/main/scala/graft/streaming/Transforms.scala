@@ -52,6 +52,67 @@ object Transforms {
   def enrich(events: DataFrame, dim: DataFrame, joinCol: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), joinCol)
 
+  case class OpenSession(user_id: Long, start: Long, end: Long, n: Long, value: Double)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, session_value: Double)
+
+  /** Sessionization that emits a session exactly once, WHEN IT CLOSES —
+    * flatMapGroupsWithState with an event-time timeout: a session's state
+    * times out once the watermark passes session end + gap, at which point
+    * the completed session is emitted and its state dropped (bounded
+    * state; append-mode output a downstream exactly-once sink can
+    * consume). A gap *inside* a batch closes the session inline. This is
+    * the emit-on-close shape the reference's per-partition sinkers give
+    * loaders, built on custom keyed state instead of session_window's
+    * windowed aggregation. */
+  def sessionizeOnClose(spark: SparkSession, events: DataFrame,
+      watermark: String = "30 minutes", gapMs: Long = 1800000L): Dataset[ClosedSession] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def close(s: OpenSession) = ClosedSession(s.user_id,
+      new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, s.value)
+    events
+      .withWatermark("ts", watermark)
+      // the watermarked ts column itself must reach the stateful operator
+      // (event-time timeout is refused if the projection drops it)
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rowsIt: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val done = close(state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val evs = rowsIt.toSeq.map(e => (e._1, e._2.getTime, e._3))
+              .sortBy(e => (e._2, e._3))
+            val closed = scala.collection.mutable.Buffer[ClosedSession]()
+            var open = state.getOption
+            evs.foreach { case (_, ms, v) =>
+              open match {
+                case Some(s) if ms - s.end <= gapMs =>
+                  open = Some(s.copy(end = math.max(s.end, ms), n = s.n + 1, value = s.value + v))
+                case Some(s) => // in-batch gap: close inline, start fresh
+                  closed += close(s)
+                  open = Some(OpenSession(user, ms, ms, 1L, v))
+                case None =>
+                  open = Some(OpenSession(user, ms, ms, 1L, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // timeout must stay ahead of the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state via mapGroupsWithState: running per-user totals

@@ -115,6 +115,22 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     spark.read.parquet(s"$out/batch=0").count() shouldBe 3
   }
 
+  it should "re-commit an epoch that crashed between publish and manifest write" in {
+    import spark.implicits._
+    val out = tmp()
+    val sink = new Sinks.TwoPhaseCommitSink(out)
+    val epoch = Seq(
+      Ev(0, ts(1), 1, "click", 1.0, "{}"),
+      Ev(1, ts(2), 2, "view", 2.0, "{}")).toDF()
+    // simulate: phase 2 rename happened, manifest line was never written
+    epoch.write.parquet(s"$out/batch=0")
+    sink.committedBatchIds(spark) shouldBe empty
+    // the retry must re-write the epoch and commit it exactly once
+    sink.writeBatch(epoch, 0L)
+    sink.committedBatchIds(spark) shouldBe Seq(0L)
+    spark.read.parquet(s"$out/batch=0").count() shouldBe 2
+  }
+
   behavior of "InDataOffsetSink"
 
   it should "store batch ids in the data and drop replayed epochs" in {
@@ -227,6 +243,34 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     val rows = spark.table("sess").collect()
     rows.length shouldBe 3
     rows.filter(_.getLong(2) == 1L).map(_.getLong(3)).sorted shouldBe Array(1L, 2L)
+  }
+
+  it should "emit sessions exactly when they close (event-time timeout)" in {
+    import org.apache.spark.sql.functions.col
+    val (ms, df) = eventsStream(Seq(
+      Ev(0, ts(0), 1, "click", 1.0, "{}"),
+      Ev(1, ts(10), 1, "click", 2.0, "{}"),   // same session as ev 0
+      Ev(2, ts(0), 3, "view", 1.0, "{}"),
+      Ev(3, ts(120), 3, "view", 1.0, "{}")))  // in-batch gap → closes first
+    val q = Transforms.sessionizeOnClose(spark, df)
+      .writeStream.format("memory").queryName("closed").outputMode("append").start()
+    q.processAllAvailable()
+    // the in-batch-gap close is out immediately; the no-data watermark
+    // batch (wm = t120 - 30min = t90) then times out user 1 (t10+30 < t90)
+    spark.table("closed").count() shouldBe 2
+    // watermark advance to t570 times out user 3's second session
+    ms.addData(Ev(4, ts(600), 2, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    ms.addData(Ev(5, ts(610), 2, "view", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("closed").collect()
+    rows.length shouldBe 3
+    val u1 = rows.filter(_.getLong(0) == 1L)
+    u1.length shouldBe 1
+    u1(0).getLong(3) shouldBe 2       // n_events
+    u1(0).getDouble(4) shouldBe 3.0   // session_value
+    rows.count(_.getLong(0) == 3L) shouldBe 2 // both user-3 singleton sessions
+    spark.table("closed").filter(col("user_id") === 2).count() shouldBe 0 // still open
   }
 
   it should "compute the same windows as the batch operator (batch-stream parity)" in {
