@@ -105,11 +105,52 @@ object Joins {
       |GROUP BY 1, 2, 3
       |ORDER BY 1""".stripMargin
 
+  /** Conversion funnel: users who viewed, then clicked at-or-after their
+    * first view, then purchased at-or-after that click. Each stage is a
+    * keyed aggregation + equi-join with a residual time predicate — never
+    * an event-level self cross join; stage tables shrink monotonically. */
+  def evFunnel: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val viewed = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicked = ev.filter(col("event_type") === "click")
+      .join(viewed, "user_id")
+      .filter(col("ts") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val purchased = ev.filter(col("event_type") === "purchase")
+      .join(clicked, "user_id")
+      .filter(col("ts") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    viewed.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(clicked.agg(count(lit(1)).as("n_clicked_after")))
+      .crossJoin(purchased.agg(count(lit(1)).as("n_purchased_after")))
+  }
+
+  val evFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts::TIMESTAMP) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_click
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP >= v.t_view
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_purchase
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP >= c.t_click
+      |  GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_viewed,
+      |  (SELECT count(*) FROM c) AS n_clicked_after,
+      |  (SELECT count(*) FROM p) AS n_purchased_after""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ev_asof_join" -> evAsofJoin,
-    "ev_range_join" -> evRangeJoin)
+    "ev_range_join" -> evRangeJoin,
+    "ev_funnel" -> evFunnel)
 
   def oracleSql: Map[String, String] = Map(
     "ev_asof_join" -> evAsofJoinSql,
-    "ev_range_join" -> evRangeJoinSql)
+    "ev_range_join" -> evRangeJoinSql,
+    "ev_funnel" -> evFunnelSql)
 }

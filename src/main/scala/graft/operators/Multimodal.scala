@@ -77,13 +77,40 @@ object Multimodal {
   private def fakeDecode(payload: Array[Byte]): Array[Float] =
     payload.take(8).map(b => (b & 0xff) / 256.0f)
 
+  /** Payload chunking: split each binary payload into 100-byte chunks
+    * (the shard step before per-chunk decode/upload — multipart staging's
+    * row-level analog). Spark slices the actual bytes (`substring` on
+    * binary); the oracle cross-checks every chunk length arithmetically. */
+  def mmChunk: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .filter(col("n_bytes") > 0)
+      .select(col("doc_id"), col("n_bytes"), col("payload"),
+        explode(sequence(lit(0L), expr("(n_bytes - 1) div 100"))).as("chunk_idx"))
+      .select(col("doc_id"), col("n_bytes"), col("chunk_idx"),
+        octet_length(expr("substring(payload, chunk_idx * 100 + 1, 100)"))
+          .cast("long").as("chunk_bytes"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val mmChunkSql: String =
+    """WITH b AS (SELECT doc_id, strlen(text) AS n_bytes FROM documents WHERE strlen(text) > 0),
+      |c AS (SELECT doc_id, n_bytes,
+      |        unnest(generate_series(0, (n_bytes - 1) // 100)) AS chunk_idx
+      |      FROM b)
+      |SELECT doc_id, n_bytes, chunk_idx,
+      |  least(100, n_bytes - chunk_idx * 100) AS chunk_bytes
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
     "mm_framesample" -> mmFramesample,
+    "mm_chunk" -> mmChunk,
     "mm_decode_stub" -> mmDecodeStub)
 
   /** mm_decode_stub intentionally omitted → rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
-    "mm_framesample" -> mmFramesampleSql)
+    "mm_framesample" -> mmFramesampleSql,
+    "mm_chunk" -> mmChunkSql)
 }
