@@ -41,27 +41,22 @@ object Bench {
     // Loader throughput (the reference's headline number): stream the
     // events table through the exactly-once partitioned file sink and
     // measure end-to-end records/sec, plus per-epoch commit latency
-    // percentiles from the StreamingQueryListener (the reference's
-    // micrometer batch-commit timers).
-    val metrics = util.GraftMetrics.install(spark)
+    // percentiles (the reference's micrometer batch-commit timers).
+    // Latencies come from the query's own recentProgress — synchronous,
+    // unlike the async listener bus, so no epochs are silently missing.
     val (loadRate, epochP50, epochP99) = try {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
       val src = s"$tmp/src"; val out = s"$tmp/out"; val cp = s"$tmp/cp"
       Tables.events(spark, sfDir).write.parquet(src)
       val n = spark.read.parquet(src).count()
       val t0 = System.nanoTime()
-      streaming.Sinks.recordBatchingSink(
+      val q = streaming.Sinks.recordBatchingSink(
         streaming.EventSource.fileStream(spark, src, maxFilesPerTrigger = 64),
-        out, cp).start().awaitTermination()
+        out, cp).start()
+      q.awaitTermination()
       val rate = n / ((System.nanoTime() - t0) / 1e9)
-      // listener events are async; give the bus a moment to drain
-      spark.streams.listListeners // no-op touch
-      Thread.sleep(500)
-      val lats = metrics.allEpochLatenciesMs.sorted
-      def pct(p: Double): Long =
-        if (lats.isEmpty) -1L
-        else lats(math.min(lats.length - 1, math.ceil(p * lats.length).toInt - 1).max(0))
-      (rate, pct(0.5), pct(0.99))
+      val lats = q.recentProgress.toSeq.filter(_.numInputRows > 0).map(_.batchDuration)
+      (rate, util.GraftMetrics.percentileMs(lats, 0.5), util.GraftMetrics.percentileMs(lats, 0.99))
     } catch { case _: Throwable => (-1.0, -1L, -1L) }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99}""")
     spark.stop()

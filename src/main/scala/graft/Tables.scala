@@ -55,8 +55,11 @@ object Tables {
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  private val nanosSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  // weak keys: child sessions must not keep stopped parent sessions alive
+  // (test suites create many). Conf snapshot is frozen at first use per
+  // parent — parent conf changes after that do not reach events frames.
+  private val nanosSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -69,12 +69,13 @@ case class VerticaNativeEncode(child: Expression) extends UnaryExpression {
     val nBitBytes = (fields.length + 7) / 8
     nullSafeCodeGen(ctx, ev, row => {
       val bits = ctx.freshName("nullBits")
+      // isNullAt is checked for EVERY field (like the interpreted path):
+      // Spark nullability is advisory, and a null in a nullable=false slot
+      // must still set the bitmap bit rather than encode garbage
       val writes = fields.zipWithIndex.map { case (f, i) =>
         val w = VerticaNativeEncode.genWrite(f.dataType, body, row, i)
-        if (f.nullable)
-          s"""if ($row.isNullAt($i)) { $bits[${i / 8}] |= (byte) ${1 << (8 - (i % 8) - 1)}; }
-             |else { $w }""".stripMargin
-        else w
+        s"""if ($row.isNullAt($i)) { $bits[${i / 8}] |= (byte) ${1 << (8 - (i % 8) - 1)}; }
+           |else { $w }""".stripMargin
       }.mkString("\n")
       s"""
          |$body.reset();

@@ -168,7 +168,8 @@ object Dedup {
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
     val nodes = edges.select(col("doc_a").as("id")).distinct()
-    var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
+    var checkpointed = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
+    var labels: DataFrame = checkpointed
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -192,6 +193,10 @@ object Dedup {
           least(col("mid"), coalesce(col("plbl"), col("mid"))).as("lbl"))
         .localCheckpoint(true)
       changed = step.filter(col("lbl") =!= col("old")).count()
+      // the new checkpoint is materialized; release the previous round's
+      // blocks now instead of waiting for GC + ContextCleaner
+      org.apache.spark.sql.GraftShim.unpersistLocalCheckpoint(checkpointed)
+      checkpointed = step
       labels = step.select(col("id"), col("lbl"))
       rounds += 1
     }

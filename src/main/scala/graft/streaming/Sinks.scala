@@ -185,14 +185,26 @@ object Sinks {
         .map(_.getPath)
     }
 
-    /** Recovery position, read back from the data itself (the reference's
-      * `SELECT max(batch_id)`): only published epoch dirs are scanned, so
-      * a crashed partial write never advances the position. */
+    /** Recovery position (the reference's `SELECT max(batch_id)`). A
+      * `batch_<id>` dir only exists once its epoch was atomically
+      * published, so the id in the name IS the in-data id — recovery is
+      * an O(#epochs) listing, not an O(data) scan, and a crashed partial
+      * write never advances the position. Root-level parquet files from
+      * the pre-epoch-dir flat layout are still honored by scanning their
+      * `_batch_id` column, so resuming over old data cannot replay
+      * already-loaded epochs. */
     def committedMaxBatchId(spark: org.apache.spark.sql.SparkSession): Long = {
-      val dirs = committedDirs(spark)
-      if (dirs.isEmpty) -1L
-      else spark.read.parquet(dirs.map(_.toString): _*)
-        .agg(max(col("_batch_id"))).collect()(0).getLong(0)
+      val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(outDir))) return -1L
+      val dirIds = committedDirs(spark)
+        .map(_.getName.stripPrefix("batch_").toLong)
+      val legacy = fs.listStatus(new Path(outDir)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val legacyMax =
+        if (legacy.isEmpty) -1L
+        else spark.read.parquet(legacy.map(_.getPath.toString): _*)
+          .agg(max(col("_batch_id"))).collect()(0).getLong(0)
+      (dirIds :+ legacyMax).max
     }
 
     def writeBatch(batch: DataFrame, batchId: Long): Unit = {

@@ -64,7 +64,16 @@ object Transforms {
     * consume). A gap *inside* a batch closes the session inline. This is
     * the emit-on-close shape the reference's per-partition sinkers give
     * loaders, built on custom keyed state instead of session_window's
-    * windowed aggregation. */
+    * windowed aggregation.
+    *
+    * Out-of-order events (still ≥ the watermark — older rows are filtered
+    * by the operator): an event inside [start − gap, end + gap] of the
+    * open session merges, extending EITHER end; an event more than a gap
+    * BEFORE the open session is emitted as its own closed singleton
+    * session immediately (it can never merge: anything that could bridge
+    * it is older than it, hence already late). Retroactively BRIDGING two
+    * tracked sessions via a late middle event is the one session_window
+    * behavior this operator trades away for emit-once semantics. */
   def sessionizeOnClose(spark: SparkSession, events: DataFrame,
       watermark: String = "30 minutes", gapMs: Long = 1800000L): Dataset[ClosedSession] = {
     import spark.implicits._
@@ -93,11 +102,14 @@ object Transforms {
             var open = state.getOption
             evs.foreach { case (_, ms, v) =>
               open match {
-                case Some(s) if ms - s.end <= gapMs =>
-                  open = Some(s.copy(end = math.max(s.end, ms), n = s.n + 1, value = s.value + v))
-                case Some(s) => // in-batch gap: close inline, start fresh
+                case Some(s) if ms >= s.start - gapMs && ms <= s.end + gapMs =>
+                  open = Some(s.copy(start = math.min(s.start, ms),
+                    end = math.max(s.end, ms), n = s.n + 1, value = s.value + v))
+                case Some(s) if ms > s.end => // in-batch gap: close, start fresh
                   closed += close(s)
                   open = Some(OpenSession(user, ms, ms, 1L, v))
+                case Some(_) => // > gap BEFORE the open session: emit alone
+                  closed += close(OpenSession(user, ms, ms, 1L, v))
                 case None =>
                   open = Some(OpenSession(user, ms, ms, 1L, v))
               }

@@ -42,11 +42,10 @@ class GraftMetrics extends StreamingQueryListener {
     * the same signal as its micrometer batch-commit timers. */
   def epochLatencyMs(query: String, p: Double): Long = {
     val q = durations.get(query)
-    if (q == null || q.isEmpty) -1L
+    if (q == null) -1L
     else {
       import scala.jdk.CollectionConverters._
-      val sorted = q.asScala.toArray.sorted
-      sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1).max(0))
+      GraftMetrics.percentileMs(q.asScala.toSeq, p)
     }
   }
 
@@ -64,4 +63,12 @@ object GraftMetrics {
     spark.streams.addListener(m)
     m
   }
+
+  /** Nearest-rank percentile over latencies; -1 on an empty sample. */
+  def percentileMs(lats: Seq[Long], p: Double): Long =
+    if (lats.isEmpty) -1L
+    else {
+      val sorted = lats.sorted
+      sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1).max(0))
+    }
 }

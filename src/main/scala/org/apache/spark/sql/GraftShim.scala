@@ -18,4 +18,15 @@ object GraftShim {
 
   def logicalPlan(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** Release the block-storage copy behind a `localCheckpoint`ed Dataset.
+    * `Dataset.unpersist` only covers CacheManager entries; checkpoint
+    * blocks are pinned on the internal RDD until GC + ContextCleaner,
+    * which unbounded iterative algorithms cannot wait for. No-op when the
+    * plan is not a checkpointed LogicalRDD. */
+  def unpersistLocalCheckpoint(df: Dataset[_]): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

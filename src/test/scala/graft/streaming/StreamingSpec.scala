@@ -167,6 +167,24 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     sink.read(spark).where(col("_batch_id") === 1L).count() shouldBe 2
   }
 
+  it should "honor legacy flat-layout data when resuming" in {
+    import spark.implicits._
+    val out = tmp()
+    // epochs 0..1 written by the old flat-append layout: root-level files
+    Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")).toDF()
+      .withColumn("_batch_id", lit(0L)).write.mode("append").parquet(out)
+    Seq(Ev(1, ts(2), 2, "view", 2.0, "{}")).toDF()
+      .withColumn("_batch_id", lit(1L)).write.mode("append").parquet(out)
+    val sink = new Sinks.InDataOffsetSink(out)
+    sink.committedMaxBatchId(spark) shouldBe 1L
+    // replays of old epochs are skipped; the next epoch commits normally
+    sink.writeBatch(Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")).toDF(), 1L)
+    sink.read(spark).count() shouldBe 2
+    sink.writeBatch(Seq(Ev(2, ts(3), 3, "click", 3.0, "{}")).toDF(), 2L)
+    sink.committedMaxBatchId(spark) shouldBe 2L
+    sink.read(spark).count() shouldBe 3
+  }
+
   it should "recover an interrupted compaction swap" in {
     import spark.implicits._
     val dir = tmp() + "/t"
@@ -258,10 +276,12 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // the in-batch-gap close is out immediately; the no-data watermark
     // batch (wm = t120 - 30min = t90) then times out user 1 (t10+30 < t90)
     spark.table("closed").count() shouldBe 2
-    // watermark advance to t570 times out user 3's second session
-    ms.addData(Ev(4, ts(600), 2, "view", 1.0, "{}"))
+    // batch 2: an out-of-order event for user 3 at t95 (≥ wm, before the
+    // open session's t120 start) must MERGE and lower session_start;
+    // the watermark advance to t570 then times the session out
+    ms.addData(Ev(4, ts(600), 2, "view", 1.0, "{}"), Ev(5, ts(95), 3, "view", 2.0, "{}"))
     q.processAllAvailable()
-    ms.addData(Ev(5, ts(610), 2, "view", 1.0, "{}"))
+    ms.addData(Ev(6, ts(610), 2, "view", 1.0, "{}"))
     q.processAllAvailable(); q.stop()
     val rows = spark.table("closed").collect()
     rows.length shouldBe 3
@@ -269,7 +289,11 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     u1.length shouldBe 1
     u1(0).getLong(3) shouldBe 2       // n_events
     u1(0).getDouble(4) shouldBe 3.0   // session_value
-    rows.count(_.getLong(0) == 3L) shouldBe 2 // both user-3 singleton sessions
+    val u3 = rows.filter(_.getLong(0) == 3L).sortBy(_.getTimestamp(1).getTime)
+    u3.length shouldBe 2
+    u3(0).getLong(3) shouldBe 1                    // t0 singleton
+    u3(1).getTimestamp(1) shouldBe ts(95)          // start lowered by late merge
+    u3(1).getLong(3) shouldBe 2                    // t95 + t120
     spark.table("closed").filter(col("user_id") === 2).count() shouldBe 0 // still open
   }
 
