@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VecFns._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -195,13 +195,134 @@ object Similarity {
        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** Product-quantization ANN with exact re-rank — the standard
+    * two-stage pipeline: (1) ADC scan: vectors coded as 8 subspace codes
+    * (16 deterministic codewords per 8-dim subspace — the first 16
+    * vectors' slices), queries precompute an 8×16 lookup table of
+    * subspace dot products, every candidate scores as 8 TABLE LOOKUPS
+    * instead of a 64-dim dot product (codes are 8 bytes/vector instead
+    * of 256 — the structure that holds billion-vector corpora in RAM);
+    * (2) the top-50 shortlist per query re-ranks with exact cosine.
+    * Assignment is an argmin AGGREGATION (map-side partial), scoring a
+    * broadcast join on the tiny query LUTs, both top-k stages run on
+    * TopKPerGroup bounded heaps. */
+  def annPq: Q = (s, d) => {
+    val m = 8; val subDim = 8; val k = 16
+    val v = vectors(s, d)
+    val cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    def sl(c: Column, j: Int) = slice(c, j * subDim + 1, subDim)
+    // assignment: per (vector, centroid), all 8 subspace L2 scores
+    // (|v_j|² dropped — constant within the argmin over centroids)
+    val subScores = array((0 until m).map { j =>
+      struct(lit(j).as("j"),
+        (lit(-2.0) * dot(sl(col("e"), j), sl(col("ce"), j)) +
+          dot(sl(col("ce"), j), sl(col("ce"), j))).as("score"))
+    }: _*)
+    val best = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("nrm"), col("cid"), explode(subScores).as("sub"))
+      .select(col("vec_id"), col("nrm"), col("cid"),
+        col("sub.j").as("j"), col("sub.score").as("score"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(first(col("nrm")).as("nrm"),
+        min_by(col("cid"), struct(col("score"), col("cid"))).as("code"))
+    val codes = best.groupBy(col("vec_id"))
+      .agg(first(col("nrm")).as("nrm"),
+        transform(sort_array(collect_list(struct(col("j"), col("code")))),
+          x => x.getField("code")).as("codes"))
+    // query-side LUT: flattened 8×16 table ordered by (subspace, code)
+    val lutEntries = array((0 until m).map { j =>
+      struct(lit(j).as("j"), col("cid"), dot(sl(col("qe"), j), sl(col("ce"), j)).as("val"))
+    }: _*)
+    val luts = v.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qn"), explode(lutEntries).as("le"))
+      .groupBy(col("query_id"))
+      .agg(first(col("qn")).as("qn"),
+        transform(sort_array(collect_list(struct(col("le.j"), col("le.cid"), col("le.val")))),
+          x => x.getField("val")).as("lut"))
+    val scored = codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx_cos",
+        expr("aggregate(sequence(0, 7), cast(0.0 as double), " +
+          "(acc, j) -> acc + element_at(lut, cast(j * 16 + element_at(codes, j + 1) + 1 as int)))")
+          / (col("qn") * col("nrm")))
+    val shortlist = graft.plans.TopKPerGroup.transform(scored,
+      Seq(col("query_id")), Seq(col("approx_cos").desc, col("vec_id").asc), 50)
+    // exact re-rank of the 50-candidate shortlist (queries broadcast)
+    val qv = v.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("qid2"), col("e").as("qe2"), col("nrm").as("qn2"))
+    val cand = shortlist.select(col("query_id"), col("vec_id").as("cand_id"))
+      .join(broadcast(qv), col("query_id") === col("qid2"))
+    val exact = v.join(broadcast(cand), col("vec_id") === col("cand_id"))
+      .withColumn("cos", dot(col("qe2"), col("e")) / (col("qn2") * col("nrm")))
+    val top = graft.plans.TopKPerGroup.transform(exact,
+      Seq(col("query_id")), Seq(col("cos").desc, col("vec_id").asc), 5)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annPqSql: String =
+    s"""WITH $vectorsCte,
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+       |sub AS (
+       |  SELECT v.vec_id, c.cid, t.j,
+       |    -2 * list_reduce(list_transform(generate_series(1, 8), i -> v.e[t.j*8 + i] * c.ce[t.j*8 + i]), (x, y) -> x + y)
+       |      + list_reduce(list_transform(generate_series(1, 8), i -> c.ce[t.j*8 + i] * c.ce[t.j*8 + i]), (x, y) -> x + y) AS score
+       |  FROM v, cents c, (SELECT unnest(generate_series(0, 7)) AS j) t),
+       |best AS (
+       |  SELECT vec_id, j, cid AS code,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY score, cid) AS rn
+       |  FROM sub),
+       |codes AS (
+       |  SELECT vec_id, list(code ORDER BY j) AS codes
+       |  FROM best WHERE rn = 1 GROUP BY vec_id),
+       |lutrows AS (
+       |  SELECT q.vec_id AS query_id, c.cid, t.j,
+       |    list_reduce(list_transform(generate_series(1, 8), i -> q.e[t.j*8 + i] * c.ce[t.j*8 + i]), (x, y) -> x + y) AS val
+       |  FROM v q, cents c, (SELECT unnest(generate_series(0, 7)) AS j) t
+       |  WHERE q.vec_id % 4 = 0),
+       |luts AS (SELECT query_id, list(val ORDER BY j, cid) AS lut FROM lutrows GROUP BY query_id),
+       |scored AS (
+       |  SELECT l.query_id, cd.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(generate_series(0, 7), j -> l.lut[j*16 + cd.codes[j+1] + 1]), (x, y) -> x + y)
+       |      / (qv.nrm * nv.nrm) AS approx_cos
+       |  FROM luts l
+       |  JOIN v qv ON qv.vec_id = l.query_id
+       |  JOIN codes cd ON cd.vec_id <> l.query_id
+       |  JOIN v nv ON nv.vec_id = cd.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, approx_cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
+       |  FROM scored),
+       |shortlist AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 50),
+       |exact AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_reduce(list_transform(generate_series(1, 64), i -> qv.e[i] * nv.e[i]), (x, y) -> x + y)
+       |      / (qv.nrm * nv.nrm) AS cos
+       |  FROM shortlist s
+       |  JOIN v qv ON qv.vec_id = s.query_id
+       |  JOIN v nv ON nv.vec_id = s.neighbor_id),
+       |rer AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM exact)
+       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+       |FROM rer WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
-    "ann_ivf" -> annIvf)
+    "ann_ivf" -> annIvf,
+    "ann_pq" -> annPq)
 
   def oracleSql: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
-    "ann_ivf" -> annIvfSql)
+    "ann_ivf" -> annIvfSql,
+    "ann_pq" -> annPqSql)
 }

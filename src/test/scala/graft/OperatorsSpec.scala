@@ -104,11 +104,15 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
     val rLsh = recall(operators.Similarity.annLsh(spark, sf))
     val rIvf = recall(operators.Similarity.annIvf(spark, sf))
-    info(f"recall@5 vs bruteforce: multiprobe-LSH=$rLsh%.3f IVF(nprobe=4)=$rIvf%.3f")
+    val rPq = recall(operators.Similarity.annPq(spark, sf))
+    info(f"recall@5 vs bruteforce: multiprobe-LSH=$rLsh%.3f IVF(nprobe=4)=$rIvf%.3f PQ(8x16)=$rPq%.3f")
     // pruned variants must find a meaningful fraction of true neighbors
     // even on isotropic random vectors (the hardest case for ANN)
     rLsh should be > 0.25
     rIvf should be > 0.3
+    // PQ scans everything through quantized scores — no candidate pruning,
+    // only quantization error, so recall runs higher than the pruned paths
+    rPq should be > 0.4
   }
 
   it should "assign every event to exactly one session" in {
