@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** PQ asymmetric-distance (ADC) score: given a query's flattened m×k
+  * lookup table and a vector's m subspace codes, sums the m table
+  * entries `lut[j*k + code_j]` — the 8-lookup replacement for a 64-dim
+  * dot product that makes product quantization fast. A higher-order
+  * `aggregate(sequence(...))` computes the same thing interpreted, per
+  * element, with lambda dispatch (measured ~4 s for 1M pairs at sf0.1);
+  * this expression compiles to a tight loop inside whole-stage codegen.
+  * Accumulation is double left-to-right from 0.0 (matches the oracle's
+  * `list_reduce` fold exactly). k is derived per row as lut.length /
+  * codes.length. */
+case class PqAdcScore(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_score expects (array<double> lut, array<bigint> codes), got $l and $r")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val k = if (m == 0) 0 else lut.numElements() / m
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += lut.getDouble(j * k + codes.getLong(j).toInt)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $codes.numElements();
+         |int $k = $m == 0 ? 0 : $lut.numElements() / $m;
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += $lut.getDouble($j * $k + (int) $codes.getLong($j));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "graft_pq_score"
+}

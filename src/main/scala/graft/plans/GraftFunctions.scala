@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, MinHashSig, RowBinaryEncode, VerticaNativeEncode}
+import graft.functions.{DotProduct, MinHashSig, PqAdcScore, RowBinaryEncode, VerticaNativeEncode}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,7 +27,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => RowBinaryEncode(args(0))),
     (new FunctionIdentifier("graft_verticarow"),
       new ExpressionInfo(classOf[VerticaNativeEncode].getName, "graft_verticarow"),
-      (args: Seq[Expression]) => VerticaNativeEncode(args(0))))
+      (args: Seq[Expression]) => VerticaNativeEncode(args(0))),
+    (new FunctionIdentifier("graft_pq_score"),
+      new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_score"),
+      (args: Seq[Expression]) => PqAdcScore(args(0), args(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>
     if (!spark.sessionState.functionRegistry.functionExists(id)) {
