@@ -43,7 +43,10 @@ object Bench {
     // measure end-to-end records/sec, plus per-epoch commit latency
     // percentiles (the reference's micrometer batch-commit timers).
     // Latencies come from the query's own recentProgress — synchronous,
-    // unlike the async listener bus, so no epochs are silently missing.
+    // unlike the async listener bus. recentProgress keeps only the last
+    // `numRecentProgressUpdates` entries (default 100), so raise the cap
+    // well past any epoch count this bench can produce.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     val (loadRate, epochP50, epochP99) = try {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
       val src = s"$tmp/src"; val out = s"$tmp/out"; val cp = s"$tmp/cp"

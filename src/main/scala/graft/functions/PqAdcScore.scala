@@ -31,10 +31,16 @@ case class PqAdcScore(left: Expression, right: Expression) extends BinaryExpress
     val codes = b.asInstanceOf[ArrayData]
     val m = codes.numElements()
     val k = if (m == 0) 0 else lut.numElements() / m
+    // shape/range violations must error loudly: an unchecked index into
+    // UnsafeArrayData reads arbitrary memory as a double (garbage scores)
+    if (m != 0 && k * m != lut.numElements())
+      throw PqAdcScore.shapeError(lut.numElements(), m)
     var acc = 0.0
     var j = 0
     while (j < m) {
-      acc += lut.getDouble(j * k + codes.getLong(j).toInt)
+      val c = codes.getLong(j)
+      if (c < 0 || c >= k) throw PqAdcScore.codeError(c, k)
+      acc += lut.getDouble(j * k + c.toInt)
       j += 1
     }
     acc
@@ -45,13 +51,19 @@ case class PqAdcScore(left: Expression, right: Expression) extends BinaryExpress
       val m = ctx.freshName("m")
       val k = ctx.freshName("k")
       val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
       val acc = ctx.freshName("acc")
+      val cls = "graft.functions.PqAdcScore"
       s"""
          |int $m = $codes.numElements();
          |int $k = $m == 0 ? 0 : $lut.numElements() / $m;
+         |if ($m != 0 && $k * $m != $lut.numElements())
+         |  throw $cls.shapeError($lut.numElements(), $m);
          |double $acc = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
-         |  $acc += $lut.getDouble($j * $k + (int) $codes.getLong($j));
+         |  long $c = $codes.getLong($j);
+         |  if ($c < 0 || $c >= $k) throw $cls.codeError($c, $k);
+         |  $acc += $lut.getDouble($j * $k + (int) $c);
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -61,4 +73,14 @@ case class PqAdcScore(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 
   override def prettyName: String = "graft_pq_score"
+}
+
+/** Standalone-object statics so generated Java can raise the same errors. */
+object PqAdcScore {
+  def shapeError(lutLen: Int, m: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_pq_score: lut length $lutLen is not a multiple of codes length $m")
+  def codeError(code: Long, k: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_pq_score: code $code out of range [0, $k)")
 }

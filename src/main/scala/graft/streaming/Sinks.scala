@@ -202,8 +202,14 @@ object Sinks {
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       val legacyMax =
         if (legacy.isEmpty) -1L
-        else spark.read.parquet(legacy.map(_.getPath.toString): _*)
-          .agg(max(col("_batch_id"))).collect()(0).getLong(0)
+        else try {
+          val row = spark.read.parquet(legacy.map(_.getPath.toString): _*)
+            .agg(max(col("_batch_id"))).collect()(0)
+          if (row.isNullAt(0)) -1L else row.getLong(0) // all-empty legacy files
+        } catch {
+          // a root-level parquet without _batch_id is not epoch data
+          case _: org.apache.spark.sql.AnalysisException => -1L
+        }
       (dirIds :+ legacyMax).max
     }
 

@@ -52,34 +52,46 @@ object Transforms {
   def enrich(events: DataFrame, dim: DataFrame, joinCol: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), joinCol)
 
-  case class OpenSession(user_id: Long, start: Long, end: Long, n: Long, value: Double)
+  case class OpenSession(start: Long, end: Long, n: Long, value: Double)
+  case class OpenSessions(sessions: List[OpenSession])
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, session_value: Double)
 
-  /** Sessionization that emits a session exactly once, WHEN IT CLOSES —
-    * flatMapGroupsWithState with an event-time timeout: a session's state
-    * times out once the watermark passes session end + gap, at which point
-    * the completed session is emitted and its state dropped (bounded
-    * state; append-mode output a downstream exactly-once sink can
-    * consume). A gap *inside* a batch closes the session inline. This is
+  /** Sessionization that emits each session exactly once, WHEN IT CLOSES
+    * — flatMapGroupsWithState with an event-time timeout. State per key
+    * is the LIST of still-open sessions (not just the latest): every
+    * event lands as a singleton and open sessions are re-coalesced under
+    * the half-open session_window rule (merge iff next.start < end + gap
+    * — an event exactly `gap` after a session starts a new one, matching
+    * the batch twin `sessionize`). Out-of-order events within the
+    * watermark therefore merge into — or bridge — whatever sessions they
+    * belong to, exactly as session_window would. A session is emitted
+    * only when the watermark passes its end + gap (the state timeout),
+    * so each session appears exactly once, complete; state is bounded by
+    * the number of open sessions inside the watermark horizon. This is
     * the emit-on-close shape the reference's per-partition sinkers give
-    * loaders, built on custom keyed state instead of session_window's
-    * windowed aggregation.
-    *
-    * Out-of-order events (still ≥ the watermark — older rows are filtered
-    * by the operator): an event inside [start − gap, end + gap] of the
-    * open session merges, extending EITHER end; an event more than a gap
-    * BEFORE the open session is emitted as its own closed singleton
-    * session immediately (it can never merge: anything that could bridge
-    * it is older than it, hence already late). Retroactively BRIDGING two
-    * tracked sessions via a late middle event is the one session_window
-    * behavior this operator trades away for emit-once semantics. */
+    * loaders, with append-mode output a transactional sink can consume. */
   def sessionizeOnClose(spark: SparkSession, events: DataFrame,
       watermark: String = "30 minutes", gapMs: Long = 1800000L): Dataset[ClosedSession] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    def close(s: OpenSession) = ClosedSession(s.user_id,
+    def close(user: Long, s: OpenSession) = ClosedSession(user,
       new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, s.value)
+    def coalesce(ss: List[OpenSession]): List[OpenSession] =
+      ss.sortBy(s => (s.start, s.end)).foldLeft(List.empty[OpenSession]) {
+        case (acc @ (cur :: rest), nxt) if nxt.start < cur.end + gapMs =>
+          OpenSession(cur.start, math.max(cur.end, nxt.end),
+            cur.n + nxt.n, cur.value + nxt.value) :: rest
+        case (acc, nxt) => nxt :: acc
+      }.reverse
+    def arm(state: GroupState[OpenSessions], open: List[OpenSession]): Unit =
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(OpenSessions(open))
+        // earliest close time, kept ahead of the current watermark
+        state.setTimeoutTimestamp(
+          math.max(open.map(_.end + gapMs).min, state.getCurrentWatermarkMs + 1))
+      }
     events
       .withWatermark("ts", watermark)
       // the watermarked ts column itself must reach the stateful operator
@@ -87,41 +99,19 @@ object Transforms {
       .selectExpr("user_id", "ts", "value")
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[OpenSessions, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rowsIt: Iterator[(Long, java.sql.Timestamp, Double)],
-            state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val done = close(state.get)
-            state.remove()
-            Iterator.single(done)
-          } else {
-            val evs = rowsIt.toSeq.map(e => (e._1, e._2.getTime, e._3))
-              .sortBy(e => (e._2, e._3))
-            val closed = scala.collection.mutable.Buffer[ClosedSession]()
-            var open = state.getOption
-            evs.foreach { case (_, ms, v) =>
-              open match {
-                case Some(s) if ms >= s.start - gapMs && ms <= s.end + gapMs =>
-                  open = Some(s.copy(start = math.min(s.start, ms),
-                    end = math.max(s.end, ms), n = s.n + 1, value = s.value + v))
-                case Some(s) if ms > s.end => // in-batch gap: close, start fresh
-                  closed += close(s)
-                  open = Some(OpenSession(user, ms, ms, 1L, v))
-                case Some(_) => // > gap BEFORE the open session: emit alone
-                  closed += close(OpenSession(user, ms, ms, 1L, v))
-                case None =>
-                  open = Some(OpenSession(user, ms, ms, 1L, v))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              // timeout must stay ahead of the current watermark
-              state.setTimeoutTimestamp(
-                math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
-            }
-            closed.iterator
-          }
+            state: GroupState[OpenSessions]) =>
+          val wm = state.getCurrentWatermarkMs
+          val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+          val incoming = rowsIt.map(e => OpenSession(e._2.getTime, e._2.getTime, 1L, e._3)).toList
+          val merged = coalesce(existing ++ incoming)
+          // closed = watermark has passed end + gap: no admissible event
+          // (≥ watermark) can extend or bridge them anymore
+          val (done, open) = merged.partition(_.end + gapMs <= wm)
+          arm(state, open)
+          done.sortBy(_.start).map(s => close(user, s)).iterator
       }
   }
 
