@@ -338,7 +338,86 @@ object RelationalExt {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** Full-outer join: per-nation customer vs supplier presence — both
+    * unmatched sides survive (at small SF several nations have customers
+    * but no suppliers). Aggregate-then-join keeps the outer join tiny. */
+  def qFullOuter: Q = (s, d) => {
+    val c = Tables.customer(s, d).groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val sp = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(sp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qFullOuterSql: String =
+    """SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+      |  coalesce(c.n_customers, 0) AS n_customers,
+      |  coalesce(s.n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      |  ON c.c_nationkey = s.s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Cube aggregation: all four grouping combinations of returnflag ×
+    * linestatus in one pass (expand + single shuffle, like rollup). */
+  def qCube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val qCubeSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** RANGE-frame window: trailing-30-day spend per customer — the frame
+    * is value-based (days), not row-based, so same-day peer orders are
+    * included regardless of row order. Day numbers are ints, making the
+    * range arithmetic identical across engines. */
+  def qWindowRange: Q = (s, d) => {
+    val dayNum = datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("day_num"))
+      .rangeBetween(-30, 0)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), dayNum.as("day_num"),
+        col("o_totalprice"))
+      .withColumn("spend_30d", round(sum(col("o_totalprice")).over(w), 2))
+      .withColumn("n_orders_30d", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("day_num"),
+        col("spend_30d"), col("n_orders_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qWindowRangeSql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day_num,
+      |    o_totalprice
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, day_num,
+      |  round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+      |  count(*) OVER w AS n_orders_30d
+      |FROM t
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+      |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_full_outer" -> qFullOuter,
+    "q_cube" -> qCube,
+    "q_window_range" -> qWindowRange,
     "q7_nation_volume" -> q7NationVolume,
     "q8_market_share" -> q8MarketShare,
     "q12_late_ship" -> q12LateShip,
@@ -351,6 +430,9 @@ object RelationalExt {
     "q22_dormant" -> q22Dormant)
 
   def oracleSql: Map[String, String] = Map(
+    "q_full_outer" -> qFullOuterSql,
+    "q_cube" -> qCubeSql,
+    "q_window_range" -> qWindowRangeSql,
     "q7_nation_volume" -> q7NationVolumeSql,
     "q8_market_share" -> q8MarketShareSql,
     "q12_late_ship" -> q12LateShipSql,

@@ -52,6 +52,25 @@ object Transforms {
   def enrich(events: DataFrame, dim: DataFrame, joinCol: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), joinCol)
 
+  /** Stream-stream interval join: pair each click with the same user's
+    * views from the preceding `windowMinutes`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire buffered state on both sides — the streaming twin
+    * of the batch `ev_range_join` binning operator (state here, bins
+    * there; both bound the pairing work). */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+      watermark: String = "10 minutes", windowMinutes: Int = 10): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("click_ts"), col("view_id"), col("view_ts"))
+  }
+
   case class OpenSession(start: Long, end: Long, n: Long, value: Double)
   case class OpenSessions(sessions: List[OpenSession])
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,

@@ -332,6 +332,22 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     spark.read.schema(EventSource.schema).json(outB).count() shouldBe 2
   }
 
+  it should "join two streams on key within an event-time interval" in {
+    import org.apache.spark.sql.functions.col
+    val (_, df) = eventsStream(Seq(
+      Ev(0, ts(0), 1, "view", 1.0, "{}"),
+      Ev(1, ts(5), 1, "click", 1.0, "{}"),   // view 0 is 5 min before → match
+      Ev(2, ts(30), 1, "click", 1.0, "{}"),  // nearest view 30 min back → no match
+      Ev(3, ts(8), 2, "click", 1.0, "{}")))  // user 2 never viewed → no match
+    val q = Transforms.clickViewJoin(
+        df.filter(col("event_type") === "click"),
+        df.filter(col("event_type") === "view"))
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssjoin").collect()
+    rows.map(r => (r.getLong(1), r.getLong(3))).toSet shouldBe Set((1L, 0L)) // (click_id, view_id)
+  }
+
   it should "enrich a stream against a broadcast static dimension" in {
     import spark.implicits._
     val (_, df) = eventsStream(Seq(
