@@ -86,4 +86,38 @@ class PropertySpec extends AnyFlatSpec with Matchers {
       got shouldBe want // bit-identical: same fold order
     }
   }
+
+  behavior of "PqAdcScore eval"
+
+  private val pqExpr = PqAdcScore(
+    org.apache.spark.sql.catalyst.expressions.Literal.create(null,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.catalyst.expressions.Literal.create(null,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+
+  it should "match the naive table-lookup fold on random LUTs and codes" in {
+    val m = 8; val k = 16
+    val lutGen = Gen.listOfN(m * k, Gen.chooseNum(-10.0, 10.0))
+    val codesGen = Gen.listOfN(m, Gen.chooseNum(0L, (k - 1).toLong))
+    samples(Gen.zip(lutGen, codesGen), 100).foreach { case (lut, codes) =>
+      val got = pqExpr.nullSafeEval(
+        new GenericArrayData(lut.toArray[Any]),
+        new GenericArrayData(codes.toArray[Any])).asInstanceOf[Double]
+      val want = codes.zipWithIndex.foldLeft(0.0) { case (acc, (c, j)) =>
+        acc + lut(j * k + c.toInt)
+      }
+      got shouldBe want
+    }
+  }
+
+  it should "reject out-of-range codes and mis-shaped LUTs loudly" in {
+    val lut = new GenericArrayData(Array.fill[Any](128)(0.0))
+    an[IllegalArgumentException] should be thrownBy
+      pqExpr.nullSafeEval(lut, new GenericArrayData(Array[Any](0L, 1L, 2L, 3L, 4L, 5L, 6L, 16L)))
+    an[IllegalArgumentException] should be thrownBy
+      pqExpr.nullSafeEval(lut, new GenericArrayData(Array[Any](0L, -1L, 2L, 3L, 4L, 5L, 6L, 7L)))
+    an[IllegalArgumentException] should be thrownBy
+      pqExpr.nullSafeEval(new GenericArrayData(Array.fill[Any](100)(0.0)),
+        new GenericArrayData(Array[Any](0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)))
+  }
 }
