@@ -303,7 +303,42 @@ object Dedup {
       |WHERE round(list_reduce(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]), (x, y) -> x + y) / (a.nrm * b.nrm), 4) > 0.25
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Eval-set decontamination: flag corpus documents sharing any word
+    * 3-gram with the benchmark set (stand-in: doc_id % 97 == 0 — in
+    * production the held-out eval corpus). The shingle join is keyed on
+    * the gram, so work is bounded by true overlaps — the same
+    * candidate-bounding discipline as LSH, and the operator every
+    * training-data pipeline runs before a model sees the corpus. */
+  def ddDecontaminate: Q = (s, d) => {
+    def grams = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingles3(col("tk")))).as("g"))
+    val benchGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(benchGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams")) // grams pre-deduped per doc
+      .orderBy(col("doc_id"))
+  }
+
+  val ddDecontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+      |  FROM toks WHERE len(tk) >= 3),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+      |SELECT doc_id, count(*) AS n_shared_grams
+      |FROM grams JOIN bench USING (g)
+      |WHERE doc_id % 97 <> 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "dd_decontaminate" -> ddDecontaminate,
     "dd_exact" -> ddExact,
     "dd_exact_norm" -> ddExactNorm,
     "dd_minhash" -> ddMinhash,
@@ -314,6 +349,7 @@ object Dedup {
     "dd_embed_cos" -> ddEmbedCos)
 
   def oracleSql: Map[String, String] = Map(
+    "dd_decontaminate" -> ddDecontaminateSql,
     "dd_exact" -> ddExactSql,
     "dd_exact_norm" -> ddExactNormSql,
     "dd_minhash" -> ddMinhashSql,
