@@ -338,13 +338,18 @@ object RelationalExt {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
-  /** Full-outer join: per-nation customer vs supplier presence — both
-    * unmatched sides survive (at small SF several nations have customers
-    * but no suppliers). Aggregate-then-join keeps the outer join tiny. */
+  /** Full-outer join: per-nation deep-debt customers vs high-balance
+    * suppliers. The balance filters guarantee BOTH unmatched sides occur
+    * at every shipped scale factor (verified: sf0.001 → 1 supplier-only
+    * + 4 customer-only nations; sf0.01 → 6 + 3), so the null-filling
+    * coalesce paths are actually exercised by the oracle gate.
+    * Aggregate-then-join keeps the outer join tiny. */
   def qFullOuter: Q = (s, d) => {
-    val c = Tables.customer(s, d).groupBy(col("c_nationkey"))
+    val c = Tables.customer(s, d).filter(col("c_acctbal") < -700)
+      .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_customers"))
-    val sp = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+    val sp = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("n_suppliers"))
     c.join(sp, col("c_nationkey") === col("s_nationkey"), "full_outer")
       .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
@@ -357,8 +362,10 @@ object RelationalExt {
     """SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
       |  coalesce(c.n_customers, 0) AS n_customers,
       |  coalesce(s.n_suppliers, 0) AS n_suppliers
-      |FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
-      |FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      |FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer
+      |      WHERE c_acctbal < -700 GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier
+      |      WHERE s_acctbal > 5000 GROUP BY 1) s
       |  ON c.c_nationkey = s.s_nationkey
       |ORDER BY nationkey""".stripMargin
 

@@ -115,6 +115,26 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     rPq should be > 0.4
   }
 
+  it should "reject invalid PQ codes through the CODEGEN path too" in {
+    // the generated-Java bounds guards are a hand-written twin of the
+    // interpreted ones — drive them through a real whole-stage-codegen
+    // projection, not just nullSafeEval
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val bad = Seq((Array.fill(32)(0.0), Array(0L, 1L, 2L, 9L))).toDF("lut", "codes") // k=8, code 9
+    val exCode = intercept[Throwable](bad.selectExpr("graft_pq_score(lut, codes) AS s").collect())
+    messages(exCode).exists(_.contains("graft_pq_score")) shouldBe true
+    val misshaped = Seq((Array.fill(30)(0.0), Array(0L, 1L, 2L, 3L))).toDF("lut", "codes")
+    val exShape = intercept[Throwable](misshaped.selectExpr("graft_pq_score(lut, codes) AS s").collect())
+    messages(exShape).exists(_.contains("graft_pq_score")) shouldBe true
+    // and the happy path produces the fold the property spec pins
+    Seq((Array.tabulate(32)(_.toDouble), Array(0L, 7L, 3L, 1L))).toDF("lut", "codes")
+      .selectExpr("graft_pq_score(lut, codes) AS s")
+      .collect()(0).getDouble(0) shouldBe (0.0 + 15.0 + 19.0 + 25.0)
+  }
+
   it should "assign every event to exactly one session" in {
     import org.apache.spark.sql.functions._
     val sessions = operators.EventAnalytics.evSessions(spark, sf)
