@@ -186,7 +186,31 @@ object EventAnalytics {
       |  round(sum(value), 4) AS sum_value
       |FROM expanded GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Day-over-day retention: per day, active users and how many return
+    * the next day. The (user, day) grain is deduped FIRST, so the
+    * self-join is keyed on user with one row per day — integer counts
+    * only, no float drift, bounded join groups (≤ days per user). */
+  def evRetention: Q = (s, d) => {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val next = days.select(col("user_id").as("u2"), col("day").as("next_day"))
+    days.join(next, col("u2") === col("user_id") &&
+        col("next_day") === col("day") + expr("INTERVAL 1 DAY"), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"), count(col("u2")).as("n_retained"))
+      .orderBy(col("day"))
+  }
+
+  val evRetentionSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP) AS day FROM events)
+      |SELECT d.day, count(*) AS n_active, count(n.user_id) AS n_retained
+      |FROM days d LEFT JOIN days n
+      |  ON n.user_id = d.user_id AND n.day = d.day + INTERVAL 1 DAY
+      |GROUP BY d.day ORDER BY d.day""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ev_retention" -> evRetention,
     "ev_hopping" -> evHopping,
     "ev_tumbling" -> evTumbling,
     "ev_sessions" -> evSessions,
@@ -195,6 +219,7 @@ object EventAnalytics {
     "ev_salted_agg" -> evSaltedAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "ev_retention" -> evRetentionSql,
     "ev_hopping" -> evHoppingSql,
     "ev_tumbling" -> evTumblingSql,
     "ev_sessions" -> evSessionsSql,
