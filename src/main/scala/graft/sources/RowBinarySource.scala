@@ -1,0 +1,240 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for ClickHouse-RowBinary files — the format
+  * `graft_rowbinary` encodes (LE primitives, LEB128-length strings,
+  * 0x01/0x00 null flags on nullable fields, int32-second DateTimes).
+  * The reference ships this encoding INTO ClickHouse (the
+  * clickhouse rowbinary writers); this connector also reads it back, so
+  * a loader's output is directly queryable by Spark:
+  *
+  * {{{
+  *   df.write.format("graft.sources.RowBinarySource").mode("append").save(dir)
+  *   spark.read.format("graft.sources.RowBinarySource").schema(sch).load(dir)
+  * }}}
+  *
+  * RowBinary is schema-less on the wire, so reads REQUIRE an explicit
+  * schema (`supportsExternalMetadata`). Files are not splittable (no
+  * sync markers), so each file is one input partition — at 100 TB the
+  * writer's one-file-per-task layout keeps read parallelism equal to
+  * write parallelism, the same contract the reference's per-partition
+  * file sinks provide. DateTime round-trips at second precision (the
+  * ClickHouse wire type is int32 epoch seconds).
+  *
+  * Wire contract: every column maps to ClickHouse `Nullable(T)` — a
+  * null-flag byte precedes every value regardless of the Spark field's
+  * nullability. (Spark's V2 write path normalizes the outgoing schema to
+  * all-nullable, so honoring per-field nullability would make the bytes
+  * depend on which side normalized; the always-flagged form is the one
+  * both directions agree on. The `graft_rowbinary` EXPRESSION remains
+  * the schema-exact encoder for non-Nullable ClickHouse columns.)
+  */
+class RowBinarySource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-rowbinary is schema-less on the wire: pass an explicit schema via .schema(...)")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new RowBinaryTable(schema, properties.get("path"))
+}
+
+private[sources] class RowBinaryTable(tableSchema: StructType, path: String)
+    extends Table with SupportsRead with SupportsWrite {
+
+  require(path != null, "graft-rowbinary requires a path")
+
+  override def name(): String = s"graft-rowbinary:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = tableSchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val p = new Path(path)
+        val fs = p.getFileSystem(new Configuration())
+        if (!fs.exists(p)) Array.empty
+        else fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".rowbinary"))
+          .sortBy(_.getPath.getName)
+          .map(s => RowBinaryPartition(s.getPath.toString): InputPartition)
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new RowBinaryReaderFactory(tableSchema)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with Write with BatchWrite {
+      override def build(): Write = this
+      override def toBatch: BatchWrite = this
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        new RowBinaryWriterFactory(info.toString, path, tableSchema)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+}
+
+private[sources] case class RowBinaryPartition(file: String) extends InputPartition
+
+private[sources] class RowBinaryReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RowBinaryReader(partition.asInstanceOf[RowBinaryPartition].file, schema)
+}
+
+/** Streaming decoder — the byte-level inverse of RowBinaryEncode. */
+private[sources] class RowBinaryReader(file: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val in = {
+    val p = new Path(file)
+    new BufferedInputStream(p.getFileSystem(new Configuration()).open(p), 1 << 16)
+  }
+  private val fields = schema.fields
+  private var current: InternalRow = _
+
+  private def readByteOrEof(): Int = in.read()
+  private def readByte(): Int = {
+    val b = in.read()
+    if (b < 0) throw new EOFException(s"truncated RowBinary row in $file")
+    b
+  }
+  private def readLE(nBytes: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < nBytes) { v |= (readByte().toLong & 0xff) << (8 * i); i += 1 }
+    v
+  }
+  private def readLeb128First(first: Int): Long = {
+    var b = first
+    var v = 0L
+    var shift = 0
+    while (true) {
+      v |= (b & 0x7fL) << shift
+      if ((b & 0x80) == 0) return v
+      shift += 7
+      b = readByte()
+    }
+    v // unreachable
+  }
+  private def readBytes(n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) throw new EOFException(s"truncated RowBinary payload in $file")
+      off += r
+    }
+    buf
+  }
+
+  override def next(): Boolean = {
+    // EOF detection: probe the first byte of the row
+    val first = readByteOrEof()
+    if (first < 0) { current = null; return false }
+    val row = new GenericInternalRow(fields.length)
+    var i = 0
+    var probe = first // every field starts with its Nullable(T) flag byte
+    while (i < fields.length) {
+      val f = fields(i)
+      if (probe == 1) row.update(i, null)
+      else if (probe == 0) row.update(i, decode(f.dataType, readByte()))
+      else throw new java.io.IOException(
+        s"corrupt RowBinary in $file: null flag $probe for field ${f.name}")
+      i += 1
+      if (i < fields.length) probe = readByte()
+    }
+    current = row
+    true
+  }
+
+  /** Decode one value; `first` is its already-consumed first byte. */
+  private def decode(t: DataType, first: Int): Any = {
+    def le(nRest: Int): Long = (first.toLong & 0xff) | (readLE(nRest) << 8)
+    t match {
+      case LongType => le(7)
+      case IntegerType => le(3).toInt
+      case ShortType => le(1).toShort
+      case ByteType => first.toByte
+      case DoubleType => java.lang.Double.longBitsToDouble(le(7))
+      case FloatType => java.lang.Float.intBitsToFloat(le(3).toInt)
+      case BooleanType => first != 0
+      case StringType =>
+        UTF8String.fromBytes(readBytes(readLeb128First(first).toInt))
+      case BinaryType => readBytes(readLeb128First(first).toInt)
+      case TimestampType => le(3) * 1000000L // int32 epoch seconds → micros
+      case DateType => le(1).toInt // uint16 days
+      case other => throw new UnsupportedOperationException(s"graft-rowbinary read: $other")
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+private[sources] class RowBinaryWriterFactory(queryId: String, path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new RowBinaryWriter(path, schema, partitionId)
+}
+
+private[sources] case class RowBinaryCommit(file: String) extends WriterCommitMessage
+
+/** One `.rowbinary` file per task, streamed (no whole-partition
+  * buffering), encoded with the SAME byte helpers as the
+  * `graft_rowbinary` expression — single source of truth for the
+  * format. */
+private[sources] class RowBinaryWriter(path: String, schema: StructType, partitionId: Int)
+    extends DataWriter[InternalRow] {
+
+  private val file = new Path(path, f"part-$partitionId%05d-${UUID.randomUUID()}.rowbinary")
+  private val fs = file.getFileSystem(new Configuration())
+  private lazy val out = new BufferedOutputStream(fs.create(file, false), 1 << 16)
+  private val rowBuf = new java.io.ByteArrayOutputStream(256)
+  private val fields = schema.fields
+  private var opened = false
+
+  override def write(row: InternalRow): Unit = {
+    opened = true
+    rowBuf.reset()
+    var i = 0
+    while (i < fields.length) {
+      if (row.isNullAt(i)) rowBuf.write(1)
+      else { rowBuf.write(0); graft.functions.RowBinaryEncode.writeValue(rowBuf, fields(i).dataType, row, i) }
+      i += 1
+    }
+    rowBuf.writeTo(out)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (opened) out.close()
+    RowBinaryCommit(file.toString)
+  }
+
+  override def abort(): Unit = {
+    if (opened) out.close()
+    if (fs.exists(file)) fs.delete(file, false)
+  }
+  override def close(): Unit = ()
+}
