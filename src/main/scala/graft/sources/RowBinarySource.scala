@@ -73,12 +73,22 @@ private[sources] class RowBinaryTable(tableSchema: StructType, path: String)
       override def readSchema(): StructType = tableSchema
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
-        val p = new Path(path)
-        val fs = p.getFileSystem(new Configuration())
-        if (!fs.exists(p)) Array.empty
-        else fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".rowbinary"))
-          .sortBy(_.getPath.getName)
-          .map(s => RowBinaryPartition(s.getPath.toString): InputPartition)
+        // recursive listing so per-epoch subdirectory layouts (loader
+        // sinks) read transparently; _/.-prefixed names are invisible
+        // (staging convention shared with the file sinks)
+        val root = new Path(path)
+        val fs = root.getFileSystem(new Configuration())
+        def list(p: Path): Seq[Path] =
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).toSeq
+            .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+            .flatMap { s =>
+              if (s.isDirectory) list(s.getPath)
+              else if (s.getPath.getName.endsWith(".rowbinary")) Seq(s.getPath)
+              else Seq.empty
+            }
+        list(root).sortBy(_.toString)
+          .map(f => RowBinaryPartition(f.toString): InputPartition).toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new RowBinaryReaderFactory(tableSchema)

@@ -39,6 +39,9 @@ object GraftLoader {
   final case class InDataOffsets(dir: String) extends Sink
   /** Snapshot-metadata table commit (Iceberg analog). */
   final case class SnapshotTable(dir: String) extends Sink
+  /** ClickHouse-RowBinary files via the graft DataSource V2 connector
+    * (rowbinary encoder analog: the bytes a ClickHouse INSERT ingests). */
+  final case class RowBinaryFiles(dir: String) extends Sink
 
   def builder(): Builder = Builder()
 
@@ -66,6 +69,30 @@ object GraftLoader {
         case TwoPhaseCommit(dir) => new Sinks.TwoPhaseCommitSink(dir).attach(events, cp)
         case InDataOffsets(dir) => new Sinks.InDataOffsetSink(dir).attach(events, cp)
         case SnapshotTable(dir) => new SnapshotTableSink(dir).attach(events, cp)
+        case RowBinaryFiles(dir) =>
+          import org.apache.hadoop.fs.Path
+          import org.apache.spark.sql.streaming.Trigger
+          events.writeStream
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              // exactly-once: stage the epoch, publish with one atomic
+              // rename; a replayed or half-written epoch is re-staged
+              // (same protocol as InDataOffsetSink)
+              val fs = new Path(dir).getFileSystem(
+                batch.sparkSession.sparkContext.hadoopConfiguration)
+              val dest = new Path(dir, s"epoch=$id")
+              if (!fs.exists(dest)) {
+                val staging = new Path(dir, s"_staging/$id")
+                if (fs.exists(staging)) fs.delete(staging, true)
+                batch.write.format("graft.sources.RowBinarySource")
+                  .mode("append").save(staging.toString)
+                fs.mkdirs(dest.getParent)
+                fs.rename(staging, dest)
+              }
+              () // foreachBatch wants a Unit-returning function
+            }
+            .start()
       }
     }
   }

@@ -223,6 +223,33 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     new SnapshotTableSink(out).read(spark).count() shouldBe 2
   }
 
+  it should "load a stream into ClickHouse-RowBinary files end to end" in {
+    import spark.implicits._
+    val src = tmp()
+    Seq(Ev(0, ts(1), 1, "click", 1.0, "{}"), Ev(1, ts(2), 2, "view", 2.0, "{}"))
+      .toDF().write.mode("overwrite").parquet(src)
+    val out = tmp()
+    GraftLoader.builder()
+      .source(GraftLoader.FileSource(src, maxFilesPerTrigger = 4))
+      .sink(GraftLoader.RowBinaryFiles(out))
+      .checkpoint(tmp())
+      .start(spark)
+      .awaitTermination()
+    val back = spark.read.format("graft.sources.RowBinarySource")
+      .schema(EventSource.schema).load(out)
+    back.count() shouldBe 2
+    back.select("event_id").collect().map(_.getLong(0)).sorted shouldBe Array(0L, 1L)
+    // restart from the same checkpoint: published epochs are not re-written
+    GraftLoader.builder()
+      .source(GraftLoader.FileSource(src, maxFilesPerTrigger = 4))
+      .sink(GraftLoader.RowBinaryFiles(out))
+      .checkpoint(tmp()) // fresh checkpoint → epoch 0 REPLAYS, must be skipped
+      .start(spark)
+      .awaitTermination()
+    spark.read.format("graft.sources.RowBinarySource")
+      .schema(EventSource.schema).load(out).count() shouldBe 2
+  }
+
   behavior of "Transforms"
 
   it should "aggregate tumbling windows with watermark" in {
