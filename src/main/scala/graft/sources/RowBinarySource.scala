@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, BufferedOutputStream, EOFException}
+import java.io.BufferedOutputStream
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -119,49 +119,14 @@ private[sources] class RowBinaryReader(file: String, schema: StructType)
 
   private val in = {
     val p = new Path(file)
-    new BufferedInputStream(p.getFileSystem(new Configuration()).open(p), 1 << 16)
+    new ByteReader(p.getFileSystem(new Configuration()).open(p), file)
   }
   private val fields = schema.fields
   private var current: InternalRow = _
 
-  private def readByteOrEof(): Int = in.read()
-  private def readByte(): Int = {
-    val b = in.read()
-    if (b < 0) throw new EOFException(s"truncated RowBinary row in $file")
-    b
-  }
-  private def readLE(nBytes: Int): Long = {
-    var v = 0L
-    var i = 0
-    while (i < nBytes) { v |= (readByte().toLong & 0xff) << (8 * i); i += 1 }
-    v
-  }
-  private def readLeb128First(first: Int): Long = {
-    var b = first
-    var v = 0L
-    var shift = 0
-    while (true) {
-      v |= (b & 0x7fL) << shift
-      if ((b & 0x80) == 0) return v
-      shift += 7
-      b = readByte()
-    }
-    v // unreachable
-  }
-  private def readBytes(n: Int): Array[Byte] = {
-    val buf = new Array[Byte](n)
-    var off = 0
-    while (off < n) {
-      val r = in.read(buf, off, n - off)
-      if (r < 0) throw new EOFException(s"truncated RowBinary payload in $file")
-      off += r
-    }
-    buf
-  }
-
   override def next(): Boolean = {
     // EOF detection: probe the first byte of the row
-    val first = readByteOrEof()
+    val first = in.readByteOrEof()
     if (first < 0) { current = null; return false }
     val row = new GenericInternalRow(fields.length)
     var i = 0
@@ -169,11 +134,11 @@ private[sources] class RowBinaryReader(file: String, schema: StructType)
     while (i < fields.length) {
       val f = fields(i)
       if (probe == 1) row.update(i, null)
-      else if (probe == 0) row.update(i, decode(f.dataType, readByte()))
+      else if (probe == 0) row.update(i, decode(f.dataType, in.readByte()))
       else throw new java.io.IOException(
         s"corrupt RowBinary in $file: null flag $probe for field ${f.name}")
       i += 1
-      if (i < fields.length) probe = readByte()
+      if (i < fields.length) probe = in.readByte()
     }
     current = row
     true
@@ -181,7 +146,7 @@ private[sources] class RowBinaryReader(file: String, schema: StructType)
 
   /** Decode one value; `first` is its already-consumed first byte. */
   private def decode(t: DataType, first: Int): Any = {
-    def le(nRest: Int): Long = (first.toLong & 0xff) | (readLE(nRest) << 8)
+    def le(nRest: Int): Long = in.readLEFirst(first, nRest)
     t match {
       case LongType => le(7)
       case IntegerType => le(3).toInt
@@ -191,8 +156,8 @@ private[sources] class RowBinaryReader(file: String, schema: StructType)
       case FloatType => java.lang.Float.intBitsToFloat(le(3).toInt)
       case BooleanType => first != 0
       case StringType =>
-        UTF8String.fromBytes(readBytes(readLeb128First(first).toInt))
-      case BinaryType => readBytes(readLeb128First(first).toInt)
+        UTF8String.fromBytes(in.readBytes(in.readLeb128First(first).toInt))
+      case BinaryType => in.readBytes(in.readLeb128First(first).toInt)
       case TimestampType => le(3) * 1000000L // int32 epoch seconds → micros
       case DateType => le(1).toInt // uint16 days
       case other => throw new UnsupportedOperationException(s"graft-rowbinary read: $other")

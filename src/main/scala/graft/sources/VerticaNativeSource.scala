@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.io.BufferedOutputStream
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.VerticaNativeEncode
+
+/** DataSource V2 connector for Vertica native binary files — the format
+  * `graft_verticarow` frames (file header with magic + column widths,
+  * then per row: int32 body size, MSB-first null bitmap over ALL
+  * columns, little-endian 8-byte numerics, int32-length varchars,
+  * 2000-epoch timestamps). The reference ships this INTO Vertica COPY;
+  * this connector also reads it back. The null bitmap always covers
+  * every column, so the wire format is nullability-independent — no
+  * flag-presence ambiguity. Reads require an explicit schema; files are
+  * unsplittable (one input partition per file). */
+class VerticaNativeSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-vertica-native requires an explicit read schema via .schema(...)")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new VerticaNativeTable(schema, properties.get("path"))
+}
+
+private[sources] class VerticaNativeTable(tableSchema: StructType, path: String)
+    extends Table with SupportsRead with SupportsWrite {
+
+  require(path != null, "graft-vertica-native requires a path")
+
+  override def name(): String = s"graft-vertica-native:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = tableSchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val root = new Path(path)
+        val fs = root.getFileSystem(new Configuration())
+        def list(p: Path): Seq[Path] =
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).toSeq
+            .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+            .flatMap { s =>
+              if (s.isDirectory) list(s.getPath)
+              else if (s.getPath.getName.endsWith(".vnative")) Seq(s.getPath)
+              else Seq.empty
+            }
+        list(root).sortBy(_.toString)
+          .map(f => VerticaNativePartition(f.toString): InputPartition).toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new VerticaNativeReaderFactory(tableSchema)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with Write with BatchWrite {
+      override def build(): Write = this
+      override def toBatch: BatchWrite = this
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        new VerticaNativeWriterFactory(path, tableSchema)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+}
+
+private[sources] case class VerticaNativePartition(file: String) extends InputPartition
+
+private[sources] class VerticaNativeReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new VerticaNativeReader(partition.asInstanceOf[VerticaNativePartition].file, schema)
+}
+
+/** Streaming decoder — the inverse of VerticaNativeEncode's framing. */
+private[sources] class VerticaNativeReader(file: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val in = {
+    val p = new Path(file)
+    new ByteReader(p.getFileSystem(new Configuration()).open(p), file)
+  }
+  private val fields = schema.fields
+  private val nBitBytes = (fields.length + 7) / 8
+  private var current: InternalRow = _
+
+  // ---- validate the file header up front ----------------------------------
+  locally {
+    val magic = in.readBytes(11)
+    val expect = Array(0x4e, 0x41, 0x54, 0x49, 0x56, 0x45, 0x0a, 0xff, 0x0d, 0x0a, 0x00)
+      .map(_.toByte)
+    if (!java.util.Arrays.equals(magic, expect))
+      throw new java.io.IOException(s"not a Vertica native file: $file")
+    val headerArea = in.readLE(4).toInt
+    val header = in.readBytes(headerArea) // version, filler, column count + widths
+    val nCols = (header(3) & 0xff) | ((header(4) & 0xff) << 8)
+    if (nCols != fields.length)
+      throw new java.io.IOException(
+        s"$file has $nCols columns, read schema has ${fields.length}")
+  }
+
+  override def next(): Boolean = {
+    val first = in.readByteOrEof() // probe: first byte of the row-size int32
+    if (first < 0) { current = null; return false }
+    in.readLEFirst(first, 3) // row body size (informational; fields are self-describing)
+    val bits = in.readBytes(nBitBytes)
+    val row = new GenericInternalRow(fields.length)
+    var i = 0
+    while (i < fields.length) {
+      val isNull = (bits(i / 8) & (1 << (8 - (i % 8) - 1))) != 0
+      if (isNull) row.update(i, null)
+      else row.update(i, decode(fields(i).dataType))
+      i += 1
+    }
+    current = row
+    true
+  }
+
+  private def decode(t: DataType): Any = t match {
+    case LongType => in.readLE(8)
+    case IntegerType => in.readLE(8).toInt // Vertica INTEGER = 8 bytes
+    case ShortType => in.readLE(8).toShort
+    case ByteType => in.readLE(8).toByte
+    case DoubleType => java.lang.Double.longBitsToDouble(in.readLE(8))
+    case FloatType => // stored as 8-byte double
+      java.lang.Double.longBitsToDouble(in.readLE(8)).toFloat
+    case BooleanType => in.readByte() != 0
+    case StringType => UTF8String.fromBytes(in.readBytes(in.readLE(4).toInt))
+    case BinaryType => in.readBytes(in.readLE(4).toInt)
+    case TimestampType => in.readLE(8) + VerticaNativeEncode.VerticaEpochMicros
+    case DateType => (in.readLE(8) + VerticaNativeEncode.VerticaEpochDays).toInt
+    case other => throw new UnsupportedOperationException(s"graft-vertica-native read: $other")
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+private[sources] class VerticaNativeWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new VerticaNativeWriter(path, schema, partitionId)
+}
+
+private[sources] case class VerticaNativeCommit(file: String) extends WriterCommitMessage
+
+/** One `.vnative` file per task: header once, then framed rows encoded
+  * with the SAME writers as the `graft_verticarow` expression. */
+private[sources] class VerticaNativeWriter(path: String, schema: StructType, partitionId: Int)
+    extends DataWriter[InternalRow] {
+
+  private val file = new Path(path, f"part-$partitionId%05d-${UUID.randomUUID()}.vnative")
+  private val fs = file.getFileSystem(new Configuration())
+  private lazy val out = {
+    val os = new BufferedOutputStream(fs.create(file, false), 1 << 16)
+    os.write(VerticaNativeEncode.fileHeader(schema))
+    os
+  }
+  private val bodyBuf = new java.io.ByteArrayOutputStream(256)
+  private val headBuf = new java.io.ByteArrayOutputStream(16)
+  private val fields = schema.fields
+  private val nBitBytes = (fields.length + 7) / 8
+  private var opened = false
+
+  override def write(row: InternalRow): Unit = {
+    opened = true
+    bodyBuf.reset(); headBuf.reset()
+    val bits = new Array[Byte](nBitBytes)
+    var i = 0
+    while (i < fields.length) {
+      if (row.isNullAt(i)) bits(i / 8) = (bits(i / 8) | (1 << (8 - (i % 8) - 1))).toByte
+      else VerticaNativeEncode.writeValue(bodyBuf, fields(i).dataType, row, i)
+      i += 1
+    }
+    graft.functions.BinaryRowWriters.writeLE(headBuf, bodyBuf.size().toLong, 4)
+    headBuf.write(bits, 0, nBitBytes)
+    headBuf.writeTo(out)
+    bodyBuf.writeTo(out)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (opened) out.close()
+    VerticaNativeCommit(file.toString)
+  }
+
+  override def abort(): Unit = {
+    if (opened) out.close()
+    if (fs.exists(file)) fs.delete(file, false)
+  }
+  override def close(): Unit = ()
+}
