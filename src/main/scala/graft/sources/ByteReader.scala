@@ -44,6 +44,10 @@ private[sources] class ByteReader(raw: InputStream, val source: String) {
   }
 
   def readBytes(n: Int): Array[Byte] = {
+    // corruption guard: a bogus length field must raise a descriptive
+    // error, not a NegativeArraySizeException or a multi-GB allocation
+    if (n < 0 || n > ByteReader.MaxPayloadBytes)
+      throw new java.io.IOException(s"implausible payload length $n in $source")
     val buf = new Array[Byte](n)
     var off = 0
     while (off < n) {
@@ -55,4 +59,57 @@ private[sources] class ByteReader(raw: InputStream, val source: String) {
   }
 
   def close(): Unit = in.close()
+}
+
+private[sources] object ByteReader {
+  /** Upper bound for any single length-prefixed payload (256 MiB). */
+  final val MaxPayloadBytes: Int = 256 * 1024 * 1024
+}
+
+/** Driver-captured, task-serializable Hadoop configuration plus the file
+  * scaffolding both binary connectors share (recursive listing with
+  * `_`/`.` staging names invisible, job-abort cleanup of task files). */
+private[sources] object ConnectorFiles {
+  import scala.jdk.CollectionConverters._
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.Path
+
+  /** Capture the session's Hadoop conf (spark.hadoop.* included) as a
+    * serializable property array — `new Configuration()` on an executor
+    * would drop credentials/HA settings the session carries. */
+  def captureConf(): Array[(String, String)] =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+      .asScala.map(e => (e.getKey, e.getValue)).toArray
+
+  def restoreConf(props: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** All data files with `ext` under `path`, recursive, staging hidden. */
+  def listDataFiles(path: String, conf: Configuration, ext: String): Seq[Path] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    def list(p: Path): Seq[Path] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+        .flatMap { s =>
+          if (s.isDirectory) list(s.getPath)
+          else if (s.getPath.getName.endsWith(ext)) Seq(s.getPath)
+          else Seq.empty
+        }
+    list(root).sortBy(_.toString)
+  }
+
+  /** Job-level abort: remove files that tasks already committed (their
+    * names travel in the commit messages) so a failed write leaves no
+    * partial output behind. */
+  def deleteCommitted(files: Seq[String], conf: Configuration): Unit =
+    files.foreach { f =>
+      val p = new Path(f)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
 }

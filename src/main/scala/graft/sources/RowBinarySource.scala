@@ -72,26 +72,15 @@ private[sources] class RowBinaryTable(tableSchema: StructType, path: String)
       override def build(): Scan = this
       override def readSchema(): StructType = tableSchema
       override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] = {
+      override def planInputPartitions(): Array[InputPartition] =
         // recursive listing so per-epoch subdirectory layouts (loader
         // sinks) read transparently; _/.-prefixed names are invisible
         // (staging convention shared with the file sinks)
-        val root = new Path(path)
-        val fs = root.getFileSystem(new Configuration())
-        def list(p: Path): Seq[Path] =
-          if (!fs.exists(p)) Seq.empty
-          else fs.listStatus(p).toSeq
-            .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
-            .flatMap { s =>
-              if (s.isDirectory) list(s.getPath)
-              else if (s.getPath.getName.endsWith(".rowbinary")) Seq(s.getPath)
-              else Seq.empty
-            }
-        list(root).sortBy(_.toString)
+        ConnectorFiles.listDataFiles(path,
+            ConnectorFiles.restoreConf(ConnectorFiles.captureConf()), ".rowbinary")
           .map(f => RowBinaryPartition(f.toString): InputPartition).toArray
-      }
       override def createReaderFactory(): PartitionReaderFactory =
-        new RowBinaryReaderFactory(tableSchema)
+        new RowBinaryReaderFactory(tableSchema, ConnectorFiles.captureConf())
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -99,27 +88,31 @@ private[sources] class RowBinaryTable(tableSchema: StructType, path: String)
       override def build(): Write = this
       override def toBatch: BatchWrite = this
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        new RowBinaryWriterFactory(info.toString, path, tableSchema)
+        new RowBinaryWriterFactory(path, tableSchema, ConnectorFiles.captureConf())
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        ConnectorFiles.deleteCommitted(
+          messages.collect { case RowBinaryCommit(f) => f },
+          ConnectorFiles.restoreConf(ConnectorFiles.captureConf()))
     }
 }
 
 private[sources] case class RowBinaryPartition(file: String) extends InputPartition
 
-private[sources] class RowBinaryReaderFactory(schema: StructType)
-    extends PartitionReaderFactory {
+private[sources] class RowBinaryReaderFactory(schema: StructType,
+    confProps: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new RowBinaryReader(partition.asInstanceOf[RowBinaryPartition].file, schema)
+    new RowBinaryReader(partition.asInstanceOf[RowBinaryPartition].file, schema,
+      ConnectorFiles.restoreConf(confProps))
 }
 
 /** Streaming decoder — the byte-level inverse of RowBinaryEncode. */
-private[sources] class RowBinaryReader(file: String, schema: StructType)
-    extends PartitionReader[InternalRow] {
+private[sources] class RowBinaryReader(file: String, schema: StructType,
+    conf: Configuration) extends PartitionReader[InternalRow] {
 
   private val in = {
     val p = new Path(file)
-    new ByteReader(p.getFileSystem(new Configuration()).open(p), file)
+    new ByteReader(p.getFileSystem(conf).open(p), file)
   }
   private val fields = schema.fields
   private var current: InternalRow = _
@@ -168,10 +161,10 @@ private[sources] class RowBinaryReader(file: String, schema: StructType)
   override def close(): Unit = in.close()
 }
 
-private[sources] class RowBinaryWriterFactory(queryId: String, path: String, schema: StructType)
-    extends DataWriterFactory {
+private[sources] class RowBinaryWriterFactory(path: String, schema: StructType,
+    confProps: Array[(String, String)]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new RowBinaryWriter(path, schema, partitionId)
+    new RowBinaryWriter(path, schema, partitionId, ConnectorFiles.restoreConf(confProps))
 }
 
 private[sources] case class RowBinaryCommit(file: String) extends WriterCommitMessage
@@ -180,11 +173,11 @@ private[sources] case class RowBinaryCommit(file: String) extends WriterCommitMe
   * buffering), encoded with the SAME byte helpers as the
   * `graft_rowbinary` expression — single source of truth for the
   * format. */
-private[sources] class RowBinaryWriter(path: String, schema: StructType, partitionId: Int)
-    extends DataWriter[InternalRow] {
+private[sources] class RowBinaryWriter(path: String, schema: StructType, partitionId: Int,
+    conf: Configuration) extends DataWriter[InternalRow] {
 
   private val file = new Path(path, f"part-$partitionId%05d-${UUID.randomUUID()}.rowbinary")
-  private val fs = file.getFileSystem(new Configuration())
+  private val fs = file.getFileSystem(conf)
   private lazy val out = new BufferedOutputStream(fs.create(file, false), 1 << 16)
   private val rowBuf = new java.io.ByteArrayOutputStream(256)
   private val fields = schema.fields

@@ -55,23 +55,12 @@ private[sources] class VerticaNativeTable(tableSchema: StructType, path: String)
       override def build(): Scan = this
       override def readSchema(): StructType = tableSchema
       override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] = {
-        val root = new Path(path)
-        val fs = root.getFileSystem(new Configuration())
-        def list(p: Path): Seq[Path] =
-          if (!fs.exists(p)) Seq.empty
-          else fs.listStatus(p).toSeq
-            .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
-            .flatMap { s =>
-              if (s.isDirectory) list(s.getPath)
-              else if (s.getPath.getName.endsWith(".vnative")) Seq(s.getPath)
-              else Seq.empty
-            }
-        list(root).sortBy(_.toString)
+      override def planInputPartitions(): Array[InputPartition] =
+        ConnectorFiles.listDataFiles(path,
+            ConnectorFiles.restoreConf(ConnectorFiles.captureConf()), ".vnative")
           .map(f => VerticaNativePartition(f.toString): InputPartition).toArray
-      }
       override def createReaderFactory(): PartitionReaderFactory =
-        new VerticaNativeReaderFactory(tableSchema)
+        new VerticaNativeReaderFactory(tableSchema, ConnectorFiles.captureConf())
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -79,27 +68,31 @@ private[sources] class VerticaNativeTable(tableSchema: StructType, path: String)
       override def build(): Write = this
       override def toBatch: BatchWrite = this
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        new VerticaNativeWriterFactory(path, tableSchema)
+        new VerticaNativeWriterFactory(path, tableSchema, ConnectorFiles.captureConf())
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        ConnectorFiles.deleteCommitted(
+          messages.collect { case VerticaNativeCommit(f) => f },
+          ConnectorFiles.restoreConf(ConnectorFiles.captureConf()))
     }
 }
 
 private[sources] case class VerticaNativePartition(file: String) extends InputPartition
 
-private[sources] class VerticaNativeReaderFactory(schema: StructType)
-    extends PartitionReaderFactory {
+private[sources] class VerticaNativeReaderFactory(schema: StructType,
+    confProps: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new VerticaNativeReader(partition.asInstanceOf[VerticaNativePartition].file, schema)
+    new VerticaNativeReader(partition.asInstanceOf[VerticaNativePartition].file, schema,
+      ConnectorFiles.restoreConf(confProps))
 }
 
 /** Streaming decoder — the inverse of VerticaNativeEncode's framing. */
-private[sources] class VerticaNativeReader(file: String, schema: StructType)
-    extends PartitionReader[InternalRow] {
+private[sources] class VerticaNativeReader(file: String, schema: StructType,
+    conf: Configuration) extends PartitionReader[InternalRow] {
 
   private val in = {
     val p = new Path(file)
-    new ByteReader(p.getFileSystem(new Configuration()).open(p), file)
+    new ByteReader(p.getFileSystem(conf).open(p), file)
   }
   private val fields = schema.fields
   private val nBitBytes = (fields.length + 7) / 8
@@ -113,11 +106,29 @@ private[sources] class VerticaNativeReader(file: String, schema: StructType)
     if (!java.util.Arrays.equals(magic, expect))
       throw new java.io.IOException(s"not a Vertica native file: $file")
     val headerArea = in.readLE(4).toInt
+    if (headerArea < 5)
+      throw new java.io.IOException(s"truncated Vertica native header in $file")
     val header = in.readBytes(headerArea) // version, filler, column count + widths
     val nCols = (header(3) & 0xff) | ((header(4) & 0xff) << 8)
     if (nCols != fields.length)
       throw new java.io.IOException(
         s"$file has $nCols columns, read schema has ${fields.length}")
+    if (headerArea < 5 + 4 * nCols)
+      throw new java.io.IOException(s"truncated Vertica native column widths in $file")
+    // per-column widths must agree with the read schema's types — a
+    // count-compatible but type-mismatched schema would misalign parses
+    var i = 0
+    while (i < nCols) {
+      val off = 5 + 4 * i
+      val w = (header(off) & 0xff) | ((header(off + 1) & 0xff) << 8) |
+        ((header(off + 2) & 0xff) << 16) | ((header(off + 3) & 0xff) << 24)
+      val expect = VerticaNativeEncode.staticSize(fields(i).dataType)
+      if (w != expect)
+        throw new java.io.IOException(
+          s"$file column ${fields(i).name}: stored width $w, schema type " +
+            s"${fields(i).dataType.simpleString} expects $expect")
+      i += 1
+    }
   }
 
   override def next(): Boolean = {
@@ -157,21 +168,21 @@ private[sources] class VerticaNativeReader(file: String, schema: StructType)
   override def close(): Unit = in.close()
 }
 
-private[sources] class VerticaNativeWriterFactory(path: String, schema: StructType)
-    extends DataWriterFactory {
+private[sources] class VerticaNativeWriterFactory(path: String, schema: StructType,
+    confProps: Array[(String, String)]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new VerticaNativeWriter(path, schema, partitionId)
+    new VerticaNativeWriter(path, schema, partitionId, ConnectorFiles.restoreConf(confProps))
 }
 
 private[sources] case class VerticaNativeCommit(file: String) extends WriterCommitMessage
 
 /** One `.vnative` file per task: header once, then framed rows encoded
   * with the SAME writers as the `graft_verticarow` expression. */
-private[sources] class VerticaNativeWriter(path: String, schema: StructType, partitionId: Int)
-    extends DataWriter[InternalRow] {
+private[sources] class VerticaNativeWriter(path: String, schema: StructType, partitionId: Int,
+    conf: Configuration) extends DataWriter[InternalRow] {
 
   private val file = new Path(path, f"part-$partitionId%05d-${UUID.randomUUID()}.vnative")
-  private val fs = file.getFileSystem(new Configuration())
+  private val fs = file.getFileSystem(conf)
   private lazy val out = {
     val os = new BufferedOutputStream(fs.create(file, false), 1 << 16)
     os.write(VerticaNativeEncode.fileHeader(schema))

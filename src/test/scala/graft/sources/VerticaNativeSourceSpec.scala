@@ -52,6 +52,22 @@ class VerticaNativeSourceSpec extends AnyFlatSpec with Matchers with BeforeAndAf
       src.orderBy("event_id").collect().map(_.toSeq)
   }
 
+  it should "reject a count-compatible but type-mismatched read schema" in {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "s").write.format(fmt).mode("append").save(dir)
+    // same column count, but widths disagree (string↔long swapped)
+    val swapped = StructType(Seq(
+      StructField("id", StringType), StructField("s", LongType)))
+    val ex = intercept[Throwable] {
+      spark.read.format(fmt).schema(swapped).load(dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    messages(ex).exists(_.contains("stored width")) shouldBe true
+  }
+
   it should "reject files whose column count disagrees with the schema" in {
     import spark.implicits._
     val dir = tmp()
