@@ -8,7 +8,7 @@ import graft.util.GraftMetrics
   * here the Spark runtime owns lifecycle/commit, we wire and block).
   *
   * Usage: runMain graft.LoaderApp <srcDir> <outDir> <checkpointDir> [sink]
-  *   sink: files (default) | 2pc | indata | snapshot
+  *   sink: files (default) | 2pc | indata | snapshot | rowbinary
   *
   * Swap the file source for `format("kafka")` at deployment; everything
   * downstream is unchanged.
@@ -27,6 +27,14 @@ object LoaderApp {
       case "2pc" => new Sinks.TwoPhaseCommitSink(outDir).attach(events, checkpointDir)
       case "indata" => new Sinks.InDataOffsetSink(outDir).attach(events, checkpointDir)
       case "snapshot" => new streaming.SnapshotTableSink(outDir).attach(events, checkpointDir)
+      case "rowbinary" =>
+        // exactly-once RowBinary epochs via the DSv2 connector (see
+        // GraftLoader.RowBinaryFiles for the staged-epoch protocol)
+        streaming.GraftLoader.builder()
+          .source(streaming.GraftLoader.FileSource(srcDir, maxFilesPerTrigger = 64))
+          .sink(streaming.GraftLoader.RowBinaryFiles(outDir))
+          .checkpoint(checkpointDir)
+          .start(spark)
       case _ => Sinks.recordBatchingSink(events, outDir, checkpointDir).start()
     }
     sys.addShutdownHook { query.stop() }
