@@ -173,9 +173,16 @@ object Sinks {
         .foreachBatch(writeBatch _)
         .start()
 
-    /** All committed (= atomically published) rows across epochs. */
+    /** All committed (= atomically published) rows across epochs.
+      * `mergeSchema` makes epochs written under an EVOLVED schema (a
+      * producer added a column mid-stream — the reference handles this
+      * with versioned record encoders) read back as one unioned schema,
+      * old epochs null-filling the new columns. */
     def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
-      spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      spark.read
+        .option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
+        .parquet(outDir)
 
     private def committedDirs(spark: org.apache.spark.sql.SparkSession): Seq[Path] = {
       val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -185,6 +185,20 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     sink.read(spark).count() shouldBe 3
   }
 
+  it should "read schema-evolved epochs as one unioned schema" in {
+    import spark.implicits._
+    val out = tmp()
+    val sink = new Sinks.InDataOffsetSink(out)
+    sink.writeBatch(Seq((0L, "click")).toDF("event_id", "event_type"), 0L)
+    // producer evolved: epoch 1 carries an extra column
+    sink.writeBatch(Seq((1L, "view", 9.5)).toDF("event_id", "event_type", "score"), 1L)
+    val all = sink.read(spark)
+    all.columns.toSet shouldBe Set("event_id", "event_type", "score", "_batch_id")
+    all.count() shouldBe 2
+    all.filter(col("_batch_id") === 0L).select("score").collect()(0).isNullAt(0) shouldBe true
+    all.filter(col("_batch_id") === 1L).select("score").collect()(0).getDouble(0) shouldBe 9.5
+  }
+
   it should "recover an interrupted compaction swap" in {
     import spark.implicits._
     val dir = tmp() + "/t"
