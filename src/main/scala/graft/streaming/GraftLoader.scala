@@ -89,6 +89,9 @@ object GraftLoader {
                   .mode("append").save(staging.toString)
                 fs.mkdirs(dest.getParent)
                 fs.rename(staging, dest)
+                // drop the staging parent when empty (non-recursive
+                // delete refuses if another epoch is mid-stage)
+                try fs.delete(staging.getParent, false) catch { case _: java.io.IOException => () }
               }
               () // foreachBatch wants a Unit-returning function
             }
