@@ -1,9 +1,24 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.TimestampType
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Spark's TimestampType is LTZ and writes parquet `timestamp[us, tz=UTC]`;
+    * the DuckDB oracle yields naive `datetime64[us]`, so the tz annotation
+    * alone fails the driver's schema compare even when every value matches
+    * (session tz is UTC, so the instants are identical). Cast all timestamp
+    * outputs to NTZ so the dumped parquet is naive `timestamp[us]`. */
+  private[graft] def naiveTimestamps(df: DataFrame): DataFrame =
+    if (df.schema.exists(_.dataType == TimestampType))
+      df.select(df.schema.map { f =>
+        if (f.dataType == TimestampType) col(f.name).cast("timestamp_ntz").as(f.name)
+        else col(f.name)
+      }: _*)
+    else df
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,7 +26,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try naiveTimestamps(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -28,6 +28,15 @@ def compare(name, spark_df, duck_df):
         return f"schema mismatch: spark={list(spark_df.columns)} duck={list(duck_df.columns)}"
     if len(spark_df) != len(duck_df):
         return f"rowcount mismatch: spark={len(spark_df)} duck={len(duck_df)}"
+    # STRICT dtype gate (mirrors the driver): any dtype difference — including
+    # datetime tz-ness (datetime64[us, UTC] vs naive datetime64[us]) — is a
+    # FAIL, not a note. Round 2 shipped 12 schema failures because this check
+    # used to mask datetime drift.
+    bad_dtypes = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+                  for c in spark_df.columns
+                  if str(spark_df[c].dtype) != str(duck_df[c].dtype)]
+    if bad_dtypes:
+        return f"dtype mismatch (spark vs duck): {bad_dtypes}"
     for c in spark_df.columns:
         a, b = spark_df[c], duck_df[c]
         try:
@@ -66,13 +75,7 @@ def main():
             print(f"FAIL {name}: {e}"); fails += 1; continue
         err = compare(name, spark_df, duck_df)
         if err: print(f"FAIL {name}: {err}"); fails += 1
-        else:
-            drift = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
-                     for c in spark_df.columns
-                     if str(spark_df[c].dtype) != str(duck_df[c].dtype)
-                     and not str(spark_df[c].dtype).startswith("datetime")]
-            note = f"  [dtype drift: {drift}]" if drift else ""
-            print(f"OK   {name} ({len(spark_df)} rows){note}")
+        else: print(f"OK   {name} ({len(spark_df)} rows)")
     missing = [n for n in names if n not in oracles]
     print(f"{len(names)-fails}/{len(names)} queries match")
     sys.exit(1 if fails else 0)
