@@ -23,16 +23,31 @@ object Sinks {
   /** Partitioned file sink: routes records to `dt=yyyyMMdd` directories
     * (TimePartitioningFilePathFormatter) and rolls files at
     * `maxRecordsPerFile` (ReachedAnyOf(recordsWritten=N)). Exactly-once
-    * via Spark's transactional file-sink commit log. */
+    * via Spark's transactional file-sink commit log.
+    *
+    * `writerTasksPerPartition` > 0 shuffles each epoch by
+    * `(dt, salt % writerTasksPerPartition)` before the write. Without it,
+    * every input task opens a file in every date directory it touches —
+    * O(tasks × dates) small files per epoch, the classic partitioned-sink
+    * file explosion at cluster scale. With it, each date is written by at
+    * most `writerTasksPerPartition` tasks (salting keeps a hot date from
+    * serializing on one writer), bounding the epoch's file count to
+    * O(dates × salt) regardless of input parallelism. */
   def recordBatchingSink(
       events: DataFrame,
       outDir: String,
       checkpointDir: String,
       maxRecordsPerFile: Long = 100000,
       format: String = "parquet",
-      compression: Option[String] = None): DataStreamWriter[Row] = {
-    val w = events
-      .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+      compression: Option[String] = None,
+      writerTasksPerPartition: Int = 0): DataStreamWriter[Row] = {
+    val dated = events.withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+    val routed =
+      if (writerTasksPerPartition > 0)
+        dated.repartition(col("dt"),
+          pmod(hash(col("event_id")), lit(writerTasksPerPartition)))
+      else dated
+    val w = routed
       .writeStream
       .format(format) // parquet | csv | json (AvroParquetFileBuilder / CsvFileBuilder analogs; avro needs the spark-avro module)
       .partitionBy("dt")
