@@ -90,8 +90,21 @@ object Dedup {
     * candidate near-dup pairs. The band-key join bounds work to truly
     * similar docs — no quadratic blowup at scale. */
   /** Candidate pairs without the presentation sort (for internal reuse —
-    * sorting before a downstream join/groupBy is wasted work). */
-  private def lshPairsUnsorted(s: SparkSession, d: String): DataFrame = {
+    * sorting before a downstream join/groupBy is wasted work).
+    *
+    * `maxBucketSize` bounds every (band, bkey) bucket: a degenerate band
+    * key (boilerplate/near-empty docs all hashing together) would
+    * otherwise build an unbounded `collect_list` array on one executor —
+    * the classic LSH hot-bucket OOM at 100 TB. The cap runs through
+    * TopKPerGroup's two-phase bounded heaps, so each input partition
+    * ships at most `maxBucketSize` members per bucket into the shuffle
+    * (memory AND network bounded, map-side); a truncated bucket keeps its
+    * `maxBucketSize` smallest doc_ids — deterministic, and in dedup
+    * practice oversize buckets are degenerate and get truncated or
+    * skipped anyway. The default is far above any organic bucket in the
+    * test corpus, so capped and uncapped results coincide there. */
+  private[graft] def lshPairsUnsorted(
+      s: SparkSession, d: String, maxBucketSize: Int = 1024): DataFrame = {
     // Single minhash pass: explode the 4 band keys per doc, bucket docs by
     // (band, key), emit pairs inside each bucket. One aggregation, one
     // shuffle on band keys, no self-join recomputation of the signatures.
@@ -99,7 +112,9 @@ object Dedup {
     val bandKeys = array((0 until NumBands).map { b =>
       md5s(concat_ws("|", lit(b), col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
     }: _*)
-    mh.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "bkey")))
+    val members = mh.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "bkey")))
+    graft.plans.TopKPerGroup.transform(
+        members, Seq(col("band"), col("bkey")), Seq(col("doc_id").asc), maxBucketSize)
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

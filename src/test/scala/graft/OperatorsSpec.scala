@@ -90,6 +90,22 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     clusters.values.foreach(rep => clusters(rep) shouldBe rep)
   }
 
+  it should "bound hot LSH buckets through the heap cap" in {
+    import spark.implicits._
+    // 50 identical documents collide into the SAME bucket in every band —
+    // the degenerate hot bucket that would grow an unbounded collect_list
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-hot").toString
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    (1L to 50L).map(i => (i, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // cap 8: each bucket keeps its 8 smallest doc_ids → exactly C(8,2) pairs
+    val capped = operators.Dedup.lshPairsUnsorted(spark, tmp, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped shouldBe (for { a <- 1L to 8L; b <- (a + 1) to 8L } yield (a, b)).toSet
+    // the default cap sits far above organic buckets: all C(50,2) pairs
+    operators.Dedup.ddLshPairs(spark, tmp).count() shouldBe 50L * 49 / 2
+  }
+
   it should "report ANN recall of the pruned variants vs bruteforce" in {
     def neighbors(df: org.apache.spark.sql.DataFrame, k: Int): Map[Long, Set[Long]] =
       df.filter(org.apache.spark.sql.functions.col("rnk") <= k).collect()
