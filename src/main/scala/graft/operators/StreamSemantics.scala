@@ -99,6 +99,59 @@ object StreamSemantics {
       |WHERE event_id > coalesce(committed_offset, -1)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** StreamInterval lookback (model/StreamInterval.scala:26,33 —
+    * OffsetRange(n) / WatermarkRange(duration)): on restart the reference
+    * can rewind consumption from the committed position by N records or
+    * by a duration. Per partition: the committed position (max offset /
+    * watermark before the cutoff), the offset-rewind window (last 100
+    * committed records) and the duration-rewind window (committed records
+    * within 2 days of the watermark) — start offset and size of each. */
+  def slLookback: Q = (s, d) => {
+    val committed = Tables.events(s, d)
+      .filter(col("ts") < lit("2024-01-15").cast("timestamp"))
+      .select(col("event_type"), col("event_id"), col("ts"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id").desc)
+    val stats = committed
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("event_id")).as("committed_offset"),
+        max(col("ts")).as("committed_watermark"),
+        min(when(col("rn") <= 100, col("event_id"))).as("offset_rewind_start"),
+        count(when(col("rn") <= 100, lit(1))).as("offset_rewind_n"))
+    val dur = committed.as("c")
+      .join(broadcast(stats.select(col("event_type").as("et"), col("committed_watermark").as("wm"))),
+        col("event_type") === col("et"))
+      .filter(col("ts") >= col("wm") - expr("INTERVAL 2 DAYS"))
+      .groupBy(col("event_type"))
+      .agg(min(col("event_id")).as("duration_rewind_start"),
+        count(lit(1)).as("duration_rewind_n"))
+    stats.join(dur, Seq("event_type")).orderBy(col("event_type"))
+  }
+
+  val slLookbackSql: String =
+    """WITH committed AS (
+      |  SELECT event_type, event_id, ts FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+      |numbered AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY event_id DESC) AS rn
+      |  FROM committed),
+      |stats AS (
+      |  SELECT event_type, max(event_id) AS committed_offset,
+      |    max(ts)::TIMESTAMP AS committed_watermark,
+      |    min(CASE WHEN rn <= 100 THEN event_id END) AS offset_rewind_start,
+      |    count(CASE WHEN rn <= 100 THEN 1 END) AS offset_rewind_n
+      |  FROM numbered GROUP BY event_type),
+      |dur AS (
+      |  SELECT c.event_type, min(c.event_id) AS duration_rewind_start,
+      |    count(*) AS duration_rewind_n
+      |  FROM committed c JOIN stats s ON c.event_type = s.event_type
+      |  WHERE c.ts::TIMESTAMP >= s.committed_watermark - INTERVAL 2 DAY
+      |  GROUP BY c.event_type)
+      |SELECT s.event_type, s.committed_offset, s.committed_watermark,
+      |  s.offset_rewind_start, s.offset_rewind_n,
+      |  d.duration_rewind_start, d.duration_rewind_n
+      |FROM stats s JOIN dur d USING (event_type) ORDER BY event_type""".stripMargin
+
   /** Time partitioning: route each record to its `dt=yyyyMMdd` path and
     * report per-(path, partition) file stats. */
   def slTimePartition: Q = (s, d) =>
@@ -262,6 +315,7 @@ object StreamSemantics {
     "sl_range_merge" -> slRangeMerge,
     "sl_watermark" -> slWatermark,
     "sl_replay_filter" -> slReplayFilter,
+    "sl_lookback" -> slLookback,
     "sl_time_partition" -> slTimePartition,
     "sl_batch_assign" -> slBatchAssign,
     "sl_byte_batches" -> slByteBatches,
@@ -274,6 +328,7 @@ object StreamSemantics {
     "sl_range_merge" -> slRangeMergeSql,
     "sl_watermark" -> slWatermarkSql,
     "sl_replay_filter" -> slReplayFilterSql,
+    "sl_lookback" -> slLookbackSql,
     "sl_time_partition" -> slTimePartitionSql,
     "sl_batch_assign" -> slBatchAssignSql,
     "sl_byte_batches" -> slByteBatchesSql,

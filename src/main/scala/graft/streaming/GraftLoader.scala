@@ -49,17 +49,21 @@ object GraftLoader {
       maybeSource: Option[Source] = None,
       transformFn: DataFrame => DataFrame = identity,
       maybeSink: Option[Sink] = None,
-      checkpointDir: Option[String] = None) {
+      checkpointDir: Option[String] = None,
+      interval: StreamInterval = StreamInterval.Current) {
 
     def source(s: Source): Builder = copy(maybeSource = Some(s))
     def transform(f: DataFrame => DataFrame): Builder = copy(transformFn = f)
     def sink(s: Sink): Builder = copy(maybeSink = Some(s))
     def checkpoint(dir: String): Builder = copy(checkpointDir = Some(dir))
+    /** Rewind consumption on (re)start — see [[StreamInterval]]. */
+    def lookback(iv: StreamInterval): Builder = copy(interval = iv)
 
     def start(spark: SparkSession): StreamingQuery = {
       val src = maybeSource.getOrElse(throw new IllegalStateException("source is required"))
       val snk = maybeSink.getOrElse(throw new IllegalStateException("sink is required"))
       val cp = checkpointDir.getOrElse(throw new IllegalStateException("checkpoint is required"))
+      replayLookbackWindow(spark, src, snk)
       val events = transformFn(src match {
         case FileSource(dir, n) => EventSource.fileStream(spark, dir, n)
       })
@@ -96,6 +100,51 @@ object GraftLoader {
               () // foreachBatch wants a Unit-returning function
             }
             .start()
+      }
+    }
+
+    /** Reference rewind (StreamInterval): re-consume the rewound window
+      * from the SOURCE (not the sink's already-transformed rows),
+      * re-apply the transform, and publish it as one extra committed
+      * epoch before live consumption resumes from the checkpoint.
+      * Supported for the epoch-addressed sink that can atomically commit
+      * the extra epoch (InDataOffsets); a no-op on first start (no
+      * committed position to rewind from). Downstream must dedup —
+      * see [[Sinks.InDataOffsetSink.readDeduped]]. */
+    private def replayLookbackWindow(
+        spark: SparkSession, src: Source, snk: Sink): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      (interval, src, snk) match {
+        case (StreamInterval.Current, _, _) => ()
+        case (iv, FileSource(srcDir, _), InDataOffsets(dir)) =>
+          val sink = new Sinks.InDataOffsetSink(dir)
+          val maxId = sink.committedMaxBatchId(spark)
+          if (maxId >= 0) {
+            // committed position per partition, from the data itself
+            val pos = sink.read(spark)
+              .groupBy(col("event_type"))
+              .agg(max(col("event_id")).as("_end"), max(col("ts")).as("_wm"))
+            val upToCommitted = spark.read.schema(EventSource.schema).parquet(srcDir)
+              .join(broadcast(pos), Seq("event_type"))
+              .filter(col("event_id") <= col("_end"))
+            val window = iv match {
+              case StreamInterval.OffsetRange(n) =>
+                val w = Window.partitionBy(col("event_type")).orderBy(col("event_id").desc)
+                upToCommitted.withColumn("_rn", row_number().over(w))
+                  .filter(col("_rn") <= n)
+              case StreamInterval.WatermarkRange(d) =>
+                upToCommitted.filter(
+                  col("ts") >= col("_wm") - expr(s"INTERVAL ${d.toMillis} MILLISECONDS"))
+              case StreamInterval.Current => upToCommitted // unreachable
+            }
+            val replay = window.select(EventSource.schema.fieldNames.map(col(_)): _*)
+            sink.writeReplayEpoch(transformFn(replay))
+          }
+        case (_, _, other) =>
+          throw new UnsupportedOperationException(
+            "lookback requires the epoch-addressed InDataOffsets sink " +
+              s"(atomic replay epoch + in-data dedup keys); got $other")
       }
     }
   }

@@ -199,6 +199,22 @@ object Sinks {
         .option("mergeSchema", "true")
         .parquet(outDir)
 
+    /** Committed rows with lookback re-deliveries collapsed: rows sharing
+      * `keys` keep only their FIRST delivery (min `_batch_id`) — the
+      * consumer-side dedup a rewound loader requires (the reference's
+      * RewindingPartitionGroupSinker contract). */
+    def readDeduped(
+        spark: org.apache.spark.sql.SparkSession,
+        keys: Seq[String] = Seq("event_id")): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(col("_batch_id").asc)
+      read(spark)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn")
+    }
+
     private def committedDirs(spark: org.apache.spark.sql.SparkSession): Seq[Path] = {
       val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new Path(outDir))) Seq.empty
@@ -236,13 +252,39 @@ object Sinks {
     }
 
     def writeBatch(batch: DataFrame, batchId: Long): Unit = {
-      val spark = batch.sparkSession
-      if (batchId <= committedMaxBatchId(spark)) return // replay of a COMPLETE epoch
+      if (batchId <= committedMaxBatchId(batch.sparkSession)) return // replay of a COMPLETE epoch
+      publish(batch.withColumn("_batch_id", lit(batchId)), s"batch_$batchId")
+    }
+
+    /** Publish a lookback re-delivery (see GraftLoader.lookback) as an
+      * atomically-committed epoch OUTSIDE the stream's id space: `batch_N`
+      * names are the checkpoint's epoch counter, and a replay stored as
+      * `batch_{max+1}` would collide with the stream's genuine next epoch
+      * — `writeBatch` would then skip real data as "already committed".
+      * Replay epochs live in `replay_<k>` dirs with `_batch_id` pinned to
+      * Long.MaxValue, so recovery (`committedMaxBatchId`) ignores them
+      * and [[readDeduped]]'s first-delivery order never lets a
+      * re-delivery shadow the original. */
+    def writeReplayEpoch(batch: DataFrame): Unit = {
+      val fs = new Path(outDir).getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      val k = if (!fs.exists(new Path(outDir))) 0
+        else fs.listStatus(new Path(outDir))
+          .map(_.getPath.getName)
+          .filter(_.startsWith("replay_"))
+          .map(_.stripPrefix("replay_").toLong)
+          .foldLeft(-1L)(math.max) + 1
+      publish(batch.withColumn("_batch_id", lit(Long.MaxValue)), s"replay_$k")
+    }
+
+    /** Stage under `_staging/<name>` (hidden from readers — Spark's file
+      * index skips underscore paths), then one atomic rename to publish. */
+    private def publish(df: DataFrame, name: String): Unit = {
+      val spark = df.sparkSession
       val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staging = new Path(outDir, s"_staging/$batchId")
-      batch.withColumn("_batch_id", lit(batchId))
-        .write.mode("overwrite").parquet(staging.toString)
-      val dest = new Path(outDir, s"batch_$batchId")
+      val staging = new Path(outDir, s"_staging/$name")
+      df.write.mode("overwrite").parquet(staging.toString)
+      val dest = new Path(outDir, name)
       if (fs.exists(dest)) fs.delete(dest, true) // unreachable unless max-id scan raced; defensive
       fs.rename(staging, dest) // the commit point
     }

@@ -237,6 +237,53 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     new SnapshotTableSink(out).read(spark).count() shouldBe 2
   }
 
+  it should "re-emit the lookback window on restart, then dedup to exactly-once" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = tmp(); val out = tmp() + "/table"; val cp = tmp()
+    // click partition: ids 0,2,4,6,8 at :00,:20,:40,1:00,1:20
+    // view partition:  ids 1,3,5,7,9 at :10,:30,:50,1:10,1:30
+    (0L until 10L).map(i => Ev(i, ts(10 * i.toInt), i % 3,
+      if (i % 2 == 0) "click" else "view", i.toDouble, "{}"))
+      .toDF().write.mode("overwrite").parquet(src)
+    def build(iv: StreamInterval) = GraftLoader.builder()
+      .source(GraftLoader.FileSource(src, maxFilesPerTrigger = 8))
+      .transform(_.withColumn("doubled", col("value") * 2))
+      .sink(GraftLoader.InDataOffsets(out))
+      .checkpoint(cp)
+      .lookback(iv)
+    build(StreamInterval.Current).start(spark).awaitTermination()
+    val sink = new Sinks.InDataOffsetSink(out)
+    sink.read(spark).count() shouldBe 10
+    val maxId = sink.committedMaxBatchId(spark)
+    // restart with offset lookback 2: the last 2 committed records of each
+    // partition are re-consumed FROM THE SOURCE and re-transformed
+    build(StreamInterval.OffsetRange(2)).start(spark).awaitTermination()
+    val replays = sink.read(spark).filter(col("_batch_id") === Long.MaxValue)
+    replays.select("event_id").as[Long].collect().sorted shouldBe Array(6L, 7L, 8L, 9L)
+    replays.select("doubled").as[Double].collect().sum shouldBe 2.0 * (6 + 7 + 8 + 9)
+    // the replay epoch must NOT advance the stream's recovery position
+    sink.committedMaxBatchId(spark) shouldBe maxId
+    // duration lookback: watermark minus 30 min per partition → same 4 ids
+    // (click wm 1:20 → ids at/after 0:50; view wm 1:30 → at/after 1:00)
+    build(StreamInterval.WatermarkRange(java.time.Duration.ofMinutes(30)))
+      .start(spark).awaitTermination()
+    sink.read(spark).count() shouldBe 18
+    // consumer-side dedup collapses re-deliveries; first delivery wins
+    val dedup = sink.readDeduped(spark)
+    dedup.count() shouldBe 10
+    dedup.filter(col("_batch_id") === Long.MaxValue).count() shouldBe 0
+    // lookback on a sink without epoch-addressed replay is rejected
+    intercept[UnsupportedOperationException] {
+      GraftLoader.builder()
+        .source(GraftLoader.FileSource(src))
+        .sink(GraftLoader.PartitionedFiles(tmp()))
+        .checkpoint(tmp())
+        .lookback(StreamInterval.OffsetRange(1))
+        .start(spark)
+    }
+  }
+
   it should "load a stream into ClickHouse-RowBinary files end to end" in {
     import spark.implicits._
     val src = tmp()
