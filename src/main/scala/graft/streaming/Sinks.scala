@@ -58,6 +58,72 @@ object Sinks {
     compression.fold(w)(c => w.option("compression", c)) // Compression.ZSTD etc.
   }
 
+  /** Multi-file commit batches under a TOTAL budget (reference:
+    * sink/file/MultiFileCommitStrategy.scala `total` — commit the whole
+    * multi-file batch once the summed size / record count across its
+    * open files reaches the single-file condition).
+    *
+    * Per epoch and per partition group (`event_type`), records are
+    * folded in offset order into consecutive commit batches: a batch
+    * closes once the records-or-bytes budget is consumed, byte sizes
+    * estimated from the CSV-encoded record (the reference counts encoded
+    * bytes too). Each batch lands as its own
+    * `group=<g>/commit=<k>/dt=<d>` directory tree with ONE file per
+    * (commit, dt) — the multi-file batch — and the whole epoch publishes
+    * with a single atomic rename (exactly-once on replay, same protocol
+    * as InDataOffsetSink). The fold is a prefix-sum window per group —
+    * fully distributed, no driver loop over batches.
+    *
+    * Duration limits are trigger-owned in Spark (see [[ReachedAnyOf]]);
+    * configure the trigger interval for wall-clock flushing. */
+  def multiFileBatchingSink(
+      events: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      strategy: MultiFileCommit.Total): DataStreamWriter[Row] = {
+    val maxBytes = strategy.single.maxBytes
+    val maxRecords = strategy.single.maxRecords
+    require(maxBytes.nonEmpty || maxRecords.nonEmpty,
+      "multiFileBatchingSink needs a byte or record budget (duration is trigger-owned)")
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dest = new Path(outDir, s"epoch_$epochId")
+        if (!fs.exists(dest)) { // replayed epochs were already published atomically
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+          val line = concat_ws(",", batch.columns.map(c => col(c).cast("string")): _*)
+          val sized = batch
+            .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+            .withColumn("_bytes", octet_length(line) + lit(1))
+            .withColumn("_rn", row_number().over(w))
+            .withColumn("_cum", sum(col("_bytes"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          // batch index advances when the budget was consumed BEFORE this
+          // record (the record that crosses the line stays in its batch,
+          // like a file that grows past fileSize before rolling)
+          val byRecords = maxRecords.map(n => floor((col("_rn") - 1) / n)).getOrElse(lit(0L))
+          val byBytes = maxBytes.map(b => floor((col("_cum") - col("_bytes")) / b)).getOrElse(lit(0L))
+          val withCommit = sized
+            .withColumn("commit", greatest(byRecords, byBytes).cast("long"))
+            .drop("_bytes", "_rn", "_cum")
+            .withColumnRenamed("event_type", "group")
+          val staging = new Path(outDir, s"_staging/$epochId")
+          withCommit
+            .repartition(col("group"), col("commit")) // one writer per commit batch
+            .write.partitionBy("group", "commit", "dt")
+            .mode("overwrite").parquet(staging.toString)
+          fs.mkdirs(dest.getParent)
+          fs.rename(staging, dest) // the commit point
+          try fs.delete(staging.getParent, false) catch { case _: java.io.IOException => () }
+        }
+        ()
+      }
+  }
+
   /** Small-files compaction for file sinks: rewrite a (partition of a)
     * table into ~`targetFileBytes` files and swap directories.
     * Long-running loaders accumulate per-epoch small files (the reference

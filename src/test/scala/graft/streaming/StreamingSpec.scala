@@ -215,6 +215,62 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     spark.read.parquet(dir).count() shouldBe 10
   }
 
+  behavior of "MultiFileCommit"
+
+  it should "decide Any/All/Total like the reference combinators" in {
+    import java.time.Duration
+    val d = Duration.ofSeconds(1)
+    val s = ReachedAnyOf(maxRecords = Some(10), maxBytes = Some(1000))
+    val small = FileStats(d, 100, 2)
+    val big = FileStats(d, 900, 9)
+    MultiFileCommit.AnyFile(s).shouldCommit(Seq(small, big)) shouldBe false
+    MultiFileCommit.AnyFile(s).shouldCommit(Seq(small, FileStats(d, 1000, 9))) shouldBe true
+    MultiFileCommit.AllFiles(s).shouldCommit(Seq(FileStats(d, 1000, 1), small)) shouldBe false
+    MultiFileCommit.AllFiles(s).shouldCommit(Seq(FileStats(d, 1000, 1), FileStats(d, 5, 10))) shouldBe true
+    // totals: 100+900 bytes reach the 1000 budget even though no single file does
+    MultiFileCommit.Total(s).shouldCommit(Seq(small, big)) shouldBe true
+    MultiFileCommit.Total(s).shouldCommit(Seq(small)) shouldBe false
+    MultiFileCommit.Total(s).shouldCommit(Seq.empty) shouldBe false
+    ReachedAnyOf(maxDuration = Some(Duration.ofMinutes(1)))
+      .shouldCommit(Duration.ofMinutes(2), 0, 0) shouldBe true
+  }
+
+  it should "roll commit batches under a Total(bytes) budget with one file each" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = tmp(); val out = tmp() + "/table"; val cp = tmp()
+    // 6 records, one partition group, ~137 encoded bytes each; budget 300
+    // → commit batches of 3, 2 and 1 records (the record crossing the
+    // budget stays in its batch, the NEXT one opens a new batch)
+    (0L until 6L).map(i => Ev(i, ts(10 * i.toInt + 1), 1, "click", 1.0, "x" * 100))
+      .toDF().write.mode("overwrite").parquet(src)
+    Sinks.multiFileBatchingSink(
+      EventSource.fileStream(spark, src, maxFilesPerTrigger = 8),
+      out, cp,
+      MultiFileCommit.Total(ReachedAnyOf(maxBytes = Some(300L))))
+      .start().awaitTermination()
+    val all = spark.read.parquet(s"$out/epoch_0")
+    all.count() shouldBe 6
+    all.groupBy("commit").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap shouldBe Map(0 -> 3L, 1 -> 2L, 2 -> 1L)
+    // the multi-file batch: exactly one file per (commit, dt)
+    val files = new java.io.File(s"$out/epoch_0/group=click")
+      .listFiles().filter(_.getName.startsWith("commit="))
+    files.length shouldBe 3
+    files.foreach { commitDir =>
+      commitDir.listFiles().filter(_.getName.startsWith("dt=")).foreach { dtDir =>
+        dtDir.listFiles().count(_.getName.endsWith(".parquet")) shouldBe 1
+      }
+    }
+    // fresh checkpoint replays epoch 0: the published epoch must not change
+    Sinks.multiFileBatchingSink(
+      EventSource.fileStream(spark, src, maxFilesPerTrigger = 8),
+      out, tmp(),
+      MultiFileCommit.Total(ReachedAnyOf(maxBytes = Some(300L))))
+      .start().awaitTermination()
+    spark.read.parquet(s"$out/epoch_0").count() shouldBe 6
+  }
+
   behavior of "GraftLoader builder"
 
   it should "wire source → transform → sink like the reference API" in {
