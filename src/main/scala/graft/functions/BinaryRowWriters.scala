@@ -41,4 +41,77 @@ object BinaryRowWriters {
   def transfer(body: ByteArrayOutputStream, out: ByteArrayOutputStream): Unit =
     try body.writeTo(out)
     catch { case e: java.io.IOException => throw new RuntimeException(e) }
+
+  /** Longest prefix of UTF-8 `bytes` that fits `maxBytes` WITHOUT
+    * splitting a multi-byte character (semantics of the reference's
+    * ByteWriter.stringToBytes, sink/encoding/binary/ByteWriter.scala:87):
+    * if the byte after the cut is a continuation byte (10xxxxxx), back up
+    * to the start of its sequence. */
+  def utf8SafeLen(bytes: Array[Byte], maxBytes: Int): Int =
+    if (bytes.length <= maxBytes) bytes.length
+    else {
+      var idx = maxBytes
+      if ((bytes(idx) & 0xc0) == 0x80) { // inside a multi-byte char
+        do idx -= 1 while ((bytes(idx) & 0xc0) == 0x80)
+      }
+      idx
+    }
+
+  /** Truncated length under `maxBytes`, or throw when the value does not
+    * fit and truncation was not allowed (reference: writeByteArray /
+    * writeString(maxBytes, truncate)). `charBoundary` selects UTF-8-safe
+    * cutting (strings) vs raw byte cutting (binary). */
+  def boundedLen(bytes: Array[Byte], maxBytes: Int, truncate: Boolean,
+      charBoundary: Boolean): Int = {
+    if (bytes.length > maxBytes && !truncate)
+      throw new IllegalArgumentException(
+        s"value occupies ${bytes.length} bytes and does not fit into $maxBytes bytes")
+    if (charBoundary) utf8SafeLen(bytes, maxBytes) else math.min(bytes.length, maxBytes)
+  }
+
+  /** Bounded LEB128-prefixed bytes (ClickHouse String(max N)). */
+  def writeBoundedLeb(out: ByteArrayOutputStream, bytes: Array[Byte], maxBytes: Int,
+      truncate: Boolean, charBoundary: Boolean): Unit = {
+    val n = boundedLen(bytes, maxBytes, truncate, charBoundary)
+    writeLeb128(out, n.toLong)
+    out.write(bytes, 0, n)
+  }
+
+  /** Bounded int32-LE-prefixed bytes (Vertica VARCHAR(N)/VARBINARY(N)). */
+  def writeBoundedI32(out: ByteArrayOutputStream, bytes: Array[Byte], maxBytes: Int,
+      truncate: Boolean, charBoundary: Boolean): Unit = {
+    val n = boundedLen(bytes, maxBytes, truncate, charBoundary)
+    writeLE(out, n.toLong, 4)
+    out.write(bytes, 0, n)
+  }
+
+  /** Fixed-width value, right-padded with `pad` (ClickHouse FixedString
+    * pads 0x00, Vertica CHAR pads spaces); no length prefix. */
+  def writeFixedPadded(out: ByteArrayOutputStream, bytes: Array[Byte], length: Int,
+      truncate: Boolean, pad: Int, charBoundary: Boolean): Unit = {
+    val n = boundedLen(bytes, length, truncate, charBoundary)
+    out.write(bytes, 0, n)
+    var i = n
+    while (i < length) { out.write(pad); i += 1 }
+  }
+
+  /** Canonical-string UUID as 16 bytes: msb then lsb, each little-endian
+    * for ClickHouse RowBinary (RowBinaryClickHousePrimitiveTypeWriter
+    * .scala:69) or big-endian for Vertica native
+    * (NativeVerticaPrimitiveTypeWriter.scala:64). */
+  def writeUuid(out: ByteArrayOutputStream, s: String, littleEndian: Boolean): Unit = {
+    val u = java.util.UUID.fromString(s)
+    if (littleEndian) {
+      writeLE(out, u.getMostSignificantBits, 8)
+      writeLE(out, u.getLeastSignificantBits, 8)
+    } else {
+      writeBE(out, u.getMostSignificantBits)
+      writeBE(out, u.getLeastSignificantBits)
+    }
+  }
+
+  private def writeBE(out: ByteArrayOutputStream, v: Long): Unit = {
+    var i = 7
+    while (i >= 0) { out.write(((v >> (8 * i)) & 0xff).toInt); i -= 1 }
+  }
 }

@@ -22,8 +22,14 @@ import org.apache.spark.sql.types._
   * a foreachBatch sink can assemble complete native files per partition.
   * Participates in whole-stage codegen: per-field writes are specialized
   * at compile time (see RowBinaryEncode for the rationale).
+  *
+  * Per-field directives (`graft_verticarow(struct, spec)` — [[FieldSpec]]
+  * grammar): `varchar(N)[!]` bounded VARCHAR/VARBINARY
+  * (NativeVerticaPrimitiveTypeWriter.scala:38,53), `fixed(N)[!]` CHAR(N)
+  * space-padded / BINARY(N) zero-padded (ibid:50 + ByteWriter
+  * writeFixedByteArray pad 0), `uuid` 16 big-endian bytes (ibid:64).
   */
-case class VerticaNativeEncode(child: Expression) extends UnaryExpression {
+case class VerticaNativeEncode(child: Expression, spec: String = "") extends UnaryExpression {
 
   override def dataType: DataType = BinaryType
 
@@ -32,12 +38,25 @@ case class VerticaNativeEncode(child: Expression) extends UnaryExpression {
     case _ => Array.empty
   }
 
+  private lazy val directives: Array[FieldDirective] = child.dataType match {
+    case s: StructType => FieldSpec.resolve(s, FieldSpec.parse(spec))
+    case _ => Array.empty
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case s: StructType =>
       val bad = s.fields.filterNot(f => VerticaNativeEncode.supported(f.dataType))
-      if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
+      if (bad.nonEmpty) TypeCheckResult.TypeCheckFailure(
         s"graft_verticarow: unsupported field types ${bad.map(_.dataType).mkString(", ")}")
+      else {
+        val parsed = try Right(FieldSpec.parse(spec)) catch {
+          case e: IllegalArgumentException => Left(e.getMessage)
+        }
+        parsed.fold(TypeCheckResult.TypeCheckFailure.apply,
+          ds => FieldSpec.check(s, ds)
+            .map(m => TypeCheckResult.TypeCheckFailure(s"graft_verticarow: $m"))
+            .getOrElse(TypeCheckResult.TypeCheckSuccess))
+      }
     case t => TypeCheckResult.TypeCheckFailure(s"graft_verticarow expects struct, got $t")
   }
 
@@ -50,7 +69,7 @@ case class VerticaNativeEncode(child: Expression) extends UnaryExpression {
       if (row.isNullAt(i)) {
         nullBits(i / 8) = (nullBits(i / 8) | (1 << (8 - (i % 8) - 1))).toByte
       } else {
-        VerticaNativeEncode.writeValue(body, fields(i).dataType, row, i)
+        VerticaNativeEncode.writeValue(body, fields(i).dataType, row, i, directives(i))
       }
       i += 1
     }
@@ -73,7 +92,7 @@ case class VerticaNativeEncode(child: Expression) extends UnaryExpression {
       // Spark nullability is advisory, and a null in a nullable=false slot
       // must still set the bitmap bit rather than encode garbage
       val writes = fields.zipWithIndex.map { case (f, i) =>
-        val w = VerticaNativeEncode.genWrite(f.dataType, body, row, i)
+        val w = VerticaNativeEncode.genWrite(f.dataType, body, row, i, directives(i))
         s"""if ($row.isNullAt($i)) { $bits[${i / 8}] |= (byte) ${1 << (8 - (i % 8) - 1)}; }
            |else { $w }""".stripMargin
       }.mkString("\n")
@@ -96,6 +115,7 @@ case class VerticaNativeEncode(child: Expression) extends UnaryExpression {
 }
 
 object VerticaNativeEncode {
+  import FieldDirective._
 
   /** Microseconds between 1970-01-01 and 2000-01-01 (Vertica's epoch). */
   final val VerticaEpochMicros = 946684800000000L
@@ -112,60 +132,93 @@ object VerticaNativeEncode {
     while (i < nBytes) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
   }
 
-  /** Static size per column: -1 for variable-width (varchar/varbinary). */
-  def staticSize(t: DataType): Int = t match {
-    case StringType | BinaryType => -1
-    case BooleanType => 1
+  /** Static size per column: -1 for variable-width (varchar/varbinary);
+    * fixed(N) columns are N wide, UUIDs 16 (NativeVerticaRecordEncoder
+    * .scala:89,95). */
+  def staticSize(t: DataType, d: FieldDirective = Default): Int = (t, d) match {
+    case (_, Fixed(n, _)) => n
+    case (_, Uuid) => 16
+    case (StringType | BinaryType, _) => -1
+    case (BooleanType, _) => 1
     case _ => 8
   }
 
   /** File-level header: magic bytes, header area size, version, filler,
     * column count, per-column static sizes. */
-  def fileHeader(schema: StructType): Array[Byte] = {
+  def fileHeader(schema: StructType, spec: String = ""): Array[Byte] = {
+    val ds = FieldSpec.resolve(schema, FieldSpec.parse(spec))
     val out = new ByteArrayOutputStream(32)
     Seq(0x4e, 0x41, 0x54, 0x49, 0x56, 0x45, 0x0a, 0xff, 0x0d, 0x0a, 0x00).foreach(out.write)
     writeLE(out, (2 + 1 + 2 + 4 * schema.length).toLong, 4)
     out.write(0x01); out.write(0x00) // version
     out.write(0x00) // filler
     writeLE(out, schema.length.toLong, 2)
-    schema.fields.foreach(f => writeLE(out, staticSize(f.dataType).toLong, 4))
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      writeLE(out, staticSize(f.dataType, ds(i)).toLong, 4)
+    }
     out.toByteArray
   }
 
-  def writeValue(out: ByteArrayOutputStream, t: DataType, row: InternalRow, i: Int): Unit = t match {
-    case LongType => writeLE(out, row.getLong(i), 8)
-    case IntegerType => writeLE(out, row.getInt(i).toLong, 8) // Vertica INTEGER = 8 bytes
-    case ShortType => writeLE(out, row.getShort(i).toLong, 8)
-    case ByteType => writeLE(out, row.getByte(i).toLong, 8)
-    case DoubleType => writeLE(out, java.lang.Double.doubleToLongBits(row.getDouble(i)), 8)
-    case FloatType => // Vertica FLOAT = 8-byte double
+  def writeValue(out: ByteArrayOutputStream, t: DataType, row: InternalRow, i: Int): Unit =
+    writeValue(out, t, row, i, Default)
+
+  def writeValue(out: ByteArrayOutputStream, t: DataType, row: InternalRow, i: Int,
+      d: FieldDirective): Unit = (t, d) match {
+    case (StringType, Bounded(n, tr)) => // VARCHAR(N)
+      BinaryRowWriters.writeBoundedI32(out, row.getUTF8String(i).getBytes, n, tr, charBoundary = true)
+    case (BinaryType, Bounded(n, tr)) => // VARBINARY(N)
+      BinaryRowWriters.writeBoundedI32(out, row.getBinary(i), n, tr, charBoundary = false)
+    case (StringType, Fixed(n, tr)) => // CHAR(N): space-padded, no prefix
+      BinaryRowWriters.writeFixedPadded(out, row.getUTF8String(i).getBytes, n, tr, ' ', charBoundary = true)
+    case (BinaryType, Fixed(n, tr)) => // BINARY(N): zero-padded
+      BinaryRowWriters.writeFixedPadded(out, row.getBinary(i), n, tr, 0, charBoundary = false)
+    case (StringType, Uuid) =>
+      BinaryRowWriters.writeUuid(out, row.getUTF8String(i).toString, littleEndian = false)
+    case (LongType, _) => writeLE(out, row.getLong(i), 8)
+    case (IntegerType, _) => writeLE(out, row.getInt(i).toLong, 8) // Vertica INTEGER = 8 bytes
+    case (ShortType, _) => writeLE(out, row.getShort(i).toLong, 8)
+    case (ByteType, _) => writeLE(out, row.getByte(i).toLong, 8)
+    case (DoubleType, _) => writeLE(out, java.lang.Double.doubleToLongBits(row.getDouble(i)), 8)
+    case (FloatType, _) => // Vertica FLOAT = 8-byte double
       writeLE(out, java.lang.Double.doubleToLongBits(row.getFloat(i).toDouble), 8)
-    case BooleanType => out.write(if (row.getBoolean(i)) 1 else 0)
-    case StringType => BinaryRowWriters.writeBytesI32(out, row.getUTF8String(i).getBytes)
-    case BinaryType => BinaryRowWriters.writeBytesI32(out, row.getBinary(i))
-    case TimestampType =>
+    case (BooleanType, _) => out.write(if (row.getBoolean(i)) 1 else 0)
+    case (StringType, _) => BinaryRowWriters.writeBytesI32(out, row.getUTF8String(i).getBytes)
+    case (BinaryType, _) => BinaryRowWriters.writeBytesI32(out, row.getBinary(i))
+    case (TimestampType, _) =>
       writeLE(out, row.getLong(i) - VerticaEpochMicros, 8)
-    case DateType =>
+    case (DateType, _) =>
       writeLE(out, row.getInt(i).toLong - VerticaEpochDays, 8)
-    case other => throw new UnsupportedOperationException(s"graft_verticarow: $other")
+    case (other, _) => throw new UnsupportedOperationException(s"graft_verticarow: $other")
   }
 
-  /** Codegen twin of [[writeValue]] — Java statement per field. */
-  private[functions] def genWrite(t: DataType, buf: String, row: String, i: Int): String = {
+  /** Codegen twin of [[writeValue]] — Java statement per field,
+    * specialized per type AND directive at compile time. */
+  private[functions] def genWrite(t: DataType, buf: String, row: String, i: Int,
+      d: FieldDirective): String = {
     val W = "graft.functions.BinaryRowWriters"
-    t match {
-      case LongType => s"$W.writeLE($buf, $row.getLong($i), 8);"
-      case IntegerType => s"$W.writeLE($buf, (long) $row.getInt($i), 8);"
-      case ShortType => s"$W.writeLE($buf, (long) $row.getShort($i), 8);"
-      case ByteType => s"$W.writeLE($buf, (long) $row.getByte($i), 8);"
-      case DoubleType => s"$W.writeLE($buf, java.lang.Double.doubleToLongBits($row.getDouble($i)), 8);"
-      case FloatType => s"$W.writeLE($buf, java.lang.Double.doubleToLongBits((double) $row.getFloat($i)), 8);"
-      case BooleanType => s"$buf.write($row.getBoolean($i) ? 1 : 0);"
-      case StringType => s"$W.writeBytesI32($buf, $row.getUTF8String($i).getBytes());"
-      case BinaryType => s"$W.writeBytesI32($buf, $row.getBinary($i));"
-      case TimestampType => s"$W.writeLE($buf, $row.getLong($i) - ${VerticaEpochMicros}L, 8);"
-      case DateType => s"$W.writeLE($buf, (long) $row.getInt($i) - ${VerticaEpochDays}L, 8);"
-      case other => throw new UnsupportedOperationException(s"graft_verticarow: $other")
+    (t, d) match {
+      case (StringType, Bounded(n, tr)) =>
+        s"$W.writeBoundedI32($buf, $row.getUTF8String($i).getBytes(), $n, $tr, true);"
+      case (BinaryType, Bounded(n, tr)) =>
+        s"$W.writeBoundedI32($buf, $row.getBinary($i), $n, $tr, false);"
+      case (StringType, Fixed(n, tr)) =>
+        s"$W.writeFixedPadded($buf, $row.getUTF8String($i).getBytes(), $n, $tr, ${' '.toInt}, true);"
+      case (BinaryType, Fixed(n, tr)) =>
+        s"$W.writeFixedPadded($buf, $row.getBinary($i), $n, $tr, 0, false);"
+      case (StringType, Uuid) =>
+        s"$W.writeUuid($buf, $row.getUTF8String($i).toString(), false);"
+      case (LongType, _) => s"$W.writeLE($buf, $row.getLong($i), 8);"
+      case (IntegerType, _) => s"$W.writeLE($buf, (long) $row.getInt($i), 8);"
+      case (ShortType, _) => s"$W.writeLE($buf, (long) $row.getShort($i), 8);"
+      case (ByteType, _) => s"$W.writeLE($buf, (long) $row.getByte($i), 8);"
+      case (DoubleType, _) => s"$W.writeLE($buf, java.lang.Double.doubleToLongBits($row.getDouble($i)), 8);"
+      case (FloatType, _) => s"$W.writeLE($buf, java.lang.Double.doubleToLongBits((double) $row.getFloat($i)), 8);"
+      case (BooleanType, _) => s"$buf.write($row.getBoolean($i) ? 1 : 0);"
+      case (StringType, _) => s"$W.writeBytesI32($buf, $row.getUTF8String($i).getBytes());"
+      case (BinaryType, _) => s"$W.writeBytesI32($buf, $row.getBinary($i));"
+      case (TimestampType, _) => s"$W.writeLE($buf, $row.getLong($i) - ${VerticaEpochMicros}L, 8);"
+      case (DateType, _) => s"$W.writeLE($buf, (long) $row.getInt($i) - ${VerticaEpochDays}L, 8);"
+      case (other, _) => throw new UnsupportedOperationException(s"graft_verticarow: $other")
     }
   }
 }

@@ -24,13 +24,26 @@ object GraftFunctions {
       (args: Seq[Expression]) => MinHashSig(args(0))),
     (new FunctionIdentifier("graft_rowbinary"),
       new ExpressionInfo(classOf[RowBinaryEncode].getName, "graft_rowbinary"),
-      (args: Seq[Expression]) => RowBinaryEncode(args(0))),
+      (args: Seq[Expression]) => RowBinaryEncode(args(0), fieldSpecArg(args, "graft_rowbinary"))),
     (new FunctionIdentifier("graft_verticarow"),
       new ExpressionInfo(classOf[VerticaNativeEncode].getName, "graft_verticarow"),
-      (args: Seq[Expression]) => VerticaNativeEncode(args(0))),
+      (args: Seq[Expression]) => VerticaNativeEncode(args(0), fieldSpecArg(args, "graft_verticarow"))),
     (new FunctionIdentifier("graft_pq_score"),
       new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_score"),
       (args: Seq[Expression]) => PqAdcScore(args(0), args(1))))
+
+  /** Optional per-field encoding spec (2nd arg of the binary encoders):
+    * must be a foldable string literal — it shapes the generated code, so
+    * it cannot vary per row. */
+  private def fieldSpecArg(args: Seq[Expression], fn: String): String =
+    if (args.length < 2) ""
+    else {
+      val e = args(1)
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"$fn: the field spec must be a string literal")
+      val v = e.eval()
+      if (v == null) "" else v.toString
+    }
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>
     if (!spark.sessionState.functionRegistry.functionExists(id)) {

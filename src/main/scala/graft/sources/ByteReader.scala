@@ -43,6 +43,27 @@ private[sources] class ByteReader(raw: InputStream, val source: String) {
     v // unreachable
   }
 
+  /** Big-endian value (Vertica-native UUID halves are MSB-first). */
+  def readBE(nBytes: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < nBytes) { v = (v << 8) | (readByte().toLong & 0xff); i += 1 }
+    v
+  }
+
+  /** `n` bytes whose first byte was already consumed as an EOF probe. */
+  def readBytesFirst(first: Int, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    buf(0) = first.toByte
+    var off = 1
+    while (off < n) {
+      val rest = readBytes(n - off)
+      System.arraycopy(rest, 0, buf, off, rest.length)
+      off += rest.length
+    }
+    buf
+  }
+
   def readBytes(n: Int): Array[Byte] = {
     // corruption guard: a bogus length field must raise a descriptive
     // error, not a NegativeArraySizeException or a multi-GB allocation
@@ -86,6 +107,12 @@ private[sources] object ConnectorFiles {
     props.foreach { case (k, v) => c.set(k, v) }
     c
   }
+
+  /** Option lookup over the provider's properties map — `getTable`
+    * receives the ORIGINAL-case option keys (asCaseSensitiveMap), so a
+    * user's `.option("fieldSpec", …)` must match case-insensitively. */
+  def optionIgnoreCase(props: java.util.Map[String, String], key: String): Option[String] =
+    props.asScala.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
   /** All data files with `ext` under `path`, recursive, staging hidden. */
   def listDataFiles(path: String, conf: Configuration, ext: String): Seq[Path] = {

@@ -17,6 +17,8 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
+import graft.functions.{FieldDirective, FieldSpec, RowBinaryEncode}
+
 /** DataSource V2 connector for ClickHouse-RowBinary files — the format
   * `graft_rowbinary` encodes (LE primitives, LEB128-length strings,
   * 0x01/0x00 null flags on nullable fields, int32-second DateTimes).
@@ -54,13 +56,17 @@ class RowBinarySource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new RowBinaryTable(schema, properties.get("path"))
+    new RowBinaryTable(schema, properties.get("path"),
+      ConnectorFiles.optionIgnoreCase(properties, "fieldspec").getOrElse(""))
 }
 
-private[sources] class RowBinaryTable(tableSchema: StructType, path: String)
+private[sources] class RowBinaryTable(tableSchema: StructType, path: String,
+    fieldSpec: String)
     extends Table with SupportsRead with SupportsWrite {
 
   require(path != null, "graft-rowbinary requires a path")
+  FieldSpec.check(tableSchema, FieldSpec.parse(fieldSpec))
+    .foreach(m => throw new IllegalArgumentException(s"graft-rowbinary: $m"))
 
   override def name(): String = s"graft-rowbinary:$path"
   override def schema(): StructType = tableSchema
@@ -80,7 +86,7 @@ private[sources] class RowBinaryTable(tableSchema: StructType, path: String)
             ConnectorFiles.restoreConf(ConnectorFiles.captureConf()), ".rowbinary")
           .map(f => RowBinaryPartition(f.toString): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        new RowBinaryReaderFactory(tableSchema, ConnectorFiles.captureConf())
+        new RowBinaryReaderFactory(tableSchema, fieldSpec, ConnectorFiles.captureConf())
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -88,7 +94,7 @@ private[sources] class RowBinaryTable(tableSchema: StructType, path: String)
       override def build(): Write = this
       override def toBatch: BatchWrite = this
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        new RowBinaryWriterFactory(path, tableSchema, ConnectorFiles.captureConf())
+        new RowBinaryWriterFactory(path, tableSchema, fieldSpec, ConnectorFiles.captureConf())
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         ConnectorFiles.deleteCommitted(
@@ -99,22 +105,23 @@ private[sources] class RowBinaryTable(tableSchema: StructType, path: String)
 
 private[sources] case class RowBinaryPartition(file: String) extends InputPartition
 
-private[sources] class RowBinaryReaderFactory(schema: StructType,
+private[sources] class RowBinaryReaderFactory(schema: StructType, fieldSpec: String,
     confProps: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RowBinaryReader(partition.asInstanceOf[RowBinaryPartition].file, schema,
-      ConnectorFiles.restoreConf(confProps))
+      fieldSpec, ConnectorFiles.restoreConf(confProps))
 }
 
 /** Streaming decoder — the byte-level inverse of RowBinaryEncode. */
 private[sources] class RowBinaryReader(file: String, schema: StructType,
-    conf: Configuration) extends PartitionReader[InternalRow] {
+    fieldSpec: String, conf: Configuration) extends PartitionReader[InternalRow] {
 
   private val in = {
     val p = new Path(file)
     new ByteReader(p.getFileSystem(conf).open(p), file)
   }
   private val fields = schema.fields
+  private val directives = FieldSpec.resolve(schema, FieldSpec.parse(fieldSpec))
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -127,7 +134,7 @@ private[sources] class RowBinaryReader(file: String, schema: StructType,
     while (i < fields.length) {
       val f = fields(i)
       if (probe == 1) row.update(i, null)
-      else if (probe == 0) row.update(i, decode(f.dataType, in.readByte()))
+      else if (probe == 0) row.update(i, decode(f.dataType, directives(i), in.readByte()))
       else throw new java.io.IOException(
         s"corrupt RowBinary in $file: null flag $probe for field ${f.name}")
       i += 1
@@ -138,22 +145,30 @@ private[sources] class RowBinaryReader(file: String, schema: StructType,
   }
 
   /** Decode one value; `first` is its already-consumed first byte. */
-  private def decode(t: DataType, first: Int): Any = {
+  private def decode(t: DataType, d: FieldDirective, first: Int): Any = {
     def le(nRest: Int): Long = in.readLEFirst(first, nRest)
-    t match {
-      case LongType => le(7)
-      case IntegerType => le(3).toInt
-      case ShortType => le(1).toShort
-      case ByteType => first.toByte
-      case DoubleType => java.lang.Double.longBitsToDouble(le(7))
-      case FloatType => java.lang.Float.intBitsToFloat(le(3).toInt)
-      case BooleanType => first != 0
-      case StringType =>
+    (t, d) match {
+      // FixedString(N): N raw bytes, trailing 0x00 padding stripped for
+      // strings (ClickHouse pads with zeros); BINARY fixed keeps all N
+      case (StringType, FieldDirective.Fixed(n, _)) =>
+        UTF8String.fromBytes(RowBinaryReader.stripTrailing(in.readBytesFirst(first, n), 0))
+      case (BinaryType, FieldDirective.Fixed(n, _)) => in.readBytesFirst(first, n)
+      // UUID: msb + lsb, each little-endian on the ClickHouse wire
+      case (StringType, FieldDirective.Uuid) =>
+        UTF8String.fromString(new UUID(le(7), in.readLE(8)).toString)
+      case (LongType, _) => le(7)
+      case (IntegerType, _) => le(3).toInt
+      case (ShortType, _) => le(1).toShort
+      case (ByteType, _) => first.toByte
+      case (DoubleType, _) => java.lang.Double.longBitsToDouble(le(7))
+      case (FloatType, _) => java.lang.Float.intBitsToFloat(le(3).toInt)
+      case (BooleanType, _) => first != 0
+      case (StringType, _) => // unbounded and varchar(N) share the wire shape
         UTF8String.fromBytes(in.readBytes(in.readLeb128First(first).toInt))
-      case BinaryType => in.readBytes(in.readLeb128First(first).toInt)
-      case TimestampType => le(3) * 1000000L // int32 epoch seconds → micros
-      case DateType => le(1).toInt // uint16 days
-      case other => throw new UnsupportedOperationException(s"graft-rowbinary read: $other")
+      case (BinaryType, _) => in.readBytes(in.readLeb128First(first).toInt)
+      case (TimestampType, _) => le(3) * 1000000L // int32 epoch seconds → micros
+      case (DateType, _) => le(1).toInt // uint16 days
+      case (other, _) => throw new UnsupportedOperationException(s"graft-rowbinary read: $other")
     }
   }
 
@@ -161,10 +176,19 @@ private[sources] class RowBinaryReader(file: String, schema: StructType,
   override def close(): Unit = in.close()
 }
 
+private[sources] object RowBinaryReader {
+  def stripTrailing(bytes: Array[Byte], pad: Int): Array[Byte] = {
+    var end = bytes.length
+    while (end > 0 && bytes(end - 1) == pad.toByte) end -= 1
+    if (end == bytes.length) bytes else java.util.Arrays.copyOfRange(bytes, 0, end)
+  }
+}
+
 private[sources] class RowBinaryWriterFactory(path: String, schema: StructType,
-    confProps: Array[(String, String)]) extends DataWriterFactory {
+    fieldSpec: String, confProps: Array[(String, String)]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new RowBinaryWriter(path, schema, partitionId, ConnectorFiles.restoreConf(confProps))
+    new RowBinaryWriter(path, schema, fieldSpec, partitionId,
+      ConnectorFiles.restoreConf(confProps))
 }
 
 private[sources] case class RowBinaryCommit(file: String) extends WriterCommitMessage
@@ -173,8 +197,11 @@ private[sources] case class RowBinaryCommit(file: String) extends WriterCommitMe
   * buffering), encoded with the SAME byte helpers as the
   * `graft_rowbinary` expression — single source of truth for the
   * format. */
-private[sources] class RowBinaryWriter(path: String, schema: StructType, partitionId: Int,
+private[sources] class RowBinaryWriter(path: String, schema: StructType,
+    fieldSpec: String, partitionId: Int,
     conf: Configuration) extends DataWriter[InternalRow] {
+
+  private val directives = FieldSpec.resolve(schema, FieldSpec.parse(fieldSpec))
 
   private val file = new Path(path, f"part-$partitionId%05d-${UUID.randomUUID()}.rowbinary")
   private val fs = file.getFileSystem(conf)
@@ -189,7 +216,7 @@ private[sources] class RowBinaryWriter(path: String, schema: StructType, partiti
     var i = 0
     while (i < fields.length) {
       if (row.isNullAt(i)) rowBuf.write(1)
-      else { rowBuf.write(0); graft.functions.RowBinaryEncode.writeValue(rowBuf, fields(i).dataType, row, i) }
+      else { rowBuf.write(0); RowBinaryEncode.writeValue(rowBuf, fields(i).dataType, row, i, directives(i)) }
       i += 1
     }
     rowBuf.writeTo(out)

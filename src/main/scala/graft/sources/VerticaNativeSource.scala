@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.VerticaNativeEncode
+import graft.functions.{FieldDirective, FieldSpec, VerticaNativeEncode}
 
 /** DataSource V2 connector for Vertica native binary files — the format
   * `graft_verticarow` frames (file header with magic + column widths,
@@ -37,13 +37,17 @@ class VerticaNativeSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new VerticaNativeTable(schema, properties.get("path"))
+    new VerticaNativeTable(schema, properties.get("path"),
+      ConnectorFiles.optionIgnoreCase(properties, "fieldspec").getOrElse(""))
 }
 
-private[sources] class VerticaNativeTable(tableSchema: StructType, path: String)
+private[sources] class VerticaNativeTable(tableSchema: StructType, path: String,
+    fieldSpec: String)
     extends Table with SupportsRead with SupportsWrite {
 
   require(path != null, "graft-vertica-native requires a path")
+  FieldSpec.check(tableSchema, FieldSpec.parse(fieldSpec))
+    .foreach(m => throw new IllegalArgumentException(s"graft-vertica-native: $m"))
 
   override def name(): String = s"graft-vertica-native:$path"
   override def schema(): StructType = tableSchema
@@ -60,7 +64,7 @@ private[sources] class VerticaNativeTable(tableSchema: StructType, path: String)
             ConnectorFiles.restoreConf(ConnectorFiles.captureConf()), ".vnative")
           .map(f => VerticaNativePartition(f.toString): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        new VerticaNativeReaderFactory(tableSchema, ConnectorFiles.captureConf())
+        new VerticaNativeReaderFactory(tableSchema, fieldSpec, ConnectorFiles.captureConf())
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -68,7 +72,7 @@ private[sources] class VerticaNativeTable(tableSchema: StructType, path: String)
       override def build(): Write = this
       override def toBatch: BatchWrite = this
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        new VerticaNativeWriterFactory(path, tableSchema, ConnectorFiles.captureConf())
+        new VerticaNativeWriterFactory(path, tableSchema, fieldSpec, ConnectorFiles.captureConf())
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         ConnectorFiles.deleteCommitted(
@@ -79,22 +83,23 @@ private[sources] class VerticaNativeTable(tableSchema: StructType, path: String)
 
 private[sources] case class VerticaNativePartition(file: String) extends InputPartition
 
-private[sources] class VerticaNativeReaderFactory(schema: StructType,
+private[sources] class VerticaNativeReaderFactory(schema: StructType, fieldSpec: String,
     confProps: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new VerticaNativeReader(partition.asInstanceOf[VerticaNativePartition].file, schema,
-      ConnectorFiles.restoreConf(confProps))
+      fieldSpec, ConnectorFiles.restoreConf(confProps))
 }
 
 /** Streaming decoder — the inverse of VerticaNativeEncode's framing. */
 private[sources] class VerticaNativeReader(file: String, schema: StructType,
-    conf: Configuration) extends PartitionReader[InternalRow] {
+    fieldSpec: String, conf: Configuration) extends PartitionReader[InternalRow] {
 
   private val in = {
     val p = new Path(file)
     new ByteReader(p.getFileSystem(conf).open(p), file)
   }
   private val fields = schema.fields
+  private val directives = FieldSpec.resolve(schema, FieldSpec.parse(fieldSpec))
   private val nBitBytes = (fields.length + 7) / 8
   private var current: InternalRow = _
 
@@ -122,7 +127,7 @@ private[sources] class VerticaNativeReader(file: String, schema: StructType,
       val off = 5 + 4 * i
       val w = (header(off) & 0xff) | ((header(off + 1) & 0xff) << 8) |
         ((header(off + 2) & 0xff) << 16) | ((header(off + 3) & 0xff) << 24)
-      val expect = VerticaNativeEncode.staticSize(fields(i).dataType)
+      val expect = VerticaNativeEncode.staticSize(fields(i).dataType, directives(i))
       if (w != expect)
         throw new java.io.IOException(
           s"$file column ${fields(i).name}: stored width $w, schema type " +
@@ -141,27 +146,35 @@ private[sources] class VerticaNativeReader(file: String, schema: StructType,
     while (i < fields.length) {
       val isNull = (bits(i / 8) & (1 << (8 - (i % 8) - 1))) != 0
       if (isNull) row.update(i, null)
-      else row.update(i, decode(fields(i).dataType))
+      else row.update(i, decode(fields(i).dataType, directives(i)))
       i += 1
     }
     current = row
     true
   }
 
-  private def decode(t: DataType): Any = t match {
-    case LongType => in.readLE(8)
-    case IntegerType => in.readLE(8).toInt // Vertica INTEGER = 8 bytes
-    case ShortType => in.readLE(8).toShort
-    case ByteType => in.readLE(8).toByte
-    case DoubleType => java.lang.Double.longBitsToDouble(in.readLE(8))
-    case FloatType => // stored as 8-byte double
+  private def decode(t: DataType, d: FieldDirective): Any = (t, d) match {
+    // CHAR(N): N raw bytes, trailing space padding stripped; BINARY(N)
+    // keeps all N zero-padded bytes
+    case (StringType, FieldDirective.Fixed(n, _)) =>
+      UTF8String.fromBytes(RowBinaryReader.stripTrailing(in.readBytes(n), ' '))
+    case (BinaryType, FieldDirective.Fixed(n, _)) => in.readBytes(n)
+    // UUID: msb + lsb, big-endian on the Vertica wire
+    case (StringType, FieldDirective.Uuid) =>
+      UTF8String.fromString(new java.util.UUID(in.readBE(8), in.readBE(8)).toString)
+    case (LongType, _) => in.readLE(8)
+    case (IntegerType, _) => in.readLE(8).toInt // Vertica INTEGER = 8 bytes
+    case (ShortType, _) => in.readLE(8).toShort
+    case (ByteType, _) => in.readLE(8).toByte
+    case (DoubleType, _) => java.lang.Double.longBitsToDouble(in.readLE(8))
+    case (FloatType, _) => // stored as 8-byte double
       java.lang.Double.longBitsToDouble(in.readLE(8)).toFloat
-    case BooleanType => in.readByte() != 0
-    case StringType => UTF8String.fromBytes(in.readBytes(in.readLE(4).toInt))
-    case BinaryType => in.readBytes(in.readLE(4).toInt)
-    case TimestampType => in.readLE(8) + VerticaNativeEncode.VerticaEpochMicros
-    case DateType => (in.readLE(8) + VerticaNativeEncode.VerticaEpochDays).toInt
-    case other => throw new UnsupportedOperationException(s"graft-vertica-native read: $other")
+    case (BooleanType, _) => in.readByte() != 0
+    case (StringType, _) => UTF8String.fromBytes(in.readBytes(in.readLE(4).toInt))
+    case (BinaryType, _) => in.readBytes(in.readLE(4).toInt)
+    case (TimestampType, _) => in.readLE(8) + VerticaNativeEncode.VerticaEpochMicros
+    case (DateType, _) => (in.readLE(8) + VerticaNativeEncode.VerticaEpochDays).toInt
+    case (other, _) => throw new UnsupportedOperationException(s"graft-vertica-native read: $other")
   }
 
   override def get(): InternalRow = current
@@ -169,23 +182,27 @@ private[sources] class VerticaNativeReader(file: String, schema: StructType,
 }
 
 private[sources] class VerticaNativeWriterFactory(path: String, schema: StructType,
-    confProps: Array[(String, String)]) extends DataWriterFactory {
+    fieldSpec: String, confProps: Array[(String, String)]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new VerticaNativeWriter(path, schema, partitionId, ConnectorFiles.restoreConf(confProps))
+    new VerticaNativeWriter(path, schema, fieldSpec, partitionId,
+      ConnectorFiles.restoreConf(confProps))
 }
 
 private[sources] case class VerticaNativeCommit(file: String) extends WriterCommitMessage
 
 /** One `.vnative` file per task: header once, then framed rows encoded
   * with the SAME writers as the `graft_verticarow` expression. */
-private[sources] class VerticaNativeWriter(path: String, schema: StructType, partitionId: Int,
+private[sources] class VerticaNativeWriter(path: String, schema: StructType,
+    fieldSpec: String, partitionId: Int,
     conf: Configuration) extends DataWriter[InternalRow] {
+
+  private val directives = FieldSpec.resolve(schema, FieldSpec.parse(fieldSpec))
 
   private val file = new Path(path, f"part-$partitionId%05d-${UUID.randomUUID()}.vnative")
   private val fs = file.getFileSystem(conf)
   private lazy val out = {
     val os = new BufferedOutputStream(fs.create(file, false), 1 << 16)
-    os.write(VerticaNativeEncode.fileHeader(schema))
+    os.write(VerticaNativeEncode.fileHeader(schema, fieldSpec))
     os
   }
   private val bodyBuf = new java.io.ByteArrayOutputStream(256)
@@ -201,7 +218,7 @@ private[sources] class VerticaNativeWriter(path: String, schema: StructType, par
     var i = 0
     while (i < fields.length) {
       if (row.isNullAt(i)) bits(i / 8) = (bits(i / 8) | (1 << (8 - (i % 8) - 1))).toByte
-      else VerticaNativeEncode.writeValue(bodyBuf, fields(i).dataType, row, i)
+      else VerticaNativeEncode.writeValue(bodyBuf, fields(i).dataType, row, i, directives(i))
       i += 1
     }
     graft.functions.BinaryRowWriters.writeLE(headBuf, bodyBuf.size().toLong, 4)

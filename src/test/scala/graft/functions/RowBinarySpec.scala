@@ -66,6 +66,47 @@ class RowBinarySpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     encodeHex(df, "struct(d)") shouldBe "000000000000F03F"
   }
 
+  it should "truncate bounded varchar at the byte budget and char boundary" in {
+    import spark.implicits._
+    // plain truncation: 6 bytes into varchar(4) → LEB len 04 + "abcd"
+    encodeHex(Seq(Tuple1("abcdef")).toDF("s"), "struct(s), 's:varchar(4)'") shouldBe
+      "00" + "04" + "61626364"
+    // UTF-8 boundary: "aé" = 61 C3A9; a 2-byte budget cannot split é → "a"
+    encodeHex(Seq(Tuple1("aé")).toDF("s"), "struct(s), 's:varchar(2)'") shouldBe
+      "00" + "01" + "61"
+    // truncate=false (the ! form) fails loudly when the value does not fit
+    val ex = intercept[Throwable] {
+      encodeHex(Seq(Tuple1("abcdef")).toDF("s"), "struct(s), 's:varchar(4)!'")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    msgs(ex).exists(_.contains("does not fit")) shouldBe true
+  }
+
+  it should "encode FixedString(N) zero-padded with no length prefix" in {
+    import spark.implicits._
+    encodeHex(Seq(Tuple1("ab")).toDF("s"), "struct(s), 's:fixed(4)'") shouldBe
+      "00" + "61620000"
+  }
+
+  it should "encode UUIDs as msb+lsb little-endian (ClickHouse wire)" in {
+    import spark.implicits._
+    val df = Seq(Tuple1("00112233-4455-6677-8899-aabbccddeeff")).toDF("u")
+    encodeHex(df, "struct(u), 'u:uuid'") shouldBe
+      "00" + "7766554433221100" + "FFEEDDCCBBAA9988"
+  }
+
+  it should "reject field specs naming unknown fields or wrong types" in {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    intercept[Throwable] {
+      Seq(Tuple1("x")).toDF("s").selectExpr("graft_rowbinary(struct(s), 'zz:uuid')").collect()
+    }
+    intercept[Throwable] {
+      Seq(Tuple1(1L)).toDF("l").selectExpr("graft_rowbinary(struct(l), 'l:varchar(4)')").collect()
+    }
+  }
+
   it should "produce identical bytes from the interpreted and codegen paths" in {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -51,6 +51,30 @@ class VerticaNativeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
     encodeHex(df, "struct(t)") shouldBe "08000000" + "00" + "40420F0000000000"
   }
 
+  it should "bound VARCHAR(N), pad CHAR(N) with spaces and encode UUIDs big-endian" in {
+    import spark.implicits._
+    // varchar(4): int32 len 4 + "abcd" → body 8 bytes
+    encodeHex(Seq(Tuple1("abcdef")).toDF("s"), "struct(s), 's:varchar(4)'") shouldBe
+      "08000000" + "00" + "04000000" + "61626364"
+    // CHAR(4): no prefix, space padding (Vertica pads CHAR with ' ')
+    encodeHex(Seq(Tuple1("ab")).toDF("s"), "struct(s), 's:fixed(4)'") shouldBe
+      "04000000" + "00" + "61622020"
+    // UUID: 16 bytes, msb then lsb, big-endian on the Vertica wire
+    val df = Seq(Tuple1("00112233-4455-6677-8899-aabbccddeeff")).toDF("u")
+    encodeHex(df, "struct(u), 'u:uuid'") shouldBe
+      "10000000" + "00" + "0011223344556677" + "8899AABBCCDDEEFF"
+  }
+
+  it should "report fixed/uuid column widths in the file header" in {
+    val schema = StructType(Seq(
+      StructField("u", StringType), StructField("c", StringType),
+      StructField("s", StringType)))
+    val header = VerticaNativeEncode.fileHeader(schema, "u:uuid, c:fixed(5)")
+    val widths = header.takeRight(12).grouped(4).map(b =>
+      (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)).toSeq
+    widths shouldBe Seq(16, 5, -1)
+  }
+
   it should "produce identical bytes from the interpreted and codegen paths" in {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.expressions.Literal

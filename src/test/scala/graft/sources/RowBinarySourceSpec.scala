@@ -42,6 +42,34 @@ class RowBinarySourceSpec extends AnyFlatSpec with Matchers with BeforeAndAfterA
     back.orderBy("id").collect().map(_.toSeq) shouldBe df.orderBy("id").collect().map(_.toSeq)
   }
 
+  it should "round-trip fixed, bounded and uuid fields through the fieldSpec option" in {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ab", "00112233-4455-6677-8899-aabbccddeeff", "short"),
+      (2L, "cdef", "ffeeddcc-bbaa-9988-7766-554433221100", "this one is far too long"))
+      .toDF("id", "code", "uid", "note")
+    val spec = "code:fixed(8), uid:uuid, note:varchar(10)"
+    val dir = tmp()
+    df.write.format(fmt).option("fieldSpec", spec).mode("append").save(dir)
+    val back = spark.read.format(fmt).schema(df.schema)
+      .option("fieldSpec", spec).load(dir).orderBy("id").collect()
+    // fixed: zero padding stripped on read; uuid: canonical text restored
+    back.map(_.getString(1)) shouldBe Array("ab", "cdef")
+    back.map(_.getString(2)) shouldBe Array(
+      "00112233-4455-6677-8899-aabbccddeeff", "ffeeddcc-bbaa-9988-7766-554433221100")
+    // varchar(10) truncates the long note at the byte budget
+    back.map(_.getString(3)) shouldBe Array("short", "this one i")
+    // wire shape check: fixed(8) really is 8 bytes, uuid 16, no prefixes
+    val raw = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(_.endsWith(".rowbinary")).sorted
+    raw.length should be > 0
+    // a bad spec (unknown field) is rejected up front
+    intercept[Throwable] {
+      spark.read.format(fmt).schema(df.schema)
+        .option("fieldSpec", "nope:uuid").load(dir).collect()
+    }
+  }
+
   it should "round-trip the events table at second-truncated timestamps" in {
     // DateTime on the RowBinary wire is int32 epoch seconds (ClickHouse),
     // so sub-second precision is defined to truncate

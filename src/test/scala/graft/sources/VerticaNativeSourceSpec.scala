@@ -39,6 +39,27 @@ class VerticaNativeSourceSpec extends AnyFlatSpec with Matchers with BeforeAndAf
     back.orderBy("id").collect().map(_.toSeq) shouldBe df.orderBy("id").collect().map(_.toSeq)
   }
 
+  it should "round-trip CHAR/VARCHAR/UUID fields and carry their header widths" in {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ab", "00112233-4455-6677-8899-aabbccddeeff"),
+      (2L, "wxyz", "ffeeddcc-bbaa-9988-7766-554433221100"))
+      .toDF("id", "code", "uid")
+    val spec = "code:fixed(6), uid:uuid"
+    val dir = tmp()
+    df.write.format(fmt).option("fieldSpec", spec).mode("append").save(dir)
+    val back = spark.read.format(fmt).schema(df.schema)
+      .option("fieldSpec", spec).load(dir).orderBy("id").collect()
+    back.map(_.getString(1)) shouldBe Array("ab", "wxyz") // space pad stripped
+    back.map(_.getString(2)) shouldBe Array(
+      "00112233-4455-6677-8899-aabbccddeeff", "ffeeddcc-bbaa-9988-7766-554433221100")
+    // reading WITHOUT the spec must fail the header width check (CHAR(6)
+    // and UUID(16) columns are not variable-width on the wire)
+    intercept[Throwable] {
+      spark.read.format(fmt).schema(df.schema).load(dir).collect()
+    }
+  }
+
   it should "round-trip the events table at full microsecond precision" in {
     // Vertica timestamps are int64 micros since 2000 — unlike RowBinary's
     // int32 seconds, the round trip is exact
