@@ -27,6 +27,12 @@ object Similarity {
       .withColumn("nrm", l2norm(col("e")))
   }
 
+  /** Query-side adapter for the bench/oracle ids: every 4th corpus
+    * vector, shaped (query_id, qe, qn). */
+  private def defaultQueries(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+
   private val vectorsCte: String =
     """v AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
@@ -42,9 +48,19 @@ object Similarity {
     * pair. The rank window afterwards only sees k×queries rows. */
   def annBruteforce: Q = (s, d) => {
     val v = vectors(s, d)
-    val q = v.filter(col("vec_id") % 4 === 0)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
-    val scored = v.crossJoin(broadcast(q))
+    annBruteforceFor(v, defaultQueries(v))
+  }
+
+  /** General form. CONTRACT: `queries` (query_id, qe, qn) is the SMALL
+    * side — it is broadcast whole to every executor, so it must fit in
+    * executor memory (≲ a few hundred MB of vectors; the testdata
+    * adapter's 25% slice is already past what a production caller should
+    * pass). The corpus side stays partitioned at any scale; if the query
+    * set grows with the corpus, this operator is the wrong tool — use the
+    * keyed [[annLshFor]]/[[annIvfFor]] paths and keep nprobe bounded, or
+    * self-join on bucket keys instead of broadcasting. */
+  def annBruteforceFor(v: DataFrame, queries: DataFrame): DataFrame = {
+    val scored = v.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
     val top = graft.plans.TopKPerGroup.transform(scored,
@@ -76,16 +92,24 @@ object Similarity {
     * triples recall on isotropic vectors (measured in OperatorsSpec)
     * while keeping the join keyed and the pruning ~3×. */
   def annLsh: Q = (s, d) => {
+    val v = vectors(s, d)
+    annLshFor(v, defaultQueries(v))
+  }
+
+  /** General form. CONTRACT: `queries` (query_id, qe, qn) is broadcast
+    * (×5 after multi-probe explosion) — small side only; the corpus
+    * stays partitioned and only its probed buckets are scored. */
+  def annLshFor(vIn: DataFrame, queries: DataFrame): DataFrame = {
     val dims = Seq(1, 8, 22, 43)
-    val v = vectors(s, d).withColumn("sig", signBucket(col("e"), dims))
+    val v = vIn.withColumn("sig", signBucket(col("e"), dims))
+    val qsig0 = signBucket(col("qe"), dims)
     val flip = (i: Int) => concat(
-      substring(col("sig"), 1, i),
-      when(substring(col("sig"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
-      substring(col("sig"), i + 2, dims.length - i - 1))
-    val probeSigs = array(col("sig") +: dims.indices.map(flip): _*)
-    val q = v.filter(col("vec_id") % 4 === 0)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("nrm").as("qn"), explode(probeSigs).as("qsig"))
+      substring(qsig0, 1, i),
+      when(substring(qsig0, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(qsig0, i + 2, dims.length - i - 1))
+    val probeSigs = array(qsig0 +: dims.indices.map(flip): _*)
+    val q = queries.select(col("query_id"), col("qe"), col("qn"),
+      explode(probeSigs).as("qsig"))
     val scored = v.join(broadcast(q),
         col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
@@ -128,9 +152,17 @@ object Similarity {
     * the corpus, and nprobe bounds per-query work regardless of corpus
     * size. Top-k via TopKPerGroup (bounded heaps). */
   def annIvf: Q = (s, d) => {
+    val v = vectors(s, d)
+    annIvfFor(v, defaultQueries(v))
+  }
+
+  /** General form. CONTRACT: `queries` (query_id, qe, qn) is broadcast
+    * twice (centroid probing + candidate scoring) — small side only.
+    * Corpus cell assignment is corpus-partitioned and nprobe bounds
+    * per-query candidate work regardless of corpus size. */
+  def annIvfFor(v: DataFrame, queries: DataFrame): DataFrame = {
     val nCentroids = 16
     val nProbe = 4
-    val v = vectors(s, d)
     val cents = v.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
     // top-1 cell per vector as an ARGMAX AGGREGATION, not a sort window:
@@ -146,13 +178,12 @@ object Similarity {
         max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
     // top-nProbe cells per query via the bounded-heap TopKPerGroup
     val probes = {
-      val scored = v.filter(col("vec_id") % 4 === 0)
-        .select(col("vec_id").as("query_id"), col("e"), col("nrm"))
+      val scored = queries
         .crossJoin(broadcast(cents))
-        .withColumn("ccos", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("ccos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       graft.plans.TopKPerGroup.transform(scored,
         Seq(col("query_id")), Seq(col("ccos").desc, col("cid").asc), nProbe)
-        .select(col("query_id"), col("e").as("qe"), col("nrm").as("qn"), col("cid").as("cell"))
+        .select(col("query_id"), col("qe"), col("qn"), col("cid").as("cell"))
     }
     val scored = assigned.join(broadcast(probes),
         assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
@@ -207,8 +238,15 @@ object Similarity {
     * broadcast join on the tiny query LUTs, both top-k stages run on
     * TopKPerGroup bounded heaps. */
   def annPq: Q = (s, d) => {
-    val m = 8; val subDim = 8; val k = 16
     val v = vectors(s, d)
+    annPqFor(v, defaultQueries(v))
+  }
+
+  /** General form. CONTRACT: `queries` (query_id, qe, qn) is broadcast as
+    * per-query LUTs (128 doubles each) and again for the exact re-rank —
+    * small side only. Corpus codes stay partitioned (8 B/vector). */
+  def annPqFor(v: DataFrame, queries: DataFrame): DataFrame = {
+    val m = 8; val subDim = 8; val k = 16
     val cents = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
     def sl(c: Column, j: Int) = slice(c, j * subDim + 1, subDim)
@@ -234,8 +272,7 @@ object Similarity {
     val lutEntries = array((0 until m).map { j =>
       struct(lit(j).as("j"), col("cid"), dot(sl(col("qe"), j), sl(col("ce"), j)).as("val"))
     }: _*)
-    val luts = v.filter(col("vec_id") % 4 === 0)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val luts = queries
       .crossJoin(broadcast(cents))
       .select(col("query_id"), col("qn"), explode(lutEntries).as("le"))
       .groupBy(col("query_id"))
@@ -252,8 +289,8 @@ object Similarity {
     val shortlist = graft.plans.TopKPerGroup.transform(scored,
       Seq(col("query_id")), Seq(col("approx_cos").desc, col("vec_id").asc), 50)
     // exact re-rank of the 50-candidate shortlist (queries broadcast)
-    val qv = v.filter(col("vec_id") % 4 === 0)
-      .select(col("vec_id").as("qid2"), col("e").as("qe2"), col("nrm").as("qn2"))
+    val qv = queries
+      .select(col("query_id").as("qid2"), col("qe").as("qe2"), col("qn").as("qn2"))
     val cand = shortlist.select(col("query_id"), col("vec_id").as("cand_id"))
       .join(broadcast(qv), col("query_id") === col("qid2"))
     val exact = v.join(broadcast(cand), col("vec_id") === col("cand_id"))
