@@ -75,6 +75,26 @@ class VerticaNativeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
     widths shouldBe Seq(16, 5, -1)
   }
 
+  it should "keep interpreted/codegen parity for varchar, fixed and uuid directives" in {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("v", StringType, nullable = true),
+      StructField("f", StringType, nullable = true),
+      StructField("u", StringType, nullable = true)))
+    val spec = "v:varchar(4), f:fixed(6), u:uuid"
+    val row = Row("abcdéf", "xy", "00112233-4455-6677-8899-aabbccddeeff")
+    val interpreted = VerticaNativeEncode(Literal.create(row, schema), spec)
+      .eval(null).asInstanceOf[Array[Byte]]
+    graft.plans.GraftFunctions.register(spark)
+    val viaCodegen = Seq(("abcdéf", "xy", "00112233-4455-6677-8899-aabbccddeeff"))
+      .toDF("v", "f", "u")
+      .selectExpr(s"graft_verticarow(struct(v, f, u), '$spec') AS b")
+      .collect()(0).getAs[Array[Byte]]("b")
+    viaCodegen shouldBe interpreted
+  }
+
   it should "produce identical bytes from the interpreted and codegen paths" in {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.expressions.Literal
