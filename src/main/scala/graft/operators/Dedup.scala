@@ -287,18 +287,34 @@ object Dedup {
   // ---- embedding near-dup ------------------------------------------------
 
   /** Embedding-cosine near-dup: sign-bucket (4 bits) candidate generation,
-    * then exact cosine within buckets; pairs above threshold survive. */
+    * then exact cosine within buckets; pairs above threshold survive.
+    * The oracle-pinned query uses dims 1–4 on the test corpus; see
+    * [[ddEmbedCosFor]] for the corpus-scaled form. */
   def ddEmbedCos: Q = (s, d) => {
     graft.plans.GraftFunctions.register(s)
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").as("e"))
+    ddEmbedCosFor(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("e")),
+      Seq(1, 2, 3, 4), 0.25)
+  }
+
+  /** General form. `sigDims` picks the sign-hash dimensions; bucket count
+    * is 2^bits, and within-bucket pair work is O((n/2^bits)²) per bucket,
+    * so SCALE BITS WITH THE CORPUS: bits ≈ log2(n / targetBucketSize)
+    * keeps expected bucket sizes (and executor memory/runtime per bucket)
+    * constant as n grows — a fixed 4-bit sig that is fine at 10^5 vectors
+    * is quadratic death at 10^9. More bits trade recall (true near-dup
+    * pairs that straddle a flipped sign land in different buckets); for
+    * high-threshold near-dup detection the loss stays small because
+    * near-identical vectors agree on nearly all signs. */
+  def ddEmbedCosFor(vectors: DataFrame, sigDims: Seq[Int], threshold: Double): DataFrame = {
+    val v = vectors
       .withColumn("nrm", l2norm(col("e")))
-      .withColumn("sig", signBucket(col("e"), Seq(1, 2, 3, 4)))
+      .withColumn("sig", signBucket(col("e"), sigDims))
     val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"), col("sig"))
     val b = v.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"), col("sig").as("sigb"))
     a.join(b, col("sig") === col("sigb") && col("vec_a") < col("vec_b"))
       .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
-      .filter(col("cos") > 0.25)
+      .filter(col("cos") > threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
