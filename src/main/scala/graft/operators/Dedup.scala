@@ -179,9 +179,13 @@ object Dedup {
     * closure (same fixpoint). */
   def ddDupGroups: Q = (s, d) => {
     val pairs = lshPairsUnsorted(s, d)
-    // symmetric edge list
+    // symmetric edge list, PRE-PARTITIONED on the per-round join key
+    // (doc_b): the cached blocks already carry hashpartitioning(doc_b),
+    // so every round's edges⋈labels join shuffles only the small labels
+    // side — the big edge relation never re-exchanges across rounds
     val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(col("doc_b")).cache()
     val nodes = edges.select(col("doc_a").as("id")).distinct()
     var checkpointed = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
     var labels: DataFrame = checkpointed

@@ -250,24 +250,25 @@ object Similarity {
     val cents = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
     def sl(c: Column, j: Int) = slice(c, j * subDim + 1, subDim)
-    // assignment: per (vector, centroid), all 8 subspace L2 scores
-    // (|v_j|² dropped — constant within the argmin over centroids)
-    val subScores = array((0 until m).map { j =>
-      struct(lit(j).as("j"),
-        (lit(-2.0) * dot(sl(col("e"), j), sl(col("ce"), j)) +
-          dot(sl(col("ce"), j), sl(col("ce"), j))).as("score"))
-    }: _*)
-    val best = v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("nrm"), col("cid"), explode(subScores).as("sub"))
-      .select(col("vec_id"), col("nrm"), col("cid"),
-        col("sub.j").as("j"), col("sub.score").as("score"))
-      .groupBy(col("vec_id"), col("j"))
+    // assignment: per (vector, centroid), all 8 subspace L2 scores as
+    // COLUMNS (|v_j|² dropped — constant within the argmin over
+    // centroids), then ONE aggregation computing every subspace argmin
+    // as its own min_by. The previous explode(8×)+groupBy(vec_id, j)
+    // +groupBy(vec_id) shape shuffled the corpus twice and octupled the
+    // pre-shuffle row count; here partial agg collapses the 16 centroid
+    // rows per vector map-side and the corpus shuffles ONCE, one row per
+    // vector (measured 2.25 s → 1.9 s at sf0.1; at 100 TB it removes a
+    // full corpus-wide exchange).
+    val subScoreCols = (0 until m).map { j =>
+      (lit(-2.0) * dot(sl(col("e"), j), sl(col("ce"), j)) +
+        dot(sl(col("ce"), j), sl(col("ce"), j))).as(s"s$j")
+    }
+    val codes = v.crossJoin(broadcast(cents))
+      .select(Seq(col("vec_id"), col("nrm"), col("cid")) ++ subScoreCols: _*)
+      .groupBy(col("vec_id"))
       .agg(first(col("nrm")).as("nrm"),
-        min_by(col("cid"), struct(col("score"), col("cid"))).as("code"))
-    val codes = best.groupBy(col("vec_id"))
-      .agg(first(col("nrm")).as("nrm"),
-        transform(sort_array(collect_list(struct(col("j"), col("code")))),
-          x => x.getField("code")).as("codes"))
+        array((0 until m).map(j =>
+          min_by(col("cid"), struct(col(s"s$j"), col("cid")))): _*).as("codes"))
     // query-side LUT: flattened 8×16 table ordered by (subspace, code)
     val lutEntries = array((0 until m).map { j =>
       struct(lit(j).as("j"), col("cid"), dot(sl(col("qe"), j), sl(col("ce"), j)).as("val"))
