@@ -107,6 +107,15 @@ class RowBinarySpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "encode a null in a directive-shaped field as the flag alone" in {
+    import spark.implicits._
+    // nullable varchar/fixed/uuid fields: 0x01 flag, NO payload bytes
+    encodeHex(Seq((1L, Option.empty[String])).toDF("l", "s"),
+      "struct(l, s), 's:fixed(4)'") shouldBe "0100000000000000" + "01"
+    encodeHex(Seq((1L, Option.empty[String])).toDF("l", "s"),
+      "struct(l, s), 's:uuid'") shouldBe "0100000000000000" + "01"
+  }
+
   it should "keep interpreted/codegen parity for varchar, fixed and uuid directives" in {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.expressions.Literal
