@@ -135,15 +135,47 @@ object Pipeline {
       |ORDER BY vpos, source, doc_id
       |LIMIT 200""".stripMargin
 
+  /** Deterministic training-order shuffle WITHOUT a global sort: each
+    * document hashes to one of 8 shards (content-independent md5 — the
+    * same portable hex-parse as [[pipeSample]]), and its serving position
+    * is its rank under the hash order WITHIN the shard. A trainer reads
+    * shards round-robin for a reproducible pseudo-random permutation.
+    * The construction is a per-shard window (partitionBy shard), never a
+    * single global ORDER BY — at 100 TB shard count scales out and each
+    * shard sorts independently; a global `orderBy(rand())` shuffle would
+    * funnel the corpus through one range sort and not be reproducible. */
+  def pipeShuffle: Q = (s, d) => {
+    val h = md5s(concat(lit("shuffle|"), col("doc_id")))
+    val shard = conv(substring(col("h"), 1, 4), 16, 10).cast("long") % 8
+    Tables.documents(s, d)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val pipeShuffleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |sharded AS (
+      |  SELECT doc_id, h, CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 8 AS shard FROM h)
+      |SELECT doc_id, shard,
+      |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+      |FROM sharded ORDER BY shard, pos""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "pipe_curation" -> pipeCuration,
     "pipe_packing" -> pipePacking,
     "pipe_sample" -> pipeSample,
-    "pipe_interleave" -> pipeInterleave)
+    "pipe_interleave" -> pipeInterleave,
+    "pipe_shuffle" -> pipeShuffle)
 
   def oracleSql: Map[String, String] = Map(
     "pipe_curation" -> pipeCurationSql,
     "pipe_packing" -> pipePackingSql,
     "pipe_sample" -> pipeSampleSql,
-    "pipe_interleave" -> pipeInterleaveSql)
+    "pipe_interleave" -> pipeInterleaveSql,
+    "pipe_shuffle" -> pipeShuffleSql)
 }

@@ -197,13 +197,38 @@ object TextAnalysis {
       |SELECT lang, rnk, bigram, n FROM ranked WHERE rnk <= 5
       |ORDER BY lang, rnk""".stripMargin
 
+  /** Vocabulary statistics per ingest source: token volume, exact
+    * distinct-token count (vocabulary) and type-token ratio — the corpus
+    * health metrics a pipeline tracks per source to catch boilerplate
+    * floods (ratio collapses) or encoding junk (vocab explodes). Spark
+    * plans `countDistinct` as a two-phase aggregate (partial distinct per
+    * partition on (source, token), then merge), so the shuffle carries
+    * per-partition distinct tokens, not the exploded corpus. */
+  def taVocab: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("t")).as("vocab"),
+        round(countDistinct(col("t")) / count(lit(1)), 6).as("type_token_ratio"))
+      .orderBy(col("source"))
+
+  val taVocabSql: String =
+    """SELECT source, count(*) AS n_tokens, count(DISTINCT t) AS vocab,
+      |  round(count(DISTINCT t) / count(*), 6) AS type_token_ratio
+      |FROM (SELECT source,
+      |        unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS t
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ta_bpe_tokens" -> taBpeTokens,
     "ta_tokens" -> taTokens,
     "ta_quality" -> taQuality,
     "ta_langid" -> taLangid,
     "ta_fingerprint" -> taFingerprint,
-    "ta_ngram_freq" -> taNgramFreq)
+    "ta_ngram_freq" -> taNgramFreq,
+    "ta_vocab" -> taVocab)
 
   def oracleSql: Map[String, String] = Map(
     "ta_bpe_tokens" -> taBpeTokensSql,
@@ -211,5 +236,6 @@ object TextAnalysis {
     "ta_quality" -> taQualitySql,
     "ta_langid" -> taLangidSql,
     "ta_fingerprint" -> taFingerprintSql,
-    "ta_ngram_freq" -> taNgramFreqSql)
+    "ta_ngram_freq" -> taNgramFreqSql,
+    "ta_vocab" -> taVocabSql)
 }
