@@ -7,17 +7,32 @@ import graft.util.GraftMetrics
   * (reference: StreamLoader.scala wires source→sink with lifecycle;
   * here the Spark runtime owns lifecycle/commit, we wire and block).
   *
-  * Usage: runMain graft.LoaderApp <srcDir> <outDir> <checkpointDir> [sink]
+  * Usage: runMain graft.LoaderApp <srcDir> <outDir> <checkpointDir> [sink] [lookback]
   *   sink: files (default) | 2pc | indata | snapshot | rowbinary
+  *   lookback (indata sink only): offsets:<n> | duration:<iso8601, e.g. PT2H>
+  *     — rewind consumption on restart by n records / a duration per
+  *     partition (reference StreamInterval); re-deliveries land in a
+  *     replay epoch and collapse via InDataOffsetSink.readDeduped.
   *
   * Swap the file source for `format("kafka")` at deployment; everything
   * downstream is unchanged.
   */
 object LoaderApp {
 
+  private[graft] def parseLookback(s: String): streaming.StreamInterval = s.split(":", 2) match {
+    case Array("offsets", n) => streaming.StreamInterval.OffsetRange(n.toLong)
+    case Array("duration", d) => streaming.StreamInterval.WatermarkRange(java.time.Duration.parse(d))
+    case _ => throw new IllegalArgumentException(
+      s"lookback '$s': expected offsets:<n> or duration:<iso8601>")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, checkpointDir) = args.take(3)
     val sinkKind = args.lift(3).getOrElse("files")
+    val lookback = args.lift(4).map(parseLookback)
+      .getOrElse(streaming.StreamInterval.Current)
+    require(lookback == streaming.StreamInterval.Current || sinkKind == "indata",
+      "lookback requires the indata sink (epoch-addressed replay)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.create(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
@@ -25,7 +40,13 @@ object LoaderApp {
     val events = EventSource.fileStream(spark, srcDir, maxFilesPerTrigger = 64)
     val query = sinkKind match {
       case "2pc" => new Sinks.TwoPhaseCommitSink(outDir).attach(events, checkpointDir)
-      case "indata" => new Sinks.InDataOffsetSink(outDir).attach(events, checkpointDir)
+      case "indata" =>
+        streaming.GraftLoader.builder()
+          .source(streaming.GraftLoader.FileSource(srcDir, maxFilesPerTrigger = 64))
+          .sink(streaming.GraftLoader.InDataOffsets(outDir))
+          .checkpoint(checkpointDir)
+          .lookback(lookback)
+          .start(spark)
       case "snapshot" => new streaming.SnapshotTableSink(outDir).attach(events, checkpointDir)
       case "rowbinary" =>
         // exactly-once RowBinary epochs via the DSv2 connector (see

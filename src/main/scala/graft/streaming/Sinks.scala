@@ -353,6 +353,9 @@ object Sinks {
       val dest = new Path(outDir, name)
       if (fs.exists(dest)) fs.delete(dest, true) // unreachable unless max-id scan raced; defensive
       fs.rename(staging, dest) // the commit point
+      // drop the staging parent when empty (non-recursive delete refuses
+      // while another epoch is mid-stage)
+      try fs.delete(staging.getParent, false) catch { case _: java.io.IOException => () }
     }
   }
 }
