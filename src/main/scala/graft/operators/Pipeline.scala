@@ -144,10 +144,16 @@ object Pipeline {
     * single global ORDER BY — at 100 TB shard count scales out and each
     * shard sorts independently; a global `orderBy(rand())` shuffle would
     * funnel the corpus through one range sort and not be reproducible. */
-  def pipeShuffle: Q = (s, d) => {
+  def pipeShuffle: Q = (s, d) => pipeShuffleFor(Tables.documents(s, d), 8)
+
+  /** General form. SCALE THE SHARD COUNT WITH THE CORPUS: each shard is
+    * sorted by one task, so pick `nShards` ≈ corpus / (a few hundred MB)
+    * — at 100 TB that is tens of thousands of shards, keeping every sort
+    * partition-sized. The oracle-pinned query uses 8 on the test corpus. */
+  def pipeShuffleFor(docs: DataFrame, nShards: Int): DataFrame = {
     val h = md5s(concat(lit("shuffle|"), col("doc_id")))
-    val shard = conv(substring(col("h"), 1, 4), 16, 10).cast("long") % 8
-    Tables.documents(s, d)
+    val shard = conv(substring(col("h"), 1, 4), 16, 10).cast("long") % nShards
+    docs
       .select(col("doc_id"), h.as("h"))
       .withColumn("shard", shard)
       .withColumn("pos", row_number().over(
