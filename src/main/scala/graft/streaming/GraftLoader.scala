@@ -26,6 +26,25 @@ object GraftLoader {
     * kafka reader at deployment without touching the rest). */
   final case class FileSource(dir: String, maxFilesPerTrigger: Int = 1) extends Source
 
+  /** Kafka topic source — the reference's `source/KafkaSource.scala`
+    * surface (subscribe, start position, poll-size bound) on Structured
+    * Streaming's kafka connector, which owns the poll/rebalance/commit
+    * loop the reference implements by hand. `decode` maps the kafka wire
+    * record (key, value, topic, partition, offset, timestamp) to the
+    * event schema — the `RecordFormatter` seam; the default parses the
+    * value as JSON of [[EventSource.schema]].
+    *
+    * Deployment note: needs `spark-sql-kafka-0-10` on the classpath.
+    * This environment ships no kafka jars, so `start()` fails with
+    * Spark's data-source-not-found error (pinned in StreamingSpec) —
+    * everything downstream of the source is connector-agnostic. */
+  final case class KafkaTopic(
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      decode: DataFrame => DataFrame = Builder.jsonEventDecoder) extends Source
+
   sealed trait Sink
   /** Partitioned file sink (HDFS/S3 storage analog). */
   final case class PartitionedFiles(
@@ -44,6 +63,20 @@ object GraftLoader {
   final case class RowBinaryFiles(dir: String) extends Sink
 
   def builder(): Builder = Builder()
+
+  object Builder {
+    /** Default kafka decode: the record value is a JSON event
+      * ([[EventSource.schema]]); malformed values become null structs a
+      * downstream transform can filter (PERMISSIVE, like the reference's
+      * formatter surfacing decode failures instead of crashing the poll
+      * loop). */
+    val jsonEventDecoder: DataFrame => DataFrame = df => {
+      import org.apache.spark.sql.functions.{col, from_json}
+      df.select(from_json(col("value").cast("string"), EventSource.schema).as("r"))
+        .select((0 until EventSource.schema.length)
+          .map(i => col(s"r.${EventSource.schema(i).name}")): _*)
+    }
+  }
 
   final case class Builder(
       maybeSource: Option[Source] = None,
@@ -66,6 +99,13 @@ object GraftLoader {
       replayLookbackWindow(spark, src, snk)
       val events = transformFn(src match {
         case FileSource(dir, n) => EventSource.fileStream(spark, dir, n)
+        case KafkaTopic(servers, topic, startingOffsets, maxOffsets, decode) =>
+          val r = spark.readStream
+            .format("kafka")
+            .option("kafka.bootstrap.servers", servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", startingOffsets)
+          decode(maxOffsets.fold(r)(n => r.option("maxOffsetsPerTrigger", n)).load())
       })
       snk match {
         case PartitionedFiles(dir, fmt, comp, maxRec) =>
@@ -141,10 +181,11 @@ object GraftLoader {
             val replay = window.select(EventSource.schema.fieldNames.map(col(_)): _*)
             sink.writeReplayEpoch(transformFn(replay))
           }
-        case (_, _, other) =>
+        case (_, src2, other) =>
           throw new UnsupportedOperationException(
-            "lookback requires the epoch-addressed InDataOffsets sink " +
-              s"(atomic replay epoch + in-data dedup keys); got $other")
+            "lookback requires a re-readable source (FileSource) and the " +
+              "epoch-addressed InDataOffsets sink (atomic replay epoch + " +
+              s"in-data dedup keys); got source=$src2 sink=$other")
       }
     }
   }

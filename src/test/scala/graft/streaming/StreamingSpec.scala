@@ -340,6 +340,30 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "expose the kafka source seam and fail cleanly without the connector" in {
+    // this environment ships no kafka jars: building the stream must fail
+    // with Spark's data-source-not-found, not an opaque downstream error
+    val ex = intercept[Throwable] {
+      GraftLoader.builder()
+        .source(GraftLoader.KafkaTopic("broker:9092", "events",
+          maxOffsetsPerTrigger = Some(10000)))
+        .sink(GraftLoader.PartitionedFiles(tmp()))
+        .checkpoint(tmp())
+        .start(spark)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    msgs(ex).exists(m => m.toLowerCase.contains("kafka")) shouldBe true
+    // the default decoder maps a kafka-shaped batch to the event schema
+    import spark.implicits._
+    val wire = Seq(
+      ("""{"event_id":7,"ts":"2024-01-01T00:10:00Z","user_id":1,"event_type":"click","value":1.5,"props":"{}"}""")
+    ).toDF("value")
+    val decoded = GraftLoader.Builder.jsonEventDecoder(wire)
+    decoded.columns.toSeq shouldBe EventSource.schema.fieldNames.toSeq
+    decoded.select("event_id").as[Long].collect() shouldBe Array(7L)
+  }
+
   it should "load a stream into ClickHouse-RowBinary files end to end" in {
     import spark.implicits._
     val src = tmp()
