@@ -52,7 +52,11 @@ object BinaryRowWriters {
     else {
       var idx = maxBytes
       if ((bytes(idx) & 0xc0) == 0x80) { // inside a multi-byte char
-        do idx -= 1 while ((bytes(idx) & 0xc0) == 0x80)
+        while (idx > 0 && (bytes(idx) & 0xc0) == 0x80) idx -= 1
+        // invalid UTF-8 (continuation bytes all the way down): there is no
+        // character boundary to respect — cut at the raw byte budget
+        // rather than underflowing or dropping everything
+        if (idx == 0 && (bytes(0) & 0xc0) == 0x80) idx = maxBytes
       }
       idx
     }
@@ -101,6 +105,12 @@ object BinaryRowWriters {
     * (NativeVerticaPrimitiveTypeWriter.scala:64). */
   def writeUuid(out: ByteArrayOutputStream, s: String, littleEndian: Boolean): Unit = {
     val u = java.util.UUID.fromString(s)
+    // JDK fromString pads short hex groups ("1-2-3-4-5" parses), which
+    // would silently mutate malformed ids on the round trip — require the
+    // canonical 8-4-4-4-12 form (case-insensitive)
+    if (!u.toString.equalsIgnoreCase(s))
+      throw new IllegalArgumentException(
+        s"uuid field: '$s' is not in canonical 8-4-4-4-12 form")
     if (littleEndian) {
       writeLE(out, u.getMostSignificantBits, 8)
       writeLE(out, u.getLeastSignificantBits, 8)

@@ -44,9 +44,16 @@ object FieldSpec {
     else spec.split(",").map(_.trim).filter(_.nonEmpty).map { entry =>
       entry.split(":").map(_.trim) match {
         case Array(name, d) =>
+          def positive(n: String, what: String): Int = {
+            val v = n.toInt
+            if (v < 1) throw new IllegalArgumentException(
+              s"field spec: $what($v) for field '$name' — width must be >= 1 " +
+                "(a zero-width field would desync the byte stream)")
+            v
+          }
           val directive = d match {
-            case BoundedRe(n, bang) => Bounded(n.toInt, truncate = bang.isEmpty)
-            case FixedRe(n, bang) => Fixed(n.toInt, truncate = bang.isEmpty)
+            case BoundedRe(n, bang) => Bounded(positive(n, "varchar"), truncate = bang.isEmpty)
+            case FixedRe(n, bang) => Fixed(positive(n, "fixed"), truncate = bang.isEmpty)
             case "uuid" => Uuid
             case other => throw new IllegalArgumentException(
               s"field spec: unknown directive '$other' for field '$name' " +

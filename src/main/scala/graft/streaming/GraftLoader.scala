@@ -121,21 +121,14 @@ object GraftLoader {
             .trigger(Trigger.AvailableNow())
             .foreachBatch { (batch: DataFrame, id: Long) =>
               // exactly-once: stage the epoch, publish with one atomic
-              // rename; a replayed or half-written epoch is re-staged
-              // (same protocol as InDataOffsetSink)
+              // rename (shared Sinks.publish protocol); a replayed or
+              // half-written epoch is re-staged
               val fs = new Path(dir).getFileSystem(
                 batch.sparkSession.sparkContext.hadoopConfiguration)
-              val dest = new Path(dir, s"epoch=$id")
-              if (!fs.exists(dest)) {
-                val staging = new Path(dir, s"_staging/$id")
-                if (fs.exists(staging)) fs.delete(staging, true)
-                batch.write.format("graft.sources.RowBinarySource")
-                  .mode("append").save(staging.toString)
-                fs.mkdirs(dest.getParent)
-                fs.rename(staging, dest)
-                // drop the staging parent when empty (non-recursive
-                // delete refuses if another epoch is mid-stage)
-                try fs.delete(staging.getParent, false) catch { case _: java.io.IOException => () }
+              if (!fs.exists(new Path(dir, s"epoch=$id"))) {
+                Sinks.publish(fs, dir, s"epoch=$id")(staging =>
+                  batch.write.format("graft.sources.RowBinarySource")
+                    .mode("append").save(staging.toString))
               }
               () // foreachBatch wants a Unit-returning function
             }
@@ -161,8 +154,23 @@ object GraftLoader {
           val sink = new Sinks.InDataOffsetSink(dir)
           val maxId = sink.committedMaxBatchId(spark)
           if (maxId >= 0) {
+            // Committed positions come from the TRANSFORMED sink rows but
+            // select raw SOURCE records — the transform must therefore
+            // preserve the position columns (event_type/event_id/ts), the
+            // same invariant the reference imposes by keeping offsets on
+            // every formatted record. Checked up front so a renaming
+            // transform fails loudly at restart, not mid-plan. A partition
+            // the transform filters out ENTIRELY has no committed
+            // position and is deliberately not rewound (rewinding from
+            // "nothing committed" is ill-defined).
+            val committed = sink.read(spark)
+            val missing = Seq("event_type", "event_id", "ts")
+              .filterNot(committed.columns.contains(_))
+            if (missing.nonEmpty) throw new IllegalStateException(
+              s"lookback: committed data lacks position columns ${missing.mkString(", ")} " +
+                "— the loader transform must preserve event_type/event_id/ts for rewind")
             // committed position per partition, from the data itself
-            val pos = sink.read(spark)
+            val pos = committed
               .groupBy(col("event_type"))
               .agg(max(col("event_id")).as("_end"), max(col("ts")).as("_wm"))
             val upToCommitted = spark.read.schema(EventSource.schema).parquet(srcDir)

@@ -64,15 +64,20 @@ object Sinks {
     * open files reaches the single-file condition).
     *
     * Per epoch and per partition group (`event_type`), records are
-    * folded in offset order into consecutive commit batches: a batch
-    * closes once the records-or-bytes budget is consumed, byte sizes
-    * estimated from the CSV-encoded record (the reference counts encoded
-    * bytes too). Each batch lands as its own
+    * folded in offset order into CONSECUTIVE commit batches with the
+    * reference's reset-per-commit semantics: a batch accumulates until
+    * its OWN totals reach the byte/record budget (the crossing record
+    * stays, like a file growing past fileSize before rolling), then the
+    * counters reset for the next batch — overshoot never carries over.
+    * Byte sizes are estimated from the CSV-encoded record (the reference
+    * counts encoded bytes too). The fold runs as one sequential scan per
+    * partition group inside `mapPartitions` — exactly the reference's
+    * one-sinker-per-partition-group execution shape — after a shuffle
+    * that co-locates and orders each group. Each batch lands as its own
     * `group=<g>/commit=<k>/dt=<d>` directory tree with ONE file per
     * (commit, dt) — the multi-file batch — and the whole epoch publishes
     * with a single atomic rename (exactly-once on replay, same protocol
-    * as InDataOffsetSink). The fold is a prefix-sum window per group —
-    * fully distributed, no driver loop over batches.
+    * as InDataOffsetSink).
     *
     * Duration limits are trigger-owned in Spark (see [[ReachedAnyOf]]);
     * configure the trigger interval for wall-clock flushing. */
@@ -93,35 +98,59 @@ object Sinks {
         val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val dest = new Path(outDir, s"epoch_$epochId")
         if (!fs.exists(dest)) { // replayed epochs were already published atomically
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
           val line = concat_ws(",", batch.columns.map(c => col(c).cast("string")): _*)
           val sized = batch
             .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
-            .withColumn("_bytes", octet_length(line) + lit(1))
-            .withColumn("_rn", row_number().over(w))
-            .withColumn("_cum", sum(col("_bytes"))
-              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          // batch index advances when the budget was consumed BEFORE this
-          // record (the record that crosses the line stays in its batch,
-          // like a file that grows past fileSize before rolling)
-          val byRecords = maxRecords.map(n => floor((col("_rn") - 1) / n)).getOrElse(lit(0L))
-          val byBytes = maxBytes.map(b => floor((col("_cum") - col("_bytes")) / b)).getOrElse(lit(0L))
-          val withCommit = sized
-            .withColumn("commit", greatest(byRecords, byBytes).cast("long"))
-            .drop("_bytes", "_rn", "_cum")
+            .withColumn("_bytes", (octet_length(line) + lit(1)).cast("long"))
+            .repartition(col("event_type"))
+            .sortWithinPartitions(col("event_type"), col("event_id"))
+          val outSchema = sized.schema.add("commit", org.apache.spark.sql.types.LongType)
+          val groupIdx = sized.schema.fieldIndex("event_type")
+          val bytesIdx = sized.schema.fieldIndex("_bytes")
+          val maxB = maxBytes; val maxR = maxRecords
+          val withCommit = sized.mapPartitions { it =>
+            // reset-per-commit fold; state restarts on group change (a
+            // partition may hold several hash-co-located groups)
+            var group: String = null
+            var commit = 0L; var accBytes = 0L; var accRecords = 0L
+            it.map { row =>
+              val g = row.getString(groupIdx)
+              if (g != group) { group = g; commit = 0L; accBytes = 0L; accRecords = 0L }
+              accBytes += row.getLong(bytesIdx)
+              accRecords += 1
+              val c = commit
+              if (maxB.exists(accBytes >= _) || maxR.exists(accRecords >= _)) {
+                commit += 1L; accBytes = 0L; accRecords = 0L
+              }
+              Row.fromSeq(row.toSeq :+ c)
+            }
+          }(org.apache.spark.sql.Encoders.row(outSchema))
+            .drop("_bytes")
             .withColumnRenamed("event_type", "group")
-          val staging = new Path(outDir, s"_staging/$epochId")
-          withCommit
-            .repartition(col("group"), col("commit")) // one writer per commit batch
-            .write.partitionBy("group", "commit", "dt")
-            .mode("overwrite").parquet(staging.toString)
-          fs.mkdirs(dest.getParent)
-          fs.rename(staging, dest) // the commit point
-          try fs.delete(staging.getParent, false) catch { case _: java.io.IOException => () }
+          publish(fs, outDir, s"epoch_$epochId") { staging =>
+            withCommit
+              .write.partitionBy("group", "commit", "dt")
+              .mode("overwrite").parquet(staging.toString)
+          }
         }
         ()
       }
+  }
+
+  /** Shared commit-point protocol: stage under `_staging/<name>` (hidden
+    * from readers — Spark's file index skips underscore paths), publish
+    * with ONE atomic rename, then drop the staging parent when empty
+    * (non-recursive delete refuses while another epoch is mid-stage). */
+  private[streaming] def publish(fs: org.apache.hadoop.fs.FileSystem, outDir: String,
+      name: String)(write: Path => Unit): Unit = {
+    val staging = new Path(outDir, s"_staging/$name")
+    if (fs.exists(staging)) fs.delete(staging, true) // crashed half-stage
+    write(staging)
+    val dest = new Path(outDir, name)
+    fs.mkdirs(dest.getParent)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    fs.rename(staging, dest) // the commit point
+    try fs.delete(staging.getParent, false) catch { case _: java.io.IOException => () }
   }
 
   /** Small-files compaction for file sinks: rewrite a (partition of a)
@@ -343,19 +372,12 @@ object Sinks {
       publish(batch.withColumn("_batch_id", lit(Long.MaxValue)), s"replay_$k")
     }
 
-    /** Stage under `_staging/<name>` (hidden from readers — Spark's file
-      * index skips underscore paths), then one atomic rename to publish. */
+    /** Atomic epoch publish via the shared [[Sinks.publish]] protocol. */
     private def publish(df: DataFrame, name: String): Unit = {
-      val spark = df.sparkSession
-      val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staging = new Path(outDir, s"_staging/$name")
-      df.write.mode("overwrite").parquet(staging.toString)
-      val dest = new Path(outDir, name)
-      if (fs.exists(dest)) fs.delete(dest, true) // unreachable unless max-id scan raced; defensive
-      fs.rename(staging, dest) // the commit point
-      // drop the staging parent when empty (non-recursive delete refuses
-      // while another epoch is mid-stage)
-      try fs.delete(staging.getParent, false) catch { case _: java.io.IOException => () }
+      val fs = new Path(outDir).getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      Sinks.publish(fs, outDir, name)(staging =>
+        df.write.mode("overwrite").parquet(staging.toString))
     }
   }
 }

@@ -96,6 +96,20 @@ class RowBinarySpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       "00" + "7766554433221100" + "FFEEDDCCBBAA9988"
   }
 
+  it should "reject zero widths, junk UTF-8 cuts and non-canonical uuids" in {
+    // fixed(0)/varchar(0) would desync the byte stream — refused at parse
+    intercept[IllegalArgumentException](FieldSpec.parse("s:fixed(0)"))
+    intercept[IllegalArgumentException](FieldSpec.parse("s:varchar(0)"))
+    // invalid UTF-8 (continuation bytes all the way down): cut at the raw
+    // budget instead of underflowing the boundary scan
+    BinaryRowWriters.utf8SafeLen(Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte), 2) shouldBe 2
+    // JDK UUID.fromString pads short hex groups; that silent mutation is refused
+    val out = new java.io.ByteArrayOutputStream()
+    intercept[IllegalArgumentException](BinaryRowWriters.writeUuid(out, "1-2-3-4-5", littleEndian = true))
+    // canonical forms pass in either case
+    BinaryRowWriters.writeUuid(out, "00112233-4455-6677-8899-AABBCCDDEEFF", littleEndian = true)
+  }
+
   it should "reject field specs naming unknown fields or wrong types" in {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)

@@ -240,8 +240,9 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     import org.apache.spark.sql.functions.col
     val src = tmp(); val out = tmp() + "/table"; val cp = tmp()
     // 6 records, one partition group, ~137 encoded bytes each; budget 300
-    // → commit batches of 3, 2 and 1 records (the record crossing the
-    // budget stays in its batch, the NEXT one opens a new batch)
+    // → reset-per-commit batches of 3 and 3: each batch accumulates until
+    // ITS OWN total reaches 300 (the crossing record stays, counters then
+    // reset — overshoot never carries into the next batch)
     (0L until 6L).map(i => Ev(i, ts(10 * i.toInt + 1), 1, "click", 1.0, "x" * 100))
       .toDF().write.mode("overwrite").parquet(src)
     Sinks.multiFileBatchingSink(
@@ -252,11 +253,14 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     val all = spark.read.parquet(s"$out/epoch_0")
     all.count() shouldBe 6
     all.groupBy("commit").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap shouldBe Map(0 -> 3L, 1 -> 2L, 2 -> 1L)
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap shouldBe Map(0 -> 3L, 1 -> 3L)
+    // offset order preserved within batches: batch 0 = ids 0-2, batch 1 = 3-5
+    all.filter(col("commit") === 0).select("event_id").collect()
+      .map(_.getLong(0)).sorted shouldBe Array(0L, 1L, 2L)
     // the multi-file batch: exactly one file per (commit, dt)
     val files = new java.io.File(s"$out/epoch_0/group=click")
       .listFiles().filter(_.getName.startsWith("commit="))
-    files.length shouldBe 3
+    files.length shouldBe 2
     files.foreach { commitDir =>
       commitDir.listFiles().filter(_.getName.startsWith("dt=")).foreach { dtDir =>
         dtDir.listFiles().count(_.getName.endsWith(".parquet")) shouldBe 1
