@@ -209,7 +209,48 @@ object EventAnalytics {
       |  ON n.user_id = d.user_id AND n.day = d.day + INTERVAL 1 DAY
       |GROUP BY d.day ORDER BY d.day""".stripMargin
 
+  /** Robust outlier detection per partition (loader/stream monitoring):
+    * flag events whose value deviates from the partition median by more
+    * than 3× the median absolute deviation. Median/MAD instead of
+    * mean/stddev for two reasons: robustness (one bad sensor cannot
+    * drag the threshold), and DETERMINISM — exact percentiles are
+    * order-independent, while a distributed stddev's sum-of-squares
+    * depends on partition combine order and drifts across engines. Two
+    * small aggregates broadcast back onto the stream — no sort, no skew
+    * risk, scale-safe. */
+  def evAnomaly: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"), col("event_id"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withMed = ev.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .filter(abs(col("value") - col("med")) > lit(3) * col("mad"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_outliers"),
+        min(col("event_id")).as("first_outlier"),
+        max(col("event_id")).as("last_outlier"),
+        round(max(col("med")), 6).as("med"),
+        round(max(col("mad")), 6).as("mad"))
+      .orderBy(col("event_type"))
+  }
+
+  val evAnomalySql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+      |mad AS (
+      |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n_outliers,
+      |  min(e.event_id) AS first_outlier, max(e.event_id) AS last_outlier,
+      |  round(max(m.med), 6) AS med, round(max(d.mad), 6) AS mad
+      |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+      |WHERE abs(e.value - m.med) > 3 * d.mad
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ev_anomaly" -> evAnomaly,
     "ev_retention" -> evRetention,
     "ev_hopping" -> evHopping,
     "ev_tumbling" -> evTumbling,
@@ -219,6 +260,7 @@ object EventAnalytics {
     "ev_salted_agg" -> evSaltedAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "ev_anomaly" -> evAnomalySql,
     "ev_retention" -> evRetentionSql,
     "ev_hopping" -> evHoppingSql,
     "ev_tumbling" -> evTumblingSql,
