@@ -62,4 +62,30 @@ object MultiFileCommit {
         files.map(_.sizeBytes).sum,
         files.map(_.records).sum)
   }
+
+  /** The sequential reset-per-commit batch assignment
+    * [[Sinks.multiFileBatchingSink]] runs per partition group: a batch
+    * accumulates until its OWN totals reach the budget (the crossing
+    * record stays), then the counters reset. Factored pure so specs can
+    * property-check the semantics independently of Spark. */
+  final class TotalFold(maxBytes: Option[Long], maxRecords: Option[Long]) extends Serializable {
+    require(maxBytes.nonEmpty || maxRecords.nonEmpty, "TotalFold needs a budget")
+    private var commit = 0L
+    private var accBytes = 0L
+    private var accRecords = 0L
+
+    /** Restart numbering (a new partition group). */
+    def reset(): Unit = { commit = 0L; accBytes = 0L; accRecords = 0L }
+
+    /** Commit index for the next record of `bytes` encoded bytes. */
+    def next(bytes: Long): Long = {
+      accBytes += bytes
+      accRecords += 1
+      val c = commit
+      if (maxBytes.exists(accBytes >= _) || maxRecords.exists(accRecords >= _)) {
+        commit += 1L; accBytes = 0L; accRecords = 0L
+      }
+      c
+    }
+  }
 }

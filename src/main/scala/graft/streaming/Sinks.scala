@@ -109,20 +109,15 @@ object Sinks {
           val bytesIdx = sized.schema.fieldIndex("_bytes")
           val maxB = maxBytes; val maxR = maxRecords
           val withCommit = sized.mapPartitions { it =>
-            // reset-per-commit fold; state restarts on group change (a
-            // partition may hold several hash-co-located groups)
+            // reset-per-commit fold (MultiFileCommit.TotalFold); state
+            // restarts on group change (a partition may hold several
+            // hash-co-located groups)
+            val fold = new MultiFileCommit.TotalFold(maxB, maxR)
             var group: String = null
-            var commit = 0L; var accBytes = 0L; var accRecords = 0L
             it.map { row =>
               val g = row.getString(groupIdx)
-              if (g != group) { group = g; commit = 0L; accBytes = 0L; accRecords = 0L }
-              accBytes += row.getLong(bytesIdx)
-              accRecords += 1
-              val c = commit
-              if (maxB.exists(accBytes >= _) || maxR.exists(accRecords >= _)) {
-                commit += 1L; accBytes = 0L; accRecords = 0L
-              }
-              Row.fromSeq(row.toSeq :+ c)
+              if (g != group) { group = g; fold.reset() }
+              Row.fromSeq(row.toSeq :+ fold.next(row.getLong(bytesIdx)))
             }
           }(org.apache.spark.sql.Encoders.row(outSchema))
             .drop("_bytes")

@@ -120,4 +120,37 @@ class PropertySpec extends AnyFlatSpec with Matchers {
       pqExpr.nullSafeEval(new GenericArrayData(Array.fill[Any](100)(0.0)),
         new GenericArrayData(Array[Any](0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)))
   }
+  behavior of "MultiFileCommit.TotalFold"
+
+  it should "close every batch exactly when its own budget is reached" in {
+    import graft.streaming.MultiFileCommit
+    val caseGen = for {
+      maxB <- Gen.option(Gen.chooseNum(1L, 500L))
+      maxR <- Gen.option(Gen.chooseNum(1L, 20L))
+      if maxB.nonEmpty || maxR.nonEmpty
+      sizes <- Gen.nonEmptyListOf(Gen.chooseNum(1L, 400L))
+    } yield (maxB, maxR, sizes)
+    samples(caseGen, 300).foreach { case (maxB, maxR, sizes) =>
+      val fold = new MultiFileCommit.TotalFold(maxB, maxR)
+      val ids = sizes.map(fold.next)
+      // consecutive numbering from zero, advancing by at most one
+      ids.head shouldBe 0L
+      ids.zip(ids.tail).foreach { case (a, b) => (b - a) should (be >= 0L and be <= 1L) }
+      val batches = sizes.zip(ids).groupBy(_._2).toSeq.sortBy(_._1).map(_._2.map(_._1))
+      batches.dropRight(1).foreach { b =>
+        // a closed batch reached SOME budget...
+        (maxB.exists(b.sum >= _) || maxR.exists(b.length >= _)) shouldBe true
+        // ...and only with its final record (minimality: no overshoot carry)
+        (maxB.exists(b.dropRight(1).sum >= _) ||
+          maxR.exists(b.length - 1 >= _)) shouldBe false
+      }
+      // the open (last) batch never exceeds a budget except by one record
+      val last = batches.last
+      maxR.foreach(r => last.length.toLong should be <= r)
+      // reset() restarts numbering for a new partition group
+      fold.reset()
+      fold.next(1L) shouldBe 0L
+    }
+  }
+
 }
