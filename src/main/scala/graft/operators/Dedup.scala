@@ -138,6 +138,37 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** MinHash Jaccard ESTIMATION on the same adjacent-id candidate set as
+    * [[ddJaccard]]: the fraction of agreeing signature slots estimates
+    * the true Jaccard (E[agree/m] = J) — the standard validation step
+    * for an LSH dedup pipeline: compare this against [[ddJaccard]] to
+    * size bands/rows before turning the banding loose on 100 TB. Joins
+    * two 9-column signature projections — never the token sets — so the
+    * compare costs O(pairs × m), not O(pairs × tokens). */
+  def ddMinhashEst: Q = (s, d) => {
+    val mh = minhashDf(s, d)
+    val b = mh.columns.foldLeft(mh)((df, c) => df.withColumnRenamed(c, "b_" + c))
+    val agree = (0 until NumHashes)
+      .map(j => when(col(s"m$j") === col(s"b_m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    mh.join(b, col("b_doc_id") === col("doc_id") + 1)
+      .select(col("doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
+        agree.cast("long").as("n_agree"),
+        round(agree / lit(8.0), 4).as("est_jaccard"))
+      .orderBy(col("doc_a"))
+  }
+
+  val ddMinhashEstSql: String = {
+    val agree = (0 until NumHashes)
+      .map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $minhashCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST($agree AS BIGINT) AS n_agree,
+       |  round(($agree) / 8.0, 4) AS est_jaccard
+       |FROM mh a JOIN mh b ON b.doc_id = a.doc_id + 1
+       |ORDER BY doc_a""".stripMargin
+  }
+
   /** Exact n-gram (token-set) Jaccard on candidate pairs — here adjacent
     * doc ids, the deterministic candidate set for the synthetic corpus. */
   def ddJaccard: Q = (s, d) => {
@@ -377,6 +408,7 @@ object Dedup {
     "dd_exact" -> ddExact,
     "dd_exact_norm" -> ddExactNorm,
     "dd_minhash" -> ddMinhash,
+    "dd_minhash_est" -> ddMinhashEst,
     "dd_lsh_pairs" -> ddLshPairs,
     "dd_dup_groups" -> ddDupGroups,
     "dd_jaccard" -> ddJaccard,
@@ -388,6 +420,7 @@ object Dedup {
     "dd_exact" -> ddExactSql,
     "dd_exact_norm" -> ddExactNormSql,
     "dd_minhash" -> ddMinhashSql,
+    "dd_minhash_est" -> ddMinhashEstSql,
     "dd_lsh_pairs" -> ddLshPairsSql,
     "dd_dup_groups" -> ddDupGroupsSql,
     "dd_jaccard" -> ddJaccardSql,
