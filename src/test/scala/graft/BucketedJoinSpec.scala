@@ -33,10 +33,11 @@ class BucketedJoinSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll 
   behavior of "bucketed fact-fact join"
 
   it should "plan with no Exchange when both sides are bucketed on the key" in {
-    Tables.lineitem(spark, sf).write.mode("overwrite")
-      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
-    Tables.orders(spark, sf).write.mode("overwrite")
-      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_bucketed")
+    import graft.plans.Bucketing
+    Bucketing.writeBucketed(Tables.lineitem(spark, sf), "li_bucketed",
+      Seq("l_orderkey"), 4, sortCols = Seq("l_orderkey"))
+    Bucketing.writeBucketed(Tables.orders(spark, sf), "ord_bucketed",
+      Seq("o_orderkey"), 4, sortCols = Seq("o_orderkey"))
 
     val joined = spark.table("li_bucketed")
       .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
@@ -46,7 +47,7 @@ class BucketedJoinSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll 
     val plan = joined.queryExecution.executedPlan.toString
     plan should include("SortMergeJoin")
     // the only exchange allowed is the one for the final groupBy
-    "Exchange".r.findAllIn(plan).size should be <= 1
+    Bucketing.exchanges(joined) should be <= 1
     plan should include("SelectedBucketsCount")
 
     // and the unbucketed twin DOES shuffle both join sides
@@ -54,7 +55,7 @@ class BucketedJoinSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll 
       .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(sum(col("l_quantity")).as("qty"))
-    "Exchange".r.findAllIn(unbucketed.queryExecution.executedPlan.toString).size should be >= 2
+    Bucketing.exchanges(unbucketed) should be >= 2
 
     joined.count() shouldBe unbucketed.count()
   }
