@@ -275,6 +275,28 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     spark.read.parquet(s"$out/epoch_0").count() shouldBe 6
   }
 
+  it should "fold each partition group's budget independently" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = tmp(); val out = tmp() + "/table"; val cp = tmp()
+    // two groups, interleaved ids; with shuffle.partitions=2 they may
+    // share a task — the fold must reset its counters per group
+    val rows = (0L until 6L).map(i => Ev(i, ts(10 * i.toInt + 1), 1, "click", 1.0, "x" * 100)) ++
+      (6L until 10L).map(i => Ev(i, ts(10 * i.toInt + 1), 2, "view", 1.0, "x" * 100))
+    rows.toDF().write.mode("overwrite").parquet(src)
+    Sinks.multiFileBatchingSink(
+      EventSource.fileStream(spark, src, maxFilesPerTrigger = 8),
+      out, cp,
+      MultiFileCommit.Total(ReachedAnyOf(maxRecords = Some(3L))))
+      .start().awaitTermination()
+    val all = spark.read.parquet(s"$out/epoch_0")
+    // click: 6 records → commits 0,1 of 3 each; view: 4 records → 3 + 1,
+    // numbering restarting at 0 for the second group
+    all.groupBy("group", "commit").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap shouldBe
+      Map(("click", 0) -> 3L, ("click", 1) -> 3L, ("view", 0) -> 3L, ("view", 1) -> 1L)
+  }
+
   behavior of "GraftLoader builder"
 
   it should "wire source → transform → sink like the reference API" in {
