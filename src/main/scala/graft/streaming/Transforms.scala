@@ -137,7 +137,9 @@ object Transforms {
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state via mapGroupsWithState: running per-user totals
-    * (the shape any bespoke stateful operator takes in graft). */
+    * (the shape any bespoke stateful operator takes in graft). State
+    * never expires — fine for bounded key spaces; for corpus-scale key
+    * spaces use [[runningUserTotalsWithTtl]]. */
   def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotal] = {
     import spark.implicits._
     events
@@ -152,6 +154,44 @@ object Transforms {
             prev.total_value + batch.map(_._2).sum)
           state.update(next)
           next
+      }
+  }
+
+  /** [[runningUserTotals]] with bounded state: a user idle past
+    * `idleMs` of EVENT time (watermark-driven, deterministic under
+    * replay — processing-time TTLs are not) emits a final total and
+    * leaves the store. At 100 TB the state then tracks ACTIVE users in
+    * the idle horizon, not every user ever seen; a returning user simply
+    * restarts from zero (downstream sums partials, the same contract as
+    * the reference's periodic sinker flushes). */
+  def runningUserTotalsWithTtl(spark: SparkSession, events: DataFrame,
+      watermark: String = "30 minutes", idleMs: Long = 3600000L): Dataset[UserTotal] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[UserTotal]) =>
+          if (state.hasTimedOut) {
+            // idle horizon passed: final emission, state evicted
+            val fin = state.get
+            state.remove()
+            Iterator.single(fin)
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+            val batch = rows.toSeq
+            val next = UserTotal(user, prev.n_events + batch.size,
+              prev.total_value + batch.map(_._3).sum)
+            state.update(next)
+            state.setTimeoutTimestamp(math.max(
+              batch.map(_._2.getTime).max + idleMs, state.getCurrentWatermarkMs + 1))
+            Iterator.empty // totals surface on eviction (append output)
+          }
       }
   }
 }

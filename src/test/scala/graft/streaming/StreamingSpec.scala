@@ -570,4 +570,23 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     last.getLong(1) shouldBe 3
     last.getDouble(2) shouldBe 7.0
   }
+
+  it should "evict idle users after the event-time TTL with a final total" in {
+    val (ms, df) = eventsStream(Seq(
+      Ev(0, ts(1), 1, "click", 1.0, "{}"),
+      Ev(1, ts(2), 1, "view", 2.0, "{}")))
+    // watermark 1 min, idle TTL 5 min: user 1's last event is at :02, so
+    // an event advancing the watermark past :07 must flush and evict
+    val q = Transforms.runningUserTotalsWithTtl(spark, df,
+        watermark = "1 minute", idleMs = 5 * 60 * 1000L)
+      .writeStream.format("memory").queryName("ttl_totals").outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("ttl_totals").count() shouldBe 0 // still inside the idle horizon
+    ms.addData(Ev(2, ts(20), 2, "click", 9.0, "{}")) // watermark → :19
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ttl_totals").collect()
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet shouldBe
+      Set((1L, 2L, 3.0)) // user 1 flushed complete; user 2 still active
+  }
 }
