@@ -55,7 +55,8 @@ object Dedup {
     * record-local in one pass by the native MinHashSig expression — no
     * explode, no shuffle (the aggregation-shaped plan pays a ~300× row
     * explosion for the same result). */
-  private def minhashDf(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, sig array) — one native-minhash pass over the corpus. */
+  private def sigDf(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     // tokens/shingles materialize through separate projections: inlining
     // them into the transform lambda re-evaluates split() per element
@@ -65,9 +66,11 @@ object Dedup {
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), shingles3(col("tk")).as("sh"))
       .select(col("doc_id"), call_function("graft_minhash", col("sh")).as("sig"))
-      .select(col("doc_id") +:
-        (0 until NumHashes).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
   }
+
+  private def minhashDf(s: SparkSession, d: String): DataFrame =
+    sigDf(s, d).select(col("doc_id") +:
+      (0 until NumHashes).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
 
   private val minhashCte: String = {
     val mins = (0 until NumHashes)
@@ -142,19 +145,25 @@ object Dedup {
     * [[ddJaccard]]: the fraction of agreeing signature slots estimates
     * the true Jaccard (E[agree/m] = J) — the standard validation step
     * for an LSH dedup pipeline: compare this against [[ddJaccard]] to
-    * size bands/rows before turning the banding loose on 100 TB. Joins
-    * two 9-column signature projections — never the token sets — so the
-    * compare costs O(pairs × m), not O(pairs × tokens). */
+    * size bands/rows before turning the banding loose on 100 TB.
+    * Single signature pass: each doc posts its signature to BOTH pair
+    * slots it participates in (pair p covers docs p and p+1), one
+    * shuffle on the pair id — no self-join recomputing the signatures,
+    * and the token sets never travel. */
   def ddMinhashEst: Q = (s, d) => {
-    val mh = minhashDf(s, d)
-    val b = mh.columns.foldLeft(mh)((df, c) => df.withColumnRenamed(c, "b_" + c))
-    val agree = (0 until NumHashes)
-      .map(j => when(col(s"m$j") === col(s"b_m$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    mh.join(b, col("b_doc_id") === col("doc_id") + 1)
-      .select(col("doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
+    val sides = sigDf(s, d).select(explode(array(
+        struct(col("doc_id").as("pid"), lit(0).as("side"), col("sig")),
+        struct((col("doc_id") - 1).as("pid"), lit(1).as("side"), col("sig")))).as("e"))
+      .select(col("e.pid").as("pid"), col("e.side").as("side"), col("e.sig").as("sig"))
+    val agree = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), x => x))
+    sides.groupBy(col("pid"))
+      .agg(first(when(col("side") === 0, col("sig")), ignoreNulls = true).as("sig_a"),
+        first(when(col("side") === 1, col("sig")), ignoreNulls = true).as("sig_b"))
+      .filter(col("sig_a").isNotNull && col("sig_b").isNotNull)
+      .select(col("pid").as("doc_a"), (col("pid") + 1).as("doc_b"),
         agree.cast("long").as("n_agree"),
-        round(agree / lit(8.0), 4).as("est_jaccard"))
+        round(agree / lit(NumHashes.toDouble), 4).as("est_jaccard"))
       .orderBy(col("doc_a"))
   }
 
@@ -164,7 +173,7 @@ object Dedup {
     s"""WITH $minhashCte
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST($agree AS BIGINT) AS n_agree,
-       |  round(($agree) / 8.0, 4) AS est_jaccard
+       |  round(($agree) / ${NumHashes}.0, 4) AS est_jaccard
        |FROM mh a JOIN mh b ON b.doc_id = a.doc_id + 1
        |ORDER BY doc_a""".stripMargin
   }

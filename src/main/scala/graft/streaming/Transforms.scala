@@ -164,6 +164,8 @@ object Transforms {
     * the idle horizon, not every user ever seen; a returning user simply
     * restarts from zero (downstream sums partials, the same contract as
     * the reference's periodic sinker flushes). */
+  case class UserTotalTtlState(total: UserTotal, lastSeenMs: Long)
+
   def runningUserTotalsWithTtl(spark: SparkSession, events: DataFrame,
       watermark: String = "30 minutes", idleMs: Long = 3600000L): Dataset[UserTotal] = {
     import spark.implicits._
@@ -173,23 +175,30 @@ object Transforms {
       .selectExpr("user_id", "ts", "value")
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[UserTotal, UserTotal](
+      .flatMapGroupsWithState[UserTotalTtlState, UserTotal](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
-            state: GroupState[UserTotal]) =>
+            state: GroupState[UserTotalTtlState]) =>
           if (state.hasTimedOut) {
             // idle horizon passed: final emission, state evicted
-            val fin = state.get
+            val fin = state.get.total
             state.remove()
             Iterator.single(fin)
           } else {
-            val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+            val prev = state.getOption
+              .getOrElse(UserTotalTtlState(UserTotal(user, 0L, 0.0), Long.MinValue))
             val batch = rows.toSeq
-            val next = UserTotal(user, prev.n_events + batch.size,
-              prev.total_value + batch.map(_._3).sum)
+            val next = UserTotalTtlState(
+              UserTotal(user, prev.total.n_events + batch.size,
+                prev.total.total_value + batch.map(_._3).sum),
+              // last-seen lives in STATE, not just the current batch: a
+              // late (in-watermark) out-of-order arrival must never
+              // SHRINK the deadline, and the timeout must not depend on
+              // how events happened to split across microbatches
+              math.max(prev.lastSeenMs, batch.map(_._2.getTime).max))
             state.update(next)
             state.setTimeoutTimestamp(math.max(
-              batch.map(_._2.getTime).max + idleMs, state.getCurrentWatermarkMs + 1))
+              next.lastSeenMs + idleMs, state.getCurrentWatermarkMs + 1))
             Iterator.empty // totals surface on eviction (append output)
           }
       }

@@ -576,17 +576,28 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       Ev(0, ts(1), 1, "click", 1.0, "{}"),
       Ev(1, ts(2), 1, "view", 2.0, "{}")))
     // watermark 1 min, idle TTL 5 min: user 1's last event is at :02, so
-    // an event advancing the watermark past :07 must flush and evict
+    // the deadline is :07 of EVENT time regardless of batching
     val q = Transforms.runningUserTotalsWithTtl(spark, df,
         watermark = "1 minute", idleMs = 5 * 60 * 1000L)
       .writeStream.format("memory").queryName("ttl_totals").outputMode("append").start()
     q.processAllAvailable()
     spark.table("ttl_totals").count() shouldBe 0 // still inside the idle horizon
-    ms.addData(Ev(2, ts(20), 2, "click", 9.0, "{}")) // watermark → :19
+    // a LATE in-watermark arrival (:01:30, older than last-seen :02) must
+    // extend the total but never SHRINK the :07 deadline
+    ms.addData(Ev(2, Timestamp.valueOf("2024-01-01 00:01:30"), 1, "click", 1.5, "{}"))
+    q.processAllAvailable()
+    // watermark → :06:45: a deadline wrongly derived from the late batch
+    // alone (:01:30 + 5 = :06:30) would flush here; the true deadline :07
+    ms.addData(Ev(3, Timestamp.valueOf("2024-01-01 00:07:45"), 2, "click", 9.0, "{}"))
+    q.processAllAvailable()
+    spark.table("ttl_totals").count() shouldBe 0
+    ms.addData(Ev(4, ts(20), 2, "click", 9.0, "{}")) // watermark → :19
     q.processAllAvailable()
     q.stop()
     val rows = spark.table("ttl_totals").collect()
+    // user 1 flushed ONCE with the complete total incl. the late event;
+    // user 2's last event (:20) keeps it active past watermark :19
     rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet shouldBe
-      Set((1L, 2L, 3.0)) // user 1 flushed complete; user 2 still active
+      Set((1L, 3L, 4.5))
   }
 }
