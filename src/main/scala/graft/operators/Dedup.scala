@@ -207,18 +207,76 @@ object Dedup {
       |ORDER BY doc_a""".stripMargin
 
   /** Near-dup cluster assignment: connected components over the LSH
-    * candidate-pair graph via iterative min-label propagation with
-    * pointer jumping — each round relaxes labels across edges AND
-    * shortcuts `l(v) ← l(l(v))`, so convergence is O(log diameter)
-    * rounds, not O(diameter) (a duplicate CHAIN of length 1000 takes ~10
-    * rounds instead of 1000). Runs to the fixpoint — no silent round cap;
-    * a failure to converge throws. Each round is `localCheckpoint`ed:
-    * truncating lineage keeps round N's plan O(1) instead of O(N) (at
-    * cluster scale use reliable `checkpoint` to survive executor loss).
+    * candidate-pair graph. SIZE-AWARE strategy — the candidate graph is
+    * orders of magnitude smaller than the corpus (only near-dup pairs
+    * survive banding), so:
+    *
+    *  - graphs up to `driverMaxEdges` run a path-compressed union-find
+    *    ON THE DRIVER (one collect of (a,b) longs — ≲64 MB at the 4M
+    *    default — then O(E α(E)) locally): sub-second where the
+    *    distributed loop pays ~4 Spark jobs PER ROUND of pure scheduling
+    *    overhead;
+    *  - larger graphs run iterative min-label propagation with pointer
+    *    jumping — each round relaxes labels across edges AND shortcuts
+    *    `l(v) ← l(l(v))`, so convergence is O(log diameter) rounds, not
+    *    O(diameter). Runs to the fixpoint — no silent round cap; a
+    *    failure to converge throws. Each round is `localCheckpoint`ed
+    *    (lineage stays O(1); at cluster scale use reliable `checkpoint`
+    *    to survive executor loss), and the edge relation is cached
+    *    pre-partitioned on the round join key so only the label side
+    *    re-shuffles.
+    *
+    * Both paths produce the identical min-label-per-component fixpoint;
+    * OperatorsSpec pins driver ≡ distributed on the same corpus.
     * Singletons keep their own id. Oracle: recursive-CTE transitive
     * closure (same fixpoint). */
-  def ddDupGroups: Q = (s, d) => {
-    val pairs = lshPairsUnsorted(s, d)
+  def ddDupGroups: Q = (s, d) => ddDupGroupsImpl(s, d, driverMaxEdges = 4000000L)
+
+  private[graft] def ddDupGroupsImpl(
+      s: SparkSession, d: String, driverMaxEdges: Long): DataFrame = {
+    val pairs = lshPairsUnsorted(s, d).cache() // sizing count + whichever path runs
+    val nEdges = pairs.count()
+    val clustered =
+      if (nEdges <= driverMaxEdges) driverUnionFind(s, pairs)
+      else distributedMinLabel(pairs)
+    pairs.unpersist()
+    // singletons: documents not in any candidate pair
+    val all = Tables.documents(s, d).select(col("doc_id"))
+    all.join(clustered, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Path-compressed union-find over a collected small edge list;
+    * components relabel to their min member (deterministic). */
+  private def driverUnionFind(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != root) {
+        val next = parent.getOrElse(cur, cur); parent(cur) = root; cur = next
+      }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    val reps = members.groupBy(find).flatMap { case (_, comp) =>
+      val rep = comp.min
+      comp.iterator.map(m => (m, rep))
+    }
+    import s.implicits._
+    reps.toSeq.toDF("doc_id", "cluster_rep")
+  }
+
+  /** Distributed min-label propagation with pointer jumping (the
+    * 100 TB path — see [[ddDupGroups]]). */
+  private def distributedMinLabel(pairs: DataFrame): DataFrame = {
     // symmetric edge list, PRE-PARTITIONED on the per-round join key
     // (doc_b): the cached blocks already carry hashpartitioning(doc_b),
     // so every round's edges⋈labels join shuffles only the small labels
@@ -260,12 +318,7 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
-    val clustered = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
-    // singletons: documents not in any candidate pair
-    val all = Tables.documents(s, d).select(col("doc_id"))
-    all.join(clustered, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
-      .orderBy(col("doc_id"))
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
   }
 
   val ddDupGroupsSql: String = {

@@ -78,6 +78,17 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "cluster identically through the driver union-find and distributed paths" in {
+    // driverMaxEdges=0 forces the distributed pointer-jumping loop; the
+    // default runs the driver union-find — both must reach the same
+    // min-label fixpoint on the same corpus
+    val viaDriver = operators.Dedup.ddDupGroupsImpl(spark, sf, driverMaxEdges = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaCluster = operators.Dedup.ddDupGroupsImpl(spark, sf, driverMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    viaDriver shouldBe viaCluster
+  }
+
   it should "cluster LSH pairs consistently with the pair graph" in {
     import org.apache.spark.sql.functions._
     val pairs = operators.Dedup.ddLshPairs(spark, sf).collect()
