@@ -343,6 +343,46 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Dedup report: the cluster-size histogram produced after clustering —
+    * how many clusters and documents sit at each duplication level, and
+    * the share of the corpus that dedup would drop (docs − clusters).
+    * Reads the [[ddDupGroups]] assignment; two tiny aggregations. */
+  def ddClusterStats: Q = (s, d) =>
+    ddDupGroups(s, d)
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("sz")).as("n_docs"),
+        (count(lit(1)) * (col("sz") - 1)).as("n_droppable"))
+      .orderBy(col("cluster_size"))
+
+  val ddClusterStatsSql: String = {
+    val bandSelects = (0 until NumBands).map { b =>
+      s"SELECT doc_id, $b AS band, md5('$b' || '|' || m${2 * b} || '|' || m${2 * b + 1}) AS bkey FROM mh"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $minhashCte,
+       |bands AS ($bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT doc_a, doc_a FROM edges
+       |  UNION
+       |  SELECT e.doc_a, reach.r FROM reach JOIN edges e ON e.doc_b = reach.id),
+       |clustered AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id),
+       |assign AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep
+       |  FROM documents d LEFT JOIN clustered c ON c.doc_id = d.doc_id),
+       |szs AS (SELECT cluster_rep, count(*) AS sz FROM assign GROUP BY cluster_rep)
+       |SELECT sz AS cluster_size, count(*) AS n_clusters,
+       |  count(*) * sz AS n_docs, count(*) * (sz - 1) AS n_droppable
+       |FROM szs GROUP BY sz ORDER BY cluster_size""".stripMargin
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 16-bit SimHash: per token, md5's first 4 hex nibbles supply the bits;
@@ -473,6 +513,7 @@ object Dedup {
     "dd_minhash_est" -> ddMinhashEst,
     "dd_lsh_pairs" -> ddLshPairs,
     "dd_dup_groups" -> ddDupGroups,
+    "dd_cluster_stats" -> ddClusterStats,
     "dd_jaccard" -> ddJaccard,
     "dd_simhash" -> ddSimhash,
     "dd_embed_cos" -> ddEmbedCos)
@@ -485,6 +526,7 @@ object Dedup {
     "dd_minhash_est" -> ddMinhashEstSql,
     "dd_lsh_pairs" -> ddLshPairsSql,
     "dd_dup_groups" -> ddDupGroupsSql,
+    "dd_cluster_stats" -> ddClusterStatsSql,
     "dd_jaccard" -> ddJaccardSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_embed_cos" -> ddEmbedCosSql)
