@@ -51,11 +51,11 @@ object Dedup {
   private val NumHashes = 8
   private val NumBands = 4 // 2 rows per band
 
-  /** doc_id + m0..m7 minhash signature over word 3-gram shingles, computed
-    * record-local in one pass by the native MinHashSig expression — no
-    * explode, no shuffle (the aggregation-shaped plan pays a ~300× row
-    * explosion for the same result). */
-  /** (doc_id, sig array) — one native-minhash pass over the corpus. */
+  /** (doc_id, sig array): the minhash signature over word 3-gram
+    * shingles, computed record-local in one pass by the native
+    * MinHashSig expression — no explode, no shuffle (the
+    * aggregation-shaped plan pays a ~300× row explosion for the same
+    * result). */
   private def sigDf(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     // tokens/shingles materialize through separate projections: inlining
