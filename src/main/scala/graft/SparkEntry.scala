@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ RelationalExt.queries ++ StreamSemantics.queries ++
+    Relational.queries ++ RelationalExt.queries ++ RelationalSupply.queries ++
+      StreamSemantics.queries ++
       EventAnalytics.queries ++ Joins.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
       Pipeline.queries
@@ -20,7 +21,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ RelationalExt.oracleSql ++ StreamSemantics.oracleSql ++
+    Relational.oracleSql ++ RelationalExt.oracleSql ++ RelationalSupply.oracleSql ++
+      StreamSemantics.oracleSql ++
       EventAnalytics.oracleSql ++ Joins.oracleSql ++
       Dedup.oracleSql ++ TextAnalysis.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
       Pipeline.oracleSql

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * customer-order distribution, argmax subquery, correlated-average
   * filter, big-order HAVING semi-join, disjunctive multi-predicate scan,
   * exists/not-exists self-joins, and scalar-subquery + anti-join.
-  * (Q2/Q9/Q11/Q16/Q20 need the partsupp table, which the testdata
-  * doesn't ship; Q12/Q17/Q19/Q21/Q22 are adapted to the columns that
-  * exist with the plan shape preserved.)
+  * (Q2/Q9/Q11/Q16/Q20 canonically need the partsupp table, which the
+  * testdata doesn't ship — see [[RelationalSupply]] for adaptations that
+  * derive the supply relation from lineitem; Q12/Q17/Q19/Q21/Q22 are
+  * adapted to the columns that exist with the plan shape preserved.)
   *
   * Scale notes mirror Relational: dims broadcast, facts shuffle at most
   * once on their join key, self-joins key on l_orderkey (bounded groups

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis suite (SURVEY.md §2f) over `documents`: token counting,
@@ -221,7 +222,53 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** TF-IDF: top-5 terms per document by `tf * ln(n_docs / df)`.
+    * Three keyed shuffles — term frequency on (doc_id, term), document
+    * frequency on term (map-side partial), then the per-doc top-k window
+    * on doc_id; the corpus size is a broadcast scalar. Ties in the raw
+    * score only occur for identical (tf, df) pairs — bit-equal in both
+    * engines — and are broken by term, so the rank is deterministic. */
+  def taTfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_raw").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .withColumn("tfidf_raw",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        round(col("tfidf_raw"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val taTfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    tf.tf * ln(n.n_docs / df.df::DOUBLE) AS tfidf_raw
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY tfidf_raw DESC, term) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, rnk, term, tf, df, round(tfidf_raw, 6) AS tfidf
+      |FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ta_tfidf" -> taTfidf,
     "ta_bpe_tokens" -> taBpeTokens,
     "ta_tokens" -> taTokens,
     "ta_quality" -> taQuality,
@@ -231,6 +278,7 @@ object TextAnalysis {
     "ta_vocab" -> taVocab)
 
   def oracleSql: Map[String, String] = Map(
+    "ta_tfidf" -> taTfidfSql,
     "ta_bpe_tokens" -> taBpeTokensSql,
     "ta_tokens" -> taTokensSql,
     "ta_quality" -> taQualitySql,
