@@ -15,8 +15,8 @@ object SparkEntry {
     Relational.queries ++ RelationalExt.queries ++ RelationalSupply.queries ++
       StreamSemantics.queries ++
       EventAnalytics.queries ++ Joins.queries ++
-      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Pipeline.queries
+      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++ Clustering.queries ++
+      Multimodal.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,6 +24,6 @@ object SparkEntry {
     Relational.oracleSql ++ RelationalExt.oracleSql ++ RelationalSupply.oracleSql ++
       StreamSemantics.oracleSql ++
       EventAnalytics.oracleSql ++ Joins.oracleSql ++
-      Dedup.oracleSql ++ TextAnalysis.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
-      Pipeline.oracleSql
+      Dedup.oracleSql ++ TextAnalysis.oracleSql ++ Similarity.oracleSql ++ Clustering.oracleSql ++
+      Multimodal.oracleSql ++ Pipeline.oracleSql
 }

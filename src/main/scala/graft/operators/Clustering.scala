@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VecFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding clustering (SURVEY.md §2d/§2e adjunct): deterministic
+  * Lloyd's k-means over the 64-dim `embeddings` table — the foundation
+  * for semantic dedup and diversity-aware curation (cluster, then dedup
+  * or downsample within clusters).
+  *
+  * The run is fully deterministic so it can be oracle-checked end to end:
+  * seeds are the first K vectors by id, iterations are a fixed count, and
+  * after every centroid update each coordinate is rounded to 6 dp — the
+  * re-broadcast centroids are bit-identical in both engines, so the next
+  * iteration's distances (ordered left folds) and argmin assignments
+  * (ties broken by lowest centroid id via struct-min) match exactly.
+  *
+  * Scale shape — train small, apply big: centroids are K×64 doubles
+  * (tiny) collected to the driver each round; each round over the corpus
+  * is one codegen'd map (distance + struct argmin against a broadcast
+  * literal) plus one partial-aggregated groupBy of K×DIM averages. No
+  * joins, no row blowup — at 100 TB each iteration is a single scan, and
+  * the driver loop carries only the K×64 centroid matrix.
+  */
+object Clustering {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val K = 10
+  val Iters = 3
+  val Dim = 64
+
+  /** Squared L2 distance as an ordered left fold (DuckDB list_reduce
+    * parity — see VecFns determinism contract). */
+  private def sqDist(e: Column, c: Seq[Double]): Column =
+    foldSum(zip_with(e, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)))
+
+  /** One assignment pass against literal centroids: per row, the
+    * (distance, cid) struct-min — lexicographic struct ordering gives
+    * nearest-centroid with ties to the lowest cid, matching the oracle's
+    * `ORDER BY d, cid` row_number. */
+  private def assign(v: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val m = array_min(array(cents.map { case (cid, c) =>
+      struct(sqDist(col("e"), c).as("d"), lit(cid).as("cid"))
+    }: _*))
+    v.withColumn("m", m)
+      .select(col("vec_id"), col("e"), col("m.cid").as("cid"), col("m.d").as("d"))
+  }
+
+  /** Train `Iters` rounds and return the final per-vector assignment
+    * (vec_id, e, cid, d) — the shared frame behind all cl_* queries. */
+  private def finalAssign(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    // seeds: the first K vectors by id, coordinates rounded like updates
+    var cents: Seq[(Int, Seq[Double])] = v.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int"), col("e")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq.sortBy(_._1)
+    for (_ <- 1 to Iters - 1) {
+      val means = (1 to Dim).map(i => round(avg(element_at(col("e"), i)), 6).as(s"m$i"))
+      val updated = assign(v, cents)
+        .groupBy(col("cid"))
+        .agg(means.head, means.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (1 to Dim).map(i => r.getDouble(i)).toSeq).toMap
+      cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+    }
+    assign(v, cents)
+  }
+
+  /** Final assignment after `Iters` rounds: (vec_id, cluster, dist). */
+  def clKmeans: Q = (s, d) =>
+    finalAssign(s, d)
+      .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+        round(col("d"), 6).as("dist"))
+      .orderBy(col("vec_id"))
+
+  /** Diversity-aware downsampling: the 5 vectors nearest their cluster
+    * centroid, per cluster — the curation move of keeping representative
+    * exemplars across the semantic space instead of a global top-k that
+    * collapses onto one dense region. Ranking uses the 6-dp-rounded
+    * distance with a vec_id tiebreak so both engines order identically. */
+  def clDiverseSample: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("dist"), col("vec_id"))
+    finalAssign(s, d)
+      .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+        round(col("d"), 6).as("dist"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("cluster"), col("rnk"), col("vec_id"), col("dist"))
+      .orderBy(col("cluster"), col("rnk"))
+  }
+
+  /** Cluster quality vs the held-out `label` column: per-cluster size,
+    * dominant label and purity share (ties to the lowest label). */
+  def clPurity: Q = (s, d) => {
+    val byLabel = finalAssign(s, d)
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("label_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("label_n").desc, col("label"))
+    byLabel
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", sum(col("label_n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("cid").cast("long").as("cluster"), col("n"),
+        col("label").cast("long").as("top_label"), col("label_n").as("top_n"),
+        round(col("label_n") / col("n"), 6).as("purity"))
+      .orderBy(col("cluster"))
+  }
+
+  /** The oracle unrolls the same three rounds as CTEs; Spark's seed pass
+    * is the oracle's `c0`, so Iters rounds = Iters assignment CTEs with
+    * Iters-1 centroid updates between them. `a2` is the final
+    * assignment frame shared by every cl_* oracle. */
+  private val kmeansCtes: String = {
+    def assignCte(cprev: String, a: String): String =
+      s"""${a}_d AS (
+         |  SELECT v.vec_id, v.e, c.cid,
+         |    list_reduce(list_transform(generate_series(1, 64),
+         |      i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i])), (x, y) -> x + y) AS d
+         |  FROM v CROSS JOIN $cprev c),
+         |$a AS (
+         |  SELECT vec_id, e, cid, d FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM ${a}_d) WHERE rn = 1)""".stripMargin
+    def updateCte(a: String, cprev: String, c: String): String =
+      s"""${c}_u AS (
+         |  SELECT cid, i AS pos, round(avg(e[i]), 6) AS m
+         |  FROM $a CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY 1, 2),
+         |$c AS (
+         |  SELECT $cprev.cid, coalesce(l.c, $cprev.c) AS c
+         |  FROM $cprev LEFT JOIN
+         |    (SELECT cid, list(m ORDER BY pos) AS c FROM ${c}_u GROUP BY 1) l
+         |  USING (cid))""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |c0 AS (SELECT vec_id::INT AS cid, e AS c FROM v WHERE vec_id < 10),
+       |${assignCte("c0", "a0")},
+       |${updateCte("a0", "c0", "c1")},
+       |${assignCte("c1", "a1")},
+       |${updateCte("a1", "c1", "c2")},
+       |${assignCte("c2", "a2")}""".stripMargin
+  }
+
+  val clKmeansSql: String =
+    s"""$kmeansCtes
+       |SELECT vec_id, cid::BIGINT AS cluster, round(d, 6) AS dist
+       |FROM a2 ORDER BY vec_id""".stripMargin
+
+  val clDiverseSampleSql: String =
+    s"""$kmeansCtes,
+       |r AS (
+       |  SELECT cid::BIGINT AS cluster, vec_id, round(d, 6) AS dist FROM a2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster
+       |                               ORDER BY dist, vec_id) AS rnk
+       |  FROM r)
+       |SELECT cluster, rnk::BIGINT AS rnk, vec_id, dist
+       |FROM ranked WHERE rnk <= 5 ORDER BY cluster, rnk""".stripMargin
+
+  val clPuritySql: String =
+    s"""$kmeansCtes,
+       |bylabel AS (
+       |  SELECT a2.cid, e.label, count(*) AS label_n
+       |  FROM a2 JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cid
+       |                               ORDER BY label_n DESC, label) AS rn,
+       |    sum(label_n) OVER (PARTITION BY cid) AS n
+       |  FROM bylabel)
+       |SELECT cid::BIGINT AS cluster, n::BIGINT AS n, label::BIGINT AS top_label,
+       |  label_n AS top_n, round(label_n / n, 6) AS purity
+       |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "cl_kmeans" -> clKmeans,
+    "cl_diverse_sample" -> clDiverseSample,
+    "cl_purity" -> clPurity)
+
+  def oracleSql: Map[String, String] = Map(
+    "cl_kmeans" -> clKmeansSql,
+    "cl_diverse_sample" -> clDiverseSampleSql,
+    "cl_purity" -> clPuritySql)
+}
