@@ -353,15 +353,117 @@ object Similarity {
        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
        |FROM rer WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** Score candidate (src, nb) pairs and keep each src's top-5 by cosine
+    * (ties to the lowest nb). Both vector lookups are keyed joins — at
+    * scale the neighbor table stays co-partitioned by src and only the
+    * candidate pairs move. */
+  private def scoreTop5(cand: DataFrame, v: DataFrame): DataFrame = {
+    val srcV = v.select(col("vec_id").as("src"), col("e").as("qe"), col("nrm").as("qn"))
+    val nbV = v.select(col("vec_id").as("nb"), col("e").as("ne"), col("nrm").as("nn"))
+    val scored = cand.join(srcV, "src").join(nbV, "nb")
+      .withColumn("cos", dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+      .select(col("src"), col("nb"), col("cos"))
+    graft.plans.TopKPerGroup.transform(scored,
+      Seq(col("src")), Seq(col("cos").desc, col("nb").asc), 5)
+  }
+
+  /** NN-descent graph refinement (the distributed answer to HNSW-style
+    * search graphs): seed each vector's neighbor list from its
+    * multi-probe sign-LSH buckets (own 4-bit bucket + the four at
+    * Hamming distance 1, as in [[annLshFor]] but as a keyed self-join —
+    * every node is a query, nothing broadcasts), then twice replace it
+    * with the top-5 of {current neighbors} ∪ {neighbors of neighbors}.
+    * Each refinement step is a keyed join — candidate generation is a
+    * self-join of the k×N neighbor table on (nb = src), scoring re-joins
+    * the vector table by key — so the pattern scales to any corpus where
+    * k×N neighbor rows shuffle; no broadcast, no crossJoin. The top-5 is
+    * re-selected over a superset containing the current list, so
+    * per-neighbor cosine is monotonically non-decreasing: the final
+    * recall can only beat the LSH seed, which OperatorsSpec pins.
+    * Deterministic throughout (ties to lowest nb), so the oracle replays
+    * both rounds as unrolled CTEs. On isotropic random test vectors the
+    * NoN rounds add little (no manifold structure to exploit); on real
+    * embedding manifolds they are the workhorse. */
+  def annNnDescent: Q = (s, d) => {
+    val dims = Seq(1, 8, 22, 43)
+    val v = vectors(s, d)
+    val b = v.select(col("vec_id"), signBucket(col("e"), dims).as("sig"))
+    val sig0 = col("sig")
+    val flip = (i: Int) => concat(
+      substring(sig0, 1, i),
+      when(substring(sig0, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(sig0, i + 2, dims.length - i - 1))
+    val probed = b.select(col("vec_id"),
+      explode(array(sig0 +: dims.indices.map(flip): _*)).as("psig"))
+    val cand0 = probed.as("a").join(b.as("c"), col("a.psig") === col("c.sig") &&
+        col("a.vec_id") =!= col("c.vec_id"))
+      .select(col("a.vec_id").as("src"), col("c.vec_id").as("nb"))
+    var nbrs = scoreTop5(cand0, v)
+    for (_ <- 1 to 2) {
+      val fwd = nbrs.select(col("src"), col("nb"))
+      val non = fwd.as("x").join(fwd.as("y"), col("x.nb") === col("y.src"))
+        .filter(col("y.nb") =!= col("x.src"))
+        .select(col("x.src").as("src"), col("y.nb").as("nb"))
+      nbrs = scoreTop5(non.union(fwd).distinct(), v)
+    }
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nb"))
+    nbrs.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("src").as("query_id"), col("rnk"), col("nb").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annNnDescentSql: String = {
+    def sig(tbl: String) = Seq(1, 8, 22, 43)
+      .map(i => s"CASE WHEN $tbl.e[$i] >= 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    def scoreTop(cand: String, n: String): String =
+      s"""${n}_s AS (
+         |  SELECT c.src, c.nb,
+         |    list_reduce(list_transform(generate_series(1, 64), i -> sv.e[i] * nv.e[i]), (x, y) -> x + y)
+         |      / (sv.nrm * nv.nrm) AS cos
+         |  FROM $cand c JOIN v sv ON sv.vec_id = c.src JOIN v nv ON nv.vec_id = c.nb),
+         |$n AS (
+         |  SELECT src, nb, cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, nb) AS rn
+         |    FROM ${n}_s) WHERE rn <= 5)""".stripMargin
+    def nonCte(prev: String, cand: String): String =
+      s"""$cand AS (
+         |  SELECT DISTINCT src, nb FROM (
+         |    SELECT x.src, y.nb FROM $prev x JOIN $prev y ON x.nb = y.src
+         |    WHERE y.nb <> x.src
+         |    UNION ALL SELECT src, nb FROM $prev))""".stripMargin
+    val flips = (0 until 4).map { i =>
+      s"substr(sig, 1, $i) || (CASE WHEN substr(sig, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END) || substr(sig, ${i + 2}, ${4 - i - 1})"
+    }.mkString(", ")
+    s"""WITH $vectorsCte,
+       |b AS (SELECT vec_id, ${sig("v")} AS sig FROM v),
+       |probed AS (SELECT vec_id, unnest([sig, $flips]) AS psig FROM b),
+       |cand0 AS (
+       |  SELECT a.vec_id AS src, c.vec_id AS nb
+       |  FROM probed a JOIN b c ON a.psig = c.sig AND a.vec_id <> c.vec_id),
+       |${scoreTop("cand0", "n0")},
+       |${nonCte("n0", "cand1")},
+       |${scoreTop("cand1", "n1")},
+       |${nonCte("n1", "cand2")},
+       |${scoreTop("cand2", "n2")}
+       |SELECT src AS query_id,
+       |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, nb) AS rnk,
+       |  nb AS neighbor_id, round(cos, 6) AS cos
+       |FROM n2 ORDER BY query_id, rnk""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
-    "ann_pq" -> annPq)
+    "ann_pq" -> annPq,
+    "ann_nndescent" -> annNnDescent)
 
   def oracleSql: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
-    "ann_pq" -> annPqSql)
+    "ann_pq" -> annPqSql,
+    "ann_nndescent" -> annNnDescentSql)
 }

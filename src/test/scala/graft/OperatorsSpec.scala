@@ -132,7 +132,12 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     val rLsh = recall(operators.Similarity.annLsh(spark, sf))
     val rIvf = recall(operators.Similarity.annIvf(spark, sf))
     val rPq = recall(operators.Similarity.annPq(spark, sf))
-    info(f"recall@5 vs bruteforce: multiprobe-LSH=$rLsh%.3f IVF(nprobe=4)=$rIvf%.3f PQ(8x16)=$rPq%.3f")
+    val rNnd = recall(operators.Similarity.annNnDescent(spark, sf))
+    info(f"recall@5 vs bruteforce: multiprobe-LSH=$rLsh%.3f IVF(nprobe=4)=$rIvf%.3f PQ(8x16)=$rPq%.3f NN-descent=$rNnd%.3f")
+    // NN-descent's seed IS the multi-probe LSH top-5, and each refinement
+    // round re-selects over a superset of the current list — recall is
+    // monotonically >= the LSH baseline by construction
+    rNnd should be >= rLsh
     // pruned variants must find a meaningful fraction of true neighbors
     // even on isotropic random vectors (the hardest case for ANN)
     rLsh should be > 0.25
