@@ -178,13 +178,63 @@ object Clustering {
        |  label_n AS top_n, round(label_n / n, 6) AS purity
        |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  /** Semantic dedup, cluster-bucketed: near-dup pairs (cosine > 0.25,
+    * the dd_embed_cos threshold) are only sought WITHIN a k-means
+    * cluster, so pair work is O(Σ cluster²) instead of O(n²) — and
+    * unlike a fixed sign-hash, the buckets follow the data's density.
+    * Near-identical vectors share a nearest centroid, so the recall
+    * loss vs all-pairs is confined to pairs straddling a cluster
+    * boundary. Each vector reports its earliest (lowest-id) in-cluster
+    * near-dup as dup_of, -1 if it is the cluster-canonical copy —
+    * the greedy keep-first policy of dd_exact, lifted to semantic
+    * space. */
+  def clSemanticDedup: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
+    val asn = finalAssign(s, d).withColumn("nrm", l2norm(col("e")))
+    val a = asn.select(col("cid"), col("vec_id").as("vec_a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = asn.select(col("cid").as("cidb"), col("vec_id").as("vec_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val dupOf = a.join(b, col("cid") === col("cidb") && col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") > 0.25)
+      .groupBy(col("vec_b"))
+      .agg(min(col("vec_a")).as("dup_of"))
+    asn.select(col("vec_id"), col("cid").cast("long").as("cluster"))
+      .join(dupOf, col("vec_id") === col("vec_b"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
+  val clSemanticDedupSql: String =
+    s"""$kmeansCtes,
+       |an AS (
+       |  SELECT vec_id, cid, e,
+       |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+       |      i -> e[i] * e[i]), (x, y) -> x + y)) AS nrm
+       |  FROM a2),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(list_reduce(list_transform(generate_series(1, 64),
+       |      i -> a.e[i] * b.e[i]), (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cos
+       |  FROM an a JOIN an b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |dupof AS (
+       |  SELECT vec_b, min(vec_a) AS dup_of FROM pairs WHERE cos > 0.25 GROUP BY 1)
+       |SELECT an.vec_id, an.cid::BIGINT AS cluster,
+       |  coalesce(d.dup_of, -1)::BIGINT AS dup_of
+       |FROM an LEFT JOIN dupof d ON an.vec_id = d.vec_b
+       |ORDER BY an.vec_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "cl_kmeans" -> clKmeans,
     "cl_diverse_sample" -> clDiverseSample,
-    "cl_purity" -> clPurity)
+    "cl_purity" -> clPurity,
+    "cl_semantic_dedup" -> clSemanticDedup)
 
   def oracleSql: Map[String, String] = Map(
     "cl_kmeans" -> clKmeansSql,
     "cl_diverse_sample" -> clDiverseSampleSql,
-    "cl_purity" -> clPuritySql)
+    "cl_purity" -> clPuritySql,
+    "cl_semantic_dedup" -> clSemanticDedupSql)
 }
