@@ -171,7 +171,61 @@ object Pipeline {
       |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
       |FROM sharded ORDER BY shard, pos""".stripMargin
 
+  /** Token-budget source mixing: allocate a global 100k-token budget
+    * across sources proportional to sqrt(source token mass) — the
+    * temperature-style reweighting that upsamples small sources — then
+    * fill each source's allocation in deterministic content-hash order.
+    * Scale shape: per-doc token counts are record-local; the weight
+    * table is a tiny per-source agg crossJoined as a broadcast scalar;
+    * the budget fill is a cumulative window PER SOURCE (keyed partition,
+    * no global sort). The cum ≤ budget comparison pairs integral token
+    * counts with a budget derived from a 20-source sum, so float drift
+    * cannot flip membership except at astronomically exact boundaries. */
+  def pipeBudgetMix: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    val totals = toks.groupBy(col("source")).agg(sum(col("n_tok")).as("tot"))
+    val budgets = totals
+      .crossJoin(broadcast(totals.agg(sum(sqrt(col("tot"))).as("wsum"))))
+      .select(col("source"), (lit(100000.0) * sqrt(col("tot")) / col("wsum")).as("budget"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5s(concat(lit("mix|"), col("doc_id"))))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("cum", sum(col("n_tok")).over(w))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum") <= col("budget"))
+      .groupBy(col("source"), col("budget"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("n_tok")).as("tokens_kept"))
+      .select(col("source"), round(col("budget"), 2).as("budget"),
+        col("docs_kept"), col("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  val pipeBudgetMixSql: String =
+    """WITH tok AS (
+      |  SELECT source, doc_id,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0))::BIGINT AS n_tok
+      |  FROM documents),
+      |tot AS (SELECT source, sum(n_tok) AS tot FROM tok GROUP BY 1),
+      |ws AS (SELECT sum(sqrt(tot)) AS wsum FROM tot),
+      |bud AS (SELECT source, 100000.0 * sqrt(tot) / wsum AS budget
+      |        FROM tot CROSS JOIN ws),
+      |cum AS (
+      |  SELECT source, doc_id, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY source
+      |                     ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR))
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM tok),
+      |kept AS (
+      |  SELECT c.source, c.n_tok, b.budget
+      |  FROM cum c JOIN bud b USING (source) WHERE c.cum <= b.budget)
+      |SELECT source, round(max(budget), 2) AS budget,
+      |  count(*) AS docs_kept, sum(n_tok)::BIGINT AS tokens_kept
+      |FROM kept GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "pipe_budget_mix" -> pipeBudgetMix,
     "pipe_curation" -> pipeCuration,
     "pipe_packing" -> pipePacking,
     "pipe_sample" -> pipeSample,
@@ -179,6 +233,7 @@ object Pipeline {
     "pipe_shuffle" -> pipeShuffle)
 
   def oracleSql: Map[String, String] = Map(
+    "pipe_budget_mix" -> pipeBudgetMixSql,
     "pipe_curation" -> pipeCurationSql,
     "pipe_packing" -> pipePackingSql,
     "pipe_sample" -> pipeSampleSql,
