@@ -24,6 +24,13 @@ object Verify {
     // Optional trailing args: run only these query ids (dev-side subset;
     // the driver always calls with exactly two args = full run).
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      // fail loudly — a typo'd id silently running zero queries would let
+      // check.py "verify" a stale outDir
+      System.err.println(s"[verify] unknown query ids: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.create(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.VecFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding clustering (SURVEY.md §2d/§2e adjunct): deterministic
@@ -40,21 +41,27 @@ object Clustering {
   /** One assignment pass against literal centroids: per row, the
     * (distance, cid) struct-min — lexicographic struct ordering gives
     * nearest-centroid with ties to the lowest cid, matching the oracle's
-    * `ORDER BY d, cid` row_number. */
+    * `ORDER BY d, cid` row_number. Passes through every input column
+    * (e.g. `label` for clPurity) so callers never re-scan the corpus. */
   private def assign(v: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val m = array_min(array(cents.map { case (cid, c) =>
       struct(sqDist(col("e"), c).as("d"), lit(cid).as("cid"))
     }: _*))
     v.withColumn("m", m)
-      .select(col("vec_id"), col("e"), col("m.cid").as("cid"), col("m.d").as("d"))
+      .select(v.columns.map(col) :+ col("m.cid").as("cid") :+ col("m.d").as("d"): _*)
   }
 
   /** Train `Iters` rounds and return the final per-vector assignment
-    * (vec_id, e, cid, d) — the shared frame behind all cl_* queries. */
+    * (vec_id, e, label, cid, d) — the shared frame behind all cl_*
+    * queries (label rides along unused except by clPurity; Catalyst
+    * prunes it wherever it is not referenced). */
   private def finalAssign(s: SparkSession, d: String): DataFrame = {
     val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-    // seeds: the first K vectors by id, coordinates rounded like updates
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("label"))
+    // seeds: the first K vectors by id, used RAW (no rounding) — the
+    // oracle's c0 CTE is equally raw; only the UPDATED centroids are
+    // rounded to 6 dp on both sides. Round one side's seeds without the
+    // other and every cl_* oracle check fails.
     var cents: Seq[(Int, Seq[Double])] = v.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int"), col("e")).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq.sortBy(_._1)
@@ -83,8 +90,7 @@ object Clustering {
     * collapses onto one dense region. Ranking uses the 6-dp-rounded
     * distance with a vec_id tiebreak so both engines order identically. */
   def clDiverseSample: Q = (s, d) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster")).orderBy(col("dist"), col("vec_id"))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("dist"), col("vec_id"))
     finalAssign(s, d)
       .select(col("vec_id"), col("cid").cast("long").as("cluster"),
         round(col("d"), 6).as("dist"))
@@ -98,15 +104,12 @@ object Clustering {
     * dominant label and purity share (ties to the lowest label). */
   def clPurity: Q = (s, d) => {
     val byLabel = finalAssign(s, d)
-      .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
       .groupBy(col("cid"), col("label"))
       .agg(count(lit(1)).as("label_n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cid")).orderBy(col("label_n").desc, col("label"))
+    val w = Window.partitionBy(col("cid")).orderBy(col("label_n").desc, col("label"))
     byLabel
       .withColumn("rn", row_number().over(w))
-      .withColumn("n", sum(col("label_n")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))))
+      .withColumn("n", sum(col("label_n")).over(Window.partitionBy(col("cid"))))
       .filter(col("rn") === 1)
       .select(col("cid").cast("long").as("cluster"), col("n"),
         col("label").cast("long").as("top_label"), col("label_n").as("top_n"),

@@ -96,20 +96,36 @@ object Similarity {
     annLshFor(v, defaultQueries(v))
   }
 
+  /** Multi-probe set for a sign bucket: the bucket itself plus the
+    * `nBits` buckets at Hamming distance 1. Shared by [[annLshFor]]
+    * (query side) and [[annNnDescent]] (seeding) — the NN-descent
+    * monotonicity guarantee (recall ≥ the LSH baseline) depends on both
+    * using the exact same probe set, so there is ONE definition. */
+  private def multiProbe(sig: Column, nBits: Int): Column = {
+    val flip = (i: Int) => concat(
+      substring(sig, 1, i),
+      when(substring(sig, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(sig, i + 2, nBits - i - 1))
+    array(sig +: (0 until nBits).map(flip): _*)
+  }
+
+  /** SQL twin of [[multiProbe]]: a DuckDB list literal of `sigCol` and
+    * its Hamming-1 flips. */
+  private def multiProbeSqlList(sigCol: String, nBits: Int): String = {
+    val flips = (0 until nBits).map { i =>
+      s"substr($sigCol, 1, $i) || (CASE WHEN substr($sigCol, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END) || substr($sigCol, ${i + 2}, ${nBits - i - 1})"
+    }.mkString(", ")
+    s"[$sigCol, $flips]"
+  }
+
   /** General form. CONTRACT: `queries` (query_id, qe, qn) is broadcast
     * (×5 after multi-probe explosion) — small side only; the corpus
     * stays partitioned and only its probed buckets are scored. */
   def annLshFor(vIn: DataFrame, queries: DataFrame): DataFrame = {
     val dims = Seq(1, 8, 22, 43)
     val v = vIn.withColumn("sig", signBucket(col("e"), dims))
-    val qsig0 = signBucket(col("qe"), dims)
-    val flip = (i: Int) => concat(
-      substring(qsig0, 1, i),
-      when(substring(qsig0, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
-      substring(qsig0, i + 2, dims.length - i - 1))
-    val probeSigs = array(qsig0 +: dims.indices.map(flip): _*)
     val q = queries.select(col("query_id"), col("qe"), col("qn"),
-      explode(probeSigs).as("qsig"))
+      explode(multiProbe(signBucket(col("qe"), dims), dims.length)).as("qsig"))
     val scored = v.join(broadcast(q),
         col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
@@ -126,13 +142,10 @@ object Similarity {
     def sig(tbl: String) = Seq(1, 8, 22, 43)
       .map(i => s"CASE WHEN $tbl.e[$i] >= 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
-    val flips = (0 until 4).map { i =>
-      s"substr(sig0, 1, $i) || (CASE WHEN substr(sig0, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END) || substr(sig0, ${i + 2}, ${4 - i - 1})"
-    }.mkString(", ")
     s"""WITH $vectorsCte,
        |q0 AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, ${sig("v")} AS sig0
        |      FROM v WHERE vec_id % 4 = 0),
-       |q AS (SELECT query_id, qe, qn, unnest([sig0, $flips]) AS qsig FROM q0),
+       |q AS (SELECT query_id, qe, qn, unnest(${multiProbeSqlList("sig0", 4)}) AS qsig FROM q0),
        |scored AS (
        |  SELECT q.query_id, v.vec_id AS neighbor_id,
        |    list_reduce(list_transform(generate_series(1, 64), i -> qe[i] * e[i]), (x, y) -> x + y) / (qn * nrm) AS cos
@@ -388,13 +401,8 @@ object Similarity {
     val dims = Seq(1, 8, 22, 43)
     val v = vectors(s, d)
     val b = v.select(col("vec_id"), signBucket(col("e"), dims).as("sig"))
-    val sig0 = col("sig")
-    val flip = (i: Int) => concat(
-      substring(sig0, 1, i),
-      when(substring(sig0, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
-      substring(sig0, i + 2, dims.length - i - 1))
     val probed = b.select(col("vec_id"),
-      explode(array(sig0 +: dims.indices.map(flip): _*)).as("psig"))
+      explode(multiProbe(col("sig"), dims.length)).as("psig"))
     val cand0 = probed.as("a").join(b.as("c"), col("a.psig") === col("c.sig") &&
         col("a.vec_id") =!= col("c.vec_id"))
       .select(col("a.vec_id").as("src"), col("c.vec_id").as("nb"))
@@ -433,12 +441,9 @@ object Similarity {
          |    SELECT x.src, y.nb FROM $prev x JOIN $prev y ON x.nb = y.src
          |    WHERE y.nb <> x.src
          |    UNION ALL SELECT src, nb FROM $prev))""".stripMargin
-    val flips = (0 until 4).map { i =>
-      s"substr(sig, 1, $i) || (CASE WHEN substr(sig, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END) || substr(sig, ${i + 2}, ${4 - i - 1})"
-    }.mkString(", ")
     s"""WITH $vectorsCte,
        |b AS (SELECT vec_id, ${sig("v")} AS sig FROM v),
-       |probed AS (SELECT vec_id, unnest([sig, $flips]) AS psig FROM b),
+       |probed AS (SELECT vec_id, unnest(${multiProbeSqlList("sig", 4)}) AS psig FROM b),
        |cand0 AS (
        |  SELECT a.vec_id AS src, c.vec_id AS nb
        |  FROM probed a JOIN b c ON a.psig = c.sig AND a.vec_id <> c.vec_id),
