@@ -36,4 +36,18 @@ object VecFns {
     * for ANN: vectors only compete within their bucket. */
   def signBucket(v: Column, dims: Seq[Int]): Column =
     concat(dims.map(i => when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Squared L2 distance to a literal centroid (ordered left fold —
+    * DuckDB `list_reduce` parity, same contract as the dot product). */
+  def sqDistTo(v: Column, c: Seq[Double]): Column =
+    foldSum(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)))
+
+  /** Nearest centroid as a struct(d, cid) minimum — lexicographic struct
+    * ordering gives nearest-by-distance with ties to the lowest cid
+    * (matches an `ORDER BY d, cid` row_number in SQL). The centroid
+    * matrix inlines as literals: one codegen-able projection, no join. */
+  def nearestCentroid(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(cents.map { case (cid, c) =>
+      struct(sqDistTo(v, c).as("d"), lit(cid).as("cid"))
+    }: _*))
 }

@@ -33,23 +33,13 @@ object Clustering {
   val Iters = 3
   val Dim = 64
 
-  /** Squared L2 distance as an ordered left fold (DuckDB list_reduce
-    * parity — see VecFns determinism contract). */
-  private def sqDist(e: Column, c: Seq[Double]): Column =
-    foldSum(zip_with(e, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)))
-
-  /** One assignment pass against literal centroids: per row, the
-    * (distance, cid) struct-min — lexicographic struct ordering gives
-    * nearest-centroid with ties to the lowest cid, matching the oracle's
-    * `ORDER BY d, cid` row_number. Passes through every input column
-    * (e.g. `label` for clPurity) so callers never re-scan the corpus. */
-  private def assign(v: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val m = array_min(array(cents.map { case (cid, c) =>
-      struct(sqDist(col("e"), c).as("d"), lit(cid).as("cid"))
-    }: _*))
-    v.withColumn("m", m)
+  /** One assignment pass against literal centroids (see
+    * [[graft.functions.VecFns.nearestCentroid]] for the struct-min
+    * tie-break contract). Passes through every input column (e.g.
+    * `label` for clPurity) so callers never re-scan the corpus. */
+  private def assign(v: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    v.withColumn("m", nearestCentroid(col("e"), cents))
       .select(v.columns.map(col) :+ col("m.cid").as("cid") :+ col("m.d").as("d"): _*)
-  }
 
   /** Train `Iters` rounds and return the final per-vector assignment
     * (vec_id, e, label, cid, d) — the shared frame behind all cl_*

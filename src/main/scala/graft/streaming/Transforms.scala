@@ -166,6 +166,35 @@ object Transforms {
     * the reference's periodic sinker flushes). */
   case class UserTotalTtlState(total: UserTotal, lastSeenMs: Long)
 
+  /** Online model inference on a stream: assign each incoming embedding
+    * to its nearest trained centroid. The centroid matrix (e.g. from
+    * [[graft.operators.Clustering]]'s batch training) inlines as plan
+    * literals — a stateless codegen-able projection, no join, no state,
+    * so it rides any stream at full scan speed. Input needs an `e`
+    * array column; all columns pass through plus (cluster, dist). */
+  def centroidAssign(vecs: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    vecs.withColumn("m", graft.functions.VecFns.nearestCentroid(col("e"), cents))
+      .withColumn("cluster", col("m.cid").cast("long"))
+      .withColumn("dist", col("m.d"))
+      .drop("m")
+
+  /** Drift monitor over [[centroidAssign]]: per tumbling window and
+    * cluster, arrival count and mean distance-to-centroid. Rising mean
+    * distance = the live stream is leaving the trained manifold — the
+    * retrain signal every deployed clustering needs. Watermarked
+    * windowed agg: bounded state, append output. */
+  def centroidDrift(
+      vecs: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      watermark: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame =
+    centroidAssign(vecs, cents)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("cluster"))
+      .agg(count(lit(1)).as("n"), avg(col("dist")).as("mean_dist"))
+      .select(col("window.start").as("window_start"), col("cluster"),
+        col("n"), col("mean_dist"))
+
   def runningUserTotalsWithTtl(spark: SparkSession, events: DataFrame,
       watermark: String = "30 minutes", idleMs: Long = 3600000L): Dataset[UserTotal] = {
     import spark.implicits._

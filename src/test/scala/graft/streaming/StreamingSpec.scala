@@ -491,6 +491,37 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     spark.table("closed").filter(col("user_id") === 2).count() shouldBe 0 // still open
   }
 
+  it should "assign streamed embeddings to trained centroids and report drift" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 2-dim toy model: centroid 0 at (0,0), centroid 1 at (10,10)
+    val cents = Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(10.0, 10.0))
+    val rows = Seq(
+      (0L, ts(5), Seq(1.0, 0.0)),    // → c0, d=1
+      (1L, ts(10), Seq(9.0, 10.0)),  // → c1, d=1
+      (2L, ts(20), Seq(5.0, 5.0)),   // equidistant → tie to lowest cid (c0), d=50
+      (3L, ts(70), Seq(12.0, 10.0))) // next window → c1, d=4
+    val ms = MemoryStream[(Long, Timestamp, Seq[Double])]
+    ms.addData(rows: _*)
+    val stream = ms.toDF().toDF("vec_id", "ts", "e")
+    val q = Transforms.centroidDrift(stream, cents)
+      .writeStream.format("memory").queryName("drift").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val drift = spark.table("drift").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    drift.size shouldBe 3
+    drift((ts(0), 0L)) shouldBe ((2L, (1.0 + 50.0) / 2)) // tie went to c0
+    drift((ts(0), 1L)) shouldBe ((1L, 1.0))
+    drift((ts(60), 1L)) shouldBe ((1L, 4.0))
+    // batch-stream parity: the same assignment expression over the same
+    // rows as a plain DataFrame gives identical (cluster, dist) pairs
+    val batch = Transforms.centroidAssign(
+        rows.toDF("vec_id", "ts", "e"), cents)
+      .select($"vec_id", $"cluster", $"dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    batch shouldBe Set((0L, 0L, 1.0), (1L, 1L, 1.0), (2L, 0L, 50.0), (3L, 1L, 4.0))
+  }
+
   it should "compute the same windows as the batch operator (batch-stream parity)" in {
     // stream the real sf0.001 events table through windowedAggregation and
     // compare against the batch twin ev_tumbling.
