@@ -249,7 +249,85 @@ object EventAnalytics {
       |WHERE abs(e.value - m.med) > 3 * d.mad
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** Time-decayed engagement: per user, Σ value·exp(-Δhours/24) against
+    * the corpus max timestamp — recency-weighted scoring with a 24-hour
+    * mean lifetime (the "freshness" feature every ranking/curation
+    * pipeline derives). One scan + one keyed shuffle; the reference
+    * instant is a broadcast scalar. Exponent inputs are exact integral
+    * microsecond deltas, so both engines feed libm the same doubles. */
+  def evDecay: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    ev.crossJoin(broadcast(ev.agg(max(unix_micros(col("ts"))).as("ref_us"))))
+      .withColumn("decayed",
+        col("value") * exp(-(col("ref_us") - unix_micros(col("ts"))) / lit(3.6e9) / lit(24.0)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("decayed")), 6).as("decay_score"))
+      .orderBy(col("user_id"))
+  }
+
+  val evDecaySql: String =
+    """WITH ev AS (SELECT user_id, value, epoch_us(ts::TIMESTAMP) AS us FROM events),
+      |ref AS (SELECT max(us) AS ref_us FROM ev)
+      |SELECT user_id, count(*) AS n_events,
+      |  round(sum(value * exp(-(ref_us - us) / 3.6e9 / 24.0)), 6) AS decay_score
+      |FROM ev CROSS JOIN ref
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Count-min-sketch heavy hitters: estimate per-user event counts from
+    * a d=4 × w=32 sketch and report the top 10 (estimate ≥ exact always;
+    * collisions only inflate). The sketch is the scale story: counters
+    * are a FIXED 128 cells however large the corpus — they build as a
+    * partially-aggregated groupBy over (row, bucket) and broadcast back
+    * for estimation, so heavy-hitter detection never shuffles the full
+    * key cardinality. Hashing is md5-derived on both engines, so the
+    * whole sketch is deterministic and oracle-checkable (exact counts
+    * joined alongside for the overestimate audit). */
+  def evHeavyHitters: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    def h(j: Int, key: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(s"cm$j|"), key).cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 32
+    val rows = ev.select(col("user_id"),
+      explode(array((0 until 4).map(j => struct(lit(j).as("j"), h(j, col("user_id")).as("b"))): _*)).as("rb"))
+    val counters = rows.groupBy(col("rb.j").as("j"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val users = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    val est = users
+      .select(col("user_id"), col("exact_n"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("j"), h(j, col("user_id")).as("b"))): _*)).as("q"))
+      .join(broadcast(counters), col("q.j") === col("j") && col("q.b") === col("b"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("c")).as("est_n"))
+    est.orderBy(col("est_n").desc, col("user_id")).limit(10)
+      .orderBy(col("est_n").desc, col("user_id"))
+  }
+
+  val evHeavyHittersSql: String = {
+    def h(j: Int, key: String) =
+      s"CAST(('0x' || substr(md5('cm$j|' || CAST($key AS VARCHAR)), 1, 8)) AS BIGINT) % 32"
+    val counterRows = (0 until 4)
+      .map(j => s"SELECT $j AS j, ${h(j, "user_id")} AS b FROM events")
+      .mkString("\n  UNION ALL ")
+    val estRows = (0 until 4)
+      .map(j => s"SELECT user_id, exact_n, $j AS j, ${h(j, "user_id")} AS b FROM users")
+      .mkString("\n  UNION ALL ")
+    s"""WITH rows_ AS (
+       |  $counterRows),
+       |counters AS (SELECT j, b, count(*) AS c FROM rows_ GROUP BY 1, 2),
+       |users AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
+       |probes AS (
+       |  $estRows),
+       |est AS (
+       |  SELECT p.user_id, p.exact_n, min(c.c) AS est_n
+       |  FROM probes p JOIN counters c USING (j, b)
+       |  GROUP BY 1, 2)
+       |SELECT user_id, exact_n, est_n FROM est
+       |ORDER BY est_n DESC, user_id LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "ev_decay" -> evDecay,
+    "ev_heavy_hitters" -> evHeavyHitters,
     "ev_anomaly" -> evAnomaly,
     "ev_retention" -> evRetention,
     "ev_hopping" -> evHopping,
@@ -260,6 +338,8 @@ object EventAnalytics {
     "ev_salted_agg" -> evSaltedAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "ev_decay" -> evDecaySql,
+    "ev_heavy_hitters" -> evHeavyHittersSql,
     "ev_anomaly" -> evAnomalySql,
     "ev_retention" -> evRetentionSql,
     "ev_hopping" -> evHoppingSql,

@@ -65,6 +65,13 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     dup shouldBe 0L
   }
 
+  it should "never underestimate counts in the count-min sketch" in {
+    import org.apache.spark.sql.functions._
+    // CM-sketch invariant: collisions only inflate, so est_n >= exact_n
+    operators.EventAnalytics.evHeavyHitters(spark, sf)
+      .filter(col("est_n") < col("exact_n")).count() shouldBe 0L
+  }
+
   it should "keep approx distinct within 5% of exact" in {
     import org.apache.spark.sql.functions._
     val approx = operators.Relational.qApproxDistinct(spark, sf)
