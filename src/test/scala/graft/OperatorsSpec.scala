@@ -65,6 +65,28 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     dup shouldBe 0L
   }
 
+  it should "keep a stale centroid when a k-means cluster empties" in {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // seed 1 duplicates seed 0, so every vector prefers c0 (ties break to
+    // the lowest cid): cluster 1 is empty after round 1 and its centroid
+    // update must coalesce to the previous value instead of nulling out
+    val dir = java.nio.file.Files.createTempDirectory("graft-km").toString
+    val vecs = (0L until 12L).map { i =>
+      val base = if (i == 1L) 0L else i // vec 1 == vec 0
+      (i, Array.tabulate(64)(j => (base * 31 + j).toFloat / 100f), 0)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = operators.Clustering.clKmeans(spark, dir).collect()
+    out.length shouldBe 12
+    // nothing lands in the duplicated seed's cluster, and no NaN/null dists
+    out.map(_.getLong(1)).toSet.contains(1L) shouldBe false
+    out.foreach { r => r.getDouble(2).isNaN shouldBe false }
+    // vec 0 and its duplicate sit at distance 0 from their centroid's seed
+    out.filter(r => r.getLong(0) <= 1L).map(_.getLong(1)).toSet shouldBe Set(0L)
+  }
+
   it should "never underestimate counts in the count-min sketch" in {
     import org.apache.spark.sql.functions._
     // CM-sketch invariant: collisions only inflate, so est_n >= exact_n
