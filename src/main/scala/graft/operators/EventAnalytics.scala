@@ -275,13 +275,16 @@ object EventAnalytics {
 
   /** Count-min-sketch heavy hitters: estimate per-user event counts from
     * a d=4 × w=32 sketch and report the top 10 (estimate ≥ exact always;
-    * collisions only inflate). The sketch is the scale story: counters
-    * are a FIXED 128 cells however large the corpus — they build as a
-    * partially-aggregated groupBy over (row, bucket) and broadcast back
-    * for estimation, so heavy-hitter detection never shuffles the full
-    * key cardinality. Hashing is md5-derived on both engines, so the
-    * whole sketch is deterministic and oracle-checkable (exact counts
-    * joined alongside for the overestimate audit). */
+    * collisions only inflate). The SKETCH BUILD is the scale story:
+    * counters are a FIXED 128 cells however large the corpus, built as a
+    * partially-aggregated groupBy over (row, bucket) — each executor
+    * pre-collapses its shard to ≤128 rows before the shuffle. The exact
+    * per-user counts joined alongside exist only as the overestimate
+    * audit for the oracle/spec; they (and the candidate-probe side) do
+    * group by the full user cardinality, which a production deployment
+    * would drop or restrict to a candidate set. Hashing is md5-derived
+    * on both engines, so the whole sketch is deterministic and
+    * oracle-checkable. */
   def evHeavyHitters: Q = (s, d) => {
     val ev = Tables.events(s, d)
     def h(j: Int, key: org.apache.spark.sql.Column) =
