@@ -406,13 +406,19 @@ object Similarity {
     val cand0 = probed.as("a").join(b.as("c"), col("a.psig") === col("c.sig") &&
         col("a.vec_id") =!= col("c.vec_id"))
       .select(col("a.vec_id").as("src"), col("c.vec_id").as("nb"))
-    var nbrs = scoreTop5(cand0, v)
+    // localCheckpoint per round: the neighbor table feeds BOTH sides of
+    // the next round's self-join. Spark's ReusedExchange usually dedups
+    // the identical subplan (measured ~equal at sf0.1), but materializing
+    // guarantees single execution independent of optimizer reuse and
+    // keeps the plan O(1) nodes per round instead of O(2^rounds) —
+    // at production round counts the planner itself becomes the bottleneck
+    var nbrs = scoreTop5(cand0, v).localCheckpoint()
     for (_ <- 1 to 2) {
       val fwd = nbrs.select(col("src"), col("nb"))
       val non = fwd.as("x").join(fwd.as("y"), col("x.nb") === col("y.src"))
         .filter(col("y.nb") =!= col("x.src"))
         .select(col("x.src").as("src"), col("y.nb").as("nb"))
-      nbrs = scoreTop5(non.union(fwd).distinct(), v)
+      nbrs = scoreTop5(non.union(fwd).distinct(), v).localCheckpoint()
     }
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nb"))
     nbrs.withColumn("rnk", row_number().over(w).cast("long"))
