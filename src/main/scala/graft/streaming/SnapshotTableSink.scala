@@ -29,31 +29,89 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
   private def fs(spark: SparkSession) =
     new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def parseSnapshot(content: String): (Long, Seq[Long]) = {
+    val idRe = """"snapshot_id":\s*(-?\d+)""".r
+    val committedRe = """"committed":\s*\[([^\]]*)\]""".r
+    val id = idRe.findFirstMatchIn(content).map(_.group(1).toLong)
+      .getOrElse(sys.error(s"malformed snapshot: $content"))
+    val committed = committedRe.findFirstMatchIn(content).map(_.group(1))
+      .getOrElse(sys.error(s"malformed snapshot: $content"))
+      .split(",").filter(_.trim.nonEmpty).map(_.trim.toLong).toSeq
+    (id, committed)
+  }
+
+  private def readFile(spark: SparkSession, p: Path): String = {
+    val in = fs(spark).open(p)
+    try scala.io.Source.fromInputStream(in).mkString finally in.close()
+  }
+
   /** (snapshotId, cumulative committed epoch ids) of the latest snapshot. */
   def currentSnapshot(spark: SparkSession): Option[(Long, Seq[Long])] = {
-    val f = fs(spark)
     val latest = new Path(tableDir, "_snapshots/LATEST")
-    if (!f.exists(latest)) None
-    else {
-      val in = f.open(latest)
-      val content = scala.io.Source.fromInputStream(in).mkString
-      in.close()
-      val idRe = """"snapshot_id":\s*(-?\d+)""".r
-      val committedRe = """"committed":\s*\[([^\]]*)\]""".r
-      val id = idRe.findFirstMatchIn(content).map(_.group(1).toLong)
-        .getOrElse(sys.error(s"malformed snapshot: $content"))
-      val committed = committedRe.findFirstMatchIn(content).map(_.group(1))
-        .getOrElse(sys.error(s"malformed snapshot: $content"))
-        .split(",").filter(_.trim.nonEmpty).map(_.trim.toLong).toSeq
-      Some((id, committed))
-    }
+    if (!fs(spark).exists(latest)) None
+    else Some(parseSnapshot(readFile(spark, latest)))
+  }
+
+  private def readCommitted(spark: SparkSession, ids: Seq[Long]): DataFrame = {
+    val paths = ids.map(id => s"$tableDir/data/batch=$id")
+    if (paths.isEmpty) spark.emptyDataFrame else spark.read.parquet(paths: _*)
   }
 
   /** Read the table as of the latest snapshot (only committed files). */
-  def read(spark: SparkSession): DataFrame = {
-    val ids = currentSnapshot(spark).map(_._2).getOrElse(Seq.empty)
-    val paths = ids.map(id => s"$tableDir/data/batch=$id")
-    if (paths.isEmpty) spark.emptyDataFrame else spark.read.parquet(paths: _*)
+  def read(spark: SparkSession): DataFrame =
+    readCommitted(spark, currentSnapshot(spark).map(_._2).getOrElse(Seq.empty))
+
+  /** Time travel: read the table as of snapshot `snapshotId` — each
+    * snapshot records its full cumulative committed set, so any retained
+    * snapshot reconstructs its exact table state (Iceberg
+    * `VERSION AS OF`). Throws if the snapshot has been expired. */
+  def readAsOf(spark: SparkSession, snapshotId: Long): DataFrame = {
+    val p = new Path(tableDir, s"_snapshots/$snapshotId.json")
+    require(fs(spark).exists(p),
+      s"snapshot $snapshotId does not exist (expired or never committed)")
+    readCommitted(spark, parseSnapshot(readFile(spark, p))._2)
+  }
+
+  /** Retire snapshot metadata older than the newest `keepLast` (the
+    * Iceberg expire-snapshots maintenance op). Data files are never
+    * touched: committed sets are cumulative, so every retained snapshot
+    * still resolves. Returns the expired snapshot ids. */
+  def expireSnapshots(spark: SparkSession, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val f = fs(spark)
+    currentSnapshot(spark) match {
+      case None => Seq.empty
+      case Some((latestId, _)) =>
+        val expired = (0L to latestId - keepLast)
+          .filter(id => f.exists(new Path(tableDir, s"_snapshots/$id.json")))
+        expired.foreach(id => f.delete(new Path(tableDir, s"_snapshots/$id.json"), false))
+        expired
+    }
+  }
+
+  /** Delete orphan data directories — `batch=N` dirs not in the latest
+    * snapshot's committed set, i.e. epochs that crashed after their data
+    * write but before the snapshot publish. Safe concurrently with
+    * readers (they resolve paths from committed sets only) but NOT with
+    * a writer mid-epoch, whose in-flight dir looks orphaned until its
+    * snapshot publishes — the same discipline as Iceberg's
+    * remove-orphan-files. Returns the deleted paths. */
+  def vacuumOrphans(spark: SparkSession): Seq[String] = {
+    val f = fs(spark)
+    val dataDir = new Path(tableDir, "data")
+    if (!f.exists(dataDir)) return Seq.empty
+    val committed = currentSnapshot(spark).map(_._2).getOrElse(Seq.empty).toSet
+    val orphans = f.listStatus(dataDir).toSeq
+      .filter(_.isDirectory)
+      .filter { st =>
+        st.getPath.getName match {
+          case s if s.startsWith("batch=") =>
+            s.stripPrefix("batch=").toLongOption.exists(!committed.contains(_))
+          case _ => false
+        }
+      }
+    orphans.foreach(st => f.delete(st.getPath, true))
+    orphans.map(_.getPath.toString)
   }
 
   def writeBatch(batchRaw: DataFrame, batchId: Long): Unit = {

@@ -53,6 +53,38 @@ class SnapshotSinkSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll 
     sink.currentSnapshot(spark).map(_._2) shouldBe Some(Seq(0L, 1L))
   }
 
+  it should "time-travel, expire old snapshots and vacuum orphans" in {
+    import spark.implicits._
+    val table = tmp()
+    val sink = new SnapshotTableSink(table)
+    // three epochs committed directly (no stream needed for maintenance)
+    Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")).toDF().createOrReplaceTempView("b0")
+    sink.writeBatch(spark.table("b0"), 0L)
+    Seq(Ev(1, ts(2), 2, "view", 2.0, "{}")).toDF().createOrReplaceTempView("b1")
+    sink.writeBatch(spark.table("b1"), 1L)
+    Seq(Ev(2, ts(3), 3, "view", 3.0, "{}")).toDF().createOrReplaceTempView("b2")
+    sink.writeBatch(spark.table("b2"), 2L)
+
+    // time travel reconstructs each historical table state
+    sink.readAsOf(spark, 0L).count() shouldBe 1
+    sink.readAsOf(spark, 1L).count() shouldBe 2
+    sink.read(spark).count() shouldBe 3
+
+    // an orphan: a data dir with no snapshot (crash between write+publish)
+    Seq(Ev(9, ts(9), 9, "view", 9.0, "{}")).toDF()
+      .write.parquet(s"$table/data/batch=99")
+    val vacuumed = sink.vacuumOrphans(spark)
+    vacuumed.map(_.split('/').last) shouldBe Seq("batch=99")
+    sink.read(spark).count() shouldBe 3 // committed data untouched
+
+    // expire all but the newest two snapshots: time travel to 0 dies,
+    // 1 and latest still resolve, and the data files all survive
+    sink.expireSnapshots(spark, keepLast = 2) shouldBe Seq(0L)
+    an[IllegalArgumentException] should be thrownBy sink.readAsOf(spark, 0L)
+    sink.readAsOf(spark, 1L).count() shouldBe 2
+    sink.read(spark).count() shouldBe 3
+  }
+
   behavior of "GraftMetrics"
 
   it should "count rows and epochs per streaming query" in {
