@@ -56,7 +56,16 @@ object Clustering {
       .select(col("vec_id").cast("int"), col("e")).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq.sortBy(_._1)
     for (_ <- 1 to Iters - 1) {
-      val means = (1 to Dim).map(i => round(avg(element_at(col("e"), i)), 6).as(s"m$i"))
+      // EXACT-decimal sums, not double avg: decimal addition is
+      // order-independent and both engines' double→decimal(38,18) casts
+      // are correctly rounded, so the updated centroids are bit-identical
+      // across engines BEFORE the 6-dp display rounding — no reliance on
+      // rounding to absorb shuffle-order float noise, which matters here
+      // because centroids feed back into the next round's assignments
+      // (a single boundary flip would cascade into membership divergence)
+      val means = (1 to Dim).map(i => round(
+        sum(element_at(col("e"), i).cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 6).as(s"m$i"))
       val updated = assign(v, cents)
         .groupBy(col("cid"))
         .agg(means.head, means.tail: _*)
@@ -124,7 +133,8 @@ object Clustering {
          |    FROM ${a}_d) WHERE rn = 1)""".stripMargin
     def updateCte(a: String, cprev: String, c: String): String =
       s"""${c}_u AS (
-         |  SELECT cid, i AS pos, round(avg(e[i]), 6) AS m
+         |  SELECT cid, i AS pos,
+         |    round(sum(e[i]::DECIMAL(38,18))::DOUBLE / count(*), 6) AS m
          |  FROM $a CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY 1, 2),
          |$c AS (
          |  SELECT $cprev.cid, coalesce(l.c, $cprev.c) AS c

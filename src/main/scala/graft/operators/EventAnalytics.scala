@@ -288,7 +288,7 @@ object EventAnalytics {
   def evHeavyHitters: Q = (s, d) => {
     val ev = Tables.events(s, d)
     def h(j: Int, key: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(lit(s"cm$j|"), key).cast("binary")), 1, 8), 16, 10)
+      conv(substring(graft.functions.TextFns.md5s(concat(lit(s"cm$j|"), key)), 1, 8), 16, 10)
         .cast("long") % 32
     val rows = ev.select(col("user_id"),
       explode(array((0 until 4).map(j => struct(lit(j).as("j"), h(j, col("user_id")).as("b"))): _*)).as("rb"))

@@ -23,7 +23,9 @@ object RelationalExt {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+  /** Revenue term shared by the relational suites (one definition, so a
+    * formula change cannot silently diverge the q7/q8 and q9/q11 families). */
+  private[operators] def rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
   /** TPC-H Q7: volume shipped between two nations, per direction per year.
     * Both nation dims are pre-filtered to the pair, so the disjunction

@@ -26,7 +26,7 @@ object RelationalSupply {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+  private def rev = RelationalExt.rev
 
   /** Eligible suppliers in one region, with nation names (dim-only). */
   private def regionSuppliers(s: SparkSession, d: String, region: String): DataFrame =
@@ -56,8 +56,13 @@ object RelationalSupply {
       .join(broadcast(regionSuppliers(s, d, "ASIA")), col("suppkey") === col("s_suppkey"))
       .withColumn("min_cost", min(col("unit_cost")).over(w))
       .filter(col("unit_cost") === col("min_cost"))
+      // NOT round(x, 2): unit_cost = 2-dp-price / small-int divides land
+      // EXACTLY on x.xx5 boundaries (.97/2 = .485), where Spark rounds the
+      // shortest decimal string (up) and DuckDB rounds the binary value
+      // (down) — found at sf0.1 row 684 (1164.985). floor(x*100 + 0.5)/100
+      // is pure double math, bit-identical in both engines either way.
       .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
-        col("p_type"), round(col("min_cost"), 2).as("min_cost"))
+        col("p_type"), (floor(col("min_cost") * 100 + 0.5) / 100).as("min_cost"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
   }
 
@@ -74,7 +79,7 @@ object RelationalSupply {
       |  SELECT partkey, min(unit_cost) AS min_cost
       |  FROM supply JOIN eligible ON suppkey = s_suppkey GROUP BY 1)
       |SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type,
-      |  round(m.min_cost, 2) AS min_cost
+      |  floor(m.min_cost * 100 + 0.5) / 100 AS min_cost
       |FROM supply sp
       |JOIN eligible e ON sp.suppkey = e.s_suppkey
       |JOIN mins m ON sp.partkey = m.partkey AND sp.unit_cost = m.min_cost

@@ -82,8 +82,14 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
     currentSnapshot(spark) match {
       case None => Seq.empty
       case Some((latestId, _)) =>
-        val expired = (0L to latestId - keepLast)
-          .filter(id => f.exists(new Path(tableDir, s"_snapshots/$id.json")))
+        // one listStatus, not an exists() probe per historical id — a
+        // long-lived table has committed millions of epochs and most are
+        // already expired
+        val expired = f.listStatus(new Path(tableDir, "_snapshots")).toSeq
+          .flatMap(st => st.getPath.getName.stripSuffix(".json").toLongOption
+            .filter(_ => st.getPath.getName.endsWith(".json")))
+          .filter(_ <= latestId - keepLast)
+          .sorted
         expired.foreach(id => f.delete(new Path(tableDir, s"_snapshots/$id.json"), false))
         expired
     }
