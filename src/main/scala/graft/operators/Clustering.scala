@@ -41,6 +41,14 @@ object Clustering {
     v.withColumn("m", nearestCentroid(col("e"), cents))
       .select(v.columns.map(col) :+ col("m.cid").as("cid") :+ col("m.d").as("d"): _*)
 
+  // Trained centroids memoized per (session, dir): training is fully
+  // deterministic (fixed seeds/rounds/rounding), so the four cl_* queries
+  // share one training run instead of each paying Iters-1 corpus passes.
+  // Weak session keys so stopped test sessions are not kept alive.
+  private val centsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Seq[(Int, Seq[Double])]]]())
+
   /** Train `Iters` rounds and return the final per-vector assignment
     * (vec_id, e, label, cid, d) — the shared frame behind all cl_*
     * queries (label rides along unused except by clPurity; Catalyst
@@ -48,6 +56,17 @@ object Clustering {
   private def finalAssign(s: SparkSession, d: String): DataFrame = {
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("label"))
+    val perSession = centsCache.synchronized {
+      var m = centsCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; centsCache.put(s, m) }
+      m
+    }
+    perSession.synchronized {
+      perSession.get(d) match {
+        case Some(cached) => return assign(v, cached)
+        case None =>
+      }
+    }
     // seeds: the first K vectors by id, used RAW (no rounding) — the
     // oracle's c0 CTE is equally raw; only the UPDATED centroids are
     // rounded to 6 dp on both sides. Round one side's seeds without the
@@ -73,6 +92,7 @@ object Clustering {
         .map(r => r.getInt(0) -> (1 to Dim).map(i => r.getDouble(i)).toSeq).toMap
       cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
     }
+    perSession.synchronized { perSession.update(d, cents) }
     assign(v, cents)
   }
 
