@@ -94,6 +94,26 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .filter(col("est_n") < col("exact_n")).count() shouldBe 0L
   }
 
+  it should "keep every source within its token budget allocation" in {
+    import org.apache.spark.sql.functions._
+    val mix = operators.Pipeline.pipeBudgetMix(spark, sf)
+    mix.filter(col("tokens_kept") > col("budget")).count() shouldBe 0L
+    // sqrt reweighting: allocations sum back to the global budget
+    val total = mix.agg(sum(col("budget"))).collect()(0).getDouble(0)
+    total shouldBe 100000.0 +- 1.0
+  }
+
+  it should "bound decay scores by the undecayed value sum" in {
+    import org.apache.spark.sql.functions._
+    // exp(-dt/24h) <= 1, and values are positive in the testdata, so the
+    // decayed score can never exceed the plain per-user value sum
+    val decay = operators.EventAnalytics.evDecay(spark, sf)
+    val plain = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(sum(col("value")).as("value_sum"))
+    decay.join(plain, "user_id")
+      .filter(col("decay_score") > col("value_sum") + 1e-9).count() shouldBe 0L
+  }
+
   it should "keep approx distinct within 5% of exact" in {
     import org.apache.spark.sql.functions._
     val approx = operators.Relational.qApproxDistinct(spark, sf)
