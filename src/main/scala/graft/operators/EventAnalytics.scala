@@ -328,7 +328,41 @@ object EventAnalytics {
        |ORDER BY est_n DESC, user_id LIMIT 10""".stripMargin
   }
 
+  /** Event-type transition matrix: per-user consecutive event pairs
+    * (ordered by event time with the offset as tiebreak), counted per
+    * (from, to) with the row-normalized transition probability — the
+    * Markov-chain prep behind session-flow analysis and next-event
+    * models. One window pass keyed on user_id (high cardinality,
+    * bounded per-user state) and one small keyed agg; the probability
+    * denominator is a window sum over the 5×5 matrix, not the corpus. */
+  def evMarkov: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("p", round(col("n") / sum(col("n")).over(
+        Window.partitionBy(col("from_type"))), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val evMarkovSql: String =
+    """WITH pairs AS (
+      |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+      |           ORDER BY ts::TIMESTAMP, event_id) AS from_type,
+      |    event_type AS to_type
+      |  FROM events),
+      |counts AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+      |FROM counts ORDER BY from_type, to_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ev_markov" -> evMarkov,
     "ev_decay" -> evDecay,
     "ev_heavy_hitters" -> evHeavyHitters,
     "ev_anomaly" -> evAnomaly,
@@ -341,6 +375,7 @@ object EventAnalytics {
     "ev_salted_agg" -> evSaltedAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "ev_markov" -> evMarkovSql,
     "ev_decay" -> evDecaySql,
     "ev_heavy_hitters" -> evHeavyHittersSql,
     "ev_anomaly" -> evAnomalySql,
