@@ -206,6 +206,38 @@ object Dedup {
       |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
       |ORDER BY doc_a""".stripMargin
 
+  /** Directional n-gram containment on the candidate pairs: |A∩B|/|A|
+    * and |A∩B|/|B|. Jaccard misses subset relationships — a snippet
+    * fully contained in a larger page scores low Jaccard but
+    * containment 1.0 from the snippet's side, and containment-based
+    * dropping (keep the superset) is the standard fix for quote/excerpt
+    * dups. Same keyed adjacent-pair shape as [[ddJaccard]]: candidates
+    * come from banding upstream, never an all-pairs join. */
+  def ddContainment: Q = (s, d) => {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
+    val b = t.select(col("doc_id").as("b_id"), col("tk").as("b_tk"))
+    t.join(b, col("b_id") === col("doc_id") + 1)
+      .select(col("doc_id").as("doc_a"), col("b_id").as("doc_b"),
+        size(col("tk")).cast("long").as("n_a"), size(col("b_tk")).cast("long").as("n_b"),
+        size(array_intersect(col("tk"), col("b_tk"))).cast("long").as("n_common"))
+      .withColumn("containment_a", round(col("n_common") / col("n_a"), 4))
+      .withColumn("containment_b", round(col("n_common") / col("n_b"), 4))
+      .orderBy(col("doc_a"))
+  }
+
+  val ddContainmentSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_distinct(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS tk
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  len(a.tk) AS n_a, len(b.tk) AS n_b,
+      |  len(list_intersect(a.tk, b.tk)) AS n_common,
+      |  round(len(list_intersect(a.tk, b.tk)) / len(a.tk), 4) AS containment_a,
+      |  round(len(list_intersect(a.tk, b.tk)) / len(b.tk), 4) AS containment_b
+      |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_a""".stripMargin
+
   /** Near-dup cluster assignment: connected components over the LSH
     * candidate-pair graph. SIZE-AWARE strategy — the candidate graph is
     * orders of magnitude smaller than the corpus (only near-dup pairs
@@ -515,6 +547,7 @@ object Dedup {
     "dd_dup_groups" -> ddDupGroups,
     "dd_cluster_stats" -> ddClusterStats,
     "dd_jaccard" -> ddJaccard,
+    "dd_containment" -> ddContainment,
     "dd_simhash" -> ddSimhash,
     "dd_embed_cos" -> ddEmbedCos)
 
@@ -528,6 +561,7 @@ object Dedup {
     "dd_dup_groups" -> ddDupGroupsSql,
     "dd_cluster_stats" -> ddClusterStatsSql,
     "dd_jaccard" -> ddJaccardSql,
+    "dd_containment" -> ddContainmentSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_embed_cos" -> ddEmbedCosSql)
 }

@@ -361,7 +361,42 @@ object EventAnalytics {
       |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
       |FROM counts ORDER BY from_type, to_type""".stripMargin
 
+  /** Daily/weekly active users with the DAU/WAU stickiness ratio — the
+    * standard engagement health metric. One distinct pass compresses the
+    * corpus to (day, user) pairs; DAU is a count over that table; WAU
+    * joins it to the (tiny, broadcast) day spine with a trailing-7-day
+    * range condition, so each compressed pair fans out at most 7× and
+    * the distinct count partial-aggregates on (spine day, user) before
+    * the 7-fanout ever shuffles. No event-level self-join, no global
+    * sort — the expensive cardinality is handled once, up front. */
+  def evDauWau: Q = (s, d) => {
+    val dayUser = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
+    val dau = dayUser.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val spine = dayUser.select(col("day").as("d")).distinct()
+    val wau = dayUser.join(broadcast(spine),
+        col("day") <= col("d") && col("day") > col("d") - expr("INTERVAL 7 DAY"))
+      .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau"), 4).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  val evDauWauSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT date_trunc('day', ts::TIMESTAMP) AS day, user_id FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+      |spine AS (SELECT DISTINCT day AS d FROM du),
+      |wau AS (
+      |  SELECT s.d, count(DISTINCT du.user_id) AS wau
+      |  FROM du JOIN spine s ON du.day <= s.d AND du.day > s.d - INTERVAL 7 DAY
+      |  GROUP BY 1)
+      |SELECT dau.day, dau.dau, wau.wau, round(dau.dau / wau.wau, 4) AS stickiness
+      |FROM dau JOIN wau ON wau.d = dau.day ORDER BY day""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ev_dau_wau" -> evDauWau,
     "ev_markov" -> evMarkov,
     "ev_decay" -> evDecay,
     "ev_heavy_hitters" -> evHeavyHitters,
@@ -375,6 +410,7 @@ object EventAnalytics {
     "ev_salted_agg" -> evSaltedAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "ev_dau_wau" -> evDauWauSql,
     "ev_markov" -> evMarkovSql,
     "ev_decay" -> evDecaySql,
     "ev_heavy_hitters" -> evHeavyHittersSql,

@@ -105,6 +105,36 @@ object Pipeline {
       |WHERE CAST(('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 10
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Deterministic stratified train/val/test split (80/10/10): the split
+    * a document lands in is a pure function of its id (same md5-bucket
+    * idiom as [[pipeSample]]), so the assignment is stable under
+    * re-ingestion, re-partitioning and engine changes — eval rows can
+    * never drift into train between pipeline runs. Reported per
+    * (lang, split) with document and character mass so stratification
+    * skew is visible per language. One partial-aggregated shuffle on the
+    * (lang, split) key — 15 groups at any corpus size. */
+  def pipeSplit: Q = (s, d) => {
+    val bucket = conv(substring(md5s(concat(lit("split|"), col("doc_id"))), 1, 4), 16, 10)
+      .cast("long") % 100
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("char_mass"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val pipeSplitSql: String =
+    """WITH b AS (SELECT lang, doc_id, n_chars,
+      |    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, sum(n_chars)::BIGINT AS char_mass,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   /** Weighted source interleaving (training-data mixing): each source
     * gets weight 1–3; a document's virtual position is its rank within
     * its source divided by the weight, and the training order reads docs
@@ -229,6 +259,7 @@ object Pipeline {
     "pipe_curation" -> pipeCuration,
     "pipe_packing" -> pipePacking,
     "pipe_sample" -> pipeSample,
+    "pipe_split" -> pipeSplit,
     "pipe_interleave" -> pipeInterleave,
     "pipe_shuffle" -> pipeShuffle)
 
@@ -237,6 +268,7 @@ object Pipeline {
     "pipe_curation" -> pipeCurationSql,
     "pipe_packing" -> pipePackingSql,
     "pipe_sample" -> pipeSampleSql,
+    "pipe_split" -> pipeSplitSql,
     "pipe_interleave" -> pipeInterleaveSql,
     "pipe_shuffle" -> pipeShuffleSql)
 }

@@ -198,6 +198,66 @@ object TextAnalysis {
       |SELECT lang, rnk, bigram, n FROM ranked WHERE rnk <= 5
       |ORDER BY lang, rnk""".stripMargin
 
+  /** Repetition detection (the Gopher-style pre-training filters): per
+    * document, the fraction of bigram instances claimed by the single
+    * most frequent bigram and the fraction of trigram instances whose
+    * trigram occurs more than once, plus a combined drop flag. Boiler-
+    * plate, keyword stuffing and decoding loops all surface as one of
+    * the two. N-grams are built record-local (transform over the
+    * materialized token array — no self-join); both counts are keyed on
+    * (doc_id, gram), so the shuffles partial-aggregate and the key space
+    * scales with the corpus, no hot keys. Flag thresholds compare the
+    * 4-dp-rounded ratios so the cut is bit-identical across engines. */
+  def taRepetition: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+    def gramCounts(n: Int) = docs
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(tk) - ${n - 1}), i -> concat_ws(' ', " +
+          (0 until n).map(j => s"element_at(tk, i + $j)").mkString(", ") + "))")).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val bi = gramCounts(2).groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+    val tri = gramCounts(3).groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0))).as("dup_tri"))
+    bi.join(tri, "doc_id")
+      .select(col("doc_id"),
+        round(col("top_bigram_n") / col("n_bigrams"), 4).as("top_bigram_frac"),
+        round(col("dup_tri") / col("n_trigrams"), 4).as("dup_trigram_frac"))
+      .withColumn("is_repetitive",
+        col("top_bigram_frac") > 0.18 || col("dup_trigram_frac") > 0.3)
+      .orderBy(col("doc_id"))
+  }
+
+  val taRepetitionSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |d AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
+      |bgc AS (
+      |  SELECT doc_id, g, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i + 1])) AS g FROM d)
+      |  GROUP BY 1, 2),
+      |b AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n FROM bgc GROUP BY 1),
+      |tgc AS (
+      |  SELECT doc_id, g, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+      |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g FROM d)
+      |  GROUP BY 1, 2),
+      |tr AS (SELECT doc_id, sum(c) AS n_trigrams,
+      |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri FROM tgc GROUP BY 1),
+      |m AS (SELECT b.doc_id,
+      |    round(top_bigram_n / n_bigrams, 4) AS top_bigram_frac,
+      |    round(dup_tri / n_trigrams, 4) AS dup_trigram_frac
+      |  FROM b JOIN tr USING (doc_id))
+      |SELECT doc_id, top_bigram_frac, dup_trigram_frac,
+      |  top_bigram_frac > 0.18 OR dup_trigram_frac > 0.3 AS is_repetitive
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** Vocabulary statistics per ingest source: token volume, exact
     * distinct-token count (vocabulary) and type-token ratio — the corpus
     * health metrics a pipeline tracks per source to catch boilerplate
@@ -275,6 +335,7 @@ object TextAnalysis {
     "ta_langid" -> taLangid,
     "ta_fingerprint" -> taFingerprint,
     "ta_ngram_freq" -> taNgramFreq,
+    "ta_repetition" -> taRepetition,
     "ta_vocab" -> taVocab)
 
   def oracleSql: Map[String, String] = Map(
@@ -285,5 +346,6 @@ object TextAnalysis {
     "ta_langid" -> taLangidSql,
     "ta_fingerprint" -> taFingerprintSql,
     "ta_ngram_freq" -> taNgramFreqSql,
+    "ta_repetition" -> taRepetitionSql,
     "ta_vocab" -> taVocabSql)
 }

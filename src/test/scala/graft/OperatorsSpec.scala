@@ -114,6 +114,59 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .filter(col("decay_score") > col("value_sum") + 1e-9).count() shouldBe 0L
   }
 
+  it should "split every document into exactly one of train/val/test" in {
+    import org.apache.spark.sql.functions._
+    val split = operators.Pipeline.pipeSplit(spark, sf)
+    split.select(col("split")).distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")) shouldBe true
+    // partition: per-lang doc counts across splits sum to the corpus
+    val total = split.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    total shouldBe Tables.documents(spark, sf).count()
+    // deterministic: the split column is a pure function of doc_id, so
+    // train must dominate (80% expected mass)
+    val train = split.filter(col("split") === "train")
+      .agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    train.toDouble / total should be > 0.6
+  }
+
+  it should "keep WAU >= DAU with stickiness in (0, 1]" in {
+    import org.apache.spark.sql.functions._
+    val df = operators.EventAnalytics.evDauWau(spark, sf)
+    df.filter(col("wau") < col("dau")).count() shouldBe 0L
+    df.filter(col("stickiness") <= 0.0 || col("stickiness") > 1.0).count() shouldBe 0L
+  }
+
+  it should "bound containment by 1 and below by Jaccard" in {
+    import org.apache.spark.sql.functions._
+    // J = |∩|/|∪| <= |∩|/|A| since |∪| >= |A|; both directions in [0,1]
+    val c = operators.Dedup.ddContainment(spark, sf)
+    val j = operators.Dedup.ddJaccard(spark, sf).select(col("doc_a"), col("jaccard"))
+    c.filter(col("containment_a") > 1.0 || col("containment_b") > 1.0 ||
+      col("containment_a") < 0.0 || col("containment_b") < 0.0).count() shouldBe 0L
+    c.join(j, "doc_a")
+      .filter(col("jaccard") > col("containment_a") + 1e-9 ||
+        col("jaccard") > col("containment_b") + 1e-9).count() shouldBe 0L
+  }
+
+  it should "keep repetition fractions in [0,1] on a corpus with a known stuffed doc" in {
+    import org.apache.spark.sql.functions._
+    val rep = operators.TextAnalysis.taRepetition(spark, sf)
+    rep.filter(col("top_bigram_frac") < 0.0 || col("top_bigram_frac") > 1.0 ||
+      col("dup_trigram_frac") < 0.0 || col("dup_trigram_frac") > 1.0).count() shouldBe 0L
+    // a synthetic fully-repetitive doc must flag; a unique-token doc must not
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    import spark.implicits._
+    Seq((0L, ("spam ham " * 50).trim, "en", "src0", 100L),
+        (1L, (1 to 100).map(i => s"w$i").mkString(" "), "en", "src0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val flags = operators.TextAnalysis.taRepetition(spark, dir)
+      .select(col("doc_id"), col("is_repetitive")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    flags(0L) shouldBe true
+    flags(1L) shouldBe false
+  }
+
   it should "keep approx distinct within 5% of exact" in {
     import org.apache.spark.sql.functions._
     val approx = operators.Relational.qApproxDistinct(spark, sf)
