@@ -373,7 +373,9 @@ object EventAnalytics {
     val dayUser = Tables.events(s, d)
       .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
     val dau = dayUser.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    val spine = dayUser.select(col("day").as("d")).distinct()
+    // spine derives from the aggregated DAU table (days only) — one
+    // fewer corpus scan than re-distincting the raw events
+    val spine = dau.select(col("day").as("d"))
     val wau = dayUser.join(broadcast(spine),
         col("day") <= col("d") && col("day") > col("d") - expr("INTERVAL 7 DAY"))
       .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
