@@ -238,6 +238,61 @@ object Dedup {
       |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
       |ORDER BY doc_a""".stripMargin
 
+  /** Exact-substring duplicate detection via winnowing (the MOSS
+    * fingerprinting scheme): hash every word 5-gram, slide a window of 4
+    * hashes and keep each window's minimum — any shared run of ≥ 8
+    * tokens is GUARANTEED to select at least one common fingerprint in
+    * both documents, which MinHash/SimHash (whole-document sketches)
+    * cannot promise for a short plagiarized span inside an otherwise
+    * unrelated page. Fingerprinting is record-local (one pass per doc,
+    * arrays materialized through separate projections so HOF lambdas
+    * never re-evaluate `split`); pairing is a keyed self-join on the
+    * fingerprint value with the per-fingerprint group bounded through
+    * TopKPerGroup heaps (cap 1024, deterministic keep-smallest ids) so
+    * one degenerate boilerplate fingerprint cannot go quadratic. Pairs
+    * sharing ≥ 2 fingerprints are reported with the shared count. */
+  def ddPhraseDup: Q = (s, d) => ddPhraseDupImpl(s, d, maxBucketSize = 1024)
+
+  def ddPhraseDupImpl(s: SparkSession, d: String, maxBucketSize: Int): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+    val hashed = docs.select(col("doc_id"), expr(
+      "transform(sequence(1, size(tk) - 4), i -> cast(conv(substring(md5(concat_ws(' ', " +
+        "element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2), " +
+        "element_at(tk, i + 3), element_at(tk, i + 4))), 1, 8), 16, 10) as bigint))").as("hs"))
+    val fps = hashed.select(col("doc_id"), explode(array_distinct(expr(
+      "transform(sequence(1, size(hs) - 3), i -> array_min(slice(hs, i, 4)))"))).as("fp"))
+    val bounded = graft.plans.TopKPerGroup.transform(
+      fps, Seq(col("fp")), Seq(col("doc_id").asc), maxBucketSize)
+    val a = bounded.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = bounded.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ddPhraseDupSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |d AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 8),
+      |h AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 4),
+      |    i -> CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+      |      || ' ' || tk[i + 3] || ' ' || tk[i + 4]), 1, 8)) AS BIGINT)) AS hs
+      |  FROM d),
+      |fp AS (SELECT DISTINCT doc_id, fp FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(hs) - 3),
+      |    i -> list_min(hs[i:i + 3]))) AS fp FROM h)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, count(*) AS n_shared
+      |FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Near-dup cluster assignment: connected components over the LSH
     * candidate-pair graph. SIZE-AWARE strategy — the candidate graph is
     * orders of magnitude smaller than the corpus (only near-dup pairs
@@ -548,6 +603,7 @@ object Dedup {
     "dd_cluster_stats" -> ddClusterStats,
     "dd_jaccard" -> ddJaccard,
     "dd_containment" -> ddContainment,
+    "dd_phrase_dup" -> ddPhraseDup,
     "dd_simhash" -> ddSimhash,
     "dd_embed_cos" -> ddEmbedCos)
 
@@ -562,6 +618,7 @@ object Dedup {
     "dd_cluster_stats" -> ddClusterStatsSql,
     "dd_jaccard" -> ddJaccardSql,
     "dd_containment" -> ddContainmentSql,
+    "dd_phrase_dup" -> ddPhraseDupSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_embed_cos" -> ddEmbedCosSql)
 }

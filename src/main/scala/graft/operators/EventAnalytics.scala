@@ -397,7 +397,40 @@ object EventAnalytics {
       |SELECT dau.day, dau.dau, wau.wau, round(dau.dau / wau.wau, 4) AS stickiness
       |FROM dau JOIN wau ON wau.d = dau.day ORDER BY day""".stripMargin
 
+  /** Cohort retention matrix: users grouped by their first-activity day
+    * (the cohort), counted at every day offset they return on — the
+    * general form of [[evRetention]]'s day-over-day diagonal. Two keyed
+    * aggregations (first-day per user, distinct (day, user)) and one
+    * keyed join on user_id; after the join each user contributes one row
+    * per active day, so the matrix agg counts rows — no second distinct.
+    * Nothing broadcasts the corpus and nothing sorts it; output is
+    * O(days²) regardless of user count. */
+  def evCohortMatrix: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val firstDay = ev.groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+    val active = ev
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    active.join(firstDay, "user_id")
+      .withColumn("offset_days", datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
+
+  val evCohortMatrixSql: String =
+    """WITH fd AS (
+      |  SELECT user_id, min(date_trunc('day', ts::TIMESTAMP)) AS cohort_day
+      |  FROM events GROUP BY 1),
+      |active AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP) AS day FROM events)
+      |SELECT fd.cohort_day, date_diff('day', fd.cohort_day, a.day) AS offset_days,
+      |  count(*) AS n_users
+      |FROM active a JOIN fd USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ev_cohort_matrix" -> evCohortMatrix,
     "ev_dau_wau" -> evDauWau,
     "ev_markov" -> evMarkov,
     "ev_decay" -> evDecay,
@@ -412,6 +445,7 @@ object EventAnalytics {
     "ev_salted_agg" -> evSaltedAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "ev_cohort_matrix" -> evCohortMatrixSql,
     "ev_dau_wau" -> evDauWauSql,
     "ev_markov" -> evMarkovSql,
     "ev_decay" -> evDecaySql,

@@ -258,6 +258,62 @@ object TextAnalysis {
       |  top_bigram_frac > 0.18 OR dup_trigram_frac > 0.3 AS is_repetitive
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** PMI collocations: the corpus's top-20 word bigrams by pointwise
+    * mutual information, ln((n_ab/B) / ((n_a/N)·(n_b/N))), min support
+    * 5 — the phrase-mining signal (raw bigram counts just resurface
+    * stopword pairs; PMI surfaces pairs that co-occur far above chance).
+    * Unigram and bigram counts are independent keyed partial aggs over
+    * the same token stream; the two totals are broadcast scalars; the
+    * per-bigram join keys on the component words (two keyed joins of a
+    * count table against a count table — AQE broadcasts the smaller
+    * side). Global top-20 plans as TakeOrderedAndProject. The PMI
+    * arithmetic keeps one canonical operation order so the double is
+    * bit-identical across engines, then rounds to 6 dp. */
+  def taCollocations: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val bi = toks.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> named_struct('w1', element_at(tk, i), 'w2', element_at(tk, i + 1)))")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    val totals = uni.agg(sum(col("n_w")).as("n_total")).crossJoin(
+      bi.agg(sum(col("n_ab")).as("b_total")))
+    bi.join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        (col("n_ab") / col("b_total")) /
+          ((col("n_a") / col("n_total")) * (col("n_b") / col("n_total")))), 6))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val taCollocationsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |uni AS (
+      |  SELECT w, count(*) AS n_w FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+      |bi AS (
+      |  SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n_ab FROM (
+      |    SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+      |      i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b
+      |    FROM toks WHERE len(tk) >= 2)
+      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |tot AS (
+      |  SELECT (SELECT sum(n_w) FROM uni) AS n_total,
+      |         (SELECT sum(n_ab) FROM bi) AS b_total)
+      |SELECT bi.w1, bi.w2, bi.n_ab, a.n_w AS n_a, b.n_w AS n_b,
+      |  round(ln((bi.n_ab / tot.b_total) /
+      |    ((a.n_w / tot.n_total) * (b.n_w / tot.n_total))), 6) AS pmi
+      |FROM bi JOIN uni a ON a.w = bi.w1 JOIN uni b ON b.w = bi.w2 CROSS JOIN tot
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   /** Vocabulary statistics per ingest source: token volume, exact
     * distinct-token count (vocabulary) and type-token ratio — the corpus
     * health metrics a pipeline tracks per source to catch boilerplate
@@ -336,6 +392,7 @@ object TextAnalysis {
     "ta_fingerprint" -> taFingerprint,
     "ta_ngram_freq" -> taNgramFreq,
     "ta_repetition" -> taRepetition,
+    "ta_collocations" -> taCollocations,
     "ta_vocab" -> taVocab)
 
   def oracleSql: Map[String, String] = Map(
@@ -347,5 +404,6 @@ object TextAnalysis {
     "ta_fingerprint" -> taFingerprintSql,
     "ta_ngram_freq" -> taNgramFreqSql,
     "ta_repetition" -> taRepetitionSql,
+    "ta_collocations" -> taCollocationsSql,
     "ta_vocab" -> taVocabSql)
 }

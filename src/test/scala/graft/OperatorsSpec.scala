@@ -167,6 +167,53 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     flags(1L) shouldBe false
   }
 
+  it should "pair documents sharing a long run through winnowing, and respect the fp cap" in {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // winnowing guarantee: a shared run of >= 8 tokens selects at least
+    // one common fingerprint (5-gram hashes, window 4) in both docs
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    Seq(
+      (0L, s"${(1 to 10).map(i => s"alpha$i").mkString(" ")} $shared", "en", "src0", 100L),
+      (1L, s"$shared ${(1 to 10).map(i => s"beta$i").mkString(" ")}", "en", "src0", 100L),
+      (2L, (1 to 30).map(i => s"gamma$i").mkString(" "), "en", "src0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = operators.Dedup.ddPhraseDup(spark, dir)
+      .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((0L, 1L))
+    pairs.exists(p => p._1 == 2L || p._2 == 2L) shouldBe false
+    // the per-fingerprint TopKPerGroup cap bounds a degenerate hot
+    // fingerprint: with cap=2 the pair count can never exceed C(2,2)=1
+    // per fingerprint however many docs share the boilerplate
+    val boiler = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    Seq.tabulate(6)(i => (i.toLong, boiler, "en", "src0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val capped = operators.Dedup.ddPhraseDupImpl(spark, dir, maxBucketSize = 2)
+    capped.select(max(col("doc_a"))).collect()(0).getLong(0) should be <= 1L
+  }
+
+  it should "account every active user-day in the cohort matrix" in {
+    import org.apache.spark.sql.functions._
+    val m = operators.EventAnalytics.evCohortMatrix(spark, sf)
+    m.filter(col("offset_days") < 0).count() shouldBe 0L
+    val total = m.agg(sum(col("n_users"))).collect()(0).getLong(0)
+    val expected = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")), col("user_id")).distinct().count()
+    total shouldBe expected
+  }
+
+  it should "rank collocations by PMI above the support floor" in {
+    import org.apache.spark.sql.functions._
+    val c = operators.TextAnalysis.taCollocations(spark, sf).collect()
+    c.length should be <= 20
+    all(c.map(_.getAs[Long]("n_ab"))) should be >= 5L
+    val pmis = c.map(_.getAs[Double]("pmi"))
+    pmis.zip(pmis.tail).foreach { case (hi, lo) => hi should be >= lo }
+  }
+
   it should "keep approx distinct within 5% of exact" in {
     import org.apache.spark.sql.functions._
     val approx = operators.Relational.qApproxDistinct(spark, sf)
