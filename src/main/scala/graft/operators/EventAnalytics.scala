@@ -287,17 +287,14 @@ object EventAnalytics {
     * oracle-checkable. */
   def evHeavyHitters: Q = (s, d) => {
     val ev = Tables.events(s, d)
-    def h(j: Int, key: org.apache.spark.sql.Column) =
-      conv(substring(graft.functions.TextFns.md5s(concat(lit(s"cm$j|"), key)), 1, 8), 16, 10)
-        .cast("long") % 32
-    val rows = ev.select(col("user_id"),
-      explode(array((0 until 4).map(j => struct(lit(j).as("j"), h(j, col("user_id")).as("b"))): _*)).as("rb"))
+    import graft.functions.SketchFns.cmPairs
+    val rows = ev.select(col("user_id"), explode(cmPairs(col("user_id"))).as("rb"))
     val counters = rows.groupBy(col("rb.j").as("j"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("c"))
     val users = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
     val est = users
       .select(col("user_id"), col("exact_n"),
-        explode(array((0 until 4).map(j => struct(lit(j).as("j"), h(j, col("user_id")).as("b"))): _*)).as("q"))
+        explode(cmPairs(col("user_id"))).as("q"))
       .join(broadcast(counters), col("q.j") === col("j") && col("q.b") === col("b"))
       .groupBy(col("user_id"), col("exact_n"))
       .agg(min(col("c")).as("est_n"))

@@ -239,6 +239,31 @@ object Relational {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** Explicit GROUPING SETS — the custom set list ((flag, status),
+    * (flag), (status)) that neither rollup (no (status) set) nor cube
+    * (no way to exclude the grand total) expresses; Spark plans it as
+    * ONE Expand + one shuffle, same as rollup/cube. */
+  def qGroupingSets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val qGroupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   /** Set operations: customers active in 1996 vs 1997 (intersect/except). */
   def qUnionSet: Q = (s, d) => {
     def buyers(year: Int) = Tables.orders(s, d)
@@ -400,6 +425,7 @@ object Relational {
     "q_semi_anti" -> qSemiAnti,
     "q_distinct_agg" -> qDistinctAgg,
     "q_rollup" -> qRollup,
+    "q_grouping_sets" -> qGroupingSets,
     "q_union_set" -> qUnionSet,
     "q_topk_global" -> qTopkGlobal,
     "q_corr_subquery" -> qCorrSubquery)
@@ -418,6 +444,7 @@ object Relational {
     "q_semi_anti" -> qSemiAntiSql,
     "q_distinct_agg" -> qDistinctAggSql,
     "q_rollup" -> qRollupSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_union_set" -> qUnionSetSql,
     "q_topk_global" -> qTopkGlobalSql,
     "q_corr_subquery" -> qCorrSubquerySql)

@@ -195,6 +195,29 @@ object Transforms {
       .select(col("window.start").as("window_start"), col("cluster"),
         col("n"), col("mean_dist"))
 
+  /** Streaming count-min-sketch build: per tumbling window, the d×w
+    * counter cells estimating per-user event counts — the streaming twin
+    * of `ev_heavy_hitters`' sketch build (same [[graft.functions.SketchFns]]
+    * hashes, so batch and stream cells are bit-identical; parity pinned
+    * in spec). State is the watermarked windowed agg over a FIXED
+    * depth×width key space per window — the sketch's whole point at
+    * 100 TB: the heavy-hitter query downstream reads d×w cells, never
+    * the user cardinality. */
+  def countMinCells(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLength: String = "1 hour",
+      depth: Int = 4,
+      width: Int = 32): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        explode(graft.functions.SketchFns.cmPairs(col("user_id"), depth, width)).as("rb"))
+      .select(col("ts"), col("rb.j").as("j"), col("rb.b").as("b"))
+      .groupBy(window(col("ts"), windowLength), col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("window_start"), col("j"), col("b"), col("c"))
+
   def runningUserTotalsWithTtl(spark: SparkSession, events: DataFrame,
       watermark: String = "30 minutes", idleMs: Long = 3600000L): Dataset[UserTotal] = {
     import spark.implicits._

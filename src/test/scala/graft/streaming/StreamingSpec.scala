@@ -541,6 +541,30 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     streamed shouldBe batch
   }
 
+  it should "build bit-identical count-min cells in batch and stream" in {
+    // the streaming sketch build must agree cell-for-cell with the batch
+    // construction over the same events (shared SketchFns hashes)
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp()
+    graft.Tables.events(spark, sf).write.mode("overwrite").parquet(src)
+    val q = Transforms.countMinCells(EventSource.fileStream(spark, src, 4))
+      .writeStream.format("memory").queryName("cm_cells").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cm_cells").collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.Tables.events(spark, sf)
+      .select(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        explode(graft.functions.SketchFns.cmPairs(col("user_id"))).as("rb"))
+      .groupBy(col("window_start"), col("rb.j").as("j"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    streamed shouldBe batch
+    // the key space really is bounded: ≤ 4×32 cells per window
+    val perWindow = spark.table("cm_cells").groupBy(col("window_start")).count()
+    perWindow.filter(col("count") > 128).count() shouldBe 0L
+  }
+
   it should "fan out one source to independently-committed sinks" in {
     // PartitionGroupingSink analog: two sinks, separate checkpoints,
     // each commits its own progress over the same source.
