@@ -201,6 +201,34 @@ object Clustering {
        |  label_n AS top_n, round(label_n / n, 6) AS purity
        |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  /** Clustering health report: per-cluster population, inertia (the
+    * k-means objective — sum of squared distances to the centroid),
+    * mean distance and corpus share. Falling share + rising mean_dist
+    * across retrains is the "this K no longer fits the data" signal;
+    * the per-cluster inertia ranks which clusters to split first.
+    * Reuses the memoized training run (no extra corpus passes beyond
+    * the one assignment scan); the share denominator is a window over
+    * the K aggregated rows, not the corpus. */
+  def clInertia: Q = (s, d) => {
+    val g = finalAssign(s, d).groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), round(sum(col("d")), 6).as("inertia"),
+        round(avg(col("d")), 6).as("mean_dist"))
+    g.select(col("cid").cast("long").as("cluster"), col("n"), col("inertia"),
+        col("mean_dist"),
+        round(col("n") / sum(col("n")).over(Window.partitionBy()), 6).as("share"))
+      .orderBy(col("cluster"))
+  }
+
+  val clInertiaSql: String =
+    s"""$kmeansCtes,
+       |g AS (
+       |  SELECT cid, count(*) AS n, round(sum(d), 6) AS inertia,
+       |    round(avg(d), 6) AS mean_dist
+       |  FROM a2 GROUP BY 1)
+       |SELECT cid::BIGINT AS cluster, n, inertia, mean_dist,
+       |  round(n / (sum(n) OVER ()), 6) AS share
+       |FROM g ORDER BY cluster""".stripMargin
+
   /** Semantic dedup, cluster-bucketed: near-dup pairs (cosine > 0.25,
     * the dd_embed_cos threshold) are only sought WITHIN a k-means
     * cluster, so pair work is O(Σ cluster²) instead of O(n²) — and
@@ -253,11 +281,13 @@ object Clustering {
     "cl_kmeans" -> clKmeans,
     "cl_diverse_sample" -> clDiverseSample,
     "cl_purity" -> clPurity,
+    "cl_inertia" -> clInertia,
     "cl_semantic_dedup" -> clSemanticDedup)
 
   def oracleSql: Map[String, String] = Map(
     "cl_kmeans" -> clKmeansSql,
     "cl_diverse_sample" -> clDiverseSampleSql,
     "cl_purity" -> clPuritySql,
+    "cl_inertia" -> clInertiaSql,
     "cl_semantic_dedup" -> clSemanticDedupSql)
 }

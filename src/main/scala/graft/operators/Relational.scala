@@ -178,6 +178,37 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, seq""".stripMargin
 
+  /** Distribution window functions — ntile / percent_rank / cume_dist —
+    * quartile and rank position of every event's value within its type
+    * (the remaining ANSI window family after rank/lag/frames). Ties
+    * break on event_id so the full order is unique and both engines
+    * rank identically. Partitioning is by event_type (low cardinality,
+    * inherent to a per-type distribution): at 100 TB the same answer
+    * comes from a two-phase shape — per-partition value histograms
+    * merged into per-type quantile boundaries, then a broadcast
+    * bucket-assignment scan — rather than one sort per type. */
+  def qWindowDist: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      // windows rank on the RAW value (same as the oracle's WINDOW
+      // clause, where the alias is not visible); round for display only
+      .withColumn("value", round(col("value"), 6))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  val qWindowDistSql: String =
+    """SELECT event_type, event_id, round(value, 6) AS value,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      |ORDER BY event_type, event_id""".stripMargin
+
   /** Left-semi + left-anti joins: per-nation counts of customers with and
     * without orders. Both sides aggregated before the final tiny union. */
   def qSemiAnti: Q = (s, d) => {
@@ -426,6 +457,7 @@ object Relational {
     "q_distinct_agg" -> qDistinctAgg,
     "q_rollup" -> qRollup,
     "q_grouping_sets" -> qGroupingSets,
+    "q_window_dist" -> qWindowDist,
     "q_union_set" -> qUnionSet,
     "q_topk_global" -> qTopkGlobal,
     "q_corr_subquery" -> qCorrSubquery)
@@ -445,6 +477,7 @@ object Relational {
     "q_distinct_agg" -> qDistinctAggSql,
     "q_rollup" -> qRollupSql,
     "q_grouping_sets" -> qGroupingSetsSql,
+    "q_window_dist" -> qWindowDistSql,
     "q_union_set" -> qUnionSetSql,
     "q_topk_global" -> qTopkGlobalSql,
     "q_corr_subquery" -> qCorrSubquerySql)
