@@ -203,18 +203,24 @@ object Clustering {
 
   /** Clustering health report: per-cluster population, inertia (the
     * k-means objective — sum of squared distances to the centroid),
-    * mean distance and corpus share. Falling share + rising mean_dist
-    * across retrains is the "this K no longer fits the data" signal;
-    * the per-cluster inertia ranks which clusters to split first.
-    * Reuses the memoized training run (no extra corpus passes beyond
-    * the one assignment scan); the share denominator is a window over
-    * the K aggregated rows, not the corpus. */
+    * mean SQUARED distance and corpus share. Falling share + rising
+    * mean_sq_dist across retrains is the "this K no longer fits the
+    * data" signal; the per-cluster inertia ranks which clusters to
+    * split first. Reuses the memoized training run (no extra corpus
+    * passes beyond the one assignment scan); the share denominator is
+    * a window over the K aggregated rows, not the corpus. Distance
+    * sums go through decimal(38,18) — double addition is
+    * non-associative, so a raw double sum depends on partition combine
+    * order and can flip a 6-dp rounding boundary between engines (the
+    * same hardening the centroid updates use). */
   def clInertia: Q = (s, d) => {
+    val dec = col("d").cast("decimal(38,18)")
     val g = finalAssign(s, d).groupBy(col("cid"))
-      .agg(count(lit(1)).as("n"), round(sum(col("d")), 6).as("inertia"),
-        round(avg(col("d")), 6).as("mean_dist"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec).cast("double"), 6).as("inertia"),
+        round(sum(dec).cast("double") / count(lit(1)), 6).as("mean_sq_dist"))
     g.select(col("cid").cast("long").as("cluster"), col("n"), col("inertia"),
-        col("mean_dist"),
+        col("mean_sq_dist"),
         round(col("n") / sum(col("n")).over(Window.partitionBy()), 6).as("share"))
       .orderBy(col("cluster"))
   }
@@ -222,10 +228,11 @@ object Clustering {
   val clInertiaSql: String =
     s"""$kmeansCtes,
        |g AS (
-       |  SELECT cid, count(*) AS n, round(sum(d), 6) AS inertia,
-       |    round(avg(d), 6) AS mean_dist
+       |  SELECT cid, count(*) AS n,
+       |    round(sum(d::DECIMAL(38,18))::DOUBLE, 6) AS inertia,
+       |    round(sum(d::DECIMAL(38,18))::DOUBLE / count(*), 6) AS mean_sq_dist
        |  FROM a2 GROUP BY 1)
-       |SELECT cid::BIGINT AS cluster, n, inertia, mean_dist,
+       |SELECT cid::BIGINT AS cluster, n, inertia, mean_sq_dist,
        |  round(n / (sum(n) OVER ()), 6) AS share
        |FROM g ORDER BY cluster""".stripMargin
 

@@ -178,21 +178,30 @@ object Dedup {
        |ORDER BY doc_a""".stripMargin
   }
 
-  /** Exact n-gram (token-set) Jaccard on candidate pairs — here adjacent
-    * doc ids, the deterministic candidate set for the synthetic corpus. */
-  def ddJaccard: Q = (s, d) => {
+  /** Shared candidate-pair frame for the pairwise similarity measures:
+    * adjacent doc ids (the deterministic candidate set for the synthetic
+    * corpus — in production the pairs come from LSH banding upstream)
+    * with the token-set sizes and overlap every measure derives from.
+    * One definition so [[ddJaccard]] and [[ddContainment]] can never
+    * drift apart on candidate semantics. */
+  private def tokenPairs(s: SparkSession, d: String): DataFrame = {
     val t = Tables.documents(s, d)
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
-    val a = t.as("a")
-    val b = t.select(col("doc_id").as("b_id"), col("tk").as("b_tk")).as("b")
-    a.join(b, col("b_id") === col("doc_id") + 1)
+    val b = t.select(col("doc_id").as("b_id"), col("tk").as("b_tk"))
+    t.join(b, col("b_id") === col("doc_id") + 1)
       .select(col("doc_id").as("doc_a"), col("b_id").as("doc_b"),
         size(col("tk")).cast("long").as("n_a"), size(col("b_tk")).cast("long").as("n_b"),
         size(array_intersect(col("tk"), col("b_tk"))).cast("long").as("n_common"),
-        round(size(array_intersect(col("tk"), col("b_tk"))) /
-          size(array_union(col("tk"), col("b_tk"))), 4).as("jaccard"))
-      .orderBy(col("doc_a"))
+        size(array_union(col("tk"), col("b_tk"))).cast("long").as("n_union"))
   }
+
+  /** Exact n-gram (token-set) Jaccard on candidate pairs — here adjacent
+    * doc ids, the deterministic candidate set for the synthetic corpus. */
+  def ddJaccard: Q = (s, d) =>
+    tokenPairs(s, d)
+      .withColumn("jaccard", round(col("n_common") / col("n_union"), 4))
+      .drop("n_union")
+      .orderBy(col("doc_a"))
 
   val ddJaccardSql: String =
     """WITH t AS (SELECT doc_id,
@@ -211,20 +220,15 @@ object Dedup {
     * fully contained in a larger page scores low Jaccard but
     * containment 1.0 from the snippet's side, and containment-based
     * dropping (keep the superset) is the standard fix for quote/excerpt
-    * dups. Same keyed adjacent-pair shape as [[ddJaccard]]: candidates
-    * come from banding upstream, never an all-pairs join. */
-  def ddContainment: Q = (s, d) => {
-    val t = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
-    val b = t.select(col("doc_id").as("b_id"), col("tk").as("b_tk"))
-    t.join(b, col("b_id") === col("doc_id") + 1)
-      .select(col("doc_id").as("doc_a"), col("b_id").as("doc_b"),
-        size(col("tk")).cast("long").as("n_a"), size(col("b_tk")).cast("long").as("n_b"),
-        size(array_intersect(col("tk"), col("b_tk"))).cast("long").as("n_common"))
+    * dups. Same keyed adjacent-pair shape as [[ddJaccard]] (shared
+    * [[tokenPairs]] builder): candidates come from banding upstream,
+    * never an all-pairs join. */
+  def ddContainment: Q = (s, d) =>
+    tokenPairs(s, d)
       .withColumn("containment_a", round(col("n_common") / col("n_a"), 4))
       .withColumn("containment_b", round(col("n_common") / col("n_b"), 4))
+      .drop("n_union")
       .orderBy(col("doc_a"))
-  }
 
   val ddContainmentSql: String =
     """WITH t AS (SELECT doc_id,
@@ -248,9 +252,15 @@ object Dedup {
     * arrays materialized through separate projections so HOF lambdas
     * never re-evaluate `split`); pairing is a keyed self-join on the
     * fingerprint value with the per-fingerprint group bounded through
-    * TopKPerGroup heaps (cap 1024, deterministic keep-smallest ids) so
-    * one degenerate boilerplate fingerprint cannot go quadratic. Pairs
-    * sharing ≥ 2 fingerprints are reported with the shared count. */
+    * TopKPerGroup heaps (cap 1024, deterministic keep-smallest ids;
+    * the oracle mirrors the cap with a row_number qualify, so Spark
+    * and DuckDB agree at any corpus size) so one degenerate boilerplate
+    * fingerprint cannot go quadratic. Every pair sharing a fingerprint
+    * is reported with its shared count — no minimum, because
+    * overlapping windows inside a shared run routinely select the SAME
+    * minimum, so even an arbitrarily long shared run can yield exactly
+    * one distinct common fingerprint; a ≥2 floor would break the
+    * guarantee. Consumers rank by n_shared. */
   def ddPhraseDup: Q = (s, d) => ddPhraseDupImpl(s, d, maxBucketSize = 1024)
 
   def ddPhraseDupImpl(s: SparkSession, d: String, maxBucketSize: Int): DataFrame = {
@@ -270,7 +280,6 @@ object Dedup {
     a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 2)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -286,11 +295,16 @@ object Dedup {
       |fp AS (SELECT DISTINCT doc_id, fp FROM (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(hs) - 3),
       |    i -> list_min(hs[i:i + 3]))) AS fp FROM h)),
+      |fpb AS (
+      |  SELECT doc_id, fp FROM (
+      |    SELECT doc_id, fp,
+      |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |    FROM fp) WHERE rn <= 1024),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+      |  FROM fpb a JOIN fpb b ON a.fp = b.fp AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, count(*) AS n_shared
-      |FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+      |FROM pairs GROUP BY 1, 2
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Near-dup cluster assignment: connected components over the LSH

@@ -274,14 +274,18 @@ object TextAnalysis {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
     val uni = toks.select(explode(col("tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-    val bi = toks.filter(size(col("tk")) >= 2)
+    val biAll = toks.filter(size(col("tk")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(tk) - 1), i -> named_struct('w1', element_at(tk, i), 'w2', element_at(tk, i + 1)))")).as("b"))
       .select(col("b.w1"), col("b.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= 5)
+    val bi = biAll.filter(col("n_ab") >= 5)
+    // b_total is the TOTAL bigram-instance mass (pre support filter):
+    // p(a,b) = n_ab / B over the whole corpus, otherwise every PMI is
+    // inflated by a constant ln(B_all/B_kept) and absolute cutoffs
+    // (pmi > 0 = "above chance") stop meaning anything
     val totals = uni.agg(sum(col("n_w")).as("n_total")).crossJoin(
-      bi.agg(sum(col("n_ab")).as("b_total")))
+      biAll.agg(sum(col("n_ab")).as("b_total")))
     bi.join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
       .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
       .crossJoin(broadcast(totals))
@@ -299,15 +303,16 @@ object TextAnalysis {
       |  FROM documents),
       |uni AS (
       |  SELECT w, count(*) AS n_w FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
-      |bi AS (
+      |bi_all AS (
       |  SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n_ab FROM (
       |    SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
       |      i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b
       |    FROM toks WHERE len(tk) >= 2)
-      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |  GROUP BY 1, 2),
+      |bi AS (SELECT * FROM bi_all WHERE n_ab >= 5),
       |tot AS (
       |  SELECT (SELECT sum(n_w) FROM uni) AS n_total,
-      |         (SELECT sum(n_ab) FROM bi) AS b_total)
+      |         (SELECT sum(n_ab) FROM bi_all) AS b_total)
       |SELECT bi.w1, bi.w2, bi.n_ab, a.n_w AS n_a, b.n_w AS n_b,
       |  round(ln((bi.n_ab / tot.b_total) /
       |    ((a.n_w / tot.n_total) * (b.n_w / tot.n_total))), 6) AS pmi
