@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFns._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling (SURVEY.md §2g): media payloads as opaque
@@ -50,6 +51,43 @@ object Multimodal {
       |  unnest(generate_series(0, (n_chars // 100) + 1, 2)) AS frame_idx,
       |  md5(concat_ws(':', doc_id, unnest(generate_series(0, (n_chars // 100) + 1, 2)))) AS frame_key
       |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Training-shard manifest (the WebDataset/tar-index shape): assign
+    * each payload to a shard by content-independent hash, order records
+    * within the shard deterministically, and compute each record's BYTE
+    * OFFSET as the running sum of payload lengths before it — exactly
+    * the index a dataloader needs to seek into a packed shard file
+    * without decoding it. Integer-only arithmetic (no float drift); the
+    * cumulative window partitions on shard (scales out with shard
+    * count — shard count grows with the corpus, there is no global
+    * sort); one shuffle total. */
+  def mmManifest: Q = (s, d) => {
+    val shard = conv(substring(md5s(concat(lit("shard|"), col("doc_id"))), 1, 4), 16, 10)
+      .cast("long") % 8
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"), shard.as("shard"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("rec_idx", row_number().over(w).cast("long"))
+      .withColumn("offset",
+        coalesce(sum(col("n_bytes")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .orderBy(col("shard"), col("rec_idx"))
+  }
+
+  val mmManifestSql: String =
+    """WITH m AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard,
+      |    strlen(text) AS n_bytes
+      |  FROM documents)
+      |SELECT doc_id, shard, n_bytes,
+      |  row_number() OVER w AS rec_idx,
+      |  coalesce(sum(n_bytes) OVER (PARTITION BY shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS offset
+      |FROM m
+      |WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
+      |ORDER BY shard, rec_idx""".stripMargin
 
   /** Decode stub (rows-only check, no SQL oracle): partition-parallel
     * "decode" of binary payloads into fixed-width feature vectors via
@@ -106,11 +144,13 @@ object Multimodal {
     "mm_meta" -> mmMeta,
     "mm_framesample" -> mmFramesample,
     "mm_chunk" -> mmChunk,
+    "mm_manifest" -> mmManifest,
     "mm_decode_stub" -> mmDecodeStub)
 
   /** mm_decode_stub intentionally omitted → rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
     "mm_framesample" -> mmFramesampleSql,
-    "mm_chunk" -> mmChunkSql)
+    "mm_chunk" -> mmChunkSql,
+    "mm_manifest" -> mmManifestSql)
 }

@@ -319,6 +319,53 @@ object TextAnalysis {
       |FROM bi JOIN uni a ON a.w = bi.w1 JOIN uni b ON b.w = bi.w2 CROSS JOIN tot
       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** Token-distribution entropy per document: H = -Σ p·ln(p) over the
+    * doc's token frequencies, plus the normalized ratio H/ln(n_tokens)
+    * (1.0 = all tokens distinct, →0 = one token repeated) — the junk
+    * detector that catches what keyword filters miss: low entropy flags
+    * decoder loops and boilerplate, anomalously LOW normalized entropy
+    * at high length flags stuffing. Counts key on (doc_id, token) with
+    * partial aggregation; each per-token term p·ln(p) is cast to
+    * decimal(38,18) BEFORE the per-doc sum so the reduction is
+    * order-independent (double addition is not associative — raw double
+    * sums flip 6-dp rounding boundaries between engines). */
+  def taEntropy: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val n = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"))
+    val p = col("c") / col("n_tokens")
+    counts.join(n, "doc_id")
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
+      .agg(round(-sum((p * log(p)).cast("decimal(38,18)")).cast("double"), 6).as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("n_tokens") > 1,
+          round(col("entropy") / log(col("n_tokens").cast("double")), 6))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("entropy"), col("norm_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taEntropySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS t
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+      |n AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct
+      |  FROM cnt GROUP BY 1),
+      |e AS (
+      |  SELECT cnt.doc_id, n.n_tokens, n.n_distinct,
+      |    round(-sum(((cnt.c / n.n_tokens) * ln(cnt.c / n.n_tokens))::DECIMAL(38,18))::DOUBLE, 6) AS entropy
+      |  FROM cnt JOIN n USING (doc_id) GROUP BY 1, 2, 3)
+      |SELECT doc_id, n_tokens, n_distinct, entropy,
+      |  CASE WHEN n_tokens > 1 THEN round(entropy / ln(n_tokens::DOUBLE), 6)
+      |       ELSE 0.0 END AS norm_entropy
+      |FROM e ORDER BY doc_id""".stripMargin
+
   /** Vocabulary statistics per ingest source: token volume, exact
     * distinct-token count (vocabulary) and type-token ratio — the corpus
     * health metrics a pipeline tracks per source to catch boilerplate
@@ -398,6 +445,7 @@ object TextAnalysis {
     "ta_ngram_freq" -> taNgramFreq,
     "ta_repetition" -> taRepetition,
     "ta_collocations" -> taCollocations,
+    "ta_entropy" -> taEntropy,
     "ta_vocab" -> taVocab)
 
   def oracleSql: Map[String, String] = Map(
@@ -410,5 +458,6 @@ object TextAnalysis {
     "ta_ngram_freq" -> taNgramFreqSql,
     "ta_repetition" -> taRepetitionSql,
     "ta_collocations" -> taCollocationsSql,
+    "ta_entropy" -> taEntropySql,
     "ta_vocab" -> taVocabSql)
 }

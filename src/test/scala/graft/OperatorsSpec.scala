@@ -214,6 +214,40 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     pmis.zip(pmis.tail).foreach { case (hi, lo) => hi should be >= lo }
   }
 
+  it should "produce contiguous byte offsets within every manifest shard" in {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val m = operators.Multimodal.mmManifest(spark, sf)
+    // each record starts exactly where the previous one ended, per shard
+    val w = Window.partitionBy(col("shard")).orderBy(col("rec_idx"))
+    val bad = m.withColumn("expected", coalesce(
+        lag(col("offset") + col("n_bytes"), 1).over(w), lit(0L)))
+      .filter(col("offset") =!= col("expected"))
+    bad.count() shouldBe 0L
+    // shard totals account for every payload byte
+    val total = m.agg(sum(col("n_bytes"))).collect()(0).getLong(0)
+    total shouldBe Tables.documents(spark, sf)
+      .agg(sum(octet_length(col("text")))).collect()(0).getLong(0)
+  }
+
+  it should "score a stuffed doc lower than a distinct-token doc on normalized entropy" in {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = operators.TextAnalysis.taEntropy(spark, sf)
+    e.filter(col("norm_entropy") < 0.0 || col("norm_entropy") > 1.0 + 1e-9)
+      .count() shouldBe 0L
+    val dir = java.nio.file.Files.createTempDirectory("graft-ent").toString
+    Seq((0L, ("spam " * 100).trim, "en", "src0", 100L),
+        (1L, (1 to 100).map(i => s"w$i").mkString(" "), "en", "src0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val scores = operators.TextAnalysis.taEntropy(spark, dir)
+      .select(col("doc_id"), col("norm_entropy")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    scores(0L) shouldBe 0.0 // one repeated token: zero entropy
+    scores(1L) shouldBe 1.0 +- 1e-6 // all distinct: maximal
+  }
+
   it should "keep approx distinct within 5% of exact" in {
     import org.apache.spark.sql.functions._
     val approx = operators.Relational.qApproxDistinct(spark, sf)
