@@ -16,8 +16,7 @@ object SketchFns {
     * as an integer mod `width` — deterministic across engines and
     * identical to the DuckDB oracle's arithmetic. */
   def cmBucket(j: Int, key: Column, width: Int = 32): Column =
-    conv(substring(TextFns.md5s(concat(lit(s"cm$j|"), key)), 1, 8), 16, 10)
-      .cast("long") % width
+    TextFns.hashBucket(s"cm$j|", key, 8, width)
 
   /** All `depth` (row, bucket) probe pairs for a key, as an array of
     * structs ready to explode — record-local, codegen'd. */

@@ -25,6 +25,16 @@ object TextFns {
   /** md5 hex of a string column (Spark needs an explicit binary cast). */
   def md5s(c: Column): Column = md5(c.cast("binary"))
 
+  /** Salted md5 hex bucket: the first `hexDigits` hex digits of
+    * md5(salt ‖ key) parsed as an integer, mod `mod` — THE deterministic
+    * content-independent bucketing idiom behind sampling, splits, shard
+    * assignment and the count-min rows. One definition so every copy
+    * stays arithmetically identical to its hand-written DuckDB twin:
+    * `CAST(('0x' || substr(md5('<salt>' || CAST(key AS VARCHAR)), 1, H)) AS BIGINT) % M`. */
+  def hashBucket(salt: String, key: Column, hexDigits: Int, mod: Int): Column =
+    conv(substring(md5s(concat(lit(salt), key)), 1, hexDigits), 16, 10)
+      .cast("long") % mod
+
   /** MinHash permutation j: an 8-hex-char slice of a salted md5 digest —
     * 4 permutations per digest, so 8 permutations cost 2 md5s per shingle
     * instead of 8. Signature value is the lexicographic min over a doc's

@@ -62,8 +62,7 @@ object Multimodal {
     * count — shard count grows with the corpus, there is no global
     * sort); one shuffle total. */
   def mmManifest: Q = (s, d) => {
-    val shard = conv(substring(md5s(concat(lit("shard|"), col("doc_id"))), 1, 4), 16, 10)
-      .cast("long") % 8
+    val shard = hashBucket("shard|", col("doc_id"), 4, 8)
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
     Tables.documents(s, d)
       .withColumn("payload", col("text").cast("binary"))

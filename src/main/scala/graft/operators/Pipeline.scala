@@ -88,8 +88,7 @@ object Pipeline {
     * runs and cluster sizes (unlike rand()-based sampling), which is what
     * a training-data pipeline needs for auditable subsets. */
   def pipeSample: Q = (s, d) => {
-    val bucket = conv(substring(md5s(concat(lit("sample|"), col("doc_id"))), 1, 4), 16, 10)
-      .cast("long") % 100
+    val bucket = graft.functions.TextFns.hashBucket("sample|", col("doc_id"), 4, 100)
     Tables.documents(s, d)
       .filter(bucket < 10)
       .groupBy(col("lang"))
@@ -114,8 +113,7 @@ object Pipeline {
     * skew is visible per language. One partial-aggregated shuffle on the
     * (lang, split) key — 15 groups at any corpus size. */
   def pipeSplit: Q = (s, d) => {
-    val bucket = conv(substring(md5s(concat(lit("split|"), col("doc_id"))), 1, 4), 16, 10)
-      .cast("long") % 100
+    val bucket = graft.functions.TextFns.hashBucket("split|", col("doc_id"), 4, 100)
     Tables.documents(s, d)
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))

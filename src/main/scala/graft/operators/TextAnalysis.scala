@@ -334,10 +334,14 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("c"))
-    val n = counts.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"))
+    // per-doc totals as a window over the single counts pass (state =
+    // one doc's vocabulary) — a separate groupBy would recompute the
+    // whole (doc_id, token) subtree: two corpus scans and two shuffles
+    val wDoc = Window.partitionBy(col("doc_id"))
     val p = col("c") / col("n_tokens")
-    counts.join(n, "doc_id")
+    counts
+      .withColumn("n_tokens", sum(col("c")).over(wDoc))
+      .withColumn("n_distinct", count(lit(1)).over(wDoc))
       .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
       .agg(round(-sum((p * log(p)).cast("decimal(38,18)")).cast("double"), 6).as("entropy"))
       .withColumn("norm_entropy",
