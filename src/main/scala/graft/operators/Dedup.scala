@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextFns._
 import graft.functions.VecFns._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite (SURVEY.md §2d) over the `documents` and
@@ -45,6 +46,78 @@ object Dedup {
       |                               '\s+', ' ', 'g'))) AS content_hash,
       |  min(doc_id) AS rep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY rep_id""".stripMargin
+
+  /** Cross-source phrase-overlap matrix: for every pair of ingest
+    * sources, how many distinct word 5-grams appear in BOTH, and the
+    * containment share `n_shared / min(|grams_a|, |grams_b|)` — the
+    * provenance report behind "source B is (partly) a scrape of source A"
+    * decisions. Phrase-level overlap catches cross-source duplication
+    * that exact content hashing misses entirely (re-chunked, re-wrapped
+    * or excerpted scrapes share phrases, not whole documents).
+    *
+    * Scale: ONE corpus-sized shuffle — `collect_set(source)` keyed on the
+    * gram (partial_collect_set pre-dedupes map-side; the set is bounded
+    * by the config-sized source count, never the corpus, so no hot-bucket
+    * risk). The pair explode inflates each gram to ≤ k² rows for a gram
+    * in k sources, KEEPING the (a = b) diagonal: after the pair count,
+    * the diagonal row (s, s) IS source s's distinct-gram total, so both
+    * containment denominators come from two |sources|²-sized windows over
+    * the aggregate itself — no totals join, no second corpus pass.
+    *
+    * Two pitfalls this shape dodges (measured 3.0 s → 1.2 s at sf0.01):
+    * a raw `tokens(col("text"))` inlined into the gram lambda re-splits
+    * the text once per element_at (bind it to a column first — CSE does
+    * not reach inside lambda bodies), and deriving totals from a second
+    * aggregation re-ran the whole explode subtree (exchange reuse does
+    * not fire across the differing aggregates). */
+  def ddCrossSource: Q = (s, d) => {
+    val grams = when(size(col("tk")) >= 5,
+      transform(sequence(lit(1), size(col("tk")) - 4), i => concat_ws(" ",
+        element_at(col("tk"), i), element_at(col("tk"), i + 1),
+        element_at(col("tk"), i + 2), element_at(col("tk"), i + 3),
+        element_at(col("tk"), i + 4))))
+      .otherwise(array().cast("array<string>"))
+    val srcsPerGram = Tables.documents(s, d)
+      .select(col("source"), tokens(col("text")).as("tk"))
+      .select(col("source"), explode(grams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(collect_set(col("source")).as("srcs"))
+    val diagonal = max(when(col("src_a") === col("src_b"), col("n_shared")))
+    srcsPerGram
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") <= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("grams_a", diagonal.over(Window.partitionBy(col("src_a"))))
+      .withColumn("grams_b", diagonal.over(Window.partitionBy(col("src_b"))))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") / least(col("grams_a"), col("grams_b")), 6)
+          .as("containment"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val ddCrossSourceSql: String =
+    """WITH tok AS (
+      |  SELECT source,
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source,
+      |    concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) AS gram
+      |  FROM tok, unnest(range(1, len(tk) - 3)) AS t(i)
+      |  WHERE len(tk) >= 5),
+      |tot AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+      |m AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared,
+      |  round(n_shared / least(ta.n_grams, tb.n_grams), 6) AS containment
+      |FROM m JOIN tot ta ON ta.source = m.src_a
+      |       JOIN tot tb ON tb.source = m.src_b
+      |ORDER BY src_a, src_b""".stripMargin
 
   // ---- MinHash + LSH -----------------------------------------------------
 
@@ -609,6 +682,7 @@ object Dedup {
   def queries: Map[String, Q] = Map(
     "dd_decontaminate" -> ddDecontaminate,
     "dd_exact" -> ddExact,
+    "dd_cross_source" -> ddCrossSource,
     "dd_exact_norm" -> ddExactNorm,
     "dd_minhash" -> ddMinhash,
     "dd_minhash_est" -> ddMinhashEst,
@@ -624,6 +698,7 @@ object Dedup {
   def oracleSql: Map[String, String] = Map(
     "dd_decontaminate" -> ddDecontaminateSql,
     "dd_exact" -> ddExactSql,
+    "dd_cross_source" -> ddCrossSourceSql,
     "dd_exact_norm" -> ddExactNormSql,
     "dd_minhash" -> ddMinhashSql,
     "dd_minhash_est" -> ddMinhashEstSql,

@@ -144,13 +144,84 @@ object Joins {
       |  (SELECT count(*) FROM c) AS n_clicked_after,
       |  (SELECT count(*) FROM p) AS n_purchased_after""".stripMargin
 
+  /** Funnel timing: latency distribution between funnel stages for users
+    * who complete view → click → purchase in order (first view, first
+    * click ≥ view, first purchase ≥ click — the same stage chain as
+    * [[evFunnel]]). Reports converter count plus median/p90 seconds for
+    * view→click, click→purchase and end-to-end — the numbers behind
+    * "how long does conversion take", which the funnel counts alone
+    * don't answer.
+    *
+    * Scale: three shrinking keyed aggregations on user_id (each stage
+    * filters before grouping, partial-agg min), then ONE global exact
+    * percentile over the converter latencies — converter-sized, not
+    * event-sized, so the single-reducer percentile is bounded by the
+    * funnel's smallest stage. Latencies are integer microsecond deltas
+    * (µs-exact in both engines) divided once by 1e6. */
+  def evFunnelTiming: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val viewed = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicked = ev.filter(col("event_type") === "click")
+      .join(viewed, "user_id")
+      .filter(col("ts") >= col("t_view"))
+      .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_click"))
+    val purchased = ev.filter(col("event_type") === "purchase")
+      .join(clicked, "user_id")
+      .filter(col("ts") >= col("t_click"))
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(col("ts")).as("t_purchase"))
+    purchased
+      .select(
+        ((unix_micros(col("t_click")) - unix_micros(col("t_view"))) / 1e6).as("s_vc"),
+        ((unix_micros(col("t_purchase")) - unix_micros(col("t_click"))) / 1e6).as("s_cp"),
+        ((unix_micros(col("t_purchase")) - unix_micros(col("t_view"))) / 1e6).as("s_vp"))
+      .agg(count(lit(1)).as("n_converters"),
+        round(expr("percentile(s_vc, 0.5)"), 6).as("p50_view_click_s"),
+        round(expr("percentile(s_vc, 0.9)"), 6).as("p90_view_click_s"),
+        round(expr("percentile(s_cp, 0.5)"), 6).as("p50_click_purchase_s"),
+        round(expr("percentile(s_cp, 0.9)"), 6).as("p90_click_purchase_s"),
+        round(expr("percentile(s_vp, 0.5)"), 6).as("p50_total_s"),
+        round(expr("percentile(s_vp, 0.9)"), 6).as("p90_total_s"))
+  }
+
+  val evFunnelTimingSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts::TIMESTAMP) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, v.t_view, min(e.ts::TIMESTAMP) AS t_click
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP >= v.t_view
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT e.user_id, c.t_view, c.t_click, min(e.ts::TIMESTAMP) AS t_purchase
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP >= c.t_click
+      |  GROUP BY 1, 2, 3),
+      |lat AS (
+      |  SELECT (epoch_us(t_click) - epoch_us(t_view)) / 1e6 AS s_vc,
+      |    (epoch_us(t_purchase) - epoch_us(t_click)) / 1e6 AS s_cp,
+      |    (epoch_us(t_purchase) - epoch_us(t_view)) / 1e6 AS s_vp
+      |  FROM p)
+      |SELECT count(*) AS n_converters,
+      |  round(quantile_cont(s_vc, 0.5), 6) AS p50_view_click_s,
+      |  round(quantile_cont(s_vc, 0.9), 6) AS p90_view_click_s,
+      |  round(quantile_cont(s_cp, 0.5), 6) AS p50_click_purchase_s,
+      |  round(quantile_cont(s_cp, 0.9), 6) AS p90_click_purchase_s,
+      |  round(quantile_cont(s_vp, 0.5), 6) AS p50_total_s,
+      |  round(quantile_cont(s_vp, 0.9), 6) AS p90_total_s
+      |FROM lat""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ev_asof_join" -> evAsofJoin,
     "ev_range_join" -> evRangeJoin,
-    "ev_funnel" -> evFunnel)
+    "ev_funnel" -> evFunnel,
+    "ev_funnel_timing" -> evFunnelTiming)
 
   def oracleSql: Map[String, String] = Map(
     "ev_asof_join" -> evAsofJoinSql,
     "ev_range_join" -> evRangeJoinSql,
-    "ev_funnel" -> evFunnelSql)
+    "ev_funnel" -> evFunnelSql,
+    "ev_funnel_timing" -> evFunnelTimingSql)
 }

@@ -439,7 +439,119 @@ object TextAnalysis {
       |SELECT doc_id, rnk, term, tf, df, round(tfidf_raw, 6) AS tfidf
       |FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
 
+  /** Unigram-LM surprisal scoring — the classic perplexity-proxy quality
+    * filter: score every document by the mean negative log-likelihood of
+    * its tokens under the corpus unigram MLE (`p(t) = c_t / N`), plus the
+    * per-doc perplexity `exp(avg_nll)`. Low-surprisal docs are repetitive
+    * boilerplate; high-surprisal docs are encoding junk — the two tails a
+    * pre-training pipeline trims (the KenLM-filter shape with the corpus
+    * itself as the LM).
+    *
+    * Scale: token frequencies key on (doc_id, term) with partial
+    * aggregation; the corpus unigram table is vocab-sized and broadcast,
+    * the token total is one broadcast scalar. The only corpus-sized
+    * shuffle is the (doc_id, term) count. Each term's `tf·(-ln p)`
+    * contribution is cast to decimal(38,18) before the per-doc sum, so
+    * the reduction is order-independent (same hardening as [[taEntropy]]
+    * — raw double sums flip 6-dp rounding boundaries between engines). */
+  def taSurprisal: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n_total"))
+    val avgNll = (sum((col("tf") * -log(col("c") / col("n_total")))
+      .cast("decimal(38,18)")).cast("double") / sum(col("tf")))
+    tf.join(broadcast(cnt), "term")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        round(avgNll, 6).as("avg_nll"),
+        round(exp(avgNll), 6).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taSurprisalSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |cnt AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+      |tot AS (SELECT sum(c) AS n_total FROM cnt)
+      |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+      |  round(sum((tf * -ln(c / n_total))::DECIMAL(38,18))::DOUBLE / sum(tf), 6) AS avg_nll,
+      |  round(exp(sum((tf * -ln(c / n_total))::DECIMAL(38,18))::DOUBLE / sum(tf)), 6) AS ppl
+      |FROM tf JOIN cnt USING (term) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Corpus Zipf profile: vocabulary size, token total, the modal term,
+    * and the log-log rank–frequency regression slope (Zipf's law predicts
+    * ≈ −1 on natural text; a collapse toward 0 flags templated/boilerplate
+    * corpora, a steep slope flags a degenerate vocabulary). One-row corpus
+    * health summary tracked per ingest snapshot.
+    *
+    * Scale: everything after the term count is vocab-bounded — the global
+    * rank window and the regression run over distinct terms, never the
+    * corpus. The OLS slope is computed from explicit decimal(38,18)
+    * Σx/Σy/Σxy/Σx² sums (x=ln rank, y=ln freq) rather than a double
+    * `regr_slope` fold, so the result is order-independent and bit-equal
+    * across engines. Ranks tie-break by term for determinism. */
+  def taZipf: Q = (s, d) => {
+    val cnt = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val ranked = cnt.withColumn("rnk",
+      row_number().over(Window.orderBy(col("c").desc, col("term"))).cast("long"))
+    val x = log(col("rnk").cast("double"))
+    val y = log(col("c").cast("double"))
+    val dec = (e: Column) => e.cast("decimal(38,18)")
+    // decimal sums make the fold order-independent; the slope arithmetic
+    // then runs in double on bit-identical inputs (decimal×decimal would
+    // hit Spark's precision-loss rescaling, which DuckDB does not share)
+    val n = col("vocab_size").cast("double")
+    ranked
+      .select(col("term"), col("c"), col("rnk"), dec(x).as("x"), dec(y).as("y"),
+        dec(x * y).as("xy"), dec(x * x).as("xx"))
+      .agg(count(lit(1)).as("vocab_size"), sum(col("c")).cast("long").as("n_tokens"),
+        max(when(col("rnk") === 1, col("term"))).as("top_term"),
+        max(when(col("rnk") === 1, col("c"))).as("top_freq"),
+        sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+        sum(col("xy")).cast("double").as("sxy"), sum(col("xx")).cast("double").as("sxx"))
+      .select(col("vocab_size"), col("n_tokens"), col("top_term"), col("top_freq"),
+        round((n * col("sxy") - col("sx") * col("sy")) /
+          (n * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+  }
+
+  val taZipfSql: String =
+    """WITH cnt AS (
+      |  SELECT term, count(*) AS c FROM (
+      |    SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS term
+      |    FROM documents) GROUP BY 1),
+      |ranked AS (
+      |  SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS rnk FROM cnt),
+      |t AS (
+      |  SELECT term, c, rnk,
+      |    ln(rnk::DOUBLE)::DECIMAL(38,18) AS x, ln(c::DOUBLE)::DECIMAL(38,18) AS y,
+      |    (ln(rnk::DOUBLE) * ln(c::DOUBLE))::DECIMAL(38,18) AS xy,
+      |    (ln(rnk::DOUBLE) * ln(rnk::DOUBLE))::DECIMAL(38,18) AS xx
+      |  FROM ranked),
+      |s AS (
+      |  SELECT count(*) AS vocab_size, sum(c)::BIGINT AS n_tokens,
+      |    max(CASE WHEN rnk = 1 THEN term END) AS top_term,
+      |    max(CASE WHEN rnk = 1 THEN c END) AS top_freq,
+      |    sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+      |    sum(xy)::DOUBLE AS sxy, sum(xx)::DOUBLE AS sxx
+      |  FROM t)
+      |SELECT vocab_size, n_tokens, top_term, top_freq,
+      |  round((vocab_size::DOUBLE * sxy - sx * sy) /
+      |        (vocab_size::DOUBLE * sxx - sx * sx), 6) AS zipf_slope
+      |FROM s""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ta_surprisal" -> taSurprisal,
+    "ta_zipf" -> taZipf,
     "ta_tfidf" -> taTfidf,
     "ta_bpe_tokens" -> taBpeTokens,
     "ta_tokens" -> taTokens,
@@ -453,6 +565,8 @@ object TextAnalysis {
     "ta_vocab" -> taVocab)
 
   def oracleSql: Map[String, String] = Map(
+    "ta_surprisal" -> taSurprisalSql,
+    "ta_zipf" -> taZipfSql,
     "ta_tfidf" -> taTfidfSql,
     "ta_bpe_tokens" -> taBpeTokensSql,
     "ta_tokens" -> taTokensSql,

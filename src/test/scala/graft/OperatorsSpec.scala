@@ -356,4 +356,50 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     val total = sessions.agg(sum("n_events")).collect()(0).getLong(0)
     total shouldBe Tables.events(spark, sf).count()
   }
+
+  it should "score surprisal consistently with its own perplexity" in {
+    val rows = operators.TextAnalysis.taSurprisal(spark, sf).collect()
+    rows.length shouldBe Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      val (nll, ppl) = (r.getAs[Double]("avg_nll"), r.getAs[Double]("ppl"))
+      nll should be > 0.0 // MLE probabilities are < 1 whenever vocab > 1
+      ppl shouldBe math.exp(nll) +- 1e-4 // ppl = exp(avg_nll), both 6-dp rounded
+    }
+  }
+
+  it should "fit a negative Zipf slope with a consistent token total" in {
+    import org.apache.spark.sql.functions._
+    val z = operators.TextAnalysis.taZipf(spark, sf).collect()(0)
+    z.getAs[Double]("zipf_slope") should be < 0.0 // frequency falls with rank
+    z.getAs[Long]("top_freq") should be > 0L
+    // token total must agree with the per-source vocab report's total
+    val vocabTotal = operators.TextAnalysis.taVocab(spark, sf)
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    z.getAs[Long]("n_tokens") shouldBe vocabTotal
+  }
+
+  it should "time the funnel for exactly the purchase-stage converters" in {
+    val funnel = operators.Joins.evFunnel(spark, sf).collect()(0)
+    val timing = operators.Joins.evFunnelTiming(spark, sf).collect()(0)
+    timing.getAs[Long]("n_converters") shouldBe funnel.getAs[Long]("n_purchased_after")
+    if (timing.getAs[Long]("n_converters") > 0) {
+      timing.getAs[Double]("p50_total_s") should be <= timing.getAs[Double]("p90_total_s")
+      // end-to-end latency is the sum of the stage latencies per user, so
+      // its median is bounded by the stage p90s only loosely — pin just
+      // non-negativity and ordering per stage
+      timing.getAs[Double]("p50_view_click_s") should be >= 0.0
+      timing.getAs[Double]("p50_click_purchase_s") should be >= 0.0
+    }
+  }
+
+  it should "bound cross-source containment and orient the pairs" in {
+    val m = operators.Dedup.ddCrossSource(spark, sf).collect()
+    m.foreach { r =>
+      r.getAs[String]("src_a") should be < r.getAs[String]("src_b")
+      val c = r.getAs[Double]("containment")
+      c should be > 0.0
+      c should be <= 1.0
+      r.getAs[Long]("n_shared") should be > 0L
+    }
+  }
 }
