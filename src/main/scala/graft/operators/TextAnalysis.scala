@@ -453,14 +453,26 @@ object TextAnalysis {
     * shuffle is the (doc_id, term) count. Each term's `tf·(-ln p)`
     * contribution is cast to decimal(38,18) before the per-doc sum, so
     * the reduction is order-independent (same hardening as [[taEntropy]]
-    * — raw double sums flip 6-dp rounding boundaries between engines). */
+    * — raw double sums flip 6-dp rounding boundaries between engines).
+    *
+    * Plan shape: `cnt` is a second explode over the corpus rather than a
+    * re-aggregation of `tf` (Spark would re-run the whole tf subtree —
+    * no exchange reuse across differing aggregates), and the corpus
+    * total is a no-explode scalar scan (`Σ size(tokens)` ≡ Σ tf). The
+    * deliberate non-choice: deriving `c` as a term-partitioned window
+    * over tf would save the second explode but puts every (doc, term)
+    * row of a hot term ("the" at corpus scale) into ONE window
+    * partition — broadcast-join skew-free beats one-less-scan. */
   def taSurprisal: Q = (s, d) => {
-    val tf = Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
+    val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
-    val tot = cnt.agg(sum(col("c")).as("n_total"))
+    val cnt = docs
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = docs.agg(sum(size(tokens(col("text")))).cast("long").as("n_total"))
     val avgNll = (sum((col("tf") * -log(col("c") / col("n_total")))
       .cast("decimal(38,18)")).cast("double") / sum(col("tf")))
     tf.join(broadcast(cnt), "term")
