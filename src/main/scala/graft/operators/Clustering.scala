@@ -53,7 +53,16 @@ object Clustering {
     * (vec_id, e, label, cid, d) — the shared frame behind all cl_*
     * queries (label rides along unused except by clPurity; Catalyst
     * prunes it wherever it is not referenced). */
-  private def finalAssign(s: SparkSession, d: String): DataFrame = {
+  private def finalAssign(s: SparkSession, d: String): DataFrame =
+    assign(Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("label")),
+      trainedCents(s, d))
+
+  /** The memoized trained centroid matrix (see [[finalAssign]] — this is
+    * the training half, split out so operators needing more than the
+    * nearest centroid, e.g. [[clSilhouette]]'s second-nearest, can reuse
+    * the same run). */
+  private def trainedCents(s: SparkSession, d: String): Seq[(Int, Seq[Double])] = {
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("label"))
     val perSession = centsCache.synchronized {
@@ -63,7 +72,7 @@ object Clustering {
     }
     perSession.synchronized {
       perSession.get(d) match {
-        case Some(cached) => return assign(v, cached)
+        case Some(cached) => return cached
         case None =>
       }
     }
@@ -93,7 +102,7 @@ object Clustering {
       cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
     }
     perSession.synchronized { perSession.update(d, cents) }
-    assign(v, cents)
+    cents
   }
 
   /** Final assignment after `Iters` rounds: (vec_id, cluster, dist). */
@@ -284,7 +293,55 @@ object Clustering {
        |FROM an LEFT JOIN dupof d ON an.vec_id = d.vec_b
        |ORDER BY an.vec_id""".stripMargin
 
+  /** Simplified (centroid-based) silhouette per cluster: for each vector
+    * `a` = distance to its own centroid, `b` = distance to the
+    * second-nearest centroid, score `(b − a) / max(a, b)` ∈ [−1, 1];
+    * report each cluster's size and mean score. Scores near 0 mean the
+    * cluster boundary cuts through a dense region (merge candidate, or K
+    * too high); together with [[clInertia]] this is the standard retrain/
+    * re-K health pair. The O(N·K) centroid form of silhouette — the
+    * O(N²) pairwise original is not computable at corpus scale.
+    *
+    * Scale: one scan; per row K codegen'd distance folds and a K-struct
+    * sort (K is config-sized), then a partially-aggregated groupBy of K
+    * rows. Same train-small/apply-big shape as every cl_* op; per-cluster
+    * sums go through decimal(38,18) for order independence. */
+  def clSilhouette: Q = (s, d) => {
+    val cents = trainedCents(s, d)
+    val arr = sort_array(array(cents.map { case (cid, c) =>
+      struct(sqDistTo(col("e"), c).as("d"), lit(cid).as("cid"))
+    }: _*))
+    val a = sqrt(col("near").getItem(0).getField("d"))
+    val b = sqrt(col("near").getItem(1).getField("d"))
+    val score = when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), slice(arr, 1, 2).as("near"))
+      .groupBy(col("near").getItem(0).getField("cid").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(score.cast("decimal(38,18)")).cast("double") / count(lit(1)), 6)
+          .as("silhouette"))
+      .orderBy(col("cluster"))
+  }
+
+  val clSilhouetteSql: String =
+    s"""$kmeansCtes,
+       |two AS (
+       |  SELECT vec_id, cid, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |  FROM a2_d),
+       |sil AS (
+       |  SELECT f.vec_id, f.cid, sqrt(f.d) AS a, sqrt(s.d) AS b
+       |  FROM two f JOIN two s ON f.vec_id = s.vec_id AND s.rn = 2
+       |  WHERE f.rn = 1)
+       |SELECT cid::BIGINT AS cluster, count(*) AS n,
+       |  round(sum((CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+       |                  ELSE 0.0 END)::DECIMAL(38,18))::DOUBLE / count(*), 6)
+       |    AS silhouette
+       |FROM sil GROUP BY 1 ORDER BY cluster""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "cl_silhouette" -> clSilhouette,
     "cl_kmeans" -> clKmeans,
     "cl_diverse_sample" -> clDiverseSample,
     "cl_purity" -> clPurity,
@@ -292,6 +349,7 @@ object Clustering {
     "cl_semantic_dedup" -> clSemanticDedup)
 
   def oracleSql: Map[String, String] = Map(
+    "cl_silhouette" -> clSilhouetteSql,
     "cl_kmeans" -> clKmeansSql,
     "cl_diverse_sample" -> clDiverseSampleSql,
     "cl_purity" -> clPuritySql,

@@ -392,6 +392,21 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "bound silhouette scores and cover every cluster" in {
+    import org.apache.spark.sql.functions._
+    val sil = operators.Clustering.clSilhouette(spark, sf).collect()
+    sil.foreach { r =>
+      val sc = r.getAs[Double]("silhouette")
+      sc should be >= -1.0
+      sc should be <= 1.0
+    }
+    // every assigned cluster appears, with matching populations
+    val pops = operators.Clustering.clKmeans(spark, sf)
+      .groupBy(col("cluster")).count().collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("count")).toMap
+    sil.map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n")).toMap shouldBe pops
+  }
+
   it should "bound cross-source containment and orient the pairs" in {
     val m = operators.Dedup.ddCrossSource(spark, sf).collect()
     m.foreach { r =>
