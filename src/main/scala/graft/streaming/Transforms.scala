@@ -218,6 +218,36 @@ object Transforms {
       .agg(count(lit(1)).as("c"))
       .select(col("window.start").as("window_start"), col("j"), col("b"), col("c"))
 
+  /** Quality-filter on ingest: per streamed document, mean unigram-LM
+    * surprisal and a keep flag — the streaming twin of the batch
+    * `ta_surprisal` scorer, deployed the way a pre-training pipeline
+    * actually runs it (score documents as they arrive against a FROZEN
+    * reference LM trained offline, drop the tails).
+    *
+    * The LM ships as plan literals (a map of the top-V terms → counts,
+    * like [[centroidAssign]]'s centroid matrix): scoring is one
+    * record-local higher-order-function fold — STATELESS, append-mode,
+    * no shuffle, no per-microbatch join, and unseen terms fall back to
+    * `oovCount` (a frozen vocabulary must price the out-of-vocabulary
+    * mass or junk scores as clean). A quality-filter LM is top-V by
+    * construction (V is config-sized), so the literal map stays bounded
+    * however large the corpus the LM was trained on. */
+  def surprisalScore(docs: DataFrame, lm: Map[String, Long], nTotal: Long,
+      maxNll: Double = 12.0, oovCount: Long = 1L): DataFrame = {
+    val lmCol = if (lm.isEmpty) map().cast("map<string,bigint>")
+      else map(lm.toSeq.flatMap { case (t, c) => Seq(lit(t), lit(c)) }: _*)
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val nll = aggregate(
+      transform(toks, t =>
+        -log(coalesce(element_at(lmCol, t), lit(oovCount)).cast("double") / nTotal)),
+      lit(0.0), (acc, x) => acc + x)
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("avg_nll",
+        when(col("n_tokens") > 0, round(nll / col("n_tokens"), 6)).otherwise(null))
+      .withColumn("keep", col("n_tokens") > 0 && col("avg_nll") <= maxNll)
+  }
+
   def runningUserTotalsWithTtl(spark: SparkSession, events: DataFrame,
       watermark: String = "30 minutes", idleMs: Long = 3600000L): Dataset[UserTotal] = {
     import spark.implicits._

@@ -565,6 +565,44 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     perWindow.filter(col("count") > 128).count() shouldBe 0L
   }
 
+  it should "score streamed documents in parity with the batch surprisal op" in {
+    // the streaming quality gate must agree with ta_surprisal when the
+    // literal LM is the same corpus unigram table the batch op derives
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val lm = docs
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTotal = lm.values.sum
+    val src = tmp()
+    docs.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(docs.schema).parquet(src)
+    val q = Transforms.surprisalScore(stream, lm, nTotal)
+      .select(col("doc_id"), col("avg_nll"), col("keep"))
+      .writeStream.format("memory").queryName("surprisal").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("surprisal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = graft.operators.TextAnalysis.taSurprisal(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
+    streamed.keySet shouldBe batch.keySet
+    // stream folds per token in doc order, batch sums decimal per distinct
+    // term — same value up to double-fold associativity, so compare with
+    // a tolerance rather than bit-equality
+    streamed.foreach { case (id, nll) => nll shouldBe batch(id) +- 1e-5 }
+    // every doc scores under the default ceiling on this corpus
+    spark.table("surprisal").filter(!col("keep")).count() shouldBe 0L
+    // and a frozen tiny LM prices OOV mass instead of crashing: score a
+    // doc whose tokens are all out-of-vocabulary
+    import spark.implicits._
+    val oov = Transforms.surprisalScore(
+      Seq((1L, "zzz qqq")).toDF("doc_id", "text"), Map("a" -> 5L), 10L)
+      .collect()(0)
+    oov.getAs[Double]("avg_nll") shouldBe math.log(10.0) +- 1e-6 // -ln(1/10), 6-dp rounded
+  }
+
   it should "fan out one source to independently-committed sinks" in {
     // PartitionGroupingSink analog: two sinks, separate checkpoints,
     // each commits its own progress over the same source.
