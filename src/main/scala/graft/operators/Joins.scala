@@ -105,26 +105,52 @@ object Joins {
       |GROUP BY 1, 2, 3
       |ORDER BY 1""".stripMargin
 
-  /** Conversion funnel: users who viewed, then clicked at-or-after their
-    * first view, then purchased at-or-after that click. Each stage is a
-    * keyed aggregation + equi-join with a residual time predicate — never
-    * an event-level self cross join; stage tables shrink monotonically. */
-  def evFunnel: Q = (s, d) => {
+  /** The single-scan funnel frame shared by [[evFunnel]] and
+    * [[evFunnelTiming]]: per user, the first view, the first click
+    * at-or-after that view, and the first purchase at-or-after that
+    * click (nulls where a stage was never reached).
+    *
+    * ONE corpus pass: events shuffle once on user_id and sort once by
+    * (ts, stage); two running-min window columns carry the qualification
+    * forward — at any row, `runV` is the user's first view so far (in
+    * time order, the first view overall once one is seen), so a click
+    * qualifies iff `ts ≥ runV`; `runC` is the first qualifying click so
+    * far, qualifying purchases the same way. Stage rank breaks ts ties
+    * (view < click < purchase) so an equal-timestamp upstream event is
+    * visible to the row that needs it, matching the oracle's `ts ≥`
+    * semantics. Both window specs and the final keyed agg share the
+    * user_id partitioning — Spark plans one exchange, one sort.
+    *
+    * The naive formulation (each stage = keyed agg + join back to
+    * events) re-scans the corpus per stage — 6 scans for the three-stage
+    * count query; this frame does it in 1. */
+  private def funnelFrame(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val viewed = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val clicked = ev.filter(col("event_type") === "click")
-      .join(viewed, "user_id")
-      .filter(col("ts") >= col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-    val purchased = ev.filter(col("event_type") === "purchase")
-      .join(clicked, "user_id")
-      .filter(col("ts") >= col("t_click"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-    viewed.agg(count(lit(1)).as("n_viewed"))
-      .crossJoin(clicked.agg(count(lit(1)).as("n_clicked_after")))
-      .crossJoin(purchased.agg(count(lit(1)).as("n_purchased_after")))
+      .filter(col("event_type").isin("view", "click", "purchase"))
+    val stage = when(col("event_type") === "view", 0)
+      .when(col("event_type") === "click", 1).otherwise(2)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), stage)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runV = min(when(col("event_type") === "view", col("ts"))).over(w)
+    ev.withColumn("click_cand",
+        when(col("event_type") === "click" && col("ts") >= runV, col("ts")))
+      .withColumn("purch_cand",
+        when(col("event_type") === "purchase" &&
+          col("ts") >= min(col("click_cand")).over(w), col("ts")))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(col("click_cand")).as("t_click"),
+        min(col("purch_cand")).as("t_purchase"))
   }
+
+  /** Conversion funnel counts: users who viewed, then clicked
+    * at-or-after their first view, then purchased at-or-after that
+    * click. One corpus scan via [[funnelFrame]]. */
+  def evFunnel: Q = (s, d) =>
+    funnelFrame(s, d).agg(
+      count(col("t_view")).as("n_viewed"),
+      count(col("t_click")).as("n_clicked_after"),
+      count(col("t_purchase")).as("n_purchased_after"))
 
   val evFunnelSql: String =
     """WITH v AS (
@@ -152,26 +178,15 @@ object Joins {
     * "how long does conversion take", which the funnel counts alone
     * don't answer.
     *
-    * Scale: three shrinking keyed aggregations on user_id (each stage
-    * filters before grouping, partial-agg min), then ONE global exact
-    * percentile over the converter latencies — converter-sized, not
-    * event-sized, so the single-reducer percentile is bounded by the
-    * funnel's smallest stage. Latencies are integer microsecond deltas
-    * (µs-exact in both engines) divided once by 1e6. */
-  def evFunnelTiming: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-    val viewed = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val clicked = ev.filter(col("event_type") === "click")
-      .join(viewed, "user_id")
-      .filter(col("ts") >= col("t_view"))
-      .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_click"))
-    val purchased = ev.filter(col("event_type") === "purchase")
-      .join(clicked, "user_id")
-      .filter(col("ts") >= col("t_click"))
-      .groupBy(col("user_id"), col("t_view"), col("t_click"))
-      .agg(min(col("ts")).as("t_purchase"))
-    purchased
+    * Scale: one corpus scan via [[funnelFrame]] (shared shuffle + sort
+    * on user_id), converters filtered to `t_purchase` non-null, then ONE
+    * global exact percentile over the converter latencies —
+    * converter-sized, not event-sized, so the single-reducer percentile
+    * is bounded by the funnel's smallest stage. Latencies are integer
+    * microsecond deltas (µs-exact in both engines) divided once by 1e6. */
+  def evFunnelTiming: Q = (s, d) =>
+    funnelFrame(s, d)
+      .filter(col("t_purchase").isNotNull)
       .select(
         ((unix_micros(col("t_click")) - unix_micros(col("t_view"))) / 1e6).as("s_vc"),
         ((unix_micros(col("t_purchase")) - unix_micros(col("t_click"))) / 1e6).as("s_cp"),
@@ -183,7 +198,6 @@ object Joins {
         round(expr("percentile(s_cp, 0.9)"), 6).as("p90_click_purchase_s"),
         round(expr("percentile(s_vp, 0.5)"), 6).as("p50_total_s"),
         round(expr("percentile(s_vp, 0.9)"), 6).as("p90_total_s"))
-  }
 
   val evFunnelTimingSql: String =
     """WITH v AS (
