@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Extended relational suite (SURVEY.md §2a, second tranche): the
@@ -170,10 +171,17 @@ object RelationalExt {
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
   /** TPC-H Q15: top supplier(s) by quarterly revenue — argmax via a
-    * broadcast scalar max joined back, no window over a single partition. */
+    * broadcast scalar max joined back, no window over a single partition.
+    *
+    * The explicit isNotNull below matters: the later supplier join pushes
+    * `isnotnull(l_suppkey)` into the main branch's scan but not the max
+    * branch's, making the two shuffle subtrees canonically different —
+    * AQE's ReuseExchange then re-scans lineitem for the scalar max.
+    * Filtering up front keeps both branches identical → one scan. */
   def q15TopSupplier: Q = (s, d) => {
     val revenue = Tables.lineitem(s, d)
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+      .filter(col("l_suppkey").isNotNull &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(round(sum(rev), 2).as("total_revenue"))
@@ -198,15 +206,17 @@ object RelationalExt {
 
   /** TPC-H Q17 (adapted: brand only — no container column): revenue from
     * below-average-quantity lines of one brand; the correlated per-part
-    * average decorrelates to a groupBy + equi-join (l_quantity is
-    * integral, so the avg is float-deterministic across engines). */
+    * average decorrelates to a window over p_partkey on the brand slice
+    * (l_quantity is integral, so the avg is float-deterministic across
+    * engines). The agg+join-back shape scans lineitem twice (the
+    * broadcast-join branches share no exchange, so nothing is reusable);
+    * the window scans once, over only the brand-filtered slice. */
   def q17SmallQty: Q = (s, d) => {
-    val brandLines = Tables.lineitem(s, d)
+    Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#11")
         .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
-    val partAvg = brandLines.groupBy(col("p_partkey").as("pk"))
-      .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
-    brandLines.join(broadcast(partAvg), col("p_partkey") === col("pk"))
+      .withColumn("qty_thresh",
+        avg(col("l_quantity")).over(Window.partitionBy(col("p_partkey"))) * 0.2)
       .filter(col("l_quantity") < col("qty_thresh"))
       .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
         count(lit(1)).as("n_items"))
@@ -272,8 +282,15 @@ object RelationalExt {
   /** TPC-H Q21 (adapted: lateness from l_shipdate vs o_orderdate):
     * suppliers who were the sole late shipper on a multi-supplier order —
     * EXISTS (another supplier on the order) + NOT EXISTS (another LATE
-    * supplier), as semi + anti self-joins keyed on l_orderkey (bounded
-    * groups: ≤7 lines per order at any scale). */
+    * supplier), decorrelated to per-order counts instead of self-joins:
+    * per (order, supplier) late-line counts, then two windows over the
+    * order key — n_supp ("another supplier exists" ⇔ n_supp > 1) and
+    * n_late_supp ("no other late supplier" ⇔ n_late_supp == 1 for a late
+    * supplier). The self-join formulation scans lineitem 3× (late side +
+    * EXISTS side + NOT EXISTS side, filters too different for exchange
+    * reuse); this shape scans it ONCE, and the window runs over the
+    * aggregated frame (≤7 rows per order at any scale) co-partitioned
+    * with the order join — one lineitem shuffle total. */
   def q21WaitingSupplier: Q = (s, d) => {
     val lines = Tables.lineitem(s, d)
       .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
@@ -281,14 +298,17 @@ object RelationalExt {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
-    val late = lines.filter(col("late"))
-    val others = lines.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
-    val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
-    late
-      .join(others, col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"), "left_semi")
-      .join(lateOthers, col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"), "left_anti")
+    val perSupp = lines
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp",
+        sum(when(col("n_late_lines") > 0, 1).otherwise(0)).over(w))
+      .filter(col("n_late_lines") > 0 && col("n_supp") > 1 && col("n_late_supp") === 1)
       .groupBy(col("l_suppkey"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
