@@ -406,10 +406,14 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df as a window over term on the tf frame: the separate
+    // `tf.groupBy(term)` branch re-ran the tokenize scan (its pushed
+    // filters diverge from the join side, so no exchange reuse); the
+    // window keeps the corpus pass at exactly one, and n_docs is a
+    // 0-column count scan (parquet footers only)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf_raw").desc, col("term"))
-    tf.join(df, "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
       .withColumn("tfidf_raw",
         col("tf") * log(col("n_docs").cast("double") / col("df")))
@@ -469,18 +473,24 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val cnt = docs
-      .select(explode(tokens(col("text"))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val tot = docs.agg(sum(size(tokens(col("text")))).cast("long").as("n_total"))
-    val avgNll = (sum((col("tf") * -log(col("c") / col("n_total")))
-      .cast("decimal(38,18)")).cast("double") / sum(col("tf")))
-    tf.join(broadcast(cnt), "term")
-      .crossJoin(broadcast(tot))
-      .groupBy(col("doc_id"))
+    // ONE tokenize pass: term counts come from a window over the tf
+    // frame (the old separate cnt/tot branches each re-ran the tokenize
+    // scan), and -ln(c/N) is decomposed as ln(N) - ln(c) so the corpus
+    // total N only enters after the per-doc aggregation — as a broadcast
+    // scalar whose branch shares (and reuses) tf's exchange. The same
+    // algebra is used in the oracle SQL, keeping the engines bit-aligned.
+    val withC = tf.withColumn("c",
+      sum(col("tf")).over(Window.partitionBy(col("term"))))
+    val tot = tf.agg(sum(col("tf")).cast("long").as("n_total"))
+    val avgNll = (log(col("n_total")) -
+      sum((col("tf") * log(col("c"))).cast("decimal(38,18)")).cast("double") /
+        sum(col("tf")))
+    withC.crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"), col("n_total"))
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
         round(avgNll, 6).as("avg_nll"),
         round(exp(avgNll), 6).as("ppl"))
+      .select(col("doc_id"), col("n_tokens"), col("avg_nll"), col("ppl"))
       .orderBy(col("doc_id"))
   }
 
@@ -490,13 +500,13 @@ object TextAnalysis {
       |    unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS term
       |  FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-      |cnt AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
-      |tot AS (SELECT sum(c) AS n_total FROM cnt)
+      |wc AS (SELECT doc_id, tf, sum(tf) OVER (PARTITION BY term) AS c FROM tf),
+      |tot AS (SELECT sum(tf) AS n_total FROM tf)
       |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-      |  round(sum((tf * -ln(c / n_total))::DECIMAL(38,18))::DOUBLE / sum(tf), 6) AS avg_nll,
-      |  round(exp(sum((tf * -ln(c / n_total))::DECIMAL(38,18))::DOUBLE / sum(tf)), 6) AS ppl
-      |FROM tf JOIN cnt USING (term) CROSS JOIN tot
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  round(ln(n_total) - sum((tf * ln(c))::DECIMAL(38,18))::DOUBLE / sum(tf), 6) AS avg_nll,
+      |  round(exp(ln(n_total) - sum((tf * ln(c))::DECIMAL(38,18))::DOUBLE / sum(tf)), 6) AS ppl
+      |FROM wc CROSS JOIN tot
+      |GROUP BY doc_id, n_total ORDER BY doc_id""".stripMargin
 
   /** Corpus Zipf profile: vocabulary size, token total, the modal term,
     * and the log-log rank–frequency regression slope (Zipf's law predicts
