@@ -70,27 +70,29 @@ object Joins {
   /** Range join: for every error, how many clicks the same user made in
     * the preceding 10 minutes (inclusive of the error instant). Bucketed:
     * clicks keyed by 10-min bin, each error probes its bin and the one
-    * before, exact (t-10min, t] predicate applied inside the bucket. */
+    * before, exact (t-10min, t] predicate applied inside the bucket.
+    *
+    * The probe join is LEFT OUTER so zero-click errors survive as
+    * unmatched probe rows and need no join back to the error set — the
+    * inner-join + join-back shape scanned the error slice twice. A click
+    * bucket equi-matches exactly one of an error's two probe bins, so
+    * counting matched click rows per error never double-counts. */
   def evRangeJoin: Q = (s, d) => {
     val ev = Tables.events(s, d)
     val binUs = 600000000L // 10 min in µs = the window width, so 2 probes suffice
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         (unix_micros(col("ts")) / binUs).cast("long").as("c_bin"))
-    val errors = ev.filter(col("event_type") === "error")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val probes = errors
+    val probes = ev.filter(col("event_type") === "error")
       .withColumn("e_bin", (unix_micros(col("ts")) / binUs).cast("long"))
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"),
-        explode(array(col("e_bin") - 1, col("e_bin"))).as("p_bin"))
-    val counts = probes
-      .join(clicks, col("p_user") === col("c_user") && col("p_bin") === col("c_bin") &&
-        col("c_ts") <= col("p_ts") && col("c_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"))
-      .groupBy(col("p_id"))
-      .agg(count(lit(1)).as("n"))
-    errors.join(counts, col("event_id") === col("p_id"), "left")
       .select(col("event_id"), col("user_id"), col("ts"),
-        coalesce(col("n"), lit(0L)).as("n_recent_clicks"))
+        explode(array(col("e_bin") - 1, col("e_bin"))).as("p_bin"))
+    probes
+      .join(clicks, col("user_id") === col("c_user") && col("p_bin") === col("c_bin") &&
+        col("c_ts") <= col("ts") && col("c_ts") > col("ts") - expr("INTERVAL 10 MINUTES"),
+        "left")
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(count(col("c_user")).as("n_recent_clicks"))
       .orderBy(col("event_id"))
   }
 

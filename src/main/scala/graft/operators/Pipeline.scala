@@ -208,20 +208,27 @@ object Pipeline {
     * the budget fill is a cumulative window PER SOURCE (keyed partition,
     * no global sort). The cum ≤ budget comparison pairs integral token
     * counts with a budget derived from a 20-source sum, so float drift
-    * cannot flip membership except at astronomically exact boundaries. */
+    * cannot flip membership except at astronomically exact boundaries.
+    *
+    * One tokenize scan: per-source token masses are read off the
+    * cumulative window frame (`max(cum)` — n_tok ≥ 0 makes the prefix
+    * sum nondecreasing, so its max IS the total) instead of a separate
+    * groupBy branch, and every derived branch then aggregates over the
+    * same source-partitioned exchange, which AQE reuses. */
   def pipeBudgetMix: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
-      .select(col("source"), col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
-    val totals = toks.groupBy(col("source")).agg(sum(col("n_tok")).as("tot"))
-    val budgets = totals
-      .crossJoin(broadcast(totals.agg(sum(sqrt(col("tot"))).as("wsum"))))
-      .select(col("source"), (lit(100000.0) * sqrt(col("tot")) / col("wsum")).as("budget"))
     val w = Window.partitionBy(col("source"))
       .orderBy(md5s(concat(lit("mix|"), col("doc_id"))))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks.withColumn("cum", sum(col("n_tok")).over(w))
-      .join(broadcast(budgets), "source")
+    val cum = Tables.documents(s, d)
+      .filter(col("source").isNotNull)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+    val totals = cum.groupBy(col("source")).agg(max(col("cum")).as("tot"))
+    val budgets = totals
+      .crossJoin(broadcast(totals.agg(sum(sqrt(col("tot"))).as("wsum"))))
+      .select(col("source"), (lit(100000.0) * sqrt(col("tot")) / col("wsum")).as("budget"))
+    cum.join(broadcast(budgets), "source")
       .filter(col("cum") <= col("budget"))
       .groupBy(col("source"), col("budget"))
       .agg(count(lit(1)).as("docs_kept"), sum(col("n_tok")).as("tokens_kept"))

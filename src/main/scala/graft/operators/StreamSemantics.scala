@@ -105,28 +105,31 @@ object StreamSemantics {
     * by a duration. Per partition: the committed position (max offset /
     * watermark before the cutoff), the offset-rewind window (last 100
     * committed records) and the duration-rewind window (committed records
-    * within 2 days of the watermark) — start offset and size of each. */
+    * within 2 days of the watermark) — start offset and size of each.
+    *
+    * One scan, one shuffle: the per-partition watermark rides along as a
+    * whole-partition window column (same event_type partitioning as the
+    * row-number window, so both share one exchange), and both rewind
+    * windows collapse into the same keyed aggregation — the
+    * broadcast-the-watermark-and-rejoin shape re-scanned events 3×. */
   def slLookback: Q = (s, d) => {
-    val committed = Tables.events(s, d)
+    val byType = Window.partitionBy(col("event_type"))
+    val w = byType.orderBy(col("event_id").desc)
+    Tables.events(s, d)
       .filter(col("ts") < lit("2024-01-15").cast("timestamp"))
       .select(col("event_type"), col("event_id"), col("ts"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id").desc)
-    val stats = committed
       .withColumn("rn", row_number().over(w))
+      .withColumn("wm", max(col("ts")).over(byType))
+      .withColumn("in_dur", col("ts") >= col("wm") - expr("INTERVAL 2 DAYS"))
       .groupBy(col("event_type"))
       .agg(
         max(col("event_id")).as("committed_offset"),
         max(col("ts")).as("committed_watermark"),
         min(when(col("rn") <= 100, col("event_id"))).as("offset_rewind_start"),
-        count(when(col("rn") <= 100, lit(1))).as("offset_rewind_n"))
-    val dur = committed.as("c")
-      .join(broadcast(stats.select(col("event_type").as("et"), col("committed_watermark").as("wm"))),
-        col("event_type") === col("et"))
-      .filter(col("ts") >= col("wm") - expr("INTERVAL 2 DAYS"))
-      .groupBy(col("event_type"))
-      .agg(min(col("event_id")).as("duration_rewind_start"),
-        count(lit(1)).as("duration_rewind_n"))
-    stats.join(dur, Seq("event_type")).orderBy(col("event_type"))
+        count(when(col("rn") <= 100, lit(1))).as("offset_rewind_n"),
+        min(when(col("in_dur"), col("event_id"))).as("duration_rewind_start"),
+        count(when(col("in_dur"), lit(1))).as("duration_rewind_n"))
+      .orderBy(col("event_type"))
   }
 
   val slLookbackSql: String =
