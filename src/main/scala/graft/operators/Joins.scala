@@ -26,23 +26,27 @@ object Joins {
   type Q = (SparkSession, String) => DataFrame
 
   /** As-of join: for every click, the most recent view (id + ts) of the
-    * same user at or before the click. Views are first deduped to one per
-    * (user, ts) — max event_id — so ties are deterministic. */
+    * same user at or before the click — deterministic ties: among views
+    * sharing a (user, ts), the max event_id wins.
+    *
+    * ONE tagged scan (event_type IN (view, click)), not a union of two
+    * filtered scans: the window orders by (ts, kind, event_id) so at any
+    * click row, `last(view_id, ignoreNulls)` is the max-ts view ≤ the
+    * click — and within equal view timestamps the event_id order makes
+    * "last" the max event_id, which IS the dedup the old two-scan shape
+    * ran as a separate groupBy. At equal ts the view (kind 0) sorts
+    * before the click → "at or before" stays inclusive. */
   def evAsofJoin: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-    val views = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id"), col("ts"))
-      .agg(max(col("event_id")).as("view_id"))
-      .select(col("user_id"), col("ts"), lit(0).as("kind"),
-        col("view_id").as("event_id"), col("view_id"), col("ts").as("view_ts"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
-        lit(null).cast("long").as("view_id"), lit(null).cast("timestamp").as("view_ts"))
-    // at equal ts the view (kind 0) sorts first → "at or before" inclusive
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    views.unionByName(clicks)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "view", 0).otherwise(1).as("kind"),
+        col("event_id"),
+        when(col("event_type") === "view", col("event_id")).as("view_id"),
+        when(col("event_type") === "view", col("ts")).as("view_ts"))
       .withColumn("last_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
       .withColumn("last_view_id", last(col("view_id"), ignoreNulls = true).over(w))
       .filter(col("kind") === 1)
