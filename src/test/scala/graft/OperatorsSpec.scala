@@ -378,6 +378,37 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     z.getAs[Long]("n_tokens") shouldBe vocabTotal
   }
 
+  it should "honor same-timestamp stage ties in the funnel and as-of join" in {
+    // Both ops ride one window ordered by (ts, stage-rank, event_id); these
+    // fixtures pin the tie semantics that order encodes: an equal-timestamp
+    // upstream event qualifies (ts >= is inclusive), an out-of-order click
+    // does not, and among same-ts views the max event_id is the dedup winner.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tie").toString
+    def ns(sec: Long) = sec * 1000000000L // Tables.events expects nanos
+    Seq(
+      (1L, ns(100), 1L, "view"), // user 1: full funnel, all three at t=100
+      (2L, ns(100), 1L, "click"),
+      (3L, ns(100), 1L, "purchase"),
+      (4L, ns(50), 2L, "click"), // user 2: click BEFORE the first view
+      (5L, ns(60), 2L, "view"),
+      (6L, ns(10), 3L, "view"), // user 3: duplicate same-ts views, then
+      (7L, ns(10), 3L, "view"), //   a same-ts click and a later purchase
+      (8L, ns(10), 3L, "click"),
+      (9L, ns(20), 3L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val funnel = operators.Joins.evFunnel(spark, dir).collect()(0)
+    funnel.getAs[Long]("n_viewed") shouldBe 3
+    funnel.getAs[Long]("n_clicked_after") shouldBe 2 // users 1, 3 — not 2
+    funnel.getAs[Long]("n_purchased_after") shouldBe 2
+    val asof = operators.Joins.evAsofJoin(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+    asof(2L).getAs[Long]("last_view_id") shouldBe 1L // same-ts view visible
+    asof(4L).isNullAt(asof(4L).fieldIndex("last_view_id")) shouldBe true
+    asof(8L).getAs[Long]("last_view_id") shouldBe 7L // max id wins the tie
+  }
+
   it should "time the funnel for exactly the purchase-stage converters" in {
     val funnel = operators.Joins.evFunnel(spark, sf).collect()(0)
     val timing = operators.Joins.evFunnelTiming(spark, sf).collect()(0)
