@@ -214,7 +214,10 @@ object Pipeline {
     * cumulative window frame (`max(cum)` — n_tok ≥ 0 makes the prefix
     * sum nondecreasing, so its max IS the total) instead of a separate
     * groupBy branch, and every derived branch then aggregates over the
-    * same source-partitioned exchange, which AQE reuses. */
+    * same source-partitioned exchange, which AQE reuses. Null-source
+    * docs are excluded from the mix by contract (the filter also keeps
+    * the branches' exchanges canonically identical; the oracle SQL
+    * carries the same predicate). */
   def pipeBudgetMix: Q = (s, d) => {
     val w = Window.partitionBy(col("source"))
       .orderBy(md5s(concat(lit("mix|"), col("doc_id"))))
@@ -241,7 +244,7 @@ object Pipeline {
     """WITH tok AS (
       |  SELECT source, doc_id,
       |    len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0))::BIGINT AS n_tok
-      |  FROM documents),
+      |  FROM documents WHERE source IS NOT NULL),
       |tot AS (SELECT source, sum(n_tok) AS tot FROM tok GROUP BY 1),
       |ws AS (SELECT sum(sqrt(tot)) AS wsum FROM tot),
       |bud AS (SELECT source, 100000.0 * sqrt(tot) / wsum AS budget

@@ -399,21 +399,30 @@ object TextAnalysis {
     * frequency on term (map-side partial), then the per-doc top-k window
     * on doc_id; the corpus size is a broadcast scalar. Ties in the raw
     * score only occur for identical (tf, df) pairs — bit-equal in both
-    * engines — and are broken by term, so the rank is deterministic. */
+    * engines — and are broken by term, so the rank is deterministic.
+    *
+    * df is a re-aggregation of the tf frame (partial agg collapses hot
+    * terms map-side — a term-partitioned window would put all of a
+    * stop-word's rows on one task), with an explicit isNotNull on `term`
+    * keeping both branches' tf subtrees canonically identical so AQE
+    * reuses one tokenize scan; n_docs is a 0-column footer-count scan.
+    * `count(when(tf > 0, 1))` (≡ count(1): tf ≥ 1 always) is deliberate
+    * — a bare count(1) lets the optimizer prune tf's count out of the df
+    * branch entirely (and it rewrites count(tf) the same way, knowing tf
+    * is non-null), which de-canonicalizes the shared exchange and
+    * re-runs the tokenize scan; the predicate keeps tf referenced. */
   def taTfidf: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // df as a window over term on the tf frame: the separate
-    // `tf.groupBy(term)` branch re-ran the tokenize scan (its pushed
-    // filters diverge from the join side, so no exchange reuse); the
-    // window keeps the corpus pass at exactly one, and n_docs is a
-    // 0-column count scan (parquet footers only)
+    val df = tf.groupBy(col("term"))
+      .agg(count(when(col("tf") > 0, lit(1))).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf_raw").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    tf.join(broadcast(df), "term")
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
       .withColumn("tfidf_raw",
         col("tf") * log(col("n_docs").cast("double") / col("df")))
@@ -459,33 +468,31 @@ object TextAnalysis {
     * the reduction is order-independent (same hardening as [[taEntropy]]
     * — raw double sums flip 6-dp rounding boundaries between engines).
     *
-    * Plan shape: `cnt` is a second explode over the corpus rather than a
-    * re-aggregation of `tf` (Spark would re-run the whole tf subtree —
-    * no exchange reuse across differing aggregates), and the corpus
-    * total is a no-explode scalar scan (`Σ size(tokens)` ≡ Σ tf). The
-    * deliberate non-choice: deriving `c` as a term-partitioned window
-    * over tf would save the second explode but puts every (doc, term)
-    * row of a hot term ("the" at corpus scale) into ONE window
-    * partition — broadcast-join skew-free beats one-less-scan. */
+    * Plan shape — one tokenize pass AND no hot-term skew: `cnt` and the
+    * corpus total are RE-AGGREGATIONS of the tf frame (map-side partial
+    * agg at every level, so a Zipf-hot term like "the" collapses before
+    * any shuffle — a term-partitioned window would instead funnel every
+    * (doc, term) row of that term into one task), and the explicit
+    * isNotNull on `term` keeps the tf subtree canonically identical in
+    * all three branches so AQE's ReuseExchange executes the tokenize
+    * scan and the (doc_id, term) exchange exactly once. The decomposed
+    * algebra -ln(c/N) = ln N − ln c lets N enter as a broadcast scalar
+    * after the per-doc aggregation; the oracle SQL uses the same
+    * algebra, keeping the engines bit-aligned. */
   def taSurprisal: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // ONE tokenize pass: term counts come from a window over the tf
-    // frame (the old separate cnt/tot branches each re-ran the tokenize
-    // scan), and -ln(c/N) is decomposed as ln(N) - ln(c) so the corpus
-    // total N only enters after the per-doc aggregation — as a broadcast
-    // scalar whose branch shares (and reuses) tf's exchange. The same
-    // algebra is used in the oracle SQL, keeping the engines bit-aligned.
-    val withC = tf.withColumn("c",
-      sum(col("tf")).over(Window.partitionBy(col("term"))))
-    val tot = tf.agg(sum(col("tf")).cast("long").as("n_total"))
+    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val tot = cnt.agg(sum(col("c")).cast("long").as("n_total"))
     val avgNll = (log(col("n_total")) -
       sum((col("tf") * log(col("c"))).cast("decimal(38,18)")).cast("double") /
         sum(col("tf")))
-    withC.crossJoin(broadcast(tot))
+    tf.join(broadcast(cnt), "term")
+      .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"), col("n_total"))
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
         round(avgNll, 6).as("avg_nll"),

@@ -1,19 +1,20 @@
 package graft.tools
 
-import graft.{GraftSession, SparkEntry}
+import graft.SparkEntry
 
 /** Dev tool: print a query's FINAL adaptive plan (post-execution), to see
-  * which exchanges got reused and which subtrees recompute. */
+  * which exchanges got reused and which subtrees recompute. For the
+  * static (pre-execution) plan, use [[graft.DumpPlans]]. */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.create("local[4]", 4)
-    spark.sparkContext.setLogLevel("ERROR")
-    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val (spark, sf) = DevTool.session()
     args.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sf)
-      df.collect()
       println(s"===== $name =====")
-      println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0))
+      SparkEntry.queries.get(name) match {
+        case Some(fn) => println(DevTool.finalPlan(fn(spark, sf)))
+        case None => println(
+          s"unknown query id (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+      }
     }
     spark.stop()
   }

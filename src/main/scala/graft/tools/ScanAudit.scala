@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.{GraftSession, SparkEntry}
+import graft.SparkEntry
 
 /** Dev tool: count parquet-scan occurrences per query plan. Each scan of
   * the same table beyond the first means Spark re-runs that subtree — a
@@ -8,30 +8,19 @@ import graft.{GraftSession, SparkEntry}
   * (documented light scans, e.g. a scalar total); this tool surfaces the
   * ones to audit, it does not judge them.
   *
-  * Counts come from the POST-EXECUTION plan: AQE's ReuseExchange dedups
-  * identical shuffle subtrees at runtime (e.g. an aggregate and the
-  * broadcast max over that same aggregate share one exchange), so the
-  * initial static plan over-reports scans. Each query is executed (noop
-  * write) and the final adaptive plan string — where a reused subtree
-  * prints as a one-line ReusedExchange — is what gets counted. */
+  * Counts come from the POST-EXECUTION plan ([[DevTool.finalPlan]]):
+  * AQE's ReuseExchange dedups identical shuffle subtrees at runtime
+  * (e.g. an aggregate and the broadcast max over that same aggregate
+  * share one exchange), so the initial static plan over-reports scans. */
 object ScanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.create("local[4]", 4)
-    spark.sparkContext.setLogLevel("ERROR")
-    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val (spark, sf) = DevTool.session()
     val only = args.toSet
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .flatMap { case (name, fn) =>
         try {
-          val df = fn(spark, sf)
-          // collect() finalizes THIS QueryExecution's adaptive plan
-          // (df.write would plan and execute a fresh one)
-          df.collect()
-          // the executed AdaptiveSparkPlan prints final plan THEN an
-          // "== Initial Plan ==" section — count only the final part
-          val plan = df.queryExecution.executedPlan.toString
-            .split("== Initial Plan ==")(0)
+          val plan = DevTool.finalPlan(fn(spark, sf))
           val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).length
           // per-table breakdown from the file paths in the scan nodes
           val byTable = "([a-z]+)\\.parquet".r.findAllMatchIn(plan)
