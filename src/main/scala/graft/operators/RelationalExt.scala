@@ -298,7 +298,14 @@ object RelationalExt {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+    // one shuffle for agg AND windows: hash-partitioning on l_orderkey
+    // alone satisfies the (l_orderkey, l_suppkey) aggregation's required
+    // distribution and the window's, so neither adds an exchange — the
+    // default plan shuffles twice ((ok, sk) for the agg, ok again for
+    // the windows) for a (ok, sk) partial-agg that barely collapses
+    // (1–2 lines per supplier per order)
     val perSupp = lines
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
     val w = Window.partitionBy(col("l_orderkey"))
