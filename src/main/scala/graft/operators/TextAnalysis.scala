@@ -262,37 +262,52 @@ object TextAnalysis {
     * mutual information, ln((n_ab/B) / ((n_a/N)·(n_b/N))), min support
     * 5 — the phrase-mining signal (raw bigram counts just resurface
     * stopword pairs; PMI surfaces pairs that co-occur far above chance).
-    * Unigram and bigram counts are independent keyed partial aggs over
-    * the same token stream; the two totals are broadcast scalars; the
-    * per-bigram join keys on the component words (two keyed joins of a
-    * count table against a count table — AQE broadcasts the smaller
-    * side). Global top-20 plans as TakeOrderedAndProject. The PMI
-    * arithmetic keeps one canonical operation order so the double is
-    * bit-identical across engines, then rounds to 6 dp. */
+    *
+    * ONE tokenize pass and ONE corpus-sized shuffle: each token position
+    * becomes a (w1, next-token-or-null) struct, so the (w1, w2) count
+    * table holds BOTH distributions — per-token unigram counts are the
+    * w1-sums over that table (every instance contributes exactly one
+    * row) and bigram counts are its non-null-w2 slice. n_a attaches as a
+    * w1-window over the aggregated frame (vocab-bounded partitions —
+    * nothing like the per-instance skew a term window over raw tf rows
+    * would have); n_b needs the w1-sums looked up at w2, a keyed join of
+    * the small unigram re-aggregation (which shares — and AQE reuses —
+    * the count table's exchange; the base isNotNull(w1) keeps the
+    * branches canonical, and the w2 predicates cannot push below the
+    * window, so the shared subtree stays identical). Both totals are one
+    * re-aggregation more, broadcast. b_total is the TOTAL bigram mass
+    * (pre support filter): p(a,b) = n_ab / B over the whole corpus,
+    * otherwise every PMI is inflated by a constant ln(B_all/B_kept).
+    * Global top-20 plans as TakeOrderedAndProject. The PMI arithmetic
+    * keeps one canonical operation order so the double is bit-identical
+    * across engines, then rounds to 6 dp. */
   def taCollocations: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-    val uni = toks.select(explode(col("tk")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-    val biAll = toks.filter(size(col("tk")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(tk) - 1), i -> named_struct('w1', element_at(tk, i), 'w2', element_at(tk, i + 1)))")).as("b"))
-      .select(col("b.w1"), col("b.w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
-    val bi = biAll.filter(col("n_ab") >= 5)
-    // b_total is the TOTAL bigram-instance mass (pre support filter):
-    // p(a,b) = n_ab / B over the whole corpus, otherwise every PMI is
-    // inflated by a constant ln(B_all/B_kept) and absolute cutoffs
-    // (pmi > 0 = "above chance") stop meaning anything
-    val totals = uni.agg(sum(col("n_w")).as("n_total")).crossJoin(
-      biAll.agg(sum(col("n_ab")).as("b_total")))
-    bi.join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
-      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+    val pairs = when(size(col("tk")) >= 1, expr(
+      "transform(sequence(1, size(tk)), i -> named_struct(" +
+        "'w1', element_at(tk, i), " +
+        "'w2', CASE WHEN i < size(tk) THEN element_at(tk, i + 1) END))"))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val gramCounts = toks
+      .select(explode(pairs).as("g"))
+      .select(col("g.w1"), col("g.w2"))
+      .filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val uni = gramCounts.groupBy(col("w1")).agg(sum(col("n")).as("nw"))
+    val totals = gramCounts.agg(
+      sum(col("n")).cast("long").as("n_total"),
+      sum(when(col("w2").isNotNull, col("n"))).cast("long").as("b_total"))
+    gramCounts
+      .withColumn("n_a", sum(col("n")).over(Window.partitionBy(col("w1"))))
+      .filter(col("w2").isNotNull && col("n") >= 5)
+      .join(uni.select(col("w1").as("wb"), col("nw").as("n_b")),
+        col("w2") === col("wb"))
       .crossJoin(broadcast(totals))
       .withColumn("pmi", round(log(
-        (col("n_ab") / col("b_total")) /
+        (col("n") / col("b_total")) /
           ((col("n_a") / col("n_total")) * (col("n_b") / col("n_total")))), 6))
-      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"), col("pmi"))
+      .select(col("w1"), col("w2"), col("n").as("n_ab"), col("n_a"), col("n_b"), col("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(20)
   }
