@@ -361,20 +361,27 @@ object EventAnalytics {
   /** Daily/weekly active users with the DAU/WAU stickiness ratio — the
     * standard engagement health metric. One distinct pass compresses the
     * corpus to (day, user) pairs; DAU is a count over that table; WAU
-    * joins it to the (tiny, broadcast) day spine with a trailing-7-day
-    * range condition, so each compressed pair fans out at most 7× and
-    * the distinct count partial-aggregates on (spine day, user) before
-    * the 7-fanout ever shuffles. No event-level self-join, no global
-    * sort — the expensive cardinality is handled once, up front. */
+    * explodes each pair over offsets 0..6 (a (day, user) pair is in the
+    * trailing-7-day window of exactly the days day+0..day+6), so each
+    * compressed pair fans out at most 7× and the distinct count
+    * partial-aggregates on (window day, user) before the fanout ever
+    * shuffles. No day-spine join is needed: window days with no activity
+    * of their own (including the ones past the corpus edge) have no DAU
+    * row, and the final inner join drops them — exactly the oracle's
+    * active-day spine. Catalyst collapses distinct-of-explode-of-
+    * distinct, so the two branches each scan events with their own
+    * map-side partial distinct (two narrow 2-column scans); what crosses
+    * the wire is still only the compressed (day, user) table and its
+    * ≤7× fanout. No event-level self-join, no global sort, no broadcast
+    * dependency. */
   def evDauWau: Q = (s, d) => {
     val dayUser = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
     val dau = dayUser.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    // spine derives from the aggregated DAU table (days only) — one
-    // fewer corpus scan than re-distincting the raw events
-    val spine = dau.select(col("day").as("d"))
-    val wau = dayUser.join(broadcast(spine),
-        col("day") <= col("d") && col("day") > col("d") - expr("INTERVAL 7 DAY"))
+    val wau = dayUser
+      .select(explode(sequence(lit(0), lit(6))).as("o"), col("day"), col("user_id"))
+      .select(expr("day + make_dt_interval(o)").as("d"), col("user_id"))
       .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
     dau.join(wau, col("day") === col("d"))
       .select(col("day"), col("dau"), col("wau"),
