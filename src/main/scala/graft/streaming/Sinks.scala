@@ -132,6 +132,17 @@ object Sinks {
       }
   }
 
+  /** Rename that FAILS LOUDLY: Hadoop `FileSystem.rename` reports most
+    * failures by returning false, not throwing — at a commit point a
+    * swallowed false means the epoch "succeeded", the checkpoint
+    * advances, and the data silently stays in staging forever. Every
+    * commit-point rename in this module goes through here so a failed
+    * publish surfaces as a failed batch (which Spark retries). */
+  private[streaming] def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      from: Path, to: Path): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"rename failed: $from -> $to")
+
   /** Shared commit-point protocol: stage under `_staging/<name>` (hidden
     * from readers — Spark's file index skips underscore paths), publish
     * with ONE atomic rename, then drop the staging parent when empty
@@ -144,7 +155,7 @@ object Sinks {
     val dest = new Path(outDir, name)
     fs.mkdirs(dest.getParent)
     if (fs.exists(dest)) fs.delete(dest, true)
-    fs.rename(staging, dest) // the commit point
+    renameOrThrow(fs, staging, dest) // the commit point
     try fs.delete(staging.getParent, false) catch { case _: java.io.IOException => () }
   }
 
@@ -161,24 +172,43 @@ object Sinks {
     * repaired by [[recoverCompaction]], which every `compact` call runs
     * first — the original data is never deleted until the compacted copy
     * is in place. Run compaction from the single loader process that owns
-    * the table (the reference's storages assume a single committer too). */
+    * the table (the reference's storages assume a single committer too).
+    *
+    * Scope: rename-published sink dirs and plain parquet tables. A
+    * NATIVE streaming-file-sink output (recordBatchingSink) carries a
+    * `_spark_metadata` commit log whose file list a rewrite would
+    * invalidate — readers preferring the log would silently lose all
+    * compacted history — so compact REFUSES those dirs. A partitioned
+    * layout must be declared via `partitionCols` (partition-discovered
+    * columns would otherwise be rewritten as flat data columns). */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionCols: Seq[String] = Nil): Int = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(dir, "_spark_metadata")),
+      s"$dir is a streaming file-sink table: its _spark_metadata commit log " +
+        "pins the exact file list, so a compaction rewrite would make " +
+        "committed history invisible to readers. Compact only rename-" +
+        "published sink dirs (InDataOffset/multiFile/RowBinary) or plain tables.")
     recoverCompaction(spark, dir)
     val sizeBytes = fs.getContentSummary(new Path(dir)).getLength
     val nFiles = math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(dir + ".compact.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    spark.read.parquet(dir).repartition(nFiles).write.parquet(tmp.toString)
+    val w = spark.read.parquet(dir).repartition(nFiles).write
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     val old = new Path(dir + ".compact.old")
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(new Path(dir), old)
-    fs.rename(tmp, new Path(dir))
+    renameOrThrow(fs, new Path(dir), old)
+    renameOrThrow(fs, tmp, new Path(dir))
     fs.delete(old, true)
-    fs.listStatus(new Path(dir)).count(_.getPath.getName.endsWith(".parquet"))
+    val it = fs.listFiles(new Path(dir), true) // recursive: partitioned layouts nest
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
   }
 
   /** Repair an interrupted [[compact]]: if the table dir is missing but
@@ -190,18 +220,29 @@ object Sinks {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(dir + ".compact.old")
     val restored = if (!fs.exists(new Path(dir)) && fs.exists(old)) {
-      fs.rename(old, new Path(dir))
+      renameOrThrow(fs, old, new Path(dir)); true
     } else false
     if (fs.exists(new Path(dir)) && fs.exists(old)) fs.delete(old, true)
     restored
   }
 
   /** Two-phase commit storage: every epoch is (1) staged to a temp dir,
-    * (2) renamed into place, (3) recorded in the manifest together with
-    * the consumed offset ranges. A replayed epoch (restart between stage
-    * and manifest write) is detected in the manifest and skipped, giving
-    * exactly-once end-to-end — the TwoPhaseCommitBatchStorage protocol on
-    * Spark's epoch ids instead of Kafka offsets. */
+    * (2) renamed into place, (3) committed by creating a per-epoch
+    * marker file `_commits/<batchId>` carrying the consumed offset
+    * ranges. A replayed epoch (restart between stage and commit) is
+    * detected by its marker and skipped, giving exactly-once end-to-end
+    * — the TwoPhaseCommitBatchStorage protocol on Spark's epoch ids
+    * instead of Kafka offsets.
+    *
+    * One marker FILE per epoch, not one appended manifest line:
+    * `FileSystem.append` is unsupported on ChecksumFileSystem (file://)
+    * and object stores (s3a://), and an appended line torn by a crash
+    * would corrupt every later parse of the shared file. A marker
+    * becomes visible by one atomic create+rename, a torn tmp marker is
+    * invisible to recovery (the epoch just re-delivers, idempotently),
+    * and no commit ever rewrites another commit's record. A legacy
+    * `_manifest` file from the append-era layout is still honored
+    * read-only, tolerating a torn final line. */
   class TwoPhaseCommitSink(outDir: String) extends Serializable {
 
     def attach(events: DataFrame, checkpointDir: String): StreamingQuery =
@@ -213,17 +254,27 @@ object Sinks {
 
     def committedBatchIds(spark: org.apache.spark.sql.SparkSession): Seq[Long] = {
       val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val manifest = new Path(outDir, "_manifest")
-      if (!fs.exists(manifest)) Seq.empty
-      else {
-        val in = fs.open(manifest)
-        val lines = scala.io.Source.fromInputStream(in).getLines()
-          .map(_.split(":")(0).toLong).toList
-        in.close(); lines
-      }
+      val commits = new Path(outDir, "_commits")
+      val markers =
+        if (!fs.exists(commits)) Seq.empty
+        else fs.listStatus(commits).toSeq
+          .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      val manifest = new Path(outDir, "_manifest") // legacy append-era layout
+      val legacy =
+        if (!fs.exists(manifest)) Seq.empty
+        else {
+          val in = fs.open(manifest)
+          // a crash mid-append can tear the final line; an unparseable id
+          // means that commit never completed — treat as uncommitted (the
+          // epoch re-delivers and re-publishes idempotently)
+          val lines = scala.io.Source.fromInputStream(in).getLines()
+            .flatMap(l => scala.util.Try(l.split(":")(0).toLong).toOption).toList
+          in.close(); lines
+        }
+      (markers ++ legacy).distinct
     }
 
-    /** Idempotent epoch write (the two phases + manifest commit). The
+    /** Idempotent epoch write (the two phases + marker commit). The
       * epoch is cached: foreachBatch re-executes the source scan for every
       * action otherwise (write + ranges + count = 3 source reads). */
     def writeBatch(batchRaw: DataFrame, batchId: Long): Unit = {
@@ -231,26 +282,23 @@ object Sinks {
       if (committedBatchIds(spark).contains(batchId)) return // replay → skip
       val batch = batchRaw.persist()
       val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staging = new Path(outDir, s"_staging/batch=$batchId")
-      val dest = new Path(outDir, s"batch=$batchId")
-      // Phase 1: stage
-      batch.write.mode("overwrite").parquet(staging.toString)
-      // Phase 2: atomic publish
-      fs.mkdirs(dest.getParent)
-      if (fs.exists(dest)) fs.delete(dest, true)
-      fs.rename(staging, dest)
-      // Commit: manifest line `batchId:partition=min..max,...;rows=n`
+      // Phases 1+2: stage, then one atomic rename (shared protocol)
+      publish(fs, outDir, s"batch=$batchId") { staging =>
+        batch.write.mode("overwrite").parquet(staging.toString)
+      }
+      // Commit: marker `_commits/<id>` with `partition=min..max,...;rows=n`
       val ranges = batch.groupBy(col("event_type"))
         .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
         .collect()
         .sortBy(_.getString(0))
         .map(r => s"${r.getString(0)}=${r.getLong(1)}..${r.getLong(2)}")
         .mkString(",")
-      val line = s"$batchId:$ranges;rows=${batch.count()}\n"
-      val out = if (fs.exists(new Path(outDir, "_manifest")))
-        fs.append(new Path(outDir, "_manifest"))
-      else fs.create(new Path(outDir, "_manifest"))
-      out.write(line.getBytes("UTF-8")); out.close()
+      val commits = new Path(outDir, "_commits")
+      fs.mkdirs(commits)
+      val tmpMarker = new Path(commits, s".tmp.$batchId")
+      val out = fs.create(tmpMarker, true)
+      out.write(s"$ranges;rows=${batch.count()}\n".getBytes("UTF-8")); out.close()
+      renameOrThrow(fs, tmpMarker, new Path(commits, batchId.toString))
       batch.unpersist()
     }
   }
@@ -331,7 +379,12 @@ object Sinks {
       val legacyMax =
         if (legacy.isEmpty) -1L
         else try {
+          // exclude lookback re-deliveries: replay rows pin _batch_id to
+          // Long.MaxValue, and a compaction can fold them into the flat
+          // layout — an unfiltered max would jump the recovery position
+          // to MaxValue and silently drop every future epoch
           val row = spark.read.parquet(legacy.map(_.getPath.toString): _*)
+            .filter(col("_batch_id") =!= Long.MaxValue)
             .agg(max(col("_batch_id"))).collect()(0)
           if (row.isNullAt(0)) -1L else row.getLong(0) // all-empty legacy files
         } catch {

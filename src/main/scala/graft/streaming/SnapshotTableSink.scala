@@ -47,9 +47,28 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
 
   /** (snapshotId, cumulative committed epoch ids) of the latest snapshot. */
   def currentSnapshot(spark: SparkSession): Option[(Long, Seq[Long])] = {
+    val f = fs(spark)
     val latest = new Path(tableDir, "_snapshots/LATEST")
-    if (!fs(spark).exists(latest)) None
-    else Some(parseSnapshot(readFile(spark, latest)))
+    if (f.exists(latest)) Some(parseSnapshot(readFile(spark, latest)))
+    else {
+      // The LATEST pointer switch is delete + rename (rename cannot
+      // overwrite on most Hadoop filesystems), so a crash inside that
+      // window leaves no pointer but every numbered snapshot intact.
+      // Recover from the max-numbered snapshot instead of treating the
+      // table as empty — an "empty" answer here would restart snapshot
+      // ids at 0, orphan the entire committed history, and let
+      // vacuumOrphans delete it.
+      val snapDir = new Path(tableDir, "_snapshots")
+      if (!f.exists(snapDir)) None
+      else {
+        val ids = f.listStatus(snapDir).toSeq
+          .map(_.getPath.getName)
+          .filter(_.endsWith(".json"))
+          .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+        if (ids.isEmpty) None
+        else Some(parseSnapshot(readFile(spark, new Path(snapDir, s"${ids.max}.json"))))
+      }
+    }
   }
 
   private def readCommitted(spark: SparkSession, ids: Seq[Long]): DataFrame = {
@@ -145,11 +164,12 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
     val snapFile = new Path(snapDir, s"$snapshotId.json")
     val out = f.create(snapFile, true)
     out.write(json.getBytes("UTF-8")); out.close()
-    // atomic pointer switch
+    // pointer switch: delete + rename (rename cannot overwrite); a crash
+    // in the window is repaired by currentSnapshot's max-snapshot fallback
     val tmp = new Path(snapDir, s"LATEST.tmp.$snapshotId")
     val t = f.create(tmp, true); t.write(json.getBytes("UTF-8")); t.close()
     val latest = new Path(snapDir, "LATEST")
     if (f.exists(latest)) f.delete(latest, false)
-    f.rename(tmp, latest)
+    Sinks.renameOrThrow(f, tmp, latest)
   }
 }

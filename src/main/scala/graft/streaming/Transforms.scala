@@ -94,8 +94,12 @@ object Transforms {
       watermark: String = "30 minutes", gapMs: Long = 1800000L): Dataset[ClosedSession] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
+    // session_end = last event + gap: the session_window BOUNDARY, so the
+    // emitted rows agree column-for-column with the batch twin
+    // [[sessionize]] (which selects session_window.end) — a consumer
+    // keyed on (user_id, session_end) can switch between the two paths
     def close(user: Long, s: OpenSession) = ClosedSession(user,
-      new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, s.value)
+      new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end + gapMs), s.n, s.value)
     def coalesce(ss: List[OpenSession]): List[OpenSession] =
       ss.sortBy(s => (s.start, s.end)).foldLeft(List.empty[OpenSession]) {
         case (acc @ (cur :: rest), nxt) if nxt.start < cur.end + gapMs =>
@@ -231,7 +235,14 @@ object Transforms {
     * `oovCount` (a frozen vocabulary must price the out-of-vocabulary
     * mass or junk scores as clean). A quality-filter LM is top-V by
     * construction (V is config-sized), so the literal map stays bounded
-    * however large the corpus the LM was trained on. */
+    * however large the corpus the LM was trained on.
+    *
+    * The fold is a per-token double sum in document order; the batch op
+    * sums decimal-hardened per-distinct-term contributions, so agreement
+    * is within floating-point fold tolerance (the parity spec pins 1e-5),
+    * not bit-exact — a doc whose avg_nll sits exactly on `maxNll` could
+    * flip `keep` between the paths. Set the ceiling away from score mass
+    * (the default 12.0 is far above any natural-text corpus). */
   def surprisalScore(docs: DataFrame, lm: Map[String, Long], nTotal: Long,
       maxNll: Double = 12.0, oovCount: Long = 1L): DataFrame = {
     val lmCol = if (lm.isEmpty) map().cast("map<string,bigint>")

@@ -53,6 +53,29 @@ class SnapshotSinkSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll 
     sink.currentSnapshot(spark).map(_._2) shouldBe Some(Seq(0L, 1L))
   }
 
+  it should "recover the table when a crash loses the LATEST pointer" in {
+    // the pointer switch is delete + rename; a crash in that window must
+    // NOT read as an empty table (that would fork snapshot ids at 0 and
+    // let vacuumOrphans delete the whole committed history)
+    import spark.implicits._
+    val table = tmp()
+    val sink = new SnapshotTableSink(table)
+    sink.writeBatch(Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")).toDF(), 0L)
+    sink.writeBatch(Seq(Ev(1, ts(2), 2, "view", 2.0, "{}")).toDF(), 1L)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(table, "_snapshots/LATEST"), false)
+    // recovery falls back to the max-numbered snapshot
+    sink.currentSnapshot(spark).map(_._2) shouldBe Some(Seq(0L, 1L))
+    sink.read(spark).count() shouldBe 2
+    // the next epoch continues the snapshot chain instead of forking it
+    sink.writeBatch(Seq(Ev(2, ts(3), 3, "view", 3.0, "{}")).toDF(), 2L)
+    sink.currentSnapshot(spark).map(_._2) shouldBe Some(Seq(0L, 1L, 2L))
+    // and vacuum finds nothing to delete
+    sink.vacuumOrphans(spark) shouldBe empty
+    sink.read(spark).count() shouldBe 3
+  }
+
   it should "time-travel, expire old snapshots and vacuum orphans" in {
     import spark.implicits._
     val table = tmp()

@@ -95,6 +95,31 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     spark.read.parquet(dir).count() shouldBe 50
   }
 
+  it should "preserve a partitioned layout when told its partition columns" in {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    (0 until 40).map(i => Ev(i.toLong, ts(i % 60), i % 5, "click", 1.0, "{}"))
+      .toDF().withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+      .repartition(10).write.partitionBy("dt").parquet(dir)
+    Sinks.compact(spark, dir, targetFileBytes = 1024L * 1024 * 1024,
+      partitionCols = Seq("dt")) should be >= 1
+    // dt= dirs survive as real partition directories, not flat columns
+    new java.io.File(dir).listFiles().count(_.getName.startsWith("dt=")) shouldBe 1
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 40
+    back.select("dt").distinct().as[String].collect() shouldBe Array("20240101")
+  }
+
+  it should "refuse to compact a streaming file-sink table" in {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")).toDF().write.parquet(dir)
+    // a _spark_metadata commit log marks a native streaming-sink table;
+    // rewriting its files would orphan the log's committed file list
+    new java.io.File(dir, "_spark_metadata").mkdirs()
+    an[IllegalArgumentException] should be thrownBy Sinks.compact(spark, dir)
+  }
+
   behavior of "TwoPhaseCommitSink"
 
   it should "commit batches with ranges in the manifest and skip replays" in {
@@ -113,6 +138,39 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     sink.writeBatch(replay, 0L)
     sink.committedBatchIds(spark).count(_ == 0L) shouldBe 1
     spark.read.parquet(s"$out/batch=0").count() shouldBe 3
+  }
+
+  it should "commit MULTIPLE epochs (per-epoch markers, no manifest append)" in {
+    // the old single-_manifest layout used FileSystem.append, which
+    // throws on ChecksumFileSystem (file://) and object stores — the
+    // second epoch's commit crashed the query; markers must not
+    import spark.implicits._
+    val out = tmp()
+    val sink = new Sinks.TwoPhaseCommitSink(out)
+    sink.writeBatch(Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")).toDF(), 0L)
+    sink.writeBatch(Seq(Ev(1, ts(2), 2, "view", 2.0, "{}")).toDF(), 1L)
+    sink.writeBatch(Seq(Ev(2, ts(3), 3, "view", 3.0, "{}")).toDF(), 2L)
+    sink.committedBatchIds(spark).sorted shouldBe Seq(0L, 1L, 2L)
+    spark.read.parquet(s"$out/batch=1").count() shouldBe 1
+    // a replay of a middle epoch is a no-op
+    sink.writeBatch(Seq(Ev(9, ts(9), 9, "click", 9.0, "{}")).toDF(), 1L)
+    spark.read.parquet(s"$out/batch=1").collect()(0).getLong(0) shouldBe 1L
+  }
+
+  it should "honor a legacy _manifest and tolerate a torn final line" in {
+    import spark.implicits._
+    val out = tmp()
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(new org.apache.hadoop.fs.Path(out, "_manifest"), true)
+    // epoch 0 committed cleanly; a crash tore the line for epoch 1 —
+    // an unparseable id means that commit never completed
+    o.write("0:click=0..0;rows=1\n1garbage".getBytes("UTF-8")); o.close()
+    val sink = new Sinks.TwoPhaseCommitSink(out)
+    sink.committedBatchIds(spark) shouldBe Seq(0L)
+    // new epochs commit as markers alongside the legacy file
+    sink.writeBatch(Seq(Ev(1, ts(2), 2, "view", 2.0, "{}")).toDF(), 1L)
+    sink.committedBatchIds(spark).sorted shouldBe Seq(0L, 1L)
   }
 
   it should "re-commit an epoch that crashed between publish and manifest write" in {
@@ -183,6 +241,23 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     sink.writeBatch(Seq(Ev(2, ts(3), 3, "click", 3.0, "{}")).toDF(), 2L)
     sink.committedMaxBatchId(spark) shouldBe 2L
     sink.read(spark).count() shouldBe 3
+  }
+
+  it should "ignore lookback replay rows in flat-layout recovery" in {
+    // a compaction can fold replay_<k> dirs (whose _batch_id is pinned
+    // to Long.MaxValue) into root-level files; recovery taking a raw max
+    // would jump to MaxValue and silently drop every future epoch
+    import spark.implicits._
+    val out = tmp()
+    val sink = new Sinks.InDataOffsetSink(out)
+    sink.writeBatch(Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")).toDF(), 0L)
+    Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")).toDF()
+      .withColumn("_batch_id", lit(Long.MaxValue))
+      .write.mode("append").parquet(out) // compacted-flat replay rows
+    sink.committedMaxBatchId(spark) shouldBe 0L
+    sink.writeBatch(Seq(Ev(1, ts(2), 2, "view", 2.0, "{}")).toDF(), 1L)
+    sink.committedMaxBatchId(spark) shouldBe 1L
+    sink.read(spark).filter(col("_batch_id") === 1L).count() shouldBe 1
   }
 
   it should "read schema-evolved epochs as one unioned schema" in {
@@ -483,6 +558,9 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     u1.length shouldBe 1
     u1(0).getLong(3) shouldBe 2       // n_events
     u1(0).getDouble(4) shouldBe 3.0   // session_value
+    // session_end is the session_window BOUNDARY (last event + gap), so
+    // the emitted rows agree with the batch twin `sessionize`
+    u1(0).getTimestamp(2) shouldBe ts(10 + 30) // last event t10 + 30min gap
     val u3 = rows.filter(_.getLong(0) == 3L).sortBy(_.getTimestamp(1).getTime)
     u3.length shouldBe 2
     u3(0).getLong(3) shouldBe 1                    // t0 singleton
