@@ -13,6 +13,26 @@ object BinaryRowWriters {
     while (i < nBytes) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
   }
 
+  /** ClickHouse DateTime is UNSIGNED int32 epoch seconds; a value
+    * outside [0, 2^32-1] would silently wrap through the 4-byte truncate
+    * (1969-12-31 23:59:59 reads back as year 2106). Range-check loudly —
+    * the readers treat corruption as an error, the writers must too. */
+  def toDateTimeSeconds(micros: Long): Long = {
+    val s = Math.floorDiv(micros, 1000000L)
+    if (s < 0L || s > 0xFFFFFFFFL) throw new IllegalArgumentException(
+      s"timestamp out of DateTime range: epoch seconds $s not in [0, 4294967295]")
+    s
+  }
+
+  /** ClickHouse Date is UNSIGNED uint16 days since epoch — same wrap
+    * hazard as [[toDateTimeSeconds]] (day 65744 would read back as day
+    * 208). */
+  def toDateDays(days: Int): Long = {
+    if (days < 0 || days > 0xFFFF) throw new IllegalArgumentException(
+      s"date out of Date range: days-since-epoch $days not in [0, 65535]")
+    days.toLong
+  }
+
   /** Unsigned LEB128 varint. */
   def writeLeb128(out: ByteArrayOutputStream, value: Long): Unit = {
     var v = value

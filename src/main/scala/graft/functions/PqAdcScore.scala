@@ -38,8 +38,12 @@ case class PqAdcScore(left: Expression, right: Expression) extends BinaryExpress
     var acc = 0.0
     var j = 0
     while (j < m) {
+      // null elements must error like shape violations do: getLong on a
+      // null UnsafeArrayData slot silently reads 0 (a valid-looking code)
+      if (codes.isNullAt(j)) throw PqAdcScore.nullCodeError(j)
       val c = codes.getLong(j)
       if (c < 0 || c >= k) throw PqAdcScore.codeError(c, k)
+      if (lut.isNullAt(j * k + c.toInt)) throw PqAdcScore.nullLutError(j * k + c.toInt)
       acc += lut.getDouble(j * k + c.toInt)
       j += 1
     }
@@ -61,8 +65,10 @@ case class PqAdcScore(left: Expression, right: Expression) extends BinaryExpress
          |  throw $cls.shapeError($lut.numElements(), $m);
          |double $acc = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
+         |  if ($codes.isNullAt($j)) throw $cls.nullCodeError($j);
          |  long $c = $codes.getLong($j);
          |  if ($c < 0 || $c >= $k) throw $cls.codeError($c, $k);
+         |  if ($lut.isNullAt($j * $k + (int) $c)) throw $cls.nullLutError($j * $k + (int) $c);
          |  $acc += $lut.getDouble($j * $k + (int) $c);
          |}
          |${ev.value} = $acc;
@@ -83,4 +89,10 @@ object PqAdcScore {
   def codeError(code: Long, k: Int): IllegalArgumentException =
     new IllegalArgumentException(
       s"graft_pq_score: code $code out of range [0, $k)")
+  def nullCodeError(j: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_pq_score: null code at subspace $j")
+  def nullLutError(idx: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_pq_score: null lut entry at index $idx")
 }

@@ -68,6 +68,11 @@ case class RowBinaryEncode(child: Expression, spec: String = "") extends UnaryEx
         if (row.isNullAt(i)) out.write(1)
         else { out.write(0); RowBinaryEncode.writeValue(out, f.dataType, row, i, directives(i)) }
       } else {
+        // Spark nullability is advisory (joins/UDFs can mis-propagate it);
+        // a non-nullable wire column has NO null-flag byte, so a runtime
+        // null here must fail loudly — silently encoding 0/empty bytes
+        // (UnsafeRow) or NPEing (GenericInternalRow) corrupts the stream
+        if (row.isNullAt(i)) throw RowBinaryEncode.nullInNonNullable(f.name)
         RowBinaryEncode.writeValue(out, f.dataType, row, i, directives(i))
       }
       i += 1
@@ -83,7 +88,9 @@ case class RowBinaryEncode(child: Expression, spec: String = "") extends UnaryEx
         val w = RowBinaryEncode.genWrite(f.dataType, buf, row, i, directives(i))
         if (f.nullable)
           s"if ($row.isNullAt($i)) { $buf.write(1); } else { $buf.write(0); $w }"
-        else w
+        else
+          s"""if ($row.isNullAt($i)) throw graft.functions.RowBinaryEncode.nullInNonNullable("${f.name}");
+             |$w""".stripMargin
       }.mkString("\n")
       s"""
          |$buf.reset();
@@ -100,6 +107,12 @@ case class RowBinaryEncode(child: Expression, spec: String = "") extends UnaryEx
 
 object RowBinaryEncode {
   import FieldDirective._
+
+  /** Static so generated Java raises the identical error. */
+  def nullInNonNullable(field: String): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_rowbinary: null value in non-nullable field '$field' — " +
+        "declare the field nullable or fix the upstream nullability")
 
   def supported(t: DataType): Boolean = t match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType |
@@ -136,11 +149,11 @@ object RowBinaryEncode {
     case (StringType, _) => BinaryRowWriters.writeBytesLeb(out, row.getUTF8String(i).getBytes)
     case (BinaryType, _) => BinaryRowWriters.writeBytesLeb(out, row.getBinary(i))
     case (TimestampType, _) =>
-      // DateTime: int32 epoch seconds (micros floor-divided)
-      BinaryRowWriters.writeLE(out, Math.floorDiv(row.getLong(i), 1000000L), 4)
+      // DateTime: uint32 epoch seconds (micros floor-divided, range-checked)
+      BinaryRowWriters.writeLE(out, BinaryRowWriters.toDateTimeSeconds(row.getLong(i)), 4)
     case (DateType, _) =>
-      // Date: uint16 days since epoch
-      BinaryRowWriters.writeLE(out, row.getInt(i).toLong, 2)
+      // Date: uint16 days since epoch (range-checked)
+      BinaryRowWriters.writeLE(out, BinaryRowWriters.toDateDays(row.getInt(i)), 2)
     case (other, _) => throw new UnsupportedOperationException(s"graft_rowbinary: $other")
   }
 
@@ -170,8 +183,8 @@ object RowBinaryEncode {
       case (BooleanType, _) => s"$buf.write($row.getBoolean($i) ? 1 : 0);"
       case (StringType, _) => s"$W.writeBytesLeb($buf, $row.getUTF8String($i).getBytes());"
       case (BinaryType, _) => s"$W.writeBytesLeb($buf, $row.getBinary($i));"
-      case (TimestampType, _) => s"$W.writeLE($buf, java.lang.Math.floorDiv($row.getLong($i), 1000000L), 4);"
-      case (DateType, _) => s"$W.writeLE($buf, (long) $row.getInt($i), 2);"
+      case (TimestampType, _) => s"$W.writeLE($buf, $W.toDateTimeSeconds($row.getLong($i)), 4);"
+      case (DateType, _) => s"$W.writeLE($buf, $W.toDateDays($row.getInt($i)), 2);"
       case (other, _) => throw new UnsupportedOperationException(s"graft_rowbinary: $other")
     }
   }

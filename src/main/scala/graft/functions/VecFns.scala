@@ -26,9 +26,15 @@ object VecFns {
     call_function("graft_dot", a, b)
 
   /** Interpreted fallback with identical semantics (for sessions without
-    * the registry; ~10× slower per pair). */
+    * the registry; ~10× slower per pair). Matching [[DotProduct]] takes
+    * care: a bare `zip_with` pads the shorter array with nulls and a
+    * null product poisons the whole fold to NULL, where the native
+    * expression zero-fills null elements and min-truncates unequal
+    * lengths — hence the coalesces (null element → 0 contribution) which
+    * also neutralize the padded tail. */
   def dotHof(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x * y))
+    foldSum(zip_with(a, b,
+      (x, y) => coalesce(x, lit(0.0f)) * coalesce(y, lit(0.0f))))
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 

@@ -127,10 +127,11 @@ object VerticaNativeEncode {
     case _ => false
   }
 
-  private[functions] def writeLE(out: ByteArrayOutputStream, v: Long, nBytes: Int): Unit = {
-    var i = 0
-    while (i < nBytes) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
-  }
+  // wire-critical primitive defined ONCE: [[BinaryRowWriters.writeLE]]
+  // (the codegen path and the DSv2 writer already call it — a private
+  // duplicate here could drift from what generated Java executes)
+  private[functions] def writeLE(out: ByteArrayOutputStream, v: Long, nBytes: Int): Unit =
+    BinaryRowWriters.writeLE(out, v, nBytes)
 
   /** Static size per column: -1 for variable-width (varchar/varbinary);
     * fixed(N) columns are N wide, UUIDs 16 (NativeVerticaRecordEncoder

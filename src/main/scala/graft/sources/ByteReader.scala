@@ -51,16 +51,13 @@ private[sources] class ByteReader(raw: InputStream, val source: String) {
     v
   }
 
-  /** `n` bytes whose first byte was already consumed as an EOF probe. */
+  /** `n` bytes whose first byte was already consumed as an EOF probe.
+    * [[readBytes]] returns exactly the requested count or throws, so one
+    * call fills the remainder. */
   def readBytesFirst(first: Int, n: Int): Array[Byte] = {
     val buf = new Array[Byte](n)
     buf(0) = first.toByte
-    var off = 1
-    while (off < n) {
-      val rest = readBytes(n - off)
-      System.arraycopy(rest, 0, buf, off, rest.length)
-      off += rest.length
-    }
+    if (n > 1) System.arraycopy(readBytes(n - 1), 0, buf, 1, n - 1)
     buf
   }
 

@@ -233,7 +233,11 @@ private[sources] class VerticaNativeWriter(path: String, schema: StructType,
   }
 
   override def abort(): Unit = {
-    if (opened) out.close()
+    // close() flushes, and on an already-broken stream that flush throws
+    // the same error that triggered the abort — the delete below must
+    // still run or the truncated file survives in the FINAL output dir
+    // (files are written in place, there is no _temporary staging)
+    if (opened) { try out.close() catch { case _: java.io.IOException => () } }
     if (fs.exists(file)) fs.delete(file, false)
   }
   override def close(): Unit = ()

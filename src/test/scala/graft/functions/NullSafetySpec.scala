@@ -65,4 +65,51 @@ class NullSafetySpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     out(0L) shouldBe Some(11.0)
     out(1L) shouldBe None
   }
+
+  it should "keep the dot-product HOF fallback aligned with graft_dot" in {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // null elements and unequal lengths are where a naive zip_with fold
+    // diverges (null product poisons the whole sum to NULL); the native
+    // expression zero-fills nulls and min-truncates
+    val vecs = Seq(
+      (0L, Array[java.lang.Float](1.0f, null, 3.0f), Array[java.lang.Float](2.0f, 5.0f, 4.0f)),
+      (1L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f, 4.0f, 99.0f)))
+      .toDF("id", "a", "b")
+    val both = vecs.select(col("id"),
+      call_function("graft_dot", col("a"), col("b")).as("native"),
+      VecFns.dotHof(col("a"), col("b")).as("hof")).collect()
+    both.foreach { r =>
+      r.isNullAt(1) shouldBe false
+      r.getDouble(2) shouldBe r.getDouble(1) +- 1e-9
+    }
+  }
+
+  behavior of "binary encoders on out-of-range and mis-declared values"
+
+  it should "fail loudly on out-of-range DateTime/Date instead of wrapping" in {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // 1969-12-31 23:59:59 → epoch seconds -1 → would wrap to year 2106
+    val pre1970 = Seq(Tuple1(java.sql.Timestamp.valueOf("1969-12-31 23:59:59")))
+      .toDF("ts").selectExpr("named_struct('ts', ts) AS s")
+    val ex = intercept[Throwable](
+      pre1970.selectExpr("graft_rowbinary(s) AS b").collect())
+    Iterator.iterate(ex)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(e => Option(e.getMessage).exists(_.contains("DateTime range"))) shouldBe true
+  }
+
+  it should "fail loudly on a runtime null in a non-nullable field" in {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    // a mis-propagated nullability (joins/UDFs can mark a genuinely
+    // nullable column non-null) reaches the expression as an InternalRow
+    // with a null in a non-nullable slot — the DataFrame encoder would
+    // reject it first, so drive the expression directly
+    val schema = StructType(Seq(StructField("v", LongType, nullable = false)))
+    val ex = intercept[IllegalArgumentException](
+      RowBinaryEncode(Literal.create(Row(null), schema)).eval(null))
+    ex.getMessage should include("non-nullable")
+  }
 }
