@@ -28,7 +28,8 @@ object Bucketing {
   }
 
   /** Number of Exchange operators in the EXECUTED plan — the metric the
-    * bucketing exists to minimize; used by specs to pin co-location. */
+    * bucketing exists to minimize; used by specs to pin co-location.
+    * ReusedExchange nodes perform no shuffle and must not count. */
   def exchanges(df: DataFrame): Int =
-    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    "(?<!Reused)Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
 }

@@ -15,13 +15,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  /** Exact-arity guard: the builder lambdas index into `args`, so a
+    * surplus argument would be silently dropped (and a missing one would
+    * surface as a cryptic IndexOutOfBounds instead of an arity error). */
+  private def arity(fn: String, args: Seq[Expression], n: Int): Seq[Expression] = {
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects exactly $n argument(s); got ${args.length}")
+    args
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      (args: Seq[Expression]) => { arity("graft_dot", args, 2); DotProduct(args(0), args(1)) }),
     (new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
-      (args: Seq[Expression]) => MinHashSig(args(0))),
+      (args: Seq[Expression]) => { arity("graft_minhash", args, 1); MinHashSig(args(0)) }),
     (new FunctionIdentifier("graft_rowbinary"),
       new ExpressionInfo(classOf[RowBinaryEncode].getName, "graft_rowbinary"),
       (args: Seq[Expression]) => RowBinaryEncode(args(0), fieldSpecArg(args, "graft_rowbinary"))),
@@ -30,13 +39,16 @@ object GraftFunctions {
       (args: Seq[Expression]) => VerticaNativeEncode(args(0), fieldSpecArg(args, "graft_verticarow"))),
     (new FunctionIdentifier("graft_pq_score"),
       new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_score"),
-      (args: Seq[Expression]) => PqAdcScore(args(0), args(1))))
+      (args: Seq[Expression]) => { arity("graft_pq_score", args, 2); PqAdcScore(args(0), args(1)) }))
 
   /** Optional per-field encoding spec (2nd arg of the binary encoders):
     * must be a foldable string literal — it shapes the generated code, so
     * it cannot vary per row. */
   private def fieldSpecArg(args: Seq[Expression], fn: String): String =
-    if (args.length < 2) ""
+    if (args.isEmpty || args.length > 2)
+      throw new IllegalArgumentException(
+        s"$fn expects (struct) or (struct, fieldSpec); got ${args.length} arguments")
+    else if (args.length < 2) ""
     else {
       val e = args(1)
       if (!e.foldable) throw new IllegalArgumentException(

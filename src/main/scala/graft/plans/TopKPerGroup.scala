@@ -55,23 +55,48 @@ case class TopKPerGroupExec(
     val groupLocal = groupExprs
     val orderLocal = order
     val childOutput = child.output
+    // Memory bound for the heap map: a hash aggregate spills; this
+    // operator instead FLUSHES — once the partial pass buffers this many
+    // rows it emits every heap and starts fresh. Each flushed segment is
+    // a superset of that segment's top-k, so the union stays a superset
+    // of the partition's top-k and the final pass reduces it exactly.
+    // (The final pass never flushes: its whole input is already ≤ k rows
+    // per (group, upstream partition), so its map is shuffle-bounded.)
+    val flushRows: Long = if (partial)
+      conf.getConfString("spark.graft.topk.partialFlushRows", "4194304").toLong
+    else Long.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupLocal, childOutput)
       val ordering = RowOrdering.create(orderLocal, childOutput)
       // per group: bounded "worst-on-top" heap of the current best k rows
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[InternalRow](ordering.asInstanceOf[Ordering[InternalRow]]))
-        if (heap.size < kLocal) {
-          heap.enqueue(row.copy())
-        } else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+      var bufferedRows = 0L
+      new Iterator[Array[InternalRow]] {
+        override def hasNext: Boolean = iter.hasNext || heaps.nonEmpty
+        override def next(): Array[InternalRow] = {
+          while (iter.hasNext && bufferedRows < flushRows) {
+            val row = iter.next()
+            val key = keyProj(row)
+            heaps.get(key) match {
+              case Some(heap) =>
+                if (heap.size < kLocal) { heap.enqueue(row.copy()); bufferedRows += 1 }
+                else if (ordering.compare(row, heap.head) < 0) {
+                  heap.dequeue(); heap.enqueue(row.copy())
+                }
+              case None => // copy the key only on first sight of the group
+                val heap = mutable.PriorityQueue.empty[InternalRow](
+                  ordering.asInstanceOf[Ordering[InternalRow]])
+                heap.enqueue(row.copy()); bufferedRows += 1
+                heaps.put(key.copy(), heap)
+            }
+          }
+          val out = new Array[InternalRow](bufferedRows.toInt)
+          var i = 0
+          heaps.valuesIterator.foreach(_.foreach { r => out(i) = r; i += 1 })
+          heaps.clear(); bufferedRows = 0
+          out
         }
-      }
-      heaps.iterator.flatMap { case (_, heap) => heap.iterator }
+      }.flatMap(_.iterator)
     }
   }
 
@@ -79,12 +104,19 @@ case class TopKPerGroupExec(
     copy(child = c)
 }
 
-/** Plans TopKPerGroupNode as final-over-partial heap execs. */
+/** Plans TopKPerGroupNode as final-over-partial heap execs. Group keys
+  * are float-normalized here (NaN canonicalized, -0.0 → 0.0) — the rule
+  * that does this for aggregates/windows never fires on a custom node,
+  * and without it 0.0 and -0.0 hash to different shuffle partitions AND
+  * different UnsafeRow map keys, splitting one logical group into two
+  * (up to 2k output rows) where `row_number().over(partitionBy)` — the
+  * shape this operator replaces — would produce one. */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(k, g, o, child) =>
-      TopKPerGroupExec(k, g, o, partial = false,
-        TopKPerGroupExec(k, g, o, partial = true, planLater(child))) :: Nil
+      val ng = g.map(org.apache.spark.sql.GraftShim.normalizeFloats)
+      TopKPerGroupExec(k, ng, o, partial = false,
+        TopKPerGroupExec(k, ng, o, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

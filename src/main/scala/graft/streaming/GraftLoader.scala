@@ -73,8 +73,7 @@ object GraftLoader {
     val jsonEventDecoder: DataFrame => DataFrame = df => {
       import org.apache.spark.sql.functions.{col, from_json}
       df.select(from_json(col("value").cast("string"), EventSource.schema).as("r"))
-        .select((0 until EventSource.schema.length)
-          .map(i => col(s"r.${EventSource.schema(i).name}")): _*)
+        .select(col("r.*"))
     }
   }
 

@@ -27,8 +27,13 @@ class GraftMetrics extends StreamingQueryListener {
     rows.computeIfAbsent(key, _ => new LongAdder).add(e.progress.numInputRows)
     if (e.progress.numInputRows > 0) {
       batches.computeIfAbsent(key, _ => new LongAdder).increment()
-      durations.computeIfAbsent(key, _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
-        .add(e.progress.batchDuration)
+      val q = durations.computeIfAbsent(key,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+      q.add(e.progress.batchDuration)
+      // bounded retention: a long-lived loader commits millions of epochs;
+      // keep a sliding window of the most recent samples (the percentile
+      // is a recent-health signal, not an all-time archive)
+      while (q.size > GraftMetrics.MaxDurationSamples) q.poll()
     }
   }
 
@@ -57,6 +62,11 @@ class GraftMetrics extends StreamingQueryListener {
 }
 
 object GraftMetrics {
+  /** Sliding-window cap on retained per-epoch durations (see
+    * onQueryProgress) — large enough for meaningful p99s, small enough
+    * to never matter on the heap. */
+  val MaxDurationSamples = 16384
+
   /** Install a metrics listener on the session and return it. */
   def install(spark: SparkSession): GraftMetrics = {
     val m = new GraftMetrics

@@ -1,6 +1,7 @@
 package graft.util
 
 import scala.concurrent.duration._
+import scala.util.control.NonFatal
 
 /** Bounded retry with exponential backoff for sink/storage operations
   * (reference analog: util/Retry.scala — semantics only). */
@@ -13,18 +14,24 @@ object Retry {
       onFailure: Throwable => Unit = _ => ())(op: => T): T = {
     require(maxAttempts >= 1)
     var attempt = 0
-    var delay = initialDelay
+    var delayMs = initialDelay.toMillis.toDouble
     var last: Throwable = null
     while (attempt < maxAttempts) {
       try return op
       catch {
-        case e: Throwable =>
+        // NonFatal only: retrying an OutOfMemoryError hides a dying JVM,
+        // and swallowing InterruptedException would delay a streaming
+        // query's cancellation by maxAttempts × backoff while clearing
+        // the thread's interrupt status
+        case NonFatal(e) =>
           last = e
           onFailure(e)
           attempt += 1
           if (attempt < maxAttempts) {
-            Thread.sleep(delay.toMillis)
-            delay = (delay * factor).asInstanceOf[FiniteDuration]
+            Thread.sleep(delayMs.toLong)
+            // double arithmetic, not FiniteDuration * Double (which
+            // widens to Duration and can overflow to Inf)
+            delayMs = math.min(delayMs * factor, 3600000.0)
           }
       }
     }

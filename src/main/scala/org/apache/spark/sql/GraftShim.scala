@@ -19,6 +19,14 @@ object GraftShim {
   def logicalPlan(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
 
+  /** Float-normalize an expression (NaN canonicalized, -0.0 → 0.0) the
+    * way Catalyst does for aggregate/window/join keys — the rule is
+    * `private[sql]` and never fires on custom plan nodes, so graft's
+    * grouping operator applies it explicitly. Non-float types pass
+    * through unchanged. */
+  def normalizeFloats(e: Expression): Expression =
+    catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** Release the block-storage copy behind a `localCheckpoint`ed Dataset.
     * `Dataset.unpersist` only covers CacheManager entries; checkpoint
     * blocks are pinned on the internal RDD until GC + ContextCleaner,

@@ -37,6 +37,37 @@ class TopKPerGroupSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll 
     viaHeap.size shouldBe 15 // 5 event types × 3
   }
 
+  it should "stay exact when the partial pass flushes under memory pressure" in {
+    // force the partial heap map to flush every 4 buffered rows: each
+    // flushed segment is a superset of its top-k, so the final pass must
+    // still produce exactly the window answer
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value"))
+    spark.conf.set("spark.graft.topk.partialFlushRows", "4")
+    try {
+      val viaHeap = TopKPerGroup.transform(ev,
+          Seq(col("event_type")), Seq(col("value").desc, col("event_id").asc), 3)
+        .select(col("event_type"), col("event_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+      val viaWindow = ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("event_type"), col("event_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      viaHeap shouldBe viaWindow
+    } finally spark.conf.unset("spark.graft.topk.partialFlushRows")
+  }
+
+  it should "treat 0.0 and -0.0 group keys as ONE group, like a window would" in {
+    import spark.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (-0.0, 4L))
+      .toDF("g", "id").repartition(4)
+    val top = TopKPerGroup.transform(df, Seq(col("g")), Seq(col("id").asc), 10)
+      .collect()
+    top.length shouldBe 4 // one logical group — unnormalized keys would split it
+    TopKPerGroup.transform(df, Seq(col("g")), Seq(col("id").asc), 1)
+      .collect().map(_.getLong(1)).toSeq shouldBe Seq(1L)
+  }
+
   it should "handle groups smaller than k and plan without Window/Sort" in {
     val ev = graft.Tables.events(spark, sf).filter(col("event_id") < 7)
       .select(col("event_type"), col("event_id"))
