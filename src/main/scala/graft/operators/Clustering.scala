@@ -33,6 +33,14 @@ object Clustering {
   val Iters = 3
   val Dim = 64
 
+  /** Hot-cluster bound for [[clSemanticDedup]]'s within-cluster pair
+    * join: at most this many (smallest-id) members per cluster generate
+    * pairs — O(cap²) worst-case pair work per cluster instead of
+    * O(cluster²) when k-means collapses a skewed corpus into one cell.
+    * Mirrored in the oracle SQL; far above any cluster in the test
+    * corpus, so capped and uncapped results coincide there. */
+  val MaxClusterMembers = 4096
+
   /** One assignment pass against literal centroids (see
     * [[graft.functions.VecFns.nearestCentroid]] for the struct-min
     * tie-break contract). Passes through every input column (e.g.
@@ -41,13 +49,26 @@ object Clustering {
     v.withColumn("m", nearestCentroid(col("e"), cents))
       .select(v.columns.map(col) :+ col("m.cid").as("cid") :+ col("m.d").as("d"): _*)
 
-  // Trained centroids memoized per (session, dir): training is fully
-  // deterministic (fixed seeds/rounds/rounding), so the four cl_* queries
-  // share one training run instead of each paying Iters-1 corpus passes.
+  // Trained centroids memoized per (session, dir, data fingerprint):
+  // training is fully deterministic (fixed seeds/rounds/rounding), so the
+  // cl_* queries share one training run instead of each paying Iters-1
+  // corpus passes. The fingerprint (file names + sizes + mtimes of the
+  // embeddings parquet) invalidates the memo when the data at the path
+  // changes — without it, overwriting the dir mid-session would silently
+  // assign NEW vectors against centroids trained on the OLD corpus.
   // Weak session keys so stopped test sessions are not kept alive.
   private val centsCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, Seq[(Int, Seq[Double])]]]())
+
+  private def dataFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) ""
+    else fs.listStatus(p).map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",").hashCode.toString
+  }
 
   /** Train `Iters` rounds and return the final per-vector assignment
     * (vec_id, e, label, cid, d) — the shared frame behind all cl_*
@@ -70,8 +91,9 @@ object Clustering {
       if (m == null) { m = scala.collection.mutable.Map.empty; centsCache.put(s, m) }
       m
     }
+    val cacheKey = s"$d|${dataFingerprint(s, d)}"
     perSession.synchronized {
-      perSession.get(d) match {
+      perSession.get(cacheKey) match {
         case Some(cached) => return cached
         case None =>
       }
@@ -101,7 +123,7 @@ object Clustering {
         .map(r => r.getInt(0) -> (1 to Dim).map(i => r.getDouble(i)).toSeq).toMap
       cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
     }
-    perSession.synchronized { perSession.update(d, cents) }
+    perSession.synchronized { perSession.update(cacheKey, cents) }
     cents
   }
 
@@ -141,7 +163,7 @@ object Clustering {
       .filter(col("rn") === 1)
       .select(col("cid").cast("long").as("cluster"), col("n"),
         col("label").cast("long").as("top_label"), col("label_n").as("top_n"),
-        round(col("label_n") / col("n"), 6).as("purity"))
+        (floor(col("label_n") / col("n") * 1e6 + 0.5) / 1e6).as("purity"))
       .orderBy(col("cluster"))
   }
 
@@ -207,7 +229,7 @@ object Clustering {
        |    sum(label_n) OVER (PARTITION BY cid) AS n
        |  FROM bylabel)
        |SELECT cid::BIGINT AS cluster, n::BIGINT AS n, label::BIGINT AS top_label,
-       |  label_n AS top_n, round(label_n / n, 6) AS purity
+       |  label_n AS top_n, floor(label_n / n * 1e6 + 0.5) / 1e6 AS purity
        |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin
 
   /** Clustering health report: per-cluster population, inertia (the
@@ -230,7 +252,7 @@ object Clustering {
         round(sum(dec).cast("double") / count(lit(1)), 6).as("mean_sq_dist"))
     g.select(col("cid").cast("long").as("cluster"), col("n"), col("inertia"),
         col("mean_sq_dist"),
-        round(col("n") / sum(col("n")).over(Window.partitionBy()), 6).as("share"))
+        (floor(col("n") / sum(col("n")).over(Window.partitionBy()) * 1e6 + 0.5) / 1e6).as("share"))
       .orderBy(col("cluster"))
   }
 
@@ -242,7 +264,7 @@ object Clustering {
        |    round(sum(d::DECIMAL(38,18))::DOUBLE / count(*), 6) AS mean_sq_dist
        |  FROM a2 GROUP BY 1)
        |SELECT cid::BIGINT AS cluster, n, inertia, mean_sq_dist,
-       |  round(n / (sum(n) OVER ()), 6) AS share
+       |  floor(n / (sum(n) OVER ()) * 1e6 + 0.5) / 1e6 AS share
        |FROM g ORDER BY cluster""".stripMargin
 
   /** Semantic dedup, cluster-bucketed: near-dup pairs (cosine > 0.25,
@@ -258,9 +280,15 @@ object Clustering {
   def clSemanticDedup: Q = (s, d) => {
     graft.plans.GraftFunctions.register(s)
     val asn = finalAssign(s, d).withColumn("nrm", l2norm(col("e")))
-    val a = asn.select(col("cid"), col("vec_id").as("vec_a"),
+    // hot-cluster bound, same discipline as the LSH bucket cap: pair
+    // generation runs over at most MaxClusterMembers (smallest vec_ids)
+    // per cluster, so a skewed cluster costs O(cap²) instead of
+    // O(cluster²); the oracle mirrors the cap with a row_number qualify
+    val capped = graft.plans.TopKPerGroup.transform(asn,
+      Seq(col("cid")), Seq(col("vec_id").asc), MaxClusterMembers)
+    val a = capped.select(col("cid"), col("vec_id").as("vec_a"),
       col("e").as("ea"), col("nrm").as("na"))
-    val b = asn.select(col("cid").as("cidb"), col("vec_id").as("vec_b"),
+    val b = capped.select(col("cid").as("cidb"), col("vec_id").as("vec_b"),
       col("e").as("eb"), col("nrm").as("nb"))
     val dupOf = a.join(b, col("cid") === col("cidb") && col("vec_a") < col("vec_b"))
       .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
@@ -281,11 +309,17 @@ object Clustering {
        |    sqrt(list_reduce(list_transform(generate_series(1, 64),
        |      i -> e[i] * e[i]), (x, y) -> x + y)) AS nrm
        |  FROM a2),
+       |an_capped AS (
+       |  SELECT vec_id, cid, e, nrm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+       |    FROM an)
+       |  WHERE rn <= $MaxClusterMembers),
        |pairs AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    round(list_reduce(list_transform(generate_series(1, 64),
        |      i -> a.e[i] * b.e[i]), (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cos
-       |  FROM an a JOIN an b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |  FROM an_capped a JOIN an_capped b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
        |dupof AS (
        |  SELECT vec_b, min(vec_a) AS dup_of FROM pairs WHERE cos > 0.25 GROUP BY 1)
        |SELECT an.vec_id, an.cid::BIGINT AS cluster,

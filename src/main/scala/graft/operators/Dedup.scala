@@ -93,7 +93,7 @@ object Dedup {
       .withColumn("grams_b", diagonal.over(Window.partitionBy(col("src_b"))))
       .filter(col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"), col("n_shared"),
-        round(col("n_shared") / least(col("grams_a"), col("grams_b")), 6)
+        (floor(col("n_shared") / least(col("grams_a"), col("grams_b")) * 1e6 + 0.5) / 1e6)
           .as("containment"))
       .orderBy(col("src_a"), col("src_b"))
   }
@@ -114,7 +114,7 @@ object Dedup {
       |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
       |  GROUP BY 1, 2)
       |SELECT src_a, src_b, n_shared,
-      |  round(n_shared / least(ta.n_grams, tb.n_grams), 6) AS containment
+      |  floor(n_shared / least(ta.n_grams, tb.n_grams) * 1e6 + 0.5) / 1e6 AS containment
       |FROM m JOIN tot ta ON ta.source = m.src_a
       |       JOIN tot tb ON tb.source = m.src_b
       |ORDER BY src_a, src_b""".stripMargin
@@ -162,6 +162,32 @@ object Dedup {
     s"""WITH $minhashCte
        |SELECT * FROM mh ORDER BY doc_id""".stripMargin
 
+  private val DefaultMaxBucketSize = 1024
+
+  /** bands → hot-bucket cap → candidate pairs, shared by the three LSH
+    * oracles so they stay index-identical with each other AND with the
+    * Spark side: the row_number qualify mirrors TopKPerGroup's bucket
+    * cap (the `DefaultMaxBucketSize` smallest doc_ids per (band, bkey)),
+    * so a degenerate bucket larger than the cap truncates IDENTICALLY in
+    * both engines instead of failing the gate on the first corpus with
+    * >cap boilerplate documents in one bucket. */
+  private val lshPairsCte: String = {
+    val bandSelects = (0 until NumBands).map { b =>
+      s"SELECT doc_id, $b AS band, md5('$b' || '|' || m${2 * b} || '|' || m${2 * b + 1}) AS bkey FROM mh"
+    }.mkString("\nUNION ALL\n")
+    s"""bands AS ($bandSelects),
+       |bands_capped AS (
+       |  SELECT doc_id, band, bkey FROM (
+       |    SELECT doc_id, band, bkey,
+       |      row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+       |    FROM bands)
+       |  WHERE rn <= $DefaultMaxBucketSize),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands_capped a JOIN bands_capped b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** LSH banding: 4 bands × 2 rows; docs sharing any band key are
     * candidate near-dup pairs. The band-key join bounds work to truly
     * similar docs — no quadratic blowup at scale. */
@@ -180,7 +206,8 @@ object Dedup {
     * skipped anyway. The default is far above any organic bucket in the
     * test corpus, so capped and uncapped results coincide there. */
   private[graft] def lshPairsUnsorted(
-      s: SparkSession, d: String, maxBucketSize: Int = 1024): DataFrame = {
+      s: SparkSession, d: String,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // Single minhash pass: explode the 4 band keys per doc, bucket docs by
     // (band, key), emit pairs inside each bucket. One aggregation, one
     // shuffle on band keys, no self-join recomputation of the signatures.
@@ -203,16 +230,11 @@ object Dedup {
   def ddLshPairs: Q = (s, d) =>
     lshPairsUnsorted(s, d).orderBy(col("doc_a"), col("doc_b"))
 
-  val ddLshPairsSql: String = {
-    val bandSelects = (0 until NumBands).map { b =>
-      s"SELECT doc_id, $b AS band, md5('$b' || '|' || m${2 * b} || '|' || m${2 * b + 1}) AS bkey FROM mh"
-    }.mkString("\nUNION ALL\n")
+  val ddLshPairsSql: String =
     s"""WITH $minhashCte,
-       |bands AS ($bandSelects)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |$lshPairsCte
+       |SELECT doc_a, doc_b FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** MinHash Jaccard ESTIMATION on the same adjacent-id candidate set as
     * [[ddJaccard]]: the fraction of agreeing signature slots estimates
@@ -272,7 +294,7 @@ object Dedup {
     * doc ids, the deterministic candidate set for the synthetic corpus. */
   def ddJaccard: Q = (s, d) =>
     tokenPairs(s, d)
-      .withColumn("jaccard", round(col("n_common") / col("n_union"), 4))
+      .withColumn("jaccard", floor(col("n_common") / col("n_union") * 1e4 + 0.5) / 1e4)
       .drop("n_union")
       .orderBy(col("doc_a"))
 
@@ -283,8 +305,8 @@ object Dedup {
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  len(a.tk) AS n_a, len(b.tk) AS n_b,
       |  len(list_intersect(a.tk, b.tk)) AS n_common,
-      |  round(len(list_intersect(a.tk, b.tk)) /
-      |        len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+      |  floor(len(list_intersect(a.tk, b.tk)) /
+      |        len(list_distinct(list_concat(a.tk, b.tk))) * 1e4 + 0.5) / 1e4 AS jaccard
       |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
       |ORDER BY doc_a""".stripMargin
 
@@ -298,8 +320,8 @@ object Dedup {
     * never an all-pairs join. */
   def ddContainment: Q = (s, d) =>
     tokenPairs(s, d)
-      .withColumn("containment_a", round(col("n_common") / col("n_a"), 4))
-      .withColumn("containment_b", round(col("n_common") / col("n_b"), 4))
+      .withColumn("containment_a", floor(col("n_common") / col("n_a") * 1e4 + 0.5) / 1e4)
+      .withColumn("containment_b", floor(col("n_common") / col("n_b") * 1e4 + 0.5) / 1e4)
       .drop("n_union")
       .orderBy(col("doc_a"))
 
@@ -310,8 +332,8 @@ object Dedup {
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  len(a.tk) AS n_a, len(b.tk) AS n_b,
       |  len(list_intersect(a.tk, b.tk)) AS n_common,
-      |  round(len(list_intersect(a.tk, b.tk)) / len(a.tk), 4) AS containment_a,
-      |  round(len(list_intersect(a.tk, b.tk)) / len(b.tk), 4) AS containment_b
+      |  floor(len(list_intersect(a.tk, b.tk)) / len(a.tk) * 1e4 + 0.5) / 1e4 AS containment_a,
+      |  floor(len(list_intersect(a.tk, b.tk)) / len(b.tk) * 1e4 + 0.5) / 1e4 AS containment_b
       |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
       |ORDER BY doc_a""".stripMargin
 
@@ -386,10 +408,12 @@ object Dedup {
     * survive banding), so:
     *
     *  - graphs up to `driverMaxEdges` run a path-compressed union-find
-    *    ON THE DRIVER (one collect of (a,b) longs — ≲64 MB at the 4M
-    *    default — then O(E α(E)) locally): sub-second where the
-    *    distributed loop pays ~4 Spark jobs PER ROUND of pure scheduling
-    *    overhead;
+    *    ON THE DRIVER (one typed collect of (a, b) pairs, then
+    *    O(E α(E)) locally): sub-second where the distributed loop pays
+    *    ~4 Spark jobs PER ROUND of pure scheduling overhead. Driver
+    *    memory at the 1M-edge default is ~100 MB counting the boxed
+    *    tuple array plus the union-find maps — size `driverMaxEdges`
+    *    to the driver heap, not to taste;
     *  - larger graphs run iterative min-label propagation with pointer
     *    jumping — each round relaxes labels across edges AND shortcuts
     *    `l(v) ← l(l(v))`, so convergence is O(log diameter) rounds, not
@@ -404,7 +428,7 @@ object Dedup {
     * OperatorsSpec pins driver ≡ distributed on the same corpus.
     * Singletons keep their own id. Oracle: recursive-CTE transitive
     * closure (same fixpoint). */
-  def ddDupGroups: Q = (s, d) => ddDupGroupsImpl(s, d, driverMaxEdges = 4000000L)
+  def ddDupGroups: Q = (s, d) => ddDupGroupsImpl(s, d, driverMaxEdges = 1000000L)
 
   private[graft] def ddDupGroupsImpl(
       s: SparkSession, d: String, driverMaxEdges: Long): DataFrame = {
@@ -424,7 +448,10 @@ object Dedup {
   /** Path-compressed union-find over a collected small edge list;
     * components relabel to their min member (deterministic). */
   private def driverUnionFind(s: SparkSession, pairs: DataFrame): DataFrame = {
-    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // typed collect: Tuple2 objects, not GenericRow wrappers (about half
+    // the per-edge driver allocation of a Row collect)
+    val edges = { import s.implicits._
+      pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect() }
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var root = x
@@ -496,14 +523,8 @@ object Dedup {
   }
 
   val ddDupGroupsSql: String = {
-    val bandSelects = (0 until NumBands).map { b =>
-      s"SELECT doc_id, $b AS band, md5('$b' || '|' || m${2 * b} || '|' || m${2 * b + 1}) AS bkey FROM mh"
-    }.mkString("\nUNION ALL\n")
     s"""WITH RECURSIVE $minhashCte,
-       |bands AS ($bandSelects),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$lshPairsCte,
        |edges AS (
        |  SELECT doc_a, doc_b FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -532,14 +553,8 @@ object Dedup {
       .orderBy(col("cluster_size"))
 
   val ddClusterStatsSql: String = {
-    val bandSelects = (0 until NumBands).map { b =>
-      s"SELECT doc_id, $b AS band, md5('$b' || '|' || m${2 * b} || '|' || m${2 * b + 1}) AS bkey FROM mh"
-    }.mkString("\nUNION ALL\n")
     s"""WITH RECURSIVE $minhashCte,
-       |bands AS ($bandSelects),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$lshPairsCte,
        |edges AS (
        |  SELECT doc_a, doc_b FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),

@@ -20,6 +20,24 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared output contract of every ANN variant: rank the per-query
+    * candidates (already ≤k per query) with the (cos desc, vec_id)
+    * tie-break, round to 6 dp, present in (query, rank) order. ONE
+    * definition so the variants cannot drift in tie-break or schema. */
+  private def formatRanked(top: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** [[formatRanked]] over TopKPerGroup's bounded heaps. */
+  private def rankTopK(scored: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    formatRanked(graft.plans.TopKPerGroup.transform(scored,
+      Seq(col("query_id")), Seq(col("cos").desc, col("vec_id").asc), k))
+
+
   private def vectors(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     Tables.embeddings(s, d)
@@ -63,13 +81,7 @@ object Similarity {
     val scored = v.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
-    val top = graft.plans.TopKPerGroup.transform(scored,
-      Seq(col("query_id")), Seq(col("cos").desc, col("vec_id").asc), 10)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    top.withColumn("rnk", row_number().over(w).cast("long"))
-      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy(col("query_id"), col("rnk"))
+    rankTopK(scored, 10)
   }
 
   val annBruteforceSql: String =
@@ -129,13 +141,7 @@ object Similarity {
     val scored = v.join(broadcast(q),
         col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
-    val top = graft.plans.TopKPerGroup.transform(scored,
-      Seq(col("query_id")), Seq(col("cos").desc, col("vec_id").asc), 5)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    top.withColumn("rnk", row_number().over(w).cast("long"))
-      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy(col("query_id"), col("rnk"))
+    rankTopK(scored, 5)
   }
 
   val annLshSql: String = {
@@ -201,13 +207,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probes),
         assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
-    val top = graft.plans.TopKPerGroup.transform(scored,
-      Seq(col("query_id")), Seq(col("cos").desc, col("vec_id").asc), 5)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    top.withColumn("rnk", row_number().over(w).cast("long"))
-      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy(col("query_id"), col("rnk"))
+    rankTopK(scored, 5)
   }
 
   val annIvfSql: String =
@@ -309,13 +309,7 @@ object Similarity {
       .join(broadcast(qv), col("query_id") === col("qid2"))
     val exact = v.join(broadcast(cand), col("vec_id") === col("cand_id"))
       .withColumn("cos", dot(col("qe2"), col("e")) / (col("qn2") * col("nrm")))
-    val top = graft.plans.TopKPerGroup.transform(exact,
-      Seq(col("query_id")), Seq(col("cos").desc, col("vec_id").asc), 5)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    top.withColumn("rnk", row_number().over(w).cast("long"))
-      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy(col("query_id"), col("rnk"))
+    rankTopK(exact, 5)
   }
 
   val annPqSql: String =
@@ -420,11 +414,8 @@ object Similarity {
         .select(col("x.src").as("src"), col("y.nb").as("nb"))
       nbrs = scoreTop5(non.union(fwd).distinct(), v).localCheckpoint()
     }
-    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nb"))
-    nbrs.withColumn("rnk", row_number().over(w).cast("long"))
-      .select(col("src").as("query_id"), col("rnk"), col("nb").as("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy(col("query_id"), col("rnk"))
+    formatRanked(nbrs.select(col("src").as("query_id"),
+      col("nb").as("vec_id"), col("cos")))
   }
 
   val annNnDescentSql: String = {
