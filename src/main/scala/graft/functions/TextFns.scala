@@ -25,6 +25,21 @@ object TextFns {
   /** md5 hex of a string column (Spark needs an explicit binary cast). */
   def md5s(c: Column): Column = md5(c.cast("binary"))
 
+  /** Text normalization for content-hash dedup: lowercase, strip
+    * non-alphanumerics, collapse whitespace, trim. ONE definition —
+    * pipe_curation's content groups must equal dd_exact_norm's, and a
+    * drifted copy would silently break that without failing either
+    * oracle. (The SQL twins inline the same chain; [[normTextSql]] keeps
+    * them in one place too.) */
+  def normText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), "\\s+", " "))
+
+  /** The DuckDB spelling of [[normText]] (regexp_replace needs the 'g'
+    * flag there). */
+  def normTextSql(expr: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($expr), '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
   /** Salted md5 hex bucket: the first `hexDigits` hex digits of
     * md5(salt ‖ key) parsed as an integer, mod `mod` — THE deterministic
     * content-independent bucketing idiom behind sampling, splits, shard

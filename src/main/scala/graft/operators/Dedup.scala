@@ -33,8 +33,7 @@ object Dedup {
   /** Normalized exact dedup: lowercase, strip non-alphanumerics, collapse
     * whitespace, then hash-groupBy. */
   def ddExactNorm: Q = (s, d) => {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "\\s+", " "))
+    val norm = graft.functions.TextFns.normText(col("text"))
     Tables.documents(s, d)
       .groupBy(md5s(norm).as("content_hash"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
@@ -42,10 +41,9 @@ object Dedup {
   }
 
   val ddExactNormSql: String =
-    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-      |                               '\s+', ' ', 'g'))) AS content_hash,
-      |  min(doc_id) AS rep_id, count(*) AS n_copies
-      |FROM documents GROUP BY 1 ORDER BY rep_id""".stripMargin
+    s"""SELECT md5(${graft.functions.TextFns.normTextSql("text")}) AS content_hash,
+       |  min(doc_id) AS rep_id, count(*) AS n_copies
+       |FROM documents GROUP BY 1 ORDER BY rep_id""".stripMargin
 
   /** Cross-source phrase-overlap matrix: for every pair of ingest
     * sources, how many distinct word 5-grams appear in BOTH, and the

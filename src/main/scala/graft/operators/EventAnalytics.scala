@@ -163,7 +163,11 @@ object EventAnalytics {
     * event lands in exactly two windows, generated distributed via
     * explode (the batch twin of window(ts, "1 hour", "30 minutes")). */
   def evHopping: Q = (s, d) => {
-    val grid = timestamp_micros(expr("unix_micros(ts) div 1800000000") * 1800000000L)
+    // floor division, not `div`: integer division truncates toward zero,
+    // so a pre-1970 timestamp would land in the WRONG hop windows (and the
+    // oracle's `//` truncated identically, hiding it from the gate)
+    val grid = timestamp_micros(
+      floor(unix_micros(col("ts")) / 1800000000.0).cast("long") * 1800000000L)
     Tables.events(s, d)
       .withColumn("g", grid)
       .select(col("event_type"), col("value"),
@@ -176,7 +180,7 @@ object EventAnalytics {
   val evHoppingSql: String =
     """WITH g AS (
       |  SELECT event_type, value,
-      |    make_timestamp((epoch_us(ts::TIMESTAMP) // 1800000000) * 1800000000) AS g0
+      |    make_timestamp(CAST(floor(epoch_us(ts::TIMESTAMP) / 1800000000.0) AS BIGINT) * 1800000000) AS g0
       |  FROM events),
       |expanded AS (
       |  SELECT event_type, value, g0 AS window_start FROM g
@@ -216,8 +220,15 @@ object EventAnalytics {
     * drag the threshold), and DETERMINISM — exact percentiles are
     * order-independent, while a distributed stddev's sum-of-squares
     * depends on partition combine order and drifts across engines. Two
-    * small aggregates broadcast back onto the stream — no sort, no skew
-    * risk, scale-safe. */
+    * small aggregates broadcast back onto the stream — no sort, no
+    * low-cardinality window.
+    *
+    * Scale caveat: `percentile()` is EXACT and buffers the group's
+    * distinct values in one aggregation buffer — fine for the bounded
+    * per-type value distributions here, but at truly unbounded distinct
+    * counts swap in `approx_percentile` (t-digest, constant memory);
+    * the oracle then needs the same sketch, so the exact form stays the
+    * cross-engine-checkable default. */
   def evAnomaly: Q = (s, d) => {
     val ev = Tables.events(s, d).select(col("event_type"), col("event_id"), col("value"))
     val med = ev.groupBy(col("event_type"))
@@ -391,7 +402,8 @@ object EventAnalytics {
 
   val evDauWauSql: String =
     """WITH du AS (
-      |  SELECT DISTINCT date_trunc('day', ts::TIMESTAMP) AS day, user_id FROM events),
+      |  SELECT DISTINCT date_trunc('day', ts::TIMESTAMP) AS day, user_id FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
       |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
       |spine AS (SELECT DISTINCT day AS d FROM du),
       |wau AS (

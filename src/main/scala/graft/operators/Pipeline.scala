@@ -20,8 +20,7 @@ object Pipeline {
     * normalized-content group, and report the per-language yield. */
   def pipeCuration: Q = (s, d) => {
     val tk = tokens(col("text"))
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "\\s+", " "))
+    val norm = graft.functions.TextFns.normText(col("text"))
     val w = Window.partitionBy(col("content_hash"))
     Tables.documents(s, d)
       .withColumn("n_tokens", size(tk).cast("long"))
@@ -36,13 +35,12 @@ object Pipeline {
   }
 
   val pipeCurationSql: String =
-    """WITH quality AS (
-      |  SELECT doc_id, lang,
-      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens,
-      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-      |                            '\s+', ' ', 'g'))) AS content_hash
-      |  FROM documents
-      |  WHERE len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) BETWEEN 20 AND 1000),
+    s"""WITH quality AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+       |    md5(${graft.functions.TextFns.normTextSql("text")}) AS content_hash
+       |  FROM documents
+      |  WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) BETWEEN 20 AND 1000),
       |reps AS (
       |  SELECT lang, n_tokens, doc_id,
       |    min(doc_id) OVER (PARTITION BY content_hash) AS rep_id
@@ -142,12 +140,20 @@ object Pipeline {
     * no single-partition global window), the per-source rank partitions
     * on source — both scale-safe. */
   def pipeInterleave: Q = (s, d) => {
-    val w = (expr("cast(substring(source, 4) as int)") % 3 + 1).cast("double")
+    // identical parse on both engines: 10-char bounded substring and
+    // NULL (not error) on a non-numeric source id — Spark's cast and the
+    // oracle's TRY_CAST agree; unparseable sources are excluded by
+    // contract (NULL ordering differs between engines, so letting them
+    // through would diverge inside the LIMIT)
+    val wgt = (expr("cast(substring(source, 4, 10) as int)") % 3 + 1).cast("double")
     val rn = row_number().over(
       Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("double")
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"))
-      .withColumn("vpos", round(rn / w, 4))
+      .withColumn("w", wgt)
+      .filter(col("w").isNotNull)
+      .withColumn("vpos", round(rn / col("w"), 4))
+      .select(col("doc_id"), col("source"), col("vpos"))
       .orderBy(col("vpos"), col("source"), col("doc_id"))
       .limit(200)
   }
@@ -156,10 +162,10 @@ object Pipeline {
     """WITH ranked AS (
       |  SELECT doc_id, source,
       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
-      |    (CAST(substr(source, 4, 10) AS INT) % 3 + 1) AS w
+      |    (TRY_CAST(substr(source, 4, 10) AS INT) % 3 + 1) AS w
       |  FROM documents)
       |SELECT doc_id, source, round(rn / (w * 1.0), 4) AS vpos
-      |FROM ranked
+      |FROM ranked WHERE w IS NOT NULL
       |ORDER BY vpos, source, doc_id
       |LIMIT 200""".stripMargin
 
@@ -180,7 +186,10 @@ object Pipeline {
     * partition-sized. The oracle-pinned query uses 8 on the test corpus. */
   def pipeShuffleFor(docs: DataFrame, nShards: Int): DataFrame = {
     val h = md5s(concat(lit("shuffle|"), col("doc_id")))
-    val shard = conv(substring(col("h"), 1, 4), 16, 10).cast("long") % nShards
+    // 8 hex digits = 32 bits of hash: 4 digits (65536 values) skews
+    // shards 2:1 once nShards passes ~30k and leaves shards beyond 65536
+    // permanently empty — the doc above RECOMMENDS tens of thousands
+    val shard = conv(substring(col("h"), 1, 8), 16, 10).cast("long") % nShards
     docs
       .select(col("doc_id"), h.as("h"))
       .withColumn("shard", shard)
@@ -194,7 +203,7 @@ object Pipeline {
     """WITH h AS (
       |  SELECT doc_id, md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
       |sharded AS (
-      |  SELECT doc_id, h, CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 8 AS shard FROM h)
+      |  SELECT doc_id, h, CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 8 AS shard FROM h)
       |SELECT doc_id, shard,
       |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
       |FROM sharded ORDER BY shard, pos""".stripMargin

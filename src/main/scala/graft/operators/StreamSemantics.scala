@@ -267,7 +267,7 @@ object StreamSemantics {
     """SELECT event_type, count(k) AS n_parsed, min(k) AS min_k, max(k) AS max_k,
       |  round(avg(k), 4) AS avg_k
       |FROM (SELECT event_type,
-      |        CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+      |        TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
