@@ -73,7 +73,12 @@ object Bench {
       val rate = n / ((System.nanoTime() - t0) / 1e9)
       val lats = q.recentProgress.toSeq.filter(_.numInputRows > 0).map(_.batchDuration)
       (rate, util.GraftMetrics.percentileMs(lats, 0.5), util.GraftMetrics.percentileMs(lats, 0.99))
-    } catch { case _: Throwable => (-1.0, -1L, -1L) }
+    } catch { case e: Throwable =>
+      // same discipline as the query loop: a sentinel with NO diagnostic
+      // makes the headline loader metric silently vanish
+      System.err.println(s"[bench] stream load FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      (-1.0, -1L, -1L)
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99}""")
     spark.stop()
   }

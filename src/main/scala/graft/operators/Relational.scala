@@ -28,8 +28,8 @@ object Relational {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(sum(RelationalExt.rev), 2).as("sum_disc_price"),
+        round(sum(RelationalExt.rev * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -60,7 +60,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(RelationalExt.rev), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -93,7 +93,7 @@ object Relational {
       .join(broadcast(Tables.supplier(s, d)),
         col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(RelationalExt.rev), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -136,7 +136,7 @@ object Relational {
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(RelationalExt.rev), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -332,8 +332,15 @@ object Relational {
     * customer) — the plan Catalyst would rewrite the subquery into. */
   def qCorrSubquery: Q = (s, d) => {
     val w = Window.partitionBy(col("o_custkey"))
+    // decimal-exact average: a double avg depends on summation order, and
+    // the strict > boundary would flip rows between engines whenever a
+    // price lands exactly on 1.5x the mean; the exact decimal sum (then
+    // ONE correctly-rounded cast + ONE division) is bit-identical in
+    // both engines, so the comparison is deterministic even on boundary
+    val custAvg = (sum(col("o_totalprice").cast("decimal(38,18)")).over(w)
+      .cast("double") / count(lit(1)).over(w))
     Tables.orders(s, d)
-      .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+      .withColumn("cust_avg", custAvg)
       .filter(col("o_totalprice") > col("cust_avg") * 1.5)
       .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy(col("o_orderkey"))
@@ -342,7 +349,8 @@ object Relational {
   val qCorrSubquerySql: String =
     """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
       |FROM orders o
-      |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |WHERE o_totalprice > 1.5 * (SELECT sum(o_totalprice::DECIMAL(38,18))::DOUBLE / count(*)
+      |                            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
   /** TPC-H Q4 (adapted): order-priority check — EXISTS semi-join with a
@@ -370,7 +378,7 @@ object Relational {
   /** TPC-H Q14 (adapted): promo revenue share — ratio of conditional sums
     * over one scan (no separate pass per condition). */
   def q14PromoShare: Q = (s, d) => {
-    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val rev = RelationalExt.rev // local alias for readability
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-02-01").cast("timestamp"))

@@ -344,8 +344,12 @@ object RelationalExt {
     * the filtered orders, mirroring Q22's "no orders for N years"). */
   def q22Dormant: Q = (s, d) => {
     val cust = Tables.customer(s, d)
+    // decimal-exact mean (see qCorrSubquery): the strict > against a
+    // summation-order-dependent double avg could flip boundary customers
+    // between engines; the exact decimal sum makes it deterministic
     val avgBal = cust.filter(col("c_acctbal") > 0)
-      .agg(avg(col("c_acctbal")).as("abal"))
+      .agg((sum(col("c_acctbal").cast("decimal(38,18)")).cast("double") /
+        count(lit(1))).as("abal"))
     cust
       .join(broadcast(avgBal))
       .filter(col("c_acctbal") > col("abal"))
@@ -362,7 +366,8 @@ object RelationalExt {
   val q22DormantSql: String =
     """SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
-      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      |WHERE c_acctbal > (SELECT sum(c_acctbal::DECIMAL(38,18))::DOUBLE / count(*)
+      |                   FROM customer WHERE c_acctbal > 0)
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
       |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
       |GROUP BY n_name

@@ -34,7 +34,9 @@ object TextAnalysis {
       |  FROM documents)
       |SELECT doc_id, len(tk) AS n_tokens, length(text) AS n_chars,
       |  strlen(text) AS n_bytes,
-      |  round(list_reduce(list_transform(tk, x -> length(x)), (a, b) -> a + b) / len(tk), 4) AS avg_tok_len
+      |  CASE WHEN len(tk) = 0 THEN NULL ELSE
+      |    round(list_reduce(list_transform(tk, x -> length(x)), (a, b) -> a + b) / len(tk), 4)
+      |  END AS avg_tok_len
       |FROM t ORDER BY doc_id""".stripMargin
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
@@ -65,9 +67,13 @@ object TextAnalysis {
        |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
        |  FROM documents),
        |m AS (SELECT doc_id, len(tk) AS n_tokens,
+       |    -- empty-token guards: DuckDB's list_reduce ERRORS on an empty
+       |    -- list where Spark's aggregate/size yields NULL; mirror Spark
        |    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / length(text), 4) AS punct_ratio,
-       |    round(len(list_intersect(list_distinct(tk), $stopList)) / len(list_distinct(tk)), 4) AS stop_ratio,
-       |    round(list_reduce(list_transform(tk, x -> length(x)), (a, b) -> a + b) / len(tk), 4) AS mean_tok_len
+       |    round(len(list_intersect(list_distinct(tk), $stopList)) / nullif(len(list_distinct(tk)), 0), 4) AS stop_ratio,
+       |    CASE WHEN len(tk) = 0 THEN NULL ELSE
+       |      round(list_reduce(list_transform(tk, x -> length(x)), (a, b) -> a + b) / len(tk), 4)
+       |    END AS mean_tok_len
        |  FROM t)
        |SELECT doc_id, n_tokens, punct_ratio, stop_ratio, mean_tok_len,
        |  (n_tokens BETWEEN 20 AND 1000) AND punct_ratio < 0.1
