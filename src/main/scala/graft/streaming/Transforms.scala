@@ -32,6 +32,23 @@ object Transforms {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** CONTENT dedup on ingest — the batch `dd_exact_norm` operator as a
+    * streaming gate: documents whose normalized text ([[graft.functions
+    * .TextFns.normText]], the same single definition the batch dedup and
+    * curation use) hashes to an already-seen value within the watermark
+    * horizon are dropped; the FIRST arrival passes through. State is one
+    * md5 per distinct content hash, evicted by the watermark — bounded
+    * the same way streamDedup's offset state is, so a re-crawled
+    * boilerplate page cannot grow state forever. Requires a `ts` event
+    * time and a `text` column; everything else rides along. */
+  def contentDedup(docs: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    docs
+      .withColumn("_content_hash",
+        md5(graft.functions.TextFns.normText(col("text")).cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("_content_hash"))
+      .drop("_content_hash")
+
   /** Gap-based sessionization with the native session_window — state is
     * merged-window per (user, session), pruned by the watermark. */
   def sessionize(

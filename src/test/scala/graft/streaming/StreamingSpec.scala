@@ -518,6 +518,25 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     spark.table("dedup").count() shouldBe 2
   }
 
+  it should "dedup streamed documents by normalized content, first arrival wins" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    ms.addData(
+      (0L, ts(1), "Hello, World!"),
+      (1L, ts(2), "hello world"), // same normalized content → dropped
+      (2L, ts(3), "something else"))
+    val q = Transforms.contentDedup(
+        ms.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("cdedup").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("cdedup").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(0L, 2L) // first arrival of the duplicate content wins
+    // the synthetic hash column does not leak into the output
+    spark.table("cdedup").columns should contain theSameElementsAs
+      Seq("doc_id", "ts", "text")
+  }
+
   it should "sessionize with session_window" in {
     val (_, df) = eventsStream(Seq(
       Ev(0, ts(0), 1, "click", 1.0, "{}"),
