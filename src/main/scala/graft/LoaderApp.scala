@@ -26,9 +26,18 @@ object LoaderApp {
       s"lookback '$s': expected offsets:<n> or duration:<iso8601>")
   }
 
+  private val usage =
+    "usage: LoaderApp <srcDir> <outDir> <checkpointDir> [files|2pc|indata|snapshot|rowbinary] [lookback]"
+
   def main(args: Array[String]): Unit = {
+    require(args.length >= 3, usage)
     val Array(srcDir, outDir, checkpointDir) = args.take(3)
     val sinkKind = args.lift(3).getOrElse("files")
+    // an explicit whitelist: a TYPO'd sink name must not silently fall
+    // through to the default file sink — it would commit data in the
+    // wrong layout before anyone notices
+    require(Set("files", "2pc", "indata", "snapshot", "rowbinary")(sinkKind),
+      s"unknown sink '$sinkKind'; $usage")
     val lookback = args.lift(4).map(parseLookback)
       .getOrElse(streaming.StreamInterval.Current)
     require(lookback == streaming.StreamInterval.Current || sinkKind == "indata",
@@ -37,7 +46,9 @@ object LoaderApp {
     val spark = GraftSession.create(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     val metrics = GraftMetrics.install(spark)
-    val events = EventSource.fileStream(spark, srcDir, maxFilesPerTrigger = 64)
+    // only the sinks that attach to a pre-built stream need it; the
+    // GraftLoader builder paths construct their own FileSource
+    def events = EventSource.fileStream(spark, srcDir, maxFilesPerTrigger = 64)
     val query = sinkKind match {
       case "2pc" => new Sinks.TwoPhaseCommitSink(outDir).attach(events, checkpointDir)
       case "indata" =>
@@ -56,11 +67,18 @@ object LoaderApp {
           .sink(streaming.GraftLoader.RowBinaryFiles(outDir))
           .checkpoint(checkpointDir)
           .start(spark)
-      case _ => Sinks.recordBatchingSink(events, outDir, checkpointDir).start()
+      case "files" => Sinks.recordBatchingSink(events, outDir, checkpointDir).start()
     }
     sys.addShutdownHook { query.stop() }
     query.awaitTermination()
-    println(s"[loader] done; rows=${metrics.rowsLoaded(Option(query.name).getOrElse(query.id.toString))}")
+    // count from the query's own progress objects, not the metrics
+    // listener: the async listener bus may not have delivered the last
+    // batch's event yet when awaitTermination returns (the listener
+    // stays installed for long-running monitoring; this print is the
+    // synchronous summary)
+    val rows = query.recentProgress.map(_.numInputRows).sum
+    println(s"[loader] done; rows=$rows (listener: ${
+      metrics.rowsLoaded(Option(query.name).getOrElse(query.id.toString))})")
     spark.stop()
   }
 }

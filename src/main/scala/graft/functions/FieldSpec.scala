@@ -63,7 +63,17 @@ object FieldSpec {
         case _ => throw new IllegalArgumentException(
           s"field spec: malformed entry '$entry' (expected field:directive)")
       }
-    }.toMap
+    } match {
+      // a duplicated field must fail, not last-win: "f:varchar(64)!,
+      // f:varchar(64)" (a config merge artifact) would silently replace
+      // the fail-fast directive with the truncating one — a data-policy
+      // change with no warning
+      case entries =>
+        val dups = entries.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
+        if (dups.nonEmpty) throw new IllegalArgumentException(
+          s"field spec: duplicate field(s): ${dups.mkString(", ")}")
+        entries.toMap
+    }
 
   /** Validate directives against a struct; returns an error or None. */
   def check(schema: StructType, directives: Map[String, FieldDirective]): Option[String] = {

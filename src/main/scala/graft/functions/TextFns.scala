@@ -46,14 +46,14 @@ object TextFns {
     * assignment and the count-min rows. One definition so every copy
     * stays arithmetically identical to its hand-written DuckDB twin:
     * `CAST(('0x' || substr(md5('<salt>' || CAST(key AS VARCHAR)), 1, H)) AS BIGINT) % M`. */
-  def hashBucket(salt: String, key: Column, hexDigits: Int, mod: Int): Column =
+  def hashBucket(salt: String, key: Column, hexDigits: Int, mod: Int): Column = {
+    // >15 hex digits overflows long: Spark's non-ANSI cast would yield
+    // NULL buckets while the DuckDB twin raises a conversion error — a
+    // silent one-sided divergence; fail at construction instead
+    require(hexDigits >= 1 && hexDigits <= 15,
+      s"hashBucket: hexDigits must be in [1, 15] (got $hexDigits — 16 hex digits overflow BIGINT)")
+    require(mod >= 1, s"hashBucket: mod must be >= 1 (got $mod)")
     conv(substring(md5s(concat(lit(salt), key)), 1, hexDigits), 16, 10)
       .cast("long") % mod
-
-  /** MinHash permutation j: an 8-hex-char slice of a salted md5 digest —
-    * 4 permutations per digest, so 8 permutations cost 2 md5s per shingle
-    * instead of 8. Signature value is the lexicographic min over a doc's
-    * shingles (hex strings compare identically in Spark and DuckDB). */
-  def minhashTerm(j: Int, shingle: Column): Column =
-    substring(md5s(concat(lit(s"${j / 4}|"), shingle)), 8 * (j % 4) + 1, 8)
+  }
 }
