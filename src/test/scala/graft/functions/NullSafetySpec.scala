@@ -99,6 +99,17 @@ class NullSafetySpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .exists(e => Option(e.getMessage).exists(_.contains("DateTime range"))) shouldBe true
   }
 
+  it should "fail loudly on an out-of-range Date instead of wrapping" in {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // day 65744 (year 2150) would wrap through the uint16 to day 208
+    val far = Seq(Tuple1(java.sql.Date.valueOf("2150-01-01")))
+      .toDF("d").selectExpr("named_struct('d', d) AS s")
+    val ex = intercept[Throwable](far.selectExpr("graft_rowbinary(s) AS b").collect())
+    Iterator.iterate(ex)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(e => Option(e.getMessage).exists(_.contains("Date range"))) shouldBe true
+  }
+
   it should "fail loudly on a runtime null in a non-nullable field" in {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.expressions.Literal

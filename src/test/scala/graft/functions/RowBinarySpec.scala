@@ -100,6 +100,10 @@ class RowBinarySpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // fixed(0)/varchar(0) would desync the byte stream — refused at parse
     intercept[IllegalArgumentException](FieldSpec.parse("s:fixed(0)"))
     intercept[IllegalArgumentException](FieldSpec.parse("s:varchar(0)"))
+    // a duplicated field must error, not last-win: a config merge could
+    // silently swap a fail-fast varchar(N)! for the truncating form
+    intercept[IllegalArgumentException](
+      FieldSpec.parse("s:varchar(64)!,s:varchar(64)"))
     // invalid UTF-8 (continuation bytes all the way down): cut at the raw
     // budget instead of underflowing the boundary scan
     BinaryRowWriters.utf8SafeLen(Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte), 2) shouldBe 2
