@@ -20,31 +20,35 @@ object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** TPC-H Q1: pricing summary. One shuffle on tiny group keys; partial agg. */
+  /** TPC-H Q1: pricing summary. One shuffle on tiny group keys; partial agg.
+    * Sums are decimal-exact end-to-end and averages are exact-sum-over-count
+    * quotients with engine-agnostic floor rounding (Exact idioms 1 and 2) —
+    * the double-sum + round() shape is the cross-engine x.xx5 boundary trap
+    * that failed q11 at the round-3 driver gate. */
   def q1Pricing: Q = (s, d) =>
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(RelationalExt.rev), 2).as("sum_disc_price"),
-        round(sum(RelationalExt.rev * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        Exact.sumRound(Exact.dec2(col("l_quantity")), 2).as("sum_qty"),
+        Exact.sumRound(Exact.dec2(col("l_extendedprice")), 2).as("sum_base_price"),
+        Exact.sumRound(Exact.revD, 2).as("sum_disc_price"),
+        Exact.sumRound(Exact.chargeD, 2).as("sum_charge"),
+        Exact.floorRound(sum(Exact.dec0(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        Exact.floorRound(sum(Exact.dec2(col("l_extendedprice"))).cast("double") / count(lit(1)), 4).as("avg_price"),
+        Exact.floorRound(sum(Exact.rate2(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q1PricingSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE AS sum_qty,
+      |  round(sum(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE AS sum_base_price,
+      |  round(sum(l_extendedprice::DECIMAL(12,2) * (1.00 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS sum_disc_price,
+      |  round(sum(l_extendedprice::DECIMAL(12,2) * (1.00 - l_discount::DECIMAL(4,2)) * (1.00 + l_tax::DECIMAL(4,2))), 2)::DOUBLE AS sum_charge,
+      |  floor((sum(l_quantity::DECIMAL(12,0))::DOUBLE / count(*)) * 10000 + 0.5) / 10000 AS avg_qty,
+      |  floor((sum(l_extendedprice::DECIMAL(12,2))::DOUBLE / count(*)) * 10000 + 0.5) / 10000 AS avg_price,
+      |  floor((sum(l_discount::DECIMAL(4,2))::DOUBLE / count(*)) * 10000 + 0.5) / 10000 AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -60,14 +64,14 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(RelationalExt.rev), 2).as("revenue"))
+      .agg(Exact.sumRound(Exact.revD, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   val q3TopkJoinSql: String =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  round(sum(l_extendedprice::DECIMAL(12,2) * (1.00 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
@@ -93,12 +97,12 @@ object Relational {
       .join(broadcast(Tables.supplier(s, d)),
         col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(RelationalExt.rev), 2).as("revenue"))
+      .agg(Exact.sumRound(Exact.revD, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5RegionJoinSql: String =
-    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    """SELECT n_name, round(sum(l_extendedprice::DECIMAL(12,2) * (1.00 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -117,11 +121,11 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(Exact.sumRound(Exact.dec2(col("l_extendedprice")) * Exact.rate2(col("l_discount")), 2).as("revenue"),
         count(lit(1)).as("n_items"))
 
   val q6FilterAggSql: String =
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_items
+    """SELECT round(sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(4,2)), 2)::DOUBLE AS revenue, count(*) AS n_items
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
@@ -136,14 +140,14 @@ object Relational {
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-      .agg(round(sum(RelationalExt.rev), 2).as("revenue"))
+      .agg(Exact.sumRound(Exact.revD, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
 
   val q10ReturnsSql: String =
     """SELECT c_custkey, c_name, n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  round(sum(l_extendedprice::DECIMAL(12,2) * (1.00 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -162,18 +166,22 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
       .withColumn("seq", row_number().over(w).cast("long"))
       .withColumn("prev_orderdate", lag(col("o_orderdate"), 1).over(w))
-      .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
+      // o_totalprice is a 3-dp-exact column, so both the running sum and
+      // the display round-to-2 are decimal-exact (Exact idiom 1) — a
+      // double round() sits on the x.xx5 cross-engine boundary trap
+      .withColumn("running_spend",
+        round(sum(Exact.dec3(col("o_totalprice"))).over(w), 2).cast("double"))
       .drop("o_orderdate")
-      .withColumn("o_totalprice", round(col("o_totalprice"), 2))
+      .withColumn("o_totalprice", Exact.decRound(Exact.dec3(col("o_totalprice")), 2))
       .orderBy(col("o_custkey"), col("seq"))
   }
 
   val qWindowRankSql: String =
-    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+    """SELECT o_orderkey, o_custkey, round(o_totalprice::DECIMAL(13,3), 2)::DOUBLE AS o_totalprice,
       |  row_number() OVER w AS seq,
       |  lag(o_orderdate, 1) OVER w AS prev_orderdate,
-      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      |  round(sum(o_totalprice::DECIMAL(13,3)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE AS running_spend
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, seq""".stripMargin
@@ -256,7 +264,7 @@ object Relational {
   def qRollup: Q = (s, d) =>
     Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(Exact.sumRound(Exact.dec2(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -266,7 +274,7 @@ object Relational {
   val qRollupSql: String =
     """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
       |  coalesce(l_linestatus, 'ALL') AS linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |  round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
@@ -280,7 +288,7 @@ object Relational {
         Seq(Seq(col("l_returnflag"), col("l_linestatus")),
           Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
         col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(Exact.sumRound(Exact.dec2(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -290,7 +298,7 @@ object Relational {
   val qGroupingSetsSql: String =
     """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
       |  coalesce(l_linestatus, 'ALL') AS linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |  round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE AS sum_qty, count(*) AS n
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
       |ORDER BY returnflag, linestatus""".stripMargin
@@ -334,22 +342,24 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
     // decimal-exact average: a double avg depends on summation order, and
     // the strict > boundary would flip rows between engines whenever a
-    // price lands exactly on 1.5x the mean; the exact decimal sum (then
-    // ONE correctly-rounded cast + ONE division) is bit-identical in
-    // both engines, so the comparison is deterministic even on boundary
-    val custAvg = (sum(col("o_totalprice").cast("decimal(38,18)")).over(w)
+    // price lands exactly on 1.5x the mean. o_totalprice is 3-dp exact,
+    // so decimal(13,3) is lossless AND unambiguous in both engines —
+    // unlike decimal(38,18), where Spark's string-based and DuckDB's
+    // binary-based double→decimal casts diverge at the 1e-17 level.
+    val custAvg = (sum(Exact.dec3(col("o_totalprice"))).over(w)
       .cast("double") / count(lit(1)).over(w))
     Tables.orders(s, d)
       .withColumn("cust_avg", custAvg)
       .filter(col("o_totalprice") > col("cust_avg") * 1.5)
-      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        Exact.decRound(Exact.dec3(col("o_totalprice")), 2).as("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
 
   val qCorrSubquerySql: String =
-    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    """SELECT o_orderkey, o_custkey, round(o_totalprice::DECIMAL(13,3), 2)::DOUBLE AS o_totalprice
       |FROM orders o
-      |WHERE o_totalprice > 1.5 * (SELECT sum(o_totalprice::DECIMAL(38,18))::DOUBLE / count(*)
+      |WHERE o_totalprice > 1.5 * (SELECT sum(o_totalprice::DECIMAL(13,3))::DOUBLE / count(*)
       |                            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
@@ -378,7 +388,11 @@ object Relational {
   /** TPC-H Q14 (adapted): promo revenue share — ratio of conditional sums
     * over one scan (no separate pass per condition). */
   def q14PromoShare: Q = (s, d) => {
-    val rev = RelationalExt.rev // local alias for readability
+    // decimal-exact conditional sums → identical doubles in both engines →
+    // the ratio is bit-identical with mirrored operator order, and the
+    // floor idiom rounds it engine-agnostically (Exact idiom 2)
+    val promoSum = sum(when(col("p_type") === "PROMO", Exact.revD)
+      .otherwise(lit(0).cast("decimal(3,2)"))).cast("double")
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
@@ -386,17 +400,17 @@ object Relational {
       .agg(
         // lit(100) * x / y mirrors the oracle's operator order exactly
         // (IEEE doubles: (100*x)/y != (x/y)*100 in the last ulp)
-        round(lit(100) * sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) / sum(rev), 4)
+        Exact.floorRound(lit(100) * promoSum / sum(Exact.revD).cast("double"), 4)
           .as("promo_share_pct"),
-        round(sum(rev), 2).as("total_revenue"),
+        Exact.sumRound(Exact.revD, 2).as("total_revenue"),
         count(lit(1)).as("n_items"))
   }
 
   val q14PromoShareSql: String =
     """SELECT
-      |  round(100 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-      |        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+      |  floor((100 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice::DECIMAL(12,2) * (1.00 - l_discount::DECIMAL(4,2)) ELSE 0.00 END)::DOUBLE
+      |        / sum(l_extendedprice::DECIMAL(12,2) * (1.00 - l_discount::DECIMAL(4,2)))::DOUBLE) * 10000 + 0.5) / 10000 AS promo_share_pct,
+      |  round(sum(l_extendedprice::DECIMAL(12,2) * (1.00 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS total_revenue,
       |  count(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin

@@ -51,14 +51,14 @@ object RelationalExt {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(Exact.sumRound(Exact.revD, 2).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
   val q7NationVolumeSql: String =
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  year(l_shipdate) AS l_year,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(sum(l_extendedprice::DECIMAL(12,2) * (1.00 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -98,7 +98,12 @@ object RelationalExt {
       .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
-        round(sum(when(col("supp_nation") === "NATION_5", rev).otherwise(0.0)) / sum(rev), 6)
+        // exact decimal conditional sums → identical quotient doubles →
+        // engine-agnostic floor rounding (Exact idiom 2)
+        Exact.floorRound(
+          sum(when(col("supp_nation") === "NATION_5", Exact.revD)
+            .otherwise(lit(0).cast("decimal(3,2)"))).cast("double") /
+            sum(Exact.revD).cast("double"), 6)
           .as("mkt_share"),
         count(lit(1)).as("n_items"))
       .orderBy(col("o_year"))
@@ -106,8 +111,8 @@ object RelationalExt {
 
   val q8MarketShareSql: String =
     """SELECT year(o_orderdate) AS o_year,
-      |  round(sum(CASE WHEN n2.n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-      |        / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+      |  floor((sum(CASE WHEN n2.n_name = 'NATION_5' THEN l_extendedprice::DECIMAL(12,2) * (1.00 - l_discount::DECIMAL(4,2)) ELSE 0.00 END)::DOUBLE
+      |        / sum(l_extendedprice::DECIMAL(12,2) * (1.00 - l_discount::DECIMAL(4,2)))::DOUBLE) * 1000000 + 0.5) / 1000000 AS mkt_share,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
@@ -184,7 +189,7 @@ object RelationalExt {
         col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg(round(sum(rev), 2).as("total_revenue"))
+      .agg(Exact.sumRound(Exact.revD, 2).as("total_revenue"))
     revenue
       .join(broadcast(revenue.agg(max(col("total_revenue")).as("mx"))),
         col("total_revenue") === col("mx"))
@@ -195,7 +200,7 @@ object RelationalExt {
 
   val q15TopSupplierSql: String =
     """WITH revenue AS (
-      |  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      |  SELECT l_suppkey, round(sum(l_extendedprice::DECIMAL(12,2) * (1.00 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS total_revenue
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
       |  GROUP BY l_suppkey)
@@ -218,12 +223,15 @@ object RelationalExt {
       .withColumn("qty_thresh",
         avg(col("l_quantity")).over(Window.partitionBy(col("p_partkey"))) * 0.2)
       .filter(col("l_quantity") < col("qty_thresh"))
-      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+      // exact decimal sum → identical double → /7.0 quotient is identical
+      // → floor idiom rounds it engine-agnostically (Exact idiom 2)
+      .agg(Exact.floorRound(sum(Exact.dec2(col("l_extendedprice"))).cast("double") / 7.0, 2)
+        .as("avg_yearly"),
         count(lit(1)).as("n_items"))
   }
 
   val q17SmallQtySql: String =
-    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_items
+    """SELECT floor((sum(l_extendedprice::DECIMAL(12,2))::DOUBLE / 7.0) * 100 + 0.5) / 100 AS avg_yearly, count(*) AS n_items
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |WHERE p_brand = 'Brand#11'
       |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
@@ -240,7 +248,9 @@ object RelationalExt {
       .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
-        round(col("o_totalprice"), 2).as("o_totalprice"),
+        // o_totalprice is 3-dp exact → decimal round (Exact idiom 1);
+        // sum_qty is an integral sum, already exact in double
+        Exact.decRound(Exact.dec3(col("o_totalprice")), 2).as("o_totalprice"),
         round(col("sum_qty"), 2).as("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
@@ -248,7 +258,7 @@ object RelationalExt {
 
   val q18BigOrdersSql: String =
     """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
-      |  round(o_totalprice, 2) AS o_totalprice, round(b.sum_qty, 2) AS sum_qty
+      |  round(o_totalprice::DECIMAL(13,3), 2)::DOUBLE AS o_totalprice, round(b.sum_qty, 2) AS sum_qty
       |FROM orders
       |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
       |      GROUP BY l_orderkey HAVING sum(l_quantity) > 300) b
@@ -269,11 +279,11 @@ object RelationalExt {
         col("l_partkey") === col("p_partkey"))
       .filter(band("Brand#12", 15, 1, 20) || band("Brand#23", 25, 10, 30) ||
         band("Brand#4", 35, 20, 40))
-      .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(Exact.sumRound(Exact.revD, 2).as("revenue"), count(lit(1)).as("n_items"))
   }
 
   val q19DisjunctiveSql: String =
-    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
+    """SELECT round(sum(l_extendedprice::DECIMAL(12,2) * (1.00 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue, count(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
@@ -346,9 +356,11 @@ object RelationalExt {
     val cust = Tables.customer(s, d)
     // decimal-exact mean (see qCorrSubquery): the strict > against a
     // summation-order-dependent double avg could flip boundary customers
-    // between engines; the exact decimal sum makes it deterministic
+    // between engines. c_acctbal is 2-dp exact, so decimal(12,2) is
+    // lossless and unambiguous in both engines (decimal(38,18) is not:
+    // Spark casts doubles via the shortest string, DuckDB via binary).
     val avgBal = cust.filter(col("c_acctbal") > 0)
-      .agg((sum(col("c_acctbal").cast("decimal(38,18)")).cast("double") /
+      .agg((sum(Exact.dec2(col("c_acctbal"))).cast("double") /
         count(lit(1))).as("abal"))
     cust
       .join(broadcast(avgBal))
@@ -359,14 +371,15 @@ object RelationalExt {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .agg(count(lit(1)).as("numcust"),
+        Exact.sumRound(Exact.dec2(col("c_acctbal")), 2).as("totacctbal"))
       .orderBy(col("n_name"))
   }
 
   val q22DormantSql: String =
-    """SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    """SELECT n_name, count(*) AS numcust, round(sum(c_acctbal::DECIMAL(12,2)), 2)::DOUBLE AS totacctbal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
-      |WHERE c_acctbal > (SELECT sum(c_acctbal::DECIMAL(38,18))::DOUBLE / count(*)
+      |WHERE c_acctbal > (SELECT sum(c_acctbal::DECIMAL(12,2))::DOUBLE / count(*)
       |                   FROM customer WHERE c_acctbal > 0)
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
       |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
@@ -409,7 +422,7 @@ object RelationalExt {
   def qCube: Q = (s, d) =>
     Tables.lineitem(s, d)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(Exact.sumRound(Exact.dec2(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -419,7 +432,7 @@ object RelationalExt {
   val qCubeSql: String =
     """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
       |  coalesce(l_linestatus, 'ALL') AS linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |  round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
@@ -435,7 +448,10 @@ object RelationalExt {
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), dayNum.as("day_num"),
         col("o_totalprice"))
-      .withColumn("spend_30d", round(sum(col("o_totalprice")).over(w), 2))
+      // o_totalprice is 3-dp exact → decimal window sum + decimal round
+      // (Exact idiom 1)
+      .withColumn("spend_30d",
+        round(sum(Exact.dec3(col("o_totalprice"))).over(w), 2).cast("double"))
       .withColumn("n_orders_30d", count(lit(1)).over(w))
       .select(col("o_orderkey"), col("o_custkey"), col("day_num"),
         col("spend_30d"), col("n_orders_30d"))
@@ -449,7 +465,7 @@ object RelationalExt {
       |    o_totalprice
       |  FROM orders)
       |SELECT o_orderkey, o_custkey, day_num,
-      |  round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+      |  round(sum(o_totalprice::DECIMAL(13,3)) OVER w, 2)::DOUBLE AS spend_30d,
       |  count(*) OVER w AS n_orders_30d
       |FROM t
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num

@@ -90,27 +90,31 @@ object RelationalSupply {
   /** TPC-H Q9 (adapted): profit by supplier nation and ship year over
     * one part family, with supply cost proxied as a retail-price
     * fraction (no partsupp.ps_supplycost in the testdata). Single fact
-    * shuffle on the (nation, year) group keys; both dims broadcast. */
+    * shuffle on the (nation, year) group keys; both dims broadcast.
+    * Profit is an exact-decimal sum (Exact idiom 1): the double sum was
+    * order-dependent and its round-to-2 sat on the cross-engine x.xx5
+    * boundary trap that failed q11 at the round-3 driver gate. */
   def q9Profit: Q = (s, d) => {
     val pWidget = Tables.part(s, d).filter(col("p_name").like("%widget%"))
       .select(col("p_partkey"), col("p_retailprice"))
     val suppNation = Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name"))
+    val cost = lit(0.6).cast("decimal(2,1)") *
+      Exact.dec2(col("p_retailprice")) * Exact.dec0(col("l_quantity"))
     Tables.lineitem(s, d)
       .join(broadcast(pWidget), col("l_partkey") === col("p_partkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("l_shipdate")).cast("long").as("o_year"))
-      .agg(round(sum(rev - lit(0.6) * col("p_retailprice") * col("l_quantity")), 2)
-        .as("profit"))
+      .agg(Exact.sumRound(Exact.revD - cost, 2).as("profit"))
       .orderBy(col("nation"), col("o_year").desc)
   }
 
   val q9ProfitSql: String =
     """SELECT n_name AS nation, year(l_shipdate) AS o_year,
-      |  round(sum(l_extendedprice * (1 - l_discount)
-      |            - 0.6 * p_retailprice * l_quantity), 2) AS profit
+      |  round(sum(l_extendedprice::DECIMAL(12,2) * (1.00 - l_discount::DECIMAL(4,2))
+      |            - 0.6 * p_retailprice::DECIMAL(12,2) * l_quantity::DECIMAL(12,0)), 2)::DOUBLE AS profit
       |FROM lineitem
       |JOIN part ON p_partkey = l_partkey
       |JOIN supplier ON s_suppkey = l_suppkey
@@ -121,8 +125,14 @@ object RelationalSupply {
   /** TPC-H Q11 (adapted): parts whose revenue through a three-nation
     * supplier group exceeds a fixed share of the group total. The
     * threshold is a broadcast scalar (crossJoin of a 1-row agg over the
-    * per-part frame), so no single-partition window; the nearest value
-    * sits ~0.2% from the threshold at sf0.01, far outside float noise. */
+    * per-part frame), so no single-partition window. Revenue is an
+    * exact-decimal sum end-to-end (Exact idiom 1): the round-3 driver
+    * gate caught the double-sum variant on partkey 1329
+    * (363524.21499999997 — Spark rounded .21, DuckDB .22). The share
+    * comparison multiplies the part value by 1000 instead of the total
+    * by 0.001, keeping every operand an exact decimal (a 0.001 decimal
+    * product would overflow precision 38 and force engine-specific
+    * scale reduction). */
   def q11Share: Q = (s, d) => {
     val nations = Seq("NATION_1", "NATION_2", "NATION_3")
     val suppN = Tables.supplier(s, d)
@@ -132,23 +142,24 @@ object RelationalSupply {
     val perPart = Tables.lineitem(s, d)
       .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey").as("partkey"))
-      .agg(sum(rev).as("value"))
+      .agg(sum(Exact.revD).as("v"))
     perPart
-      .crossJoin(broadcast(perPart.agg((sum(col("value")) * lit(0.001)).as("thr"))))
-      .filter(col("value") > col("thr"))
-      .select(col("partkey"), round(col("value"), 2).as("value"))
+      .crossJoin(broadcast(perPart.agg(sum(col("v")).as("total"))))
+      .filter(col("v") * lit(1000) > col("total"))
+      .select(col("partkey"), Exact.decRound(col("v"), 2).as("value"))
       .orderBy(col("value").desc, col("partkey"))
   }
 
   val q11ShareSql: String =
     """WITH val AS (
-      |  SELECT l_partkey AS partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      |  SELECT l_partkey AS partkey,
+      |    sum(l_extendedprice::DECIMAL(12,2) * (1.00 - l_discount::DECIMAL(4,2))) AS v
       |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
       |  JOIN nation ON n_nationkey = s_nationkey
       |  WHERE n_name IN ('NATION_1','NATION_2','NATION_3')
       |  GROUP BY 1)
-      |SELECT partkey, round(value, 2) AS value FROM val
-      |WHERE value > (SELECT sum(value) * 0.001 FROM val)
+      |SELECT partkey, round(v, 2)::DOUBLE AS value FROM val
+      |WHERE v * 1000 > (SELECT sum(v) FROM val)
       |ORDER BY value DESC, partkey""".stripMargin
 
   /** TPC-H Q16 (adapted): distinct supplier counts per (brand, type,

@@ -40,8 +40,15 @@ def compare(name, spark_df, duck_df):
     for c in spark_df.columns:
         a, b = spark_df[c], duck_df[c]
         try:
-            pd.testing.assert_series_equal(a, b, check_dtype=False, check_exact=False,
-                                           rtol=1e-6, atol=1e-9, check_names=False)
+            # EXACT compare — the driver hashes exact values, so any float
+            # tolerance here is a gate-parity hole. Round 3 shipped q11_share
+            # green locally (rtol=1e-6 passed a 1-cent diff on a 363k value)
+            # while the driver's hash failed it. Queries are responsible for
+            # emitting cross-engine-deterministic values (decimal-exact sums,
+            # decimal rounding, floor idiom on quotients); the gate's job is
+            # to prove they did.
+            pd.testing.assert_series_equal(a, b, check_dtype=False, check_exact=True,
+                                           check_names=False)
         except AssertionError as e:
             bad = None
             try:
