@@ -20,13 +20,16 @@ object EventAnalytics {
     Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"),
+        // value is 2-dp exact → decimal sum (Exact idiom 1): double sums
+        // are order-dependent and their round() is the cross-engine
+        // boundary trap that failed q11 at the round-3 driver gate
+        Exact.sumRound(Exact.dec2(col("value")), 4).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("hour_start"), col("event_type"))
 
   val evTumblingSql: String =
     """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour_start, event_type,
-      |  count(*) AS n_events, round(sum(value), 4) AS sum_value,
+      |  count(*) AS n_events, round(sum(value::DECIMAL(12,2)), 4)::DOUBLE AS sum_value,
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
@@ -45,7 +48,7 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        round(sum(col("value")), 4).as("session_value"))
+        Exact.sumRound(Exact.dec2(col("value")), 4).as("session_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -64,7 +67,7 @@ object EventAnalytics {
       |  FROM flagged)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  min(ts) AS session_start, max(ts) AS session_end,
-      |  round(sum(value), 4) AS session_value
+      |  round(sum(value::DECIMAL(12,2)), 4)::DOUBLE AS session_value
       |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   /** Late-data accounting: a record is late if its event time trails the
@@ -104,7 +107,7 @@ object EventAnalytics {
     val ev = Tables.events(s, d)
     val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour_start"),
         col("event_type").as("et"))
-      .agg(count(lit(1)).as("n_events_raw"), sum(col("value")).as("sum_value_raw"))
+      .agg(count(lit(1)).as("n_events_raw"), sum(Exact.dec2(col("value"))).as("sum_value_raw"))
     val spine = ev.groupBy(col("event_type"))
       .agg(min(date_trunc("hour", col("ts"))).as("h0"),
         max(date_trunc("hour", col("ts"))).as("h1"))
@@ -115,14 +118,15 @@ object EventAnalytics {
         "left")
       .select(spine("hour_start"), col("event_type"),
         coalesce(col("n_events_raw"), lit(0L)).as("n_events"),
-        round(coalesce(col("sum_value_raw"), lit(0.0)), 4).as("sum_value"))
+        round(coalesce(col("sum_value_raw"), lit(0).cast("decimal(12,2)")), 4)
+          .cast("double").as("sum_value"))
       .orderBy(col("event_type"), spine("hour_start"))
   }
 
   val evResampleSql: String =
     """WITH hourly AS (
       |  SELECT date_trunc('hour', ts::TIMESTAMP) AS hour_start, event_type,
-      |    count(*) AS n_events, sum(value) AS sum_value
+      |    count(*) AS n_events, sum(value::DECIMAL(12,2)) AS sum_value
       |  FROM events GROUP BY 1, 2),
       |bounds AS (
       |  SELECT event_type, min(date_trunc('hour', ts::TIMESTAMP)) AS h0,
@@ -133,7 +137,7 @@ object EventAnalytics {
       |  FROM bounds)
       |SELECT s.hour_start, s.event_type,
       |  coalesce(h.n_events, 0) AS n_events,
-      |  round(coalesce(h.sum_value, 0), 4) AS sum_value
+      |  round(coalesce(h.sum_value, 0), 4)::DOUBLE AS sum_value
       |FROM spine s LEFT JOIN hourly h
       |  ON h.event_type = s.event_type AND h.hour_start = s.hour_start
       |ORDER BY s.event_type, s.hour_start""".stripMargin
@@ -146,17 +150,19 @@ object EventAnalytics {
     val salted = Tables.events(s, d)
       .withColumn("salt", pmod(col("event_id"), lit(16)))
       .groupBy(col("event_type"), col("salt"))
-      .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+      .agg(count(lit(1)).as("pn"), sum(Exact.dec2(col("value"))).as("psum"))
     salted.groupBy(col("event_type"))
-      .agg(sum(col("pn")).as("n_events"), round(sum(col("psum")), 2).as("sum_value"))
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("psum")), 2).cast("double").as("sum_value"))
       .orderBy(col("event_type"))
   }
 
   val evSaltedAggSql: String =
     """WITH partial AS (
-      |  SELECT event_type, event_id % 16 AS salt, count(*) AS pn, sum(value) AS psum
+      |  SELECT event_type, event_id % 16 AS salt, count(*) AS pn,
+      |    sum(value::DECIMAL(12,2)) AS psum
       |  FROM events GROUP BY 1, 2)
-      |SELECT event_type, CAST(sum(pn) AS BIGINT) AS n_events, round(sum(psum), 2) AS sum_value
+      |SELECT event_type, CAST(sum(pn) AS BIGINT) AS n_events, round(sum(psum), 2)::DOUBLE AS sum_value
       |FROM partial GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Hopping (sliding) windows: 1-hour windows every 30 minutes — each
@@ -173,7 +179,8 @@ object EventAnalytics {
       .select(col("event_type"), col("value"),
         explode(array(col("g"), col("g") - expr("INTERVAL 30 MINUTE"))).as("window_start"))
       .groupBy(col("window_start"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumRound(Exact.dec2(col("value")), 4).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
   }
 
@@ -187,7 +194,7 @@ object EventAnalytics {
       |  UNION ALL
       |  SELECT event_type, value, g0 - INTERVAL 30 MINUTE FROM g)
       |SELECT window_start, event_type, count(*) AS n_events,
-      |  round(sum(value), 4) AS sum_value
+      |  round(sum(value::DECIMAL(12,2)), 4)::DOUBLE AS sum_value
       |FROM expanded GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   /** Day-over-day retention: per day, active users and how many return
@@ -272,7 +279,13 @@ object EventAnalytics {
       .withColumn("decayed",
         col("value") * exp(-(col("ref_us") - unix_micros(col("ts"))) / lit(3.6e9) / lit(24.0)))
       .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("decayed")), 6).as("decay_score"))
+      // decimal(38,18) before the sum: the decayed terms are transcendental
+      // doubles, so the SUM must be order-independent (Exact idiom 3); the
+      // residual cross-engine cast divergence is ~1e-14, far inside the
+      // 6-dp rounding margin
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("decayed").cast("decimal(38,18)")).cast("double"), 6)
+          .as("decay_score"))
       .orderBy(col("user_id"))
   }
 
@@ -280,7 +293,7 @@ object EventAnalytics {
     """WITH ev AS (SELECT user_id, value, epoch_us(ts::TIMESTAMP) AS us FROM events),
       |ref AS (SELECT max(us) AS ref_us FROM ev)
       |SELECT user_id, count(*) AS n_events,
-      |  round(sum(value * exp(-(ref_us - us) / 3.6e9 / 24.0)), 6) AS decay_score
+      |  round(sum((value * exp(-(ref_us - us) / 3.6e9 / 24.0))::DECIMAL(38,18))::DOUBLE, 6) AS decay_score
       |FROM ev CROSS JOIN ref
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
@@ -351,7 +364,10 @@ object EventAnalytics {
       .groupBy(col("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
     pairs
-      .withColumn("p", round(col("n") / sum(col("n")).over(
+      // count/count quotient: both engines compute the identical double,
+      // but their round() can disagree at an exact 6-dp boundary (possible
+      // when the denominator divides a power of 10) — floor idiom instead
+      .withColumn("p", Exact.floorRound(col("n") / sum(col("n")).over(
         Window.partitionBy(col("from_type"))), 6))
       .orderBy(col("from_type"), col("to_type"))
   }
@@ -366,7 +382,7 @@ object EventAnalytics {
       |  SELECT from_type, to_type, count(*) AS n
       |  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2)
       |SELECT from_type, to_type, n,
-      |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+      |  floor((n / sum(n) OVER (PARTITION BY from_type)) * 1000000 + 0.5) / 1000000 AS p
       |FROM counts ORDER BY from_type, to_type""".stripMargin
 
   /** Daily/weekly active users with the DAU/WAU stickiness ratio — the
@@ -396,7 +412,7 @@ object EventAnalytics {
       .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
     dau.join(wau, col("day") === col("d"))
       .select(col("day"), col("dau"), col("wau"),
-        round(col("dau") / col("wau"), 4).as("stickiness"))
+        Exact.floorRound(col("dau") / col("wau"), 4).as("stickiness"))
       .orderBy(col("day"))
   }
 
@@ -410,7 +426,8 @@ object EventAnalytics {
       |  SELECT s.d, count(DISTINCT du.user_id) AS wau
       |  FROM du JOIN spine s ON du.day <= s.d AND du.day > s.d - INTERVAL 7 DAY
       |  GROUP BY 1)
-      |SELECT dau.day, dau.dau, wau.wau, round(dau.dau / wau.wau, 4) AS stickiness
+      |SELECT dau.day, dau.dau, wau.wau,
+      |  floor((dau.dau / wau.wau) * 10000 + 0.5) / 10000 AS stickiness
       |FROM dau JOIN wau ON wau.d = dau.day ORDER BY day""".stripMargin
 
   /** Cohort retention matrix: users grouped by their first-activity day

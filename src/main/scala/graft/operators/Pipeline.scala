@@ -237,14 +237,19 @@ object Pipeline {
         size(tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
     val totals = cum.groupBy(col("source")).agg(max(col("cum")).as("tot"))
+    // sqrt is IEEE-correctly-rounded (identical in both engines), but the
+    // SUM of the sqrt terms is order-dependent in double — decimal(38,18)
+    // makes it order-independent (Exact idiom 3); wsum then feeds an
+    // identical quotient into every budget
     val budgets = totals
-      .crossJoin(broadcast(totals.agg(sum(sqrt(col("tot"))).as("wsum"))))
+      .crossJoin(broadcast(totals.agg(
+        sum(sqrt(col("tot")).cast("decimal(38,18)")).cast("double").as("wsum"))))
       .select(col("source"), (lit(100000.0) * sqrt(col("tot")) / col("wsum")).as("budget"))
     cum.join(broadcast(budgets), "source")
       .filter(col("cum") <= col("budget"))
       .groupBy(col("source"), col("budget"))
       .agg(count(lit(1)).as("docs_kept"), sum(col("n_tok")).as("tokens_kept"))
-      .select(col("source"), round(col("budget"), 2).as("budget"),
+      .select(col("source"), Exact.floorRound(col("budget"), 2).as("budget"),
         col("docs_kept"), col("tokens_kept"))
       .orderBy(col("source"))
   }
@@ -255,7 +260,7 @@ object Pipeline {
       |    len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0))::BIGINT AS n_tok
       |  FROM documents WHERE source IS NOT NULL),
       |tot AS (SELECT source, sum(n_tok) AS tot FROM tok GROUP BY 1),
-      |ws AS (SELECT sum(sqrt(tot)) AS wsum FROM tot),
+      |ws AS (SELECT sum(sqrt(tot)::DECIMAL(38,18))::DOUBLE AS wsum FROM tot),
       |bud AS (SELECT source, 100000.0 * sqrt(tot) / wsum AS budget
       |        FROM tot CROSS JOIN ws),
       |cum AS (
@@ -267,7 +272,7 @@ object Pipeline {
       |kept AS (
       |  SELECT c.source, c.n_tok, b.budget
       |  FROM cum c JOIN bud b USING (source) WHERE c.cum <= b.budget)
-      |SELECT source, round(max(budget), 2) AS budget,
+      |SELECT source, floor(max(budget) * 100 + 0.5) / 100 AS budget,
       |  count(*) AS docs_kept, sum(n_tok)::BIGINT AS tokens_kept
       |FROM kept GROUP BY source ORDER BY source""".stripMargin
 

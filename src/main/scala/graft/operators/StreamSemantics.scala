@@ -260,12 +260,15 @@ object StreamSemantics {
       .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(-?\\d+)", 1).cast("long"))
       .groupBy(col("event_type"))
       .agg(count(col("k")).as("n_parsed"), min(col("k")).as("min_k"),
-        max(col("k")).as("max_k"), round(avg(col("k")), 4).as("avg_k"))
+        max(col("k")).as("max_k"),
+        // integral sum / count: identical quotient doubles in both
+        // engines; floor idiom pins the rounding (Exact idiom 2)
+        Exact.floorRound(sum(col("k")).cast("double") / count(col("k")), 4).as("avg_k"))
       .orderBy(col("event_type"))
 
   val slJsonPropsSql: String =
     """SELECT event_type, count(k) AS n_parsed, min(k) AS min_k, max(k) AS max_k,
-      |  round(avg(k), 4) AS avg_k
+      |  floor((sum(k)::DOUBLE / count(k)) * 10000 + 0.5) / 10000 AS avg_k
       |FROM (SELECT event_type,
       |        TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
       |      FROM events)
