@@ -49,17 +49,48 @@ object Pipeline {
       |FROM reps WHERE doc_id = rep_id
       |GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** Sequence packing: assign docs (in doc_id order, per language) to
-    * fixed 4096-token training-batch budgets via a cumulative-sum window —
-    * the distributed form of greedy pack-by-order. */
-  def pipePacking: Q = (s, d) => {
+  /** Sequence packing: assign docs to fixed 4096-token training-batch
+    * budgets via a TWO-PHASE sharded prefix sum — the distributed form of
+    * greedy pack-by-order. The packing order is lang → shard → doc_id,
+    * where shard is a content-independent md5 bucket of the doc id
+    * (pinned in the oracle).
+    *
+    * Scale shape: the naive form — one cumulative window partitioned by
+    * `lang` — serializes each language's ENTIRE corpus through a single
+    * sort partition chain (~5 partitions at any corpus size: a skew
+    * bomb at 100 TB). Here each (lang, shard) runs its own bounded
+    * cumulative window (phase 1), the per-shard token totals — langs ×
+    * nShards rows — roll into per-shard starting offsets with one tiny
+    * window (phase 2, broadcast back), and the global pack id is
+    * floor((shard_offset + local_cum − n_tokens) / 4096) in pure integer
+    * arithmetic. SCALE THE SHARD COUNT WITH THE CORPUS (same rule as
+    * [[pipeShuffleFor]]): tens of thousands of shards at 100 TB keeps
+    * every sort partition-sized. The oracle-pinned query uses 8. */
+  def pipePacking: Q = (s, d) => pipePackingFor(Tables.documents(s, d), 8)
+
+  /** General form of [[pipePacking]] with an explicit shard count. */
+  def pipePackingFor(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"pipePackingFor: nShards must be >= 1 (got $nShards)")
     val tk = tokens(col("text"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    val shard = conv(substring(md5s(concat(lit("pack|"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long") % nShards
+    val toks = docs
       .select(col("doc_id"), col("lang"), size(tk).cast("long").as("n_tokens"))
+      .withColumn("shard", shard)
+    val wLocal = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = toks.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    // phase 2: per-(lang, shard) totals → running shard offsets within the
+    // language; langs × nShards rows, broadcast back onto the big frame
+    val offs = toks.groupBy(col("lang").as("ol"), col("shard").as("os"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("shard_offset",
+        coalesce(sum(col("tot")).over(Window.partitionBy(col("ol")).orderBy(col("os"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("tot")
+    cum.join(broadcast(offs), col("lang") === col("ol") && col("shard") === col("os"))
       .withColumn("pack_id",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 4096))
+        expr("(shard_offset + local_cum - n_tokens) div 4096"))
       .groupBy(col("lang"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -69,17 +100,27 @@ object Pipeline {
   val pipePackingSql: String =
     """WITH toks AS (
       |  SELECT doc_id, lang,
-      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+      |    CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard
       |  FROM documents),
       |cum AS (
-      |  SELECT doc_id, lang, n_tokens,
-      |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 4096 AS pack_id
-      |  FROM toks)
+      |  SELECT doc_id, lang, shard, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS local_cum
+      |  FROM toks),
+      |offs AS (
+      |  SELECT lang, shard,
+      |    coalesce(sum(tot) OVER (PARTITION BY lang ORDER BY shard
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_offset
+      |  FROM (SELECT lang, shard, sum(n_tokens) AS tot FROM toks GROUP BY 1, 2) t),
+      |packed AS (
+      |  SELECT c.lang, c.doc_id, c.n_tokens,
+      |    (o.shard_offset + c.local_cum - c.n_tokens) // 4096 AS pack_id
+      |  FROM cum c JOIN offs o ON c.lang = o.lang AND c.shard = o.shard)
       |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_docs,
       |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-      |FROM cum GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
+      |FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
 
   /** Deterministic hash sampling: ~10% of docs per language, selected by
     * content-independent hash of the key — reproducible across engines,
