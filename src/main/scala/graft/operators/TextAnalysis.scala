@@ -209,30 +209,43 @@ object TextAnalysis {
     * most frequent bigram and the fraction of trigram instances whose
     * trigram occurs more than once, plus a combined drop flag. Boiler-
     * plate, keyword stuffing and decoding loops all surface as one of
-    * the two. N-grams are built record-local (transform over the
-    * materialized token array — no self-join); both counts are keyed on
-    * (doc_id, gram), so the shuffles partial-aggregate and the key space
-    * scales with the corpus, no hot keys. Flag thresholds compare the
-    * 4-dp-rounded ratios so the cut is bit-identical across engines. */
+    * the two. Both stats are PER-DOCUMENT, so the whole operator is
+    * record-local: one scan, ZERO corpus shuffles (the round-3 shape
+    * exploded grams into two (doc_id, gram) groupBy passes — scale-safe
+    * but two needless corpus shuffles). Each gram array is sorted and
+    * folded once (`aggregate` HOF): the longest run IS the top gram
+    * count and the mass of runs ≥ 2 IS the duplicated-instance count;
+    * the instance totals are size(tk)−1 / size(tk)−2 directly. Flag
+    * thresholds compare the 4-dp-rounded ratios so the cut is
+    * bit-identical across engines. */
   def taRepetition: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    // run-length fold over the sorted n-gram array: best = longest run,
+    // dups = total instances in runs of length >= 2 (closed on gram
+    // change, with the final run folded in by the finish lambda)
+    def gramStats(n: Int): String = {
+      val gram = s"transform(sequence(1, size(tk) - ${n - 1}), i -> concat_ws(' ', " +
+        (0 until n).map(j => s"element_at(tk, i + $j)").mkString(", ") + "))"
+      s"""aggregate(
+         |  array_sort($gram),
+         |  named_struct('prev', '', 'run', 0L, 'best', 0L, 'dups', 0L),
+         |  (a, x) -> named_struct(
+         |    'prev', x,
+         |    'run', IF(x = a.prev, a.run + 1L, 1L),
+         |    'best', greatest(a.best, IF(x = a.prev, a.run + 1L, 1L)),
+         |    'dups', IF(x <> a.prev AND a.run >= 2L, a.dups + a.run, a.dups)),
+         |  a -> named_struct('best', a.best,
+         |    'dups', a.dups + IF(a.run >= 2L, a.run, 0L)))""".stripMargin
+    }
+    Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
-    def gramCounts(n: Int) = docs
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(tk) - ${n - 1}), i -> concat_ws(' ', " +
-          (0 until n).map(j => s"element_at(tk, i + $j)").mkString(", ") + "))")).as("g"))
-      .groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    val bi = gramCounts(2).groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
-    val tri = gramCounts(3).groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_trigrams"),
-        sum(when(col("c") > 1, col("c")).otherwise(lit(0))).as("dup_tri"))
-    bi.join(tri, "doc_id")
+      .withColumn("bi", expr(gramStats(2)))
+      .withColumn("tri", expr(gramStats(3)))
       .select(col("doc_id"),
-        round(col("top_bigram_n") / col("n_bigrams"), 4).as("top_bigram_frac"),
-        round(col("dup_tri") / col("n_trigrams"), 4).as("dup_trigram_frac"))
+        Exact.floorRound(col("bi.best") / (size(col("tk")) - 1).cast("long"), 4)
+          .as("top_bigram_frac"),
+        Exact.floorRound(col("tri.dups") / (size(col("tk")) - 2).cast("long"), 4)
+          .as("dup_trigram_frac"))
       .withColumn("is_repetitive",
         col("top_bigram_frac") > 0.18 || col("dup_trigram_frac") > 0.3)
       .orderBy(col("doc_id"))
@@ -257,8 +270,8 @@ object TextAnalysis {
       |tr AS (SELECT doc_id, sum(c) AS n_trigrams,
       |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri FROM tgc GROUP BY 1),
       |m AS (SELECT b.doc_id,
-      |    round(top_bigram_n / n_bigrams, 4) AS top_bigram_frac,
-      |    round(dup_tri / n_trigrams, 4) AS dup_trigram_frac
+      |    floor((top_bigram_n / n_bigrams) * 10000 + 0.5) / 10000 AS top_bigram_frac,
+      |    floor((dup_tri / n_trigrams) * 10000 + 0.5) / 10000 AS dup_trigram_frac
       |  FROM b JOIN tr USING (doc_id))
       |SELECT doc_id, top_bigram_frac, dup_trigram_frac,
       |  top_bigram_frac > 0.18 OR dup_trigram_frac > 0.3 AS is_repetitive
