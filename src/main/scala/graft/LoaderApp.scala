@@ -75,9 +75,12 @@ object LoaderApp {
     // listener: the async listener bus may not have delivered the last
     // batch's event yet when awaitTermination returns (the listener
     // stays installed for long-running monitoring; this print is the
-    // synchronous summary)
+    // synchronous summary). NOTE recentProgress is itself a sliding
+    // window (spark.sql.streaming.numRecentProgressUpdates, default 100
+    // entries), so label it recent-window: on a run longer than ~100
+    // batches it undercounts and the listener total is the one to read.
     val rows = query.recentProgress.map(_.numInputRows).sum
-    println(s"[loader] done; rows=$rows (listener: ${
+    println(s"[loader] done; rows(recent-window)=$rows (listener total: ${
       metrics.rowsLoaded(Option(query.name).getOrElse(query.id.toString))})")
     spark.stop()
   }

@@ -45,14 +45,13 @@ object Verify {
         // a failure that throws BEFORE the write (analysis error) leaves a
         // previous run's dump in place — the checker would then hash-match
         // STALE output and mask the regression; remove it so the failure
-        // surfaces as a missing dir
-        val stale = new java.io.File(s"$outDir/$name")
-        if (stale.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(stale)
-        }
+        // surfaces as a missing dir. Delete through the SAME Hadoop
+        // FileSystem the parquet write resolves, so URI-style outDirs
+        // (file:/, hdfs://) are handled too — java.io.File would silently
+        // no-op on those and the stale-output hazard would return.
+        val stale = new org.apache.hadoop.fs.Path(outDir, name)
+        val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(stale)) { fs.delete(stale, true); () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

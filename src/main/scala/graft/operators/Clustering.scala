@@ -65,9 +65,13 @@ object Clustering {
     val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) ""
+    // the FULL listing string, not a 32-bit hashCode of it: two corpus
+    // states colliding on hashCode would silently reuse stale trained
+    // centroids — the exact hazard this fingerprint exists to close
+    // (driver-side and tiny, so the long key costs nothing)
     else fs.listStatus(p).map(st =>
       s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString(",").hashCode.toString
+      .sorted.mkString(",")
   }
 
   /** Train `Iters` rounds and return the final per-vector assignment

@@ -62,9 +62,14 @@ case class TopKPerGroupExec(
     // of the partition's top-k and the final pass reduces it exactly.
     // (The final pass never flushes: its whole input is already ≤ k rows
     // per (group, upstream partition), so its map is shuffle-bounded.)
-    val flushRows: Long = if (partial)
-      conf.getConfString("spark.graft.topk.partialFlushRows", "4194304").toLong
-    else Long.MaxValue
+    val flushRows: Long = if (partial) {
+      val v = conf.getConfString("spark.graft.topk.partialFlushRows", "4194304").toLong
+      // 0 or negative would make the partial pass's flush iterator spin
+      // forever (hasNext true, buffering guard never satisfied) — reject
+      // loudly instead of looping
+      require(v >= 1, s"spark.graft.topk.partialFlushRows must be >= 1 (got $v)")
+      v
+    } else Long.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupLocal, childOutput)
       val ordering = RowOrdering.create(orderLocal, childOutput)

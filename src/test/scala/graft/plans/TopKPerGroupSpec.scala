@@ -37,23 +37,50 @@ class TopKPerGroupSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll 
     viaHeap.size shouldBe 15 // 5 event types × 3
   }
 
+  // conf-sensitive tests use a frame rooted in THIS session: events frames
+  // come from Tables' memoized nanos child session, whose conf snapshot
+  // freezes at first use — spark.conf.set here would never reach their
+  // doExecute (found the hard way: the flush test's conf was a no-op)
+  private def synthFrame = spark.range(0, 2000)
+    .selectExpr("id % 7 AS g", "(id * 2654435761) % 100003 AS v", "id")
+
   it should "stay exact when the partial pass flushes under memory pressure" in {
     // force the partial heap map to flush every 4 buffered rows: each
     // flushed segment is a superset of its top-k, so the final pass must
     // still produce exactly the window answer
-    val ev = graft.Tables.events(spark, sf)
-      .select(col("event_type"), col("event_id"), col("value"))
     spark.conf.set("spark.graft.topk.partialFlushRows", "4")
     try {
-      val viaHeap = TopKPerGroup.transform(ev,
-          Seq(col("event_type")), Seq(col("value").desc, col("event_id").asc), 3)
-        .select(col("event_type"), col("event_id"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-      val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
-      val viaWindow = ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        .select(col("event_type"), col("event_id"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val viaHeap = TopKPerGroup.transform(synthFrame,
+          Seq(col("g")), Seq(col("v").desc, col("id").asc), 3)
+        .select(col("g"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val viaWindow = synthFrame.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("g"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       viaHeap shouldBe viaWindow
+      viaHeap.size shouldBe 21 // 7 groups × 3
+    } finally spark.conf.unset("spark.graft.topk.partialFlushRows")
+  }
+
+  it should "reject a non-positive partialFlushRows instead of looping forever" in {
+    // flushRows = 0 would make the partial pass's flush iterator spin
+    // (hasNext true, buffering guard never satisfied) — must fail loudly.
+    // k=7 keeps this plan canonically distinct from the flush test's k=3
+    // plan: AQE's per-session stage cache would otherwise REUSE its
+    // materialized shuffle and the partial pass would never re-execute.
+    spark.conf.set("spark.graft.topk.partialFlushRows", "0")
+    try {
+      val e = intercept[Throwable] {
+        TopKPerGroup.transform(synthFrame,
+            Seq(col("g")), Seq(col("v").desc, col("id").asc), 7)
+          .collect()
+      }
+      // the require throws during stage materialization; depending on the
+      // execution path it may surface wrapped — check the cause chain
+      val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      messages should include("partialFlushRows")
     } finally spark.conf.unset("spark.graft.topk.partialFlushRows")
   }
 
