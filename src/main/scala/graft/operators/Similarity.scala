@@ -312,14 +312,16 @@ object Similarity {
     rankTopK(exact, 5)
   }
 
-  val annPqSql: String =
-    s"""WITH $vectorsCte,
-       |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+  /** The PQ oracle pipeline over a named vector relation (vec_id, e, nrm)
+    * — shared verbatim by [[annPqSql]] (over `v`) and [[annOpqSql]] (over
+    * the rotated `vr`), so the two oracles cannot drift. */
+  private def pqPipelineSql(vec: String): String =
+    s"""cents AS (SELECT vec_id AS cid, e AS ce FROM $vec WHERE vec_id < 16),
        |sub AS (
-       |  SELECT v.vec_id, c.cid, t.j,
-       |    -2 * list_reduce(list_transform(generate_series(1, 8), i -> v.e[t.j*8 + i] * c.ce[t.j*8 + i]), (x, y) -> x + y)
+       |  SELECT vv.vec_id, c.cid, t.j,
+       |    -2 * list_reduce(list_transform(generate_series(1, 8), i -> vv.e[t.j*8 + i] * c.ce[t.j*8 + i]), (x, y) -> x + y)
        |      + list_reduce(list_transform(generate_series(1, 8), i -> c.ce[t.j*8 + i] * c.ce[t.j*8 + i]), (x, y) -> x + y) AS score
-       |  FROM v, cents c, (SELECT unnest(generate_series(0, 7)) AS j) t),
+       |  FROM $vec vv, cents c, (SELECT unnest(generate_series(0, 7)) AS j) t),
        |best AS (
        |  SELECT vec_id, j, cid AS code,
        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY score, cid) AS rn
@@ -330,7 +332,7 @@ object Similarity {
        |lutrows AS (
        |  SELECT q.vec_id AS query_id, c.cid, t.j,
        |    list_reduce(list_transform(generate_series(1, 8), i -> q.e[t.j*8 + i] * c.ce[t.j*8 + i]), (x, y) -> x + y) AS val
-       |  FROM v q, cents c, (SELECT unnest(generate_series(0, 7)) AS j) t
+       |  FROM $vec q, cents c, (SELECT unnest(generate_series(0, 7)) AS j) t
        |  WHERE q.vec_id % 4 = 0),
        |luts AS (SELECT query_id, list(val ORDER BY j, cid) AS lut FROM lutrows GROUP BY query_id),
        |scored AS (
@@ -338,9 +340,9 @@ object Similarity {
        |    list_reduce(list_transform(generate_series(0, 7), j -> l.lut[j*16 + cd.codes[j+1] + 1]), (x, y) -> x + y)
        |      / (qv.nrm * nv.nrm) AS approx_cos
        |  FROM luts l
-       |  JOIN v qv ON qv.vec_id = l.query_id
+       |  JOIN $vec qv ON qv.vec_id = l.query_id
        |  JOIN codes cd ON cd.vec_id <> l.query_id
-       |  JOIN v nv ON nv.vec_id = cd.vec_id),
+       |  JOIN $vec nv ON nv.vec_id = cd.vec_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, approx_cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
@@ -351,14 +353,88 @@ object Similarity {
        |    list_reduce(list_transform(generate_series(1, 64), i -> qv.e[i] * nv.e[i]), (x, y) -> x + y)
        |      / (qv.nrm * nv.nrm) AS cos
        |  FROM shortlist s
-       |  JOIN v qv ON qv.vec_id = s.query_id
-       |  JOIN v nv ON nv.vec_id = s.neighbor_id),
+       |  JOIN $vec qv ON qv.vec_id = s.query_id
+       |  JOIN $vec nv ON nv.vec_id = s.neighbor_id),
        |rer AS (
        |  SELECT query_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
        |  FROM exact)
        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
        |FROM rer WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  val annPqSql: String =
+    s"""WITH $vectorsCte,
+       |${pqPipelineSql("v")}""".stripMargin
+
+  /** OPQ-style rotation ahead of PQ: a data-driven orthogonal rotation of
+    * the vector space, estimated in closed form, applied to corpus and
+    * queries, then the unchanged [[annPqFor]] pipeline. The rotation is
+    * 32 Givens rotations on the dim pairs (i, i+32) — each pair SPANS the
+    * PQ subspace boundary (a rotation inside one 8-dim subspace would
+    * leave every subspace L2 distance, hence every code, unchanged). The
+    * angle θ_i = ½·atan2(Σyy − Σxx, 2·Σxy) EQUALIZES the pair's second
+    * moments — the closed-form Givens analogue of OPQ's eigenvalue
+    * allocation, which balances energy across subspaces. (Balancing, not
+    * decorrelating, is what matters with sample codebooks: the ADC score
+    * error variance goes like Σ_j |q_j|²·D_j ∝ Σ_j var_j², which is
+    * minimized by EQUAL subspace variances; the covariance-zeroing angle
+    * concentrates energy instead and measurably LOWERS recall.) Cosines
+    * are rotation-invariant, so the exact re-rank stage returns the same
+    * similarity scale as [[annPq]]; recall@5 on anisotropic (half
+    * strong / half weak dims) vectors beats plain PQ — pinned in
+    * OperatorsSpec via the ann_lsh/ann_ivf recall protocol. Moment sums
+    * go through decimal(38,18) (Exact idiom 3) so the learned angles are
+    * summation-order-independent. Scale shape: the moment aggregate is
+    * one partial-aggregated corpus pass producing 96 doubles; the angle
+    * row broadcasts; rotation is record-local arithmetic — nothing new
+    * shuffles. */
+  private def opqRotate(v: DataFrame): DataFrame = {
+    def mom(f: Int => Column) = array((1 to 32).map(f): _*)
+    def e(i: Int) = element_at(col("e"), i)
+    val moments = v.agg(
+      mom(i => sum((e(i) * e(i + 32)).cast("decimal(38,18)")).cast("double")).as("sxy"),
+      mom(i => sum((e(i) * e(i)).cast("decimal(38,18)")).cast("double")).as("sxx"),
+      mom(i => sum((e(i + 32) * e(i + 32)).cast("decimal(38,18)")).cast("double")).as("syy"))
+    val theta = "0.5 * atan2(element_at(syy, j) - element_at(sxx, j), 2 * element_at(sxy, j))"
+    val angles = moments.select(
+      expr(s"transform(sequence(1, 32), j -> cos($theta))").as("cs"),
+      expr(s"transform(sequence(1, 32), j -> sin($theta))").as("sn"))
+    v.crossJoin(broadcast(angles))
+      .withColumn("e", expr(
+        """transform(sequence(1, 64), i -> IF(i <= 32,
+          |  element_at(cs, i) * element_at(e, i) + element_at(sn, i) * element_at(e, i + 32),
+          |  -element_at(sn, i - 32) * element_at(e, i - 32) + element_at(cs, i - 32) * element_at(e, i)))""".stripMargin))
+      .drop("cs", "sn")
+  }
+
+  def annOpq: Q = (s, d) => annOpqFor(vectors(s, d))
+
+  /** General form: rotate, then PQ with the standard query adapter
+    * (every 4th vector). Same broadcast contract as [[annPqFor]]. */
+  def annOpqFor(v: DataFrame): DataFrame = {
+    val vr = opqRotate(v)
+    annPqFor(vr, defaultQueries(vr))
+  }
+
+  val annOpqSql: String = {
+    def moms(f: Int => String) = (1 to 32).map(f).mkString(", ")
+    s"""WITH $vectorsCte,
+       |mom AS (SELECT
+       |  [${moms(i => s"sum((e[$i] * e[${i + 32}])::DECIMAL(38,18))::DOUBLE")}] AS sxy,
+       |  [${moms(i => s"sum((e[$i] * e[$i])::DECIMAL(38,18))::DOUBLE")}] AS sxx,
+       |  [${moms(i => s"sum((e[${i + 32}] * e[${i + 32}])::DECIMAL(38,18))::DOUBLE")}] AS syy
+       |  FROM v),
+       |ang AS (SELECT
+       |  list_transform(generate_series(1, 32), j -> cos(0.5 * atan2(syy[j] - sxx[j], 2 * sxy[j]))) AS cs,
+       |  list_transform(generate_series(1, 32), j -> sin(0.5 * atan2(syy[j] - sxx[j], 2 * sxy[j]))) AS sn
+       |  FROM mom),
+       |vr AS (SELECT vec_id,
+       |  list_transform(generate_series(1, 64), i -> CASE WHEN i <= 32
+       |    THEN cs[i] * e[i] + sn[i] * e[i + 32]
+       |    ELSE -sn[i - 32] * e[i - 32] + cs[i - 32] * e[i] END) AS e,
+       |  nrm FROM v CROSS JOIN ang),
+       |${pqPipelineSql("vr")}""".stripMargin
+  }
 
   /** Score candidate (src, nb) pairs and keep each src's top-5 by cosine
     * (ties to the lowest nb). Both vector lookups are keyed joins — at
@@ -460,6 +536,7 @@ object Similarity {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_pq" -> annPq,
+    "ann_opq" -> annOpq,
     "ann_nndescent" -> annNnDescent)
 
   def oracleSql: Map[String, String] = Map(
@@ -467,5 +544,6 @@ object Similarity {
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,
+    "ann_opq" -> annOpqSql,
     "ann_nndescent" -> annNnDescentSql)
 }
