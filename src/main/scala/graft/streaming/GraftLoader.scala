@@ -61,6 +61,11 @@ object GraftLoader {
   /** ClickHouse-RowBinary files via the graft DataSource V2 connector
     * (rowbinary encoder analog: the bytes a ClickHouse INSERT ingests). */
   final case class RowBinaryFiles(dir: String) extends Sink
+  /** Avro object container files via the graft DataSource V2 connector
+    * (AvroParquetFileBuilder analog; the spark-avro module is absent in
+    * this environment, so the container format is written with the core
+    * avro library directly). */
+  final case class AvroFiles(dir: String) extends Sink
 
   def builder(): Builder = Builder()
 
@@ -113,26 +118,32 @@ object GraftLoader {
         case InDataOffsets(dir) => new Sinks.InDataOffsetSink(dir).attach(events, cp)
         case SnapshotTable(dir) => new SnapshotTableSink(dir).attach(events, cp)
         case RowBinaryFiles(dir) =>
-          import org.apache.hadoop.fs.Path
-          import org.apache.spark.sql.streaming.Trigger
-          events.writeStream
-            .option("checkpointLocation", cp)
-            .trigger(Trigger.AvailableNow())
-            .foreachBatch { (batch: DataFrame, id: Long) =>
-              // exactly-once: stage the epoch, publish with one atomic
-              // rename (shared Sinks.publish protocol); a replayed or
-              // half-written epoch is re-staged
-              val fs = new Path(dir).getFileSystem(
-                batch.sparkSession.sparkContext.hadoopConfiguration)
-              if (!fs.exists(new Path(dir, s"epoch=$id"))) {
-                Sinks.publish(fs, dir, s"epoch=$id")(staging =>
-                  batch.write.format("graft.sources.RowBinarySource")
-                    .mode("append").save(staging.toString))
-              }
-              () // foreachBatch wants a Unit-returning function
-            }
-            .start()
+          connectorFileSink(events, cp, dir, "graft.sources.RowBinarySource")
+        case AvroFiles(dir) =>
+          connectorFileSink(events, cp, dir, "graft.sources.AvroContainerSource")
       }
+    }
+
+    /** Shared epoch-published sink over a graft DSv2 file connector:
+      * exactly-once via stage + one atomic rename (the Sinks.publish
+      * protocol) — a replayed or half-written epoch is re-staged. */
+    private def connectorFileSink(events: DataFrame, cp: String, dir: String,
+        format: String): StreamingQuery = {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      events.writeStream
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val fs = new Path(dir).getFileSystem(
+            batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new Path(dir, s"epoch=$id"))) {
+            Sinks.publish(fs, dir, s"epoch=$id")(staging =>
+              batch.write.format(format).mode("append").save(staging.toString))
+          }
+          () // foreachBatch wants a Unit-returning function
+        }
+        .start()
     }
 
     /** Reference rewind (StreamInterval): re-consume the rewound window

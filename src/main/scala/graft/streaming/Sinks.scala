@@ -49,7 +49,11 @@ object Sinks {
       else dated
     val w = routed
       .writeStream
-      .format(format) // parquet | csv | json (AvroParquetFileBuilder / CsvFileBuilder analogs; avro needs the spark-avro module)
+      // parquet | csv | json (CsvFileBuilder analogs). Avro goes through
+      // GraftLoader.AvroFiles → graft.sources.AvroContainerSource instead:
+      // format("avro") needs the spark-avro module, absent here, so the
+      // container format is written with the core avro library directly.
+      .format(format)
       .partitionBy("dt")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
