@@ -395,11 +395,19 @@ object Similarity {
       mom(i => sum((e(i) * e(i + 32)).cast("decimal(38,18)")).cast("double")).as("sxy"),
       mom(i => sum((e(i) * e(i)).cast("decimal(38,18)")).cast("double")).as("sxx"),
       mom(i => sum((e(i + 32) * e(i + 32)).cast("decimal(38,18)")).cast("double")).as("syy"))
-    val theta = "0.5 * atan2(element_at(syy, j) - element_at(sxx, j), 2 * element_at(sxy, j))"
-    val angles = moments.select(
-      expr(s"transform(sequence(1, 32), j -> cos($theta))").as("cs"),
-      expr(s"transform(sequence(1, 32), j -> sin($theta))").as("sn"))
-    v.crossJoin(broadcast(angles))
+    // 32 angles through the driver (train-small/apply-big — the cl_kmeans
+    // pattern): the PQ pipeline reads the rotated corpus from several
+    // branches (codes, LUTs, exact re-rank), and an inline angle subtree
+    // would re-run the full moment aggregate per branch (measured: 6
+    // embeddings scans vs ann_pq's 5 and +1.4 s at sf0.1). The collected
+    // row is 96 doubles; Math.atan2/cos/sin are exactly the functions the
+    // equivalent Spark expressions evaluate, so cross-engine parity with
+    // the oracle's angle math is unchanged.
+    val m = moments.select(col("sxy"), col("sxx"), col("syy")).head()
+    val theta = (0 until 32).map(j => 0.5 * math.atan2(
+      m.getSeq[Double](2)(j) - m.getSeq[Double](1)(j), 2 * m.getSeq[Double](0)(j)))
+    v.withColumn("cs", array(theta.map(t => lit(math.cos(t))): _*))
+      .withColumn("sn", array(theta.map(t => lit(math.sin(t))): _*))
       .withColumn("e", expr(
         """transform(sequence(1, 64), i -> IF(i <= 32,
           |  element_at(cs, i) * element_at(e, i) + element_at(sn, i) * element_at(e, i + 32),
