@@ -74,14 +74,25 @@ object Pipeline {
     val tk = tokens(col("text"))
     val shard = conv(substring(md5s(concat(lit("pack|"), col("doc_id"))), 1, 8), 16, 10)
       .cast("long") % nShards
+    // localCheckpoint: both phases read the token frame, and neither AQE
+    // stage reuse (the tokenize lambda defeats exchange canonicalization —
+    // verified: the two-branch plan re-scans even with the broadcast
+    // replaced by a keyed join) nor a broadcast-side subtree (reuse never
+    // fires under BroadcastExchange — the ta_quality mechanism, PLANS.md)
+    // dedups the branches, so without materialization the corpus text is
+    // read and TOKENIZED twice. The checkpointed frame is 4 narrow columns
+    // (no text) — a few percent of the corpus bytes, vs ~2× scan cost; at
+    // the sf0.01 probe scale the trade is ~+0.2 s of checkpoint overhead.
     val toks = docs
       .select(col("doc_id"), col("lang"), size(tk).cast("long").as("n_tokens"))
       .withColumn("shard", shard)
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = toks.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
     // phase 2: per-(lang, shard) totals → running shard offsets within the
-    // language; langs × nShards rows, broadcast back onto the big frame
+    // language; langs × nShards rows (map-side partial agg over the
+    // checkpointed frame), broadcast back onto the big frame
     val offs = toks.groupBy(col("lang").as("ol"), col("shard").as("os"))
       .agg(sum(col("n_tokens")).as("tot"))
       .withColumn("shard_offset",
