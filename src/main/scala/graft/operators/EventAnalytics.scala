@@ -238,31 +238,37 @@ object EventAnalytics {
     * cross-engine-checkable default. */
   def evAnomaly: Q = (s, d) => {
     val ev = Tables.events(s, d).select(col("event_type"), col("event_id"), col("value"))
+    // med/mad are rounded to 6 dp BEFORE the threshold comparison, not
+    // just for display: the engines' percentile interpolation formulas
+    // can differ in the last ulp, and the strict > would flip boundary
+    // rows on that ulp. The true med is 3-dp (midpoints of 2-dp values)
+    // and the true mad 4-dp, so the 6-dp round lands BOTH engines on
+    // the identical double and every downstream comparison is exact.
     val med = ev.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("med"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
     val withMed = ev.join(broadcast(med), "event_type")
     val mad = withMed.groupBy(col("event_type"))
-      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      .agg(round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
     withMed.join(broadcast(mad), "event_type")
       .filter(abs(col("value") - col("med")) > lit(3) * col("mad"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_outliers"),
         min(col("event_id")).as("first_outlier"),
         max(col("event_id")).as("last_outlier"),
-        round(max(col("med")), 6).as("med"),
-        round(max(col("mad")), 6).as("mad"))
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"))
       .orderBy(col("event_type"))
   }
 
   val evAnomalySql: String =
     """WITH med AS (
-      |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+      |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med FROM events GROUP BY 1),
       |mad AS (
-      |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  SELECT e.event_type, round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
       |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
       |SELECT e.event_type, count(*) AS n_outliers,
       |  min(e.event_id) AS first_outlier, max(e.event_id) AS last_outlier,
-      |  round(max(m.med), 6) AS med, round(max(d.mad), 6) AS mad
+      |  max(m.med) AS med, max(d.mad) AS mad
       |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
       |WHERE abs(e.value - m.med) > 3 * d.mad
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin

@@ -188,22 +188,34 @@ object Joins {
     * on user_id), converters filtered to `t_purchase` non-null, then ONE
     * global exact percentile over the converter latencies —
     * converter-sized, not event-sized, so the single-reducer percentile
-    * is bounded by the funnel's smallest stage. Latencies are integer
-    * microsecond deltas (µs-exact in both engines) divided once by 1e6. */
-  def evFunnelTiming: Q = (s, d) =>
+    * is bounded by the funnel's smallest stage.
+    *
+    * Cross-engine determinism: percentiles run over the INTEGER
+    * microsecond deltas (exact in both engines), and the interpolated
+    * value's TRUE form is k + j/10 µs (the q=0.5/0.9 weights are exact
+    * tenths), so floorRound(·, 1) recovers it exactly on both sides no
+    * matter whose interpolation formula computed it (computed error
+    * ~1e-9 ≪ the 0.05 margin; the old seconds-valued percentile had a
+    * 7-dp true value whose 6-dp display round sat ON the cross-engine
+    * boundary). The /1e6 conversion and final 6-dp floor then run on
+    * bit-identical doubles. */
+  def evFunnelTiming: Q = (s, d) => {
+    def pct(c: String, q: String) = Exact.floorRound(
+      Exact.floorRound(expr(s"percentile($c, $q)"), 1) / 1e6, 6)
     funnelFrame(s, d)
       .filter(col("t_purchase").isNotNull)
       .select(
-        ((unix_micros(col("t_click")) - unix_micros(col("t_view"))) / 1e6).as("s_vc"),
-        ((unix_micros(col("t_purchase")) - unix_micros(col("t_click"))) / 1e6).as("s_cp"),
-        ((unix_micros(col("t_purchase")) - unix_micros(col("t_view"))) / 1e6).as("s_vp"))
+        (unix_micros(col("t_click")) - unix_micros(col("t_view"))).as("us_vc"),
+        (unix_micros(col("t_purchase")) - unix_micros(col("t_click"))).as("us_cp"),
+        (unix_micros(col("t_purchase")) - unix_micros(col("t_view"))).as("us_vp"))
       .agg(count(lit(1)).as("n_converters"),
-        round(expr("percentile(s_vc, 0.5)"), 6).as("p50_view_click_s"),
-        round(expr("percentile(s_vc, 0.9)"), 6).as("p90_view_click_s"),
-        round(expr("percentile(s_cp, 0.5)"), 6).as("p50_click_purchase_s"),
-        round(expr("percentile(s_cp, 0.9)"), 6).as("p90_click_purchase_s"),
-        round(expr("percentile(s_vp, 0.5)"), 6).as("p50_total_s"),
-        round(expr("percentile(s_vp, 0.9)"), 6).as("p90_total_s"))
+        pct("us_vc", "0.5").as("p50_view_click_s"),
+        pct("us_vc", "0.9").as("p90_view_click_s"),
+        pct("us_cp", "0.5").as("p50_click_purchase_s"),
+        pct("us_cp", "0.9").as("p90_click_purchase_s"),
+        pct("us_vp", "0.5").as("p50_total_s"),
+        pct("us_vp", "0.9").as("p90_total_s"))
+  }
 
   val evFunnelTimingSql: String =
     """WITH v AS (
@@ -220,17 +232,17 @@ object Joins {
       |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP >= c.t_click
       |  GROUP BY 1, 2, 3),
       |lat AS (
-      |  SELECT (epoch_us(t_click) - epoch_us(t_view)) / 1e6 AS s_vc,
-      |    (epoch_us(t_purchase) - epoch_us(t_click)) / 1e6 AS s_cp,
-      |    (epoch_us(t_purchase) - epoch_us(t_view)) / 1e6 AS s_vp
+      |  SELECT (epoch_us(t_click) - epoch_us(t_view)) AS us_vc,
+      |    (epoch_us(t_purchase) - epoch_us(t_click)) AS us_cp,
+      |    (epoch_us(t_purchase) - epoch_us(t_view)) AS us_vp
       |  FROM p)
       |SELECT count(*) AS n_converters,
-      |  round(quantile_cont(s_vc, 0.5), 6) AS p50_view_click_s,
-      |  round(quantile_cont(s_vc, 0.9), 6) AS p90_view_click_s,
-      |  round(quantile_cont(s_cp, 0.5), 6) AS p50_click_purchase_s,
-      |  round(quantile_cont(s_cp, 0.9), 6) AS p90_click_purchase_s,
-      |  round(quantile_cont(s_vp, 0.5), 6) AS p50_total_s,
-      |  round(quantile_cont(s_vp, 0.9), 6) AS p90_total_s
+      |  floor((floor(quantile_cont(us_vc, 0.5) * 10 + 0.5) / 10 / 1e6) * 1000000 + 0.5) / 1000000 AS p50_view_click_s,
+      |  floor((floor(quantile_cont(us_vc, 0.9) * 10 + 0.5) / 10 / 1e6) * 1000000 + 0.5) / 1000000 AS p90_view_click_s,
+      |  floor((floor(quantile_cont(us_cp, 0.5) * 10 + 0.5) / 10 / 1e6) * 1000000 + 0.5) / 1000000 AS p50_click_purchase_s,
+      |  floor((floor(quantile_cont(us_cp, 0.9) * 10 + 0.5) / 10 / 1e6) * 1000000 + 0.5) / 1000000 AS p90_click_purchase_s,
+      |  floor((floor(quantile_cont(us_vp, 0.5) * 10 + 0.5) / 10 / 1e6) * 1000000 + 0.5) / 1000000 AS p50_total_s,
+      |  floor((floor(quantile_cont(us_vp, 0.9) * 10 + 0.5) / 10 / 1e6) * 1000000 + 0.5) / 1000000 AS p90_total_s
       |FROM lat""".stripMargin
 
   def queries: Map[String, Q] = Map(

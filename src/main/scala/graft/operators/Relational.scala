@@ -200,8 +200,11 @@ object Relational {
     Tables.events(s, d)
       .select(col("event_type"), col("event_id"), col("value"))
       .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("cume", round(cume_dist().over(w), 6))
+      // rank/count quotients are identical doubles in both engines; the
+      // floor idiom pins the 6-dp rounding against the engines' differing
+      // round() boundary behavior (Exact idiom 2)
+      .withColumn("pct_rank", Exact.floorRound(percent_rank().over(w), 6))
+      .withColumn("cume", Exact.floorRound(cume_dist().over(w), 6))
       // windows rank on the RAW value (same as the oracle's WINDOW
       // clause, where the alias is not visible); round for display only
       .withColumn("value", round(col("value"), 6))
@@ -211,8 +214,8 @@ object Relational {
   val qWindowDistSql: String =
     """SELECT event_type, event_id, round(value, 6) AS value,
       |  ntile(4) OVER w AS quartile,
-      |  round(percent_rank() OVER w, 6) AS pct_rank,
-      |  round(cume_dist() OVER w, 6) AS cume
+      |  floor((percent_rank() OVER w) * 1000000 + 0.5) / 1000000 AS pct_rank,
+      |  floor((cume_dist() OVER w) * 1000000 + 0.5) / 1000000 AS cume
       |FROM events
       |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
       |ORDER BY event_type, event_id""".stripMargin
