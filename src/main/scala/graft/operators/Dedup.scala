@@ -692,7 +692,67 @@ object Dedup {
       |WHERE doc_id % 97 <> 0
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-document duplicated-span share — the REMOVAL-decision metric
+    * behind exact-substring dedup (cf. the reference-free "train-dedup"
+    * pipelines): a doc whose token windows are largely seen elsewhere in
+    * the corpus is boilerplate/scrape and gets dropped or trimmed, where
+    * [[ddPhraseDup]] only reports WHICH pairs share spans. Every 8-token
+    * window is hashed (8 hex digits of md5, same idiom as the winnowing
+    * fingerprints); a window POSITION counts as duplicated when its hash
+    * occurs more than once corpus-wide (intra-doc repeats included — a
+    * doc that repeats itself is as removable as a scrape).
+    *
+    * Scale shape: ONE scan, and the corpus-sized shuffle is keyed on
+    * (hash, doc_id) so hash-aggregate partial combine collapses
+    * boilerplate windows map-side BEFORE the exchange — the shuffle
+    * carries distinct (window, doc) pairs, not every position. The
+    * per-hash total then comes from a window over that already-collapsed
+    * frame (hot hash = docs containing it, spill-backed WindowExec, never
+    * the raw position count), and the final per-doc rollup is a second
+    * keyed aggregate. No join back onto the exploded corpus — the
+    * count-over-partition IS the total, so the windows are scanned and
+    * tokenized exactly once. */
+  def ddSubstring: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+    val wins = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(tk) - 7), i -> cast(conv(substring(md5(concat_ws(' ', " +
+        "element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2), " +
+        "element_at(tk, i + 3), element_at(tk, i + 4), element_at(tk, i + 5), " +
+        "element_at(tk, i + 6), element_at(tk, i + 7))), 1, 8), 16, 10) as bigint))")).as("h"))
+    val perPair = wins.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val withTot = perPair.withColumn("ntot",
+      sum(col("c")).over(Window.partitionBy(col("h"))))
+    withTot.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_windows"),
+        coalesce(sum(when(col("ntot") > 1, col("c"))), lit(0L)).as("dup_windows"))
+      // exact-integer quotient: both engines divide the same two longs, so
+      // the double is bit-identical and the floor round is engine-agnostic
+      .withColumn("dup_share",
+        floor(col("dup_windows") / col("n_windows") * 1e4 + 0.5) / 1e4)
+      .orderBy(col("doc_id"))
+  }
+
+  val ddSubstringSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(concat_ws(' ', tk[i], tk[i + 1], tk[i + 2],
+      |      tk[i + 3], tk[i + 4], tk[i + 5], tk[i + 6], tk[i + 7])), 1, 8)) AS BIGINT) AS h
+      |  FROM t, unnest(range(1, len(tk) - 6)) AS u(i)
+      |  WHERE len(tk) >= 8),
+      |pp AS (SELECT h, doc_id, count(*) AS c FROM w GROUP BY 1, 2),
+      |wt AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY h) AS ntot FROM pp)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_windows,
+      |  CAST(coalesce(sum(c) FILTER (ntot > 1), 0) AS BIGINT) AS dup_windows,
+      |  floor(coalesce(sum(c) FILTER (ntot > 1), 0) / sum(c) * 1e4 + 0.5) / 1e4 AS dup_share
+      |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "dd_substring" -> ddSubstring,
     "dd_decontaminate" -> ddDecontaminate,
     "dd_exact" -> ddExact,
     "dd_cross_source" -> ddCrossSource,
@@ -709,6 +769,7 @@ object Dedup {
     "dd_embed_cos" -> ddEmbedCos)
 
   def oracleSql: Map[String, String] = Map(
+    "dd_substring" -> ddSubstringSql,
     "dd_decontaminate" -> ddDecontaminateSql,
     "dd_exact" -> ddExactSql,
     "dd_cross_source" -> ddCrossSourceSql,

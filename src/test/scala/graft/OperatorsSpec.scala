@@ -195,6 +195,33 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     capped.select(max(col("doc_a"))).collect()(0).getLong(0) should be <= 1L
   }
 
+  it should "score duplicated-span shares: clones 1.0, unique 0.0, self-repeats counted" in {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cloned = (1 to 20).map(i => s"clone$i").mkString(" ")
+    val selfRep = ((1 to 8).map(i => s"loop$i").mkString(" ") + " ") * 3
+    val dir = java.nio.file.Files.createTempDirectory("graft-substr").toString
+    Seq(
+      (0L, cloned, "en", "src0", 100L),
+      (1L, cloned, "en", "src1", 100L),
+      (2L, (1 to 20).map(i => s"uniq$i").mkString(" "), "en", "src0", 100L),
+      (3L, selfRep.trim, "en", "src0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Dedup.ddSubstring(spark, dir)
+      .select(col("doc_id"), col("n_windows"), col("dup_windows"), col("dup_share"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    rows(0L) shouldBe ((13L, 13L, 1.0)) // every window of a clone is shared
+    rows(1L) shouldBe ((13L, 13L, 1.0))
+    rows(2L)._2 shouldBe 0L            // unique doc: nothing duplicated
+    rows(2L)._3 shouldBe 0.0
+    // the self-repeating doc duplicates its own windows with no other doc
+    rows(3L)._2 should be > 0L
+    // shares stay in [0,1] on the main corpus
+    operators.Dedup.ddSubstring(spark, sf)
+      .filter(col("dup_share") < 0.0 || col("dup_share") > 1.0).count() shouldBe 0L
+  }
+
   it should "account every active user-day in the cohort matrix" in {
     import org.apache.spark.sql.functions._
     val m = operators.EventAnalytics.evCohortMatrix(spark, sf)
