@@ -328,9 +328,62 @@ object Pipeline {
       |  count(*) AS docs_kept, sum(n_tok)::BIGINT AS tokens_kept
       |FROM kept GROUP BY source ORDER BY source""".stripMargin
 
+  /** Curriculum schedule: stage the corpus easy → hard by document
+    * length (the standard length-based curriculum — short documents
+    * first), 20-token bands capped at stage 4, and report the schedule a
+    * trainer consumes: per-stage doc/token mass plus the cumulative
+    * token share reached when that stage completes.
+    *
+    * Scale shape: stage assignment is record-local (floor of an exact
+    * integer quotient — no percentile pass over the corpus, which would
+    * need a global sort or an approx-quantile sketch whose cut points
+    * the oracle could not mirror exactly); the rollup is a 5-row
+    * aggregate, and the cumulative window runs over those 5 rows, not
+    * the corpus. One scan, one corpus shuffle (the keyed agg).
+    * Cross-engine: all quotients divide exact longs (bit-identical
+    * doubles), shares go through the floor idiom. */
+  def pipeCurriculum: Q = (s, d) => {
+    val nTok = size(tokens(col("text"))).cast("long")
+    val stage = least(floor(col("n_tok") / lit(20.0)), lit(4)).cast("long")
+    val w = Window.orderBy(col("stage"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("stage"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(s, d)
+      .select(col("doc_id"), nTok.as("n_tok"))
+      .withColumn("stage", stage)
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("stage_tokens"),
+        min(col("n_tok")).as("min_tokens"), max(col("n_tok")).as("max_tokens"))
+      .withColumn("cum_tokens", sum(col("stage_tokens")).over(w))
+      .withColumn("cum_share",
+        Exact.floorRound(col("cum_tokens") / sum(col("stage_tokens")).over(all), 4))
+      .orderBy(col("stage"))
+  }
+
+  val pipeCurriculumSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0))::BIGINT AS n_tok
+      |  FROM documents),
+      |staged AS (
+      |  SELECT CAST(least(floor(n_tok / 20.0), 4) AS BIGINT) AS stage, n_tok FROM tok),
+      |agg AS (
+      |  SELECT stage, count(*) AS n_docs, sum(n_tok)::BIGINT AS stage_tokens,
+      |    min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
+      |  FROM staged GROUP BY stage)
+      |SELECT stage, n_docs, stage_tokens, min_tokens, max_tokens,
+      |  CAST(sum(stage_tokens) OVER (ORDER BY stage
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      |  floor(CAST(sum(stage_tokens) OVER (ORDER BY stage
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    / CAST(sum(stage_tokens) OVER () AS BIGINT) * 1e4 + 0.5) / 1e4 AS cum_share
+      |FROM agg ORDER BY stage""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "pipe_budget_mix" -> pipeBudgetMix,
     "pipe_curation" -> pipeCuration,
+    "pipe_curriculum" -> pipeCurriculum,
     "pipe_packing" -> pipePacking,
     "pipe_sample" -> pipeSample,
     "pipe_split" -> pipeSplit,
@@ -340,6 +393,7 @@ object Pipeline {
   def oracleSql: Map[String, String] = Map(
     "pipe_budget_mix" -> pipeBudgetMixSql,
     "pipe_curation" -> pipeCurationSql,
+    "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_packing" -> pipePackingSql,
     "pipe_sample" -> pipeSampleSql,
     "pipe_split" -> pipeSplitSql,

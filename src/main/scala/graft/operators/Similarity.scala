@@ -539,7 +539,50 @@ object Similarity {
        |FROM n2 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Radius (range) search: every (query, corpus) pair with cosine ≥ τ
+    * — the contract behind near-duplicate retrieval and recall-complete
+    * candidate generation, where top-k silently truncates dense
+    * neighborhoods and returns noise in sparse ones. τ = 0.3 pinned for
+    * the oracle (≈ the 99.9th percentile of the isotropic testdata's
+    * cosine distribution — sparse but non-empty at every SF).
+    *
+    * Scale contract = [[annBruteforceFor]]'s: `queries` broadcasts whole
+    * (small side); the corpus side stays partitioned and the τ filter
+    * runs inside the scored map stage, so the only post-scan movement is
+    * the output sort of the matching pairs. A corpus-scale query set
+    * instead goes through [[annLshFor]]-style bucket keying with the τ
+    * filter applied per bucket. */
+  def annRadius: Q = (s, d) => {
+    val v = vectors(s, d)
+    annRadiusFor(v, defaultQueries(v), 0.3)
+  }
+
+  /** General form of [[annRadius]]; see the broadcast-side contract on
+    * [[annBruteforceFor]]. */
+  def annRadiusFor(v: DataFrame, queries: DataFrame, tau: Double): DataFrame =
+    v.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+      // dot folds in one fixed order on both engines, so the doubles are
+      // bit-identical and the τ comparison cannot straddle engines
+      .filter(col("cos") >= tau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+
+  val annRadiusSql: String =
+    s"""WITH $vectorsCte,
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v WHERE vec_id % 4 = 0),
+       |scored AS (
+       |  SELECT q.query_id, v.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(generate_series(1, 64), i -> qe[i] * e[i]), (x, y) -> x + y) / (qn * nrm) AS cos
+       |  FROM q JOIN v ON v.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos
+       |FROM scored WHERE cos >= 0.3
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ann_radius" -> annRadius,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -548,6 +591,7 @@ object Similarity {
     "ann_nndescent" -> annNnDescent)
 
   def oracleSql: Map[String, String] = Map(
+    "ann_radius" -> annRadiusSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

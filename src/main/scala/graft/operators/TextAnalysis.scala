@@ -612,7 +612,60 @@ object TextAnalysis {
       |        (vocab_size::DOUBLE * sxx - sx * sx), 6) AS zipf_slope
       |FROM s""".stripMargin
 
+  /** Per-document readability: Flesch reading ease and Flesch–Kincaid
+    * grade from the classic surface proxies — sentences as runs of
+    * `[.!?]`, words as whitespace tokens, syllables as ASCII vowel
+    * groups `[aeiouy]+` (the standard dictionary-free approximation).
+    * The difficulty band drives curriculum staging ([[Pipeline]]) and
+    * quality gates the same way the length/punct heuristics do.
+    *
+    * Record-local (ONE scan, no shuffle at all before the output sort) —
+    * at 100 TB this is a pure map stage. Cross-engine determinism: every
+    * quotient divides two exact longs (bit-identical doubles on both
+    * engines), the Flesch linear forms mirror operator order exactly,
+    * and the 4-dp display round uses the half-boundary-proof floor
+    * idiom; the band CASE tests the already-rounded score so the
+    * branch can never straddle engines. */
+  def taReadability: Q = (s, d) => {
+    val tk = tokens(col("text"))
+    val sents = greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+    val sylls = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+    val r4 = (c: Column) => floor(c * 1e4 + 0.5) / 1e4
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tk).cast("long").as("n_words"),
+        sents.cast("long").as("n_sents"),
+        sylls.cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch", r4(lit(206.835) -
+        lit(1.015) * (col("n_words") / col("n_sents")) -
+        lit(84.6) * (col("n_syllables") / col("n_words"))))
+      .withColumn("fk_grade", r4(lit(0.39) * (col("n_words") / col("n_sents")) +
+        lit(11.8) * (col("n_syllables") / col("n_words")) - lit(15.59)))
+      .withColumn("band", when(col("flesch") >= 60.0, lit("easy"))
+        .when(col("flesch") >= 30.0, lit("standard")).otherwise(lit("hard")))
+      .orderBy(col("doc_id"))
+  }
+
+  val taReadabilitySql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_words,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, n_words, n_sents, n_syllables,
+      |    floor((206.835 - 1.015 * (n_words / n_sents) - 84.6 * (n_syllables / n_words)) * 1e4 + 0.5) / 1e4 AS flesch,
+      |    floor((0.39 * (n_words / n_sents) + 11.8 * (n_syllables / n_words) - 15.59) * 1e4 + 0.5) / 1e4 AS fk_grade
+      |  FROM m WHERE n_words > 0)
+      |SELECT doc_id, n_words, n_sents, n_syllables, flesch, fk_grade,
+      |  CASE WHEN flesch >= 60.0 THEN 'easy'
+      |       WHEN flesch >= 30.0 THEN 'standard' ELSE 'hard' END AS band
+      |FROM f ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ta_readability" -> taReadability,
     "ta_surprisal" -> taSurprisal,
     "ta_zipf" -> taZipf,
     "ta_tfidf" -> taTfidf,
@@ -628,6 +681,7 @@ object TextAnalysis {
     "ta_vocab" -> taVocab)
 
   def oracleSql: Map[String, String] = Map(
+    "ta_readability" -> taReadabilitySql,
     "ta_surprisal" -> taSurprisalSql,
     "ta_zipf" -> taZipfSql,
     "ta_tfidf" -> taTfidfSql,

@@ -65,6 +65,58 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     dup shouldBe 0L
   }
 
+  it should "return exactly the above-threshold bruteforce pairs from radius search" in {
+    import org.apache.spark.sql.functions._
+    // radius(τ) must agree with the exact scorer: every returned pair is
+    // ≥ τ, and every bruteforce TOP-ranked pair at ≥ τ appears (top-k can
+    // truncate dense neighborhoods, so only containment one way: any
+    // top-10 hit above τ must be in the radius set)
+    val radius = operators.Similarity.annRadius(spark, sf)
+    radius.filter(col("cos") < 0.3).count() shouldBe 0L
+    val radiusPairs = radius.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val topAbove = operators.Similarity.annBruteforce(spark, sf)
+      .filter(col("cos") >= 0.3).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    topAbove.foreach(p => radiusPairs should contain(p))
+  }
+
+  it should "schedule the curriculum as a partition of the corpus ending at share 1.0" in {
+    import org.apache.spark.sql.functions._
+    val sched = operators.Pipeline.pipeCurriculum(spark, sf).collect()
+    sched.map(_.getAs[Long]("n_docs")).sum shouldBe Tables.documents(spark, sf).count()
+    sched.last.getAs[Double]("cum_share") shouldBe 1.0
+    // stages ascend and cumulative mass is nondecreasing
+    sched.map(_.getAs[Long]("stage")).toSeq shouldBe sched.map(_.getAs[Long]("stage")).sorted.toSeq
+    val cums = sched.map(_.getAs[Long]("cum_tokens"))
+    cums.zip(cums.tail).foreach { case (a, b) => b should be >= a }
+    // band edges honored: every stage's token range sits inside its 20-token band
+    sched.filter(_.getAs[Long]("stage") < 4).foreach { r =>
+      val st = r.getAs[Long]("stage")
+      r.getAs[Long]("min_tokens") should be >= st * 20
+      r.getAs[Long]("max_tokens") should be < (st + 1) * 20
+    }
+  }
+
+  it should "grade short-word prose easier than long-word prose" in {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-read").toString
+    val easy = "he can go. we do it. it is so. you may be. I am up. " * 4
+    val hard = "extraordinarily incomprehensible organizational responsibilities. " * 10
+    Seq((0L, easy.trim, "en", "src0", 100L), (1L, hard.trim, "en", "src0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.TextAnalysis.taReadability(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows(0L).getAs[Double]("flesch") should be > rows(1L).getAs[Double]("flesch")
+    rows(0L).getAs[Double]("fk_grade") should be < rows(1L).getAs[Double]("fk_grade")
+    rows(0L).getAs[String]("band") shouldBe "easy"
+    rows(1L).getAs[String]("band") shouldBe "hard"
+    // sentence runs count once: "go. we" has one [.!?]+ run per period
+    rows(0L).getAs[Long]("n_sents") shouldBe 20L
+  }
+
   it should "keep a stale centroid when a k-means cluster empties" in {
     import org.apache.spark.sql.functions._
     import spark.implicits._
