@@ -276,6 +276,59 @@ object Transforms {
       .withColumn("keep", col("n_tokens") > 0 && col("avg_nll") <= maxNll)
   }
 
+  case class TypeMoments(n: Long, mean: Double, m2: Double)
+  case class AnomalyAlert(event_type: String, event_id: Long, value: Double,
+    z: Double, n_seen: Long)
+
+  /** Streaming anomaly alerts — the ONLINE half of the anomaly pair
+    * (batch `ev_anomaly` is the offline auditor: robust MAD over the
+    * full distribution; this is the deployed monitor: constant memory,
+    * per-event decisions). Keyed state per event type holds Welford
+    * running moments (n, mean, M2 — the numerically stable one-pass
+    * recurrence; a naive Σx² cancels catastrophically once mean² ≫
+    * variance). Each arriving event is z-scored against the moments
+    * BEFORE it folds in, so an outlier can neither suppress its own
+    * alert nor poison the batch it arrived in; alerts fire only after
+    * `minN` observations (cold-start suppression) at |z| > zThresh.
+    *
+    * Scale: state is three numbers per EVENT TYPE — a config-sized key
+    * space, so state size is independent of throughput and no
+    * timeout/eviction is needed (contrast [[runningUserTotalsWithTtl]]'s
+    * corpus-scale user keys). Within a microbatch each type folds in
+    * (event_id) order, so replays of the same epoch emit identical
+    * alerts — the determinism contract every graft sink assumes. */
+  def anomalyAlerts(spark: SparkSession, events: DataFrame,
+      minN: Long = 30L, zThresh: Double = 4.0): Dataset[AnomalyAlert] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .selectExpr("event_type", "event_id", "value")
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TypeMoments, AnomalyAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[(String, Long, Double)],
+            state: GroupState[TypeMoments]) =>
+          var st = state.getOption.getOrElse(TypeMoments(0L, 0.0, 0.0))
+          val alerts = Seq.newBuilder[AnomalyAlert]
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, v) =>
+            if (st.n >= minN) {
+              val sd = math.sqrt(st.m2 / st.n)
+              if (sd > 0) {
+                val z = (v - st.mean) / sd
+                if (math.abs(z) > zThresh) alerts += AnomalyAlert(etype, id, v, z, st.n)
+              }
+            }
+            val n1 = st.n + 1
+            val delta = v - st.mean
+            val mean1 = st.mean + delta / n1
+            st = TypeMoments(n1, mean1, st.m2 + delta * (v - mean1))
+          }
+          state.update(st)
+          alerts.result().iterator
+      }
+  }
+
   def runningUserTotalsWithTtl(spark: SparkSession, events: DataFrame,
       watermark: String = "30 minutes", idleMs: Long = 3600000L): Dataset[UserTotal] = {
     import spark.implicits._

@@ -761,6 +761,38 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     last.getDouble(2) shouldBe 7.0
   }
 
+  it should "flag streamed outliers against pre-fold Welford moments" in {
+    // 40 tight values (alternating 9.9/10.1 around mean 10, sd 0.1)
+    // establish the distribution; minN=30 suppresses the cold start
+    val warm = (0 until 40).map(i =>
+      Ev(i.toLong, ts(i + 1), 1, "click", if (i % 2 == 0) 9.9 else 10.1, "{}"))
+    val (ms, df) = eventsStream(warm)
+    val q = Transforms.anomalyAlerts(spark, df, minN = 30L, zThresh = 4.0)
+      .writeStream.format("memory").queryName("alerts").outputMode("append").start()
+    q.processAllAvailable()
+    // nothing in the warmup is ever 4 sd out, and events before minN
+    // (including the warmup's own first rows) must not alert
+    spark.table("alerts").count() shouldBe 0
+    // next batch: one gross outlier and one in-distribution value; the
+    // moments must have carried across the microbatch boundary
+    ms.addData(
+      Ev(40, ts(41), 1, "click", 100.0, "{}"),
+      Ev(41, ts(42), 1, "click", 10.0, "{}"))
+    q.processAllAvailable()
+    // a later normal value must still use stats NOT poisoned into
+    // silence by the outlier... but the outlier did fold in, widening
+    // sd; a second identical outlier right after is then only ~2.5 sd
+    // out — assert the first alert fired with the pre-fold moments
+    val alerts = spark.table("alerts").collect()
+    alerts.map(_.getLong(1)).toSeq shouldBe Seq(40L)
+    val a = alerts.head
+    a.getString(0) shouldBe "click"
+    a.getDouble(2) shouldBe 100.0
+    a.getLong(4) shouldBe 40L           // scored against all 40 warm events
+    a.getDouble(3) should be > 100.0    // (100-10)/0.1 = 900 sd
+    q.stop()
+  }
+
   it should "evict idle users after the event-time TTL with a final total" in {
     val (ms, df) = eventsStream(Seq(
       Ev(0, ts(1), 1, "click", 1.0, "{}"),
