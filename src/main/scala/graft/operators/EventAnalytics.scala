@@ -70,6 +70,79 @@ object EventAnalytics {
       |  round(sum(value::DECIMAL(12,2)), 4)::DOUBLE AS session_value
       |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** Session-distribution report over [[evSessions]]' session frame —
+    * the health summary a product team reads daily: session count,
+    * singleton (bounce) share, mean events per session, and duration
+    * percentiles. One row.
+    *
+    * Shares/means are exact-long quotients (bit-identical doubles) with
+    * the floor round; duration percentiles follow the [[evAnomaly]]
+    * pinning — both engines interpolate linearly but can differ in the
+    * last ulp, so the 6-dp round lands them on the identical double.
+    * Same scale caveat as evAnomaly: `percentile()` is exact and
+    * buffers per-group values — the final agg sees ONE group with every
+    * session's duration, fine at test scale and cross-engine-checkable;
+    * at 100 TB swap in approx_percentile (t-digest, constant memory).
+    * Everything before that is the user-keyed session window chain
+    * (high-cardinality partitions, bounded per-user state). */
+  def evSessionStats: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / lit(1e6)).as("dur_s"))
+    sess.agg(
+      count(lit(1)).as("n_sessions"),
+      coalesce(count(when(col("n_events") === 1, lit(1))), lit(0L)).as("n_singleton"),
+      sum(col("n_events")).as("tot_events"),
+      round(expr("percentile(dur_s, 0.5)"), 6).as("p50_dur_s"),
+      round(expr("percentile(dur_s, 0.9)"), 6).as("p90_dur_s"),
+      round(expr("percentile(dur_s, 0.99)"), 6).as("p99_dur_s"))
+      .select(col("n_sessions"), col("n_singleton"),
+        Exact.floorRound(col("n_singleton") / col("n_sessions"), 4).as("singleton_share"),
+        Exact.floorRound(col("tot_events") / col("n_sessions"), 4).as("avg_events"),
+        col("p50_dur_s"), col("p90_dur_s"), col("p99_dur_s"))
+  }
+
+  val evSessionStatsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+      |    CASE WHEN lag(epoch_us(ts::TIMESTAMP), 1) OVER w IS NULL
+      |           OR epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP), 1) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)),
+      |sessions AS (
+      |  SELECT user_id,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+      |    ts
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, session_id, count(*) AS n_events,
+      |    (max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6 AS dur_s
+      |  FROM sessions GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT count(*) AS n_sessions,
+      |    coalesce(count(*) FILTER (n_events = 1), 0) AS n_singleton,
+      |    sum(n_events) AS tot_events,
+      |    round(quantile_cont(dur_s, 0.5), 6) AS p50_dur_s,
+      |    round(quantile_cont(dur_s, 0.9), 6) AS p90_dur_s,
+      |    round(quantile_cont(dur_s, 0.99), 6) AS p99_dur_s
+      |  FROM sess)
+      |SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+      |  CAST(n_singleton AS BIGINT) AS n_singleton,
+      |  floor(n_singleton / n_sessions * 1e4 + 0.5) / 1e4 AS singleton_share,
+      |  floor(tot_events / n_sessions * 1e4 + 0.5) / 1e4 AS avg_events,
+      |  p50_dur_s, p90_dur_s, p99_dur_s
+      |FROM agg""".stripMargin
+
   /** Late-data accounting: a record is late if its event time trails the
     * running watermark (max ts over earlier offsets in its partition) by
     * more than the allowed lateness (10 min). */
@@ -479,6 +552,7 @@ object EventAnalytics {
     "ev_hopping" -> evHopping,
     "ev_tumbling" -> evTumbling,
     "ev_sessions" -> evSessions,
+    "ev_session_stats" -> evSessionStats,
     "ev_late_data" -> evLateData,
     "ev_resample" -> evResample,
     "ev_salted_agg" -> evSaltedAgg)
@@ -494,6 +568,7 @@ object EventAnalytics {
     "ev_hopping" -> evHoppingSql,
     "ev_tumbling" -> evTumblingSql,
     "ev_sessions" -> evSessionsSql,
+    "ev_session_stats" -> evSessionStatsSql,
     "ev_late_data" -> evLateDataSql,
     "ev_resample" -> evResampleSql,
     "ev_salted_agg" -> evSaltedAggSql)

@@ -274,6 +274,22 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .filter(col("dup_share") < 0.0 || col("dup_share") > 1.0).count() shouldBe 0L
   }
 
+  it should "summarize the session distribution consistently with the session frame" in {
+    val stats = operators.EventAnalytics.evSessionStats(spark, sf).collect()(0)
+    val sessions = operators.EventAnalytics.evSessions(spark, sf)
+    stats.getAs[Long]("n_sessions") shouldBe sessions.count()
+    stats.getAs[Long]("n_singleton") shouldBe
+      sessions.filter(sessions("n_events") === 1).count()
+    val share = stats.getAs[Double]("singleton_share")
+    share should (be >= 0.0 and be <= 1.0)
+    stats.getAs[Double]("avg_events") should be >= 1.0
+    // percentiles are nondecreasing in rank
+    val (p50, p90, p99) = (stats.getAs[Double]("p50_dur_s"),
+      stats.getAs[Double]("p90_dur_s"), stats.getAs[Double]("p99_dur_s"))
+    p90 should be >= p50
+    p99 should be >= p90
+  }
+
   it should "account every active user-day in the cohort matrix" in {
     import org.apache.spark.sql.functions._
     val m = operators.EventAnalytics.evCohortMatrix(spark, sf)
