@@ -329,6 +329,69 @@ object Transforms {
       }
   }
 
+  case class FunnelProgress(view: Option[Long], click: Option[Long], done: Boolean)
+  case class FunnelConversion(user_id: Long, t_view: java.sql.Timestamp,
+    t_click: java.sql.Timestamp, t_purchase: java.sql.Timestamp, total_s: Double)
+
+  /** Online funnel tracker — the streaming twin of the batch `ev_funnel`
+    * chain (first view → first click ≥ view → first purchase ≥ click):
+    * per-user keyed state advances through the stages as events arrive
+    * and emits ONE conversion record the moment the purchase stage
+    * qualifies (append mode — the live "conversion happened" signal,
+    * where the batch op is the offline census).
+    *
+    * Semantics contract: events fold in (event-time, event_id) order
+    * WITHIN each microbatch, and stage state only advances — so on a
+    * per-user in-order stream the emitted conversions match the batch
+    * operator exactly (spec-pinned); a cross-batch out-of-order arrival
+    * (a view delivered after a later click) follows first-delivery-wins,
+    * the standard online-funnel approximation. The `done` flag makes the
+    * emission idempotent under replays of later batches.
+    *
+    * Scale: state is two optional longs + a flag per user seen — for
+    * corpus-scale user spaces bound it with an event-time TTL exactly as
+    * [[runningUserTotalsWithTtl]] does for totals (converted users
+    * already shrink to the done flag; an idle-horizon timeout would
+    * evict them and incomplete stragglers entirely). */
+  def funnelConversions(spark: SparkSession, events: DataFrame): Dataset[FunnelConversion] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    def ts(u: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(u / 1000L)
+      t.setNanos(((u % 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .selectExpr("user_id", "ts", "event_type", "event_id")
+      .as[(Long, java.sql.Timestamp, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgress, FunnelConversion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Long)],
+            state: GroupState[FunnelProgress]) =>
+          var st = state.getOption.getOrElse(FunnelProgress(None, None, done = false))
+          val out = Seq.newBuilder[FunnelConversion]
+          rows.toSeq.sortBy(r => (us(r._2), r._4)).foreach { case (_, t, typ, _) =>
+            val u = us(t)
+            if (!st.done) typ match {
+              case "view" if st.view.isEmpty =>
+                st = st.copy(view = Some(u))
+              case "click" if st.view.exists(_ <= u) && st.click.isEmpty =>
+                st = st.copy(click = Some(u))
+              case "purchase" if st.click.exists(_ <= u) =>
+                out += FunnelConversion(user, ts(st.view.get), ts(st.click.get),
+                  ts(u), (u - st.view.get) / 1e6)
+                st = st.copy(done = true)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def runningUserTotalsWithTtl(spark: SparkSession, events: DataFrame,
       watermark: String = "30 minutes", idleMs: Long = 3600000L): Dataset[UserTotal] = {
     import spark.implicits._

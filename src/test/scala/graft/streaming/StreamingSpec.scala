@@ -662,6 +662,49 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     perWindow.filter(col("count") > 128).count() shouldBe 0L
   }
 
+  it should "advance the funnel once per user and hold the done flag across batches" in {
+    val (ms, df) = eventsStream(Seq(
+      Ev(0, ts(1), 1, "click", 1.0, "{}"),    // click before any view: ignored
+      Ev(1, ts(2), 1, "view", 1.0, "{}"),
+      Ev(2, ts(3), 1, "click", 1.0, "{}"),
+      Ev(3, ts(1), 2, "purchase", 1.0, "{}"))) // purchase without stages: ignored
+    val q = Transforms.funnelConversions(spark, df)
+      .writeStream.format("memory").queryName("fc").outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("fc").count() shouldBe 0 // user 1 has not purchased yet
+    ms.addData(Ev(4, ts(10), 1, "purchase", 1.0, "{}"))
+    q.processAllAvailable()
+    val conv = spark.table("fc").collect()
+    conv.map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(4))).toSeq shouldBe
+      Seq((1L, ts(2), 8 * 60.0)) // view :02 → purchase :10, stage times from state
+    // a later purchase must not re-emit: the done flag makes emission idempotent
+    ms.addData(Ev(5, ts(11), 1, "purchase", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    spark.table("fc").count() shouldBe 1
+  }
+
+  it should "emit funnel conversions in parity with the batch funnel census" in {
+    import org.apache.spark.sql.functions._
+    // per-user in-order delivery (one sorted batch): the online tracker's
+    // contract says it then matches the batch census exactly
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp()
+    graft.Tables.events(spark, sf).orderBy(col("ts"), col("event_id"))
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val q = Transforms.funnelConversions(spark, EventSource.fileStream(spark, src, 64))
+      .writeStream.format("memory").queryName("fc_parity").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val conv = spark.table("fc_parity").collect()
+    val expected = graft.operators.Joins.evFunnel(spark, sf)
+      .collect()(0).getAs[Long]("n_purchased_after")
+    conv.length.toLong shouldBe expected
+    conv.map(_.getLong(0)).distinct.length shouldBe conv.length // one emission per user
+    conv.foreach { r => // stage order invariant
+      r.getTimestamp(1).getTime should be <= r.getTimestamp(2).getTime
+      r.getTimestamp(2).getTime should be <= r.getTimestamp(3).getTime
+    }
+  }
+
   it should "score streamed documents in parity with the batch surprisal op" in {
     // the streaming quality gate must agree with ta_surprisal when the
     // literal LM is the same corpus unigram table the batch op derives
