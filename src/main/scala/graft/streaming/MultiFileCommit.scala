@@ -25,6 +25,66 @@ final case class ReachedAnyOf(
       maxRecords.exists(records >= _)
 }
 
+/** Jittered commit condition — commit once ANY parameter reaches a
+  * threshold sampled per-commit from a Gaussian (reference:
+  * sink/file/FileCommitStrategy.scala:64 FuzzyReachedAnyOf). The point
+  * at fleet scale: hundreds of writers configured with the SAME fixed
+  * thresholds close files in lockstep and hammer storage in synchronized
+  * bursts; per-commit jitter decorrelates them. Two reference
+  * subtleties preserved: thresholds RE-SAMPLE ONLY when a commit fires
+  * (re-sampling on every check would skew the effective distribution
+  * toward small thresholds — any one low draw would trigger
+  * immediately), and the size check runs only every `sizeCheckEvery`
+  * records (`sizeBytes` is by-name: sizing an open file can be
+  * expensive, so it must not be forced on the skipped checks).
+  * Stateful — one instance per sink, like the reference. A fixed seed
+  * makes the sequence deterministic for specs and replay analysis.
+  *
+  * As with [[ReachedAnyOf]], wall-clock cadence in Spark is owned by
+  * the trigger; the records/bytes draws are what a rolling sink maps
+  * onto its per-file limits. */
+final class FuzzyReachedAnyOf(
+    duration: Option[(Duration, Duration)] = None,
+    bytes: Option[(Long, Long)] = None,
+    records: Option[(Long, Long)] = None,
+    sizeCheckEvery: Long = 1L,
+    seed: Long = 0L) extends Serializable {
+  require(duration.nonEmpty || bytes.nonEmpty || records.nonEmpty,
+    "FuzzyReachedAnyOf needs at least one (mean, stdDev) distribution")
+  require(sizeCheckEvery >= 1, s"sizeCheckEvery must be >= 1 (got $sizeCheckEvery)")
+
+  private val rand = new scala.util.Random(seed)
+  // floor at 1 (and 0ms): a low Gaussian tail must jitter the threshold,
+  // not produce a commit-every-record (or negative) limit
+  private def draw(mean: Long, sd: Long): Long =
+    math.max(1L, math.round(mean + rand.nextGaussian() * sd))
+  private def sample(): (Option[Long], Option[Long], Option[Long]) = (
+    duration.map { case (m, sd) => math.max(0L, draw(m.toMillis, sd.toMillis)) },
+    bytes.map { case (m, sd) => draw(m, sd) },
+    records.map { case (m, sd) => draw(m, sd) })
+
+  private var current = sample()
+  private var untilSizeCheck = sizeCheckEvery
+
+  /** Current sampled (durationMs, bytes, records) thresholds (for specs
+    * and debugging — the decision API is [[shouldCommit]]). */
+  def currentThresholds: (Option[Long], Option[Long], Option[Long]) = current
+
+  def shouldCommit(openDuration: Duration, sizeBytes: => Long, nRecords: Long): Boolean = {
+    val durationHit = current._1.exists(openDuration.toMillis >= _)
+    val recordsHit = current._3.exists(nRecords >= _)
+    val sizeHit =
+      if (untilSizeCheck == 1) { untilSizeCheck = sizeCheckEvery; current._2.exists(sizeBytes >= _) }
+      else { untilSizeCheck -= 1; false }
+    val commit = durationHit || recordsHit || sizeHit
+    if (commit) {
+      untilSizeCheck = sizeCheckEvery
+      current = sample()
+    }
+    commit
+  }
+}
+
 /** Commit condition over ALL the open files of a multi-file batch
   * (reference: sink/file/MultiFileCommitStrategy.scala:1 — anyFile /
   * allFiles / total combinators over a single-file strategy).

@@ -310,6 +310,42 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .shouldCommit(Duration.ofMinutes(2), 0, 0) shouldBe true
   }
 
+  it should "jitter fuzzy commit thresholds, re-sampling only on commit" in {
+    import java.time.Duration
+    val f = new FuzzyReachedAnyOf(records = Some((100L, 10L)), seed = 42L)
+    val first = f.currentThresholds._3.get
+    // Gaussian around 100, sd 10: the draw is jittered but sane
+    first should (be >= 60L and be <= 140L)
+    // below-threshold checks must NOT re-sample (re-sampling every check
+    // would bias commits toward any one low draw)
+    (1L until first).foreach { n =>
+      f.shouldCommit(Duration.ZERO, 0L, n) shouldBe false
+      f.currentThresholds._3.get shouldBe first
+    }
+    f.shouldCommit(Duration.ZERO, 0L, first) shouldBe true
+    // committed: a fresh draw (deterministic under the seed, and ~never
+    // the previous one)
+    val second = f.currentThresholds._3.get
+    second should (be >= 60L and be <= 140L)
+    // threshold draws vary across commits — the whole point of jitter
+    val draws = (0 until 50).map { _ =>
+      val t = f.currentThresholds._3.get
+      f.shouldCommit(Duration.ZERO, 0L, t) shouldBe true
+      t
+    }
+    draws.distinct.size should be > 10
+    draws.foreach(_ should (be >= 50L and be <= 150L))
+    // the size check only forces the by-name size every N records
+    var sizings = 0
+    val g = new FuzzyReachedAnyOf(bytes = Some((1000000L, 1L)), sizeCheckEvery = 10L, seed = 1L)
+    (1 to 100).foreach(n => g.shouldCommit(Duration.ZERO, { sizings += 1; 0L }, n.toLong))
+    sizings shouldBe 10
+    // duration-only form still decides
+    val h = new FuzzyReachedAnyOf(duration = Some((Duration.ofMinutes(1), Duration.ZERO)), seed = 2L)
+    h.shouldCommit(Duration.ofMinutes(2), 0L, 0L) shouldBe true
+    h.shouldCommit(Duration.ofSeconds(1), 0L, 0L) shouldBe false
+  }
+
   it should "roll commit batches under a Total(bytes) budget with one file each" in {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
