@@ -148,4 +148,51 @@ object MultiFileCommit {
       c
     }
   }
+
+  /** [[TotalFold]] with [[FuzzyReachedAnyOf]]-style jitter executed
+    * DISTRIBUTED: each commit batch's byte/record budget is a fresh
+    * Gaussian draw, so the files a fleet of writers publishes stop
+    * sharing one exact size — de-synchronized storage load without any
+    * coordination. Replay-deterministic by construction: the RNG
+    * re-seeds per partition group from (seed, groupSeed) and draws
+    * sequentially along the group's pinned fold order, so a re-executed
+    * epoch reproduces the identical commit assignment — the property
+    * the exactly-once publish depends on. Budgets floor at 1 (a low
+    * Gaussian tail must jitter, not degenerate to per-record commits). */
+  final class FuzzyTotalFold(
+      bytes: Option[(Long, Long)],
+      records: Option[(Long, Long)],
+      seed: Long) extends Serializable {
+    require(bytes.nonEmpty || records.nonEmpty, "FuzzyTotalFold needs a budget distribution")
+
+    private var rand = new scala.util.Random(seed)
+    private var commit = 0L
+    private var accBytes = 0L
+    private var accRecords = 0L
+    private var curBytes: Option[Long] = None
+    private var curRecords: Option[Long] = None
+
+    private def draw(p: (Long, Long)): Long =
+      math.max(1L, math.round(p._1 + rand.nextGaussian() * p._2))
+    private def roll(): Unit = { curBytes = bytes.map(draw); curRecords = records.map(draw) }
+
+    /** Restart numbering and re-seed for a new partition group. */
+    def reset(groupSeed: Long): Unit = {
+      rand = new scala.util.Random(seed ^ groupSeed)
+      commit = 0L; accBytes = 0L; accRecords = 0L
+      roll()
+    }
+
+    /** Commit index for the next record of `bytes` encoded bytes. */
+    def next(nBytes: Long): Long = {
+      accBytes += nBytes
+      accRecords += 1
+      val c = commit
+      if (curBytes.exists(accBytes >= _) || curRecords.exists(accRecords >= _)) {
+        commit += 1L; accBytes = 0L; accRecords = 0L
+        roll()
+      }
+      c
+    }
+  }
 }

@@ -89,11 +89,15 @@ object Sinks {
       events: DataFrame,
       outDir: String,
       checkpointDir: String,
-      strategy: MultiFileCommit.Total): DataStreamWriter[Row] = {
+      strategy: MultiFileCommit.Total,
+      jitter: Option[(Double, Long)] = None): DataStreamWriter[Row] = {
     val maxBytes = strategy.single.maxBytes
     val maxRecords = strategy.single.maxRecords
     require(maxBytes.nonEmpty || maxRecords.nonEmpty,
       "multiFileBatchingSink needs a byte or record budget (duration is trigger-owned)")
+    jitter.foreach { case (rel, _) =>
+      require(rel > 0.0 && rel < 1.0,
+        s"jitter relative stdDev must be in (0, 1) (got $rel)") }
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -111,17 +115,29 @@ object Sinks {
           val outSchema = sized.schema.add("commit", org.apache.spark.sql.types.LongType)
           val groupIdx = sized.schema.fieldIndex("event_type")
           val bytesIdx = sized.schema.fieldIndex("_bytes")
-          val maxB = maxBytes; val maxR = maxRecords
+          val maxB = maxBytes; val maxR = maxRecords; val jit = jitter
           val withCommit = sized.mapPartitions { it =>
             // reset-per-commit fold (MultiFileCommit.TotalFold); state
             // restarts on group change (a partition may hold several
-            // hash-co-located groups)
-            val fold = new MultiFileCommit.TotalFold(maxB, maxR)
+            // hash-co-located groups). With jitter, budgets re-draw per
+            // commit (FuzzyTotalFold) — replay-deterministic because the
+            // RNG re-seeds from (seed, group) and the fold order is
+            // pinned by the sortWithinPartitions above.
+            val fold = jit match {
+              case Some((rel, seed)) => Right(new MultiFileCommit.FuzzyTotalFold(
+                maxB.map(b => (b, math.max(1L, math.round(b * rel)))),
+                maxR.map(r => (r, math.max(1L, math.round(r * rel)))), seed))
+              case None => Left(new MultiFileCommit.TotalFold(maxB, maxR))
+            }
             var group: String = null
             it.map { row =>
               val g = row.getString(groupIdx)
-              if (g != group) { group = g; fold.reset() }
-              Row.fromSeq(row.toSeq :+ fold.next(row.getLong(bytesIdx)))
+              if (g != group) {
+                group = g
+                fold.fold(_.reset(), _.reset(g.##.toLong))
+              }
+              val commit = fold.fold(_.next(row.getLong(bytesIdx)), _.next(row.getLong(bytesIdx)))
+              Row.fromSeq(row.toSeq :+ commit)
             }
           }(org.apache.spark.sql.Encoders.row(outSchema))
             .drop("_bytes")

@@ -346,6 +346,42 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     h.shouldCommit(Duration.ofSeconds(1), 0L, 0L) shouldBe false
   }
 
+  it should "jitter distributed commit budgets deterministically per group" in {
+    // pure fold: same (seed, group) ⇒ identical assignment; budgets vary
+    // across commits; different groups draw different sequences
+    def assign(seed: Long, groupSeed: Long, n: Int): Seq[Long] = {
+      val f = new MultiFileCommit.FuzzyTotalFold(None, Some((10L, 2L)), seed)
+      f.reset(groupSeed)
+      (1 to n).map(_ => f.next(1L))
+    }
+    val a = assign(7L, 1L, 200)
+    assign(7L, 1L, 200) shouldBe a                  // replay-deterministic
+    assign(7L, 2L, 200) should not be a             // group decorrelation
+    assign(8L, 1L, 200) should not be a             // seed decorrelation
+    val sizes = a.groupBy(identity).values.map(_.size).toSeq
+    sizes.distinct.size should be > 1               // budgets actually vary
+    sizes.foreach(_ should (be >= 1 and be <= 20))  // sane Gaussian range
+    // sink-level: the jittered budget still packs every record exactly once
+    // and produces varying commit sizes
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = tmp(); val out = tmp() + "/table"; val cp = tmp()
+    (0L until 40L).map(i => Ev(i, ts(i.toInt + 1), 1, "click", 1.0, "x" * 20))
+      .toDF().write.mode("overwrite").parquet(src)
+    Sinks.multiFileBatchingSink(
+      EventSource.fileStream(spark, src, maxFilesPerTrigger = 8),
+      out, cp,
+      MultiFileCommit.Total(ReachedAnyOf(maxRecords = Some(8L))),
+      jitter = Some((0.3, 42L)))
+      .start().awaitTermination()
+    val all = spark.read.parquet(s"$out/epoch_0")
+    all.count() shouldBe 40
+    val perCommit = all.groupBy(col("commit")).count()
+      .collect().map(_.getLong(1)).toSeq
+    perCommit.sum shouldBe 40L
+    perCommit.distinct.size should be > 1 // jittered, not fixed-size packs
+  }
+
   it should "roll commit batches under a Total(bytes) budget with one file each" in {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
