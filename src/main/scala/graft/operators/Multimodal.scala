@@ -139,7 +139,40 @@ object Multimodal {
       |  least(100, n_bytes - chunk_idx * 100) AS chunk_bytes
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Per-modality payload dedup report: exact dedup by payload checksum
+    * WITHIN each format lane (an image and an audio clip can share bytes
+    * only degenerately, and production dedup always runs per modality),
+    * reporting payload count, distinct count and the duplicated share —
+    * the number that decides whether a modality lane needs the full
+    * near-dup pass. Single scan; the two-phase distinct aggregate
+    * shuffles (format, md5) with map-side partial dedup — no payload
+    * bytes cross the wire, only 32-hex digests. */
+  def mmDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("format", element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_payloads"),
+        countDistinct(md5(col("payload"))).as("n_distinct"))
+      .withColumn("n_dupes", col("n_payloads") - col("n_distinct"))
+      .withColumn("dup_share",
+        Exact.floorRound(col("n_dupes") / col("n_payloads"), 4))
+      .orderBy(col("format"))
+
+  val mmDedupSql: String =
+    """WITH m AS (
+      |  SELECT (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS format,
+      |    md5(text) AS payload_md5
+      |  FROM documents)
+      |SELECT format, count(*) AS n_payloads,
+      |  count(DISTINCT payload_md5) AS n_distinct,
+      |  count(*) - count(DISTINCT payload_md5) AS n_dupes,
+      |  floor((count(*) - count(DISTINCT payload_md5)) / count(*) * 1e4 + 0.5) / 1e4 AS dup_share
+      |FROM m GROUP BY format ORDER BY format""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "mm_dedup" -> mmDedup,
     "mm_meta" -> mmMeta,
     "mm_framesample" -> mmFramesample,
     "mm_chunk" -> mmChunk,
@@ -148,6 +181,7 @@ object Multimodal {
 
   /** mm_decode_stub intentionally omitted → rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "mm_dedup" -> mmDedupSql,
     "mm_meta" -> mmMetaSql,
     "mm_framesample" -> mmFramesampleSql,
     "mm_chunk" -> mmChunkSql,

@@ -290,6 +290,22 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     p99 should be >= p90
   }
 
+  it should "report per-modality payload dedup consistently with exact content dedup" in {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Multimodal.mmDedup(spark, sf).collect()
+    rows.map(_.getAs[String]("format")).sorted shouldBe Array("audio", "image", "video")
+    // lanes partition the corpus, and distinct-per-lane sums to at least
+    // the corpus-wide distinct count (a cross-lane duplicate counts once
+    // globally but once per lane here)
+    rows.map(_.getAs[Long]("n_payloads")).sum shouldBe Tables.documents(spark, sf).count()
+    val globalDistinct = operators.Dedup.ddExact(spark, sf).count()
+    rows.map(_.getAs[Long]("n_distinct")).sum should be >= globalDistinct
+    rows.foreach { r =>
+      r.getAs[Long]("n_dupes") shouldBe r.getAs[Long]("n_payloads") - r.getAs[Long]("n_distinct")
+      r.getAs[Double]("dup_share") should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
   it should "account every active user-day in the cohort matrix" in {
     import org.apache.spark.sql.functions._
     val m = operators.EventAnalytics.evCohortMatrix(spark, sf)
