@@ -108,6 +108,31 @@ class SnapshotSinkSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll 
     sink.read(spark).count() shouldBe 3
   }
 
+  it should "read exactly the increment between snapshots" in {
+    import spark.implicits._
+    val table = tmp()
+    val sink = new SnapshotTableSink(table)
+    Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")).toDF().createOrReplaceTempView("i0")
+    sink.writeBatch(spark.table("i0"), 0L)
+    Seq(Ev(1, ts(2), 2, "view", 2.0, "{}"),
+        Ev(2, ts(3), 3, "view", 3.0, "{}")).toDF().createOrReplaceTempView("i1")
+    sink.writeBatch(spark.table("i1"), 1L)
+    Seq(Ev(3, ts(4), 4, "click", 4.0, "{}")).toDF().createOrReplaceTempView("i2")
+    sink.writeBatch(spark.table("i2"), 2L)
+    // increment 0→2 = epochs 1 and 2, never epoch 0's record
+    val inc = sink.readChangesBetween(spark, 0L, 2L)
+    inc.count() shouldBe 3
+    inc.select("event_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
+    // since-latest convenience; empty when nothing new
+    sink.readChangesSince(spark, 0L).count() shouldBe 3
+    sink.readChangesSince(spark, 2L).count() shouldBe 0
+    // identical bounds = empty increment
+    sink.readChangesBetween(spark, 1L, 1L).count() shouldBe 0
+    // an expired lower bound must fail loudly, not silently re-read all
+    sink.expireSnapshots(spark, keepLast = 2)
+    an[IllegalArgumentException] should be thrownBy sink.readChangesBetween(spark, 0L, 2L)
+  }
+
   behavior of "GraftMetrics"
 
   it should "count rows and epochs per streaming query" in {
