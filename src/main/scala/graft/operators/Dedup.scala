@@ -751,8 +751,82 @@ object Dedup {
       |  floor(coalesce(sum(c) FILTER (ntot > 1), 0) / sum(c) * 1e4 + 0.5) / 1e4 AS dup_share
       |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Longest duplicated token run per document — the span-removal
+    * threshold metric of exact-substring dedup (published pipelines cut
+    * duplicated spans past ~50 tokens rather than dropping whole docs):
+    * consecutive duplicated 8-token windows merge into runs
+    * (gaps-and-islands), and a run of k windows covers k+7 tokens.
+    * [[ddSubstring]] answers "how much of this doc is duplicated";
+    * this answers "is there one long verbatim span worth cutting".
+    * Only documents containing a duplicated run are emitted.
+    *
+    * Scale shape: ONE scan (n_windows = len−7 rides the explode as a
+    * record-local constant — no second per-doc count pass). The
+    * position frame keeps (doc, pos), so the per-hash total comes from a
+    * count-window over the h-partitioned positions — a hot boilerplate
+    * hash buffers its partition in WindowExec's spill-backed array
+    * (disk-bounded, never OOM; the collapsed-frame trick dd_substring
+    * uses is unavailable here because positions must survive). After
+    * the dup filter the frame is duplicated-positions-only; the island
+    * window (doc-keyed) and the two shrinking aggregates ride on that
+    * reduced frame. */
+  def ddDupSpan: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+    val wins = docs
+      .select(col("doc_id"), (size(col("tk")) - 7).cast("long").as("n_windows"),
+        posexplode(expr(
+          "transform(sequence(1, size(tk) - 7), i -> cast(conv(substring(md5(concat_ws(' ', " +
+            "element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2), " +
+            "element_at(tk, i + 3), element_at(tk, i + 4), element_at(tk, i + 5), " +
+            "element_at(tk, i + 6), element_at(tk, i + 7))), 1, 8), 16, 10) as bigint))"))
+          .as(Seq("pos", "h")))
+    val dup = wins
+      .withColumn("ntot", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("ntot") > 1)
+    val islands = dup
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    islands
+      .groupBy(col("doc_id"), col("n_windows"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"), col("n_windows"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("max_run_windows"))
+      .withColumn("max_run_tokens", col("max_run_windows") + 7)
+      .orderBy(col("doc_id"))
+  }
+
+  val ddDupSpanSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, CAST(len(tk) - 7 AS BIGINT) AS n_windows, i AS pos,
+      |    CAST(('0x' || substr(md5(concat_ws(' ', tk[i], tk[i + 1], tk[i + 2],
+      |      tk[i + 3], tk[i + 4], tk[i + 5], tk[i + 6], tk[i + 7])), 1, 8)) AS BIGINT) AS h
+      |  FROM t, unnest(range(1, len(tk) - 6)) AS u(i)
+      |  WHERE len(tk) >= 8),
+      |dup AS (
+      |  SELECT doc_id, n_windows, pos FROM (
+      |    SELECT doc_id, n_windows, pos, count(*) OVER (PARTITION BY h) AS ntot FROM w)
+      |  WHERE ntot > 1),
+      |isl AS (
+      |  SELECT doc_id, n_windows,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM dup),
+      |runs AS (
+      |  SELECT doc_id, n_windows, count(*) AS run_len
+      |  FROM isl GROUP BY doc_id, n_windows, grp)
+      |SELECT doc_id, n_windows, count(*) AS n_runs,
+      |  CAST(max(run_len) AS BIGINT) AS max_run_windows,
+      |  CAST(max(run_len) + 7 AS BIGINT) AS max_run_tokens
+      |FROM runs GROUP BY doc_id, n_windows ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "dd_substring" -> ddSubstring,
+    "dd_dup_span" -> ddDupSpan,
     "dd_decontaminate" -> ddDecontaminate,
     "dd_exact" -> ddExact,
     "dd_cross_source" -> ddCrossSource,
@@ -770,6 +844,7 @@ object Dedup {
 
   def oracleSql: Map[String, String] = Map(
     "dd_substring" -> ddSubstringSql,
+    "dd_dup_span" -> ddDupSpanSql,
     "dd_decontaminate" -> ddDecontaminateSql,
     "dd_exact" -> ddExactSql,
     "dd_cross_source" -> ddCrossSourceSql,

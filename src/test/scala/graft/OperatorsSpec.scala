@@ -306,6 +306,36 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "measure the longest duplicated run and agree with the dup-share frame" in {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-span").toString
+    // doc 0/1 share ONLY a 12-token span inside otherwise-unique text:
+    // the run is exactly 12-7=5 windows → 12 tokens reported
+    val span = (1 to 12).map(i => s"shared$i").mkString(" ")
+    Seq(
+      (0L, s"${(1 to 10).map(i => s"a$i").mkString(" ")} $span ${(1 to 10).map(i => s"b$i").mkString(" ")}", "en", "src0", 100L),
+      (1L, s"${(1 to 10).map(i => s"c$i").mkString(" ")} $span ${(1 to 10).map(i => s"d$i").mkString(" ")}", "en", "src0", 100L),
+      (2L, (1 to 30).map(i => s"u$i").mkString(" "), "en", "src0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Dedup.ddDupSpan(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_runs"), r.getAs[Long]("max_run_tokens")))).toMap
+    rows.keySet shouldBe Set(0L, 1L)      // the unique doc emits nothing
+    rows(0L) shouldBe ((1L, 12L))          // one run covering the shared span
+    rows(1L) shouldBe ((1L, 12L))
+    // corpus consistency: exactly the docs with dup_windows > 0 carry runs,
+    // and no run can exceed the doc's window count
+    val spanDocs = operators.Dedup.ddDupSpan(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val shareDocs = operators.Dedup.ddSubstring(spark, sf)
+      .filter(col("dup_windows") > 0).select("doc_id").as[Long].collect().toSet
+    spanDocs shouldBe shareDocs
+    operators.Dedup.ddDupSpan(spark, sf)
+      .filter(col("max_run_windows") > col("n_windows")).count() shouldBe 0L
+  }
+
   it should "account every active user-day in the cohort matrix" in {
     import org.apache.spark.sql.functions._
     val m = operators.EventAnalytics.evCohortMatrix(spark, sf)
