@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -142,6 +142,77 @@ object EventAnalytics {
       |  floor(tot_events / n_sessions * 1e4 + 0.5) / 1e4 AS avg_events,
       |  p50_dur_s, p90_dur_s, p99_dur_s
       |FROM agg""".stripMargin
+
+  /** Per-type traffic trend: OLS slope of hourly event counts over the
+    * hour index — "is this event type growing or dying", the first
+    * derivative every traffic dashboard draws. Hours with zero events
+    * are real observations, so the hour spine is densified from the
+    * per-type min..max hour range before the regression (a slope fitted
+    * only over non-empty hours systematically overestimates dying
+    * traffic).
+    *
+    * Scale shape: ONE corpus aggregate to (type, hour) counts — map-side
+    * partial combine, output bounded by types × hours, not events; the
+    * spine explode and the regression run on that tiny frame. Slope
+    * arithmetic follows the [[TextAnalysis.taZipf]] idiom: decimal(38,18)
+    * Σx/Σy/Σxy/Σx² partials (order-independent across engines), the
+    * final slope computed in double on bit-identical inputs and
+    * floor-rounded. x is the hour offset from the type's first hour
+    * (exact small integers), y the hourly count. */
+  def evTrend: Q = (s, d) => {
+    val dec = (e: Column) => e.cast("decimal(38,18)")
+    val hours = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        // integral div (micros are post-1970 positive, so trunc ≡ duck's
+        // floor //); Column./ would divide in double and re-truncate
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hours.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("hr0"), max(col("hr")).as("hr1"))
+      .select(col("event_type"), col("hr0"),
+        explode(sequence(col("hr0"), col("hr1"))).as("hr"))
+    val dense = spine.join(hours, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), (col("hr") - col("hr0")).cast("double").as("x"),
+        coalesce(col("n"), lit(0L)).cast("double").as("y"))
+    val nH = col("n_hours").cast("double")
+    dense
+      .select(col("event_type"), dec(col("x")).as("x"), dec(col("y")).as("y"),
+        dec(col("x") * col("y")).as("xy"), dec(col("x") * col("x")).as("xx"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("y")).cast("long").as("n_events"),
+        sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+        sum(col("xy")).cast("double").as("sxy"), sum(col("xx")).cast("double").as("sxx"))
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        Exact.floorRound((nH * col("sxy") - col("sx") * col("sy")) /
+          (nH * col("sxx") - col("sx") * col("sx")), 6).as("slope_per_hour"))
+      .orderBy(col("event_type"))
+  }
+
+  val evTrendSql: String =
+    """WITH hrs AS (
+      |  SELECT event_type,
+      |    epoch_us(date_trunc('hour', ts::TIMESTAMP)) // 3600000000 AS hr,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type, hr0, unnest(range(hr0, hr1 + 1)) AS hr
+      |  FROM (SELECT event_type, min(hr) AS hr0, max(hr) AS hr1 FROM hrs GROUP BY 1)),
+      |dense AS (
+      |  SELECT s.event_type, (s.hr - s.hr0)::DOUBLE AS x, coalesce(h.n, 0)::DOUBLE AS y
+      |  FROM spine s LEFT JOIN hrs h ON h.event_type = s.event_type AND h.hr = s.hr),
+      |t AS (
+      |  SELECT event_type, x::DECIMAL(38,18) AS x, y::DECIMAL(38,18) AS y,
+      |    (x * y)::DECIMAL(38,18) AS xy, (x * x)::DECIMAL(38,18) AS xx
+      |  FROM dense),
+      |agg AS (
+      |  SELECT event_type, count(*) AS n_hours, sum(y)::BIGINT AS n_events,
+      |    sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+      |    sum(xy)::DOUBLE AS sxy, sum(xx)::DOUBLE AS sxx
+      |  FROM t GROUP BY 1)
+      |SELECT event_type, n_hours, n_events,
+      |  floor((n_hours::DOUBLE * sxy - sx * sy) /
+      |        (n_hours::DOUBLE * sxx - sx * sx) * 1e6 + 0.5) / 1e6 AS slope_per_hour
+      |FROM agg ORDER BY event_type""".stripMargin
 
   /** Late-data accounting: a record is late if its event time trails the
     * running watermark (max ts over earlier offsets in its partition) by
@@ -553,6 +624,7 @@ object EventAnalytics {
     "ev_tumbling" -> evTumbling,
     "ev_sessions" -> evSessions,
     "ev_session_stats" -> evSessionStats,
+    "ev_trend" -> evTrend,
     "ev_late_data" -> evLateData,
     "ev_resample" -> evResample,
     "ev_salted_agg" -> evSaltedAgg)
@@ -569,6 +641,7 @@ object EventAnalytics {
     "ev_tumbling" -> evTumblingSql,
     "ev_sessions" -> evSessionsSql,
     "ev_session_stats" -> evSessionStatsSql,
+    "ev_trend" -> evTrendSql,
     "ev_late_data" -> evLateDataSql,
     "ev_resample" -> evResampleSql,
     "ev_salted_agg" -> evSaltedAggSql)

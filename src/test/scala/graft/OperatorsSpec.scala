@@ -336,6 +336,33 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .filter(col("max_run_windows") > col("n_windows")).count() shouldBe 0L
   }
 
+  it should "fit traffic trends over the densified hour spine" in {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a strictly growing type (n events in hour n) and a type active in
+    // only two far-apart hours — the zero-filled spine must pull the
+    // second slope toward 0, which a sparse fit would miss entirely
+    val dir = java.nio.file.Files.createTempDirectory("graft-trend").toString
+    def hourNs(h: Int) = h * 3600L * 1000000000L // Tables.events expects nanos
+    val grow = for (h <- 0 until 10; i <- 0 to h)
+      yield (h * 100L + i, hourNs(h), 1L, "grow", 1.0, "{}")
+    val sparse = Seq(
+      (5000L, hourNs(0), 2L, "sparse", 1.0, "{}"),
+      (5001L, hourNs(9), 2L, "sparse", 1.0, "{}"))
+    (grow ++ sparse).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = operators.EventAnalytics.evTrend(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    // y = x+1 over x = 0..9 → slope exactly 1
+    rows("grow").getAs[Double]("slope_per_hour") shouldBe 1.0
+    rows("grow").getAs[Long]("n_hours") shouldBe 10L
+    rows("grow").getAs[Long]("n_events") shouldBe 55L
+    // 10-hour spine with 8 zero hours: slope ≈ 0 (exactly 0 here by
+    // symmetry: ones at both ends of the window)
+    rows("sparse").getAs[Long]("n_hours") shouldBe 10L
+    rows("sparse").getAs[Double]("slope_per_hour") shouldBe 0.0
+  }
+
   it should "account every active user-day in the cohort matrix" in {
     import org.apache.spark.sql.functions._
     val m = operators.EventAnalytics.evCohortMatrix(spark, sf)
