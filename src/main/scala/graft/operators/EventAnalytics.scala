@@ -161,12 +161,19 @@ object EventAnalytics {
     * (exact small integers), y the hourly count. */
   def evTrend: Q = (s, d) => {
     val dec = (e: Column) => e.cast("decimal(38,18)")
+    // localCheckpoint: the spine (min/max per type) and the dense join
+    // both consume this frame, but the spine's re-aggregation
+    // canonicalizes to a different exchange, so without materialization
+    // the corpus aggregate — the only corpus-sized work here — runs
+    // twice (ScanAudit showed events=2). The frame is types × hours
+    // rows (KBs at any corpus size), so checkpointing is free.
     val hours = Tables.events(s, d)
       .groupBy(col("event_type"),
         // integral div (micros are post-1970 positive, so trunc ≡ duck's
         // floor //); Column./ would divide in double and re-truncate
         expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hr"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val spine = hours.groupBy(col("event_type"))
       .agg(min(col("hr")).as("hr0"), max(col("hr")).as("hr1"))
       .select(col("event_type"), col("hr0"),
