@@ -39,7 +39,29 @@ object GraftFunctions {
       (args: Seq[Expression]) => VerticaNativeEncode(args(0), fieldSpecArg(args, "graft_verticarow"))),
     (new FunctionIdentifier("graft_pq_score"),
       new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_score"),
-      (args: Seq[Expression]) => { arity("graft_pq_score", args, 2); PqAdcScore(args(0), args(1)) }))
+      (args: Seq[Expression]) => { arity("graft_pq_score", args, 2); PqAdcScore(args(0), args(1)) }),
+    // Spark ships distributed Bloom build/probe as CATALYST expressions
+    // (the runtime-filter machinery) but does not register them as SQL
+    // functions; graft exposes them for the ingest dedup gate
+    // (streaming.Transforms.bloomDedup). Build and probe share one hash
+    // pipeline: callers pass xxhash64(key) to both.
+    (new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (args: Seq[Expression]) => {
+        arity("graft_bloom_agg", args, 3)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))
+      }),
+    (new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (args: Seq[Expression]) => {
+        arity("graft_bloom_contains", args, 2)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
+      }))
 
   /** Optional per-field encoding spec (2nd arg of the binary encoders):
     * must be a foldable string literal — it shapes the generated code, so

@@ -329,6 +329,47 @@ object Transforms {
       }
   }
 
+  /** Historical-corpus dedup gate — the 100 TB form of "drop anything
+    * we already ingested": exact membership state for billions of seen
+    * content hashes is TBs, but a Bloom filter at fpp=1% is ~1.2 bytes
+    * per item, so the whole history rides in one broadcast value. The
+    * filter BUILD is a distributed `bloom_filter_agg` over xxhash64 of
+    * the normalized-content hash (partial filters OR-merge map-side —
+    * one pass, no collect of hashes); the gate probes it with
+    * `might_contain` as a stateless codegen'd predicate — no join, no
+    * keyed state, works identically on batch frames and streams.
+    *
+    * The asymmetry is the point: Bloom membership has ZERO false
+    * negatives, so a true duplicate is ALWAYS dropped; at most `fpp` of
+    * FRESH documents are falsely dropped (spec pins both sides). That
+    * trade — lose ε of new data, never re-ingest old — is the right
+    * polarity for training corpora, where duplicates hurt and marginal
+    * fresh documents are fungible. For in-stream (not vs-history) dedup
+    * use [[contentDedup]]'s watermarked exact state instead; the two
+    * compose (bloom vs history, exact within the watermark). */
+  def bloomDedup(docs: DataFrame, historical: DataFrame,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive (got $expectedItems)")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1) (got $fpp)")
+    def contentHash(df: DataFrame) =
+      md5(graft.functions.TextFns.normText(col("text")).cast("binary"))
+    // optimal bit count m = -n ln p / (ln 2)²; insertion and probe must
+    // share ONE hash pipeline (xxhash64 → mightContainLong) — the
+    // DataFrame-stat builder hashes strings internally with a different
+    // scheme and its filters would silently never match might_contain
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    graft.plans.GraftFunctions.register(historical.sparkSession)
+    val bytes = historical
+      .select(xxhash64(contentHash(historical)).as("h"))
+      .agg(call_function("graft_bloom_agg", col("h"),
+        lit(expectedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.filter(!call_function("graft_bloom_contains", lit(bytes),
+      xxhash64(contentHash(docs))))
+  }
+
   case class FunnelProgress(view: Option[Long], click: Option[Long], done: Boolean)
   case class FunnelConversion(user_id: Long, t_view: java.sql.Timestamp,
     t_click: java.sql.Timestamp, t_purchase: java.sql.Timestamp, total_s: Double)

@@ -734,6 +734,36 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     perWindow.filter(col("count") > 128).count() shouldBe 0L
   }
 
+  it should "drop every historical duplicate through the bloom gate, keeping most fresh docs" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // history: 2000 docs; stream: 500 exact clones + 500 normalized
+    // clones (case/punct noise — the gate hashes NORMALIZED content)
+    // + 2000 fresh docs
+    val hist = (0 until 2000).map(i => (i.toLong, s"historical document number $i body"))
+      .toDF("doc_id", "text")
+    val clones = (0 until 500).map(i => (10000L + i, s"historical document number $i body")) ++
+      (500 until 1000).map(i => (10000L + i, s"HISTORICAL, document number $i body!"))
+    val fresh = (0 until 2000).map(i => (20000L + i, s"genuinely new content item $i"))
+    val stream = (clones ++ fresh).toDF("doc_id", "text")
+    val kept = Transforms.bloomDedup(stream, hist, expectedItems = 2000L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    // zero false negatives: every clone (exact or normalized) is dropped
+    kept.count(_ < 20000L) shouldBe 0
+    // false-positive rate on fresh content stays near the configured fpp
+    val freshKept = kept.count(_ >= 20000L)
+    freshKept should be >= 1900 // ≤5% dropped at fpp=1% (generous margin)
+    // the gate is a stateless predicate: it must also run on a stream
+    val (_, df) = eventsStream(Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")))
+    val gated = Transforms.bloomDedup(
+      df.withColumnRenamed("props", "text"), hist, 2000L, 0.01)
+    gated.isStreaming shouldBe true
+    val q = gated.writeStream.format("memory").queryName("bloomed")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    spark.table("bloomed").count() shouldBe 1 // "{}" is not in the history
+  }
+
   it should "advance the funnel once per user and hold the done flag across batches" in {
     val (ms, df) = eventsStream(Seq(
       Ev(0, ts(1), 1, "click", 1.0, "{}"),    // click before any view: ignored
