@@ -824,9 +824,38 @@ object Dedup {
       |  CAST(max(run_len) + 7 AS BIGINT) AS max_run_tokens
       |FROM runs GROUP BY doc_id, n_windows ORDER BY doc_id""".stripMargin
 
+  /** Bloom-gate dedup report — the batch face of
+    * [[graft.streaming.Transforms.bloomDedup]]: treat even doc_ids as the
+    * already-ingested history, run the whole corpus through the Bloom
+    * gate, and report per-source arrival/kept/dropped counts. NO SQL
+    * oracle BY DESIGN (DuckDB cannot reproduce Spark's BloomFilterImpl
+    * bit pattern); the driver records a rows-only check and the
+    * zero-false-negative + fpp-bounded-false-positive semantics are
+    * pinned in StreamingSpec and OperatorsSpec instead — the same
+    * treatment as `q_approx_distinct`'s sketch. Deterministic for a
+    * given corpus: the filter's bits are a pure function of the inserted
+    * hash set and sizing. */
+  def ddBloom: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // content-independent hash split for the synthetic history — doc_id
+    // parity would correlate with `source` (id % 20) and make every lane
+    // all-or-nothing, hiding per-lane false-positive behavior
+    val hist = docs.filter(hashBucket("bloomhist|", col("doc_id"), 8, 2) === 0)
+    val kept = graft.streaming.Transforms.bloomDedup(
+      docs, hist, expectedItems = math.max(hist.count(), 1L), fpp = 0.01)
+    val keptCounts = kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(keptCounts, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, Q] = Map(
     "dd_substring" -> ddSubstring,
     "dd_dup_span" -> ddDupSpan,
+    "dd_bloom" -> ddBloom,
     "dd_decontaminate" -> ddDecontaminate,
     "dd_exact" -> ddExact,
     "dd_cross_source" -> ddCrossSource,

@@ -27,7 +27,7 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   behavior of "SparkEntry"
 
   it should "expose an oracle for every query except rows-only ops" in {
-    val rowsOnly = Set("mm_decode_stub", "sl_rowbinary", "q_approx_distinct")
+    val rowsOnly = Set("mm_decode_stub", "sl_rowbinary", "q_approx_distinct", "dd_bloom")
     (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) shouldBe rowsOnly
     SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
   }
@@ -361,6 +361,24 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // symmetry: ones at both ends of the window)
     rows("sparse").getAs[Long]("n_hours") shouldBe 10L
     rows("sparse").getAs[Double]("slope_per_hour") shouldBe 0.0
+  }
+
+  it should "drop the full historical slice through the bloom gate report" in {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Dedup.ddBloom(spark, sf).collect()
+    rows.foreach { r =>
+      r.getAs[Long]("n_dropped") shouldBe r.getAs[Long]("n_docs") - r.getAs[Long]("n_kept")
+    }
+    val total = Tables.documents(spark, sf).count()
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe total
+    // zero false negatives: the whole hash-split history drops, and at
+    // most ~fpp of the fresh half follows it (1% fpp, generous margin)
+    val histSize = Tables.documents(spark, sf)
+      .filter(graft.functions.TextFns.hashBucket("bloomhist|", col("doc_id"), 8, 2) === 0)
+      .count()
+    val dropped = rows.map(_.getAs[Long]("n_dropped")).sum
+    dropped should be >= histSize
+    dropped should be <= histSize + math.max(1L, (total - histSize) / 20)
   }
 
   it should "account every active user-day in the cohort matrix" in {
