@@ -66,6 +66,16 @@ object GraftLoader {
     * this environment, so the container format is written with the core
     * avro library directly). */
   final case class AvroFiles(dir: String) extends Sink
+  /** Cross-file total-budget batching (MultiFileCommitStrategy.Total
+    * analog), with optional [[MultiFileCommit.FuzzyTotalFold]] commit
+    * jitter: `jitter = Some((relStdDev, seed))` de-synchronizes the
+    * fleet's file sizes while keeping replay-deterministic commit
+    * assignment. */
+  final case class BudgetedFiles(
+      dir: String,
+      maxBytes: Option[Long] = None,
+      maxRecords: Option[Long] = None,
+      jitter: Option[(Double, Long)] = None) extends Sink
 
   def builder(): Builder = Builder()
 
@@ -121,6 +131,10 @@ object GraftLoader {
           connectorFileSink(events, cp, dir, "graft.sources.RowBinarySource")
         case AvroFiles(dir) =>
           connectorFileSink(events, cp, dir, "graft.sources.AvroContainerSource")
+        case BudgetedFiles(dir, maxBytes, maxRecords, jitter) =>
+          Sinks.multiFileBatchingSink(events, dir, cp,
+            MultiFileCommit.Total(ReachedAnyOf(maxBytes = maxBytes, maxRecords = maxRecords)),
+            jitter).start()
       }
     }
 

@@ -348,26 +348,65 @@ object Transforms {
     * use [[contentDedup]]'s watermarked exact state instead; the two
     * compose (bloom vs history, exact within the watermark). */
   def bloomDedup(docs: DataFrame, historical: DataFrame,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    bloomGate(docs, buildBloom(historical, expectedItems, fpp))
+
+  private def contentHash: org.apache.spark.sql.Column =
+    md5(graft.functions.TextFns.normText(col("text")).cast("binary"))
+
+  /** Build the serialized history filter distributed — the expensive
+    * half of [[bloomDedup]], factored out so the production loop builds
+    * ONCE, [[saveBloom]]s, and every later run [[loadBloom]]s +
+    * [[bloomGate]]s without touching the history corpus again. */
+  def buildBloom(historical: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] = {
     require(expectedItems > 0, s"expectedItems must be positive (got $expectedItems)")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1) (got $fpp)")
-    def contentHash(df: DataFrame) =
-      md5(graft.functions.TextFns.normText(col("text")).cast("binary"))
     // optimal bit count m = -n ln p / (ln 2)²; insertion and probe must
     // share ONE hash pipeline (xxhash64 → mightContainLong) — the
     // DataFrame-stat builder hashes strings internally with a different
-    // scheme and its filters would silently never match might_contain
+    // scheme and its filters would silently never match the probe
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     graft.plans.GraftFunctions.register(historical.sparkSession)
-    val bytes = historical
-      .select(xxhash64(contentHash(historical)).as("h"))
+    historical
+      .select(xxhash64(contentHash).as("h"))
       .agg(call_function("graft_bloom_agg", col("h"),
         lit(expectedItems), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]](0)
+  }
+
+  /** Apply a built/loaded filter as the stateless ingest predicate. */
+  def bloomGate(docs: DataFrame, filter: Array[Byte]): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    docs.filter(!call_function("graft_bloom_contains", lit(bytes),
-      xxhash64(contentHash(docs))))
+    docs.filter(!call_function("graft_bloom_contains", lit(filter), xxhash64(contentHash)))
+  }
+
+  /** Persist / restore the serialized filter through the Hadoop
+    * FileSystem (file://, hdfs://, s3a:// alike — the same FS discipline
+    * as every sink commit path; java.io would silently miss URI paths).
+    * The write stages to a temp name and renames, so a crashed save can
+    * never be loaded as a truncated filter. */
+  def saveBloom(spark: SparkSession, filter: Array[Byte], path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(filter) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"saveBloom: rename failed: $tmp -> $p")
+  }
+
+  def loadBloom(spark: SparkSession, path: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
   }
 
   case class FunnelProgress(view: Option[Long], click: Option[Long], done: Boolean)

@@ -382,6 +382,23 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     perCommit.distinct.size should be > 1 // jittered, not fixed-size packs
   }
 
+  it should "drive the budgeted sink through the loader builder" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = tmp(); val out = tmp() + "/table"; val cp = tmp()
+    (0L until 20L).map(i => Ev(i, ts(i.toInt + 1), 1, "click", 1.0, "x" * 20))
+      .toDF().write.mode("overwrite").parquet(src)
+    GraftLoader.builder()
+      .source(GraftLoader.FileSource(src, maxFilesPerTrigger = 8))
+      .sink(GraftLoader.BudgetedFiles(out, maxRecords = Some(5L),
+        jitter = Some((0.2, 7L))))
+      .checkpoint(cp)
+      .start(spark).awaitTermination()
+    val all = spark.read.parquet(s"$out/epoch_0")
+    all.count() shouldBe 20
+    all.select(col("commit")).distinct().count() should be >= 2L
+  }
+
   it should "roll commit batches under a Total(bytes) budget with one file each" in {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -762,6 +779,28 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
     spark.table("bloomed").count() shouldBe 1 // "{}" is not in the history
+  }
+
+  it should "round-trip the bloom filter through save/load with identical gating" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val hist = (0 until 500).map(i => (i.toLong, s"seen doc $i")).toDF("doc_id", "text")
+    val stream = ((0 until 100).map(i => (1000L + i, s"seen doc $i")) ++
+      (0 until 100).map(i => (2000L + i, s"new doc $i"))).toDF("doc_id", "text")
+    val filter = Transforms.buildBloom(hist, 500L, 0.01)
+    val path = tmp() + "/history.bloom"
+    Transforms.saveBloom(spark, filter, path)
+    val loaded = Transforms.loadBloom(spark, path)
+    loaded shouldBe filter // byte-exact round trip
+    val keptDirect = Transforms.bloomGate(stream, filter)
+      .select("doc_id").as[Long].collect().toSet
+    val keptLoaded = Transforms.bloomGate(stream, loaded)
+      .select("doc_id").as[Long].collect().toSet
+    keptLoaded shouldBe keptDirect        // identical gating after reload
+    keptLoaded.count(_ < 2000L) shouldBe 0 // dupes still all dropped
+    // a re-save over an existing file replaces it atomically
+    Transforms.saveBloom(spark, filter, path)
+    Transforms.loadBloom(spark, path) shouldBe filter
   }
 
   it should "advance the funnel once per user and hold the done flag across batches" in {
