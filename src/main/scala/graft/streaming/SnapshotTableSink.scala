@@ -73,7 +73,13 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
 
   private def readCommitted(spark: SparkSession, ids: Seq[Long]): DataFrame = {
     val paths = ids.map(id => s"$tableDir/data/batch=$id")
-    if (paths.isEmpty) spark.emptyDataFrame else spark.read.parquet(paths: _*)
+    // mergeSchema: epochs written under an evolved schema (added columns)
+    // read back as the union schema with nulls for pre-evolution rows —
+    // the versioned-encoder treatment InDataOffsetSink.read already
+    // applies; without it parquet takes one file's schema and silently
+    // DROPS the other epochs' new columns
+    if (paths.isEmpty) spark.emptyDataFrame
+    else spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   /** Read the table as of the latest snapshot (only committed files). */
@@ -189,9 +195,14 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
     val batch = batchRaw.persist()
     // data files (distributed write)
     batch.write.mode("overwrite").parquet(s"$tableDir/data/batch=$batchId")
-    // consumed ranges recorded with the commit (StreamRange analog)
-    val ranges = batch.agg(min(col("event_id")), max(col("event_id")), count(lit(1)))
-      .collect()(0)
+    // consumed ranges recorded with the commit (StreamRange analog); the
+    // range endpoints come from event_id when the schema carries one —
+    // the sink itself is schema-agnostic, so other tables get rows-only
+    val hasEventId = batch.columns.contains("event_id")
+    val loHi =
+      if (hasEventId) Seq(min(col("event_id")), max(col("event_id")))
+      else Seq(lit(null), lit(null))
+    val ranges = batch.agg(loHi.head, (loHi.tail :+ count(lit(1))): _*).collect()(0)
     batch.unpersist()
     val committed = prev.map(_._2).getOrElse(Seq.empty) :+ batchId
     val snapshotId = prev.map(_._1 + 1).getOrElse(0L)

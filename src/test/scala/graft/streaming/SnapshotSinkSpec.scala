@@ -108,6 +108,25 @@ class SnapshotSinkSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll 
     sink.read(spark).count() shouldBe 3
   }
 
+  it should "read schema-evolved epochs back as the union schema" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val table = tmp()
+    val sink = new SnapshotTableSink(table)
+    Seq((0L, "a")).toDF("id", "v").createOrReplaceTempView("s0")
+    sink.writeBatch(spark.table("s0"), 0L)
+    // epoch 1 adds a column — the snapshot read must surface it with
+    // nulls for the pre-evolution epoch, not silently drop it
+    Seq((1L, "b", 9.5)).toDF("id", "v", "extra").createOrReplaceTempView("s1")
+    sink.writeBatch(spark.table("s1"), 1L)
+    val read = sink.read(spark)
+    read.columns.toSet shouldBe Set("id", "v", "extra")
+    read.filter(col("id") === 0L).select("extra").collect()(0).isNullAt(0) shouldBe true
+    read.filter(col("id") === 1L).select("extra").collect()(0).getDouble(0) shouldBe 9.5
+    // time travel to the pre-evolution snapshot keeps the old schema
+    sink.readAsOf(spark, 0L).columns.toSet shouldBe Set("id", "v")
+  }
+
   it should "read exactly the increment between snapshots" in {
     import spark.implicits._
     val table = tmp()
