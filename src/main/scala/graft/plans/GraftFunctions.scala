@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, MinHashSig, PqAdcScore, RowBinaryEncode, VerticaNativeEncode}
+import graft.functions.{DotProduct, MinHashSig, PqAdcScore, RowBinaryEncode, ShardedBloomProbe, VerticaNativeEncode}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -61,6 +61,16 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         arity("graft_bloom_contains", args, 2)
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
+      }),
+    // BloomFilterMightContain requires a FOLDABLE filter; the sharded
+    // history gate joins each row to its shard's filter column, so it
+    // needs this column-capable probe (with a per-thread shard-keyed
+    // deserialization cache) instead.
+    (new FunctionIdentifier("graft_bloom_probe"),
+      new ExpressionInfo(classOf[ShardedBloomProbe].getName, "graft_bloom_probe"),
+      (args: Seq[Expression]) => {
+        arity("graft_bloom_probe", args, 3)
+        ShardedBloomProbe(args(0), args(1), args(2))
       }))
 
   /** Optional per-field encoding spec (2nd arg of the binary encoders):

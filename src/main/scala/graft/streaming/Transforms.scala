@@ -409,6 +409,97 @@ object Transforms {
     } finally in.close()
   }
 
+  /** Sharded history filters — the scale path past [[bloomDedup]]'s
+    * single broadcast value. One filter at fpp=1% is ~1.2 bytes/item, so
+    * at ≳10B historical items the monolithic filter is ≳12 GB: too big
+    * for a plan literal, a broadcast, or one executor's probe-side heap.
+    * Sharding by `pmod(xxhash64(content), S)` splits the history into S
+    * independent filters, each sized for n/S items, built in ONE
+    * distributed pass (groupBy-shard aggregate — partial filters still
+    * OR-merge map-side within each shard).
+    *
+    * Returns a frame `(shard INT, filter BINARY, num_shards INT)` — S
+    * rows. The gate never needs them all in one place: see
+    * [[bloomGateSharded]]. Per-shard fpp equals the configured fpp, and
+    * each document probes exactly one shard, so the gate-wide
+    * false-positive rate is unchanged.
+    *
+    * Shard count rule: pick S so one shard's filter stays comfortably
+    * inside a task (≤ ~256 MB, i.e. S ≈ n · 1.2B / 256MB); over-sharding
+    * only costs S small aggregate rows. Spark caps a single filter's
+    * bits via `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` —
+    * raise it alongside, or add shards instead. */
+  def buildBloomSharded(historical: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01, shards: Int = 64): DataFrame = {
+    require(shards >= 1, s"shards must be positive (got $shards)")
+    require(expectedItems > 0, s"expectedItems must be positive (got $expectedItems)")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1) (got $fpp)")
+    val perShard = math.max(1L, math.ceil(expectedItems.toDouble / shards).toLong)
+    val numBits = math.ceil(
+      -perShard * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    graft.plans.GraftFunctions.register(historical.sparkSession)
+    historical
+      .select(xxhash64(contentHash).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)).cast("int"))
+      .groupBy("shard")
+      .agg(call_function("graft_bloom_agg", col("h"),
+        lit(perShard), lit(numBits)).as("filter"))
+      .withColumn("num_shards", lit(shards))
+  }
+
+  /** Probe the sharded history: keep documents whose content hash is in
+    * no shard filter. Each document joins to exactly its shard's filter
+    * row; above the broadcast threshold that is a shuffle join keyed by
+    * shard, so a task holds AT MOST the filters of the shards it
+    * processes (one-entry per-thread deserialization cache in
+    * [[graft.functions.ShardedBloomProbe]]) — per-task memory is bounded
+    * by one shard regardless of total history size. The price vs the
+    * broadcast gate is one shuffle of the ingest batch; the history
+    * itself never reshuffles.
+    *
+    * An absent shard row (no historical docs hashed there) gates nothing:
+    * the probe is total and answers false on the join miss.
+    *
+    * `filters` should be persisted or [[loadBloomSharded]]-loaded — the
+    * gate reads `num_shards` from it up front, and an unpersisted
+    * build-side frame would recompute the whole build for that lookup. */
+  def bloomGateSharded(docs: DataFrame, filters: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val ns = filters.select(col("num_shards")).distinct().collect()
+    require(ns.length == 1,
+      s"filters frame must carry one num_shards value; got ${ns.length}")
+    val shards = ns(0).getInt(0)
+    val hCol = "__graft_bloom_h"
+    val sCol = "__graft_bloom_shard"
+    val fCol = "__graft_bloom_filter"
+    docs
+      .withColumn(hCol, xxhash64(contentHash))
+      .withColumn(sCol, pmod(col(hCol), lit(shards.toLong)).cast("int"))
+      .join(filters.select(col("shard").as(sCol), col("filter").as(fCol)),
+        Seq(sCol), "left")
+      .filter(!call_function("graft_bloom_probe", col(sCol), col(fCol), col(hCol)))
+      .drop(sCol, hCol, fCol)
+  }
+
+  /** [[bloomDedup]] against a sharded history in one call (builds, then
+    * gates; the build side is persisted so the gate's metadata lookup and
+    * join don't re-aggregate the history). Production loops should
+    * [[saveBloomSharded]] the build instead and gate from the load. */
+  def bloomDedupSharded(docs: DataFrame, historical: DataFrame,
+      expectedItems: Long, fpp: Double = 0.01, shards: Int = 64): DataFrame = {
+    val filters = buildBloomSharded(historical, expectedItems, fpp, shards).persist()
+    bloomGateSharded(docs, filters)
+  }
+
+  /** Persist the sharded filters as parquet — S rows, each shard's bytes
+    * a separate value, so save/load never serializes the whole history
+    * through one buffer. Same atomicity as every parquet commit. */
+  def saveBloomSharded(filters: DataFrame, path: String): Unit =
+    filters.write.mode("overwrite").parquet(path)
+
+  def loadBloomSharded(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   case class FunnelProgress(view: Option[Long], click: Option[Long], done: Boolean)
   case class FunnelConversion(user_id: Long, t_view: java.sql.Timestamp,
     t_click: java.sql.Timestamp, t_purchase: java.sql.Timestamp, total_s: Double)

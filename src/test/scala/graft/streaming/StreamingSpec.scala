@@ -803,6 +803,91 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     Transforms.loadBloom(spark, path) shouldBe filter
   }
 
+  it should "gate through sharded history filters with zero false negatives" in {
+    import spark.implicits._
+    // same corpus as the monolithic gate spec, split across 8 shards
+    val hist = (0 until 2000).map(i => (i.toLong, s"historical document number $i body"))
+      .toDF("doc_id", "text")
+    val clones = (0 until 500).map(i => (10000L + i, s"historical document number $i body")) ++
+      (500 until 1000).map(i => (10000L + i, s"HISTORICAL, document number $i body!"))
+    val fresh = (0 until 2000).map(i => (20000L + i, s"genuinely new content item $i"))
+    val stream = (clones ++ fresh).toDF("doc_id", "text")
+    val kept = Transforms.bloomDedupSharded(stream, hist, expectedItems = 2000L,
+      fpp = 0.01, shards = 8).select("doc_id").as[Long].collect().toSet
+    kept.count(_ < 20000L) shouldBe 0   // every clone dropped, exact or normalized
+    kept.count(_ >= 20000L) should be >= 1900 // fresh false-drop stays near fpp
+    // the sharded gate adds no schema residue
+    Transforms.bloomDedupSharded(stream, hist, 2000L, 0.01, 8)
+      .columns.toSeq shouldBe Seq("doc_id", "text")
+  }
+
+  it should "keep documents that hash to shards with no history" in {
+    import spark.implicits._
+    // 4 historical docs over 64 shards: most shards have NO filter row,
+    // and the left-join miss must read as "not in history", not a drop
+    val hist = (0 until 4).map(i => (i.toLong, s"tiny history $i")).toDF("doc_id", "text")
+    val fresh = (0 until 200).map(i => (100L + i, s"spread-out fresh doc $i")).toDF("doc_id", "text")
+    val filters = Transforms.buildBloomSharded(hist, 4L, 0.01, shards = 64).persist()
+    filters.count() should be <= 4L // at most one row per occupied shard
+    val kept = Transforms.bloomGateSharded(fresh, filters).count()
+    kept should be >= 195L // only bloom fp can drop fresh docs, never a join miss
+    Transforms.bloomGateSharded(hist, filters).count() shouldBe 0L // history all dropped
+  }
+
+  it should "round-trip sharded filters through save/load and gate a stream" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val hist = (0 until 500).map(i => (i.toLong, s"seen doc $i")).toDF("doc_id", "text")
+    val batch = ((0 until 100).map(i => (1000L + i, s"seen doc $i")) ++
+      (0 until 100).map(i => (2000L + i, s"new doc $i"))).toDF("doc_id", "text")
+    val built = Transforms.buildBloomSharded(hist, 500L, 0.01, shards = 8).persist()
+    val path = tmp() + "/history_sharded"
+    Transforms.saveBloomSharded(built, path)
+    val loaded = Transforms.loadBloomSharded(spark, path)
+    val keptDirect = Transforms.bloomGateSharded(batch, built)
+      .select("doc_id").as[Long].collect().toSet
+    val keptLoaded = Transforms.bloomGateSharded(batch, loaded)
+      .select("doc_id").as[Long].collect().toSet
+    keptLoaded shouldBe keptDirect
+    keptLoaded.count(_ < 2000L) shouldBe 0
+    // stateless predicate + stream-static join: runs on a stream as-is
+    val (_, df) = eventsStream(Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")))
+    val gated = Transforms.bloomGateSharded(
+      df.withColumnRenamed("props", "text"), loaded)
+    gated.isStreaming shouldBe true
+    val q = gated.writeStream.format("memory").queryName("bloomed_sharded")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    spark.table("bloomed_sharded").count() shouldBe 1 // "{}" not in history
+  }
+
+  it should "probe identically through the interpreted and codegen paths" in {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val filter = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    (0L until 50L).foreach(filter.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    val bytes = bos.toByteArray
+    val hashes = (0L until 100L).toSeq
+    val interpreted = hashes.map { h =>
+      graft.functions.ShardedBloomProbe(
+        Literal(0), Literal(bytes), Literal(h)).eval(null).asInstanceOf[Boolean]
+    }
+    graft.plans.GraftFunctions.register(spark)
+    val viaCodegen = hashes.toDF("h")
+      .select(call_function("graft_bloom_probe",
+        lit(0), lit(bytes), col("h")).as("m"))
+      .as[Boolean].collect().toSeq
+    viaCodegen shouldBe interpreted
+    interpreted.take(50).forall(identity) shouldBe true // inserted keys always hit
+    // null filter / null hash answer false, never null (the join-miss contract)
+    graft.functions.ShardedBloomProbe(Literal(0),
+      Literal.create(null, org.apache.spark.sql.types.BinaryType),
+      Literal(1L)).eval(null) shouldBe false
+  }
+
   it should "advance the funnel once per user and hold the done flag across batches" in {
     val (ms, df) = eventsStream(Seq(
       Ev(0, ts(1), 1, "click", 1.0, "{}"),    // click before any view: ignored
