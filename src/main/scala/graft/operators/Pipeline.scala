@@ -380,7 +380,82 @@ object Pipeline {
       |    / CAST(sum(stage_tokens) OVER () AS BIGINT) * 1e4 + 0.5) / 1e4 AS cum_share
       |FROM agg ORDER BY stage""".stripMargin
 
+  /** The four PII pattern classes, in REDACTION ORDER (email first so
+    * its digit runs can't be re-matched as numbers; SSN before phone so
+    * the more specific 3-part pattern wins). Patterns stay in the
+    * Java-regex ∩ RE2 common subset so Spark and the DuckDB oracle
+    * compile them identically. */
+  private val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\d{3}-\\d{2}-\\d{4}", "<SSN>"),
+    ("phone", "\\b555-\\d{4}", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** PII detect + redact — the scrub stage every public-data training
+    * pipeline runs before anything else sees the text. Detection counts
+    * per class, then an ordered `regexp_replace` chain, then a RESIDUAL
+    * re-scan of the redacted text that must come back zero — the output
+    * carries its own completeness proof, so a pattern regression is a
+    * visible nonzero column, not silent leakage.
+    *
+    * The synthetic corpus carries no organic PII, so the operator first
+    * injects one span of each class deterministically from `doc_id`
+    * (both engines apply the same injection — what's verified
+    * cross-engine is the regex semantics: counts AND the md5 of the
+    * redacted text). Everything is record-local string work: no
+    * shuffle, no UDF — four codegen'd regex passes that scale linearly
+    * with corpus bytes, and the only exchange in the plan is the
+    * ORDER BY of the 500-row report. */
+  def pipeRedact: Q = (s, d) => {
+    val idS = col("doc_id").cast("string")
+    val aug = concat(col("text"),
+      lit(" reach user"), idS, lit("@mail.example.com"),
+      lit(" call 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(250)).cast("string"),
+      lit(".0."), pmod(col("doc_id"), lit(200)).cast("string"),
+      lit(" id 987-65-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val redacted = piiPatterns.foldLeft(col("t")) {
+      case (c, (_, pat, tok)) => regexp_replace(c, pat, tok)
+    }
+    val residual = piiPatterns.map { case (_, pat, _) =>
+      regexp_count(col("clean"), lit(pat)) }.reduce(_ + _)
+    Tables.documents(s, d)
+      .select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"), col("t"), redacted.as("clean"))
+      .select((col("doc_id") +:
+        piiPatterns.map { case (name, pat, _) =>
+          regexp_count(col("t"), lit(pat)).cast("long").as(s"n_$name") } :+
+          residual.cast("long").as("n_residual") :+
+          md5s(col("clean")).as("clean_hash")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val pipeRedactSql: String = {
+    val redacted = piiPatterns.foldLeft("t") {
+      case (e, (_, pat, tok)) => s"regexp_replace($e, '$pat', '$tok', 'g')"
+    }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS n_$name" }.mkString(",\n    ")
+    val residual = piiPatterns.map { case (_, pat, _) =>
+      s"len(regexp_extract_all(clean, '$pat'))" }.mkString(" + ")
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+       |      || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      || ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
+       |      || '.0.' || CAST(doc_id % 200 AS VARCHAR)
+       |      || ' id 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents),
+       |red AS (SELECT doc_id, t, $redacted AS clean FROM aug)
+       |SELECT doc_id,
+       |    $counts,
+       |  CAST($residual AS BIGINT) AS n_residual,
+       |  md5(clean) AS clean_hash
+       |FROM red ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "pipe_redact" -> pipeRedact,
     "pipe_budget_mix" -> pipeBudgetMix,
     "pipe_curation" -> pipeCuration,
     "pipe_curriculum" -> pipeCurriculum,
@@ -391,6 +466,7 @@ object Pipeline {
     "pipe_shuffle" -> pipeShuffle)
 
   def oracleSql: Map[String, String] = Map(
+    "pipe_redact" -> pipeRedactSql,
     "pipe_budget_mix" -> pipeBudgetMixSql,
     "pipe_curation" -> pipeCurationSql,
     "pipe_curriculum" -> pipeCurriculumSql,

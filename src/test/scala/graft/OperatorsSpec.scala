@@ -416,6 +416,22 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .agg(sum(octet_length(col("text")))).collect()(0).getLong(0)
   }
 
+  it should "redact every injected PII span and prove it via the residual column" in {
+    import org.apache.spark.sql.functions._
+    val out = operators.Pipeline.pipeRedact(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    out.count() shouldBe n
+    // exactly one injected span per class per doc — a >1 count would mean
+    // the synthetic corpus grew organic PII (worth knowing), a 0 a regex
+    // that no longer matches its own injection
+    out.filter(col("n_email") =!= 1 || col("n_ssn") =!= 1 ||
+      col("n_phone") =!= 1 || col("n_ip") =!= 1).count() shouldBe 0L
+    // completeness proof: the redacted text re-scans to zero matches
+    out.agg(sum(col("n_residual"))).collect()(0).getLong(0) shouldBe 0L
+    // injection varies by doc_id, so redacted hashes stay per-doc distinct
+    out.select("clean_hash").distinct().count() shouldBe n
+  }
+
   it should "score a stuffed doc lower than a distinct-token doc on normalized entropy" in {
     import org.apache.spark.sql.functions._
     import spark.implicits._
