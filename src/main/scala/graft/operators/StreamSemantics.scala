@@ -314,7 +314,33 @@ object StreamSemantics {
       |FROM g WHERE prev_id IS NOT NULL AND event_id - prev_id > 15
       |ORDER BY event_type, gap_start""".stripMargin
 
+  /** Upsert materialization (loader CDC view): the newest event per user
+    * — the same latest-row-per-key contract SnapshotTableSink.readLatest
+    * serves over committed epochs, expressed over the raw table so the
+    * oracle can check it. Version order is (ts, event_id): event_id is
+    * unique, so the winner is total-ordered and cross-engine stable. One
+    * keyed shuffle; rank-1 filter prunes before the final sort. */
+  def slUpsert: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"), col("event_id").as("last_event_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val slUpsertSql: String =
+    """WITH r AS (
+      |  SELECT user_id, ts, event_type, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, ts AS last_ts, event_type AS last_type, event_id AS last_event_id
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "sl_upsert" -> slUpsert,
     "sl_gap_detect" -> slGapDetect,
     "sl_rowbinary" -> slRowbinary,
     "sl_positions" -> slPositions,
@@ -329,6 +355,7 @@ object StreamSemantics {
     "sl_json_props" -> slJsonProps)
 
   def oracleSql: Map[String, String] = Map(
+    "sl_upsert" -> slUpsertSql,
     "sl_gap_detect" -> slGapDetectSql,
     "sl_positions" -> slPositionsSql,
     "sl_range_merge" -> slRangeMergeSql,

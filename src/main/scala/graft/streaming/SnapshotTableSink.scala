@@ -16,6 +16,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * skipped — exactly-once without an external commit log, at any
   * partition count (data-file writes scale out; only the tiny snapshot
   * JSON is driver-side, exactly like Iceberg metadata).
+  *
+  * Beyond the append log: [[readLatest]] serves the CDC latest-row-per-
+  * key view, and [[compactLatest]] materializes it — folding all live
+  * dirs into one `compact=N` dir while the committed epoch-id list (the
+  * replay guard) is preserved verbatim, so compaction can never re-admit
+  * a stale epoch. Snapshots track data dirs (`live`) separately from the
+  * guard for exactly this reason.
   */
 class SnapshotTableSink(tableDir: String) extends Serializable {
 
@@ -29,15 +36,31 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
   private def fs(spark: SparkSession) =
     new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def parseSnapshot(content: String): (Long, Seq[Long]) = {
+  /** Full snapshot record: `committed` is the REPLAY GUARD (every epoch
+    * id ever written — grows forever, a few bytes each), `live` the data
+    * dirs a read of this snapshot scans. They coincide until a
+    * compaction folds history into one `compact=N` dir; separating them
+    * is what lets compaction rewrite data without ever forgetting an
+    * epoch id (a forgotten id would let a stale replay re-append). */
+  private case class Snap(id: Long, committed: Seq[Long], live: Seq[String])
+
+  private def parseSnapshot(content: String): Snap = {
     val idRe = """"snapshot_id":\s*(-?\d+)""".r
     val committedRe = """"committed":\s*\[([^\]]*)\]""".r
+    val liveRe = """"live":\s*\[([^\]]*)\]""".r
     val id = idRe.findFirstMatchIn(content).map(_.group(1).toLong)
       .getOrElse(sys.error(s"malformed snapshot: $content"))
     val committed = committedRe.findFirstMatchIn(content).map(_.group(1))
       .getOrElse(sys.error(s"malformed snapshot: $content"))
       .split(",").filter(_.trim.nonEmpty).map(_.trim.toLong).toSeq
-    (id, committed)
+    // pre-compaction snapshots carry no live list: their data dirs are
+    // exactly their committed epochs
+    val live = liveRe.findFirstMatchIn(content).map(_.group(1)) match {
+      case Some(s) => s.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+      case None => committed.map(id => s"batch=$id")
+    }
+    Snap(id, committed, live)
   }
 
   private def readFile(spark: SparkSession, p: Path): String = {
@@ -46,7 +69,10 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
   }
 
   /** (snapshotId, cumulative committed epoch ids) of the latest snapshot. */
-  def currentSnapshot(spark: SparkSession): Option[(Long, Seq[Long])] = {
+  def currentSnapshot(spark: SparkSession): Option[(Long, Seq[Long])] =
+    latestSnap(spark).map(s => (s.id, s.committed))
+
+  private def latestSnap(spark: SparkSession): Option[Snap] = {
     val f = fs(spark)
     val latest = new Path(tableDir, "_snapshots/LATEST")
     if (f.exists(latest)) Some(parseSnapshot(readFile(spark, latest)))
@@ -71,8 +97,8 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
     }
   }
 
-  private def readCommitted(spark: SparkSession, ids: Seq[Long]): DataFrame = {
-    val paths = ids.map(id => s"$tableDir/data/batch=$id")
+  private def readDirs(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    val paths = dirs.map(d => s"$tableDir/data/$d")
     // mergeSchema: epochs written under an evolved schema (added columns)
     // read back as the union schema with nulls for pre-evolution rows —
     // the versioned-encoder treatment InDataOffsetSink.read already
@@ -84,7 +110,7 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
 
   /** Read the table as of the latest snapshot (only committed files). */
   def read(spark: SparkSession): DataFrame =
-    readCommitted(spark, currentSnapshot(spark).map(_._2).getOrElse(Seq.empty))
+    readDirs(spark, latestSnap(spark).map(_.live).getOrElse(Seq.empty))
 
   /** Time travel: read the table as of snapshot `snapshotId` — each
     * snapshot records its full cumulative committed set, so any retained
@@ -94,7 +120,23 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
     val p = new Path(tableDir, s"_snapshots/$snapshotId.json")
     require(fs(spark).exists(p),
       s"snapshot $snapshotId does not exist (expired or never committed)")
-    readCommitted(spark, parseSnapshot(readFile(spark, p))._2)
+    readDirs(spark, parseSnapshot(readFile(spark, p)).live)
+  }
+
+  /** Upsert view: the newest row per key, ranked by `versionCol` — the
+    * CDC "latest state" read over an append-only change log. CONTRACT:
+    * `versionCol` must be unique per key (a sequence number or exact
+    * event time); a version tie has no defined winner. One keyed
+    * shuffle; at scale the window is the same exchange a downstream
+    * dedup would pay anyway, and [[compactLatest]] materializes it away
+    * for repeat readers. */
+  def readLatest(spark: SparkSession, keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "readLatest needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    read(spark).withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1).drop("__graft_rn")
   }
 
   /** Incremental (append-only) scan: exactly the records committed AFTER
@@ -115,7 +157,7 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
       val p = new Path(tableDir, s"_snapshots/$id.json")
       require(fs(spark).exists(p),
         s"snapshot $id does not exist (expired or never committed)")
-      parseSnapshot(readFile(spark, p))._2
+      parseSnapshot(readFile(spark, p)).committed
     }
     val from = committed(fromSnapshotId).toSet
     val to = committed(toSnapshotId)
@@ -126,7 +168,16 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
     require(missing.isEmpty,
       s"snapshot $toSnapshotId is missing epochs ${missing.toSeq.sorted.mkString(",")} " +
         s"committed in $fromSnapshotId — corrupted snapshot metadata")
-    readCommitted(spark, to.filterNot(from))
+    val inc = to.filterNot(from)
+    // a compaction folds epoch dirs away: an increment that spans one
+    // must fail loudly rather than resurface as a partial read
+    val f = fs(spark)
+    val gone = inc.filterNot(id => f.exists(new Path(tableDir, s"data/batch=$id")))
+    require(gone.isEmpty,
+      s"epochs ${gone.mkString(",")} were compacted away — incremental " +
+        "readers must consume before compaction passes their range " +
+        "(read the compacted table instead)")
+    readDirs(spark, inc.map(id => s"batch=$id"))
   }
 
   /** [[readChangesBetween]] from `fromSnapshotId` to the CURRENT
@@ -172,15 +223,24 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
     val f = fs(spark)
     val dataDir = new Path(tableDir, "data")
     if (!f.exists(dataDir)) return Seq.empty
-    val committed = currentSnapshot(spark).map(_._2).getOrElse(Seq.empty).toSet
+    // a dir is live if ANY retained snapshot's live set references it —
+    // the union keeps time travel to every unexpired snapshot working
+    // even after a compaction supersedes old epoch dirs (they become
+    // vacuumable only once the pre-compaction snapshots expire)
+    val snapDir = new Path(tableDir, "_snapshots")
+    val live: Set[String] =
+      if (!f.exists(snapDir)) Set.empty
+      else f.listStatus(snapDir).toSeq
+        .map(_.getPath)
+        .filter(p => p.getName.endsWith(".json") &&
+          p.getName.stripSuffix(".json").toLongOption.isDefined)
+        .flatMap(p => parseSnapshot(readFile(spark, p)).live)
+        .toSet
     val orphans = f.listStatus(dataDir).toSeq
       .filter(_.isDirectory)
       .filter { st =>
-        st.getPath.getName match {
-          case s if s.startsWith("batch=") =>
-            s.stripPrefix("batch=").toLongOption.exists(!committed.contains(_))
-          case _ => false
-        }
+        val n = st.getPath.getName
+        (n.startsWith("batch=") || n.startsWith("compact=")) && !live.contains(n)
       }
     orphans.foreach(st => f.delete(st.getPath, true))
     orphans.map(_.getPath.toString)
@@ -188,9 +248,8 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
 
   def writeBatch(batchRaw: DataFrame, batchId: Long): Unit = {
     val spark = batchRaw.sparkSession
-    val f = fs(spark)
-    val prev = currentSnapshot(spark)
-    if (prev.exists(_._2.contains(batchId))) return // replayed epoch
+    val prev = latestSnap(spark)
+    if (prev.exists(_.committed.contains(batchId))) return // replayed epoch
     // cache: the write and the ranges agg would otherwise each re-read the source
     val batch = batchRaw.persist()
     // data files (distributed write)
@@ -204,21 +263,59 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
       else Seq(lit(null), lit(null))
     val ranges = batch.agg(loHi.head, (loHi.tail :+ count(lit(1))): _*).collect()(0)
     batch.unpersist()
-    val committed = prev.map(_._2).getOrElse(Seq.empty) :+ batchId
-    val snapshotId = prev.map(_._1 + 1).getOrElse(0L)
+    val committed = prev.map(_.committed).getOrElse(Seq.empty) :+ batchId
+    val live = prev.map(_.live).getOrElse(Seq.empty) :+ s"batch=$batchId"
+    publishSnapshot(spark,
+      Snap(prev.map(_.id + 1).getOrElse(0L), committed, live),
+      parent = prev.map(_.id).getOrElse(-1L), epoch = batchId,
+      rangeJson = s"""{"lo": ${ranges.get(0)}, "hi": ${ranges.get(1)}, "rows": ${ranges.get(2)}}""")
+  }
+
+  /** Materialize the [[readLatest]] view: fold every live data dir into
+    * ONE `compact=<id>` dir holding only the newest row per key, and
+    * publish a snapshot whose live set is just that dir. The committed
+    * epoch-id list is carried over UNCHANGED, so a stale replay of any
+    * folded epoch still skips; pre-compaction snapshots keep resolving
+    * (their dirs stay until those snapshots expire and a vacuum runs).
+    * After this, `read` returns the latest-state table and incremental
+    * reads across the folded range fail loudly.
+    *
+    * NOT concurrent-safe with a writer mid-epoch (same discipline as
+    * [[vacuumOrphans]]); run it between epochs or from the maintenance
+    * job that owns the table. Returns the new snapshot id, or None on an
+    * empty table. */
+  def compactLatest(spark: SparkSession, keyCols: Seq[String],
+      versionCol: String): Option[Long] = {
+    latestSnap(spark) match {
+      case None => None
+      case Some(s) =>
+        val snapshotId = s.id + 1
+        val dir = s"compact=$snapshotId"
+        readLatest(spark, keyCols, versionCol)
+          .write.mode("overwrite").parquet(s"$tableDir/data/$dir")
+        publishSnapshot(spark, Snap(snapshotId, s.committed, Seq(dir)),
+          parent = s.id, epoch = -1L, rangeJson = "null")
+        Some(snapshotId)
+    }
+  }
+
+  private def publishSnapshot(spark: SparkSession, snap: Snap, parent: Long,
+      epoch: Long, rangeJson: String): Unit = {
+    val f = fs(spark)
     val json =
-      s"""{"snapshot_id": $snapshotId, "parent": ${prev.map(_._1).getOrElse(-1L)},
-         | "committed": [${committed.mkString(",")}],
-         | "epoch": $batchId,
-         | "range": {"lo": ${ranges.get(0)}, "hi": ${ranges.get(1)}, "rows": ${ranges.get(2)}}}""".stripMargin
+      s"""{"snapshot_id": ${snap.id}, "parent": $parent,
+         | "committed": [${snap.committed.mkString(",")}],
+         | "live": [${snap.live.map(d => s""""$d"""").mkString(",")}],
+         | "epoch": $epoch,
+         | "range": $rangeJson}""".stripMargin
     val snapDir = new Path(tableDir, "_snapshots")
     f.mkdirs(snapDir)
-    val snapFile = new Path(snapDir, s"$snapshotId.json")
+    val snapFile = new Path(snapDir, s"${snap.id}.json")
     val out = f.create(snapFile, true)
     out.write(json.getBytes("UTF-8")); out.close()
     // pointer switch: delete + rename (rename cannot overwrite); a crash
     // in the window is repaired by currentSnapshot's max-snapshot fallback
-    val tmp = new Path(snapDir, s"LATEST.tmp.$snapshotId")
+    val tmp = new Path(snapDir, s"LATEST.tmp.${snap.id}")
     val t = f.create(tmp, true); t.write(json.getBytes("UTF-8")); t.close()
     val latest = new Path(snapDir, "LATEST")
     if (f.exists(latest)) f.delete(latest, false)

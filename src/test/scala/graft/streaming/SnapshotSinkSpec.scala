@@ -127,6 +127,62 @@ class SnapshotSinkSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll 
     sink.readAsOf(spark, 0L).columns.toSet shouldBe Set("id", "v")
   }
 
+  it should "serve the latest row per key and materialize it via compaction" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val table = tmp()
+    val sink = new SnapshotTableSink(table)
+    // change log: key k1 updated in every epoch, k2 only in epoch 0
+    Seq(("k1", 1L, "a"), ("k2", 1L, "x")).toDF("k", "ver", "v")
+      .createOrReplaceTempView("u0")
+    sink.writeBatch(spark.table("u0"), 0L)
+    Seq(("k1", 2L, "b")).toDF("k", "ver", "v").createOrReplaceTempView("u1")
+    sink.writeBatch(spark.table("u1"), 1L)
+    Seq(("k1", 3L, "c"), ("k3", 1L, "z")).toDF("k", "ver", "v")
+      .createOrReplaceTempView("u2")
+    sink.writeBatch(spark.table("u2"), 2L)
+
+    def latest() = sink.readLatest(spark, Seq("k"), "ver")
+      .select("k", "ver", "v").as[(String, Long, String)].collect().toSet
+    val want = Set(("k1", 3L, "c"), ("k2", 1L, "x"), ("k3", 1L, "z"))
+    latest() shouldBe want
+    sink.read(spark).count() shouldBe 5 // the log still holds every version
+
+    // compaction folds the log into the latest view; read() now IS it
+    val cid = sink.compactLatest(spark, Seq("k"), "ver")
+    cid shouldBe Some(3L)
+    sink.read(spark).count() shouldBe 3
+    latest() shouldBe want // idempotent view over the compacted table
+    // pre-compaction snapshots still time-travel (dirs not vacuumed yet)
+    sink.readAsOf(spark, 1L).count() shouldBe 3
+    // the replay guard survives compaction: a stale epoch 1 replay skips
+    sink.writeBatch(spark.table("u1"), 1L)
+    sink.read(spark).count() shouldBe 3
+    // new epochs append onto the compacted base
+    Seq(("k2", 5L, "y")).toDF("k", "ver", "v").createOrReplaceTempView("u3")
+    sink.writeBatch(spark.table("u3"), 3L)
+    latest() shouldBe Set(("k1", 3L, "c"), ("k2", 5L, "y"), ("k3", 1L, "z"))
+    // incremental reads keep working from the compaction snapshot on
+    sink.readChangesBetween(spark, 3L, 4L)
+      .select("k").as[String].collect().toSeq shouldBe Seq("k2")
+
+    // vacuum keeps every dir a RETAINED snapshot still references...
+    sink.vacuumOrphans(spark) shouldBe empty
+    sink.readAsOf(spark, 0L).count() shouldBe 2
+    // ...and frees the folded epoch dirs once those snapshots expire
+    sink.expireSnapshots(spark, keepLast = 2)
+    val vacuumed = sink.vacuumOrphans(spark).map(_.split('/').last).sorted
+    vacuumed shouldBe Seq("batch=0", "batch=1", "batch=2")
+    latest() shouldBe Set(("k1", 3L, "c"), ("k2", 5L, "y"), ("k3", 1L, "z"))
+    // an increment whose epoch dir is GONE (corruption / manual delete)
+    // fails loudly instead of resurfacing as a partial read
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(table, "data/batch=3"), true)
+    an[IllegalArgumentException] should be thrownBy
+      sink.readChangesBetween(spark, 3L, 4L)
+  }
+
   it should "read exactly the increment between snapshots" in {
     import spark.implicits._
     val table = tmp()
