@@ -500,6 +500,65 @@ object Transforms {
   def loadBloomSharded(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** OR-merge two serialized filters. Bloom union is exact: the merged
+    * filter answers "might contain" for precisely the union of inserted
+    * keys, still with zero false negatives. Requires identical sizing
+    * (same numBits / hash count — i.e. both built with the same
+    * expectedItems and fpp arguments); anything else fails loudly here
+    * rather than producing a silently wrong filter. */
+  def mergeBloom(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b))
+    require(fa.isCompatible(fb),
+      "cannot merge incompatible Bloom filters (different sizing params)")
+    fa.mergeInPlace(fb)
+    val bos = new java.io.ByteArrayOutputStream()
+    fa.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Incremental history update — the production loop's steady state:
+    * build a filter over ONLY the new batch (same sizing params as the
+    * saved history, so the bitsets align), OR it into the loaded filter,
+    * save back. The history corpus itself is never rescanned; each
+    * run's cost is one pass over the increment.
+    *
+    * `expectedItems`/`fpp` MUST be the original build's values — they
+    * size the bitset, and the merge requires identical sizing. The fp
+    * rate is honest only while TOTAL insertions stay ≲ expectedItems;
+    * size the original build for the history's growth horizon and
+    * rebuild from the full corpus when it's outgrown (the builder can't
+    * resize in place — a Bloom bitset has no "rehash"). */
+  def extendBloom(spark: SparkSession, path: String, newDocs: DataFrame,
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    val merged = mergeBloom(loadBloom(spark, path),
+      buildBloom(newDocs, expectedItems, fpp))
+    saveBloom(spark, merged, path)
+    merged
+  }
+
+  /** [[extendBloom]] for the sharded history: full-outer join the saved
+    * and increment filter frames on shard and OR-merge pairwise. The
+    * merge work is S rows of per-shard byte-level OR — metadata scale,
+    * never row scale — so a lambda over the joined pair is the right
+    * tool here (the row-path probe stays the codegen'd expression).
+    * Shards present on only one side pass through unchanged. */
+  def mergeBloomSharded(saved: DataFrame, increment: DataFrame): DataFrame = {
+    val ns = (saved.select(col("num_shards")).distinct().collect() ++
+      increment.select(col("num_shards")).distinct().collect()).map(_.getInt(0)).distinct
+    require(ns.length == 1,
+      s"sharded merge needs one shard count on both sides; got ${ns.mkString(",")}")
+    val a = saved.select(col("shard"), col("filter").as("fa"))
+    val b = increment.select(col("shard"), col("filter").as("fb"))
+    val mergeUdf = udf((fa: Array[Byte], fb: Array[Byte]) =>
+      if (fa == null) fb else if (fb == null) fa else mergeBloom(fa, fb))
+    a.join(b, Seq("shard"), "full_outer")
+      .select(col("shard"), mergeUdf(col("fa"), col("fb")).as("filter"),
+        lit(ns.head).as("num_shards"))
+  }
+
   case class FunnelProgress(view: Option[Long], click: Option[Long], done: Boolean)
   case class FunnelConversion(user_id: Long, t_view: java.sql.Timestamp,
     t_click: java.sql.Timestamp, t_purchase: java.sql.Timestamp, total_s: Double)

@@ -861,6 +861,50 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     spark.table("bloomed_sharded").count() shouldBe 1 // "{}" not in history
   }
 
+  it should "extend the saved history incrementally without rescanning it" in {
+    import spark.implicits._
+    val day1 = (0 until 500).map(i => (i.toLong, s"day one doc $i")).toDF("doc_id", "text")
+    val day2 = (0 until 300).map(i => (1000L + i, s"day two doc $i")).toDF("doc_id", "text")
+    val path = tmp() + "/history.bloom"
+    // day 1: full build sized for the growth horizon, not today's corpus
+    Transforms.saveBloom(spark, Transforms.buildBloom(day1, 2000L, 0.01), path)
+    // day 2: one pass over the increment only, OR-merged into the save
+    Transforms.extendBloom(spark, path, day2, 2000L, 0.01)
+    val merged = Transforms.loadBloom(spark, path)
+    val probe = ((0 until 500).map(i => (i.toLong, s"day one doc $i")) ++
+      (0 until 300).map(i => (2000L + i, s"day two doc $i")) ++
+      (0 until 300).map(i => (3000L + i, s"fresh doc $i"))).toDF("doc_id", "text")
+    val kept = Transforms.bloomGate(probe, merged)
+      .select("doc_id").as[Long].collect().toSet
+    kept.count(_ < 500L) shouldBe 0      // day-1 history still all dropped
+    kept.count(k => k >= 2000L && k < 2300L) shouldBe 0 // day-2 too (zero false neg)
+    kept.count(_ >= 3000L) should be >= 290 // fresh docs survive near fpp
+    // mismatched sizing params must fail loudly, not merge wrong
+    an[IllegalArgumentException] should be thrownBy
+      Transforms.mergeBloom(merged, Transforms.buildBloom(day2, 999L, 0.01))
+  }
+
+  it should "merge sharded filter frames pairwise with passthrough shards" in {
+    import spark.implicits._
+    val day1 = (0 until 400).map(i => (i.toLong, s"sharded day one $i")).toDF("doc_id", "text")
+    val day2 = (0 until 200).map(i => (1000L + i, s"sharded day two $i")).toDF("doc_id", "text")
+    val f1 = Transforms.buildBloomSharded(day1, 1000L, 0.01, shards = 8).persist()
+    val f2 = Transforms.buildBloomSharded(day2, 1000L, 0.01, shards = 8).persist()
+    val merged = Transforms.mergeBloomSharded(f1, f2).persist()
+    merged.count() should be <= 8L
+    val probe = ((0 until 400).map(i => (i.toLong, s"sharded day one $i")) ++
+      (0 until 200).map(i => (1000L + i, s"sharded day two $i")) ++
+      (0 until 200).map(i => (5000L + i, s"sharded fresh $i"))).toDF("doc_id", "text")
+    val kept = Transforms.bloomGateSharded(probe, merged)
+      .select("doc_id").as[Long].collect().toSet
+    kept.count(_ < 2000L) shouldBe 0     // both days fully dropped
+    kept.count(_ >= 5000L) should be >= 195
+    // shard-count mismatch fails loudly
+    val f3 = Transforms.buildBloomSharded(day2, 1000L, 0.01, shards = 16).persist()
+    an[IllegalArgumentException] should be thrownBy
+      Transforms.mergeBloomSharded(f1, f3)
+  }
+
   it should "probe identically through the interpreted and codegen paths" in {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.Literal
