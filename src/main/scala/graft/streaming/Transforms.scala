@@ -559,6 +559,69 @@ object Transforms {
         lit(ns.head).as("num_shards"))
   }
 
+  /** Saturation report for a saved filter. A Bloom bitset cannot rehash,
+    * so [[extendBloom]]'s fp guarantee quietly erodes as insertions pass
+    * the sizing horizon — this makes the erosion measurable so the loop
+    * can trigger a full rebuild automatically instead of by operator
+    * judgment. `estimatedItems` inverts the observed bit density
+    * (n̂ = −(m/k)·ln(1 − X/m) — Spark's `cardinality()`);
+    * `projectedFpp` = (1 − e^{−k·n̂/m})^k is the fp rate the gate is
+    * ACTUALLY running at, vs the `targetFpp` it was sized for. */
+  case class BloomSaturation(estimatedItems: Long, sizedForItems: Long,
+      fillRatio: Double, projectedFpp: Double, targetFpp: Double,
+      rebuildRecommended: Boolean)
+
+  /** `sizedForItems`/`fpp` are the ORIGINAL build's sizing arguments
+    * (the same values [[extendBloom]] already requires). The hash count
+    * k is read from the serialized header, not recomputed, so a filter
+    * sized under different arguments is still reported honestly. */
+  def bloomSaturation(filter: Array[Byte], sizedForItems: Long,
+      fpp: Double = 0.01): BloomSaturation = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(filter))
+    // header: version, numHashFunctions[, V2 seed], bitset — k is the
+    // second int in both shipped versions (verified against Spark 4.1's
+    // BloomFilterImpl/BloomFilterImplV2.writeTo)
+    val version = in.readInt()
+    require(version == 1 || version == 2,
+      s"unknown Bloom serialization version $version")
+    val k = in.readInt()
+    val f = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(filter))
+    val m = f.bitSize().toDouble
+    // cardinality() is the SET-BIT count X, not an item estimate; the
+    // load factor X/m is the whole story: a probe false-positives iff
+    // all k probed bits are set, so projectedFpp = (X/m)^k exactly, and
+    // n̂ inverts the expected density, −(m/k)·ln(1 − X/m).
+    val load = f.cardinality() / m
+    val nHat =
+      if (load >= 1.0) Long.MaxValue // fully saturated: every probe passes
+      else math.round(-(m / k) * math.log1p(-load))
+    val projected = math.pow(load, k.toDouble)
+    BloomSaturation(nHat, sizedForItems, nHat.toDouble / sizedForItems,
+      projected, fpp, rebuildRecommended = projected > fpp)
+  }
+
+  /** Per-shard saturation over a sharded history frame — S metadata
+    * rows, same lambda rationale as [[mergeBloomSharded]]. Each shard
+    * was sized for expectedItems/S ([[buildBloomSharded]]'s rule), and
+    * content-hash sharding keeps fills near-uniform, so one hot shard
+    * flagging `rebuild_recommended` means the horizon is genuinely
+    * outgrown, not skewed. */
+  def bloomSaturationSharded(filters: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val ns = filters.select(col("num_shards")).distinct().collect()
+    require(ns.length == 1,
+      s"filters frame must carry one num_shards value; got ${ns.length}")
+    val perShard = math.max(1L,
+      math.ceil(expectedItems.toDouble / ns(0).getInt(0)).toLong)
+    val satUdf = udf((f: Array[Byte]) => bloomSaturation(f, perShard, fpp))
+    filters.select(col("shard"), satUdf(col("filter")).as("s"))
+      .select(col("shard"), col("s.estimatedItems").as("estimated_items"),
+        col("s.fillRatio").as("fill_ratio"),
+        col("s.projectedFpp").as("projected_fpp"),
+        col("s.rebuildRecommended").as("rebuild_recommended"))
+  }
+
   case class FunnelProgress(view: Option[Long], click: Option[Long], done: Boolean)
   case class FunnelConversion(user_id: Long, t_view: java.sql.Timestamp,
     t_click: java.sql.Timestamp, t_purchase: java.sql.Timestamp, total_s: Double)

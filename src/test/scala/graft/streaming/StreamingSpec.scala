@@ -905,6 +905,41 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       Transforms.mergeBloomSharded(f1, f3)
   }
 
+  it should "report saturation honestly on under- and over-full filters" in {
+    import spark.implicits._
+    val docs = (0 until 500).map(i => (i.toLong, s"sat doc $i")).toDF("doc_id", "text")
+    val healthy = Transforms.bloomSaturation(
+      Transforms.buildBloom(docs, 2000L, 0.01), 2000L, 0.01)
+    // bit-density inversion should land near the true 500 insertions
+    healthy.estimatedItems.toDouble shouldBe 500.0 +- 75.0
+    healthy.fillRatio shouldBe 0.25 +- 0.04
+    healthy.projectedFpp should be < 0.01 // under-full runs BETTER than sized
+    healthy.rebuildRecommended shouldBe false
+    // 4x past the horizon: the fp guarantee is gone and the report says so
+    val big = (0 until 4000).map(i => (i.toLong, s"sat doc $i")).toDF("doc_id", "text")
+    val outgrown = Transforms.bloomSaturation(
+      Transforms.buildBloom(big, 1000L, 0.01), 1000L, 0.01)
+    outgrown.fillRatio should be > 2.0
+    outgrown.projectedFpp should be > 0.01
+    outgrown.rebuildRecommended shouldBe true
+  }
+
+  it should "flag outgrown shards in the sharded saturation report" in {
+    import spark.implicits._
+    val docs = (0 until 600).map(i => (i.toLong, s"shard sat $i")).toDF("doc_id", "text")
+    val healthy = Transforms.bloomSaturationSharded(
+      Transforms.buildBloomSharded(docs, 2000L, 0.01, shards = 8).persist(), 2000L, 0.01)
+      .collect()
+    healthy.length should be <= 8
+    all(healthy.map(_.getAs[Boolean]("rebuild_recommended"))) shouldBe false
+    // content-hash sharding spreads the fill: per-shard estimates sum near n
+    healthy.map(_.getAs[Long]("estimated_items")).sum.toDouble shouldBe 600.0 +- 90.0
+    val outgrown = Transforms.bloomSaturationSharded(
+      Transforms.buildBloomSharded(docs, 100L, 0.01, shards = 8).persist(), 100L, 0.01)
+      .collect()
+    all(outgrown.map(_.getAs[Boolean]("rebuild_recommended"))) shouldBe true
+  }
+
   it should "probe identically through the interpreted and codegen paths" in {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.Literal
