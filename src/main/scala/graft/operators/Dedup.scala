@@ -120,7 +120,19 @@ object Dedup {
   // ---- MinHash + LSH -----------------------------------------------------
 
   private val NumHashes = 8
-  private val NumBands = 4 // 2 rows per band
+  private[graft] val NumBands = 4 // 2 rows per band
+
+  /** The LSH band keys of a `graft_minhash` signature column — THE
+    * definition of band membership, shared by the batch candidate-pair
+    * operators and `streaming.Transforms.nearDupGate` so "near-dup"
+    * means exactly the same thing at ingest time and in batch audits.
+    * Band b hashes signature rows (2b, 2b+1); the band index rides in
+    * the preimage so keys never collide across bands. */
+  private[graft] def bandKeysOf(sig: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    (0 until NumBands).map { b =>
+      md5s(concat_ws("|", lit(b),
+        element_at(sig, 2 * b + 1), element_at(sig, 2 * b + 2)))
+    }
 
   /** (doc_id, sig array): the minhash signature over word 3-gram
     * shingles, computed record-local in one pass by the native
@@ -209,11 +221,9 @@ object Dedup {
     // Single minhash pass: explode the 4 band keys per doc, bucket docs by
     // (band, key), emit pairs inside each bucket. One aggregation, one
     // shuffle on band keys, no self-join recomputation of the signatures.
-    val mh = minhashDf(s, d)
-    val bandKeys = array((0 until NumBands).map { b =>
-      md5s(concat_ws("|", lit(b), col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
-    }: _*)
-    val members = mh.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "bkey")))
+    val mh = sigDf(s, d)
+    val members = mh.select(col("doc_id"),
+      posexplode(array(bandKeysOf(col("sig")): _*)).as(Seq("band", "bkey")))
     graft.plans.TopKPerGroup.transform(
         members, Seq(col("band"), col("bkey")), Seq(col("doc_id").asc), maxBucketSize)
       .groupBy(col("band"), col("bkey"))

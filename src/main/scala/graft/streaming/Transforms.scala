@@ -622,6 +622,90 @@ object Transforms {
         col("s.rebuildRecommended").as("rebuild_recommended"))
   }
 
+  // ---- Near-duplicate ingest gate -----------------------------------
+
+  /** Near-dup twin of [[bloomDedup]]'s exact gate: drop incoming docs
+    * that are LSH candidate near-duplicates of the history, not just
+    * byte-identical to it. The filter holds the history's LSH band keys
+    * (`operators.Dedup.bandKeysOf` — the SAME definition the batch
+    * candidate-pair operators use, so ingest gating and batch audits
+    * agree on what "near-dup" means); the gate computes an incoming
+    * doc's 4 band keys record-locally and drops it if ANY key might be
+    * present. No join, no keyed state, no shuffle — 4 stateless
+    * codegen'd probes per row, batch ≡ stream.
+    *
+    * Polarity mirrors [[bloomDedup]]: zero false negatives (a doc
+    * sharing a band with history is ALWAYS dropped — LSH candidacy is
+    * the same recall contract dd_lsh_pairs runs on), while Bloom fp can
+    * drop extra fresh docs — the filter is sized for fpp/NumBands per
+    * probe, so the per-DOC false-drop rate stays ≤ ~fpp. Docs under 3
+    * tokens have no shingles and pass ungated (they are below the
+    * resolution of 3-gram MinHash; route them through [[bloomGate]]).
+    *
+    * The serialized filter is format-compatible with the whole Bloom
+    * toolkit: [[saveBloom]]/[[loadBloom]], [[mergeBloom]] (via
+    * [[extendNearDupBloom]]) and [[bloomSaturation]] (size it for
+    * expectedDocs × NumBands insertions). */
+  def buildNearDupBloom(historical: DataFrame, expectedDocs: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    require(expectedDocs > 0, s"expectedDocs must be positive (got $expectedDocs)")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1) (got $fpp)")
+    val nKeys = expectedDocs * graft.operators.Dedup.NumBands
+    val perProbeFpp = fpp / graft.operators.Dedup.NumBands
+    val numBits = math.ceil(
+      -nKeys * math.log(perProbeFpp) / (math.log(2) * math.log(2))).toLong
+    graft.plans.GraftFunctions.register(historical.sparkSession)
+    withSig(historical)
+      .filter(col(SigCol).isNotNull)
+      .select(posexplode(array(
+        graft.operators.Dedup.bandKeysOf(col(SigCol)): _*)).as(Seq("b", "bk")))
+      .select(xxhash64(col("bk")).as("h"))
+      .agg(call_function("graft_bloom_agg", col("h"),
+        lit(nKeys), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Gate a batch frame or a stream through a built/loaded band filter. */
+  def nearDupGate(docs: DataFrame, filter: Array[Byte]): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val staged = withSig(docs)
+    val anyBandHit = graft.operators.Dedup.bandKeysOf(col(SigCol))
+      .map(bk => call_function("graft_bloom_contains", lit(filter), xxhash64(bk)))
+      .reduce(_ || _)
+    staged.filter(col(SigCol).isNull || !anyBandHit).drop(TokCol, SigCol)
+  }
+
+  /** [[bloomDedup]]'s shape for the near-dup gate (build + gate in one
+    * call — production loops should persist the build instead). */
+  def nearDupDedup(docs: DataFrame, historical: DataFrame,
+      expectedDocs: Long, fpp: Double = 0.01): DataFrame =
+    nearDupGate(docs, buildNearDupBloom(historical, expectedDocs, fpp))
+
+  /** [[extendBloom]] for the band filter: OR the new batch's band keys
+    * into the saved history filter — one pass over the increment, the
+    * history corpus is never rescanned. Same sizing-params contract. */
+  def extendNearDupBloom(spark: SparkSession, path: String, newDocs: DataFrame,
+      expectedDocs: Long, fpp: Double = 0.01): Array[Byte] = {
+    val merged = mergeBloom(loadBloom(spark, path),
+      buildNearDupBloom(newDocs, expectedDocs, fpp))
+    saveBloom(spark, merged, path)
+    merged
+  }
+
+  private val TokCol = "__graft_nd_tk"
+  private val SigCol = "__graft_nd_sig"
+
+  /** Stage tokens and the minhash signature as materialized columns
+    * (inlining them into the band-key expressions would re-evaluate the
+    * tokenizer per band — the measured 2× trap documented at
+    * `operators/Dedup.sigDf`). Sub-3-token docs get a null signature. */
+  private def withSig(docs: DataFrame): DataFrame =
+    docs
+      .withColumn(TokCol, graft.functions.TextFns.tokens(col("text")))
+      .withColumn(SigCol, when(size(col(TokCol)) >= 3,
+        call_function("graft_minhash",
+          graft.functions.TextFns.shingles3(col(TokCol)))))
+
   case class FunnelProgress(view: Option[Long], click: Option[Long], done: Boolean)
   case class FunnelConversion(user_id: Long, t_view: java.sql.Timestamp,
     t_click: java.sql.Timestamp, t_purchase: java.sql.Timestamp, total_s: Double)

@@ -905,6 +905,61 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       Transforms.mergeBloomSharded(f1, f3)
   }
 
+  it should "gate LSH near-duplicates of the history with zero false negatives" in {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // per-doc-unique tokens so shingles are doc-specific, not corpus-wide
+    def body(tag: String, i: Int): String =
+      (0 until 8).map(j => s"$tag${i}w$j").mkString(" ")
+    val hist = (0 until 300).map(i => (i.toLong, body("h", i))).toDF("doc_id", "text")
+    val probe = (
+      (0 until 80).map(i => (1000L + i, body("h", i))) ++                  // verbatim clones
+      (100 until 140).map(i => (2000L + i, body("h", i) + " changedtail")) ++ // near variants
+      (0 until 200).map(i => (3000L + i, body("f", i))) :+                 // fresh
+      (5000L, "two tokens")                                                // below shingle resolution
+    ).toDF("doc_id", "text")
+    val kept = Transforms.nearDupDedup(probe, hist, expectedDocs = 300L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    // ground truth band membership, via the SAME shared band-key definition
+    def bands(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("tk", graft.functions.TextFns.tokens(col("text")))
+      .filter(org.apache.spark.sql.functions.size(col("tk")) >= 3)
+      .withColumn("sig", call_function("graft_minhash",
+        graft.functions.TextFns.shingles3(col("tk"))))
+      .select(col("doc_id"), explode(array(
+        graft.operators.Dedup.bandKeysOf(col("sig")): _*)).as("bk"))
+    val gt = bands(probe).join(bands(hist).select("bk").distinct(), Seq("bk"))
+      .select("doc_id").as[Long].collect().toSet
+    // zero false negatives: NOTHING band-sharing with history survives
+    kept.intersect(gt) shouldBe empty
+    // verbatim clones share every band — all in ground truth, all dropped
+    (1000L until 1080L).toSet.subsetOf(gt) shouldBe true
+    // false drops confined to Bloom fp: fresh docs outside ground truth
+    // survive at ~1-fpp (per-doc sizing: expected ~2 of 200 at 1%)
+    val freshNotGt = (0 until 200).map(3000L + _).toSet.diff(gt)
+    freshNotGt.diff(kept).size should be <= 8
+    kept should contain(5000L) // sub-3-token docs pass ungated
+  }
+
+  it should "extend the near-dup band filter incrementally" in {
+    import spark.implicits._
+    def body(tag: String, i: Int): String =
+      (0 until 8).map(j => s"$tag${i}x$j").mkString(" ")
+    val day1 = (0 until 200).map(i => (i.toLong, body("a", i))).toDF("doc_id", "text")
+    val day2 = (0 until 150).map(i => (500L + i, body("b", i))).toDF("doc_id", "text")
+    val path = tmp() + "/neardup.bloom"
+    Transforms.saveBloom(spark,
+      Transforms.buildNearDupBloom(day1, 1000L, 0.01), path)
+    Transforms.extendNearDupBloom(spark, path, day2, 1000L, 0.01)
+    val probe = ((0 until 200).map(i => (i.toLong, body("a", i))) ++
+      (0 until 150).map(i => (500L + i, body("b", i))) ++
+      (0 until 150).map(i => (9000L + i, body("z", i)))).toDF("doc_id", "text")
+    val kept = Transforms.nearDupGate(probe, Transforms.loadBloom(spark, path))
+      .select("doc_id").as[Long].collect().toSet
+    kept.count(_ < 1000L) shouldBe 0       // both days' docs dropped
+    kept.count(_ >= 9000L) should be >= 140 // fresh survive near fpp
+  }
+
   it should "report saturation honestly on under- and over-full filters" in {
     import spark.implicits._
     val docs = (0 until 500).map(i => (i.toLong, s"sat doc $i")).toDF("doc_id", "text")
