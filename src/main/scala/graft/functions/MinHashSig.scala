@@ -77,4 +77,94 @@ object MinHashSig {
     }
     new GenericArrayData(out)
   }
+
+  /** [[MinHashTokens]] kernel: the same signature as [[compute]] over the
+    * word 3-gram shingles of `toks`, but the shingles are built inside
+    * the loop (one StringBuilder join per window) instead of as a column.
+    * Exactly `TextFns.shingles3` ∘ [[compute]] for the arrays
+    * `TextFns.tokens` produces (which never contain nulls — a null token
+    * here renders as an empty string, where concat_ws would skip it):
+    * space-joined 3-windows, < 3 tokens → all slots null. */
+  def computeFromTokens(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val mins = new Array[String](NumHashes)
+    var i = 0
+    while (i + 2 < n) {
+      val sb = new java.lang.StringBuilder
+      var w = 0
+      while (w < 3) {
+        if (w > 0) sb.append(' ')
+        if (!toks.isNullAt(i + w)) sb.append(toks.getUTF8String(i + w).toString)
+        w += 1
+      }
+      val s = sb.toString
+      var g = 0
+      while (g < NumSalts) {
+        val h = DigestUtils.md5Hex(g.toString + "|" + s)
+        var k = 0
+        while (k < SlicesPerDigest) {
+          val j = g * SlicesPerDigest + k
+          val sub = h.substring(8 * k, 8 * k + 8)
+          if (mins(j) == null || sub.compareTo(mins(j)) < 0) mins(j) = sub
+          k += 1
+        }
+        g += 1
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](NumHashes)
+    var j = 0
+    while (j < NumHashes) {
+      out(j) = if (mins(j) == null) null else UTF8String.fromString(mins(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** MinHash signature directly from a TOKEN array — semantically
+  * `graft_minhash(shingles3(tokens))`, fused record-local.
+  *
+  * The fused form exists for PLAN SAFETY, not just speed: `shingles3`
+  * is a `transform` lambda over the token column, and whenever the
+  * optimizer inlines the token alias into that lambda (alias inlining
+  * by CollapseProject/PushDownPredicates — higher-order-function bodies
+  * also get no codegen subexpression elimination), the tokenizer
+  * re-evaluates per lambda ELEMENT: O(tokens²) per doc, measured 8×
+  * wall on the near-dup gate build. A native unary expression gives the
+  * optimizer nothing to inline through — tokenize runs once per row,
+  * shingling is a linear loop inside [[MinHashSig.computeFromTokens]]. */
+case class MinHashTokens(child: Expression) extends UnaryExpression {
+
+  /** DELIBERATE LIE for plan safety — the function is a pure hash of its
+    * input (bit-identical on every run; OperatorsSpec re-runs every
+    * query and compares). Flagging it nondeterministic is the standard
+    * Spark idiom for expensive scalar functions (`udf.asNondeterministic`
+    * serves the same purpose): the optimizer must not duplicate,
+    * inline, or push through it, so a multi-reference consumer (the 8
+    * band-key reads, the gate's 5 filter references) reads ONE
+    * materialized attribute instead of re-running tokenize+minhash per
+    * reference. A rand()-column barrier was tried first and failed:
+    * column pruning removes the unused rand column, and alias inlining
+    * then resumes (measured: dd_minhash 0.3 → 0.76 s when the 8
+    * element_at reads each re-ran the chain). */
+  override lazy val deterministic: Boolean = false
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_minhash_tokens expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.computeFromTokens(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.computeFromTokens($c);")
+
+  override protected def withNewChildInternal(c: Expression): MinHashTokens = copy(child = c)
+
+  override def prettyName: String = "graft_minhash_tokens"
 }

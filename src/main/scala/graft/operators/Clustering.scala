@@ -378,7 +378,105 @@ object Clustering {
        |    AS silhouette
        |FROM sil GROUP BY 1 ORDER BY cluster""".stripMargin
 
+  // ---- PageRank centrality over the similarity graph ---------------------
+
+  /** Fixed-point scale for [[clPagerank]]: ranks are integer micro-units
+    * of 1e-12. Every operation in the power iteration — the initial
+    * uniform mass, per-edge contributions, damping — is integer
+    * arithmetic (`div`, exact long sums), so the result is bit-identical
+    * cross-engine and independent of summation order. A double-valued
+    * iteration would drift in the last ulp and the drift FEEDS BACK
+    * through 3 iterations — the q11 rounding trap, amplified. */
+  val PrScale = 1000000000000L
+  val PrIters = 3
+
+  /** PageRank over the embedding similarity graph — centrality-aware
+    * curation: documents/vectors central to a semantic neighborhood are
+    * kept (canonical exemplars), peripheral near-orphans can be
+    * down-weighted. Edges are EXACTLY [[Dedup.ddEmbedCosFor]]'s
+    * candidate contract (sign-bucket LSH, within-bucket cosine > 0.25),
+    * so graph membership agrees with the near-dup audits; each surviving
+    * pair is undirected (both directions). Dangling nodes keep teleport
+    * mass only; their outflow is dropped (the standard dangling-mass
+    * simplification, mirrored in the oracle).
+    *
+    * Scale shape: the edge build is the bucket-bounded self-join (never
+    * O(n²)); each iteration is one keyed join edges⋈ranks plus one
+    * partial-aggregated groupBy on dst — the canonical distributed power
+    * iteration, 2 shuffles per round, no driver-side graph state. The
+    * edge frame is pinned once (localCheckpoint here; a bucketed table
+    * write at cluster scale) so iterations never re-run the self-join. */
+  def clPagerank: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("e"))
+    val n = emb.count() // driver scalar: node count (one narrow scan)
+    val base = PrScale / n
+    val tele = 15L * base / 100L
+    val pairs = Dedup.ddEmbedCosFor(emb, Seq(1, 2, 3, 4), 0.25)
+      .select(col("vec_a"), col("vec_b"))
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = emb.select(col("vec_id"))
+    var ranks = nodes.select(col("vec_id"), lit(base).as("r"))
+    for (_ <- 1 to PrIters) {
+      val inflow = edges
+        .join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div deg")).as("infl"))
+      ranks = nodes
+        .join(inflow.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(tele) + expr("(85 * coalesce(infl, 0)) div 100")).as("r"))
+    }
+    ranks.join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("n_neighbors"),
+        col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("vec_id")).limit(20)
+  }
+
+  val clPagerankSql: String = {
+    val simCte =
+      """v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+        |    sqrt(list_reduce(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm,
+        |    concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS sig
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        |  WHERE round(list_reduce(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]), (x, y) -> x + y) / (a.nrm * b.nrm), 4) > 0.25)""".stripMargin
+    val iters = (1 to PrIters).map { k =>
+      s"""i$k AS (
+         |  SELECT e.dst, CAST(sum(r.r // dg.deg) AS BIGINT) AS infl
+         |  FROM edges e JOIN r${k - 1} r ON e.src = r.vec_id
+         |  JOIN deg dg ON dg.src = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT v.vec_id,
+         |    (15 * (SELECT base FROM consts)) // 100
+         |      + (85 * COALESCE(i.infl, 0)) // 100 AS r
+         |  FROM v LEFT JOIN i$k i ON i.dst = v.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $simCte,
+       |edges AS (SELECT va AS src, vb AS dst FROM pairs
+       |          UNION ALL SELECT vb, va FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |consts AS (SELECT $PrScale // count(*) AS base FROM embeddings),
+       |r0 AS (SELECT vec_id, (SELECT base FROM consts) AS r FROM v),
+       |$iters
+       |SELECT r.vec_id, COALESCE(dg.deg, 0) AS n_neighbors, r.r AS rank_fp
+       |FROM r$PrIters r LEFT JOIN deg dg ON dg.src = r.vec_id
+       |ORDER BY rank_fp DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "cl_pagerank" -> clPagerank,
     "cl_silhouette" -> clSilhouette,
     "cl_kmeans" -> clKmeans,
     "cl_diverse_sample" -> clDiverseSample,
@@ -387,6 +485,7 @@ object Clustering {
     "cl_semantic_dedup" -> clSemanticDedup)
 
   def oracleSql: Map[String, String] = Map(
+    "cl_pagerank" -> clPagerankSql,
     "cl_silhouette" -> clSilhouetteSql,
     "cl_kmeans" -> clKmeansSql,
     "cl_diverse_sample" -> clDiverseSampleSql,

@@ -141,14 +141,20 @@ object Dedup {
     * result). */
   private def sigDf(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    // tokens/shingles materialize through separate projections: inlining
-    // them into the transform lambda re-evaluates split() per element
-    // (O(tokens²) per doc — measured 2× wall on dd_lsh_pairs).
+    // Round-4 hardening: fused tokenize+shingle+minhash in ONE native
+    // expression (graft.functions.MinHashTokens) — the column-composed
+    // chain is an optimizer trap: alias inlining into the shingle
+    // transform lambda re-evaluates split() per element (O(tokens²) per
+    // doc; measured 8× wall on the streaming near-dup gate). The
+    // expression is FLAGGED nondeterministic (see its Scaladoc) so the
+    // optimizer materializes it once per row; multi-reference consumers
+    // (band keys read `sig` 8×) then read the attribute. Docs with <3
+    // tokens have no shingles so every slot is null — the same exclusion
+    // the old size(tk)>=3 filter expressed.
     Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), shingles3(col("tk")).as("sh"))
-      .select(col("doc_id"), call_function("graft_minhash", col("sh")).as("sig"))
+      .select(col("doc_id"),
+        call_function("graft_minhash_tokens", tokens(col("text"))).as("sig"))
+      .filter(element_at(col("sig"), 1).isNotNull)
   }
 
   private def minhashDf(s: SparkSession, d: String): DataFrame =
@@ -862,7 +868,31 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Batch audit of the streaming NEAR-dup ingest gate
+    * [[graft.streaming.Transforms.nearDupDedup]] — [[ddBloom]]'s shape,
+    * but the filter holds the history's LSH BAND keys (the
+    * [[bandKeysOf]] contract) instead of content hashes, so docs that
+    * are LSH candidate near-duplicates of the history are dropped, not
+    * just byte-identical ones. Same rows-only treatment as dd_bloom (the
+    * Bloom bit pattern is not reproducible in DuckDB); the
+    * zero-false-negative / fpp-bounded-false-drop semantics are pinned
+    * in StreamingSpec. Deterministic for a given corpus. */
+  def ddNeardup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val hist = docs.filter(hashBucket("ndhist|", col("doc_id"), 8, 2) === 0)
+    val kept = graft.streaming.Transforms.nearDupDedup(
+      docs, hist, expectedDocs = math.max(hist.count(), 1L), fpp = 0.01)
+    val keptCounts = kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(keptCounts, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "dd_neardup" -> ddNeardup,
     "dd_substring" -> ddSubstring,
     "dd_dup_span" -> ddDupSpan,
     "dd_bloom" -> ddBloom,

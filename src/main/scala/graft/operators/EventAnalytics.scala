@@ -619,7 +619,49 @@ object EventAnalytics {
       |FROM active a JOIN fd USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin
 
+  /** Records kept per (user, hour) by [[evThrottle]] before the rest are
+    * dropped. 2 is calibrated to the synthetic corpus (bursts reach 3-4
+    * events/user-hour at sf≥0.01) — production ingest uses the same plan
+    * with a config-sized cap. */
+  val ThrottleCap = 2
+
+  /** Deterministic per-user rate limiting — the ingest throttle every
+    * abuse-resistant event pipeline runs before storage: keep the first
+    * [[ThrottleCap]] events per (user, hour) in (ts, event_id) arrival
+    * order, drop the burst tail, and report the throttle's bite per
+    * event type. The keep/drop decision is a row_number over the
+    * (user, hour) window — high-cardinality partitions, bounded state
+    * per key, no skew (a single user's burst is capped by their own
+    * event rate); the report is one partial-aggregated groupBy. The
+    * deterministic total order makes the same events survive on every
+    * run and engine — a throttle that keeps an arbitrary subset cannot
+    * be audited or replayed. */
+  def evThrottle: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"), date_trunc("hour", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("rn") <= ThrottleCap, lit(1))).as("n_kept"))
+      .select(col("event_type"), col("n_events"), col("n_kept"),
+        (col("n_events") - col("n_kept")).as("n_dropped"))
+      .orderBy(col("event_type"))
+  }
+
+  val evThrottleSql: String =
+    s"""WITH rn AS (
+       |  SELECT event_type,
+       |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts::TIMESTAMP)
+       |                       ORDER BY ts::TIMESTAMP, event_id) AS rn
+       |  FROM events)
+       |SELECT event_type, count(*) AS n_events,
+       |  count(CASE WHEN rn <= $ThrottleCap THEN 1 END) AS n_kept,
+       |  count(*) - count(CASE WHEN rn <= $ThrottleCap THEN 1 END) AS n_dropped
+       |FROM rn GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ev_throttle" -> evThrottle,
     "ev_cohort_matrix" -> evCohortMatrix,
     "ev_dau_wau" -> evDauWau,
     "ev_markov" -> evMarkov,
@@ -637,6 +679,7 @@ object EventAnalytics {
     "ev_salted_agg" -> evSaltedAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "ev_throttle" -> evThrottleSql,
     "ev_cohort_matrix" -> evCohortMatrixSql,
     "ev_dau_wau" -> evDauWauSql,
     "ev_markov" -> evMarkovSql,

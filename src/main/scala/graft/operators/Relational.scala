@@ -447,6 +447,24 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Sketch-based percentiles (Greenwald-Khanna): the single-pass,
+    * constant-memory, mergeable-partials scale path where
+    * [[qPercentiles]]' exact interpolation must buffer each group's full
+    * value distribution. No oracle (sketch internals are approximate by
+    * design; DuckDB's approx_quantile is a different sketch) — the error
+    * bound vs the exact percentiles is pinned in OperatorsSpec, the same
+    * treatment as `q_approx_distinct`. Accuracy 10000 ⇒ rank error
+    * ≤ 1/10000 of each group. */
+  def qApproxQuantiles: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)").as("q"),
+        count(lit(1)).as("n_items"))
+      .select(col("l_returnflag"), col("q").getItem(0).as("p50_price"),
+        col("q").getItem(1).as("p90_price"), col("q").getItem(2).as("p99_price"),
+        col("n_items"))
+      .orderBy(col("l_returnflag"))
+
   /** Exact percentiles (linear interpolation — same algorithm in Spark's
     * `percentile` and DuckDB's `quantile_cont`). */
   def qPercentiles: Q = (s, d) =>
@@ -471,6 +489,7 @@ object Relational {
     "q14_promo_share" -> q14PromoShare,
     "q_percentiles" -> qPercentiles,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_approx_quantiles" -> qApproxQuantiles,
     "q_pivot" -> qPivot,
     "q1_pricing" -> q1Pricing,
     "q3_topk_join" -> q3TopkJoin,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, MinHashSig, PqAdcScore, RowBinaryEncode, ShardedBloomProbe, VerticaNativeEncode}
+import graft.functions.{DotProduct, MinHashSig, MinHashTokens, PqAdcScore, RowBinaryEncode, ShardedBloomProbe, VerticaNativeEncode}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -31,6 +31,9 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (args: Seq[Expression]) => { arity("graft_minhash", args, 1); MinHashSig(args(0)) }),
+    (new FunctionIdentifier("graft_minhash_tokens"),
+      new ExpressionInfo(classOf[MinHashTokens].getName, "graft_minhash_tokens"),
+      (args: Seq[Expression]) => { arity("graft_minhash_tokens", args, 1); MinHashTokens(args(0)) }),
     (new FunctionIdentifier("graft_rowbinary"),
       new ExpressionInfo(classOf[RowBinaryEncode].getName, "graft_rowbinary"),
       (args: Seq[Expression]) => RowBinaryEncode(args(0), fieldSpecArg(args, "graft_rowbinary"))),

@@ -656,7 +656,7 @@ object Transforms {
       -nKeys * math.log(perProbeFpp) / (math.log(2) * math.log(2))).toLong
     graft.plans.GraftFunctions.register(historical.sparkSession)
     withSig(historical)
-      .filter(col(SigCol).isNotNull)
+      .filter(sigPresent)
       .select(posexplode(array(
         graft.operators.Dedup.bandKeysOf(col(SigCol)): _*)).as(Seq("b", "bk")))
       .select(xxhash64(col("bk")).as("h"))
@@ -672,7 +672,7 @@ object Transforms {
     val anyBandHit = graft.operators.Dedup.bandKeysOf(col(SigCol))
       .map(bk => call_function("graft_bloom_contains", lit(filter), xxhash64(bk)))
       .reduce(_ || _)
-    staged.filter(col(SigCol).isNull || !anyBandHit).drop(TokCol, SigCol)
+    staged.filter(!sigPresent || !anyBandHit).drop(SigCol)
   }
 
   /** [[bloomDedup]]'s shape for the near-dup gate (build + gate in one
@@ -692,19 +692,25 @@ object Transforms {
     merged
   }
 
-  private val TokCol = "__graft_nd_tk"
   private val SigCol = "__graft_nd_sig"
 
-  /** Stage tokens and the minhash signature as materialized columns
-    * (inlining them into the band-key expressions would re-evaluate the
-    * tokenizer per band — the measured 2× trap documented at
-    * `operators/Dedup.sigDf`). Sub-3-token docs get a null signature. */
+  /** Stage the minhash signature as a materialized column via the FUSED
+    * `graft_minhash_tokens` expression (tokens → shingles → signature in
+    * one linear native eval). See [[graft.functions.MinHashTokens]] for
+    * why the column-composed form is an optimizer trap (alias inlining
+    * into the shingle lambda re-evaluates the tokenizer per element —
+    * measured 8× wall on this gate) and why the expression is flagged
+    * nondeterministic so the gate's 5 references (presence check + 4
+    * band probes) read one materialized attribute. Sub-3-token docs have
+    * no shingles, so every signature slot is null — [[sigPresent]] is
+    * the presence test. */
   private def withSig(docs: DataFrame): DataFrame =
-    docs
-      .withColumn(TokCol, graft.functions.TextFns.tokens(col("text")))
-      .withColumn(SigCol, when(size(col(TokCol)) >= 3,
-        call_function("graft_minhash",
-          graft.functions.TextFns.shingles3(col(TokCol)))))
+    docs.withColumn(SigCol, call_function("graft_minhash_tokens",
+      graft.functions.TextFns.tokens(col("text"))))
+
+  /** A doc has a signature iff it has ≥1 shingle (first slot non-null). */
+  private def sigPresent: org.apache.spark.sql.Column =
+    element_at(col(SigCol), 1).isNotNull
 
   case class FunnelProgress(view: Option[Long], click: Option[Long], done: Boolean)
   case class FunnelConversion(user_id: Long, t_view: java.sql.Timestamp,

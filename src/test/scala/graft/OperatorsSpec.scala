@@ -27,7 +27,8 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   behavior of "SparkEntry"
 
   it should "expose an oracle for every query except rows-only ops" in {
-    val rowsOnly = Set("mm_decode_stub", "sl_rowbinary", "q_approx_distinct", "dd_bloom")
+    val rowsOnly = Set("mm_decode_stub", "sl_rowbinary", "q_approx_distinct", "dd_bloom",
+      "q_approx_quantiles", "dd_neardup")
     (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) shouldBe rowsOnly
     SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
   }
@@ -79,6 +80,62 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .filter(col("cos") >= 0.3).select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     topAbove.foreach(p => radiusPairs should contain(p))
+  }
+
+  it should "keep pagerank mass bounded with teleport-only dangling nodes" in {
+    import org.apache.spark.sql.functions._
+    val n = Tables.embeddings(spark, sf).count()
+    val base = operators.Clustering.PrScale / n
+    val tele = 15L * base / 100L
+    val top = operators.Clustering.clPagerank(spark, sf).collect()
+    top.length shouldBe 20
+    // every rank carries at least the teleport mass and never exceeds the
+    // total fixed-point mass; floor division only ever LOSES mass
+    top.foreach { r =>
+      r.getAs[Long]("rank_fp") should be >= tele
+      r.getAs[Long]("rank_fp") should be < operators.Clustering.PrScale
+    }
+    // a dangling node's rank is EXACTLY the teleport term — no inflow
+    top.filter(_.getAs[Long]("n_neighbors") == 0L)
+      .foreach(_.getAs[Long]("rank_fp") shouldBe tele)
+    // the list is rank-descending with id tiebreak
+    val keys = top.map(r => (-r.getAs[Long]("rank_fp"), r.getAs[Long]("vec_id"))).toSeq
+    keys shouldBe keys.sorted
+  }
+
+  it should "throttle nothing below the cap and account every event" in {
+    import org.apache.spark.sql.functions._
+    val rep = operators.EventAnalytics.evThrottle(spark, sf).collect()
+    rep.map(_.getAs[Long]("n_events")).sum shouldBe Tables.events(spark, sf).count()
+    rep.foreach { r =>
+      r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") shouldBe r.getAs[Long]("n_events")
+    }
+    // cross-check against a direct per-(user, hour) census: total kept ==
+    // Σ min(burst, cap) — the throttle's defining identity
+    val cap = operators.EventAnalytics.ThrottleCap
+    val expectKept = Tables.events(spark, sf)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")))
+      .agg(count(lit(1)).as("c"))
+      .select(least(col("c"), lit(cap.toLong)).as("k"))
+      .agg(sum("k")).collect()(0).getLong(0)
+    rep.map(_.getAs[Long]("n_kept")).sum shouldBe expectKept
+  }
+
+  it should "keep approx quantiles within 1% of the exact percentiles" in {
+    import org.apache.spark.sql.functions._
+    val approx = operators.Relational.qApproxQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    approx.keySet shouldBe exact.keySet
+    approx.foreach { case (flag, (p50, p90, p99)) =>
+      val e = exact(flag)
+      math.abs(p50 - e(0)) / e(0) should be < 0.01
+      math.abs(p90 - e(1)) / e(1) should be < 0.01
+      math.abs(p99 - e(2)) / e(2) should be < 0.01
+    }
   }
 
   it should "schedule the curriculum as a partition of the corpus ending at share 1.0" in {
