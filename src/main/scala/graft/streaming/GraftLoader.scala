@@ -77,6 +77,21 @@ object GraftLoader {
       maxRecords: Option[Long] = None,
       jitter: Option[(Double, Long)] = None) extends Sink
 
+  /** Dead-letter routing — the reference's `RecordFormatter` surfaces
+    * decode failures by skipping (and logging) bad records; production
+    * loaders need them QUARANTINED, not dropped: `bad` rows (evaluated on
+    * the decoded frame, BEFORE the user transform) are diverted to a
+    * parquet dead-letter table at `dir` with a `dl_reason` column, and
+    * only the clean rows continue into transform → sink. Runs as its own
+    * checkpointed streaming query (`<checkpoint>/_quarantine`) — the
+    * PartitionGroupingSink pattern: each destination commits
+    * independently and exactly-once, and a replayable source (file /
+    * kafka) serves both. */
+  final case class Quarantine(
+      dir: String,
+      bad: org.apache.spark.sql.Column,
+      reason: org.apache.spark.sql.Column)
+
   def builder(): Builder = Builder()
 
   object Builder {
@@ -97,7 +112,8 @@ object GraftLoader {
       transformFn: DataFrame => DataFrame = identity,
       maybeSink: Option[Sink] = None,
       checkpointDir: Option[String] = None,
-      interval: StreamInterval = StreamInterval.Current) {
+      interval: StreamInterval = StreamInterval.Current,
+      maybeQuarantine: Option[Quarantine] = None) {
 
     def source(s: Source): Builder = copy(maybeSource = Some(s))
     def transform(f: DataFrame => DataFrame): Builder = copy(transformFn = f)
@@ -105,13 +121,27 @@ object GraftLoader {
     def checkpoint(dir: String): Builder = copy(checkpointDir = Some(dir))
     /** Rewind consumption on (re)start — see [[StreamInterval]]. */
     def lookback(iv: StreamInterval): Builder = copy(interval = iv)
+    /** Divert decode-failure / validation-failure rows — see [[Quarantine]]. */
+    def quarantine(dir: String, bad: org.apache.spark.sql.Column,
+        reason: org.apache.spark.sql.Column): Builder =
+      copy(maybeQuarantine = Some(Quarantine(dir, bad, reason)))
 
-    def start(spark: SparkSession): StreamingQuery = {
+    /** Starts the loader and returns the MAIN query (the common case).
+      * With a [[Quarantine]] configured the dead-letter query starts too —
+      * use [[startAll]] to get both handles. */
+    def start(spark: SparkSession): StreamingQuery = startAll(spark).head
+
+    /** All queries this loader runs: main first, then the quarantine
+      * query if configured. */
+    def startAll(spark: SparkSession): Seq[StreamingQuery] = {
       val src = maybeSource.getOrElse(throw new IllegalStateException("source is required"))
       val snk = maybeSink.getOrElse(throw new IllegalStateException("sink is required"))
       val cp = checkpointDir.getOrElse(throw new IllegalStateException("checkpoint is required"))
       replayLookbackWindow(spark, src, snk)
-      val events = transformFn(src match {
+      // one decoded-frame builder, used by BOTH queries: each start() gets
+      // its own readStream instance tracking its own offsets, so the
+      // quarantine query's progress is independent of the main sink's
+      def decoded(): DataFrame = src match {
         case FileSource(dir, n) => EventSource.fileStream(spark, dir, n)
         case KafkaTopic(servers, topic, startingOffsets, maxOffsets, decode) =>
           val r = spark.readStream
@@ -120,8 +150,21 @@ object GraftLoader {
             .option("subscribe", topic)
             .option("startingOffsets", startingOffsets)
           decode(maxOffsets.fold(r)(n => r.option("maxOffsetsPerTrigger", n)).load())
-      })
-      snk match {
+      }
+      val events = transformFn(
+        maybeQuarantine.fold(decoded())(q => decoded().filter(!q.bad)))
+      val deadLetters = maybeQuarantine.map { q =>
+        import org.apache.spark.sql.streaming.Trigger
+        decoded().filter(q.bad)
+          .withColumn("dl_reason", q.reason)
+          .writeStream
+          .option("checkpointLocation", s"$cp/_quarantine")
+          .trigger(Trigger.AvailableNow())
+          .format("parquet") // exactly-once via the file sink's commit log
+          .option("path", q.dir)
+          .start()
+      }
+      val main = snk match {
         case PartitionedFiles(dir, fmt, comp, maxRec) =>
           Sinks.recordBatchingSink(events, dir, cp, maxRec, fmt, comp).start()
         case TwoPhaseCommit(dir) => new Sinks.TwoPhaseCommitSink(dir).attach(events, cp)
@@ -136,6 +179,7 @@ object GraftLoader {
             MultiFileCommit.Total(ReachedAnyOf(maxBytes = maxBytes, maxRecords = maxRecords)),
             jitter).start()
       }
+      main +: deadLetters.toList
     }
 
     /** Shared epoch-published sink over a graft DSv2 file connector:

@@ -483,6 +483,42 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     new SnapshotTableSink(out).read(spark).count() shouldBe 2
   }
 
+  it should "quarantine bad rows to a dead-letter table and keep the main sink clean" in {
+    import spark.implicits._
+    val src = tmp(); val out = tmp() + "/table"; val dlq = tmp() + "/dead"; val cp = tmp()
+    // negative values = decode/validation failures; type 'error' = poison
+    (0L until 12L).map(i => Ev(i, ts(10 * i.toInt), i % 3,
+      if (i % 4 == 3) "error" else "click", if (i % 3 == 2) -i.toDouble else i.toDouble, "{}"))
+      .toDF().write.mode("overwrite").parquet(src)
+    def build() = GraftLoader.builder()
+      .source(GraftLoader.FileSource(src, maxFilesPerTrigger = 8))
+      .transform(_.withColumn("doubled", col("value") * 2))
+      .sink(GraftLoader.SnapshotTable(out))
+      .checkpoint(cp)
+      .quarantine(dlq,
+        bad = col("value") < 0 || col("event_type") === "error",
+        reason = when(col("value") < 0, "negative_value").otherwise("poison_type"))
+    val qs = build().startAll(spark)
+    qs.length shouldBe 2
+    qs.foreach { q => q.awaitTermination() }
+    val main = new SnapshotTableSink(out).read(spark)
+    val dead = spark.read.parquet(dlq)
+    // the two outputs PARTITION the input: nothing lost, nothing doubled
+    main.count() + dead.count() shouldBe 12
+    main.filter(col("value") < 0 || col("event_type") === "error").count() shouldBe 0
+    // the transform ran only on clean rows; dead letters keep the raw shape
+    main.columns should contain("doubled")
+    dead.columns should not contain "doubled"
+    dead.select("event_id", "dl_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe
+      Map(2L -> "negative_value", 3L -> "poison_type", 5L -> "negative_value",
+        7L -> "poison_type", 8L -> "negative_value",
+        11L -> "negative_value") // 11 is negative AND poison; value check wins
+    // restart with no new data: both checkpoints resume, nothing re-emitted
+    build().startAll(spark).foreach { q => q.awaitTermination() }
+    new SnapshotTableSink(out).read(spark).count() + spark.read.parquet(dlq).count() shouldBe 12
+  }
+
   it should "re-emit the lookback window on restart, then dedup to exactly-once" in {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
