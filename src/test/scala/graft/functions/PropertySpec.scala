@@ -69,6 +69,37 @@ class PropertySpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  behavior of "MinHashTokens"
+
+  private val tokenGen: Gen[List[String]] =
+    Gen.listOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+
+  it should "equal MinHashSig over the explicit 3-gram shingles for any token list" in {
+    // the fused expression IS shingles3 ∘ graft_minhash — pin the
+    // equivalence so the two definitions of a signature can never drift
+    // (the batch oracle queries and the streaming near-dup gate both
+    // depend on it)
+    samples(tokenGen, 200).foreach { toks =>
+      val arr = new GenericArrayData(toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val fused = MinHashSig.computeFromTokens(arr)
+      val shingles = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val composed = MinHashSig.compute(
+        new GenericArrayData(shingles.map(s => UTF8String.fromString(s)).toArray[Any]))
+      withClue(s"toks=$toks: ") {
+        (0 until 8).map(i => Option(fused.getUTF8String(i)).map(_.toString)) shouldBe
+          (0 until 8).map(i => Option(composed.getUTF8String(i)).map(_.toString))
+      }
+    }
+  }
+
+  it should "return all-null slots below 3 tokens" in {
+    Seq(Nil, List("a"), List("a", "b")).foreach { toks =>
+      val arr = new GenericArrayData(toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val out = MinHashSig.computeFromTokens(arr)
+      (0 until 8).foreach(i => out.isNullAt(i) shouldBe true)
+    }
+  }
+
   behavior of "DotProduct eval"
 
   it should "match the naive double fold on random float vectors" in {
