@@ -8,10 +8,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the table scans + codegen paths once so per-query timings
     // reflect steady state rather than first-touch JIT. (events goes
-    // through its typed accessor for the nanos conversion.)
-    graft.Tables.events(spark, sfDir).count()
-    graft.Tables.names.filterNot(_ == "events")
-      .foreach(t => graft.Tables.load(spark, sfDir, t).count())
+    // through its typed accessor for the ts-shape adaptation.) One broken
+    // table must degrade to its queries reporting -1/failed below — never
+    // kill the whole bench artifact.
+    graft.Tables.names.foreach { t =>
+      try {
+        if (t == "events") graft.Tables.events(spark, sfDir).count()
+        else graft.Tables.load(spark, sfDir, t).count()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warm-up of table $t FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
     // Steady-state timing: run each query twice and report the second run.
     // The first run pays one-time Janino/JIT compilation of the generated
     // classes (measured ~0.5–2.5 s per complex plan — larger than the
