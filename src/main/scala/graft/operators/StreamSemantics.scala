@@ -339,7 +339,32 @@ object StreamSemantics {
       |SELECT user_id, ts AS last_ts, event_type AS last_type, event_id AS last_event_id
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Protobuf wire-format round-trip (ProtoParquetFileBuilder analog):
+    * encode each record as a proto message (graft_proto), decode it back
+    * (graft_proto_decode), and emit the decoded fields. The oracle is
+    * plain SQL identity over the same projection — a hash match proves
+    * encode∘decode = id on real data; byte-level golden vectors for the
+    * encoding itself are pinned in ProtoWireSpec. */
+  def slProto: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .select(call_function("graft_proto",
+        struct(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"), col("props"))).as("pb"))
+      .select(call_function("graft_proto_decode", col("pb"),
+        lit("event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE, props STRING")).as("rec"))
+      .select(col("rec.event_id").as("event_id"), col("rec.user_id").as("user_id"),
+        col("rec.event_type").as("event_type"), col("rec.ts").as("ts"),
+        col("rec.value").as("value"), col("rec.props").as("props"))
+      .orderBy(col("event_id"))
+  }
+
+  val slProtoSql: String =
+    """SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts, value, props
+      |FROM events ORDER BY event_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "sl_proto" -> slProto,
     "sl_upsert" -> slUpsert,
     "sl_gap_detect" -> slGapDetect,
     "sl_rowbinary" -> slRowbinary,
@@ -355,6 +380,7 @@ object StreamSemantics {
     "sl_json_props" -> slJsonProps)
 
   def oracleSql: Map[String, String] = Map(
+    "sl_proto" -> slProtoSql,
     "sl_upsert" -> slUpsertSql,
     "sl_gap_detect" -> slGapDetectSql,
     "sl_positions" -> slPositionsSql,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, MinHashSig, MinHashTokens, PqAdcScore, RowBinaryEncode, ShardedBloomProbe, VerticaNativeEncode}
+import graft.functions.{DotProduct, MinHashSig, MinHashTokens, PqAdcScore, ProtoWireDecode, ProtoWireEncode, RowBinaryEncode, ShardedBloomProbe, VerticaNativeEncode}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -40,6 +40,21 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_verticarow"),
       new ExpressionInfo(classOf[VerticaNativeEncode].getName, "graft_verticarow"),
       (args: Seq[Expression]) => VerticaNativeEncode(args(0), fieldSpecArg(args, "graft_verticarow"))),
+    (new FunctionIdentifier("graft_proto"),
+      new ExpressionInfo(classOf[ProtoWireEncode].getName, "graft_proto"),
+      (args: Seq[Expression]) => { arity("graft_proto", args, 1); ProtoWireEncode(args(0)) }),
+    (new FunctionIdentifier("graft_proto_decode"),
+      new ExpressionInfo(classOf[ProtoWireDecode].getName, "graft_proto_decode"),
+      (args: Seq[Expression]) => {
+        arity("graft_proto_decode", args, 2)
+        val e = args(1)
+        if (!e.foldable) throw new IllegalArgumentException(
+          "graft_proto_decode: the schema DDL must be a string literal")
+        val v = e.eval()
+        if (v == null) throw new IllegalArgumentException(
+          "graft_proto_decode: the schema DDL must be non-null")
+        ProtoWireDecode(args(0), v.toString)
+      }),
     (new FunctionIdentifier("graft_pq_score"),
       new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_score"),
       (args: Seq[Expression]) => { arity("graft_pq_score", args, 2); PqAdcScore(args(0), args(1)) }),
