@@ -54,6 +54,12 @@ class GraftMetrics extends StreamingQueryListener {
     }
   }
 
+  /** Names of all queries that have reported progress so far. */
+  def queryNames: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    rows.keySet.asScala.toSeq.sorted
+  }
+
   /** All epoch latencies seen across queries (for whole-run percentiles). */
   def allEpochLatenciesMs: Seq[Long] = {
     import scala.jdk.CollectionConverters._

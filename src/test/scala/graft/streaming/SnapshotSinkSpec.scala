@@ -226,6 +226,54 @@ class SnapshotSinkSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll 
     spark.streams.removeListener(metrics)
   }
 
+  behavior of "MetricsPush"
+
+  it should "push per-query NDJSON snapshots through the file transport" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val metrics = GraftMetrics.install(spark)
+    val ms = MemoryStream[Ev]
+    ms.addData(Ev(0, ts(1), 1, "click", 1.0, "{}"), Ev(1, ts(2), 2, "view", 2.0, "{}"))
+    val q = ms.toDF().writeStream.format("memory")
+      .queryName("pushed").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    eventually(timeout(Span(10, Seconds))) { metrics.rowsLoaded("pushed") shouldBe 2L }
+    val out = java.nio.file.Files.createTempDirectory("graft-mp").resolve("m.ndjson").toString
+    val push = new graft.util.MetricsPush(metrics, graft.util.MetricsPush.fileTransport(out), 60000L)
+    push.pushOnce()
+    push.close() // flush-on-close pushes a second snapshot
+    val lines = scala.io.Source.fromFile(out).getLines().toSeq
+    val mine = lines.filter(_.contains("\"query\":\"pushed\""))
+    mine.size shouldBe 2
+    mine.head should include("\"rows\":2")
+    mine.head should include("\"epochs\":1")
+    mine.head should include("\"ts_ms\":")
+    push.pushFailures shouldBe 0L
+    spark.streams.removeListener(metrics)
+  }
+
+  it should "count transport failures without throwing" in {
+    val metrics = new GraftMetrics // empty is fine; we drive pushOnce manually
+    val boom = new graft.util.MetricsPush(metrics, _ => sys.error("gateway down"), 60000L)
+    noException should be thrownBy boom.pushOnce() // no queries → no pushes
+    boom.pushFailures shouldBe 0L
+    // a query with reported metrics + a dead transport: counted, not thrown
+    val metered = GraftMetrics.install(spark)
+    try {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[Ev]
+      ms.addData(Ev(0, ts(1), 1, "click", 1.0, "{}"))
+      val q = ms.toDF().writeStream.format("memory")
+        .queryName("deadgw").outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      eventually(timeout(Span(10, Seconds))) { metered.rowsLoaded("deadgw") shouldBe 1L }
+      val p = new graft.util.MetricsPush(metered, _ => sys.error("gateway down"), 60000L)
+      noException should be thrownBy p.pushOnce()
+      p.pushFailures should be >= 1L
+    } finally spark.streams.removeListener(metered)
+  }
+
   behavior of "Retry"
 
   it should "retry with backoff until success" in {
