@@ -660,7 +660,41 @@ object EventAnalytics {
        |  count(*) - count(CASE WHEN rn <= $ThrottleCap THEN 1 END) AS n_dropped
        |FROM rn GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Top 3-step event paths (clickstream sequence mining) — the k-step
+    * extension of [[evMarkov]]'s pair transitions: every consecutive
+    * (a → b → c) triple per user in (ts, event_id) order, counted and
+    * ranked globally.
+    *
+    * Scale: ONE window shuffle on high-cardinality user_id builds the
+    * triples record-locally via two lags; the path groupBy partial-aggs
+    * map-side into ≤|types|³ groups, and the global top-k sorts a
+    * kilobyte. No self-joins (the naive 3-way sequence join would shuffle
+    * the table twice more). */
+  def evTopPaths: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("a", lag(col("event_type"), 2).over(w))
+      .withColumn("b", lag(col("event_type"), 1).over(w))
+      .filter(col("a").isNotNull)
+      .select(concat_ws(">", col("a"), col("b"), col("event_type")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(25)
+  }
+
+  val evTopPathsSql: String =
+    """WITH t AS (
+      |  SELECT lag(event_type, 2) OVER w AS a, lag(event_type, 1) OVER w AS b,
+      |    event_type AS c
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id))
+      |SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+      |FROM t WHERE a IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ev_top_paths" -> evTopPaths,
     "ev_throttle" -> evThrottle,
     "ev_cohort_matrix" -> evCohortMatrix,
     "ev_dau_wau" -> evDauWau,
@@ -679,6 +713,7 @@ object EventAnalytics {
     "ev_salted_agg" -> evSaltedAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "ev_top_paths" -> evTopPathsSql,
     "ev_throttle" -> evThrottleSql,
     "ev_cohort_matrix" -> evCohortMatrixSql,
     "ev_dau_wau" -> evDauWauSql,
