@@ -475,7 +475,82 @@ object Clustering {
        |ORDER BY rank_fp DESC, vec_id LIMIT 20""".stripMargin
   }
 
+  /** Embedding-distribution drift monitor: per-label centroid shift
+    * between two deterministic corpus halves (vec_id parity — the stand-in
+    * for yesterday's snapshot vs today's). Emits per label: half sizes,
+    * cosine between the two half-centroids and their L2 distance — the
+    * retrain/recalibrate alarm for any pipeline that trains on embedding
+    * snapshots (falling cosine or rising L2 across runs = the upstream
+    * encoder or corpus mix moved).
+    *
+    * Scale: posexplode is a map-side 64× row blowup immediately compressed
+    * by partial aggregation — the shuffle carries only (labels × 2 × 64)
+    * partial sums, and everything after operates on K-sized frames. One
+    * corpus scan, no row-level joins. Centroid sums go through
+    * decimal(38,18) (double addition is combine-order-dependent), and the
+    * final quotients use the floor idiom, so both engines emit identical
+    * 6-dp values. */
+  def clDrift: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")))
+      .select(col("label"), col("half"), col("pos"), col("col").cast("double").as("x"))
+    val means = base.groupBy(col("label"), col("half"), col("pos"))
+      .agg((sum(col("x").cast("decimal(38,18)")).cast("double") / count(lit(1))).as("m"))
+    val a = means.filter(col("half") === 0).select(col("label"), col("pos"), col("m").as("ma"))
+    val b = means.filter(col("half") === 1)
+      .select(col("label").as("lb"), col("pos").as("pb"), col("m").as("mb"))
+    val drift = a.join(b, col("label") === col("lb") && col("pos") === col("pb"))
+      .groupBy(col("label"))
+      .agg(
+        sum((col("ma") * col("mb")).cast("decimal(38,18)")).cast("double").as("sab"),
+        sum((col("ma") * col("ma")).cast("decimal(38,18)")).cast("double").as("saa"),
+        sum((col("mb") * col("mb")).cast("decimal(38,18)")).cast("double").as("sbb"),
+        sum(((col("ma") - col("mb")) * (col("ma") - col("mb"))).cast("decimal(38,18)"))
+          .cast("double").as("sl2"))
+    val counts = Tables.embeddings(s, d)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(when(col("vec_id") % 2 === 0, lit(1))).as("n_a"),
+        count(when(col("vec_id") % 2 === 1, lit(1))).as("n_b"))
+    drift.join(counts, "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        (floor(col("sab") / (sqrt(col("saa")) * sqrt(col("sbb"))) * 1e6 + 0.5) / 1e6)
+          .as("centroid_cos"),
+        (floor(sqrt(col("sl2")) * 1e6 + 0.5) / 1e6).as("centroid_l2"))
+      .orderBy(col("label"))
+  }
+
+  val clDriftSql: String =
+    """WITH base AS (
+      |  SELECT label::BIGINT AS label, vec_id % 2 AS half, i AS pos,
+      |    embedding[i]::DOUBLE AS x
+      |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)),
+      |means AS (
+      |  SELECT label, half, pos, sum(x::DECIMAL(38,18))::DOUBLE / count(*) AS m
+      |  FROM base GROUP BY 1, 2, 3),
+      |pair AS (
+      |  SELECT a.label, a.m AS ma, b.m AS mb
+      |  FROM means a JOIN means b ON a.label = b.label AND a.pos = b.pos
+      |  WHERE a.half = 0 AND b.half = 1),
+      |drift AS (
+      |  SELECT label,
+      |    sum((ma * mb)::DECIMAL(38,18))::DOUBLE AS sab,
+      |    sum((ma * ma)::DECIMAL(38,18))::DOUBLE AS saa,
+      |    sum((mb * mb)::DECIMAL(38,18))::DOUBLE AS sbb,
+      |    sum(((ma - mb) * (ma - mb))::DECIMAL(38,18))::DOUBLE AS sl2
+      |  FROM pair GROUP BY 1),
+      |counts AS (
+      |  SELECT label::BIGINT AS label,
+      |    count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_a,
+      |    count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n_b
+      |  FROM embeddings GROUP BY 1)
+      |SELECT d.label, c.n_a, c.n_b,
+      |  floor(sab / (sqrt(saa) * sqrt(sbb)) * 1e6 + 0.5) / 1e6 AS centroid_cos,
+      |  floor(sqrt(sl2) * 1e6 + 0.5) / 1e6 AS centroid_l2
+      |FROM drift d JOIN counts c USING (label) ORDER BY label""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "cl_drift" -> clDrift,
     "cl_pagerank" -> clPagerank,
     "cl_silhouette" -> clSilhouette,
     "cl_kmeans" -> clKmeans,
@@ -485,6 +560,7 @@ object Clustering {
     "cl_semantic_dedup" -> clSemanticDedup)
 
   def oracleSql: Map[String, String] = Map(
+    "cl_drift" -> clDriftSql,
     "cl_pagerank" -> clPagerankSql,
     "cl_silhouette" -> clSilhouetteSql,
     "cl_kmeans" -> clKmeansSql,
