@@ -419,6 +419,24 @@ object RelationalExt {
 
   /** Cube aggregation: all four grouping combinations of returnflag ×
     * linestatus in one pass (expand + single shuffle, like rollup). */
+  /** Equi-width histogram of l_quantity (5-unit buckets): the profiling
+    * primitive behind skew diagnosis and bucket-count tuning. Bucket
+    * assignment is record-local integer math (quantities are integral-
+    * valued doubles, so floor(q/5) is exact in both engines); the groupBy
+    * partial-aggregates into ≤11 groups — one scan, kilobyte shuffle. */
+  def qHistogram: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(floor(col("l_quantity") / 5).cast("long").as("bucket"), col("l_quantity"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("lo"),
+        max(col("l_quantity")).as("hi"))
+      .orderBy(col("bucket"))
+
+  val qHistogramSql: String =
+    """SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bucket, count(*) AS n,
+      |  min(l_quantity) AS lo, max(l_quantity) AS hi
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def qCube: Q = (s, d) =>
     Tables.lineitem(s, d)
       .cube(col("l_returnflag"), col("l_linestatus"))
@@ -474,6 +492,7 @@ object RelationalExt {
 
   def queries: Map[String, Q] = Map(
     "q_full_outer" -> qFullOuter,
+    "q_histogram" -> qHistogram,
     "q_cube" -> qCube,
     "q_window_range" -> qWindowRange,
     "q7_nation_volume" -> q7NationVolume,
@@ -489,6 +508,7 @@ object RelationalExt {
 
   def oracleSql: Map[String, String] = Map(
     "q_full_outer" -> qFullOuterSql,
+    "q_histogram" -> qHistogramSql,
     "q_cube" -> qCubeSql,
     "q_window_range" -> qWindowRangeSql,
     "q7_nation_volume" -> q7NationVolumeSql,

@@ -664,7 +664,51 @@ object TextAnalysis {
       |       WHEN flesch >= 30.0 THEN 'standard' ELSE 'hard' END AS band
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Per-document n-gram novelty vs the corpus in doc_id (arrival) order:
+    * the fraction of a doc's DISTINCT word trigrams whose first corpus
+    * occurrence is this doc. The dedup-aware curation signal — low-novelty
+    * docs add little to a training mix even when no single pairwise dup
+    * crosses a threshold; streaming ingest gates rank arrivals the same
+    * way (Bloom-family transforms are the online analog).
+    *
+    * Scale: record-local trigram build + per-doc array_distinct bound the
+    * explode; first-occurrence is one partial-agged min per gram; the join
+    * back is co-partitioned on the gram key. No pairwise work — cost is
+    * O(total distinct grams), the same class as ta_ngram_freq. */
+  def taNovelty: Q = (s, d) => {
+    val tri = expr(
+      "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', " +
+        "element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))")
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(tri)).as("g"))
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"))
+      .withColumn("novelty",
+        floor(col("n_novel") / col("n_grams") * 1e6 + 0.5) / 1e6)
+      .orderBy(col("doc_id"))
+  }
+
+  val taNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |gr AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+      |    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+      |  FROM toks WHERE len(tk) >= 3),
+      |first AS (SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  count(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel,
+      |  floor(count(CASE WHEN first_doc = doc_id THEN 1 END)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 AS novelty
+      |FROM gr JOIN first USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ta_novelty" -> taNovelty,
     "ta_readability" -> taReadability,
     "ta_surprisal" -> taSurprisal,
     "ta_zipf" -> taZipf,
@@ -681,6 +725,7 @@ object TextAnalysis {
     "ta_vocab" -> taVocab)
 
   def oracleSql: Map[String, String] = Map(
+    "ta_novelty" -> taNoveltySql,
     "ta_readability" -> taReadabilitySql,
     "ta_surprisal" -> taSurprisalSql,
     "ta_zipf" -> taZipfSql,
