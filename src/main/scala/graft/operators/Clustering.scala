@@ -484,35 +484,36 @@ object Clustering {
     * encoder or corpus mix moved).
     *
     * Scale: posexplode is a map-side 64× row blowup immediately compressed
-    * by partial aggregation — the shuffle carries only (labels × 2 × 64)
-    * partial sums, and everything after operates on K-sized frames. One
-    * corpus scan, no row-level joins. Centroid sums go through
-    * decimal(38,18) (double addition is combine-order-dependent), and the
-    * final quotients use the floor idiom, so both engines emit identical
-    * 6-dp values. */
+    * by partial aggregation — the shuffle carries only (labels × 64)
+    * partial sums, and everything after operates on K-sized frames. ONE
+    * corpus scan, no row-level joins: both halves aggregate as conditional
+    * sums in the same pass (plan-audited — the filter-each-half-then-join
+    * formulation compiles to three scans), and the half sizes fall out of
+    * the same aggregate (every vector contributes exactly one row per
+    * pos). Centroid sums go through decimal(38,18) (double addition is
+    * combine-order-dependent), and the final quotients use the floor
+    * idiom, so both engines emit identical 6-dp values. */
   def clDrift: Q = (s, d) => {
     val base = Tables.embeddings(s, d)
       .select(col("label").cast("long").as("label"), (col("vec_id") % 2).as("half"),
         posexplode(col("embedding")))
       .select(col("label"), col("half"), col("pos"), col("col").cast("double").as("x"))
-    val means = base.groupBy(col("label"), col("half"), col("pos"))
-      .agg((sum(col("x").cast("decimal(38,18)")).cast("double") / count(lit(1))).as("m"))
-    val a = means.filter(col("half") === 0).select(col("label"), col("pos"), col("m").as("ma"))
-    val b = means.filter(col("half") === 1)
-      .select(col("label").as("lb"), col("pos").as("pb"), col("m").as("mb"))
-    val drift = a.join(b, col("label") === col("lb") && col("pos") === col("pb"))
-      .groupBy(col("label"))
+    val means = base.groupBy(col("label"), col("pos"))
+      .agg(
+        (sum(when(col("half") === 0, col("x")).cast("decimal(38,18)")).cast("double") /
+          count(when(col("half") === 0, lit(1)))).as("ma"),
+        (sum(when(col("half") === 1, col("x")).cast("decimal(38,18)")).cast("double") /
+          count(when(col("half") === 1, lit(1)))).as("mb"),
+        count(when(col("half") === 0, lit(1))).as("na"),
+        count(when(col("half") === 1, lit(1))).as("nb"))
+    means.groupBy(col("label"))
       .agg(
         sum((col("ma") * col("mb")).cast("decimal(38,18)")).cast("double").as("sab"),
         sum((col("ma") * col("ma")).cast("decimal(38,18)")).cast("double").as("saa"),
         sum((col("mb") * col("mb")).cast("decimal(38,18)")).cast("double").as("sbb"),
         sum(((col("ma") - col("mb")) * (col("ma") - col("mb"))).cast("decimal(38,18)"))
-          .cast("double").as("sl2"))
-    val counts = Tables.embeddings(s, d)
-      .groupBy(col("label").cast("long").as("label"))
-      .agg(count(when(col("vec_id") % 2 === 0, lit(1))).as("n_a"),
-        count(when(col("vec_id") % 2 === 1, lit(1))).as("n_b"))
-    drift.join(counts, "label")
+          .cast("double").as("sl2"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
       .select(col("label"), col("n_a"), col("n_b"),
         (floor(col("sab") / (sqrt(col("saa")) * sqrt(col("sbb"))) * 1e6 + 0.5) / 1e6)
           .as("centroid_cos"),
@@ -526,28 +527,20 @@ object Clustering {
       |    embedding[i]::DOUBLE AS x
       |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)),
       |means AS (
-      |  SELECT label, half, pos, sum(x::DECIMAL(38,18))::DOUBLE / count(*) AS m
-      |  FROM base GROUP BY 1, 2, 3),
-      |pair AS (
-      |  SELECT a.label, a.m AS ma, b.m AS mb
-      |  FROM means a JOIN means b ON a.label = b.label AND a.pos = b.pos
-      |  WHERE a.half = 0 AND b.half = 1),
-      |drift AS (
-      |  SELECT label,
-      |    sum((ma * mb)::DECIMAL(38,18))::DOUBLE AS sab,
-      |    sum((ma * ma)::DECIMAL(38,18))::DOUBLE AS saa,
-      |    sum((mb * mb)::DECIMAL(38,18))::DOUBLE AS sbb,
-      |    sum(((ma - mb) * (ma - mb))::DECIMAL(38,18))::DOUBLE AS sl2
-      |  FROM pair GROUP BY 1),
-      |counts AS (
-      |  SELECT label::BIGINT AS label,
-      |    count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_a,
-      |    count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n_b
-      |  FROM embeddings GROUP BY 1)
-      |SELECT d.label, c.n_a, c.n_b,
-      |  floor(sab / (sqrt(saa) * sqrt(sbb)) * 1e6 + 0.5) / 1e6 AS centroid_cos,
-      |  floor(sqrt(sl2) * 1e6 + 0.5) / 1e6 AS centroid_l2
-      |FROM drift d JOIN counts c USING (label) ORDER BY label""".stripMargin
+      |  SELECT label, pos,
+      |    sum((CASE WHEN half = 0 THEN x END)::DECIMAL(38,18))::DOUBLE
+      |      / count(CASE WHEN half = 0 THEN 1 END) AS ma,
+      |    sum((CASE WHEN half = 1 THEN x END)::DECIMAL(38,18))::DOUBLE
+      |      / count(CASE WHEN half = 1 THEN 1 END) AS mb,
+      |    count(CASE WHEN half = 0 THEN 1 END) AS na,
+      |    count(CASE WHEN half = 1 THEN 1 END) AS nb
+      |  FROM base GROUP BY 1, 2)
+      |SELECT label, max(na) AS n_a, max(nb) AS n_b,
+      |  floor(sum((ma * mb)::DECIMAL(38,18))::DOUBLE
+      |    / (sqrt(sum((ma * ma)::DECIMAL(38,18))::DOUBLE)
+      |       * sqrt(sum((mb * mb)::DECIMAL(38,18))::DOUBLE)) * 1e6 + 0.5) / 1e6 AS centroid_cos,
+      |  floor(sqrt(sum(((ma - mb) * (ma - mb))::DECIMAL(38,18))::DOUBLE) * 1e6 + 0.5) / 1e6 AS centroid_l2
+      |FROM means GROUP BY label ORDER BY label""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "cl_drift" -> clDrift,

@@ -672,9 +672,13 @@ object TextAnalysis {
     * way (Bloom-family transforms are the online analog).
     *
     * Scale: record-local trigram build + per-doc array_distinct bound the
-    * explode; first-occurrence is one partial-agged min per gram; the join
-    * back is co-partitioned on the gram key. No pairwise work — cost is
-    * O(total distinct grams), the same class as ta_ngram_freq. */
+    * explode. n_novel comes WITHOUT joining the gram frame back on the
+    * gram key (the naive formulation's scale killer — that join shuffles
+    * every exploded gram a second time): the gram→min(doc_id) aggregate
+    * re-aggregates by its min into per-doc novel counts, so after the one
+    * gram-keyed shuffle everything is doc-keyed and small. No pairwise
+    * work — cost is O(total distinct grams), the same class as
+    * ta_ngram_freq. */
   def taNovelty: Q = (s, d) => {
     val tri = expr(
       "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', " +
@@ -683,13 +687,14 @@ object TextAnalysis {
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), explode(array_distinct(tri)).as("g"))
-    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-    grams.join(first, "g")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"))
-      .withColumn("novelty",
-        floor(col("n_novel") / col("n_grams") * 1e6 + 0.5) / 1e6)
+    val novel = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+    grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(novel, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (floor(coalesce(col("n_novel"), lit(0L)) / col("n_grams") * 1e6 + 0.5) / 1e6)
+          .as("novelty"))
       .orderBy(col("doc_id"))
   }
 
@@ -701,11 +706,13 @@ object TextAnalysis {
       |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
       |    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
       |  FROM toks WHERE len(tk) >= 3),
-      |first AS (SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY 1)
-      |SELECT doc_id, count(*) AS n_grams,
-      |  count(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel,
-      |  floor(count(CASE WHEN first_doc = doc_id THEN 1 END)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 AS novelty
-      |FROM gr JOIN first USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |novel AS (
+      |  SELECT first_doc, count(*) AS n_novel
+      |  FROM (SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY 1) GROUP BY 1),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY 1)
+      |SELECT doc_id, n_grams, coalesce(n_novel, 0) AS n_novel,
+      |  floor(coalesce(n_novel, 0)::DOUBLE / n_grams * 1e6 + 0.5) / 1e6 AS novelty
+      |FROM tot LEFT JOIN novel ON doc_id = first_doc ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "ta_novelty" -> taNovelty,
