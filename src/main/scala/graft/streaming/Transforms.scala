@@ -712,6 +712,52 @@ object Transforms {
   private def sigPresent: org.apache.spark.sql.Column =
     element_at(col(SigCol), 1).isNotNull
 
+  case class PathTail(t1: Option[String], t2: Option[String])
+  case class PathHit(user_id: Long, path: String)
+
+  /** Online 3-step path emitter — the streaming twin of the batch
+    * `ev_top_paths` miner: per-user keyed state carries the last TWO
+    * event types, and every arrival with a full tail emits its
+    * `a>b>c` triple immediately (append mode). Downstream, a windowed or
+    * running `groupBy(path).count()` gives live path rankings where the
+    * batch operator is the offline census.
+    *
+    * Semantics contract (same as [[funnelConversions]]): events fold in
+    * (event-time, event_id) order WITHIN each microbatch and the tail
+    * only rolls forward, so on a per-user in-order stream the emitted
+    * triples match the batch window exactly (spec-pinned); cross-batch
+    * out-of-order arrivals splice in delivery order.
+    *
+    * Scale: state is two short strings per active user — the same O(users)
+    * class as the funnel tracker; bound it with an event-time TTL as
+    * [[runningUserTotalsWithTtl]] does when the user space is unbounded. */
+  def pathTriples(spark: SparkSession, events: DataFrame): Dataset[PathHit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .selectExpr("user_id", "ts", "event_type", "event_id")
+      .as[(Long, java.sql.Timestamp, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PathTail, PathHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Long)],
+            state: GroupState[PathTail]) =>
+          var st = state.getOption.getOrElse(PathTail(None, None))
+          val out = Seq.newBuilder[PathHit]
+          rows.toSeq.sortBy(r => (us(r._2), r._4)).foreach { case (_, _, typ, _) =>
+            (st.t1, st.t2) match {
+              case (Some(a), Some(b)) => out += PathHit(user, s"$a>$b>$typ")
+              case _ => ()
+            }
+            st = PathTail(st.t2, Some(typ))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class FunnelProgress(view: Option[Long], click: Option[Long], done: Boolean)
   case class FunnelConversion(user_id: Long, t_view: java.sql.Timestamp,
     t_click: java.sql.Timestamp, t_purchase: java.sql.Timestamp, total_s: Double)

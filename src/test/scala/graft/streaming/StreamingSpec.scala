@@ -1101,6 +1101,43 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "roll the path tail across batches and emit triples incrementally" in {
+    val (ms, df) = eventsStream(Seq(
+      Ev(0, ts(1), 1, "view", 1.0, "{}"),
+      Ev(1, ts(2), 1, "click", 1.0, "{}")))
+    val q = Transforms.pathTriples(spark, df)
+      .writeStream.format("memory").queryName("paths").outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("paths").count() shouldBe 0 // tail not full yet
+    ms.addData(Ev(2, ts(3), 1, "purchase", 1.0, "{}"), Ev(3, ts(4), 1, "view", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    // state carried the (view, click) tail into the second batch
+    spark.table("paths").collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted shouldBe
+      Seq((1L, "click>purchase>view"), (1L, "view>click>purchase"))
+  }
+
+  it should "emit path triples in parity with the batch ev_top_paths census" in {
+    import org.apache.spark.sql.functions._
+    // per-user in-order delivery (one sorted batch): the online emitter's
+    // contract says its triple counts then match the batch window exactly
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp()
+    graft.Tables.events(spark, sf).orderBy(col("ts"), col("event_id"))
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val q = Transforms.pathTriples(spark, EventSource.fileStream(spark, src, 64))
+      .writeStream.format("memory").queryName("paths_parity").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("paths_parity")
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.EventAnalytics.evTopPaths(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the batch op is the top-25 of the same census: every batch row must
+    // match the streamed count exactly
+    batch.foreach { case (p, n) => streamed.get(p) shouldBe Some(n) }
+    batch.values.max shouldBe streamed.values.max // the global head agrees
+  }
+
   it should "score streamed documents in parity with the batch surprisal op" in {
     // the streaming quality gate must agree with ta_surprisal when the
     // literal LM is the same corpus unigram table the batch op derives
