@@ -184,4 +184,80 @@ class PropertySpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  behavior of "ProtoWire"
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types._
+
+  private val protoSchema = StructType(Seq(
+    StructField("l", LongType, nullable = true),
+    StructField("i", IntegerType, nullable = true),
+    StructField("b", BooleanType, nullable = true),
+    StructField("d", DoubleType, nullable = true),
+    StructField("f", FloatType, nullable = true),
+    StructField("s", StringType, nullable = true),
+    StructField("y", BinaryType, nullable = true),
+    StructField("vl", ArrayType(LongType), nullable = true),
+    StructField("vf", ArrayType(FloatType), nullable = true)))
+
+  private val protoRowGen: Gen[InternalRow] = for {
+    l <- Gen.option(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    i <- Gen.option(Gen.chooseNum(Int.MinValue, Int.MaxValue))
+    b <- Gen.option(Gen.oneOf(true, false))
+    d <- Gen.option(Gen.oneOf(Gen.chooseNum(-1e300, 1e300),
+      Gen.oneOf(0.0, -0.0, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+        Double.MinPositiveValue)))
+    f <- Gen.option(Gen.oneOf(Gen.chooseNum(-1e30f, 1e30f),
+      Gen.oneOf(0.0f, -0.0f, Float.NaN, Float.MaxValue)))
+    s <- Gen.option(Gen.oneOf(Gen.alphaNumStr, Gen.const(""), Gen.const("héllo wörld 日本語  ")))
+    y <- Gen.option(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    vl <- Gen.option(Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    vf <- Gen.option(Gen.listOf(Gen.chooseNum(-1e30f, 1e30f)))
+  } yield InternalRow(
+    l.orNull, i.map(Int.box).orNull, b.map(Boolean.box).orNull, d.map(Double.box).orNull,
+    f.map(Float.box).orNull, s.map(UTF8String.fromString).orNull, y.orNull,
+    vl.map(xs => new GenericArrayData(xs.toArray[Any])).orNull,
+    vf.map(xs => new GenericArrayData(xs.toArray[Any])).orNull)
+
+  it should "round-trip arbitrary rows including extremes through encode∘decode" in {
+    samples(protoRowGen, 300).foreach { row =>
+      val bytes = ProtoWire.encodeRow(row, protoSchema.fields)
+      val back = ProtoWire.decodeRow(bytes, protoSchema)
+      (0 until protoSchema.length).foreach { i =>
+        withClue(s"field ${protoSchema(i).name}: ") {
+          if (row.isNullAt(i)) back.isNullAt(i) shouldBe true
+          else protoSchema(i).dataType match {
+            case LongType => back.getLong(i) shouldBe row.getLong(i)
+            case IntegerType => back.getInt(i) shouldBe row.getInt(i)
+            case BooleanType => back.getBoolean(i) shouldBe row.getBoolean(i)
+            case DoubleType => // bit-compare: NaN != NaN under ==
+              java.lang.Double.doubleToLongBits(back.getDouble(i)) shouldBe
+                java.lang.Double.doubleToLongBits(row.getDouble(i))
+            case FloatType =>
+              java.lang.Float.floatToIntBits(back.getFloat(i)) shouldBe
+                java.lang.Float.floatToIntBits(row.getFloat(i))
+            case StringType => back.getUTF8String(i) shouldBe row.getUTF8String(i)
+            case BinaryType => back.getBinary(i).toSeq shouldBe row.getBinary(i).toSeq
+            case ArrayType(LongType, _) =>
+              back.getArray(i).toLongArray().toSeq shouldBe row.getArray(i).toLongArray().toSeq
+            case ArrayType(FloatType, _) =>
+              back.getArray(i).toFloatArray().map(java.lang.Float.floatToIntBits).toSeq shouldBe
+                row.getArray(i).toFloatArray().map(java.lang.Float.floatToIntBits).toSeq
+            case t => fail(s"unhandled $t")
+          }
+        }
+      }
+    }
+  }
+
+  it should "never crash on arbitrary (possibly corrupt) byte blobs" in {
+    val blobGen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    var decoded = 0
+    samples(blobGen, 300).foreach { bytes =>
+      try { ProtoWire.decodeRow(bytes, protoSchema); decoded += 1 }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage should include("graft_proto_decode") }
+    }
+    decoded should be >= 1 // the empty blob at least decodes to all-null
+  }
 }
