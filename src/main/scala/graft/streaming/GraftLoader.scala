@@ -66,6 +66,10 @@ object GraftLoader {
     * this environment, so the container format is written with the core
     * avro library directly). */
   final case class AvroFiles(dir: String) extends Sink
+  /** Varint-delimited protobuf record files via the graft DataSource V2
+    * connector (ProtoParquetFileBuilder analog at the wire level: proto
+    * messages framed `writeDelimitedTo`-style, no protobuf runtime). */
+  final case class ProtoFiles(dir: String) extends Sink
   /** Cross-file total-budget batching (MultiFileCommitStrategy.Total
     * analog), with optional [[MultiFileCommit.FuzzyTotalFold]] commit
     * jitter: `jitter = Some((relStdDev, seed))` de-synchronizes the
@@ -174,6 +178,8 @@ object GraftLoader {
           connectorFileSink(events, cp, dir, "graft.sources.RowBinarySource")
         case AvroFiles(dir) =>
           connectorFileSink(events, cp, dir, "graft.sources.AvroContainerSource")
+        case ProtoFiles(dir) =>
+          connectorFileSink(events, cp, dir, "graft.sources.ProtoFileSource")
         case BudgetedFiles(dir, maxBytes, maxRecords, jitter) =>
           Sinks.multiFileBatchingSink(events, dir, cp,
             MultiFileCommit.Total(ReachedAnyOf(maxBytes = maxBytes, maxRecords = maxRecords)),

@@ -617,6 +617,35 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .schema(EventSource.schema).load(out).count() shouldBe 2
   }
 
+  it should "load a stream into proto record files end to end" in {
+    import spark.implicits._
+    val src = tmp()
+    Seq(Ev(0, ts(1), 1, "click", 1.0, "{}"), Ev(1, ts(2), 2, "view", 2.0, "{}"))
+      .toDF().write.mode("overwrite").parquet(src)
+    val out = tmp()
+    GraftLoader.builder()
+      .source(GraftLoader.FileSource(src, maxFilesPerTrigger = 4))
+      .sink(GraftLoader.ProtoFiles(out))
+      .checkpoint(tmp())
+      .start(spark)
+      .awaitTermination()
+    val back = spark.read.format("graft.sources.ProtoFileSource")
+      .schema(EventSource.schema).load(out)
+    back.count() shouldBe 2
+    back.orderBy("event_id").select("event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((0L, "click"), (1L, "view"))
+    // replay from a fresh checkpoint: the published epoch must be skipped
+    GraftLoader.builder()
+      .source(GraftLoader.FileSource(src, maxFilesPerTrigger = 4))
+      .sink(GraftLoader.ProtoFiles(out))
+      .checkpoint(tmp())
+      .start(spark)
+      .awaitTermination()
+    spark.read.format("graft.sources.ProtoFileSource")
+      .schema(EventSource.schema).load(out).count() shouldBe 2
+  }
+
   behavior of "Transforms"
 
   it should "aggregate tumbling windows with watermark" in {
