@@ -693,7 +693,45 @@ object EventAnalytics {
       |FROM t WHERE a IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin
 
+  /** Inter-arrival time profile per event type: gaps between consecutive
+    * events of the same type in (ts, event_id) order — the traffic-shape
+    * signal behind rate-limit sizing, source-health alerting (rising max
+    * gap = a stalling producer) and watermark-delay tuning.
+    *
+    * Scale: one window shuffle keyed on event_type. The per-type ordering
+    * is the same prefix layout the per-partition watermark/gap ops use —
+    * at 100 TB this becomes a (type, time-chunk) prefix window with a
+    * two-phase boundary merge, like sl_watermark. The avg is an exact
+    * long-microsecond quotient floor-rounded, so both engines agree. */
+  def evInterArrival: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        Exact.floorRound(sum(col("gap_us")).cast("double") / count(lit(1)) / 1e6, 4)
+          .as("avg_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
+  val evInterArrivalSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP), 1)
+      |      OVER (PARTITION BY event_type ORDER BY ts::TIMESTAMP, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+      |  floor((sum(gap_us)::DOUBLE / count(*) / 1e6) * 10000 + 0.5) / 10000 AS avg_gap_s
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ev_inter_arrival" -> evInterArrival,
     "ev_top_paths" -> evTopPaths,
     "ev_throttle" -> evThrottle,
     "ev_cohort_matrix" -> evCohortMatrix,
@@ -713,6 +751,7 @@ object EventAnalytics {
     "ev_salted_agg" -> evSaltedAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "ev_inter_arrival" -> evInterArrivalSql,
     "ev_top_paths" -> evTopPathsSql,
     "ev_throttle" -> evThrottleSql,
     "ev_cohort_matrix" -> evCohortMatrixSql,
