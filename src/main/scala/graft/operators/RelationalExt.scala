@@ -419,6 +419,26 @@ object RelationalExt {
 
   /** Cube aggregation: all four grouping combinations of returnflag ×
     * linestatus in one pass (expand + single shuffle, like rollup). */
+  /** Ordered string aggregation (LISTAGG / string_agg): suppliers per
+    * nation as one sorted CSV cell. `collect_list` order is
+    * partition-arrival nondeterministic, so the sort happens INSIDE the
+    * aggregate result (`sort_array`) — the only way the cell is stable
+    * across engines and runs. Dim broadcast, one keyed agg; the cell is
+    * bounded by group size (report-shaped groups, not the fact table). */
+  def qListagg: Q = (s, d) =>
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(sort_array(collect_list(col("s_name"))), ",").as("suppliers"))
+      .orderBy(col("n_name"))
+
+  val qListaggSql: String =
+    """SELECT n_name, count(*) AS n_suppliers,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** Equi-width histogram of l_quantity (5-unit buckets): the profiling
     * primitive behind skew diagnosis and bucket-count tuning. Bucket
     * assignment is record-local integer math (quantities are integral-
@@ -492,6 +512,7 @@ object RelationalExt {
 
   def queries: Map[String, Q] = Map(
     "q_full_outer" -> qFullOuter,
+    "q_listagg" -> qListagg,
     "q_histogram" -> qHistogram,
     "q_cube" -> qCube,
     "q_window_range" -> qWindowRange,
@@ -508,6 +529,7 @@ object RelationalExt {
 
   def oracleSql: Map[String, String] = Map(
     "q_full_outer" -> qFullOuterSql,
+    "q_listagg" -> qListaggSql,
     "q_histogram" -> qHistogramSql,
     "q_cube" -> qCubeSql,
     "q_window_range" -> qWindowRangeSql,
