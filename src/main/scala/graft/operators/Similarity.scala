@@ -581,7 +581,141 @@ object Similarity {
        |FROM scored WHERE cos >= 0.3
        |ORDER BY query_id, neighbor_id""".stripMargin
 
+  /** IVF-PQ composition — the canonical billion-scale ANN index shape
+    * (FAISS IVF + PQ-ADC): the coarse quantizer restricts each query's
+    * candidates to its nProbe nearest cells, and PQ-ADC scores only those
+    * candidates, with an exact re-rank of the shortlist. This variant
+    * codes RAW vectors (not cell residuals) so the codebook is shared
+    * with [[annPq]] and the oracle stays a mechanical composition of the
+    * two proven pipelines; residual coding is a codebook swap on the same
+    * plan shape.
+    *
+    * Scale: the coarse cell AND all 8 subspace codes come out of ONE
+    * crossJoin-with-broadcast-centroids aggregation — the corpus shuffles
+    * once, one row per vector, carrying (cell, codes, nrm). Probes and
+    * LUTs are query-side small frames (broadcast contract shared with
+    * [[annIvfFor]]/[[annPqFor]]); candidate work per query is bounded by
+    * nProbe cells regardless of corpus size, and ADC runs through the
+    * codegen'd `graft_pq_score` lookup loop. */
+  def annIvfPq: Q = (s, d) => {
+    val v = vectors(s, d)
+    val queries = defaultQueries(v)
+    val m = 8; val subDim = 8; val nProbe = 4
+    val cents = v.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    def sl(c: Column, j: Int) = slice(c, j * subDim + 1, subDim)
+    val subScoreCols = (0 until m).map { j =>
+      (lit(-2.0) * dot(sl(col("e"), j), sl(col("ce"), j)) +
+        dot(sl(col("ce"), j), sl(col("ce"), j))).as(s"s$j")
+    }
+    val coarseCos = (dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("ccos")
+    val encoded = v.crossJoin(broadcast(cents))
+      .select(Seq(col("vec_id"), col("nrm"), col("cid"), coarseCos) ++ subScoreCols: _*)
+      .groupBy(col("vec_id"))
+      .agg(first(col("nrm")).as("nrm"),
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"),
+        array((0 until m).map(j =>
+          min_by(col("cid"), struct(col(s"s$j"), col("cid")))): _*).as("codes"))
+    val probes = {
+      val scoredP = queries.crossJoin(broadcast(cents))
+        .withColumn("ccos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      graft.plans.TopKPerGroup.transform(scoredP,
+        Seq(col("query_id")), Seq(col("ccos").desc, col("cid").asc), nProbe)
+        .select(col("query_id").as("pqid"), col("cid").as("pcell"))
+    }
+    val lutEntries = array((0 until m).map { j =>
+      struct(lit(j).as("j"), col("cid"), dot(sl(col("qe"), j), sl(col("ce"), j)).as("val"))
+    }: _*)
+    val luts = queries
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qn"), explode(lutEntries).as("le"))
+      .groupBy(col("query_id"))
+      .agg(first(col("qn")).as("qn"),
+        transform(sort_array(collect_list(struct(col("le.j"), col("le.cid"), col("le.val")))),
+          x => x.getField("val")).as("lut"))
+    val probedLuts = luts.join(probes, col("query_id") === col("pqid"))
+      .select(col("query_id"), col("qn"), col("lut"), col("pcell"))
+    val scored = encoded.join(broadcast(probedLuts),
+        encoded("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("approx_cos",
+        call_function("graft_pq_score", col("lut"), col("codes")) / (col("qn") * col("nrm")))
+    val shortlist = graft.plans.TopKPerGroup.transform(scored,
+      Seq(col("query_id")), Seq(col("approx_cos").desc, col("vec_id").asc), 50)
+    val qv = queries
+      .select(col("query_id").as("qid2"), col("qe").as("qe2"), col("qn").as("qn2"))
+    val cand = shortlist.select(col("query_id"), col("vec_id").as("cand_id"))
+      .join(broadcast(qv), col("query_id") === col("qid2"))
+    val exact = v.join(broadcast(cand), col("vec_id") === col("cand_id"))
+      .withColumn("cos", dot(col("qe2"), col("e")) / (col("qn2") * col("nrm")))
+    rankTopK(exact, 5)
+  }
+
+  val annIvfPqSql: String =
+    s"""WITH $vectorsCte,
+       |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+       |assign_scored AS (
+       |  SELECT v.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      list_reduce(list_transform(generate_series(1, 64), i -> v.e[i] * c.ce[i]), (x, y) -> x + y) / (v.nrm * c.cn) DESC,
+       |      c.cid) AS crnk
+       |  FROM v, cents c),
+       |assigned AS (SELECT vec_id, cid AS cell FROM assign_scored WHERE crnk = 1),
+       |sub AS (
+       |  SELECT vv.vec_id, c.cid, t.j,
+       |    -2 * list_reduce(list_transform(generate_series(1, 8), i -> vv.e[t.j*8 + i] * c.ce[t.j*8 + i]), (x, y) -> x + y)
+       |      + list_reduce(list_transform(generate_series(1, 8), i -> c.ce[t.j*8 + i] * c.ce[t.j*8 + i]), (x, y) -> x + y) AS score
+       |  FROM v vv, cents c, (SELECT unnest(generate_series(0, 7)) AS j) t),
+       |best AS (
+       |  SELECT vec_id, j, cid AS code,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY score, cid) AS rn
+       |  FROM sub),
+       |codes AS (
+       |  SELECT vec_id, list(code ORDER BY j) AS codes
+       |  FROM best WHERE rn = 1 GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, e, nrm FROM v WHERE vec_id % 4 = 0),
+       |probe_scored AS (
+       |  SELECT q.query_id, c.cid,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      list_reduce(list_transform(generate_series(1, 64), i -> q.e[i] * c.ce[i]), (x, y) -> x + y) / (q.nrm * c.cn) DESC,
+       |      c.cid) AS crnk
+       |  FROM q, cents c),
+       |probes AS (SELECT query_id, cid AS cell FROM probe_scored WHERE crnk <= 4),
+       |lutrows AS (
+       |  SELECT q.query_id, c.cid, t.j,
+       |    list_reduce(list_transform(generate_series(1, 8), i -> q.e[t.j*8 + i] * c.ce[t.j*8 + i]), (x, y) -> x + y) AS val
+       |  FROM q, cents c, (SELECT unnest(generate_series(0, 7)) AS j) t),
+       |luts AS (SELECT query_id, list(val ORDER BY j, cid) AS lut FROM lutrows GROUP BY query_id),
+       |scored AS (
+       |  SELECT l.query_id, cd.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(generate_series(0, 7), j -> l.lut[j*16 + cd.codes[j+1] + 1]), (x, y) -> x + y)
+       |      / (qv.nrm * nv.nrm) AS approx_cos
+       |  FROM luts l
+       |  JOIN probes p ON p.query_id = l.query_id
+       |  JOIN assigned a ON a.cell = p.cell
+       |  JOIN codes cd ON cd.vec_id = a.vec_id AND cd.vec_id <> l.query_id
+       |  JOIN v qv ON qv.vec_id = l.query_id
+       |  JOIN v nv ON nv.vec_id = cd.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, approx_cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
+       |  FROM scored),
+       |shortlist AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 50),
+       |exact AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_reduce(list_transform(generate_series(1, 64), i -> qv.e[i] * nv.e[i]), (x, y) -> x + y)
+       |      / (qv.nrm * nv.nrm) AS cos
+       |  FROM shortlist s
+       |  JOIN v qv ON qv.vec_id = s.query_id
+       |  JOIN v nv ON nv.vec_id = s.neighbor_id),
+       |rer AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM exact)
+       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+       |FROM rer WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ann_ivfpq" -> annIvfPq,
     "ann_radius" -> annRadius,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
@@ -591,6 +725,7 @@ object Similarity {
     "ann_nndescent" -> annNnDescent)
 
   def oracleSql: Map[String, String] = Map(
+    "ann_ivfpq" -> annIvfPqSql,
     "ann_radius" -> annRadiusSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
