@@ -16,7 +16,10 @@ object Bench {
         if (t == "events") graft.Tables.events(spark, sfDir).count()
         else graft.Tables.load(spark, sfDir, t).count()
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OOM/LinkageError here means the JVM is no
+        // longer trustworthy — keep failing fast rather than produce a
+        // full artifact of misleading per-query failures
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] warm-up of table $t FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }

@@ -160,7 +160,10 @@ object ProtoWire {
     def skip(wire: Int): Unit = wire match {
       case WireVarint => readVarint()
       case WireFixed64 => pos += 8; if (pos > bytes.length) throw corrupt("truncated fixed64 skip")
-      case WireLen => readLen()
+      case WireLen => // advance only — a skipped field must not cost a copy
+        val skipN = readVarint()
+        if (skipN < 0 || pos + skipN > bytes.length) throw corrupt(s"bad length $skipN")
+        pos += skipN.toInt
       case WireFixed32 => pos += 4; if (pos > bytes.length) throw corrupt("truncated fixed32 skip")
       case w => throw corrupt(s"unsupported wire type $w (groups are deprecated)")
     }
@@ -179,12 +182,15 @@ object ProtoWire {
     val in = new Reader(bytes)
     while (in.hasMore) {
       val tag = in.readVarint()
-      val num = (tag >>> 3).toInt
+      // compare as LONG before narrowing: a 61-bit wire field number
+      // truncated by .toInt could alias onto a valid small index and
+      // silently land a foreign payload in the wrong field
+      val numL = tag >>> 3
       val wire = (tag & 7).toInt
-      if (num <= 0) throw corrupt("field number 0")
-      if (num > n) in.skip(wire) // unknown field: forward compatibility
+      if (numL <= 0L) throw corrupt("field number 0")
+      if (numL > n) in.skip(wire) // unknown field: forward compatibility
       else {
-        val i = num - 1
+        val i = numL.toInt - 1
         schema(i).dataType match {
           case LongType | TimestampType => values(i) = expectVarint(in, wire, schema(i).name)
           case IntegerType | DateType => values(i) = expectVarint(in, wire, schema(i).name).toInt

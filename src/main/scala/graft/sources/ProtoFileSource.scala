@@ -52,14 +52,20 @@ class ProtoFileSource extends TableProvider {
     new ProtoFileTable(schema, properties.get("path"))
 }
 
-private[sources] class ProtoFileTable(tableSchema: StructType, path: String)
+private[sources] class ProtoFileTable(userSchema: StructType, path: String)
     extends Table with SupportsRead with SupportsWrite {
 
   require(path != null, "graft-proto requires a path")
   private val unsupported =
-    tableSchema.fields.filterNot(f => ProtoWire.supported(f.dataType))
+    userSchema.fields.filterNot(f => ProtoWire.supported(f.dataType))
   if (unsupported.nonEmpty) throw new IllegalArgumentException(
     s"graft-proto: unsupported field types ${unsupported.map(_.dataType).mkString(", ")}")
+
+  /** The schema the reader actually PRODUCES: absent proto fields decode
+    * to null, so every column must advertise nullable — planning against
+    * a user-declared NOT NULL column would constant-fold `IS NULL` away
+    * and mis-codegen reads of the null slot. */
+  private val tableSchema = StructType(userSchema.fields.map(_.copy(nullable = true)))
 
   override def name(): String = s"graft-proto:$path"
   override def schema(): StructType = tableSchema

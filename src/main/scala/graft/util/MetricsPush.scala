@@ -69,9 +69,16 @@ final class MetricsPush(
     this
   }
 
-  /** Stop the scheduler and push one final snapshot (shutdown flush). */
+  /** Stop the scheduler and push one final snapshot (shutdown flush).
+    * Awaits any in-flight scheduled push first — otherwise the flush can
+    * interleave with it, double-emitting the tick and handing a custom
+    * transport concurrent calls it was promised not to get. */
   override def close(): Unit = synchronized {
-    if (exec != null) { exec.shutdown(); exec = null }
+    if (exec != null) {
+      exec.shutdown()
+      exec.awaitTermination(10, TimeUnit.SECONDS)
+      exec = null
+    }
     pushOnce()
   }
 }

@@ -141,6 +141,17 @@ class ProtoWireSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     r.getSeq[Long](0) shouldBe Seq(1L, 2L, 3L)
   }
 
+  it should "skip a field number beyond Int range instead of aliasing it onto a small index" in {
+    // tag for field 2^32+1 (wire 0): naive (tag >>> 3).toInt wraps to 1
+    // and would land the payload in schema field 1
+    val out = new java.io.ByteArrayOutputStream()
+    ProtoWire.writeVarint(out, ((1L << 32) + 1L) << 3) // tag, wire 0
+    ProtoWire.writeVarint(out, 99L) // payload that must NOT reach field 1
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("a BIGINT")
+    val row = ProtoWire.decodeRow(out.toByteArray, schema)
+    row.isNullAt(0) shouldBe true
+  }
+
   it should "fail loudly on corrupt bytes" in {
     graft.plans.GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -65,6 +65,23 @@ class ProtoFileSourceSpec extends AnyFlatSpec with Matchers with BeforeAndAfterA
     (row.getLong(0), row.getString(1)) shouldBe ((7L, "keep"))
   }
 
+  it should "advertise a nullable scan schema so absent fields survive planning" in {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = tmp()
+    Seq((5L, "x")).toDF("a", "b").write.format(fmt).mode("append").save(dir)
+    // user declares every field NOT NULL, but field 3 is absent on the
+    // wire: the scan must plan as nullable or `c IS NULL` constant-folds
+    // to false and the row is silently lost
+    val declared = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", StringType, nullable = false),
+      StructField("c", DoubleType, nullable = false)))
+    val df = spark.read.format(fmt).schema(declared).load(dir)
+    df.schema.fields.forall(_.nullable) shouldBe true
+    df.filter("c IS NULL").count() shouldBe 1
+  }
+
   it should "produce frames decodable by graft_proto_decode on the raw bytes" in {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
