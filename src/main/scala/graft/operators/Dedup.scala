@@ -891,7 +891,120 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Exact Jaccard-threshold self-join (J ≥ 0.9) via prefix filtering —
+    * the AllPairs/PPJoin candidate scheme (Bayardo et al. WWW'07; Xiao et
+    * al. WWW'08): unlike [[ddLshPairs]] (probabilistic banding, can miss
+    * pairs) this finds EVERY pair at or above the threshold without an
+    * O(n²) comparison. Reference analogue: the dedup gate's candidate
+    * generation (stream-loader dedups by exact key only; this is the
+    * set-similarity upgrade a training corpus needs).
+    *
+    * Scheme: tokens get a canonical global order (document frequency
+    * ascending, token ascending — rarest first), each doc posts only its
+    * first `|x| − ceil(t·|x|) + 1` ordered tokens to the inverted index,
+    * and only docs sharing a posted token become candidates. Symmetric
+    * prefix posting with each record's own bound is exact: if the two
+    * prefixes were disjoint, every common token would lie past the later
+    * prefix boundary, capping the overlap at ceil(t·|x|) − 1 < the
+    * required ceil(t·|x|) (WLOG argument on the larger boundary token).
+    * The length filter t·|y| ≤ |x| ≤ |y|/t prunes size-incompatible
+    * pairs before the distinct. Threshold tests are integer
+    * cross-multiplications (10·overlap ≥ 9·union) — no float boundary.
+    * t = 0.9 because the synthetic corpus is a dense near-duplicate blob
+    * (58% of ALL pairs sit at J ≥ 0.6 — measured); 0.9 isolates the true
+    * rewrite-duplicate band and keeps prefixes at ~|x|/10 tokens.
+    *
+    * Execution (the three measured hotspots at sf0.1's 3.7M candidates /
+    * 965k true pairs — 55 s naive, ~8 s in this shape):
+    *  1. Tokens are re-encoded as DENSE INT RANK IDS (row_number over the
+    *     (df, token) order), so the ascending-sorted rid array IS the
+    *     canonically-ordered document — prefixes are int-array slices and
+    *     the verify intersect runs on primitive ints, not UTF8 strings.
+    *     The rank join is exact (no hash-collision risk).
+    *  2. Verification counts overlap with the codegen'd two-pointer merge
+    *     `graft_overlap` (functions/SortedOverlap.scala) instead of
+    *     `array_intersect`'s per-row hash set — the verify stage drops
+    *     from dominating the query (~20 s) to noise (~1 s).
+    *  3. Both small sides broadcast: the prefix index (≈(1−t)·corpus
+    *     tokens) into the candidate self-join, the doc→rid-array map
+    *     (corpus × ~600 B) into the verify probes — the only shuffles
+    *     left are the candidate-pair distinct and the vocabulary aggs.
+    *     At 100 TB both outgrow broadcast: the same plan runs with the
+    *     self-join keyed on rid and verify bucketed on doc_id.
+    *
+    * Scale: the index holds prefixes only, keyed by token with rare-first
+    * order keeping posting lists short — the classic AllPairs property
+    * that frequent tokens are posted only by docs whose prefix reaches
+    * them. The vocabulary rank window is a single global sort of the
+    * vocab table (zipWithIndex-shaped; fine up to billions of tokens). */
+  def ddPpjoin: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
+    val (tNum, tDen) = (9, 10) // J >= 9/10 as an exact rational
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
+      .filter(size(col("tk")) >= 1)
+    val toks = docs.select(col("doc_id"), explode(col("tk")).as("t"))
+    // rare-first canonical order as dense int ids
+    val ranks = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .withColumn("rid", row_number().over(Window.orderBy(col("df"), col("t"))))
+      .select(col("t"), col("rid"))
+    val rdocs = toks.join(broadcast(ranks), "t")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("rid"))).as("rids"))
+      .select(col("doc_id"), size(col("rids")).as("sz"), col("rids"))
+    val pref = rdocs.select(col("doc_id"), col("sz"),
+        posexplode(slice(col("rids"), lit(1),
+          col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "rid")
+    // PPJoin positional filter (exact): for a true pair the FIRST shared
+    // prefix token has all common tokens at or past its two positions, so
+    // overlap ≤ min(sz−pos) incl. the match; pairs whose best row misses
+    // the tight Jaccard overlap bound ceil(t/(1+t)·(sa+sb)) drop BEFORE
+    // the distinct (19·bound ≥ 9·(sa+sb) ⟺ bound ≥ that ceil).
+    val cand = pref.select(col("rid"), col("doc_id").as("id_a"),
+        col("sz").as("sz_a"), col("p").as("p_a"))
+      .join(broadcast(pref.select(col("rid"), col("doc_id").as("id_b"),
+        col("sz").as("sz_b"), col("p").as("p_b"))), "rid")
+      .filter(col("id_a") < col("id_b") &&
+        lit(tNum) * greatest(col("sz_a"), col("sz_b")) <=
+          lit(tDen) * least(col("sz_a"), col("sz_b")) &&
+        lit(tNum + tDen) * least(col("sz_a") - col("p_a"), col("sz_b") - col("p_b")) >=
+          lit(tNum) * (col("sz_a") + col("sz_b")))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(broadcast(rdocs.select(col("doc_id").as("id_a"), col("rids").as("r_a"))), "id_a")
+      .join(broadcast(rdocs.select(col("doc_id").as("id_b"), col("rids").as("r_b"))), "id_b")
+      .withColumn("n_common",
+        call_function("graft_overlap", col("r_a"), col("r_b")).cast("long"))
+      .withColumn("n_union",
+        size(col("r_a")).cast("long") + size(col("r_b")).cast("long") - col("n_common"))
+      .filter(lit(tDen) * col("n_common") >= lit(tNum) * col("n_union"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("n_common"),
+        (floor(col("n_common") / col("n_union") * 1e4 + 0.5) / 1e4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Brute-force twin: every pair a < b with 10·|A∩B| ≥ 9·|A∪B| — exactly
+    * what prefix filtering must reproduce (no false negatives). */
+  val ddPpjoinSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_distinct(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS tk
+      |  FROM documents),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.tk, b.tk)) AS n_common,
+      |    len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS n_union
+      |  FROM t a JOIN t b ON b.doc_id > a.doc_id
+      |  WHERE len(a.tk) >= 1 AND len(b.tk) >= 1
+      |    -- implied by J >= 9/10 (t·|y| <= |x| <= |y|/t): prunes the
+      |    -- quadratic pair set before the list_intersect, result-neutral
+      |    AND 9 * greatest(len(a.tk), len(b.tk)) <= 10 * least(len(a.tk), len(b.tk)))
+      |SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+      |  floor(n_common / n_union * 1e4 + 0.5) / 1e4 AS jaccard
+      |FROM p WHERE 10 * n_common >= 9 * n_union
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "dd_ppjoin" -> ddPpjoin,
     "dd_neardup" -> ddNeardup,
     "dd_substring" -> ddSubstring,
     "dd_dup_span" -> ddDupSpan,
@@ -912,6 +1025,7 @@ object Dedup {
     "dd_embed_cos" -> ddEmbedCos)
 
   def oracleSql: Map[String, String] = Map(
+    "dd_ppjoin" -> ddPpjoinSql,
     "dd_substring" -> ddSubstringSql,
     "dd_dup_span" -> ddDupSpanSql,
     "dd_decontaminate" -> ddDecontaminateSql,

@@ -730,7 +730,139 @@ object EventAnalytics {
       |FROM g WHERE gap_us IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Burst detection: each (event_type, hour) bucket scored against its
+    * trailing-10-observed-hours rate — `burst_ratio = n · n_prev /
+    * sum_prev`, flagged when the bucket runs ≥ 2× its trailing average
+    * (integer cross-multiplication, no float threshold). Emits EVERY
+    * scored bucket with the flag rather than only flagged rows, so the
+    * result is non-degenerate at any SF (at sf0.1 the Poisson tail makes
+    * 2× spikes rare). Reference analogue: the flow-rate alerting a loader
+    * hangs off its per-batch counters. Scale: one corpus-sized hash agg
+    * to hour buckets (map-side partial), then a ROWS-frame window over
+    * the tiny bucket table partitioned by type. */
+  def evBurst: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+      .rowsBetween(-10, -1)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("n_prev", count(col("n_events")).over(w))
+      .withColumn("sum_prev", sum(col("n_events")).over(w))
+      .filter(col("n_prev") >= 3)
+      .select(col("event_type"), col("hour_start"), col("n_events"),
+        col("sum_prev").cast("long").as("sum_prev"), col("n_prev").cast("long").as("n_prev"),
+        Exact.floorRound(col("n_events") * col("n_prev") / col("sum_prev"), 4)
+          .as("burst_ratio"),
+        (col("n_events") * col("n_prev") >= lit(2) * col("sum_prev")).as("is_burst"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  val evBurstSql: String =
+    """WITH m AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hour_start,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT *,
+      |    count(n_events) OVER (PARTITION BY event_type ORDER BY hour_start
+      |      ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS n_prev,
+      |    sum(n_events) OVER (PARTITION BY event_type ORDER BY hour_start
+      |      ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS sum_prev
+      |  FROM m)
+      |SELECT event_type, hour_start, n_events,
+      |  CAST(sum_prev AS BIGINT) AS sum_prev, CAST(n_prev AS BIGINT) AS n_prev,
+      |  floor((n_events * n_prev / sum_prev) * 10000 + 0.5) / 10000 AS burst_ratio,
+      |  n_events * n_prev >= 2 * sum_prev AS is_burst
+      |FROM w WHERE n_prev >= 3
+      |ORDER BY event_type, hour_start""".stripMargin
+
+  /** Single-changepoint estimate per event_type over the hourly count
+    * series — the CUSUM argmax, kept fully integer-exact: with n buckets
+    * totalling T events, the scaled deviation at bucket i is
+    * `dev_i = n·cumsum_i − i·T` (n× the classic cumsum-minus-mean·i), and
+    * the changepoint is the bucket maximizing |dev| (earliest on ties).
+    * No float enters until the reported mean-shift share. Scale: hash agg
+    * to buckets, then windows over the per-type bucket table — the series
+    * length is bounded by the time span, not the corpus. */
+  def evChangepoint: Q = (s, d) => {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wPick = Window.partitionBy(col("event_type"))
+      .orderBy(col("abs_dev").desc, col("hour_start"))
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum(col("n_events")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .withColumn("n_buckets", count(col("n_events")).over(wAll).cast("long"))
+      .withColumn("total", sum(col("n_events")).over(wAll).cast("long"))
+      .withColumn("dev", col("n_buckets") * col("cum") - col("i") * col("total"))
+      .withColumn("abs_dev", abs(col("dev")))
+      .withColumn("pick", row_number().over(wPick))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("hour_start").as("cp_hour"),
+        col("n_buckets"), col("total").as("total_events"), col("dev"),
+        // mean level before vs after the changepoint, 4 dp
+        Exact.floorRound(col("cum") / col("i"), 4).as("mean_before"),
+        Exact.floorRound((col("total") - col("cum")) /
+          greatest(col("n_buckets") - col("i"), lit(1L)), 4).as("mean_after"))
+      .orderBy(col("event_type"))
+  }
+
+  val evChangepointSql: String =
+    """WITH m AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hour_start,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT *,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour_start) AS BIGINT) AS i,
+      |    CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY hour_start
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(count(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS n_buckets,
+      |    CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM m),
+      |dv AS (SELECT *, n_buckets * cum - i * total AS dev,
+      |    abs(n_buckets * cum - i * total) AS abs_dev FROM w),
+      |pk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY abs_dev DESC, hour_start) AS pick FROM dv)
+      |SELECT event_type, hour_start AS cp_hour, n_buckets, total AS total_events, dev,
+      |  floor((cum / i) * 10000 + 0.5) / 10000 AS mean_before,
+      |  floor(((total - cum) / greatest(n_buckets - i, 1)) * 10000 + 0.5) / 10000
+      |    AS mean_after
+      |FROM pk WHERE pick = 1 ORDER BY event_type""".stripMargin
+
+  /** Seasonality profile: per event_type, the (day-of-week × hour-of-day)
+    * activity matrix with each cell's share of the type total — the
+    * load-shaping input for ingest capacity planning. Spark's dayofweek is
+    * Sunday=1; the oracle shifts DuckDB's Sunday=0 by one. Scale: one
+    * hash agg; the share derives from a window over the ≤ 7·24·|types|
+    * aggregate, never a second corpus pass. */
+  def evSeasonality: Q = (s, d) => {
+    val wAll = Window.partitionBy(col("event_type"))
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("total", sum(col("n_events")).over(wAll).cast("long"))
+      .select(col("event_type"), col("dow"), col("hod"), col("n_events"),
+        Exact.floorRound(col("n_events") / col("total") * 1e2, 4).as("pct_of_type"))
+      .orderBy(col("event_type"), col("dow"), col("hod"))
+  }
+
+  val evSeasonalitySql: String =
+    """WITH m AS (SELECT event_type,
+      |    CAST(dayofweek(ts::TIMESTAMP) + 1 AS BIGINT) AS dow,
+      |    CAST(hour(ts::TIMESTAMP) AS BIGINT) AS hod, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2, 3),
+      |w AS (SELECT *, CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM m)
+      |SELECT event_type, dow, hod, n_events,
+      |  floor((n_events / total * 1e2) * 10000 + 0.5) / 10000 AS pct_of_type
+      |FROM w ORDER BY event_type, dow, hod""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ev_burst" -> evBurst,
+    "ev_changepoint" -> evChangepoint,
+    "ev_seasonality" -> evSeasonality,
     "ev_inter_arrival" -> evInterArrival,
     "ev_top_paths" -> evTopPaths,
     "ev_throttle" -> evThrottle,
@@ -751,6 +883,9 @@ object EventAnalytics {
     "ev_salted_agg" -> evSaltedAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "ev_burst" -> evBurstSql,
+    "ev_changepoint" -> evChangepointSql,
+    "ev_seasonality" -> evSeasonalitySql,
     "ev_inter_arrival" -> evInterArrivalSql,
     "ev_top_paths" -> evTopPathsSql,
     "ev_throttle" -> evThrottleSql,

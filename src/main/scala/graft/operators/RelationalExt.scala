@@ -457,6 +457,39 @@ object RelationalExt {
       |  min(l_quantity) AS lo, max(l_quantity) AS hi
       |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Customer spend deciles: NTILE(10) over exact-decimal lifetime spend
+    * (desc, custkey tiebreak — the deterministic total order both engines
+    * share), then per-decile count and min/max/total spend. NTILE's
+    * floor-division bucket split is the same standard-SQL definition in
+    * Spark and DuckDB. Scale: spend is one keyed agg off orders; the
+    * single global NTILE window runs over the customer aggregate (one row
+    * per customer, not per order) — at 100 TB the equivalent is a
+    * range-partitioned rank against a sampled CDF, same output contract. */
+  def qNtile: Q = (s, d) => {
+    val w = Window.orderBy(col("spend_d").desc, col("o_custkey"))
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Exact.dec3(col("o_totalprice"))).as("spend_d"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(min(col("spend_d")), 2).cast("double").as("min_spend"),
+        round(max(col("spend_d")), 2).cast("double").as("max_spend"),
+        round(sum(col("spend_d")), 2).cast("double").as("sum_spend"))
+      .orderBy(col("decile"))
+  }
+
+  val qNtileSql: String =
+    """WITH sp AS (SELECT o_custkey, sum(o_totalprice::DECIMAL(13,3)) AS spend_d
+      |  FROM orders GROUP BY 1),
+      |dk AS (SELECT *, CAST(ntile(10) OVER (ORDER BY spend_d DESC, o_custkey) AS BIGINT)
+      |    AS decile FROM sp)
+      |SELECT decile, count(*) AS n_customers,
+      |  round(min(spend_d), 2)::DOUBLE AS min_spend,
+      |  round(max(spend_d), 2)::DOUBLE AS max_spend,
+      |  round(sum(spend_d), 2)::DOUBLE AS sum_spend
+      |FROM dk GROUP BY decile ORDER BY decile""".stripMargin
+
   def qCube: Q = (s, d) =>
     Tables.lineitem(s, d)
       .cube(col("l_returnflag"), col("l_linestatus"))
@@ -514,6 +547,7 @@ object RelationalExt {
     "q_full_outer" -> qFullOuter,
     "q_listagg" -> qListagg,
     "q_histogram" -> qHistogram,
+    "q_ntile" -> qNtile,
     "q_cube" -> qCube,
     "q_window_range" -> qWindowRange,
     "q7_nation_volume" -> q7NationVolume,
@@ -531,6 +565,7 @@ object RelationalExt {
     "q_full_outer" -> qFullOuterSql,
     "q_listagg" -> qListaggSql,
     "q_histogram" -> qHistogramSql,
+    "q_ntile" -> qNtileSql,
     "q_cube" -> qCubeSql,
     "q_window_range" -> qWindowRangeSql,
     "q7_nation_volume" -> q7NationVolumeSql,

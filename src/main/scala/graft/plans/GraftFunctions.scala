@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, MinHashSig, MinHashTokens, PqAdcScore, ProtoWireDecode, ProtoWireEncode, RowBinaryEncode, ShardedBloomProbe, VerticaNativeEncode}
+import graft.functions.{DotProduct, MinHashSig, MinHashTokens, PqAdcScore, ProtoWireDecode, ProtoWireEncode, RowBinaryEncode, ShardedBloomProbe, SortedOverlapCount, VerticaNativeEncode}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -28,6 +28,9 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => { arity("graft_dot", args, 2); DotProduct(args(0), args(1)) }),
+    (new FunctionIdentifier("graft_overlap"),
+      new ExpressionInfo(classOf[SortedOverlapCount].getName, "graft_overlap"),
+      (args: Seq[Expression]) => { arity("graft_overlap", args, 2); SortedOverlapCount(args(0), args(1)) }),
     (new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (args: Seq[Expression]) => { arity("graft_minhash", args, 1); MinHashSig(args(0)) }),

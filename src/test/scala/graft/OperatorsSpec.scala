@@ -747,4 +747,29 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       r.getAs[Long]("n_shared") should be > 0L
     }
   }
+
+  it should "find exactly the brute-force J>=0.9 pairs via prefix filtering" in {
+    // the PPJoin exactness contract: prefix filtering may generate extra
+    // CANDIDATES but must lose no true pair and verify must kill every
+    // false one — the result set equals an O(n²) scan's, pair for pair
+    import graft.functions.TextFns.tokens
+    import org.apache.spark.sql.functions.{size => asize, _}
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
+      .filter(asize(col("tk")) >= 1)
+    val brute = docs.select(col("doc_id").as("id_a"), col("tk").as("tk_a"))
+      .crossJoin(docs.select(col("doc_id").as("id_b"), col("tk").as("tk_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("n_common", asize(array_intersect(col("tk_a"), col("tk_b"))).cast("long"))
+      .withColumn("n_union",
+        asize(col("tk_a")).cast("long") + asize(col("tk_b")).cast("long") - col("n_common"))
+      .filter(lit(10) * col("n_common") >= lit(9) * col("n_union"))
+      .select(col("id_a"), col("id_b"), col("n_common"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pp = operators.Dedup.ddPpjoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("n_common")))
+      .toSet
+    pp shouldBe brute
+    pp.nonEmpty shouldBe true
+  }
 }
