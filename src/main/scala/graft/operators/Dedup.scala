@@ -936,7 +936,10 @@ object Dedup {
     * order keeping posting lists short — the classic AllPairs property
     * that frequent tokens are posted only by docs whose prefix reaches
     * them. The vocabulary rank window is a single global sort of the
-    * vocab table (zipWithIndex-shaped; fine up to billions of tokens). */
+    * vocab table (zipWithIndex-shaped; fine up to billions of tokens).
+    * Two corpus scans (ScanAudit: documents=2) are DELIBERATE — the
+    * structural minimum for a global-order re-encoding: pass 1 builds the
+    * vocabulary ranks, pass 2 re-reads to encode against them. */
   def ddPpjoin: Q = (s, d) => {
     graft.plans.GraftFunctions.register(s)
     val (tNum, tDen) = (9, 10) // J >= 9/10 as an exact rational
