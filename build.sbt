@@ -30,10 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] + 115 sequential queries + streaming epochs churn enough
+  // local[32] + 145 sequential queries + streaming epochs churn enough
   // to GC-bind an 8g heap (measured: 71 s total / 43k rows/s at 8g vs
   // 61 s / 61k rows/s at 24g on the sf0.1 bench; the slow-query spikes
-  // move between runs — classic GC pressure, not per-query cost). The
-  // bench box has 128 GiB; give the single-JVM driver+executors room.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // move between runs — classic GC pressure, not per-query cost). At the
+  // round-5 query count 48g shaves another ~20-30% off the ex-spike
+  // session total vs 24g. The bench box has 128 GiB; give the
+  // single-JVM driver+executors room.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
