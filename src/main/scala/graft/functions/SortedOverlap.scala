@@ -6,45 +6,62 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Overlap count of two ASCENDING-sorted `array<int>` sets via a two-
-  * pointer merge, with whole-stage codegen — the verification kernel of
-  * the PPJoin set-similarity join (operators/Dedup.ddPpjoin).
+/** Overlap count of two ASCENDING-sorted set arrays via a two-pointer
+  * merge, with whole-stage codegen — the verification kernel of the
+  * PPJoin set-similarity join (operators/Dedup.ddPpjoin). Supports
+  * `array<int>`, `array<long>` and `array<string>` elements (both sides
+  * the same type); string order is UTF8 binary order — exactly what
+  * `sort_array` produces, so `graft_overlap(sort_array(a), sort_array(b))`
+  * equals `size(array_intersect(a, b))` on set-like inputs.
   *
   * `array_intersect` builds a per-row hash set (allocation + hashed
-  * probes per element); on the similarity join's millions of candidate
+  * probes per element); on a similarity join's millions of candidate
   * pairs the merge loop is the difference between the verify stage
-  * dominating the query and it disappearing (measured ~20 s → ~2 s at
-  * sf0.1's 3.7M candidates). Sortedness is the CALLER's contract — the
-  * join's token-rank arrays come out of `sort_array` — and is not
-  * re-checked here; an unsorted input undercounts (exactly what a merge
-  * would do) rather than erroring. Inputs are set-like (distinct
-  * elements), so the count equals `|A ∩ B|`. Null elements don't occur
-  * in rank arrays (ranks come from a non-null aggregation key); a null
-  * ARRAY yields null via BinaryExpression's default null intolerance.
+  * dominating the query and it disappearing (measured ~20 s → ~1 s on a
+  * dense 3.7M-candidate corpus at sf0.1). Sortedness is the CALLER's
+  * contract — not re-checked here; an unsorted input undercounts
+  * (exactly what a merge would do) rather than erroring. Inputs are
+  * set-like (distinct elements), so the count equals `|A ∩ B|`. Null
+  * ELEMENTS don't occur in the callers' arrays (shingles/ranks derive
+  * from non-null aggregation keys); a null ARRAY yields null via
+  * BinaryExpression's default null intolerance.
   */
 case class SortedOverlapCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
 
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(IntegerType, _) => true
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _)) if a == b =>
+        a == IntegerType || a == LongType || a == StringType
       case _ => false
-    })
+    }
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_overlap expects two array<int>, got ${left.dataType} and ${right.dataType}")
+      "graft_overlap expects two arrays of the same element type " +
+        s"(int/long/string), got ${left.dataType} and ${right.dataType}")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val (nx, ny) = (x.numElements(), y.numElements())
+    val t = elemType
     var i = 0; var j = 0; var c = 0
     while (i < nx && j < ny) {
-      val xv = x.getInt(i); val yv = y.getInt(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
+      val cv = t match {
+        case IntegerType => java.lang.Integer.compare(x.getInt(i), y.getInt(j))
+        case LongType => java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        case StringType => x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        case _ => throw new IllegalStateException(s"graft_overlap: unsupported $t")
+      }
+      if (cv == 0) { c += 1; i += 1; j += 1 }
+      else if (cv < 0) i += 1
       else j += 1
     }
     c
@@ -53,17 +70,22 @@ case class SortedOverlapCount(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (nx, ny) = (ctx.freshName("nx"), ctx.freshName("ny"))
-      val (i, j, c) = (ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("c"))
-      val (xv, yv) = (ctx.freshName("xv"), ctx.freshName("yv"))
+      val (i, j, c, cv) = (ctx.freshName("i"), ctx.freshName("j"),
+        ctx.freshName("c"), ctx.freshName("cv"))
+      val cmp = elemType match {
+        case IntegerType => s"java.lang.Integer.compare($a.getInt($i), $b.getInt($j))"
+        case LongType => s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        case StringType => s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+        case t => throw new IllegalStateException(s"graft_overlap: unsupported $t")
+      }
       s"""
          |final int $nx = $a.numElements();
          |final int $ny = $b.numElements();
          |int $i = 0, $j = 0, $c = 0;
          |while ($i < $nx && $j < $ny) {
-         |  final int $xv = $a.getInt($i);
-         |  final int $yv = $b.getInt($j);
-         |  if ($xv == $yv) { $c++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |  final int $cv = $cmp;
+         |  if ($cv == 0) { $c++; $i++; $j++; }
+         |  else if ($cv < 0) { $i++; } else { $j++; }
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -891,108 +891,194 @@ object Dedup {
       .orderBy(col("source"))
   }
 
-  /** Exact Jaccard-threshold self-join (J ≥ 0.9) via prefix filtering —
-    * the AllPairs/PPJoin candidate scheme (Bayardo et al. WWW'07; Xiao et
-    * al. WWW'08): unlike [[ddLshPairs]] (probabilistic banding, can miss
-    * pairs) this finds EVERY pair at or above the threshold without an
-    * O(n²) comparison. Reference analogue: the dedup gate's candidate
+  /** Exact Jaccard-threshold self-join (J ≥ 0.9 over word 3-gram SHINGLE
+    * sets — the similarity space MinHash actually estimates, so the
+    * result is the ground truth [[ddLshPairs]]' banding approximates) via
+    * prefix filtering — the AllPairs/PPJoin candidate scheme (Bayardo et
+    * al. WWW'07; Xiao et al. WWW'08): unlike banding (probabilistic, can
+    * miss pairs) this finds EVERY pair at or above the threshold without
+    * an O(n²) comparison. Reference analogue: the dedup gate's candidate
     * generation (stream-loader dedups by exact key only; this is the
     * set-similarity upgrade a training corpus needs).
     *
-    * Scheme: tokens get a canonical global order (document frequency
-    * ascending, token ascending — rarest first), each doc posts only its
-    * first `|x| − ceil(t·|x|) + 1` ordered tokens to the inverted index,
-    * and only docs sharing a posted token become candidates. Symmetric
-    * prefix posting with each record's own bound is exact: if the two
-    * prefixes were disjoint, every common token would lie past the later
-    * prefix boundary, capping the overlap at ceil(t·|x|) − 1 < the
-    * required ceil(t·|x|) (WLOG argument on the larger boundary token).
-    * The length filter t·|y| ≤ |x| ≤ |y|/t prunes size-incompatible
-    * pairs before the distinct. Threshold tests are integer
-    * cross-multiplications (10·overlap ≥ 9·union) — no float boundary.
-    * t = 0.9 because the synthetic corpus is a dense near-duplicate blob
-    * (58% of ALL pairs sit at J ≥ 0.6 — measured); 0.9 isolates the true
-    * rewrite-duplicate band and keeps prefixes at ~|x|/10 tokens.
+    * Shingle sets, not token sets, deliberately: the synthetic corpus is
+    * templated, so TOKEN-set Jaccard is degenerate (58% of ALL pairs at
+    * J ≥ 0.6, ~1M pairs at ≥ 0.9 at sf0.1 — shared vocabulary, different
+    * order) while shingle Jaccard is bimodal (~25 true rewrite-dup pairs
+    * at sf0.01, everything else < 0.1) — phrase structure is what
+    * near-dup dedup actually keys on, and it is what [[ddLshRecall]]
+    * needs the truth set in.
     *
-    * Execution (the three measured hotspots at sf0.1's 3.7M candidates /
-    * 965k true pairs — 55 s naive, ~8 s in this shape):
-    *  1. Tokens are re-encoded as DENSE INT RANK IDS (row_number over the
-    *     (df, token) order), so the ascending-sorted rid array IS the
-    *     canonically-ordered document — prefixes are int-array slices and
-    *     the verify intersect runs on primitive ints, not UTF8 strings.
-    *     The rank join is exact (no hash-collision risk).
-    *  2. Verification counts overlap with the codegen'd two-pointer merge
-    *     `graft_overlap` (functions/SortedOverlap.scala) instead of
-    *     `array_intersect`'s per-row hash set — the verify stage drops
-    *     from dominating the query (~20 s) to noise (~1 s).
-    *  3. Both small sides broadcast: the prefix index (≈(1−t)·corpus
-    *     tokens) into the candidate self-join, the doc→rid-array map
-    *     (corpus × ~600 B) into the verify probes — the only shuffles
-    *     left are the candidate-pair distinct and the vocabulary aggs.
-    *     At 100 TB both outgrow broadcast: the same plan runs with the
-    *     self-join keyed on rid and verify bucketed on doc_id.
+    * Scheme: shingles get a canonical global order (document frequency
+    * ascending, shingle ascending — rarest first), each doc posts only
+    * its first `|x| − ceil(t·|x|) + 1` ordered shingles to the inverted
+    * index, and only docs sharing a posted shingle become candidates.
+    * Symmetric prefix posting with each record's own bound is exact: if
+    * the two prefixes were disjoint, every common shingle would lie past
+    * the later prefix boundary, capping the overlap at ceil(t·|x|) − 1 <
+    * the required ceil(t·|x|) (WLOG argument on the larger boundary
+    * element). The length filter t·|y| ≤ |x| ≤ |y|/t prunes
+    * size-incompatible pairs before the distinct. Threshold tests are
+    * integer cross-multiplications (10·overlap ≥ 9·union) — no float
+    * boundary.
     *
-    * Scale: the index holds prefixes only, keyed by token with rare-first
-    * order keeping posting lists short — the classic AllPairs property
-    * that frequent tokens are posted only by docs whose prefix reaches
-    * them. The vocabulary rank window is a single global sort of the
-    * vocab table (zipWithIndex-shaped; fine up to billions of tokens).
+    * Execution:
+    *  1. The canonical order is built RECORD-LOCALLY — each doc keyed-
+    *     joins its shingles to their corpus df and sorts the (df,
+    *     shingle) structs per record. No global rank table: a dense-rank
+    *     re-encoding (row_number over the vocabulary) was measured 6×
+    *     SLOWER here because the shingle vocab is ≈corpus-sized, so its
+    *     single-partition rank window serializes and its broadcast
+    *     bloats. (On a dense TOKEN-set corpus the trade flips — small
+    *     vocab, millions of candidates — and int ranks + this same merge
+    *     kernel took the verify stage from ~20 s to ~1 s at sf0.1.)
+    *  2. Verification counts overlap with the codegen'd two-pointer
+    *     merge `graft_overlap` (functions/SortedOverlap.scala) over
+    *     lexicographically sorted shingle arrays instead of
+    *     `array_intersect`'s per-row hash set.
+    *  3. The candidate self-join is KEYED on the shingle (posting lists
+    *     stay short under rare-first prefixes); the doc→sorted-shingles
+    *     map broadcasts into the verify probes (corpus-rows × ~1 KB —
+    *     bucketed join on doc_id at 100 TB instead).
+    *
+    * Scale: the index holds prefixes only, keyed by shingle with
+    * rare-first order keeping posting lists short — the classic AllPairs
+    * property that frequent elements are posted only by docs whose
+    * prefix reaches them.
     * Two corpus scans (ScanAudit: documents=2) are DELIBERATE — the
     * structural minimum for a global-order re-encoding: pass 1 builds the
     * vocabulary ranks, pass 2 re-reads to encode against them. */
-  def ddPpjoin: Q = (s, d) => {
+  def ddPpjoin: Q = (s, d) =>
+    ppjoinPairsUnsorted(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[ddPpjoin]] without the presentation sort (internal reuse —
+    * [[ddLshRecall]] joins/aggregates downstream, so sorting first is
+    * wasted work). */
+  private[graft] def ppjoinPairsUnsorted(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val (tNum, tDen) = (9, 10) // J >= 9/10 as an exact rational
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
-      .filter(size(col("tk")) >= 1)
-    val toks = docs.select(col("doc_id"), explode(col("tk")).as("t"))
-    // rare-first canonical order as dense int ids
-    val ranks = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .withColumn("rid", row_number().over(Window.orderBy(col("df"), col("t"))))
-      .select(col("t"), col("rid"))
-    val rdocs = toks.join(broadcast(ranks), "t")
+    // Shingles WITHOUT higher-order functions: posexplode materializes
+    // the token stream once, two leads over a doc-keyed window build the
+    // 3-grams. The lambda shape (transform + element_at over a bound
+    // tokens column) is an optimizer trap with teeth here: the size()>=1
+    // filter pushes below the projections with split() re-inlined into
+    // every element_at, and this operator's FOUR consumers of the
+    // shingle set each repay that interpreted HOF cost — measured 10 s
+    // per corpus pass at sf0.1, ~40 s for the query. The window version
+    // tokenizes once per pass; localCheckpoint then pins the kilobyte
+    // (doc, shingle) table so all four consumers share ONE corpus scan.
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val shingled = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("t"))
+      .distinct()
+      .localCheckpoint(true)
+    val toks = shingled
+    val dfreq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // Rare-first canonical order built RECORD-LOCALLY: keyed-join each
+    // doc's shingles to their df, then sort the (df, shingle) structs
+    // per doc. (A global dense-rank table — row_number over the
+    // vocabulary — was measured 6× slower here: the shingle vocab is
+    // ≈corpus-sized, so its single-partition rank window serializes and
+    // its broadcast bloats, where this shape shuffles only on the
+    // shingle key and sorts O(|doc|) per record.)
+    val ordered = toks.join(dfreq, "t")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("rid"))).as("rids"))
-      .select(col("doc_id"), size(col("rids")).as("sz"), col("rids"))
-    val pref = rdocs.select(col("doc_id"), col("sz"),
-        posexplode(slice(col("rids"), lit(1),
+      .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("st"))
+      .select(col("doc_id"), size(col("st")).as("sz"),
+        transform(col("st"), e => e.getField("t")).as("stk"))
+    val pref = ordered.select(col("doc_id"), col("sz"),
+        posexplode(slice(col("stk"), lit(1),
           col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)))
-      .withColumnRenamed("pos", "p").withColumnRenamed("col", "rid")
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "t")
     // PPJoin positional filter (exact): for a true pair the FIRST shared
-    // prefix token has all common tokens at or past its two positions, so
-    // overlap ≤ min(sz−pos) incl. the match; pairs whose best row misses
-    // the tight Jaccard overlap bound ceil(t/(1+t)·(sa+sb)) drop BEFORE
-    // the distinct (19·bound ≥ 9·(sa+sb) ⟺ bound ≥ that ceil).
-    val cand = pref.select(col("rid"), col("doc_id").as("id_a"),
+    // prefix shingle has all common shingles at or past its two
+    // positions, so overlap ≤ min(sz−pos) incl. the match; pairs whose
+    // best row misses the tight Jaccard overlap bound
+    // ceil(t/(1+t)·(sa+sb)) drop BEFORE the distinct
+    // (19·bound ≥ 9·(sa+sb) ⟺ bound ≥ that ceil).
+    val cand = pref.select(col("t"), col("doc_id").as("id_a"),
         col("sz").as("sz_a"), col("p").as("p_a"))
-      .join(broadcast(pref.select(col("rid"), col("doc_id").as("id_b"),
-        col("sz").as("sz_b"), col("p").as("p_b"))), "rid")
+      .join(pref.select(col("t"), col("doc_id").as("id_b"),
+        col("sz").as("sz_b"), col("p").as("p_b")), "t")
       .filter(col("id_a") < col("id_b") &&
         lit(tNum) * greatest(col("sz_a"), col("sz_b")) <=
           lit(tDen) * least(col("sz_a"), col("sz_b")) &&
         lit(tNum + tDen) * least(col("sz_a") - col("p_a"), col("sz_b") - col("p_b")) >=
           lit(tNum) * (col("sz_a") + col("sz_b")))
       .select(col("id_a"), col("id_b")).distinct()
+    // Verify on lexicographically sorted shingle arrays with the merge
+    // kernel (sort_array's UTF8-binary order is graft_overlap's string
+    // order, so the count equals |A∩B| with zero hashing).
+    val sdocs = shingled.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("t"))).as("stk"))
     cand
-      .join(broadcast(rdocs.select(col("doc_id").as("id_a"), col("rids").as("r_a"))), "id_a")
-      .join(broadcast(rdocs.select(col("doc_id").as("id_b"), col("rids").as("r_b"))), "id_b")
+      .join(broadcast(sdocs.select(col("doc_id").as("id_a"), col("stk").as("s_a"))), "id_a")
+      .join(broadcast(sdocs.select(col("doc_id").as("id_b"), col("stk").as("s_b"))), "id_b")
       .withColumn("n_common",
-        call_function("graft_overlap", col("r_a"), col("r_b")).cast("long"))
+        call_function("graft_overlap", col("s_a"), col("s_b")).cast("long"))
       .withColumn("n_union",
-        size(col("r_a")).cast("long") + size(col("r_b")).cast("long") - col("n_common"))
+        size(col("s_a")).cast("long") + size(col("s_b")).cast("long") - col("n_common"))
       .filter(lit(tDen) * col("n_common") >= lit(tNum) * col("n_union"))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("n_common"),
         (floor(col("n_common") / col("n_union") * 1e4 + 0.5) / 1e4).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Brute-force twin: every pair a < b with 10·|A∩B| ≥ 9·|A∪B| — exactly
-    * what prefix filtering must reproduce (no false negatives). */
+  /** LSH index-health report: recall of the [[ddLshPairs]] banding
+    * measured against the EXACT J ≥ 0.9 truth set from [[ddPpjoin]], per
+    * 0.05-wide Jaccard band — the validation loop an LSH dedup pipeline
+    * runs before trusting 4×2 banding on a new corpus (the theoretical
+    * catch probability 1−(1−J²)⁴ falls from 0.9993 at J=1 to ~0.98 at
+    * J=0.9; this measures the real thing, estimator variance included).
+    * Scale: the truth side is the prefix-filtered join (never O(n²)), the
+    * LSH side one signature pass; the probe is a pair-keyed left join of
+    * two pair sets, grouped to ≤3 output rows. */
+  def ddLshRecall: Q = (s, d) => {
+    val truth = ppjoinPairsUnsorted(s, d)
+    val lsh = lshPairsUnsorted(s, d).withColumn("caught", lit(1))
+    truth.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .select(col("jaccard"), coalesce(col("caught"), lit(0)).as("caught"))
+      .withColumn("j_band", floor(col("jaccard") * 20) / 20)
+      .groupBy(col("j_band"))
+      .agg(count(lit(1)).as("n_true"), sum(col("caught")).cast("long").as("n_caught"))
+      .withColumn("recall", floor(col("n_caught") / col("n_true") * 1e4 + 0.5) / 1e4)
+      .orderBy(col("j_band"))
+  }
+
+  val ddLshRecallSql: String =
+    s"""WITH $minhashCte,
+       |$lshPairsCte,
+       |tset AS (SELECT doc_id, list(DISTINCT s) AS tk FROM sh GROUP BY doc_id),
+       |tr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.tk, b.tk)) AS n_common,
+       |    len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS n_union
+       |  FROM tset a JOIN tset b ON b.doc_id > a.doc_id
+       |  WHERE 9 * greatest(len(a.tk), len(b.tk)) <= 10 * least(len(a.tk), len(b.tk))),
+       |tj AS (SELECT doc_a, doc_b,
+       |    floor(n_common / n_union * 1e4 + 0.5) / 1e4 AS jaccard
+       |  FROM tr WHERE 10 * n_common >= 9 * n_union),
+       |m AS (SELECT tj.jaccard,
+       |    CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END AS caught
+       |  FROM tj LEFT JOIN pairs p ON p.doc_a = tj.doc_a AND p.doc_b = tj.doc_b)
+       |SELECT floor(jaccard * 20) / 20 AS j_band, count(*) AS n_true,
+       |  CAST(sum(caught) AS BIGINT) AS n_caught,
+       |  floor(sum(caught) / count(*) * 1e4 + 0.5) / 1e4 AS recall
+       |FROM m GROUP BY 1 ORDER BY j_band""".stripMargin
+
+  /** Brute-force twin: every pair a < b with 10·|A∩B| ≥ 9·|A∪B| over the
+    * shingle sets — exactly what prefix filtering must reproduce (no
+    * false negatives). */
   val ddPpjoinSql: String =
-    """WITH t AS (SELECT doc_id,
-      |    list_distinct(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS tk
+    """WITH tok AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk0
       |  FROM documents),
+      |t AS (SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(tk0) - 2),
+      |      i -> tk0[i] || ' ' || tk0[i+1] || ' ' || tk0[i+2])) AS tk
+      |  FROM tok WHERE len(tk0) >= 3),
       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    len(list_intersect(a.tk, b.tk)) AS n_common,
       |    len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS n_union
@@ -1008,6 +1094,7 @@ object Dedup {
 
   def queries: Map[String, Q] = Map(
     "dd_ppjoin" -> ddPpjoin,
+    "dd_lsh_recall" -> ddLshRecall,
     "dd_neardup" -> ddNeardup,
     "dd_substring" -> ddSubstring,
     "dd_dup_span" -> ddDupSpan,
@@ -1029,6 +1116,7 @@ object Dedup {
 
   def oracleSql: Map[String, String] = Map(
     "dd_ppjoin" -> ddPpjoinSql,
+    "dd_lsh_recall" -> ddLshRecallSql,
     "dd_substring" -> ddSubstringSql,
     "dd_dup_span" -> ddDupSpanSql,
     "dd_decontaminate" -> ddDecontaminateSql,

@@ -752,10 +752,11 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // the PPJoin exactness contract: prefix filtering may generate extra
     // CANDIDATES but must lose no true pair and verify must kill every
     // false one — the result set equals an O(n²) scan's, pair for pair
-    import graft.functions.TextFns.tokens
+    import graft.functions.TextFns.{shingles3, tokens}
     import org.apache.spark.sql.functions.{size => asize, _}
     val docs = graft.Tables.documents(spark, sf)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
+      .select(col("doc_id"), tokens(col("text")).as("tk0"))
+      .select(col("doc_id"), array_distinct(shingles3(col("tk0"))).as("tk"))
       .filter(asize(col("tk")) >= 1)
     val brute = docs.select(col("doc_id").as("id_a"), col("tk").as("tk_a"))
       .crossJoin(docs.select(col("doc_id").as("id_b"), col("tk").as("tk_b")))

@@ -62,6 +62,42 @@ class SortedOverlapSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
     viaCodegen shouldBe rows.map { case (a, b) => interpreted(a, b) }
   }
 
+  it should "count sorted string arrays in UTF8 binary order" in {
+    val sTy = ArrayType(StringType, containsNull = false)
+    def run(a: Seq[String], b: Seq[String]): Any =
+      SortedOverlapCount(Literal.create(a, sTy), Literal.create(b, sTy)).eval(null)
+    run(Seq("a b c", "b c d"), Seq("b c d", "x y z")) shouldBe 1
+    run(Seq("a", "b"), Seq("c")) shouldBe 0
+    // sort_array order ≡ UTF8 binary order, incl. multi-byte chars
+    val xs = Seq("z", "é", "a b", "a").sorted
+    run(xs, xs) shouldBe xs.length
+  }
+
+  it should "match size(array_intersect(a,b)) through sort_array on a DataFrame" in {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq("the cat sat", "cat sat on", "sat on mat"), Seq("cat sat on", "on mat now")),
+      (Seq("héllo wörld x"), Seq("héllo wörld x"))).toDF("a", "b")
+    val got = df.selectExpr(
+      "graft_overlap(sort_array(a), sort_array(b)) AS m",
+      "size(array_intersect(a, b)) AS e").collect()
+    got.foreach(r => r.getInt(0) shouldBe r.getInt(1))
+  }
+
+  it should "count sorted long arrays" in {
+    val lTy = ArrayType(LongType, containsNull = false)
+    SortedOverlapCount(Literal.create(Seq(1L, 5L, 9L), lTy),
+      Literal.create(Seq(5L, 9L, 11L), lTy)).eval(null) shouldBe 2
+  }
+
+  it should "reject mixed element types" in {
+    val bad = SortedOverlapCount(
+      Literal.create(Seq(1), ArrayType(IntegerType, containsNull = false)),
+      Literal.create(Seq(1L), ArrayType(LongType, containsNull = false)))
+    bad.checkInputDataTypes().isFailure shouldBe true
+  }
+
   it should "be null on a null array side" in {
     val r = SortedOverlapCount(Literal.create(null, arrTy),
       Literal.create(Seq(1), arrTy)).eval(null)
