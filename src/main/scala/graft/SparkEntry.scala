@@ -13,8 +13,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RelationalExt.queries ++ RelationalSupply.queries ++
-      StreamSemantics.queries ++
-      EventAnalytics.queries ++ Joins.queries ++
+      StatsOps.queries ++ StreamSemantics.queries ++
+      EventAnalytics.queries ++ EventValue.queries ++ Joins.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++ Clustering.queries ++
       Multimodal.queries ++ Pipeline.queries
 
@@ -22,8 +22,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ RelationalExt.oracleSql ++ RelationalSupply.oracleSql ++
-      StreamSemantics.oracleSql ++
-      EventAnalytics.oracleSql ++ Joins.oracleSql ++
+      StatsOps.oracleSql ++ StreamSemantics.oracleSql ++
+      EventAnalytics.oracleSql ++ EventValue.oracleSql ++ Joins.oracleSql ++
       Dedup.oracleSql ++ TextAnalysis.oracleSql ++ Similarity.oracleSql ++ Clustering.oracleSql ++
       Multimodal.oracleSql ++ Pipeline.oracleSql
 }

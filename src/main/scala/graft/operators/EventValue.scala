@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Marketing/value analytics over the event stream (SURVEY.md §2c,
+  * round-5 tranche): last-touch attribution and RFM segmentation — the
+  * two classic "who gets credit / who matters" reductions a loader's
+  * downstream warehouse runs on exactly the (user, ts, type, value)
+  * shape the reference streams in (`model/StreamRecord` payloads keyed
+  * by user and event time).
+  *
+  * Both are built on the engine's established idioms: the union-and-carry
+  * window (ev_asof_join) instead of an event-level self-join, the
+  * broadcast-scalar corpus reference instant (ev_decay), exact-decimal
+  * money sums (Exact idiom 1), and the deterministic global-NTILE
+  * contract (q_ntile: a window over a per-user AGGREGATE, never over raw
+  * events; at 100 TB the same contract is served by a range-partitioned
+  * rank against a sampled CDF).
+  */
+object EventValue {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DayUs = 86400000000L
+
+  /** Last-touch attribution: each purchase credits the user's most recent
+    * preceding view/click within 24 h, else "none". One window pass per
+    * user (ordered by (ts, event_id) — a total order, so "most recent" is
+    * unambiguous), carrying the touch row's instant and type as two
+    * ignore-nulls `last` columns that by construction come from the same
+    * row. No purchase×touch self-join ever materializes: cost is one
+    * user-keyed shuffle + sort, the asof-join discipline. */
+  def evAttribution: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("view", "click")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("touch_us", last(when(isTouch, col("us")), ignoreNulls = true).over(w))
+      .withColumn("carried_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("touch_us").isNotNull && col("touch_us") >= col("us") - DayUs,
+          col("carried_type")).otherwise(lit("none")).as("touch_type"),
+        col("user_id"), col("value"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(Exact.dec2(col("value"))), 2).cast("double").as("revenue"))
+      .orderBy(col("touch_type"))
+  }
+
+  val evAttributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value, epoch_us(ts::TIMESTAMP) AS us
+       |  FROM events),
+       |t AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN event_type IN ('view','click') THEN us END IGNORE NULLS)
+       |      OVER w AS touch_us,
+       |    last_value(CASE WHEN event_type IN ('view','click') THEN event_type END IGNORE NULLS)
+       |      OVER w AS carried_type
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT CASE WHEN touch_us IS NOT NULL AND touch_us >= us - $DayUs
+       |         THEN carried_type ELSE 'none' END AS touch_type,
+       |  count(*) AS n_purchases, count(DISTINCT user_id) AS n_users,
+       |  round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS revenue
+       |FROM t WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY touch_type""".stripMargin
+
+  /** RFM segmentation: per user — Recency (whole days idle vs the corpus
+    * max instant, integer floor division), Frequency (event count),
+    * Monetary (exact-decimal value sum) — each scored into quintiles
+    * (score 1 = best) with user_id tiebreak, then rolled up to segment
+    * counts and revenue. The corpus reference instant is a broadcast
+    * scalar (ev_decay idiom); the three NTILE windows run over the
+    * per-user aggregate, one row per user. */
+  def evRfm: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val perUser = ev
+      .crossJoin(broadcast(ev.agg(max(unix_micros(col("ts"))).as("ref_us"))))
+      .groupBy(col("user_id"))
+      .agg((max(col("ref_us")) - max(unix_micros(col("ts")))).as("idle_us"),
+        count(lit(1)).as("freq"),
+        sum(Exact.dec2(col("value"))).as("mon"))
+      // integer floor division on both engines (Spark `div`, DuckDB `//`)
+      // — a double quotient + cast would truncate in Spark but ROUND in
+      // DuckDB's CAST, a half-day-boundary hash mismatch
+      .withColumn("rec_days", expr(s"idle_us div $DayUs"))
+      .drop("idle_us")
+    val r = Window.orderBy(col("rec_days"), col("user_id"))
+    val f = Window.orderBy(col("freq").desc, col("user_id"))
+    val m = Window.orderBy(col("mon").desc, col("user_id"))
+    perUser
+      .withColumn("r_score", ntile(5).over(r).cast("long"))
+      .withColumn("f_score", ntile(5).over(f).cast("long"))
+      .withColumn("m_score", ntile(5).over(m).cast("long"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("mon")), 2).cast("double").as("revenue"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val evRfmSql: String =
+    s"""WITH e AS (SELECT user_id, value, epoch_us(ts::TIMESTAMP) AS us FROM events),
+       |ref AS (SELECT max(us) AS ref_us FROM e),
+       |pu AS (
+       |  SELECT user_id,
+       |    (ref_us - max(us)) // $DayUs AS rec_days,
+       |    count(*) AS freq, sum(value::DECIMAL(12,2)) AS mon
+       |  FROM e CROSS JOIN ref GROUP BY user_id, ref_us),
+       |sc AS (
+       |  SELECT CAST(ntile(5) OVER (ORDER BY rec_days, user_id) AS BIGINT) AS r_score,
+       |    CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f_score,
+       |    CAST(ntile(5) OVER (ORDER BY mon DESC, user_id) AS BIGINT) AS m_score,
+       |    mon
+       |  FROM pu)
+       |SELECT r_score, f_score, m_score, count(*) AS n_users,
+       |  round(sum(mon), 2)::DOUBLE AS revenue
+       |FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "ev_attribution" -> evAttribution,
+    "ev_rfm" -> evRfm)
+
+  def oracleSql: Map[String, String] = Map(
+    "ev_attribution" -> evAttributionSql,
+    "ev_rfm" -> evRfmSql)
+}

@@ -1,0 +1,253 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical profiling suite (SURVEY.md §2a, third tranche): the
+  * column-profiling aggregates an analytics engine is expected to ship —
+  * higher moments (variance/skewness/kurtosis), per-group OLS regression,
+  * modal values, bitwise/boolean aggregates, and gaps-and-islands
+  * sequence profiling. The reference exposes per-batch counter stats and
+  * monotonic-sequence (offset continuity) checks on its loader side
+  * (`KafkaMetricsReporter`-style counters, offset-gap monitoring in
+  * `source/KafkaSource.scala`); these are the corpus-wide batch twins.
+  *
+  * Numeric discipline (see [[Exact]]): every aggregate here is built from
+  * EXACT power sums — l_quantity is an integral double ≤50 and money
+  * columns are 2-dp exact, so x, x², x³, x⁴ and x·y are all exactly
+  * representable as decimals. Decimal sums are order-independent; the
+  * derived moments are then pure double arithmetic with identical
+  * operator trees on the Spark and DuckDB side, pinned by floorRound.
+  *
+  * Scale: all of these are single-scan partial aggregates into tiny
+  * groups (≤ |returnflag| or |month| rows); no window touches a
+  * corpus-sized frame except q_gaps_islands, whose per-type row_number
+  * is documented below.
+  */
+object StatsOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Higher-moment profile of l_quantity per return flag: mean, population
+    * variance, skewness, excess kurtosis — derived from exact integer
+    * power sums (q ≤ 50 ⇒ q⁴ ≤ 6.25e6; decimal(38,0) sums hold 1e12 rows
+    * with 19 digits to spare). The double formula is the standard
+    * moment expansion; dividing by (sd·sd·sd) instead of pow(var, 1.5)
+    * keeps every operation an IEEE-exact-rounded primitive (sqrt is
+    * correctly rounded; pow is NOT guaranteed identical across libm
+    * implementations). One scan, partial agg, 3-row output. */
+  def qMoments: Q = (s, d) => {
+    val q = col("l_quantity").cast("long")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), q.as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("q"))).as("s1"),
+        sum(dec(col("q") * col("q"))).as("s2"),
+        sum(dec(col("q") * col("q") * col("q"))).as("s3"),
+        sum(dec(col("q") * col("q") * col("q") * col("q"))).as("s4"))
+      .select(col("l_returnflag"), col("n"),
+        col("s1").cast("double").as("s1"), col("s2").cast("double").as("s2"),
+        col("s3").cast("double").as("s3"), col("s4").cast("double").as("s4"),
+        col("n").cast("double").as("nd"))
+      .select(col("l_returnflag"), col("n"),
+        (col("s1") / col("nd")).as("m"),
+        (col("s2") / col("nd")).as("m2"),
+        (col("s3") / col("nd")).as("m3"),
+        (col("s4") / col("nd")).as("m4"))
+      .select(col("l_returnflag"), col("n"), col("m"),
+        (col("m2") - col("m") * col("m")).as("varp"),
+        col("m2"), col("m3"), col("m4"))
+      .select(col("l_returnflag"), col("n"),
+        Exact.floorRound(col("m"), 6).as("mean_qty"),
+        Exact.floorRound(col("varp"), 6).as("var_pop"),
+        Exact.floorRound(
+          (col("m3") - lit(3.0) * col("m") * col("m2") + lit(2.0) * col("m") * col("m") * col("m"))
+            / (sqrt(col("varp")) * sqrt(col("varp")) * sqrt(col("varp"))), 6).as("skewness"),
+        Exact.floorRound(
+          (col("m4") - lit(4.0) * col("m") * col("m3") + lit(6.0) * col("m") * col("m") * col("m2")
+            - lit(3.0) * col("m") * col("m") * col("m") * col("m"))
+            / (col("varp") * col("varp")) - lit(3.0), 6).as("kurtosis"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qMomentsSql: String = {
+    val skewNum = "(m3 - 3.0 * m * m2 + 2.0 * m * m * m)"
+    val kurtNum = "(m4 - 4.0 * m * m3 + 6.0 * m * m * m2 - 3.0 * m * m * m * m)"
+    s"""WITH ps AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS s1,
+       |    sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS s2,
+       |    sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS s3,
+       |    sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS s4
+       |  FROM lineitem GROUP BY 1),
+       |m AS (
+       |  SELECT l_returnflag, n,
+       |    s1::DOUBLE / n::DOUBLE AS m, s2::DOUBLE / n::DOUBLE AS m2,
+       |    s3::DOUBLE / n::DOUBLE AS m3, s4::DOUBLE / n::DOUBLE AS m4
+       |  FROM ps),
+       |v AS (SELECT l_returnflag, n, m, m2 - m * m AS varp, m2, m3, m4 FROM m)
+       |SELECT l_returnflag, n,
+       |  ${Exact.floorRoundSql("m", 6)} AS mean_qty,
+       |  ${Exact.floorRoundSql("varp", 6)} AS var_pop,
+       |  ${Exact.floorRoundSql(s"$skewNum / (sqrt(varp) * sqrt(varp) * sqrt(varp))", 6)} AS skewness,
+       |  ${Exact.floorRoundSql(s"$kurtNum / (varp * varp) - 3.0", 6)} AS kurtosis
+       |FROM v ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Per-group OLS regression of extendedprice on quantity (slope,
+    * intercept, r²) from exact cross-moment sums: Σx and Σx² are integer-
+    * exact, Σy and Σxy and Σy² are exact decimals (2-dp money × integer).
+    * The closed-form slope/intercept/r² is then mirrored double
+    * arithmetic. This is regr_slope/regr_intercept/regr_r2 with the
+    * aggregation made order-independent — the built-ins accumulate doubles
+    * in partition order and would not hash-match across engines. */
+  def qRegr: Q = (s, d) => {
+    val x = col("l_quantity").cast("long")
+    val y = Exact.dec2(col("l_extendedprice"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("x").cast("decimal(20,0)")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        col("n").cast("double").as("nd"),
+        col("sx").cast("double").as("sx"), col("sxx").cast("double").as("sxx"),
+        col("sy").cast("double").as("sy"), col("sxy").cast("double").as("sxy"),
+        col("syy").cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("nd") * col("sxy") - col("sx") * col("sy"))
+          / (col("nd") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        col("nd"), col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"))
+      .select(col("l_returnflag"), col("n"),
+        Exact.floorRound(col("slope"), 6).as("slope"),
+        Exact.floorRound((col("sy") - col("slope") * col("sx")) / col("nd"), 6).as("intercept"),
+        Exact.floorRound(
+          ((col("nd") * col("sxy") - col("sx") * col("sy")) * (col("nd") * col("sxy") - col("sx") * col("sy")))
+            / ((col("nd") * col("sxx") - col("sx") * col("sx")) * (col("nd") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qRegrSql: String =
+    s"""WITH ps AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sx,
+       |    sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sxx,
+       |    sum(l_extendedprice::DECIMAL(12,2)) AS sy,
+       |    sum(l_extendedprice::DECIMAL(12,2) * CAST(l_quantity AS BIGINT)::DECIMAL(20,0)) AS sxy,
+       |    sum(l_extendedprice::DECIMAL(12,2) * l_extendedprice::DECIMAL(12,2)) AS syy
+       |  FROM lineitem GROUP BY 1),
+       |dd AS (
+       |  SELECT l_returnflag, n, n::DOUBLE AS nd, sx::DOUBLE AS sx, sxx::DOUBLE AS sxx,
+       |    sy::DOUBLE AS sy, sxy::DOUBLE AS sxy, syy::DOUBLE AS syy
+       |  FROM ps),
+       |sl AS (
+       |  SELECT *, (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope FROM dd)
+       |SELECT l_returnflag, n,
+       |  ${Exact.floorRoundSql("slope", 6)} AS slope,
+       |  ${Exact.floorRoundSql("(sy - slope * sx) / nd", 6)} AS intercept,
+       |  ${Exact.floorRoundSql("((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))", 6)} AS r2
+       |FROM sl ORDER BY l_returnflag""".stripMargin
+
+  /** Modal order priority per order month (most frequent value, ties
+    * broken to the lexicographically smallest priority — a total order
+    * both engines share). Counts groupBy is corpus-sized but partial-
+    * aggregated; the ranking window runs over the tiny (month, priority)
+    * count table. */
+  def qMode: Q = (s, d) => {
+    val w = Window.partitionBy(col("month")).orderBy(col("n").desc, col("o_orderpriority"))
+    Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("month"), col("o_orderpriority").as("modal_priority"), col("n").as("n_orders"))
+      .orderBy(col("month"))
+  }
+
+  val qModeSql: String =
+    """WITH c AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority, count(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY month ORDER BY n DESC, o_orderpriority) AS rk
+      |  FROM c)
+      |SELECT month, o_orderpriority AS modal_priority, n AS n_orders
+      |FROM r WHERE rk = 1 ORDER BY month""".stripMargin
+
+  /** Bitwise and boolean aggregates per return flag: AND/OR/XOR folds of
+    * the partkey bits plus every/any predicates — the loader-flag
+    * reduction shape (e.g. "did every batch in this partition commit
+    * clean"). All integer/boolean: exact on both engines, one scan. */
+  def qBitAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("bit_and(l_partkey)").as("pk_and"),
+        expr("bit_or(l_partkey)").as("pk_or"),
+        expr("bit_xor(l_partkey)").as("pk_xor"),
+        expr("bool_and(l_quantity > 0)").as("all_positive_qty"),
+        expr("bool_or(l_discount > 0.05)").as("any_deep_discount"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val qBitAggSql: String =
+    """SELECT l_returnflag, bit_and(l_partkey) AS pk_and, bit_or(l_partkey) AS pk_or,
+      |  bit_xor(l_partkey) AS pk_xor, bool_and(l_quantity > 0) AS all_positive_qty,
+      |  bool_or(l_discount > 0.05) AS any_deep_discount, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Gaps-and-islands over the event-id sequence per event type: runs of
+    * consecutive ids collapse to one island via the classic
+    * id − row_number() grouping key; per type we report island count,
+    * longest island, and mean length — the batch twin of the loader's
+    * offset-continuity monitoring (`sl_gap_detect` reports the gaps; this
+    * profiles the runs between them). The per-type row_number window
+    * partitions on a LOW-cardinality key — fine here because the whole
+    * sequence profile is inherently per-type ordered; at 100 TB the same
+    * result comes from per-id-range partial islands merged at range
+    * boundaries (the dd_dup_span chunk-merge pattern), output contract
+    * unchanged. */
+  def qGapsIslands: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"))
+      .withColumn("grp", col("event_id") - row_number().over(w))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_islands"), max(col("len")).as("max_len"),
+        Exact.floorRound(sum(col("len")).cast("double") / count(lit(1)), 4).as("avg_len"))
+      .orderBy(col("event_type"))
+  }
+
+  val qGapsIslandsSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type, event_id,
+       |    event_id - row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS grp
+       |  FROM events),
+       |i AS (SELECT event_type, grp, count(*) AS len FROM g GROUP BY 1, 2)
+       |SELECT event_type, count(*) AS n_islands, max(len) AS max_len,
+       |  ${Exact.floorRoundSql("sum(len)::DOUBLE / count(*)", 4)} AS avg_len
+       |FROM i GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q_moments" -> qMoments,
+    "q_regr" -> qRegr,
+    "q_mode" -> qMode,
+    "q_bit_agg" -> qBitAgg,
+    "q_gaps_islands" -> qGapsIslands)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_moments" -> qMomentsSql,
+    "q_regr" -> qRegrSql,
+    "q_mode" -> qModeSql,
+    "q_bit_agg" -> qBitAggSql,
+    "q_gaps_islands" -> qGapsIslandsSql)
+}

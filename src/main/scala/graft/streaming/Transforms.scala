@@ -858,4 +858,96 @@ object Transforms {
           }
       }
   }
+
+  case class ThrottledEvent(user_id: Long, event_id: Long, event_type: String,
+    ts: java.sql.Timestamp)
+
+  /** Online per-(user, hour) rate limiter — the streaming twin of the batch
+    * `ev_throttle` census: pass through the first `cap` events per user per
+    * hour in (event-time, event_id) order, drop the burst tail at the edge
+    * BEFORE storage. Keyed by (user, hour-start) so state is ONE counter
+    * per active key; events fold in (ts, event_id) order within each
+    * microbatch, so on in-order delivery the kept set equals the batch
+    * operator's row_number ≤ cap set exactly (spec-pinned). A cross-batch
+    * late arrival that would have out-ranked an already-passed event
+    * follows first-delivery-wins — the only online-feasible choice (a
+    * passed event cannot be recalled).
+    *
+    * Scale: counters for past hours go cold as event time advances — in a
+    * production loader add an event-time timeout to evict keys older than
+    * the watermark minus the hour width (the [[runningUserTotalsWithTtl]]
+    * discipline); the counter itself is O(1) however violent the burst. */
+  def throttledEvents(spark: SparkSession, events: DataFrame,
+      cap: Int = 2): Dataset[ThrottledEvent] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+      .selectExpr("user_id", "cast(hour_start as long) as hour_s", "event_id",
+        "event_type", "ts")
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, ThrottledEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, Long), rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[ThrottledEvent]
+          rows.toSeq.sortBy(r => (us(r._5), r._3)).foreach { case (user, _, id, typ, ts) =>
+            seen += 1
+            if (seen <= cap) out += ThrottledEvent(user, id, typ, ts)
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
+  case class LastTouch(us: Long, touch_type: String)
+  case class AttributionHit(user_id: Long, event_id: Long, touch_type: String)
+
+  /** Online last-touch attribution — the streaming twin of the batch
+    * `ev_attribution` census: per-user keyed state carries the most recent
+    * view/click instant, and each purchase emits its credit (the touch
+    * type if within 24 h, else "none") the moment it arrives. Events fold
+    * in (event-time, event_id) order within each microbatch, so in-order
+    * delivery reproduces the batch assignment exactly (spec-pinned);
+    * cross-batch out-of-order touches follow first-delivery-wins.
+    *
+    * Scale: state is one (long, short string) per user ever seen — bound
+    * it with the [[runningUserTotalsWithTtl]] event-time TTL when the
+    * user space is unbounded (an idle user's last touch older than the
+    * attribution window can never be credited again). */
+  def lastTouchAttribution(spark: SparkSession, events: DataFrame,
+      windowUs: Long = 86400000000L): Dataset[AttributionHit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .selectExpr("user_id", "ts", "event_type", "event_id")
+      .as[(Long, java.sql.Timestamp, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastTouch, AttributionHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Long)],
+            state: GroupState[LastTouch]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[AttributionHit]
+          rows.toSeq.sortBy(r => (us(r._2), r._4)).foreach { case (_, ts, typ, id) =>
+            val t = us(ts)
+            typ match {
+              case "view" | "click" => st = LastTouch(t, typ)
+              case "purchase" =>
+                val credit =
+                  if (st != null && st.us >= t - windowUs) st.touch_type else "none"
+                out += AttributionHit(user, id, credit)
+              case _ => ()
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 }

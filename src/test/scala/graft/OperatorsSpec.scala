@@ -773,4 +773,97 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     pp shouldBe brute
     pp.nonEmpty shouldBe true
   }
+
+  behavior of "stats + value operators"
+
+  it should "agree with Spark's built-in moments within 1e-6" in {
+    import org.apache.spark.sql.functions._
+    // the exact-power-sum formulation must reproduce var_pop/skewness/
+    // kurtosis (Spark's skewness/kurtosis are the same population
+    // definitions) up to double noise far inside the 6-dp pin
+    val builtin = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(var_pop("l_quantity").as("v"), skewness("l_quantity").as("s"),
+        kurtosis("l_quantity").as("k"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    operators.StatsOps.qMoments(spark, sf).collect().foreach { r =>
+      val (v, s, k) = builtin(r.getAs[String]("l_returnflag"))
+      r.getAs[Double]("var_pop") shouldBe v +- 1e-6
+      r.getAs[Double]("skewness") shouldBe s +- 1e-6
+      r.getAs[Double]("kurtosis") shouldBe k +- 1e-6
+    }
+  }
+
+  it should "agree with Spark's regr_* aggregates within 1e-6" in {
+    import org.apache.spark.sql.functions._
+    val builtin = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("sl"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("ic"),
+        expr("regr_r2(l_extendedprice, l_quantity)").as("r2"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    operators.StatsOps.qRegr(spark, sf).collect().foreach { r =>
+      val (sl, ic, r2) = builtin(r.getAs[String]("l_returnflag"))
+      r.getAs[Double]("slope") shouldBe sl +- 1e-6
+      r.getAs[Double]("intercept") shouldBe ic +- 1e-6
+      r.getAs[Double]("r2") shouldBe r2 +- 1e-6
+    }
+  }
+
+  it should "pick a true per-month argmax in q_mode" in {
+    import org.apache.spark.sql.functions._
+    val census = Tables.orders(spark, sf)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).max).toMap
+    val rows = operators.StatsOps.qMode(spark, sf).collect()
+    rows.length shouldBe census.size
+    rows.foreach { r =>
+      r.getAs[Long]("n_orders") shouldBe census(r.getAs[String]("month"))
+    }
+  }
+
+  it should "satisfy the bitwise-fold identities in q_bit_agg" in {
+    operators.StatsOps.qBitAgg(spark, sf).collect().foreach { r =>
+      val (a, o) = (r.getAs[Long]("pk_and"), r.getAs[Long]("pk_or"))
+      (a & o) shouldBe a // AND-fold is a subset of the OR-fold bits
+      r.getAs[Boolean]("all_positive_qty") shouldBe true
+    }
+  }
+
+  it should "count islands consistently with the raw id sequence" in {
+    import org.apache.spark.sql.functions._
+    // census: an island starts wherever the previous same-type id is not
+    // id-1 — the window-free definition of the same partition
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("event_id")
+    val census = Tables.events(spark, sf)
+      .withColumn("prev", lag(col("event_id"), 1).over(w))
+      .withColumn("start", col("prev").isNull || col("prev") =!= col("event_id") - 1)
+      .groupBy("event_type").agg(sum(col("start").cast("long")).as("n"), count(lit(1)).as("total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    operators.StatsOps.qGapsIslands(spark, sf).collect().foreach { r =>
+      val (n, total) = census(r.getAs[String]("event_type"))
+      r.getAs[Long]("n_islands") shouldBe n
+      r.getAs[Long]("max_len") should be <= total
+    }
+  }
+
+  it should "account every purchase exactly once in ev_attribution" in {
+    import org.apache.spark.sql.functions._
+    val rows = operators.EventValue.evAttribution(spark, sf).collect()
+    rows.map(_.getAs[String]("touch_type")).toSet.subsetOf(Set("view", "click", "none")) shouldBe true
+    rows.map(_.getAs[Long]("n_purchases")).sum shouldBe
+      Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
+  }
+
+  it should "partition every user into one RFM segment with scores in 1..5" in {
+    import org.apache.spark.sql.functions._
+    val rows = operators.EventValue.evRfm(spark, sf).collect()
+    rows.map(_.getAs[Long]("n_users")).sum shouldBe
+      Tables.events(spark, sf).select(countDistinct("user_id")).collect()(0).getLong(0)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        r.getAs[Long](c) should (be >= 1L and be <= 5L)
+      }
+    }
+  }
 }

@@ -1327,4 +1327,80 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet shouldBe
       Set((1L, 3L, 4.5))
   }
+
+  behavior of "Transforms.throttledEvents"
+
+  it should "pass exactly the batch throttle's kept set on in-order delivery" in {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp()
+    graft.Tables.events(spark, sf).orderBy(col("ts"), col("event_id"))
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val cap = graft.operators.EventAnalytics.ThrottleCap
+    val q = Transforms.throttledEvents(spark, EventSource.fileStream(spark, src, 64), cap)
+      .writeStream.format("memory").queryName("throttled").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("throttled").select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    // batch census of the SAME keep rule: row_number ≤ cap per (user, hour)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), date_trunc("hour", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    val batchKept = graft.Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    streamed shouldBe batchKept
+    // and the per-type totals agree with the ev_throttle report
+    val perType = spark.table("throttled").groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.operators.EventAnalytics.evThrottle(spark, sf).collect().foreach { r =>
+      perType.getOrElse(r.getAs[String]("event_type"), 0L) shouldBe r.getAs[Long]("n_kept")
+    }
+  }
+
+  it should "cap a burst across microbatches with one counter per (user, hour)" in {
+    val (ms, df) = eventsStream(Seq(
+      Ev(0, ts(1), 1, "view", 1.0, "{}"),
+      Ev(1, ts(2), 1, "view", 1.0, "{}")))
+    val q = Transforms.throttledEvents(spark, df, cap = 2)
+      .writeStream.format("memory").queryName("throttle_roll").outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("throttle_roll").count() shouldBe 2
+    // same hour, later batch: counter state says the cap is already spent
+    ms.addData(Ev(2, ts(3), 1, "view", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    spark.table("throttle_roll").count() shouldBe 2
+  }
+
+  behavior of "Transforms.lastTouchAttribution"
+
+  it should "credit purchases in parity with the batch ev_attribution census" in {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp()
+    graft.Tables.events(spark, sf).orderBy(col("ts"), col("event_id"))
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val q = Transforms.lastTouchAttribution(spark, EventSource.fileStream(spark, src, 64))
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attrib").groupBy("touch_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.EventValue.evAttribution(spark, sf).collect()
+      .map(r => r.getAs[String]("touch_type") -> r.getAs[Long]("n_purchases")).toMap
+    streamed shouldBe batch
+  }
+
+  it should "expire a touch outside the attribution window and carry one inside it" in {
+    val (ms, df) = eventsStream(Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")))
+    // tight 30-minute window so the second purchase falls outside it
+    val q = Transforms.lastTouchAttribution(spark, df, windowUs = 1800000000L)
+      .writeStream.format("memory").queryName("attrib_win").outputMode("append").start()
+    q.processAllAvailable()
+    ms.addData(Ev(1, ts(10), 1, "purchase", 1.0, "{}"), // 9 min later: credited
+      Ev(2, ts(50), 1, "purchase", 1.0, "{}")) // 49 min later: expired
+    q.processAllAvailable(); q.stop()
+    spark.table("attrib_win").collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSet shouldBe
+      Set((1L, "click"), (2L, "none"))
+  }
 }
