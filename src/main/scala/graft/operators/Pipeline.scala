@@ -454,7 +454,105 @@ object Pipeline {
        |FROM red ORDER BY doc_id""".stripMargin
   }
 
+  /** Chunk size / stride for [[pipeChunk]] (overlap = size − stride).
+    * Sized to the testdata's 10–99-token docs so the multi-chunk path is
+    * actually exercised by the oracle; a production context window just
+    * scales both constants. */
+  val ChunkSize = 48
+  val ChunkStride = 32
+
+  /** Sliding-window document chunking: split each doc's token stream into
+    * fixed [[ChunkSize]]-token windows advancing by [[ChunkStride]]
+    * (32-token overlap) — the context-window preprocessing step between
+    * curation and packing: a doc longer than the model context must
+    * become overlapping chunks BEFORE packing or its tail is truncated
+    * silently. Emits one row per chunk with its token offsets; a doc at
+    * or under one window is exactly one chunk (including empty docs —
+    * dropping them silently here would desync downstream token
+    * accounting). All integer math, record-local: the chunk spine is a
+    * `sequence` explode with fanout n/stride — no shuffle at all until
+    * the output sort. */
+  def pipeChunk: Q = (s, d) => {
+    val n = size(tokens(col("text"))).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), n.as("n_tokens"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= ChunkSize, lit(1L))
+          // integer `div`, not a double quotient cast — trunc-vs-round
+          // cast semantics differ across engines (the ev_rfm lesson)
+          .otherwise(expr(
+            s"(n_tokens - $ChunkSize + ${ChunkStride - 1}) div $ChunkStride + 1")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).as("tok_start"),
+        least(lit(ChunkSize.toLong), col("n_tokens") - col("chunk_idx") * ChunkStride)
+          .as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val pipeChunkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN n_tokens <= $ChunkSize THEN 1
+       |         ELSE (n_tokens - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride + 1 END AS n_chunks
+       |  FROM t),
+       |e AS (
+       |  SELECT doc_id, n_tokens, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+       |  FROM c)
+       |SELECT doc_id, chunk_idx, chunk_idx * $ChunkStride AS tok_start,
+       |  least($ChunkSize, n_tokens - chunk_idx * $ChunkStride) AS n_chunk_tokens
+       |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Dataset card: the per-(lang, source) summary table published beside
+    * a training corpus — doc counts, exact-dedup uniqueness, token totals
+    * and means, and each stratum's share of the corpus token budget. One
+    * scan into a tiny (≤|langs|·|sources|) aggregate; the corpus total is
+    * a broadcast scalar (ev_decay idiom), so shares need no second pass
+    * over the data. Distinct-hash counts partial-aggregate per stratum. */
+  def pipeDatacard: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        md5s(graft.functions.TextFns.normText(col("text"))).as("content_hash"))
+    val agg = base.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("content_hash")).as("n_unique"),
+        sum(col("n_tokens")).as("total_tokens"))
+    agg.crossJoin(broadcast(base.agg(sum(col("n_tokens")).as("corpus_tokens"))))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_unique"),
+        col("total_tokens"),
+        Exact.floorRound(col("total_tokens").cast("double") / col("n_docs"), 4)
+          .as("avg_tokens"),
+        Exact.floorRound(col("total_tokens").cast("double") / col("corpus_tokens"), 6)
+          .as("token_share"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val pipeDatacardSql: String = {
+    val nTok = "CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS BIGINT)"
+    s"""WITH base AS (
+       |  SELECT lang, source, $nTok AS n_tokens,
+       |    md5(${graft.functions.TextFns.normTextSql("text")}) AS content_hash
+       |  FROM documents),
+       |agg AS (
+       |  SELECT lang, source, count(*) AS n_docs,
+       |    count(DISTINCT content_hash) AS n_unique,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |  FROM base GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM base)
+       |SELECT lang, source, n_docs, n_unique, total_tokens,
+       |  ${Exact.floorRoundSql("total_tokens::DOUBLE / n_docs", 4)} AS avg_tokens,
+       |  ${Exact.floorRoundSql("total_tokens::DOUBLE / corpus_tokens", 6)} AS token_share
+       |FROM agg CROSS JOIN tot ORDER BY lang, source""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "pipe_chunk" -> pipeChunk,
+    "pipe_datacard" -> pipeDatacard,
     "pipe_redact" -> pipeRedact,
     "pipe_budget_mix" -> pipeBudgetMix,
     "pipe_curation" -> pipeCuration,
@@ -466,6 +564,8 @@ object Pipeline {
     "pipe_shuffle" -> pipeShuffle)
 
   def oracleSql: Map[String, String] = Map(
+    "pipe_chunk" -> pipeChunkSql,
+    "pipe_datacard" -> pipeDatacardSql,
     "pipe_redact" -> pipeRedactSql,
     "pipe_budget_mix" -> pipeBudgetMixSql,
     "pipe_curation" -> pipeCurationSql,

@@ -855,6 +855,42 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
   }
 
+  it should "cover every token of every doc exactly in pipe_chunk" in {
+    import org.apache.spark.sql.functions._
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(graft.functions.TextFns.tokens(col("text")))
+          .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = operators.Pipeline.pipeChunk(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    chunks.keySet shouldBe nTok.keySet // every doc chunks, even short ones
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      sorted.head.getAs[Long]("tok_start") shouldBe 0L
+      // strides advance uniformly and the final chunk ends at n_tokens
+      sorted.foreach { c =>
+        c.getAs[Long]("tok_start") shouldBe
+          c.getAs[Long]("chunk_idx") * operators.Pipeline.ChunkStride
+      }
+      val lastRow = sorted.last
+      lastRow.getAs[Long]("tok_start") + lastRow.getAs[Long]("n_chunk_tokens") shouldBe nTok(id)
+      // every non-final chunk is full-width
+      sorted.init.foreach(_.getAs[Long]("n_chunk_tokens") shouldBe operators.Pipeline.ChunkSize.toLong)
+    }
+  }
+
+  it should "publish a datacard whose shares sum to 1 and totals tie out" in {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Pipeline.pipeDatacard(spark, sf).collect()
+    rows.map(_.getAs[Double]("token_share")).sum shouldBe 1.0 +- 1e-4
+    rows.foreach { r =>
+      r.getAs[Long]("n_unique") should be <= r.getAs[Long]("n_docs")
+      r.getAs[Long]("n_unique") should be > 0L
+    }
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe Tables.documents(spark, sf).count()
+  }
+
   it should "partition every user into one RFM segment with scores in 1..5" in {
     import org.apache.spark.sql.functions._
     val rows = operators.EventValue.evRfm(spark, sf).collect()
