@@ -714,7 +714,62 @@ object TextAnalysis {
       |  floor(coalesce(n_novel, 0)::DOUBLE / n_grams * 1e6 + 0.5) / 1e6 AS novelty
       |FROM tot LEFT JOIN novel ON doc_id = first_doc ORDER BY doc_id""".stripMargin
 
+  /** Per-doc bigram-LM surprisal: average −ln P(w₂|w₁) under the corpus
+    * MLE bigram model (every doc's bigrams are in the corpus, so no
+    * probability is ever zero — no smoothing constant to disagree on).
+    * The fluency upgrade over [[taSurprisal]]'s unigram model: word salad
+    * with common words scores well on unigrams but poorly here.
+    *
+    * Scale contrast with the unigram op, deliberate: unigram counts are
+    * vocab-sized and broadcast; the bigram vocabulary is ~vocab² and must
+    * NOT be broadcast — both count tables are window sums PARTITIONED BY
+    * the gram key (high-cardinality, well-distributed), so the corpus
+    * model costs two keyed shuffles of the doc-level bigram aggregate and
+    * no driver-side table at any corpus size. Per-element decimal(38,18)
+    * casts make the transcendental sum order-independent (Exact idiom 3). */
+  def taBigramSurprisal: Q = (s, d) => {
+    val docW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val c12W = Window.partitionBy(col("w1"), col("w2"))
+    val c1W = Window.partitionBy(col("w1"))
+    val avgNll = sum((col("tf") * (log(col("c1")) - log(col("c12"))))
+      .cast("decimal(38,18)")).cast("double") / sum(col("tf"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(docW))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("c12", sum(col("tf")).over(c12W))
+      .withColumn("c1", sum(col("tf")).over(c1W))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        round(avgNll, 6).as("avg_nll2"),
+        round(exp(avgNll), 6).as("ppl2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taBigramSurprisalSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS pos
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |                x -> length(x) > 0) AS tk
+      |        FROM documents)
+      |  WHERE len(tk) >= 2),
+      |bi AS (
+      |  SELECT doc_id, tk[pos] AS w1, tk[pos + 1] AS w2, count(*) AS tf
+      |  FROM tok GROUP BY 1, 2, 3),
+      |cc AS (
+      |  SELECT doc_id, tf,
+      |    sum(tf) OVER (PARTITION BY w1, w2) AS c12,
+      |    sum(tf) OVER (PARTITION BY w1) AS c1
+      |  FROM bi)
+      |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+      |  round(sum((tf * (ln(c1) - ln(c12)))::DECIMAL(38,18))::DOUBLE / sum(tf), 6) AS avg_nll2,
+      |  round(exp(sum((tf * (ln(c1) - ln(c12)))::DECIMAL(38,18))::DOUBLE / sum(tf)), 6) AS ppl2
+      |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ta_bigram_surprisal" -> taBigramSurprisal,
     "ta_novelty" -> taNovelty,
     "ta_readability" -> taReadability,
     "ta_surprisal" -> taSurprisal,
@@ -732,6 +787,7 @@ object TextAnalysis {
     "ta_vocab" -> taVocab)
 
   def oracleSql: Map[String, String] = Map(
+    "ta_bigram_surprisal" -> taBigramSurprisalSql,
     "ta_novelty" -> taNoveltySql,
     "ta_readability" -> taReadabilitySql,
     "ta_surprisal" -> taSurprisalSql,

@@ -891,6 +891,34 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     rows.map(_.getAs[Long]("n_docs")).sum shouldBe Tables.documents(spark, sf).count()
   }
 
+  it should "reproduce a driver-side bigram LM exactly in ta_bigram_surprisal" in {
+    // independent local recomputation: corpus bigram/left-context counts
+    // in plain Scala maps, per-doc mean -ln(c12/c1) — the distributed
+    // window-sum formulation must agree to double-fold noise
+    val toks = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.TextFns.tokens(org.apache.spark.sql.functions.col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val c12 = scala.collection.mutable.Map.empty[(String, String), Long]
+    val c1 = scala.collection.mutable.Map.empty[String, Long]
+    toks.values.foreach(tk => tk.sliding(2).filter(_.size == 2).foreach { p =>
+      c12((p(0), p(1))) = c12.getOrElse((p(0), p(1)), 0L) + 1
+      c1(p(0)) = c1.getOrElse(p(0), 0L) + 1
+    })
+    val expected = toks.collect { case (id, tk) if tk.size >= 2 =>
+      val nll = tk.sliding(2).filter(_.size == 2)
+        .map(p => math.log(c1(p(0)).toDouble) - math.log(c12((p(0), p(1))).toDouble)).sum
+      id -> nll / (tk.size - 1)
+    }
+    val got = operators.TextAnalysis.taBigramSurprisal(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll2"))).toMap
+    got.keySet shouldBe expected.keySet
+    expected.foreach { case (id, nll) =>
+      got(id)._1 shouldBe (toks(id).size - 1).toLong
+      got(id)._2 shouldBe nll +- 1e-5
+    }
+  }
+
   it should "partition every user into one RFM segment with scores in 1..5" in {
     import org.apache.spark.sql.functions._
     val rows = operators.EventValue.evRfm(spark, sf).collect()
