@@ -1092,7 +1092,48 @@ object Dedup {
       |FROM p WHERE 10 * n_common >= 9 * n_union
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Edit-distance verification of the LSH candidate pairs: every banded
+    * candidate scored with full Levenshtein distance on the raw text and
+    * flagged near-dup when the distance is ≤30% of the longer doc
+    * (integer cross-multiplication — no float threshold). The classic
+    * two-stage near-dup pipeline: cheap signature banding generates,
+    * exact character-level DP verifies — shingle-Jaccard (dd_ppjoin)
+    * tolerates reordering, edit distance catches character-level edits
+    * shingles blur. Every candidate is emitted with its distance (not
+    * just survivors) so banding quality is auditable from the output.
+    *
+    * Scale: the pair set is LSH-bounded (never all-pairs) and each
+    * verify is record-local O(len_a·len_b) DP inside codegen; the two
+    * text joins are keyed equi-joins against the doc table. If verify
+    * ever dominates, Spark's thresholded `levenshtein(l, r, k)` bails
+    * out at band k — the Ukkonen cutoff — at the cost of mirroring its
+    * -1 sentinel into the oracle. */
+  def ddEditPairs: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    lshPairsUnsorted(s, d)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("lev"),
+        greatest(length(col("text_a")), length(col("text_b"))).cast("long").as("max_len"))
+      .withColumn("is_near", lit(10) * col("lev") <= lit(3) * col("max_len"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ddEditPairsSql: String =
+    s"""WITH $minhashCte,
+       |$lshPairsCte
+       |SELECT doc_a, doc_b,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+       |  CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len,
+       |  10 * levenshtein(da.text, db.text) <= 3 * greatest(length(da.text), length(db.text)) AS is_near
+       |FROM pairs
+       |JOIN documents da ON da.doc_id = doc_a
+       |JOIN documents db ON db.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "dd_edit_pairs" -> ddEditPairs,
     "dd_ppjoin" -> ddPpjoin,
     "dd_lsh_recall" -> ddLshRecall,
     "dd_neardup" -> ddNeardup,
@@ -1115,6 +1156,7 @@ object Dedup {
     "dd_embed_cos" -> ddEmbedCos)
 
   def oracleSql: Map[String, String] = Map(
+    "dd_edit_pairs" -> ddEditPairsSql,
     "dd_ppjoin" -> ddPpjoinSql,
     "dd_lsh_recall" -> ddLshRecallSql,
     "dd_substring" -> ddSubstringSql,

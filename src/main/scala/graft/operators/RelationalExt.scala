@@ -543,7 +543,48 @@ object RelationalExt {
       |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Value-navigation windows: first_value / last_value / nth_value over
+    * each customer's order history in (date, key) order — the remaining
+    * window-function family the suite didn't yet exercise (q_window_rank
+    * covers ranking, q_window_dist distribution, q_window_range frames).
+    * The full-frame last/nth need UNBOUNDED FOLLOWING; one row per
+    * customer survives via row_number. Prices pass through unaggregated
+    * (bit-identical doubles from the same parquet), so no rounding idiom
+    * is needed. Scale: one custkey-partitioned window — high-cardinality
+    * key, bounded rows per customer. */
+  def qWindowFirstLast: Q = (s, d) => {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("first_price", first(col("o_totalprice")).over(full))
+      .withColumn("last_price", last(col("o_totalprice")).over(full))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(full))
+      .withColumn("n_orders", count(lit(1)).over(full))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("n_orders"), col("first_price"),
+        col("last_price"), col("second_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val qWindowFirstLastSql: String =
+    """SELECT o_custkey, n_orders, first_price, last_price, second_price
+      |FROM (
+      |  SELECT o_custkey,
+      |    count(*) OVER wf AS n_orders,
+      |    first_value(o_totalprice) OVER wf AS first_price,
+      |    last_value(o_totalprice) OVER wf AS last_price,
+      |    nth_value(o_totalprice, 2) OVER wf AS second_price,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders
+      |  WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_window_firstlast" -> qWindowFirstLast,
     "q_full_outer" -> qFullOuter,
     "q_listagg" -> qListagg,
     "q_histogram" -> qHistogram,
@@ -562,6 +603,7 @@ object RelationalExt {
     "q22_dormant" -> q22Dormant)
 
   def oracleSql: Map[String, String] = Map(
+    "q_window_firstlast" -> qWindowFirstLastSql,
     "q_full_outer" -> qFullOuterSql,
     "q_listagg" -> qListaggSql,
     "q_histogram" -> qHistogramSql,

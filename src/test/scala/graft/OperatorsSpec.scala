@@ -919,6 +919,43 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "verify exactly the LSH candidate set with edit distances in dd_edit_pairs" in {
+    val pairs = operators.Dedup.ddEditPairs(spark, sf).collect()
+    val lshSet = operators.Dedup.ddLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet shouldBe lshSet
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.foreach { r =>
+      val (lev, maxLen) = (r.getAs[Long]("lev"), r.getAs[Long]("max_len"))
+      lev should be <= maxLen // distance never exceeds the longer doc
+      // lev == 0 exactly when the raw texts are identical
+      (lev == 0L) shouldBe
+        (texts(r.getAs[Long]("doc_a")) == texts(r.getAs[Long]("doc_b")))
+      r.getAs[Boolean]("is_near") shouldBe (10 * lev <= 3 * maxLen)
+    }
+  }
+
+  it should "navigate to the true first/last/second orders per customer" in {
+    import org.apache.spark.sql.functions._
+    val hist = Tables.orders(spark, sf)
+      .select(col("o_custkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("d_us"),
+        col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(r =>
+        (r.getLong(1), r.getLong(2))).map(_.getDouble(3)).toVector).toMap
+    val rows = operators.RelationalExt.qWindowFirstLast(spark, sf).collect()
+    rows.length shouldBe hist.size
+    rows.foreach { r =>
+      val h = hist(r.getAs[Long]("o_custkey"))
+      r.getAs[Long]("n_orders") shouldBe h.size.toLong
+      r.getAs[Double]("first_price") shouldBe h.head
+      r.getAs[Double]("last_price") shouldBe h.last
+      if (h.size >= 2) r.getAs[Double]("second_price") shouldBe h(1)
+      else r.isNullAt(r.fieldIndex("second_price")) shouldBe true
+    }
+  }
+
   it should "partition every user into one RFM segment with scores in 1..5" in {
     import org.apache.spark.sql.functions._
     val rows = operators.EventValue.evRfm(spark, sf).collect()
