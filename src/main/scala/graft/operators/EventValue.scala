@@ -125,11 +125,91 @@ object EventValue {
        |  round(sum(mon), 2)::DOUBLE AS revenue
        |FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
 
+  /** Seasonal-naive forecast with backtest — the capacity-planning loop
+    * run on ingest volume: split the corpus 80/20 by hour, model each
+    * (type, day-of-week, hour-of-day) slot as its train-period mean
+    * hourly count, predict the test hours, and report per-type MAE and
+    * bias. Everything is INTEGER: hour index = epoch-micros div 3600e6,
+    * dow/hod derived by integer arithmetic (epoch day 0 = Thursday ⇒
+    * dow = (day+4) mod 7 — Spark's dayofweek and DuckDB's dow disagree
+    * on conventions, integer math can't), predictions held fixed-point
+    * ×100 via `div`. The hour spine is DENSIFIED per type (sequence
+    * explode from broadcast corpus bounds — the ev_resample pattern):
+    * zero-event hours are observations for both model and error, not
+    * gaps (the ev_trend lesson). Scale: one corpus hash-agg to (type,
+    * hour); spine, slots, and the backtest all run on hour-bucket-sized
+    * frames. */
+  def evForecast: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val hourCounts = ev
+      .select(expr("unix_micros(ts) div 3600000000").as("h"), col("event_type"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("cnt"))
+    val bounds = ev.agg(
+      expr("min(unix_micros(ts) div 3600000000)").as("h0"),
+      expr("max(unix_micros(ts) div 3600000000)").as("h1"))
+    val types = ev.select(col("event_type")).distinct()
+    val dense = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("h0"), col("h1"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hourCounts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), col("h0"), col("h1"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        expr("h0 + ((h1 - h0 + 1) * 8) div 10").as("split_h"),
+        expr("((h div 24) + 4) % 7").as("dow"), expr("h % 24").as("hod"))
+    val model = dense.filter(col("h") < col("split_h"))
+      .groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg(expr("(100 * sum(cnt)) div count(*)").as("pred_fp"))
+    dense.filter(col("h") >= col("split_h"))
+      .join(model, Seq("event_type", "dow", "hod"), "left")
+      .withColumn("p", coalesce(col("pred_fp"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_test_hours"),
+        sum(col("cnt")).as("total_actual"),
+        Exact.floorRound(
+          sum(abs(lit(100) * col("cnt") - col("p"))).cast("double") / lit(100.0)
+            / count(lit(1)), 4).as("mae"),
+        Exact.floorRound(
+          sum(lit(100) * col("cnt") - col("p")).cast("double") / lit(100.0)
+            / count(lit(1)), 4).as("bias"))
+      .orderBy(col("event_type"))
+  }
+
+  val evForecastSql: String =
+    s"""WITH hc AS (
+       |  SELECT event_type, epoch_us(ts::TIMESTAMP) // 3600000000 AS h, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT min(epoch_us(ts::TIMESTAMP) // 3600000000) AS h0,
+       |    max(epoch_us(ts::TIMESTAMP) // 3600000000) AS h1
+       |  FROM events),
+       |types AS (SELECT DISTINCT event_type FROM events),
+       |dense AS (
+       |  SELECT t.event_type, s.h, b.h0, b.h1,
+       |    coalesce(hc.cnt, 0) AS cnt,
+       |    b.h0 + ((b.h1 - b.h0 + 1) * 8) // 10 AS split_h,
+       |    ((s.h // 24) + 4) % 7 AS dow, s.h % 24 AS hod
+       |  FROM types t CROSS JOIN bounds b
+       |  CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) s
+       |  LEFT JOIN hc ON hc.event_type = t.event_type AND hc.h = s.h),
+       |model AS (
+       |  SELECT event_type, dow, hod, (100 * sum(cnt)) // count(*) AS pred_fp
+       |  FROM dense WHERE h < split_h GROUP BY 1, 2, 3)
+       |SELECT d.event_type, count(*) AS n_test_hours,
+       |  CAST(sum(d.cnt) AS BIGINT) AS total_actual,
+       |  ${Exact.floorRoundSql("sum(abs(100 * d.cnt - coalesce(m.pred_fp, 0)))::DOUBLE / 100.0 / count(*)", 4)} AS mae,
+       |  ${Exact.floorRoundSql("sum(100 * d.cnt - coalesce(m.pred_fp, 0))::DOUBLE / 100.0 / count(*)", 4)} AS bias
+       |FROM dense d LEFT JOIN model m
+       |  ON m.event_type = d.event_type AND m.dow = d.dow AND m.hod = d.hod
+       |WHERE d.h >= d.split_h
+       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ev_attribution" -> evAttribution,
+    "ev_forecast" -> evForecast,
     "ev_rfm" -> evRfm)
 
   def oracleSql: Map[String, String] = Map(
     "ev_attribution" -> evAttributionSql,
+    "ev_forecast" -> evForecastSql,
     "ev_rfm" -> evRfmSql)
 }

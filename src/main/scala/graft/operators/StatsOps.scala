@@ -237,7 +237,74 @@ object StatsOps {
        |  ${Exact.floorRoundSql("sum(len)::DOUBLE / count(*)", 4)} AS avg_len
        |FROM i GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** One-pass column profile (the ANALYZE TABLE / data-quality census):
+    * row count, null count, exact distinct count, and min/max for five
+    * lineitem columns, emitted long-format (one row per column) so the
+    * schema is stable however many columns are profiled. ALL columns
+    * profile in ONE aggregate — the multi-distinct Expand is a single
+    * corpus pass (5× row fanout, map-side partial), never one scan per
+    * column; at true scale swap exact distincts for approx_count_distinct
+    * and the Expand disappears too. min/max stringified with explicit
+    * formats (timestamp → 'yyyy-MM-dd HH:mm:ss', quantities → integer
+    * string) so the long-format VARCHAR cells are engine-identical. */
+  def qProfile: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_returnflag")).as("d_rf"),
+      min(col("l_returnflag")).as("mn_rf"), max(col("l_returnflag")).as("mx_rf"),
+      countDistinct(col("l_linestatus")).as("d_ls"),
+      min(col("l_linestatus")).as("mn_ls"), max(col("l_linestatus")).as("mx_ls"),
+      countDistinct(col("l_shipdate")).as("d_sd"),
+      date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("mn_sd"),
+      date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("mx_sd"),
+      countDistinct(col("l_quantity")).as("d_q"),
+      min(col("l_quantity")).cast("long").cast("string").as("mn_q"),
+      max(col("l_quantity")).cast("long").cast("string").as("mx_q"),
+      countDistinct(col("l_suppkey")).as("d_sk"),
+      min(col("l_suppkey")).cast("string").as("mn_sk"),
+      max(col("l_suppkey")).cast("string").as("mx_sk"))
+    agg.select(col("n_rows"), explode(array(
+        struct(lit("l_returnflag").as("col_name"), col("d_rf").as("n_distinct"),
+          col("mn_rf").as("min_val"), col("mx_rf").as("max_val")),
+        struct(lit("l_linestatus").as("col_name"), col("d_ls").as("n_distinct"),
+          col("mn_ls").as("min_val"), col("mx_ls").as("max_val")),
+        struct(lit("l_shipdate").as("col_name"), col("d_sd").as("n_distinct"),
+          col("mn_sd").as("min_val"), col("mx_sd").as("max_val")),
+        struct(lit("l_quantity").as("col_name"), col("d_q").as("n_distinct"),
+          col("mn_q").as("min_val"), col("mx_q").as("max_val")),
+        struct(lit("l_suppkey").as("col_name"), col("d_sk").as("n_distinct"),
+          col("mn_sk").as("min_val"), col("mx_sk").as("max_val")))).as("p"))
+      .select(col("p.col_name").as("col_name"), col("n_rows"),
+        col("p.n_distinct").as("n_distinct"), col("p.min_val").as("min_val"),
+        col("p.max_val").as("max_val"))
+      .orderBy(col("col_name"))
+  }
+
+  val qProfileSql: String =
+    """WITH a AS (
+      |  SELECT count(*) AS n_rows,
+      |    count(DISTINCT l_returnflag) AS d_rf, min(l_returnflag) AS mn_rf, max(l_returnflag) AS mx_rf,
+      |    count(DISTINCT l_linestatus) AS d_ls, min(l_linestatus) AS mn_ls, max(l_linestatus) AS mx_ls,
+      |    count(DISTINCT l_shipdate) AS d_sd,
+      |    strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS mn_sd,
+      |    strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS mx_sd,
+      |    count(DISTINCT l_quantity) AS d_q,
+      |    CAST(CAST(min(l_quantity) AS BIGINT) AS VARCHAR) AS mn_q,
+      |    CAST(CAST(max(l_quantity) AS BIGINT) AS VARCHAR) AS mx_q,
+      |    count(DISTINCT l_suppkey) AS d_sk,
+      |    CAST(min(l_suppkey) AS VARCHAR) AS mn_sk, CAST(max(l_suppkey) AS VARCHAR) AS mx_sk
+      |  FROM lineitem)
+      |SELECT col_name, n_rows, n_distinct, min_val, max_val FROM (
+      |  SELECT 'l_returnflag' AS col_name, n_rows, d_rf AS n_distinct, mn_rf AS min_val, mx_rf AS max_val FROM a
+      |  UNION ALL SELECT 'l_linestatus', n_rows, d_ls, mn_ls, mx_ls FROM a
+      |  UNION ALL SELECT 'l_shipdate', n_rows, d_sd, mn_sd, mx_sd FROM a
+      |  UNION ALL SELECT 'l_quantity', n_rows, d_q, mn_q, mx_q FROM a
+      |  UNION ALL SELECT 'l_suppkey', n_rows, d_sk, mn_sk, mx_sk FROM a)
+      |ORDER BY col_name""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_profile" -> qProfile,
     "q_moments" -> qMoments,
     "q_regr" -> qRegr,
     "q_mode" -> qMode,
@@ -245,6 +312,7 @@ object StatsOps {
     "q_gaps_islands" -> qGapsIslands)
 
   def oracleSql: Map[String, String] = Map(
+    "q_profile" -> qProfileSql,
     "q_moments" -> qMomentsSql,
     "q_regr" -> qRegrSql,
     "q_mode" -> qModeSql,

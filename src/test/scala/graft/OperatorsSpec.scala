@@ -956,6 +956,46 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "profile each column identically to per-column scans" in {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val rows = operators.StatsOps.qProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    rows.keySet shouldBe Set("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity", "l_suppkey")
+    val n = li.count()
+    rows.values.foreach(_.getAs[Long]("n_rows") shouldBe n)
+    Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity", "l_suppkey").foreach { c =>
+      rows(c).getAs[Long]("n_distinct") shouldBe
+        li.select(countDistinct(col(c))).collect()(0).getLong(0)
+    }
+    rows("l_quantity").getAs[String]("min_val") shouldBe "1"
+    rows("l_returnflag").getAs[String]("min_val") shouldBe "A"
+  }
+
+  it should "backtest the seasonal forecast over exactly the 20% test span" in {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"), col("event_type"))
+    val (h0, h1) = ev.agg(min("h"), max("h")).collect()(0) match {
+      case r => (r.getLong(0), r.getLong(1))
+    }
+    val split = h0 + ((h1 - h0 + 1) * 8) / 10
+    val testHours = h1 - split + 1
+    val rows = operators.EventValue.evForecast(spark, sf).collect()
+    rows.length shouldBe ev.select("event_type").distinct().count().toInt
+    rows.foreach { r =>
+      r.getAs[Long]("n_test_hours") shouldBe testHours // densified: every hour scored
+      // MAE dominates |bias| (triangle inequality), both finite
+      r.getAs[Double]("mae") should be >= math.abs(r.getAs[Double]("bias")) - 1e-9
+    }
+    // per-type actuals tie out against a direct census of the test span
+    val census = ev.filter(col("h") >= split).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      r.getAs[Long]("total_actual") shouldBe census.getOrElse(r.getAs[String]("event_type"), 0L)
+    }
+  }
+
   it should "partition every user into one RFM segment with scores in 1..5" in {
     import org.apache.spark.sql.functions._
     val rows = operators.EventValue.evRfm(spark, sf).collect()
