@@ -82,18 +82,24 @@ object EventValue {
     * scalar (ev_decay idiom); the three NTILE windows run over the
     * per-user aggregate, one row per user. */
   def evRfm: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-    val perUser = ev
-      .crossJoin(broadcast(ev.agg(max(unix_micros(col("ts"))).as("ref_us"))))
+    // ONE corpus scan: the reference instant is the max of the per-user
+    // maxima, taken as a frame-max window over the user-level aggregate —
+    // the broadcast-scalar formulation (ev_decay idiom) would re-scan the
+    // corpus for the max (audited: 2 events scans, no AQE reuse). The
+    // global window runs on the same single-partition user frame the
+    // three NTILE windows already own, so it costs no new structure.
+    val refW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perUser = Tables.events(s, d)
       .groupBy(col("user_id"))
-      .agg((max(col("ref_us")) - max(unix_micros(col("ts")))).as("idle_us"),
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("freq"),
         sum(Exact.dec2(col("value"))).as("mon"))
+      .withColumn("idle_us", max(col("last_us")).over(refW) - col("last_us"))
       // integer floor division on both engines (Spark `div`, DuckDB `//`)
       // — a double quotient + cast would truncate in Spark but ROUND in
       // DuckDB's CAST, a half-day-boundary hash mismatch
       .withColumn("rec_days", expr(s"idle_us div $DayUs"))
-      .drop("idle_us")
+      .drop("idle_us", "last_us")
     val r = Window.orderBy(col("rec_days"), col("user_id"))
     val f = Window.orderBy(col("freq").desc, col("user_id"))
     val m = Window.orderBy(col("mon").desc, col("user_id"))
@@ -140,14 +146,18 @@ object EventValue {
     * hour); spine, slots, and the backtest all run on hour-bucket-sized
     * frames. */
   def evForecast: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-    val hourCounts = ev
+    // ONE corpus scan: bounds and the type list both derive from the
+    // (type, hour) bucket table, which is localCheckpoint-pinned because
+    // three plan branches read it and nothing about its lineage is
+    // reusable across them (audited: the naive formulation re-scanned
+    // events 4×). The bucket table is |types|·|hours| rows — kilobytes
+    // at any corpus size, the cheapest thing in the plan to pin.
+    val hourCounts = Tables.events(s, d)
       .select(expr("unix_micros(ts) div 3600000000").as("h"), col("event_type"))
       .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("cnt"))
-    val bounds = ev.agg(
-      expr("min(unix_micros(ts) div 3600000000)").as("h0"),
-      expr("max(unix_micros(ts) div 3600000000)").as("h1"))
-    val types = ev.select(col("event_type")).distinct()
+      .localCheckpoint()
+    val bounds = hourCounts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val types = hourCounts.select(col("event_type")).distinct()
     val dense = types.crossJoin(broadcast(bounds))
       .select(col("event_type"), col("h0"), col("h1"),
         explode(sequence(col("h0"), col("h1"))).as("h"))

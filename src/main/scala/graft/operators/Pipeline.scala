@@ -518,11 +518,17 @@ object Pipeline {
       .select(col("lang"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         md5s(graft.functions.TextFns.normText(col("text"))).as("content_hash"))
+    // ONE corpus scan: the corpus token total is a frame-max-style window
+    // sum over the strata aggregate itself (≤|langs|·|sources| rows — a
+    // single-partition window over kilobytes), not a broadcast scalar
+    // re-aggregating the corpus (audited: that formulation scanned
+    // documents twice, no AQE reuse across the broadcast boundary).
+    val totW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val agg = base.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("content_hash")).as("n_unique"),
         sum(col("n_tokens")).as("total_tokens"))
-    agg.crossJoin(broadcast(base.agg(sum(col("n_tokens")).as("corpus_tokens"))))
+    agg.withColumn("corpus_tokens", sum(col("total_tokens")).over(totW))
       .select(col("lang"), col("source"), col("n_docs"), col("n_unique"),
         col("total_tokens"),
         Exact.floorRound(col("total_tokens").cast("double") / col("n_docs"), 4)
