@@ -46,8 +46,15 @@ object Clustering {
     * tie-break contract). Passes through every input column (e.g.
     * `label` for clPurity) so callers never re-scan the corpus. */
   private def assign(v: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
-    v.withColumn("m", nearestCentroid(col("e"), cents))
-      .select(v.columns.map(col) :+ col("m.cid").as("cid") :+ col("m.d").as("d"): _*)
+    if (cents.isEmpty)
+      // empty corpus ⇒ no seed vectors ⇒ no centroids: an empty literal
+      // array types as VOID and fails analysis on the struct extract, so
+      // keep the schema with typed null assignment columns (the frame
+      // itself is empty — no row ever carries the nulls)
+      v.withColumn("cid", lit(null).cast("int")).withColumn("d", lit(null).cast("double"))
+    else
+      v.withColumn("m", nearestCentroid(col("e"), cents))
+        .select(v.columns.map(col) :+ col("m.cid").as("cid") :+ col("m.d").as("d"): _*)
 
   // Trained centroids memoized per (session, dir, data fingerprint):
   // training is fully deterministic (fixed seeds/rounds/rounding), so the
@@ -346,20 +353,28 @@ object Clustering {
     * sums go through decimal(38,18) for order independence. */
   def clSilhouette: Q = (s, d) => {
     val cents = trainedCents(s, d)
-    val arr = sort_array(array(cents.map { case (cid, c) =>
-      struct(sqDistTo(col("e"), c).as("d"), lit(cid).as("cid"))
-    }: _*))
-    val a = sqrt(col("near").getItem(0).getField("d"))
-    val b = sqrt(col("near").getItem(1).getField("d"))
-    val score = when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-      .select(col("vec_id"), slice(arr, 1, 2).as("near"))
-      .groupBy(col("near").getItem(0).getField("cid").cast("long").as("cluster"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(score.cast("decimal(38,18)")).cast("double") / count(lit(1)), 6)
-          .as("silhouette"))
-      .orderBy(col("cluster"))
+    if (cents.isEmpty) {
+      // empty corpus: no centroids to rank against (the assign() guard
+      // covers the shared path; silhouette builds its own 2-nearest
+      // array, so an empty literal would type as VOID here too)
+      import s.implicits._
+      Seq.empty[(Long, Long, Double)].toDF("cluster", "n", "silhouette")
+    } else {
+      val arr = sort_array(array(cents.map { case (cid, c) =>
+        struct(sqDistTo(col("e"), c).as("d"), lit(cid).as("cid"))
+      }: _*))
+      val a = sqrt(col("near").getItem(0).getField("d"))
+      val b = sqrt(col("near").getItem(1).getField("d"))
+      val score = when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .select(col("vec_id"), slice(arr, 1, 2).as("near"))
+        .groupBy(col("near").getItem(0).getField("cid").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(score.cast("decimal(38,18)")).cast("double") / count(lit(1)), 6)
+            .as("silhouette"))
+        .orderBy(col("cluster"))
+    }
   }
 
   val clSilhouetteSql: String =
@@ -410,7 +425,7 @@ object Clustering {
     graft.plans.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("e"))
     val n = emb.count() // driver scalar: node count (one narrow scan)
-    val base = PrScale / n
+    val base = if (n == 0) 0L else PrScale / n // empty graph: no mass, empty result
     val tele = 15L * base / 100L
     val pairs = Dedup.ddEmbedCosFor(emb, Seq(1, 2, 3, 4), 0.25)
       .select(col("vec_a"), col("vec_b"))

@@ -104,6 +104,10 @@ object EventAnalytics {
       round(expr("percentile(dur_s, 0.5)"), 6).as("p50_dur_s"),
       round(expr("percentile(dur_s, 0.9)"), 6).as("p90_dur_s"),
       round(expr("percentile(dur_s, 0.99)"), 6).as("p99_dur_s"))
+      // a global agg over an empty corpus still yields ONE row
+      // (n_sessions = 0) and the share quotients divide by zero under
+      // ANSI — an empty stream reports no rows, not a crash
+      .filter(col("n_sessions") > 0)
       .select(col("n_sessions"), col("n_singleton"),
         Exact.floorRound(col("n_singleton") / col("n_sessions"), 4).as("singleton_share"),
         Exact.floorRound(col("tot_events") / col("n_sessions"), 4).as("avg_events"),
@@ -141,7 +145,7 @@ object EventAnalytics {
       |  floor(n_singleton / n_sessions * 1e4 + 0.5) / 1e4 AS singleton_share,
       |  floor(tot_events / n_sessions * 1e4 + 0.5) / 1e4 AS avg_events,
       |  p50_dur_s, p90_dur_s, p99_dur_s
-      |FROM agg""".stripMargin
+      |FROM agg WHERE n_sessions > 0""".stripMargin
 
   /** Per-type traffic trend: OLS slope of hourly event counts over the
     * hour index — "is this event type growing or dying", the first
