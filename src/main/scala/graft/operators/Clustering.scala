@@ -86,17 +86,22 @@ object Clustering {
     * queries (label rides along unused except by clPurity; Catalyst
     * prunes it wherever it is not referenced). */
   private def finalAssign(s: SparkSession, d: String): DataFrame =
-    assign(Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("label")),
-      trainedCents(s, d))
+    assign(cleanVectors(s, d), trainedCents(s, d))
+
+  /** Shared embedding load: null vectors (failed upstream embed) cannot
+    * be assigned or trained on — dropped here so every cl_* path agrees
+    * (NullInputSpec pins the no-crash contract). */
+  private def cleanVectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("label"))
 
   /** The memoized trained centroid matrix (see [[finalAssign]] — this is
     * the training half, split out so operators needing more than the
     * nearest centroid, e.g. [[clSilhouette]]'s second-nearest, can reuse
     * the same run). */
   private def trainedCents(s: SparkSession, d: String): Seq[(Int, Seq[Double])] = {
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("label"))
+    val v = cleanVectors(s, d)
     val perSession = centsCache.synchronized {
       var m = centsCache.get(s)
       if (m == null) { m = scala.collection.mutable.Map.empty; centsCache.put(s, m) }
@@ -366,8 +371,7 @@ object Clustering {
       val a = sqrt(col("near").getItem(0).getField("d"))
       val b = sqrt(col("near").getItem(1).getField("d"))
       val score = when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      cleanVectors(s, d)
         .select(col("vec_id"), slice(arr, 1, 2).as("near"))
         .groupBy(col("near").getItem(0).getField("cid").cast("long").as("cluster"))
         .agg(count(lit(1)).as("n"),
@@ -423,7 +427,8 @@ object Clustering {
     * write at cluster scale) so iterations never re-run the self-join. */
   def clPagerank: Q = (s, d) => {
     graft.plans.GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("e"))
+    val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").as("e"))
     val n = emb.count() // driver scalar: node count (one narrow scan)
     val base = if (n == 0) 0L else PrScale / n // empty graph: no mass, empty result
     val tele = 15L * base / 100L

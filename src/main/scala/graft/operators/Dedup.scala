@@ -633,7 +633,8 @@ object Dedup {
   def ddEmbedCos: Q = (s, d) => {
     graft.plans.GraftFunctions.register(s)
     ddEmbedCosFor(
-      Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("e")),
+      Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding").as("e")),
       Seq(1, 2, 3, 4), 0.25)
   }
 

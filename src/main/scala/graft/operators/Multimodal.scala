@@ -98,6 +98,9 @@ object Multimodal {
     import spark.implicits._
     val src = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // a null payload has nothing to decode — dead-letter routing is the
+      // loader's job (GraftLoader.quarantine); the decode stage skips
+      .filter(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
     src.mapPartitions { it =>
       it.map { case (id, payload) =>

@@ -41,6 +41,9 @@ object Similarity {
   private def vectors(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     Tables.embeddings(s, d)
+      // a vector that failed to embed upstream cannot be indexed or
+      // searched — drop it (dirty corpora are the norm; NullInputSpec)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", l2norm(col("e")))
   }
@@ -258,10 +261,22 @@ object Similarity {
   /** General form. CONTRACT: `queries` (query_id, qe, qn) is broadcast as
     * per-query LUTs (128 doubles each) and again for the exact re-rank —
     * small side only. Corpus codes stay partitioned (8 B/vector). */
+  /** First-`k`-by-id seed codewords re-identified DENSELY 0..n−1: the
+    * upstream null filter can drop seed vectors, and `graft_pq_score`
+    * indexes `lut[j·k + code]` — a sparse raw vec_id at or past the
+    * surviving codebook size reads out of range (NullInputSpec caught
+    * exactly this). The re-id window runs over ≤k rows. On a clean
+    * corpus the dense ids equal the raw ids, so the oracles are
+    * unaffected. */
+  private def denseSeeds(v: DataFrame, k: Int): DataFrame =
+    v.filter(col("vec_id") < k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+
   def annPqFor(v: DataFrame, queries: DataFrame): DataFrame = {
     val m = 8; val subDim = 8; val k = 16
-    val cents = v.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val cents = denseSeeds(v, k)
+      .select(col("cid"), col("e").as("ce"))
     def sl(c: Column, j: Int) = slice(c, j * subDim + 1, subDim)
     // assignment: per (vector, centroid), all 8 subspace L2 scores as
     // COLUMNS (|v_j|² dropped — constant within the argmin over
@@ -601,8 +616,8 @@ object Similarity {
     val v = vectors(s, d)
     val queries = defaultQueries(v)
     val m = 8; val subDim = 8; val nProbe = 4
-    val cents = v.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val cents = denseSeeds(v, 16)
+      .select(col("cid"), col("e").as("ce"), col("nrm").as("cn"))
     def sl(c: Column, j: Int) = slice(c, j * subDim + 1, subDim)
     val subScoreCols = (0 until m).map { j =>
       (lit(-2.0) * dot(sl(col("e"), j), sl(col("ce"), j)) +

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Null-input robustness: every registered operator must plan and run
+  * (never throw) when nullable payload columns actually carry nulls —
+  * dirty corpora are the NORM for a training-data pipeline: scraped
+  * documents with missing text/lang, events with unparsed values,
+  * embedding rows whose vector failed to compute upstream. Keys and
+  * event timestamps stay non-null (a loader assigns those); everything
+  * downstream of decode is fair game. The functions-level NullSafetySpec
+  * pins each custom expression's null contract; this spec pins the
+  * OPERATOR compositions end to end.
+  */
+class NullInputSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-null-input-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Copies of the sf0.001 tables with ~10% of the nullable payload
+    * columns nulled (deterministic by key, so failures reproduce). */
+  lazy val nullDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nulls").toString
+    def load(t: String): DataFrame = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+    def nullify(df: DataFrame, key: String, cols: String*): DataFrame =
+      cols.foldLeft(df) { (acc, c) =>
+        acc.withColumn(c, when(pmod(col(key), lit(10)) === 3, lit(null)).otherwise(col(c)))
+      }
+    val tweaked: Map[String, DataFrame] = Map(
+      "documents" -> nullify(load("documents"), "doc_id", "text", "lang", "source"),
+      "events" -> nullify(load("events"), "event_id", "event_type", "value", "props"),
+      "embeddings" -> nullify(load("embeddings"), "vec_id", "embedding", "label"),
+      "orders" -> nullify(load("orders"), "o_orderkey", "o_orderpriority"),
+      "lineitem" -> nullify(load("lineitem"), "l_orderkey", "l_returnflag"))
+    Tables.names.foreach { t =>
+      tweaked.getOrElse(t, load(t))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  behavior of "every registered operator"
+
+  it should "run to completion with nulls in payload columns" in {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, nullDir).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    withClue(s"operators crashing on null payloads:\n${failures.mkString("\n")}\n") {
+      failures shouldBe empty
+    }
+  }
+}
