@@ -213,13 +213,99 @@ object EventValue {
        |WHERE d.h >= d.split_h
        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
 
+  /** Session concurrency per hour — the interval-overlap census behind
+    * capacity dashboards ("how many sessions were live at once"): build
+    * gap-sessions exactly as `ev_sessions` does, then count each hour's
+    * overlapping sessions. Overlap counting is BINNED, not swept: a
+    * session joins every hour bucket its [start, end] span touches
+    * (fanout = duration/hour, bounded by the 30-min-gap session
+    * definition), so there is no global-order prefix sum — the same
+    * reasoning as ev_range_join's window-width binning. One user-keyed
+    * window builds sessions; the bucket join is hour-keyed. */
+  def evConcurrency: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    sess
+      .withColumn("hour", explode(sequence(
+        expr("s_us div 3600000000"), expr("e_us div 3600000000"))))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_active"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(timestamp_micros(col("hour") * 3600000000L).as("hour_start"),
+        col("n_active"), col("n_users"))
+      .orderBy(col("hour_start"))
+  }
+
+  val evConcurrencySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+      |flagged AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN lag(us, 1) OVER w IS NULL OR us - lag(us, 1) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id, us
+      |  FROM flagged),
+      |iv AS (
+      |  SELECT user_id, session_id, min(us) // 3600000000 AS h0, max(us) // 3600000000 AS h1
+      |  FROM sess GROUP BY 1, 2),
+      |hit AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM iv)
+      |SELECT make_timestamp(hour * 3600000000) AS hour_start,
+      |  count(*) AS n_active, count(DISTINCT user_id) AS n_users
+      |FROM hit GROUP BY 1 ORDER BY hour_start""".stripMargin
+
+  /** Cumulative distinct users by day — running COUNT(DISTINCT) made
+    * distributable via the first-seen trick: a distinct window count is
+    * not partial-aggregatable, but "new users per day" (min event day
+    * per user) is a plain keyed aggregate, and the cumulative sum runs
+    * over the tiny day table. The growth curve every ingest dashboard
+    * draws. */
+  def evCumulativeUsers: Q = (s, d) => {
+    val dayW = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(expr("unix_micros(ts) div 86400000000")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new_users"))
+      .withColumn("n_cumulative", sum(col("n_new_users")).over(dayW))
+      .select(timestamp_micros(col("day") * 86400000000L).as("day_start"),
+        col("n_new_users"), col("n_cumulative"))
+      .orderBy(col("day_start"))
+  }
+
+  val evCumulativeUsersSql: String =
+    """WITH fs AS (
+      |  SELECT user_id, min(epoch_us(ts::TIMESTAMP) // 86400000000) AS day
+      |  FROM events GROUP BY 1),
+      |nd AS (SELECT day, count(*) AS n_new_users FROM fs GROUP BY 1)
+      |SELECT make_timestamp(day * 86400000000) AS day_start, n_new_users,
+      |  CAST(sum(n_new_users) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cumulative
+      |FROM nd ORDER BY day_start""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ev_attribution" -> evAttribution,
+    "ev_concurrency" -> evConcurrency,
+    "ev_cumulative_users" -> evCumulativeUsers,
     "ev_forecast" -> evForecast,
     "ev_rfm" -> evRfm)
 
   def oracleSql: Map[String, String] = Map(
     "ev_attribution" -> evAttributionSql,
+    "ev_concurrency" -> evConcurrencySql,
+    "ev_cumulative_users" -> evCumulativeUsersSql,
     "ev_forecast" -> evForecastSql,
     "ev_rfm" -> evRfmSql)
 }

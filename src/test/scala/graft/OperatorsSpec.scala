@@ -996,6 +996,37 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "conserve session-hours in ev_concurrency" in {
+    import org.apache.spark.sql.functions._
+    val rows = operators.EventValue.evConcurrency(spark, sf).collect()
+    rows.foreach { r =>
+      r.getAs[Long]("n_active") should be >= r.getAs[Long]("n_users")
+      r.getAs[Long]("n_users") should be >= 1L
+    }
+    // Σ hourly actives == Σ over sessions of hours touched (independent census)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val sessHours = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("ns", (col("prev").isNull || col("us") - col("prev") > 1800000000L).cast("int"))
+      .withColumn("sid", sum("ns").over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "sid")
+      .agg((expr("max(us) div 3600000000") - expr("min(us) div 3600000000") + 1).as("hrs"))
+      .agg(sum("hrs")).collect()(0).getLong(0)
+    rows.map(_.getAs[Long]("n_active")).sum shouldBe sessHours
+  }
+
+  it should "grow monotonically to the exact distinct-user total in ev_cumulative_users" in {
+    import org.apache.spark.sql.functions._
+    val rows = operators.EventValue.evCumulativeUsers(spark, sf).collect()
+    val cums = rows.map(_.getAs[Long]("n_cumulative"))
+    cums.toSeq shouldBe cums.sorted // monotone by construction
+    cums.last shouldBe Tables.events(spark, sf)
+      .select(countDistinct("user_id")).collect()(0).getLong(0)
+    rows.map(_.getAs[Long]("n_new_users")).sum shouldBe cums.last
+  }
+
   it should "partition every user into one RFM segment with scores in 1..5" in {
     import org.apache.spark.sql.functions._
     val rows = operators.EventValue.evRfm(spark, sf).collect()

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Skew robustness: the testdata is benign (uniform users, near-unique
+  * docs), so the skew defenses the scale design leans on — the LSH
+  * hot-bucket cap, the salted aggregation, per-user windows under a
+  * dominant key — never actually FIRE in the oracle gate. This spec
+  * builds deliberately degenerate corpora (one user owning half the
+  * events; a boilerplate document cloned past the bucket cap) and pins
+  * the behavior contracts: deterministic truncation, exact tie-out with
+  * an independent census, no crash.
+  */
+class SkewInputSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-skew-input-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  behavior of "LSH hot-bucket cap"
+
+  it should "truncate a boilerplate bucket to the smallest doc_ids, deterministically" in {
+    // 60 clones of one boilerplate doc + 40 unique docs; cap of 8 members
+    // per (band, key) bucket. Contract: the clones' candidate pairs are
+    // exactly C(8,2) over the 8 SMALLEST clone ids — bounded memory AND
+    // reproducible output when a real corpus hits degenerate boilerplate.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      when(col("id") < 60, lit(boiler))
+        .otherwise(concat(lit("unique text body number "), col("id"),
+          lit(" with its own distinct words "), col("id") * 7)).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew-docs").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = operators.Dedup.lshPairsUnsorted(spark, dir, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clonePairs = pairs.filter { case (a, b) => a < 60 && b < 60 }
+    val expected = (for {
+      a <- 0L until 8L; b <- (a + 1) until 8L
+    } yield (a, b)).toSet
+    clonePairs shouldBe expected
+    // run twice: identical truncation (the cap keeps SMALLEST ids, not
+    // an arbitrary partition-order subset)
+    val again = operators.Dedup.lshPairsUnsorted(spark, dir, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    again shouldBe pairs
+  }
+
+  behavior of "event operators under a dominant user"
+
+  lazy val skewDir: String = {
+    // one user owns ~half the stream, compressed into a few hot hours
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew-ev").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val skewed = ev.withColumn("user_id",
+      when(col("event_id") % 2 === 0, lit(7L)).otherwise(col("user_id")))
+    skewed.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Tables.names.filter(_ != "events").foreach { t =>
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  it should "keep the salted aggregation exact under skew" in {
+    // ev_salted_agg's contract is oracle-proved on uniform data; the
+    // two-phase salted identity (salted ≡ direct groupBy) must also
+    // survive a corpus where one user dominates the row distribution
+    val salted = operators.EventAnalytics.evSaltedAgg(spark, skewDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_events")).toMap
+    val direct = Tables.events(spark, skewDir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    salted shouldBe direct
+    // and the injected user skew is real
+    val byUser = Tables.events(spark, skewDir).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byUser(7L) should be >= byUser.values.sum / 3
+  }
+
+  it should "throttle the dominant user without losing accounting" in {
+    val rep = operators.EventAnalytics.evThrottle(spark, skewDir).collect()
+    rep.map(_.getAs[Long]("n_events")).sum shouldBe
+      Tables.events(spark, skewDir).count()
+    rep.foreach { r =>
+      r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") shouldBe r.getAs[Long]("n_events")
+    }
+    // the burst user's tail actually gets dropped (the cap fires)
+    rep.map(_.getAs[Long]("n_dropped")).sum should be > 0L
+  }
+
+  it should "keep RFM segment totals exact under skew" in {
+    val rows = operators.EventValue.evRfm(spark, skewDir).collect()
+    rows.map(_.getAs[Long]("n_users")).sum shouldBe
+      Tables.events(spark, skewDir)
+        .select(countDistinct("user_id")).collect()(0).getLong(0)
+  }
+}
