@@ -35,15 +35,27 @@ object EventAnalytics {
 
   /** Gap-based sessionization: a new session starts after >30 min of user
     * inactivity. Partitioned by user_id (high cardinality → bounded state). */
-  def evSessions: Q = (s, d) => {
+  /** 30-minute inactivity gap shared by every sessionizing operator. */
+  val SessionGapUs = 1800000000L
+
+  /** Gap-sessionized event rows: the input columns plus `session_id`
+    * (per-user running counter in (ts, event_id) order). ONE definition —
+    * [[evSessions]], [[evSessionStats]] and `EventValue.evConcurrency`
+    * must share the session boundary; a gap-width or tie-break change in
+    * one copy would silently de-sync their session frames. */
+  private[operators] def sessionized(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(s, d)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+    ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .withColumn("new_session",
-        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1)
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_us", "new_session")
+  }
+
+  def evSessions: Q = (s, d) => {
+    sessionized(Tables.events(s, d))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
@@ -86,14 +98,7 @@ object EventAnalytics {
     * Everything before that is the user-keyed session window chain
     * (high-cardinality partitions, bounded per-user state). */
   def evSessionStats: Q = (s, d) => {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val sess = Tables.events(s, d)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-      .withColumn("new_session",
-        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1)
-          .otherwise(0))
-      .withColumn("session_id", sum(col("new_session")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = sessionized(Tables.events(s, d))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / lit(1e6)).as("dur_s"))

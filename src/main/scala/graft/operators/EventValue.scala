@@ -223,17 +223,12 @@ object EventValue {
     * reasoning as ev_range_join's window-width binning. One user-keyed
     * window builds sessions; the bucket join is hour-keyed. */
   def evConcurrency: Q = (s, d) => {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val sess = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      .withColumn("prev_us", lag(col("us"), 1).over(w))
-      .withColumn("new_session",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
-          .otherwise(0))
-      .withColumn("session_id", sum(col("new_session")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // the ev_sessions session frame, verbatim (EventAnalytics.sessionized
+    // is the one definition of the gap boundary)
+    val sess = EventAnalytics.sessionized(
+        Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts")))
       .groupBy(col("user_id"), col("session_id"))
-      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"), max(unix_micros(col("ts"))).as("e_us"))
     sess
       .withColumn("hour", explode(sequence(
         expr("s_us div 3600000000"), expr("e_us div 3600000000"))))
@@ -249,13 +244,13 @@ object EventValue {
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
       |flagged AS (
-      |  SELECT user_id, us,
+      |  SELECT user_id, event_id, us,
       |    CASE WHEN lag(us, 1) OVER w IS NULL OR us - lag(us, 1) OVER w > 1800000000
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       |sess AS (
       |  SELECT user_id,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id, us
       |  FROM flagged),
       |iv AS (

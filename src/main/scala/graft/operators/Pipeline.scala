@@ -473,7 +473,10 @@ object Pipeline {
     * `sequence` explode with fanout n/stride — no shuffle at all until
     * the output sort. */
   def pipeChunk: Q = (s, d) => {
-    val n = size(tokens(col("text"))).cast("long")
+    // null text counts 0 tokens, not Spark's legacy size(null) = -1 — a
+    // -1 would emit a chunk with negative token count and desync the
+    // token accounting this operator exists to preserve (NullInputSpec)
+    val n = when(col("text").isNotNull, size(tokens(col("text"))).cast("long")).otherwise(0L)
     Tables.documents(s, d)
       .select(col("doc_id"), n.as("n_tokens"))
       .withColumn("n_chunks",
@@ -493,7 +496,7 @@ object Pipeline {
   val pipeChunkSql: String =
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+       |    coalesce(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS BIGINT), 0) AS n_tokens
        |  FROM documents),
        |c AS (
        |  SELECT doc_id, n_tokens,
@@ -516,7 +519,10 @@ object Pipeline {
   def pipeDatacard: Q = (s, d) => {
     val base = Tables.documents(s, d)
       .select(col("lang"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        // null text = 0 tokens (same contract as pipeChunk; legacy
+        // size(null) is -1 and would subtract from the token census)
+        when(col("text").isNotNull, size(tokens(col("text"))).cast("long")).otherwise(0L)
+          .as("n_tokens"),
         md5s(graft.functions.TextFns.normText(col("text"))).as("content_hash"))
     // ONE corpus scan: the corpus token total is a frame-max-style window
     // sum over the strata aggregate itself (≤|langs|·|sources| rows — a
@@ -539,7 +545,7 @@ object Pipeline {
   }
 
   val pipeDatacardSql: String = {
-    val nTok = "CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS BIGINT)"
+    val nTok = "coalesce(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS BIGINT), 0)"
     s"""WITH base AS (
        |  SELECT lang, source, $nTok AS n_tokens,
        |    md5(${graft.functions.TextFns.normTextSql("text")}) AS content_hash

@@ -742,9 +742,11 @@ object TextAnalysis {
       .withColumn("c12", sum(col("tf")).over(c12W))
       .withColumn("c1", sum(col("tf")).over(c1W))
       .groupBy(col("doc_id"))
+      // floorRound, not round(): the quotient is a double (Exact idiom 2 —
+      // engine round() on doubles diverges at x…5 boundaries)
       .agg(sum(col("tf")).cast("long").as("n_bigrams"),
-        round(avgNll, 6).as("avg_nll2"),
-        round(exp(avgNll), 6).as("ppl2"))
+        Exact.floorRound(avgNll, 6).as("avg_nll2"),
+        Exact.floorRound(exp(avgNll), 6).as("ppl2"))
       .orderBy(col("doc_id"))
   }
 
@@ -764,8 +766,8 @@ object TextAnalysis {
       |    sum(tf) OVER (PARTITION BY w1) AS c1
       |  FROM bi)
       |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
-      |  round(sum((tf * (ln(c1) - ln(c12)))::DECIMAL(38,18))::DOUBLE / sum(tf), 6) AS avg_nll2,
-      |  round(exp(sum((tf * (ln(c1) - ln(c12)))::DECIMAL(38,18))::DOUBLE / sum(tf)), 6) AS ppl2
+      |  floor(sum((tf * (ln(c1) - ln(c12)))::DECIMAL(38,18))::DOUBLE / sum(tf) * 1e6 + 0.5) / 1e6 AS avg_nll2,
+      |  floor(exp(sum((tf * (ln(c1) - ln(c12)))::DECIMAL(38,18))::DOUBLE / sum(tf)) * 1e6 + 0.5) / 1e6 AS ppl2
       |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, Q] = Map(

@@ -12,6 +12,12 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   */
 object Transforms {
 
+  /** Event-time as epoch micros — the ONE Timestamp→Long conversion all
+    * keyed-state transforms fold-order on (a precision fix must not be
+    * applied to N local copies). */
+  private def us(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
   /** Watermarked tumbling-window aggregation per event type. */
   def windowedAggregation(
       events: DataFrame,
@@ -734,8 +740,6 @@ object Transforms {
   def pathTriples(spark: SparkSession, events: DataFrame): Dataset[PathHit] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    def us(t: java.sql.Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     events
       .selectExpr("user_id", "ts", "event_type", "event_id")
       .as[(Long, java.sql.Timestamp, String, Long)]
@@ -785,8 +789,6 @@ object Transforms {
   def funnelConversions(spark: SparkSession, events: DataFrame): Dataset[FunnelConversion] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    def us(t: java.sql.Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     def ts(u: Long): java.sql.Timestamp = {
       val t = new java.sql.Timestamp(u / 1000L)
       t.setNanos(((u % 1000000L) * 1000L).toInt)
@@ -881,8 +883,6 @@ object Transforms {
       cap: Int = 2): Dataset[ThrottledEvent] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    def us(t: java.sql.Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     events
       .withColumn("hour_start", date_trunc("hour", col("ts")))
       .selectExpr("user_id", "cast(hour_start as long) as hour_s", "event_id",
@@ -923,8 +923,6 @@ object Transforms {
       windowUs: Long = 86400000000L): Dataset[AttributionHit] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    def us(t: java.sql.Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     events
       .selectExpr("user_id", "ts", "event_type", "event_id")
       .as[(Long, java.sql.Timestamp, String, Long)]

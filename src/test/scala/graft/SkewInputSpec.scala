@@ -58,7 +58,8 @@ class SkewInputSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   behavior of "event operators under a dominant user"
 
   lazy val skewDir: String = {
-    // one user owns ~half the stream, compressed into a few hot hours
+    // one user owns ~half the stream (timestamps untouched — the sf0.001
+    // density already puts user 7 far past the per-hour throttle cap)
     val dir = java.nio.file.Files.createTempDirectory("graft-skew-ev").toString
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val skewed = ev.withColumn("user_id",
