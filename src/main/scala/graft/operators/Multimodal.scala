@@ -88,6 +88,73 @@ object Multimodal {
       |WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
       |ORDER BY shard, rec_idx""".stripMargin
 
+  /** Shard-balance report over the [[mmManifest]] sharding: per-shard
+    * record and byte totals plus the global imbalance ratio (max shard
+    * bytes ÷ mean, fixed-point via integer cross-multiplication-free
+    * floorRound on exact longs). THE operational check before a training
+    * run reads the shards — a 2× heavy shard is a 2× slower epoch, and
+    * dataloader stalls show up here first. One scan, ≤|shards| rows, the
+    * mean as a frame window over the shard aggregate (no second pass —
+    * the pipe_datacard discipline). */
+  def mmShardBalance: Q = (s, d) => {
+    val shard = hashBucket("shard|", col("doc_id"), 4, 8)
+    val totW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(s, d)
+      .select(shard.as("shard"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_records"), sum(col("n_bytes")).as("shard_bytes"))
+      .withColumn("total_bytes", sum(col("shard_bytes")).over(totW))
+      .withColumn("n_shards", count(lit(1)).over(totW))
+      .select(col("shard"), col("n_records"), col("shard_bytes"),
+        Exact.floorRound(
+          col("shard_bytes").cast("double") * col("n_shards") / col("total_bytes"), 4)
+          .as("balance_ratio"))
+      .orderBy(col("shard"))
+  }
+
+  val mmShardBalanceSql: String =
+    s"""WITH m AS (SELECT
+       |    CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard,
+       |    strlen(text) AS n_bytes
+       |  FROM documents),
+       |sh AS (SELECT shard, count(*) AS n_records, CAST(sum(n_bytes) AS BIGINT) AS shard_bytes
+       |  FROM m GROUP BY 1)
+       |SELECT shard, n_records, shard_bytes,
+       |  ${Exact.floorRoundSql("shard_bytes::DOUBLE * (SELECT count(*) FROM sh) / (SELECT CAST(sum(shard_bytes) AS BIGINT) FROM sh)", 4)} AS balance_ratio
+       |FROM sh ORDER BY shard""".stripMargin
+
+  /** Modality-mix report: per format (image/audio/video), record count,
+    * byte mass, and byte share of the corpus — the multimodal datacard
+    * row a mixed-modality training config is balanced against. Derives
+    * the format exactly as [[mmMeta]] does; one scan into a 3-row
+    * aggregate, the share denominator a frame window. */
+  def mmModalityMix: Q = (s, d) => {
+    val totW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(s, d)
+      .select(element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_records"), sum(col("n_bytes")).as("format_bytes"))
+      .withColumn("total_bytes", sum(col("format_bytes")).over(totW))
+      .select(col("format"), col("n_records"), col("format_bytes"),
+        Exact.floorRound(col("format_bytes").cast("double") / col("total_bytes"), 6)
+          .as("byte_share"))
+      .orderBy(col("format"))
+  }
+
+  val mmModalityMixSql: String =
+    s"""WITH m AS (SELECT
+       |    (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS format,
+       |    strlen(text) AS n_bytes
+       |  FROM documents),
+       |f AS (SELECT format, count(*) AS n_records, CAST(sum(n_bytes) AS BIGINT) AS format_bytes
+       |  FROM m GROUP BY 1)
+       |SELECT format, n_records, format_bytes,
+       |  ${Exact.floorRoundSql("format_bytes::DOUBLE / (SELECT CAST(sum(format_bytes) AS BIGINT) FROM f)", 6)} AS byte_share
+       |FROM f ORDER BY format""".stripMargin
+
   /** Decode stub (rows-only check, no SQL oracle): partition-parallel
     * "decode" of binary payloads into fixed-width feature vectors via
     * `mapPartitions` — the batch shape a Pandas-UDF/JNI decoder would use.
@@ -176,6 +243,8 @@ object Multimodal {
 
   def queries: Map[String, Q] = Map(
     "mm_dedup" -> mmDedup,
+    "mm_shard_balance" -> mmShardBalance,
+    "mm_modality_mix" -> mmModalityMix,
     "mm_meta" -> mmMeta,
     "mm_framesample" -> mmFramesample,
     "mm_chunk" -> mmChunk,
@@ -185,6 +254,8 @@ object Multimodal {
   /** mm_decode_stub intentionally omitted → rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "mm_dedup" -> mmDedupSql,
+    "mm_shard_balance" -> mmShardBalanceSql,
+    "mm_modality_mix" -> mmModalityMixSql,
     "mm_meta" -> mmMetaSql,
     "mm_framesample" -> mmFramesampleSql,
     "mm_chunk" -> mmChunkSql,

@@ -1027,6 +1027,25 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     rows.map(_.getAs[Long]("n_new_users")).sum shouldBe cums.last
   }
 
+  it should "tie shard balance and modality mix out against the manifest" in {
+    import org.apache.spark.sql.functions._
+    val bal = operators.Multimodal.mmShardBalance(spark, sf).collect()
+    val manifest = operators.Multimodal.mmManifest(spark, sf)
+      .groupBy("shard").agg(count(lit(1)).as("n"), sum("n_bytes").as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    bal.foreach { r =>
+      val (n, b) = manifest(r.getAs[Long]("shard"))
+      r.getAs[Long]("n_records") shouldBe n
+      r.getAs[Long]("shard_bytes") shouldBe b
+      r.getAs[Double]("balance_ratio") should be > 0.0
+    }
+    // mean of balance ratios ≈ 1 by construction
+    (bal.map(_.getAs[Double]("balance_ratio")).sum / bal.length) shouldBe 1.0 +- 0.01
+    val mix = operators.Multimodal.mmModalityMix(spark, sf).collect()
+    mix.map(_.getAs[Double]("byte_share")).sum shouldBe 1.0 +- 1e-4
+    mix.map(_.getAs[Long]("n_records")).sum shouldBe Tables.documents(spark, sf).count()
+  }
+
   it should "partition every user into one RFM segment with scores in 1..5" in {
     import org.apache.spark.sql.functions._
     val rows = operators.EventValue.evRfm(spark, sf).collect()
