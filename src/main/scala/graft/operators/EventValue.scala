@@ -290,7 +290,86 @@ object EventValue {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cumulative
       |FROM nd ORDER BY day_start""".stripMargin
 
+  /** Pairwise time-series similarity across the event types: Pearson
+    * correlation of the DENSIFIED hourly count series (zero hours are
+    * observations — the ev_trend/ev_forecast lesson) for every type
+    * pair, from exact integer power sums (the q_regr closed form), with
+    * a mirrored zero-variance guard. The distributed-similarity-search
+    * shape the streaming-similarity literature targets (EDBT'19/SIGMOD
+    * '20 retrieved set): align series on the time key, reduce each pair
+    * to five exact sums, never materialize the series driver-side.
+    * Scale: the hour-keyed self-join fans out |types|² per hour bucket —
+    * for thousands of series swap the all-pairs for the sign-LSH
+    * bucketing the ANN suite uses; the per-pair sum reduction is
+    * unchanged. */
+  def evTsSimilarity: Q = (s, d) => {
+    val hourCounts = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"), col("event_type"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val bounds = hourCounts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val dense = hourCounts.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hourCounts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val paired = dense.select(col("event_type").as("type_a"), col("h"), col("cnt").as("ca"))
+      .join(dense.select(col("event_type").as("type_b"), col("h"), col("cnt").as("cb")), "h")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("ca"))).as("sa"), sum(dec(col("cb"))).as("sb"),
+        sum(dec(col("ca") * col("ca"))).as("saa"),
+        sum(dec(col("cb") * col("cb"))).as("sbb"),
+        sum(dec(col("ca") * col("cb"))).as("sab"))
+      .select(col("type_a"), col("type_b"), col("n"),
+        col("n").cast("double").as("nd"),
+        col("sa").cast("double").as("sa"), col("sb").cast("double").as("sb"),
+        col("saa").cast("double").as("saa"), col("sbb").cast("double").as("sbb"),
+        col("sab").cast("double").as("sab"))
+    paired.select(col("type_a"), col("type_b"), col("n"),
+        when(
+          (col("nd") * col("saa") - col("sa") * col("sa")) > 0 &&
+            (col("nd") * col("sbb") - col("sb") * col("sb")) > 0,
+          Exact.floorRound(
+            (col("nd") * col("sab") - col("sa") * col("sb"))
+              / (sqrt(col("nd") * col("saa") - col("sa") * col("sa"))
+                * sqrt(col("nd") * col("sbb") - col("sb") * col("sb"))), 6))
+          .as("corr"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val evTsSimilaritySql: String =
+    s"""WITH hc AS (
+       |  SELECT event_type, epoch_us(ts::TIMESTAMP) // 3600000000 AS h, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hc),
+       |dense AS (
+       |  SELECT t.event_type, s.h, coalesce(hc.cnt, 0) AS cnt
+       |  FROM (SELECT DISTINCT event_type FROM hc) t
+       |  CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) s
+       |  LEFT JOIN hc ON hc.event_type = t.event_type AND hc.h = s.h),
+       |pairsum AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n,
+       |    sum(CAST(a.cnt AS HUGEINT)) AS sa, sum(CAST(b.cnt AS HUGEINT)) AS sb,
+       |    sum(CAST(a.cnt * a.cnt AS HUGEINT)) AS saa,
+       |    sum(CAST(b.cnt * b.cnt AS HUGEINT)) AS sbb,
+       |    sum(CAST(a.cnt * b.cnt AS HUGEINT)) AS sab
+       |  FROM dense a JOIN dense b ON a.h = b.h AND a.event_type < b.event_type
+       |  GROUP BY 1, 2),
+       |dd AS (
+       |  SELECT type_a, type_b, n, n::DOUBLE AS nd, sa::DOUBLE AS sa, sb::DOUBLE AS sb,
+       |    saa::DOUBLE AS saa, sbb::DOUBLE AS sbb, sab::DOUBLE AS sab
+       |  FROM pairsum)
+       |SELECT type_a, type_b, n,
+       |  CASE WHEN (nd * saa - sa * sa) > 0 AND (nd * sbb - sb * sb) > 0
+       |    THEN ${Exact.floorRoundSql("(nd * sab - sa * sb) / (sqrt(nd * saa - sa * sa) * sqrt(nd * sbb - sb * sb))", 6)}
+       |  END AS corr
+       |FROM dd ORDER BY type_a, type_b""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ev_ts_similarity" -> evTsSimilarity,
     "ev_attribution" -> evAttribution,
     "ev_concurrency" -> evConcurrency,
     "ev_cumulative_users" -> evCumulativeUsers,
@@ -298,6 +377,7 @@ object EventValue {
     "ev_rfm" -> evRfm)
 
   def oracleSql: Map[String, String] = Map(
+    "ev_ts_similarity" -> evTsSimilaritySql,
     "ev_attribution" -> evAttributionSql,
     "ev_concurrency" -> evConcurrencySql,
     "ev_cumulative_users" -> evCumulativeUsersSql,

@@ -1046,6 +1046,31 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     mix.map(_.getAs[Long]("n_records")).sum shouldBe Tables.documents(spark, sf).count()
   }
 
+  it should "agree with a driver-side Pearson computation in ev_ts_similarity" in {
+    import org.apache.spark.sql.functions._
+    val counts = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"), col("event_type"))
+      .groupBy("event_type", "h").count().collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).toMap).toMap
+    val hs = counts.values.flatMap(_.keys)
+    val (h0, h1) = (hs.min, hs.max)
+    def series(t: String): Seq[Double] =
+      (h0 to h1).map(h => counts(t).getOrElse(h, 0L).toDouble)
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size.toDouble
+      val (sa, sb) = (a.sum, b.sum)
+      val saa = a.map(x => x * x).sum; val sbb = b.map(x => x * x).sum
+      val sab = a.zip(b).map { case (x, y) => x * y }.sum
+      (n * sab - sa * sb) / (math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb))
+    }
+    operators.EventValue.evTsSimilarity(spark, sf).collect().foreach { r =>
+      val expected = pearson(series(r.getAs[String]("type_a")), series(r.getAs[String]("type_b")))
+      r.getAs[Double]("corr") shouldBe expected +- 1e-5
+      r.getAs[Long]("n") shouldBe (h1 - h0 + 1)
+    }
+  }
+
   it should "partition every user into one RFM segment with scores in 1..5" in {
     import org.apache.spark.sql.functions._
     val rows = operators.EventValue.evRfm(spark, sf).collect()
