@@ -302,6 +302,11 @@ object Dedup {
         size(col("tk")).cast("long").as("n_a"), size(col("b_tk")).cast("long").as("n_b"),
         size(array_intersect(col("tk"), col("b_tk"))).cast("long").as("n_common"),
         size(array_union(col("tk"), col("b_tk"))).cast("long").as("n_union"))
+      // an empty token set has no definable Jaccard/containment — a
+      // whitespace-only doc would divide by zero under ANSI
+      // (DirtyTextSpec); mirrored in both oracle SQLs, vacuous on any
+      // corpus whose docs tokenize non-empty
+      .filter(col("n_a") > 0 && col("n_b") > 0)
   }
 
   /** Exact n-gram (token-set) Jaccard on candidate pairs — here adjacent
@@ -322,6 +327,7 @@ object Dedup {
       |  floor(len(list_intersect(a.tk, b.tk)) /
       |        len(list_distinct(list_concat(a.tk, b.tk))) * 1e4 + 0.5) / 1e4 AS jaccard
       |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      |WHERE len(a.tk) > 0 AND len(b.tk) > 0
       |ORDER BY doc_a""".stripMargin
 
   /** Directional n-gram containment on the candidate pairs: |A∩B|/|A|
@@ -349,6 +355,7 @@ object Dedup {
       |  floor(len(list_intersect(a.tk, b.tk)) / len(a.tk) * 1e4 + 0.5) / 1e4 AS containment_a,
       |  floor(len(list_intersect(a.tk, b.tk)) / len(b.tk) * 1e4 + 0.5) / 1e4 AS containment_b
       |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      |WHERE len(a.tk) > 0 AND len(b.tk) > 0
       |ORDER BY doc_a""".stripMargin
 
   /** Exact-substring duplicate detection via winnowing (the MOSS

@@ -193,11 +193,12 @@ object Pipeline {
     * on source — both scale-safe. */
   def pipeInterleave: Q = (s, d) => {
     // identical parse on both engines: 10-char bounded substring and
-    // NULL (not error) on a non-numeric source id — Spark's cast and the
-    // oracle's TRY_CAST agree; unparseable sources are excluded by
-    // contract (NULL ordering differs between engines, so letting them
-    // through would diverge inside the LIMIT)
-    val wgt = (expr("cast(substring(source, 4, 10) as int)") % 3 + 1).cast("double")
+    // NULL (not error) on a non-numeric source id — Spark's try_cast and
+    // the oracle's TRY_CAST agree (a plain cast THROWS under ANSI on a
+    // source name with no digits — DirtyTextSpec); unparseable sources
+    // are excluded by contract (NULL ordering differs between engines,
+    // so letting them through would diverge inside the LIMIT)
+    val wgt = (expr("try_cast(substring(source, 4, 10) as int)") % 3 + 1).cast("double")
     val rn = row_number().over(
       Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("double")
     Tables.documents(s, d)

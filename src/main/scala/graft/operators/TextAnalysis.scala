@@ -23,8 +23,11 @@ object TextAnalysis {
         size(tk).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"),
         octet_length(col("text")).cast("long").as("n_bytes"),
-        round(aggregate(transform(tk, t => length(t)), lit(0), (a, x) => a + x) /
-          size(tk), 4).as("avg_tok_len"))
+        // zero-token guard (whitespace-only doc): mirrors the oracle's
+        // CASE len(tk) = 0; an int 0/0 throws under ANSI (DirtyTextSpec)
+        when(size(tk) > 0,
+          round(aggregate(transform(tk, t => length(t)), lit(0), (a, x) => a + x) /
+            size(tk), 4)).as("avg_tok_len"))
       .orderBy(col("doc_id"))
   }
 
@@ -50,11 +53,16 @@ object TextAnalysis {
     val stops = size(array_intersect(array_distinct(tk),
       array(stopwords.map(lit): _*)))
     Tables.documents(s, d)
+      // zero-denominator guards (empty / whitespace-only docs): int 0/0
+      // throws under ANSI; null ratios fail the is_quality gate exactly
+      // as a degenerate doc should (DirtyTextSpec)
       .select(col("doc_id"), size(tk).cast("long").as("n_tokens"),
-        round(punct / nChars, 4).as("punct_ratio"),
-        round(stops / size(array_distinct(tk)), 4).as("stop_ratio"),
-        round(aggregate(transform(tk, t => length(t)), lit(0), (a, x) => a + x) /
-          size(tk), 4).as("mean_tok_len"))
+        when(nChars > 0, round(punct / nChars, 4)).as("punct_ratio"),
+        when(size(array_distinct(tk)) > 0,
+          round(stops / size(array_distinct(tk)), 4)).as("stop_ratio"),
+        when(size(tk) > 0,
+          round(aggregate(transform(tk, t => length(t)), lit(0), (a, x) => a + x) /
+            size(tk), 4)).as("mean_tok_len"))
       .withColumn("is_quality",
         col("n_tokens").between(20, 1000) && col("punct_ratio") < 0.1 &&
           col("stop_ratio") > 0.01 && col("mean_tok_len").between(2.0, 12.0))
@@ -69,7 +77,7 @@ object TextAnalysis {
        |m AS (SELECT doc_id, len(tk) AS n_tokens,
        |    -- empty-token guards: DuckDB's list_reduce ERRORS on an empty
        |    -- list where Spark's aggregate/size yields NULL; mirror Spark
-       |    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / length(text), 4) AS punct_ratio,
+       |    CASE WHEN length(text) = 0 THEN NULL ELSE round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / length(text), 4) END AS punct_ratio,
        |    round(len(list_intersect(list_distinct(tk), $stopList)) / nullif(len(list_distinct(tk)), 0), 4) AS stop_ratio,
        |    CASE WHEN len(tk) = 0 THEN NULL ELSE
        |      round(list_reduce(list_transform(tk, x -> length(x)), (a, b) -> a + b) / len(tk), 4)
@@ -153,7 +161,9 @@ object TextAnalysis {
       .select(col("doc_id"), toks.as("bt"))
       .select(col("doc_id"), size(col("bt")).cast("long").as("n_bpe_tokens"),
         size(array_distinct(col("bt"))).cast("long").as("n_unique"),
-        round(size(array_distinct(col("bt"))) / size(col("bt")), 4).as("unique_ratio"))
+        // empty doc ⇒ zero pieces: null ratio, not an ANSI 0/0 throw
+        when(size(col("bt")) > 0,
+          round(size(array_distinct(col("bt"))) / size(col("bt")), 4)).as("unique_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -162,7 +172,7 @@ object TextAnalysis {
       |    regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]') AS bt
       |  FROM documents)
       |SELECT doc_id, len(bt) AS n_bpe_tokens, len(list_distinct(bt)) AS n_unique,
-      |  round(len(list_distinct(bt)) / len(bt), 4) AS unique_ratio
+      |  CASE WHEN len(bt) = 0 THEN NULL ELSE round(len(list_distinct(bt)) / len(bt), 4) END AS unique_ratio
       |FROM t ORDER BY doc_id""".stripMargin
 
   /** Corpus n-gram statistics: top-5 word bigrams per language by count.
