@@ -1140,7 +1140,62 @@ object Dedup {
        |JOIN documents db ON db.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Staged-dedup attrition report — the one-row "dedup datacard" a
+    * curation run publishes: corpus size, then survivors after each
+    * stage of the standard cascade (exact hash → normalized hash →
+    * near-dup connected-component representatives), with per-stage and
+    * cumulative drop rates. Composes the SAME definitions the individual
+    * operators use (md5 content hash = dd_exact, normText = dd_exact_norm,
+    * LSH clusters = dd_dup_groups), so the report can never disagree
+    * with its stages. Scale: one corpus aggregate (three distinct counts
+    * share one pass) + the dup-groups pipeline; everything else is
+    * one-row math. */
+  def ddCascade: Q = (s, d) => {
+    val base = Tables.documents(s, d).agg(
+      count(lit(1)).as("n_raw"),
+      countDistinct(md5s(col("text"))).as("n_exact"),
+      countDistinct(md5s(graft.functions.TextFns.normText(col("text")))).as("n_norm"))
+    val reps = ddDupGroups(s, d)
+      .agg(countDistinct(col("cluster_rep")).as("n_neardup"))
+    base.crossJoin(reps)
+      .select(col("n_raw"), col("n_exact"), col("n_norm"), col("n_neardup"),
+        Exact.floorRound(
+          (col("n_raw") - col("n_exact")).cast("double") / col("n_raw"), 4)
+          .as("exact_drop_rate"),
+        Exact.floorRound(
+          (col("n_exact") - col("n_norm")).cast("double") / col("n_raw"), 4)
+          .as("norm_drop_rate"),
+        Exact.floorRound(
+          (col("n_raw") - col("n_neardup")).cast("double") / col("n_raw"), 4)
+          .as("total_drop_rate"))
+  }
+
+  val ddCascadeSql: String =
+    s"""WITH RECURSIVE $minhashCte,
+       |$lshPairsCte,
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT doc_a, doc_a FROM edges
+       |  UNION
+       |  SELECT e.doc_a, reach.r FROM reach JOIN edges e ON e.doc_b = reach.id),
+       |clustered AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id),
+       |reps AS (
+       |  SELECT count(DISTINCT coalesce(c.cluster_rep, d.doc_id)) AS n_neardup
+       |  FROM documents d LEFT JOIN clustered c ON c.doc_id = d.doc_id),
+       |base AS (
+       |  SELECT count(*) AS n_raw, count(DISTINCT md5(text)) AS n_exact,
+       |    count(DISTINCT md5(${graft.functions.TextFns.normTextSql("text")})) AS n_norm
+       |  FROM documents)
+       |SELECT n_raw, n_exact, n_norm, n_neardup,
+       |  ${Exact.floorRoundSql("(n_raw - n_exact)::DOUBLE / n_raw", 4)} AS exact_drop_rate,
+       |  ${Exact.floorRoundSql("(n_exact - n_norm)::DOUBLE / n_raw", 4)} AS norm_drop_rate,
+       |  ${Exact.floorRoundSql("(n_raw - n_neardup)::DOUBLE / n_raw", 4)} AS total_drop_rate
+       |FROM base CROSS JOIN reps""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "dd_cascade" -> ddCascade,
     "dd_edit_pairs" -> ddEditPairs,
     "dd_ppjoin" -> ddPpjoin,
     "dd_lsh_recall" -> ddLshRecall,
@@ -1164,6 +1219,7 @@ object Dedup {
     "dd_embed_cos" -> ddEmbedCos)
 
   def oracleSql: Map[String, String] = Map(
+    "dd_cascade" -> ddCascadeSql,
     "dd_edit_pairs" -> ddEditPairsSql,
     "dd_ppjoin" -> ddPpjoinSql,
     "dd_lsh_recall" -> ddLshRecallSql,

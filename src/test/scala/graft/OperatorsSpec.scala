@@ -1071,6 +1071,21 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "tie the dedup cascade out against its own stages" in {
+    val r = operators.Dedup.ddCascade(spark, sf).collect()(0)
+    val (nRaw, nExact, nNorm, nNear) = (r.getAs[Long]("n_raw"), r.getAs[Long]("n_exact"),
+      r.getAs[Long]("n_norm"), r.getAs[Long]("n_neardup"))
+    nRaw shouldBe Tables.documents(spark, sf).count()
+    nExact shouldBe operators.Dedup.ddExact(spark, sf).count()
+    nNorm shouldBe operators.Dedup.ddExactNorm(spark, sf).count()
+    nNear shouldBe operators.Dedup.ddDupGroups(spark, sf)
+      .select("cluster_rep").distinct().count()
+    // the cascade only ever shrinks: raw ≥ exact ≥ norm; near-dup ≤ exact
+    nRaw should be >= nExact
+    nExact should be >= nNorm
+    nNear should be <= nExact
+  }
+
   it should "partition every user into one RFM segment with scores in 1..5" in {
     import org.apache.spark.sql.functions._
     val rows = operators.EventValue.evRfm(spark, sf).collect()
