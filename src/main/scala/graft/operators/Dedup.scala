@@ -1158,6 +1158,10 @@ object Dedup {
     val reps = ddDupGroups(s, d)
       .agg(countDistinct(col("cluster_rep")).as("n_neardup"))
     base.crossJoin(reps)
+      // empty corpus: a global agg still emits one n_raw = 0 row and the
+      // drop-rate quotients would divide by zero under ANSI — an empty
+      // corpus reports no rows (the ev_session_stats discipline)
+      .filter(col("n_raw") > 0)
       .select(col("n_raw"), col("n_exact"), col("n_norm"), col("n_neardup"),
         Exact.floorRound(
           (col("n_raw") - col("n_exact")).cast("double") / col("n_raw"), 4)
@@ -1192,7 +1196,7 @@ object Dedup {
        |  ${Exact.floorRoundSql("(n_raw - n_exact)::DOUBLE / n_raw", 4)} AS exact_drop_rate,
        |  ${Exact.floorRoundSql("(n_exact - n_norm)::DOUBLE / n_raw", 4)} AS norm_drop_rate,
        |  ${Exact.floorRoundSql("(n_raw - n_neardup)::DOUBLE / n_raw", 4)} AS total_drop_rate
-       |FROM base CROSS JOIN reps""".stripMargin
+       |FROM base CROSS JOIN reps WHERE n_raw > 0""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "dd_cascade" -> ddCascade,
