@@ -948,4 +948,38 @@ object Transforms {
           out.result().iterator
       }
   }
+
+  case class NewUserHit(user_id: Long, event_id: Long, day: Long)
+
+  /** First-seen detector — the streaming half of `ev_cumulative_users`:
+    * per-user keyed state is ONE boolean-shaped long (the first-seen
+    * day); a user's FIRST event emits a NewUserHit, everything after is
+    * silent. Downstream, growth curves are a plain per-day count over
+    * this (tiny) hit stream — the same first-seen trick that makes the
+    * batch running COUNT(DISTINCT) distributable makes the streaming
+    * state O(1) per user. Within a batch, events fold in (event-time,
+    * event_id) order so the credited first event is deterministic;
+    * cross-batch, first-delivery-wins (the only online option). Parity:
+    * per-day hit counts equal the batch operator's n_new_users on
+    * in-order delivery (spec-pinned). */
+  def newUserEvents(spark: SparkSession, events: DataFrame): Dataset[NewUserHit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .selectExpr("user_id", "ts", "event_id")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, NewUserHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(r => (us(r._2), r._3))
+            val day = us(first._2) / 86400000000L
+            state.update(day)
+            Iterator.single(NewUserHit(user, first._3, day))
+          }
+      }
+  }
 }

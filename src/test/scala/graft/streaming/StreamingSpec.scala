@@ -1390,6 +1390,43 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     streamed shouldBe batch
   }
 
+  behavior of "Transforms.newUserEvents"
+
+  it should "emit each user's first event once, in parity with the batch growth curve" in {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp()
+    graft.Tables.events(spark, sf).orderBy(col("ts"), col("event_id"))
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val q = Transforms.newUserEvents(spark, EventSource.fileStream(spark, src, 64))
+      .writeStream.format("memory").queryName("newusers").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val hits = spark.table("newusers").collect()
+    // exactly one hit per distinct user
+    hits.map(_.getLong(0)).distinct.length shouldBe hits.length
+    hits.length.toLong shouldBe graft.Tables.events(spark, sf)
+      .select(countDistinct("user_id")).collect()(0).getLong(0)
+    // per-day counts match the batch operator
+    val streamed = hits.groupBy(_.getLong(2)).view.mapValues(_.length.toLong).toMap
+    graft.operators.EventValue.evCumulativeUsers(spark, sf).collect().foreach { r =>
+      val day = r.getTimestamp(0).toInstant.getEpochSecond / 86400
+      streamed.getOrElse(day, 0L) shouldBe r.getAs[Long]("n_new_users")
+    }
+  }
+
+  it should "stay silent for a user already seen in an earlier batch" in {
+    val (ms, df) = eventsStream(Seq(Ev(0, ts(1), 1, "view", 1.0, "{}")))
+    val q = Transforms.newUserEvents(spark, df)
+      .writeStream.format("memory").queryName("newusers_roll").outputMode("append").start()
+    q.processAllAvailable()
+    spark.table("newusers_roll").count() shouldBe 1
+    ms.addData(Ev(1, ts(2), 1, "click", 1.0, "{}"), Ev(2, ts(3), 2, "view", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    // user 1 stays silent; user 2 emits its first
+    spark.table("newusers_roll").collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((1L, 0L), (2L, 2L))
+  }
+
   it should "expire a touch outside the attribution window and carry one inside it" in {
     val (ms, df) = eventsStream(Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")))
     // tight 30-minute window so the second purchase falls outside it
