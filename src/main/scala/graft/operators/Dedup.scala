@@ -1147,22 +1147,32 @@ object Dedup {
     * cumulative drop rates. Composes the SAME definitions the individual
     * operators use (md5 content hash = dd_exact, normText = dd_exact_norm,
     * LSH clusters = dd_dup_groups), so the report can never disagree
-    * with its stages. Scale: one corpus aggregate (three distinct counts
-    * share one pass) + the dup-groups pipeline; everything else is
-    * one-row math. */
+    * with its stages; null-text docs are reported as `n_null` and
+    * excluded from the stages (no content ⇒ not dedupable — quarantine
+    * input). Scale: one corpus aggregate (three distinct counts share
+    * one pass) + the dup-groups pipeline; everything else is one-row
+    * math. */
   def ddCascade: Q = (s, d) => {
+    // NULL-text docs are counted separately (n_null) and excluded from
+    // every stage: countDistinct skips nulls, so leaving them in would
+    // report them dropped by the exact stage yet surviving the near-dup
+    // stage (no shingles ⇒ singleton reps) — survivors would GROW through
+    // the cascade. A doc with no content is not dedupable; it is
+    // quarantine input, not cascade input.
     val base = Tables.documents(s, d).agg(
-      count(lit(1)).as("n_raw"),
+      count(when(col("text").isNotNull, lit(1))).as("n_raw"),
+      count(when(col("text").isNull, lit(1))).as("n_null"),
       countDistinct(md5s(col("text"))).as("n_exact"),
       countDistinct(md5s(graft.functions.TextFns.normText(col("text")))).as("n_norm"))
     val reps = ddDupGroups(s, d)
+      .join(Tables.documents(s, d).filter(col("text").isNotNull).select("doc_id"), "doc_id")
       .agg(countDistinct(col("cluster_rep")).as("n_neardup"))
     base.crossJoin(reps)
       // empty corpus: a global agg still emits one n_raw = 0 row and the
       // drop-rate quotients would divide by zero under ANSI — an empty
       // corpus reports no rows (the ev_session_stats discipline)
       .filter(col("n_raw") > 0)
-      .select(col("n_raw"), col("n_exact"), col("n_norm"), col("n_neardup"),
+      .select(col("n_raw"), col("n_null"), col("n_exact"), col("n_norm"), col("n_neardup"),
         Exact.floorRound(
           (col("n_raw") - col("n_exact")).cast("double") / col("n_raw"), 4)
           .as("exact_drop_rate"),
@@ -1187,12 +1197,15 @@ object Dedup {
        |clustered AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id),
        |reps AS (
        |  SELECT count(DISTINCT coalesce(c.cluster_rep, d.doc_id)) AS n_neardup
-       |  FROM documents d LEFT JOIN clustered c ON c.doc_id = d.doc_id),
+       |  FROM documents d LEFT JOIN clustered c ON c.doc_id = d.doc_id
+       |  WHERE d.text IS NOT NULL),
        |base AS (
-       |  SELECT count(*) AS n_raw, count(DISTINCT md5(text)) AS n_exact,
+       |  SELECT count(CASE WHEN text IS NOT NULL THEN 1 END) AS n_raw,
+       |    count(CASE WHEN text IS NULL THEN 1 END) AS n_null,
+       |    count(DISTINCT md5(text)) AS n_exact,
        |    count(DISTINCT md5(${graft.functions.TextFns.normTextSql("text")})) AS n_norm
        |  FROM documents)
-       |SELECT n_raw, n_exact, n_norm, n_neardup,
+       |SELECT n_raw, n_null, n_exact, n_norm, n_neardup,
        |  ${Exact.floorRoundSql("(n_raw - n_exact)::DOUBLE / n_raw", 4)} AS exact_drop_rate,
        |  ${Exact.floorRoundSql("(n_exact - n_norm)::DOUBLE / n_raw", 4)} AS norm_drop_rate,
        |  ${Exact.floorRoundSql("(n_raw - n_neardup)::DOUBLE / n_raw", 4)} AS total_drop_rate

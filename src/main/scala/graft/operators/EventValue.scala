@@ -318,11 +318,15 @@ object EventValue {
       .join(dense.select(col("event_type").as("type_b"), col("h"), col("cnt").as("cb")), "h")
       .filter(col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"))
+      // cast to decimal BEFORE the products: a long×long product of two
+      // ≥3e9 hourly counts overflows BIGINT before an after-the-fact cast
+      // could save it (ANSI throw / silent wrap) — exactly the corpus
+      // size this operator's scale note targets
       .agg(count(lit(1)).as("n"),
         sum(dec(col("ca"))).as("sa"), sum(dec(col("cb"))).as("sb"),
-        sum(dec(col("ca") * col("ca"))).as("saa"),
-        sum(dec(col("cb") * col("cb"))).as("sbb"),
-        sum(dec(col("ca") * col("cb"))).as("sab"))
+        sum(dec(col("ca")) * dec(col("ca"))).as("saa"),
+        sum(dec(col("cb")) * dec(col("cb"))).as("sbb"),
+        sum(dec(col("ca")) * dec(col("cb"))).as("sab"))
       .select(col("type_a"), col("type_b"), col("n"),
         col("n").cast("double").as("nd"),
         col("sa").cast("double").as("sa"), col("sb").cast("double").as("sb"),
@@ -353,9 +357,9 @@ object EventValue {
        |pairsum AS (
        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n,
        |    sum(CAST(a.cnt AS HUGEINT)) AS sa, sum(CAST(b.cnt AS HUGEINT)) AS sb,
-       |    sum(CAST(a.cnt * a.cnt AS HUGEINT)) AS saa,
-       |    sum(CAST(b.cnt * b.cnt AS HUGEINT)) AS sbb,
-       |    sum(CAST(a.cnt * b.cnt AS HUGEINT)) AS sab
+       |    sum(CAST(a.cnt AS HUGEINT) * CAST(a.cnt AS HUGEINT)) AS saa,
+       |    sum(CAST(b.cnt AS HUGEINT) * CAST(b.cnt AS HUGEINT)) AS sbb,
+       |    sum(CAST(a.cnt AS HUGEINT) * CAST(b.cnt AS HUGEINT)) AS sab
        |  FROM dense a JOIN dense b ON a.h = b.h AND a.event_type < b.event_type
        |  GROUP BY 1, 2),
        |dd AS (

@@ -17,6 +17,14 @@ object Multimodal {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** doc_id → modality tag — ONE definition (Scala + SQL twins) shared by
+    * mm_meta / mm_dedup / mm_modality_mix: an edit to a single copy would
+    * silently desynchronize the modality lanes across the reports. */
+  private[operators] def formatOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(id, lit(3)) + 1).cast("int"))
+  private[operators] val FormatSql = "(['image', 'audio', 'video'])[(doc_id % 3) + 1]"
+
   /** Binary payload + typed metadata: byte length, checksum, format tag.
     * (Payload is the utf-8 text here; at 100 TB it is the media blob and
     * this plan is unchanged — metadata extraction never decodes.) */
@@ -26,8 +34,7 @@ object Multimodal {
       .select(col("doc_id"),
         octet_length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("payload_md5"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"))
+        formatOf(col("doc_id")).as("format"))
       .orderBy(col("doc_id"))
 
   val mmMetaSql: String =
@@ -89,13 +96,15 @@ object Multimodal {
       |ORDER BY shard, rec_idx""".stripMargin
 
   /** Shard-balance report over the [[mmManifest]] sharding: per-shard
-    * record and byte totals plus the global imbalance ratio (max shard
-    * bytes ÷ mean, fixed-point via integer cross-multiplication-free
-    * floorRound on exact longs). THE operational check before a training
-    * run reads the shards — a 2× heavy shard is a 2× slower epoch, and
-    * dataloader stalls show up here first. One scan, ≤|shards| rows, the
-    * mean as a frame window over the shard aggregate (no second pass —
-    * the pipe_datacard discipline). */
+    * record and byte totals plus EACH SHARD's ratio to the mean shard
+    * size (a balanced layout reads ~1.0 everywhere; the downstream alert
+    * takes the max). THE operational check before a training run reads
+    * the shards — a 2× heavy shard is a 2× slower epoch, and dataloader
+    * stalls show up here first. One scan, ≤|shards| rows, the mean as a
+    * frame window over the shard aggregate (no second pass — the
+    * pipe_datacard discipline); the double quotient is guarded against a
+    * zero byte total (all-empty payloads: Spark's floor(NaN) and
+    * DuckDB's disagree). */
   def mmShardBalance: Q = (s, d) => {
     val shard = hashBucket("shard|", col("doc_id"), 4, 8)
     val totW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -107,8 +116,8 @@ object Multimodal {
       .withColumn("total_bytes", sum(col("shard_bytes")).over(totW))
       .withColumn("n_shards", count(lit(1)).over(totW))
       .select(col("shard"), col("n_records"), col("shard_bytes"),
-        Exact.floorRound(
-          col("shard_bytes").cast("double") * col("n_shards") / col("total_bytes"), 4)
+        when(col("total_bytes") > 0, Exact.floorRound(
+          col("shard_bytes").cast("double") * col("n_shards") / col("total_bytes"), 4))
           .as("balance_ratio"))
       .orderBy(col("shard"))
   }
@@ -121,7 +130,9 @@ object Multimodal {
        |sh AS (SELECT shard, count(*) AS n_records, CAST(sum(n_bytes) AS BIGINT) AS shard_bytes
        |  FROM m GROUP BY 1)
        |SELECT shard, n_records, shard_bytes,
-       |  ${Exact.floorRoundSql("shard_bytes::DOUBLE * (SELECT count(*) FROM sh) / (SELECT CAST(sum(shard_bytes) AS BIGINT) FROM sh)", 4)} AS balance_ratio
+       |  CASE WHEN (SELECT sum(shard_bytes) FROM sh) > 0 THEN
+       |    ${Exact.floorRoundSql("shard_bytes::DOUBLE * (SELECT count(*) FROM sh) / (SELECT CAST(sum(shard_bytes) AS BIGINT) FROM sh)", 4)}
+       |  END AS balance_ratio
        |FROM sh ORDER BY shard""".stripMargin
 
   /** Modality-mix report: per format (image/audio/video), record count,
@@ -132,14 +143,16 @@ object Multimodal {
   def mmModalityMix: Q = (s, d) => {
     val totW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.documents(s, d)
-      .select(element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+      .select(formatOf(col("doc_id")).as("format"),
         octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n_records"), sum(col("n_bytes")).as("format_bytes"))
       .withColumn("total_bytes", sum(col("format_bytes")).over(totW))
       .select(col("format"), col("n_records"), col("format_bytes"),
-        Exact.floorRound(col("format_bytes").cast("double") / col("total_bytes"), 6)
+        // zero-total guard: all-empty payloads must not hash-diverge on
+        // the engines' floor(NaN) disagreement
+        when(col("total_bytes") > 0,
+          Exact.floorRound(col("format_bytes").cast("double") / col("total_bytes"), 6))
           .as("byte_share"))
       .orderBy(col("format"))
   }
@@ -152,7 +165,9 @@ object Multimodal {
        |f AS (SELECT format, count(*) AS n_records, CAST(sum(n_bytes) AS BIGINT) AS format_bytes
        |  FROM m GROUP BY 1)
        |SELECT format, n_records, format_bytes,
-       |  ${Exact.floorRoundSql("format_bytes::DOUBLE / (SELECT CAST(sum(format_bytes) AS BIGINT) FROM f)", 6)} AS byte_share
+       |  CASE WHEN (SELECT sum(format_bytes) FROM f) > 0 THEN
+       |    ${Exact.floorRoundSql("format_bytes::DOUBLE / (SELECT CAST(sum(format_bytes) AS BIGINT) FROM f)", 6)}
+       |  END AS byte_share
        |FROM f ORDER BY format""".stripMargin
 
   /** Decode stub (rows-only check, no SQL oracle): partition-parallel
@@ -220,8 +235,7 @@ object Multimodal {
   def mmDedup: Q = (s, d) =>
     Tables.documents(s, d)
       .withColumn("payload", col("text").cast("binary"))
-      .withColumn("format", element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+      .withColumn("format", formatOf(col("doc_id")))
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n_payloads"),
         countDistinct(md5(col("payload"))).as("n_distinct"))
@@ -260,4 +274,10 @@ object Multimodal {
     "mm_framesample" -> mmFramesampleSql,
     "mm_chunk" -> mmChunkSql,
     "mm_manifest" -> mmManifestSql)
+
+  // compile-time drift guard: every inlined SQL copy of the format
+  // expression must equal FormatSql (checked once at object init)
+  require(Seq(mmMetaSql, mmModalityMixSql, mmDedupSql).forall(_.contains(FormatSql)),
+    "modality format SQL fragment drifted from FormatSql")
+
 }

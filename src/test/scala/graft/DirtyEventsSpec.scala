@@ -41,12 +41,19 @@ class DirtyEventsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .withColumn("user_id", lit(3L))
       .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-06-01 12:00:00"))
         .cast(ev.schema("ts").dataType))
-    // (c) clock-skew outliers: one event 5 years early, one 5 years late
-    val outliers = ev.limit(2).withColumn("event_id", col("event_id") + 200000L)
-      .withColumn("ts",
-        when(col("event_id") % 2 === 0, lit("2019-06-01 00:00:00").cast("timestamp"))
-          .otherwise(lit("2031-06-01 00:00:00").cast("timestamp"))
-          .cast(ev.schema("ts").dataType))
+    // (c) clock-skew outliers: explicitly one 5 years EARLY and one 5
+    // years LATE — direction assigned by construction, not by the parity
+    // of whatever two rows an unordered limit happens to return (both
+    // landing on one side would silently untest positive skew)
+    val early = ev.orderBy(col("event_id")).limit(1)
+      .withColumn("event_id", col("event_id") + 200000L)
+      .withColumn("ts", lit("2019-06-01 00:00:00").cast("timestamp")
+        .cast(ev.schema("ts").dataType))
+    val late = ev.orderBy(col("event_id").desc).limit(1)
+      .withColumn("event_id", col("event_id") + 300000L)
+      .withColumn("ts", lit("2031-06-01 00:00:00").cast("timestamp")
+        .cast(ev.schema("ts").dataType))
+    val outliers = early.unionByName(late)
     ev.unionByName(dups).unionByName(collide).unionByName(outliers)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     Tables.names.filter(_ != "events").foreach { t =>

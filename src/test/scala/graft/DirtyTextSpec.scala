@@ -28,9 +28,15 @@ class DirtyTextSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+  private def writeDocs(rowsIn: Seq[(Long, String, String, String, Long)]): String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dirty").toString
+    // n_chars is DERIVED from the text, never trusted from the caller —
+    // hand-counted literals drifted from the actual code-point counts on
+    // the unicode rows, gating operators against inconsistent metadata
+    val rows = rowsIn.map { case (id, text, lang, src, _) =>
+      (id, text, lang, src, text.codePointCount(0, text.length).toLong)
+    }
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // the other tables ride along untouched (some operators join them)
