@@ -51,7 +51,12 @@ object Bench {
       }
       name -> timed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-dp values: the artifact is a timing report, not a nanosecond log,
+    // and short values keep the full line small enough to survive log
+    // truncation windows as long as possible
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -102,7 +107,55 @@ object Bench {
       System.err.println(s"[bench] stream load FAILED: ${e.getClass.getName}: ${e.getMessage}")
       (-1.0, -1L, -1L)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99}""")
+    // Bloom history-gate rehearsal — the reference's headline metric
+    // (loader rows/s) applied to the 100 TB dedup polarity: build the
+    // history filter over half the document corpus, extend it with a
+    // quarter, read the saturation report (rebuilding if it says to),
+    // then gate the FULL corpus through the loaded filter. Rows/s =
+    // total rows pushed through all stages / wall time. A tiny warm
+    // pass pays the one-time codegen of the bloom agg/probe expressions
+    // so the figure reflects steady state (same discipline as above).
+    val bloomRate = try {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+      val nDocs = docs.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-bloom").toString
+      val path = s"$tmp/history.bloom"
+      val T = streaming.Transforms
+      locally { // warm: full cycle on a 1k-doc slice (codegen + class-load only)
+        val w = docs.limit(1000)
+        T.saveBloom(spark, T.buildBloom(w, 1000L), s"$tmp/warm.bloom")
+        T.extendBloom(spark, s"$tmp/warm.bloom", w, 1000L)
+        T.bloomGate(w, T.loadBloom(spark, s"$tmp/warm.bloom")).count()
+      }
+      val t0 = System.nanoTime()
+      val half = docs.filter(col("doc_id") % 2 === 0)
+      val quarter = docs.filter(col("doc_id") % 4 === 1)
+      T.saveBloom(spark, T.buildBloom(half, math.max(1L, nDocs)), path)
+      T.extendBloom(spark, path, quarter, math.max(1L, nDocs))
+      val sat = T.bloomSaturation(T.loadBloom(spark, path), math.max(1L, nDocs))
+      if (sat.rebuildRecommended) // horizon outgrown: rebuild sized 2×
+        T.saveBloom(spark, T.buildBloom(docs, math.max(1L, 2 * nDocs)), path)
+      T.bloomGate(docs, T.loadBloom(spark, path)).count()
+      val rows = nDocs / 2 + nDocs / 4 + nDocs // built + extended + gated
+      rows / ((System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bloom gate FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      -1.0
+    }
+    val streamFields = s""""failed":$failed,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong}"""
+    // FULL artifact first: every per-query number, for collectors that
+    // keep whole stdout.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$streamFields}""")
+    // COMPACT artifact LAST: the driver's artifact keeps only a ~2000-char
+    // stdout tail, which decapitated the full line (r5 shipped parsed=null
+    // and 66/166 visible queries). The final line carries the headline
+    // numbers plus the slowest 25 queries and always fits the window
+    // whole, so it parses even when only the tail survives.
+    val slow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(25)
+    val qsCompact = slow.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"queries_shown":${slow.size},"queries_run":${results.size},$streamFields}""")
     spark.stop()
   }
 }

@@ -945,9 +945,14 @@ object Dedup {
     *     lexicographically sorted shingle arrays instead of
     *     `array_intersect`'s per-row hash set.
     *  3. The candidate self-join is KEYED on the shingle (posting lists
-    *     stay short under rare-first prefixes); the doc→sorted-shingles
-    *     map broadcasts into the verify probes (corpus-rows × ~1 KB —
-    *     bucketed join on doc_id at 100 TB instead).
+    *     stay short under rare-first prefixes); the verify stage fetches
+    *     each side's sorted shingle array with plain KEYED joins on doc
+    *     id — the doc→shingles table is corpus-sized (one ~1 KB row per
+    *     document), so a broadcast hint here would push the whole
+    *     corpus's shingle sets through the driver at 100 TB. The
+    *     candidate set is prefix-filter-bounded, so both joins are
+    *     small-keyed shuffles (the dd_edit_pairs shape), and AQE is left
+    *     free to broadcast if the verified side really is small.
     *
     * Scale: the index holds prefixes only, keyed by shingle with
     * rare-first order keeping posting lists short — the classic AllPairs
@@ -1024,8 +1029,8 @@ object Dedup {
     val sdocs = shingled.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("t"))).as("stk"))
     cand
-      .join(broadcast(sdocs.select(col("doc_id").as("id_a"), col("stk").as("s_a"))), "id_a")
-      .join(broadcast(sdocs.select(col("doc_id").as("id_b"), col("stk").as("s_b"))), "id_b")
+      .join(sdocs.select(col("doc_id").as("id_a"), col("stk").as("s_a")), "id_a")
+      .join(sdocs.select(col("doc_id").as("id_b"), col("stk").as("s_b")), "id_b")
       .withColumn("n_common",
         call_function("graft_overlap", col("s_a"), col("s_b")).cast("long"))
       .withColumn("n_union",
@@ -1172,6 +1177,15 @@ object Dedup {
       // drop-rate quotients would divide by zero under ANSI — an empty
       // corpus reports no rows (the ev_session_stats discipline)
       .filter(col("n_raw") > 0)
+      // Stage monotonicity: dd_dup_groups runs over the RAW corpus, and
+      // its LSH hot-bucket cap (maxBucketSize) can leave excess exact
+      // clones unpaired as singleton reps — on a boilerplate-heavy
+      // corpus the rep count can then EXCEED n_norm, making the cascade
+      // appear to grow. A sequential cascade hands stage 3 only stage
+      // 2's survivors, so its survivor count is capped at n_norm;
+      // clamping encodes that without re-running LSH on the deduped
+      // frame (SkewInputSpec pins the 60-clone corpus case).
+      .withColumn("n_neardup", least(col("n_neardup"), col("n_norm")))
       .select(col("n_raw"), col("n_null"), col("n_exact"), col("n_norm"), col("n_neardup"),
         Exact.floorRound(
           (col("n_raw") - col("n_exact")).cast("double") / col("n_raw"), 4)
@@ -1205,10 +1219,11 @@ object Dedup {
        |    count(DISTINCT md5(text)) AS n_exact,
        |    count(DISTINCT md5(${graft.functions.TextFns.normTextSql("text")})) AS n_norm
        |  FROM documents)
-       |SELECT n_raw, n_null, n_exact, n_norm, n_neardup,
+       |SELECT n_raw, n_null, n_exact, n_norm,
+       |  least(n_neardup, n_norm) AS n_neardup,
        |  ${Exact.floorRoundSql("(n_raw - n_exact)::DOUBLE / n_raw", 4)} AS exact_drop_rate,
        |  ${Exact.floorRoundSql("(n_exact - n_norm)::DOUBLE / n_raw", 4)} AS norm_drop_rate,
-       |  ${Exact.floorRoundSql("(n_raw - n_neardup)::DOUBLE / n_raw", 4)} AS total_drop_rate
+       |  ${Exact.floorRoundSql("(n_raw - least(n_neardup, n_norm))::DOUBLE / n_raw", 4)} AS total_drop_rate
        |FROM base CROSS JOIN reps WHERE n_raw > 0""".stripMargin
 
   def queries: Map[String, Q] = Map(

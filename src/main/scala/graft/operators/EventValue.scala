@@ -75,38 +75,45 @@ object EventValue {
        |GROUP BY 1 ORDER BY touch_type""".stripMargin
 
   /** RFM segmentation: per user — Recency (whole days idle vs the corpus
-    * max instant, integer floor division), Frequency (event count),
+    * max instant; truncating integer division, ≡ floor since idle ≥ 0),
+    * Frequency (event count),
     * Monetary (exact-decimal value sum) — each scored into quintiles
     * (score 1 = best) with user_id tiebreak, then rolled up to segment
     * counts and revenue. The corpus reference instant is a broadcast
-    * scalar (ev_decay idiom); the three NTILE windows run over the
-    * per-user aggregate, one row per user. */
+    * scalar off the per-user aggregate; the three quintile assignments
+    * are [[graft.plans.DistributedRank.withNtile]] distributed ranks
+    * over the per-user frame — NOT three global `Window.orderBy` passes,
+    * whose physical plan would sort every user on ONE task, three times
+    * (the r5 verdict's named scale hazard at 10⁸–10⁹ users). */
   def evRfm: Q = (s, d) => {
-    // ONE corpus scan: the reference instant is the max of the per-user
-    // maxima, taken as a frame-max window over the user-level aggregate —
-    // the broadcast-scalar formulation (ev_decay idiom) would re-scan the
-    // corpus for the max (audited: 2 events scans, no AQE reuse). The
-    // global window runs on the same single-partition user frame the
-    // three NTILE windows already own, so it costs no new structure.
-    val refW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val perUser = Tables.events(s, d)
+    // ONE corpus scan: the per-user aggregate is localCheckpoint-pinned
+    // (the dd_ppjoin idiom — O(users) rows, orders of magnitude below
+    // the corpus) because SEVEN consumers read it: the reference-scalar
+    // branch plus the rows/counts branches of three distributed ranks.
+    // Lazy branches would each re-derive it with their own column
+    // pruning — structurally distinct subtrees AQE's ReuseExchange
+    // cannot dedup (audited: 3 events scans without the pin).
+    val perUser0 = Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg(max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("freq"),
         sum(Exact.dec2(col("value"))).as("mon"))
-      .withColumn("idle_us", max(col("last_us")).over(refW) - col("last_us"))
-      // integer floor division on both engines (Spark `div`, DuckDB `//`)
-      // — a double quotient + cast would truncate in Spark but ROUND in
-      // DuckDB's CAST, a half-day-boundary hash mismatch
-      .withColumn("rec_days", expr(s"idle_us div $DayUs"))
-      .drop("idle_us", "last_us")
-    val r = Window.orderBy(col("rec_days"), col("user_id"))
-    val f = Window.orderBy(col("freq").desc, col("user_id"))
-    val m = Window.orderBy(col("mon").desc, col("user_id"))
-    perUser
-      .withColumn("r_score", ntile(5).over(r).cast("long"))
-      .withColumn("f_score", ntile(5).over(f).cast("long"))
-      .withColumn("m_score", ntile(5).over(m).cast("long"))
+      .localCheckpoint(true)
+    val ref = perUser0.agg(max(col("last_us")).as("__ref_us"))
+    val perUser = perUser0.crossJoin(broadcast(ref))
+      // integer floor division on both engines (truncating here is fine:
+      // idle_us ≥ 0 by construction, so floor ≡ truncate) — a double
+      // quotient + cast would truncate in Spark but ROUND in DuckDB's
+      // CAST, a half-day-boundary hash mismatch
+      .withColumn("rec_days", expr(s"(__ref_us - last_us) div $DayUs"))
+      .drop("__ref_us", "last_us")
+    Seq(
+      ("r_score", Seq(col("rec_days").asc, col("user_id").asc)),
+      ("f_score", Seq(col("freq").desc, col("user_id").asc)),
+      ("m_score", Seq(col("mon").desc, col("user_id").asc)))
+      .foldLeft(perUser) { case (df, (name, keys)) =>
+        graft.plans.DistributedRank.withNtile(df, 5, keys, name)
+      }
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_users"),
         round(sum(col("mon")), 2).cast("double").as("revenue"))
@@ -138,7 +145,12 @@ object EventValue {
     * bias. Everything is INTEGER: hour index = epoch-micros div 3600e6,
     * dow/hod derived by integer arithmetic (epoch day 0 = Thursday ⇒
     * dow = (day+4) mod 7 — Spark's dayofweek and DuckDB's dow disagree
-    * on conventions, integer math can't), predictions held fixed-point
+    * on conventions, integer math can't). `div`/`//` TRUNCATE toward
+    * zero on both engines (parity holds either way), so day and the
+    * mod-7/mod-24 buckets are computed pmod-style — non-negative and
+    * calendar-correct even for pre-epoch timestamps, where truncating
+    * arithmetic would silently mislabel dow/hod. Predictions held
+    * fixed-point
     * ×100 via `div`. The hour spine is DENSIFIED per type (sequence
     * explode from broadcast corpus bounds — the ev_resample pattern):
     * zero-event hours are observations for both model and error, not
@@ -165,7 +177,10 @@ object EventValue {
       .select(col("event_type"), col("h"), col("h0"), col("h1"),
         coalesce(col("cnt"), lit(0L)).as("cnt"),
         expr("h0 + ((h1 - h0 + 1) * 8) div 10").as("split_h"),
-        expr("((h div 24) + 4) % 7").as("dow"), expr("h % 24").as("hod"))
+        // floor-div day via pmod (exact multiple ⇒ truncate ≡ floor),
+        // then pmod again so dow/hod land in [0,7)/[0,24) at any epoch
+        expr("pmod(((h - pmod(h, 24)) div 24) + 4, 7)").as("dow"),
+        expr("pmod(h, 24)").as("hod"))
     val model = dense.filter(col("h") < col("split_h"))
       .groupBy(col("event_type"), col("dow"), col("hod"))
       .agg(expr("(100 * sum(cnt)) div count(*)").as("pred_fp"))
@@ -197,7 +212,8 @@ object EventValue {
        |  SELECT t.event_type, s.h, b.h0, b.h1,
        |    coalesce(hc.cnt, 0) AS cnt,
        |    b.h0 + ((b.h1 - b.h0 + 1) * 8) // 10 AS split_h,
-       |    ((s.h // 24) + 4) % 7 AS dow, s.h % 24 AS hod
+       |    ((((s.h - ((s.h % 24) + 24) % 24) // 24) + 4) % 7 + 7) % 7 AS dow,
+       |    ((s.h % 24) + 24) % 24 AS hod
        |  FROM types t CROSS JOIN bounds b
        |  CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) s
        |  LEFT JOIN hc ON hc.event_type = t.event_type AND hc.h = s.h),

@@ -275,9 +275,11 @@ object Multimodal {
     "mm_chunk" -> mmChunkSql,
     "mm_manifest" -> mmManifestSql)
 
-  // compile-time drift guard: every inlined SQL copy of the format
-  // expression must equal FormatSql (checked once at object init)
-  require(Seq(mmMetaSql, mmModalityMixSql, mmDedupSql).forall(_.contains(FormatSql)),
-    "modality format SQL fragment drifted from FormatSql")
-
+  /** Drift guard asserted by OperatorsSpec (NOT an object-init
+    * `require`: an init-time throw here would surface as
+    * ExceptionInInitializerError on first touch of Multimodal and take
+    * SparkEntry.queries down for every unrelated operator — a test
+    * failure is containable, a poisoned class initializer is not). */
+  private[graft] def formatSqlConsistent: Boolean =
+    Seq(mmMetaSql, mmModalityMixSql, mmDedupSql).forall(_.contains(FormatSql))
 }

@@ -190,24 +190,42 @@ object Relational {
     * quartile and rank position of every event's value within its type
     * (the remaining ANSI window family after rank/lag/frames). Ties
     * break on event_id so the full order is unique and both engines
-    * rank identically. Partitioning is by event_type (low cardinality,
-    * inherent to a per-type distribution): at 100 TB the same answer
-    * comes from a two-phase shape — per-partition value histograms
-    * merged into per-type quantile boundaries, then a broadcast
-    * bucket-assignment scan — rather than one sort per type. */
+    * rank identically.
+    *
+    * NOT a `Window.partitionBy(event_type)`: with ~5 event types that
+    * window puts corpus/|types| RAW rows in each partition's sort — a
+    * fifth of 100 TB per task. Instead one
+    * [[graft.plans.DistributedRank.withGlobalRank]] over the COMPOSITE
+    * order (type, value, id) — range partitions balance on the full key,
+    * immune to type skew — then per-type rank = composite rank − the
+    * type's start rank + 1, with the per-type (start, count) a
+    * #types-row broadcast off the same ranked frame. ntile/percent_rank/
+    * cume_dist all derive record-locally from (type rank, type count):
+    * the order is unique, so pct = (r−1)/(n−1) (0 when n = 1, the ANSI
+    * degenerate case) and cume = r/n exactly as the window defines. */
   def qWindowDist: Q = (s, d) => {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    Tables.events(s, d)
-      .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    val ranked = graft.plans.DistributedRank.withGlobalRank(
+      Tables.events(s, d).select(col("event_type"), col("event_id"), col("value")),
+      Seq(col("event_type"), col("value"), col("event_id")), "__r")
+    // per-type start/count: null-safe join key (null is a partition of
+    // its own under window semantics and must stay one here)
+    val tc = ranked.groupBy(col("event_type").as("__et"))
+      .agg(min(col("__r")).as("__tstart"), count(lit(1)).as("__tn"))
+    ranked.join(broadcast(tc), col("event_type") <=> col("__et"))
+      .withColumn("__lr", col("__r") - col("__tstart") + lit(1L))
+      .withColumn("quartile",
+        graft.plans.DistributedRank.ntileFromRank(col("__lr"), col("__tn"), 4))
       // rank/count quotients are identical doubles in both engines; the
       // floor idiom pins the 6-dp rounding against the engines' differing
       // round() boundary behavior (Exact idiom 2)
-      .withColumn("pct_rank", Exact.floorRound(percent_rank().over(w), 6))
-      .withColumn("cume", Exact.floorRound(cume_dist().over(w), 6))
-      // windows rank on the RAW value (same as the oracle's WINDOW
-      // clause, where the alias is not visible); round for display only
+      .withColumn("pct_rank", Exact.floorRound(
+        when(col("__tn") > 1, (col("__lr") - lit(1L)) / (col("__tn") - lit(1L)))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("cume", Exact.floorRound(col("__lr") / col("__tn"), 6))
+      // ranking used the RAW value (same as the oracle's WINDOW clause,
+      // where the alias is not visible); round for display only
       .withColumn("value", round(col("value"), 6))
+      .drop("__et", "__r", "__tstart", "__tn", "__lr")
       .orderBy(col("event_type"), col("event_id"))
   }
 

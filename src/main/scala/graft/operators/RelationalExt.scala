@@ -462,22 +462,23 @@ object RelationalExt {
     * share), then per-decile count and min/max/total spend. NTILE's
     * floor-division bucket split is the same standard-SQL definition in
     * Spark and DuckDB. Scale: spend is one keyed agg off orders; the
-    * single global NTILE window runs over the customer aggregate (one row
-    * per customer, not per order) — at 100 TB the equivalent is a
-    * range-partitioned rank against a sampled CDF, same output contract. */
-  def qNtile: Q = (s, d) => {
-    val w = Window.orderBy(col("spend_d").desc, col("o_custkey"))
-    Tables.orders(s, d)
-      .groupBy(col("o_custkey"))
-      .agg(sum(Exact.dec3(col("o_totalprice"))).as("spend_d"))
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    * decile comes from [[graft.plans.DistributedRank.withNtile]] — a
+    * range-partitioned distributed rank with record-local remainder-exact
+    * bucket math, NOT a `Window.orderBy` whose physical plan sorts every
+    * customer on one task (10⁸–10⁹ customers at 100 TB). OperatorsSpec
+    * pins the bucketing ≡ Spark's own ntile window at test scale. */
+  def qNtile: Q = (s, d) =>
+    graft.plans.DistributedRank.withNtile(
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(Exact.dec3(col("o_totalprice"))).as("spend_d")),
+      10, Seq(col("spend_d").desc, col("o_custkey")), "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         round(min(col("spend_d")), 2).cast("double").as("min_spend"),
         round(max(col("spend_d")), 2).cast("double").as("max_spend"),
         round(sum(col("spend_d")), 2).cast("double").as("sum_spend"))
       .orderBy(col("decile"))
-  }
 
   val qNtileSql: String =
     """WITH sp AS (SELECT o_custkey, sum(o_totalprice::DECIMAL(13,3)) AS spend_d

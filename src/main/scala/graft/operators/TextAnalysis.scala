@@ -575,8 +575,11 @@ object TextAnalysis {
     val cnt = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val ranked = cnt.withColumn("rnk",
-      row_number().over(Window.orderBy(col("c").desc, col("term"))).cast("long"))
+    // distributed rank, not row_number over a global Window: the term
+    // vocabulary is corpus-derived (10⁸+ terms at 100 TB) and a
+    // partition-less window would sort it on one task
+    val ranked = graft.plans.DistributedRank.withGlobalRank(
+      cnt, Seq(col("c").desc, col("term")), "rnk")
     val x = log(col("rnk").cast("double"))
     val y = log(col("c").cast("double"))
     val dec = (e: Column) => e.cast("decimal(38,18)")

@@ -875,32 +875,43 @@ object Transforms {
     * follows first-delivery-wins — the only online-feasible choice (a
     * passed event cannot be recalled).
     *
-    * Scale: counters for past hours go cold as event time advances — in a
-    * production loader add an event-time timeout to evict keys older than
-    * the watermark minus the hour width (the [[runningUserTotalsWithTtl]]
-    * discipline); the counter itself is O(1) however violent the burst. */
+    * Scale: counters evict by EVENT-TIME TTL out of the box (the
+    * [[runningUserTotalsWithTtl]] discipline): a (user, hour) key is
+    * dead once the watermark passes the hour's end — every surviving
+    * event for it would be watermark-late and filtered before the state
+    * function — so eviction is semantics-preserving and state is
+    * O(active hours × active users), not O(users ever seen). The
+    * counter itself is O(1) however violent the burst. */
   def throttledEvents(spark: SparkSession, events: DataFrame,
-      cap: Int = 2): Dataset[ThrottledEvent] = {
+      cap: Int = 2, watermark: String = "30 minutes"): Dataset[ThrottledEvent] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
     events
+      .withWatermark("ts", watermark)
       .withColumn("hour_start", date_trunc("hour", col("ts")))
       .selectExpr("user_id", "cast(hour_start as long) as hour_s", "event_id",
         "event_type", "ts")
       .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[Long, ThrottledEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Long, Long), rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
             state: GroupState[Long]) =>
-          var seen = state.getOption.getOrElse(0L)
-          val out = Seq.newBuilder[ThrottledEvent]
-          rows.toSeq.sortBy(r => (us(r._5), r._3)).foreach { case (user, _, id, typ, ts) =>
-            seen += 1
-            if (seen <= cap) out += ThrottledEvent(user, id, typ, ts)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(0L)
+            val out = Seq.newBuilder[ThrottledEvent]
+            rows.toSeq.sortBy(r => (us(r._5), r._3)).foreach { case (user, _, id, typ, ts) =>
+              seen += 1
+              if (seen <= cap) out += ThrottledEvent(user, id, typ, ts)
+            }
+            state.update(seen)
+            // dead once the watermark clears the hour: any event of this
+            // hour arriving after that is watermark-filtered upstream
+            state.setTimeoutTimestamp(math.max(
+              (key._2 + 3600L) * 1000L, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
       }
   }
 
@@ -915,37 +926,51 @@ object Transforms {
     * delivery reproduces the batch assignment exactly (spec-pinned);
     * cross-batch out-of-order touches follow first-delivery-wins.
     *
-    * Scale: state is one (long, short string) per user ever seen — bound
-    * it with the [[runningUserTotalsWithTtl]] event-time TTL when the
-    * user space is unbounded (an idle user's last touch older than the
-    * attribution window can never be credited again). */
+    * Scale: state is one (long, short string) per user, evicted by
+    * EVENT-TIME TTL out of the box (the [[runningUserTotalsWithTtl]]
+    * discipline): a touch older than `windowUs` behind the watermark
+    * can never be credited again — any future in-watermark purchase is
+    * already outside the attribution window — so eviction is
+    * semantics-preserving (evicted state and expired state both credit
+    * "none") and state is O(users active within the window). */
   def lastTouchAttribution(spark: SparkSession, events: DataFrame,
-      windowUs: Long = 86400000000L): Dataset[AttributionHit] = {
+      windowUs: Long = 86400000000L,
+      watermark: String = "30 minutes"): Dataset[AttributionHit] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
     events
+      .withWatermark("ts", watermark)
       .selectExpr("user_id", "ts", "event_type", "event_id")
       .as[(Long, java.sql.Timestamp, String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[LastTouch, AttributionHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Long)],
             state: GroupState[LastTouch]) =>
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[AttributionHit]
-          rows.toSeq.sortBy(r => (us(r._2), r._4)).foreach { case (_, ts, typ, id) =>
-            val t = us(ts)
-            typ match {
-              case "view" | "click" => st = LastTouch(t, typ)
-              case "purchase" =>
-                val credit =
-                  if (st != null && st.us >= t - windowUs) st.touch_type else "none"
-                out += AttributionHit(user, id, credit)
-              case _ => ()
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[AttributionHit]
+            rows.toSeq.sortBy(r => (us(r._2), r._4)).foreach { case (_, ts, typ, id) =>
+              val t = us(ts)
+              typ match {
+                case "view" | "click" => st = LastTouch(t, typ)
+                case "purchase" =>
+                  val credit =
+                    if (st != null && st.us >= t - windowUs) st.touch_type else "none"
+                  out += AttributionHit(user, id, credit)
+                case _ => ()
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // dead once the window has passed the touch (watermark
+              // guard: event-time timeouts must be set past it)
+              state.setTimeoutTimestamp(math.max(
+                (st.us + windowUs) / 1000L, state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
           }
-          if (st != null) state.update(st)
-          out.result().iterator
       }
   }
 
@@ -979,6 +1004,53 @@ object Transforms {
             val day = us(first._2) / 86400000000L
             state.update(day)
             Iterator.single(NewUserHit(user, first._3, day))
+          }
+      }
+  }
+
+  case class FirstSeenTtlState(day: Long, lastSeenMs: Long)
+
+  /** [[newUserEvents]] with bounded state: a user idle past `idleMs` of
+    * EVENT time is evicted (the [[runningUserTotalsWithTtl]] discipline)
+    * and counts as new AGAIN on re-emergence. This is a DIFFERENT metric
+    * — "recurring-new within the idle horizon", the resurrection-aware
+    * growth curve — which is exactly why the TTL is a separate function
+    * rather than a default on the exact one: exact first-seen requires
+    * O(users ever seen) state by definition, and a pipeline must choose
+    * which contract it wants. Late in-watermark arrivals extend the
+    * deadline monotonically (max with stored last-seen, never shrink). */
+  def newUserEventsWithTtl(spark: SparkSession, events: DataFrame,
+      watermark: String = "30 minutes",
+      idleMs: Long = 30L * 86400000L): Dataset[NewUserHit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts", "event_id")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FirstSeenTtlState, NewUserHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[FirstSeenTtlState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toSeq
+            val batchMaxMs = batch.map(_._2.getTime).max
+            val out = state.getOption match {
+              case Some(_) => Iterator.empty
+              case None =>
+                val first = batch.minBy(r => (us(r._2), r._3))
+                val day = us(first._2) / 86400000000L
+                state.update(FirstSeenTtlState(day, batchMaxMs))
+                Iterator.single(NewUserHit(user, first._3, day))
+            }
+            val st = state.get
+            val next = st.copy(lastSeenMs = math.max(st.lastSeenMs, batchMaxMs))
+            state.update(next)
+            state.setTimeoutTimestamp(math.max(
+              next.lastSeenMs + idleMs, state.getCurrentWatermarkMs + 1))
+            out
           }
       }
   }

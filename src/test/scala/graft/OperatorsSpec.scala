@@ -53,6 +53,10 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
 
   behavior of "operator invariants"
 
+  it should "keep the multimodal format SQL fragments in sync with FormatSql" in {
+    operators.Multimodal.formatSqlConsistent shouldBe true
+  }
+
   it should "produce 8 minhash columns" in {
     operators.Dedup.ddMinhash(spark, sf).columns.toSeq shouldBe
       ("doc_id" +: (0 until 8).map(j => s"m$j"))

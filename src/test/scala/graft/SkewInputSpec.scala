@@ -55,6 +55,31 @@ class SkewInputSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     again shouldBe pairs
   }
 
+  it should "keep dd_cascade stage counts monotone when the default cap fires" in {
+    // 1100 exact clones blow past the DEFAULT 1024 bucket cap, so LSH
+    // leaves 76 clones unpaired as singleton reps — without the n_norm
+    // clamp the near-dup "survivor" count would EXCEED the norm stage's
+    // and the cascade would report negative stage-3 shrinkage.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = spark.range(1140).select(col("id").as("doc_id"),
+      when(col("id") < 1100, lit(boiler))
+        .otherwise(concat(lit("unique text body number "), col("id"),
+          lit(" with its own distinct words "), col("id") * 7)).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew-cascade").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = operators.Dedup.ddCascade(spark, dir).collect().head
+    val (nRaw, nExact, nNorm, nNear) =
+      (r.getAs[Long]("n_raw"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_norm"), r.getAs[Long]("n_neardup"))
+    nRaw shouldBe 1140L
+    nExact shouldBe 41L // 1 boilerplate hash + 40 uniques
+    nNorm should be <= nExact
+    nNear should be <= nNorm // the clamp: stage 3 only sees stage-2 survivors
+    val (exactDrop, totalDrop) =
+      (r.getAs[Double]("exact_drop_rate"), r.getAs[Double]("total_drop_rate"))
+    totalDrop should be >= exactDrop
+  }
+
   behavior of "event operators under a dominant user"
 
   lazy val skewDir: String = {

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** End-to-end gate for the [[GraftLoader.KafkaTopic]] ingest path — the
+  * reference's whole production source (its KafkaSource/poll/commit
+  * loop), which this sandbox cannot exercise because no kafka connector
+  * jars ship with it. The test therefore GATES rather than fails:
+  *
+  *  - connector absent (this sandbox): `assume` cancels the test —
+  *    yellow, not red — and the clean-failure contract stays pinned by
+  *    StreamingSpec's data-source-not-found test;
+  *  - connector present but no broker configured: cancelled, with the
+  *    env var named in the message;
+  *  - `spark-sql-kafka-0-10` on the classpath AND
+  *    `GRAFT_KAFKA_BOOTSTRAP=host:port` set (CI with a testcontainers/
+  *    embedded broker, or a dev box): the full path runs — produce
+  *    JSON events through Spark's own kafka batch sink, ingest them via
+  *    KafkaTopic → jsonEventDecoder → exactly-once partitioned file
+  *    sink, and assert the landed rows.
+  *
+  * Everything touches kafka through DataFrame-API format strings only,
+  * so this file compiles (and the suite loads) with zero kafka classes
+  * on the classpath. */
+class KafkaIntegrationSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-kafka-integration-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def connectorPresent: Boolean =
+    scala.util.Try(Class.forName(
+      "org.apache.spark.sql.kafka010.KafkaSourceProvider")).isSuccess
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-kafka-it").toString
+
+  behavior of "GraftLoader.KafkaTopic"
+
+  it should "ingest a topic into the exactly-once file sink end to end" in {
+    assume(connectorPresent,
+      "spark-sql-kafka-0-10 is not on the classpath (expected in this sandbox)")
+    val servers = sys.env.get("GRAFT_KAFKA_BOOTSTRAP")
+    assume(servers.isDefined,
+      "set GRAFT_KAFKA_BOOTSTRAP=host:port (e.g. from a testcontainers broker) to run")
+    val topic = s"graft-it-${java.util.UUID.randomUUID().toString.take(8)}"
+
+    // produce: 4 JSON events through Spark's own kafka batch sink
+    import spark.implicits._
+    val events = Seq(
+      (0L, "2024-01-01T00:01:00Z", 1L, "click", 1.5, "{}"),
+      (1L, "2024-01-01T00:02:00Z", 1L, "view", 2.0, "{}"),
+      (2L, "2024-01-01T00:03:00Z", 2L, "purchase", 30.0, "{}"),
+      (3L, "2024-01-01T00:04:00Z", 3L, "click", 0.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events
+      .select(to_json(struct(events.columns.map(col): _*)).as("value"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", servers.get)
+      .option("topic", topic)
+      .save()
+
+    // consume: the production seam, earliest → decode → file sink
+    val out = tmp()
+    GraftLoader.builder()
+      .source(GraftLoader.KafkaTopic(servers.get, topic,
+        startingOffsets = "earliest", maxOffsetsPerTrigger = Some(2)))
+      .sink(GraftLoader.PartitionedFiles(out))
+      .checkpoint(tmp())
+      .start(spark)
+      .awaitTermination()
+
+    val landed = spark.read.parquet(out)
+    landed.count() shouldBe 4L
+    landed.select("event_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(0L, 1L, 2L, 3L)
+    landed.schema.fieldNames.toSet should contain allOf ("event_id", "user_id", "event_type")
+  }
+}

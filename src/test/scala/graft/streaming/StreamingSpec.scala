@@ -1372,6 +1372,23 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     spark.table("throttle_roll").count() shouldBe 2
   }
 
+  it should "evict cold (user, hour) counters once the watermark clears the hour" in {
+    val (ms, df) = eventsStream(Seq(
+      Ev(0, ts(1), 1, "view", 1.0, "{}"),
+      Ev(1, ts(2), 1, "view", 1.0, "{}")))
+    val q = Transforms.throttledEvents(spark, df, cap = 2, watermark = "1 minute")
+      .writeStream.format("memory").queryName("throttle_ttl").outputMode("append").start()
+    q.processAllAvailable()
+    // 3.5 h later: watermark (3:30 − 1 min) clears hour 0's end, so the
+    // (user 1, hour 0) counter times out; only (user 2, hour 3) survives
+    ms.addData(Ev(2, Timestamp.valueOf("2024-01-01 03:30:00"), 2, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    stateRows shouldBe 1L
+    spark.table("throttle_ttl").count() shouldBe 3 // eviction emits nothing
+  }
+
   behavior of "Transforms.lastTouchAttribution"
 
   it should "credit purchases in parity with the batch ev_attribution census" in {
@@ -1425,6 +1442,40 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // user 1 stays silent; user 2 emits its first
     spark.table("newusers_roll").collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
       Set((1L, 0L), (2L, 2L))
+  }
+
+  it should "evict an idle user's touch once the window has passed it" in {
+    val (ms, df) = eventsStream(Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")))
+    // 30-min attribution window, 1-min watermark delay
+    val q = Transforms.lastTouchAttribution(spark, df,
+        windowUs = 1800000000L, watermark = "1 minute")
+      .writeStream.format("memory").queryName("attrib_ttl").outputMode("append").start()
+    q.processAllAvailable()
+    // watermark → :59: user 1's touch (:01) + 30 min window expired → evicted;
+    // the purchase then credits "none" — identical to expired-but-kept state
+    ms.addData(Ev(1, ts(60), 2, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    ms.addData(Ev(2, ts(61), 1, "purchase", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    stateRows shouldBe 1L // only user 2's view survives the horizon
+    spark.table("attrib_ttl").collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSet shouldBe Set((2L, "none"))
+  }
+
+  it should "re-emit a resurrected user under the TTL first-seen variant" in {
+    val (ms, df) = eventsStream(Seq(Ev(0, ts(1), 1, "view", 1.0, "{}")))
+    // 10-min idle horizon: user 1 evicted once watermark passes :11
+    val q = Transforms.newUserEventsWithTtl(spark, df,
+        watermark = "1 minute", idleMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("newusers_ttl").outputMode("append").start()
+    q.processAllAvailable()
+    ms.addData(Ev(1, ts(30), 2, "view", 1.0, "{}")) // watermark → :29 ⇒ evict user 1
+    q.processAllAvailable()
+    ms.addData(Ev(2, ts(31), 1, "view", 1.0, "{}")) // resurrection: new again
+    q.processAllAvailable(); q.stop()
+    spark.table("newusers_ttl").collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((1L, 0L), (2L, 1L), (1L, 2L))
   }
 
   it should "expire a touch outside the attribution window and carry one inside it" in {
