@@ -599,61 +599,127 @@ object Similarity {
   /** IVF-PQ composition — the canonical billion-scale ANN index shape
     * (FAISS IVF + PQ-ADC): the coarse quantizer restricts each query's
     * candidates to its nProbe nearest cells, and PQ-ADC scores only those
-    * candidates, with an exact re-rank of the shortlist. This variant
-    * codes RAW vectors (not cell residuals) so the codebook is shared
-    * with [[annPq]] and the oracle stays a mechanical composition of the
-    * two proven pipelines; residual coding is a codebook swap on the same
-    * plan shape.
+    * candidates, with an exact re-rank of the shortlist. The shipped
+    * variant codes cell RESIDUALS (r = e − centroid(cell)), the reason
+    * FAISS's IVFPQ does: residuals concentrate near the origin with far
+    * less spread than raw vectors, so the same 16-codeword budget spends
+    * its resolution on the part of the vector the coarse step did NOT
+    * already explain. The ADC score reconstructs dot(q, e) ≈ dot(q, c) +
+    * dot(q, r̂): the exact coarse term (already computed for probing)
+    * plus the quantized-residual LUT sum. OperatorsSpec pins the
+    * recall@5 gain over raw coding on clustered fixtures;
+    * [[annIvfPqFor]] keeps the raw variant callable for that comparison.
     *
-    * Scale: the coarse cell AND all 8 subspace codes come out of ONE
-    * crossJoin-with-broadcast-centroids aggregation — the corpus shuffles
-    * once, one row per vector, carrying (cell, codes, nrm). Probes and
-    * LUTs are query-side small frames (broadcast contract shared with
-    * [[annIvfFor]]/[[annPqFor]]); candidate work per query is bounded by
+    * Scale: coarse assignment is one crossJoin-with-broadcast-centroids
+    * aggregation; residual coding adds ONE more keyed pass (residual =
+    * vector − its cell centroid must exist before codes can, an ordering
+    * raw coding's single fused aggregation avoids — the honest cost of
+    * the better codebook). The residual codebook (residuals of seed
+    * vectors 16..31 w.r.t. their own cells) and per-query LUTs stay
+    * metadata-sized broadcasts; candidate work per query is bounded by
     * nProbe cells regardless of corpus size, and ADC runs through the
     * codegen'd `graft_pq_score` lookup loop. */
   def annIvfPq: Q = (s, d) => {
     val v = vectors(s, d)
-    val queries = defaultQueries(v)
-    val m = 8; val subDim = 8; val nProbe = 4
-    val cents = denseSeeds(v, 16)
+    annIvfPqFor(v, defaultQueries(v), residual = true)
+  }
+
+  private[graft] def annIvfPqFor(
+      v: DataFrame, queries: DataFrame, residual: Boolean): DataFrame = {
+    val m = 8; val subDim = 8; val nProbe = 4; val k = 16
+    val cents = denseSeeds(v, k)
       .select(col("cid"), col("e").as("ce"), col("nrm").as("cn"))
     def sl(c: Column, j: Int) = slice(c, j * subDim + 1, subDim)
-    val subScoreCols = (0 until m).map { j =>
-      (lit(-2.0) * dot(sl(col("e"), j), sl(col("ce"), j)) +
-        dot(sl(col("ce"), j), sl(col("ce"), j))).as(s"s$j")
+    def subScores(vec: String, cb: String, id: String) = (0 until m).map { j =>
+      (lit(-2.0) * dot(sl(col(vec), j), sl(col(cb), j)) +
+        dot(sl(col(cb), j), sl(col(cb), j))).as(s"s$j")
     }
     val coarseCos = (dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("ccos")
-    val encoded = v.crossJoin(broadcast(cents))
-      .select(Seq(col("vec_id"), col("nrm"), col("cid"), coarseCos) ++ subScoreCols: _*)
+    // Residual codebook — ONE definition used by BOTH the encode side
+    // (code assignment) and the query side (LUT values); any drift
+    // between the two would silently turn ADC scores into noise.
+    // Seeds 16..31's residuals w.r.t. their own nearest cells (seeds
+    // 0..15 ARE the centroids, residual zero); the vec_id range predicate
+    // pushes to the scan, so this is a 16-row broadcast at any scale.
+    lazy val rcbs = v.filter(col("vec_id") >= k && col("vec_id") < 2L * k)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("cid"), coarseCos)
       .groupBy(col("vec_id"))
-      .agg(first(col("nrm")).as("nrm"),
-        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"),
-        array((0 until m).map(j =>
-          min_by(col("cid"), struct(col(s"s$j"), col("cid")))): _*).as("codes"))
+      .agg(first(col("e")).as("e"),
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+      .join(broadcast(cents.select(col("cid").as("cell"), col("ce"))), "cell")
+      // DENSE rid via re-id (the denseSeeds discipline): a dirty corpus
+      // can lose seeds 16..31 to null-embedding drops, and code values
+      // must stay < |codebook| or graft_pq_score's range check fires.
+      // On a clean corpus rid == vec_id − 16, which is what the oracle
+      // mirrors. ≤16-row window — metadata, not data.
+      .withColumn("rid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+      .select(col("rid"), zip_with(col("e"), col("ce"), (a, b) => a - b).as("rce"))
+    val encoded =
+      if (!residual) {
+        // raw coding: cell and all 8 codes from ONE fused aggregation
+        v.crossJoin(broadcast(cents))
+          .select(Seq(col("vec_id"), col("nrm"), col("cid"), coarseCos) ++
+            subScores("e", "ce", "cid"): _*)
+          .groupBy(col("vec_id"))
+          .agg(first(col("nrm")).as("nrm"),
+            max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"),
+            array((0 until m).map(j =>
+              min_by(col("cid"), struct(col(s"s$j"), col("cid")))): _*).as("codes"))
+      } else {
+        // residual coding: assign cell first (carrying e through the
+        // aggregate), subtract the cell centroid, then code the residual
+        // against the residual codebook
+        val assigned = v.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("nrm"), col("e"), col("cid"), coarseCos)
+          .groupBy(col("vec_id"))
+          .agg(first(col("nrm")).as("nrm"), first(col("e")).as("e"),
+            max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+        val withRes = assigned
+          .join(broadcast(cents.select(col("cid").as("cell"), col("ce"))), "cell")
+          .withColumn("r", zip_with(col("e"), col("ce"), (a, b) => a - b))
+          .select(col("vec_id"), col("nrm"), col("cell"), col("r"))
+        withRes.crossJoin(broadcast(rcbs))
+          .select(Seq(col("vec_id"), col("nrm"), col("cell"), col("rid")) ++
+            subScores("r", "rce", "rid"): _*)
+          .groupBy(col("vec_id"))
+          .agg(first(col("nrm")).as("nrm"), first(col("cell")).as("cell"),
+            array((0 until m).map(j =>
+              min_by(col("rid"), struct(col(s"s$j"), col("rid")))): _*).as("codes"))
+      }
     val probes = {
       val scoredP = queries.crossJoin(broadcast(cents))
-        .withColumn("ccos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("pdot", dot(col("qe"), col("ce")))
+        .withColumn("ccos", col("pdot") / (col("qn") * col("cn")))
       graft.plans.TopKPerGroup.transform(scoredP,
         Seq(col("query_id")), Seq(col("ccos").desc, col("cid").asc), nProbe)
-        .select(col("query_id").as("pqid"), col("cid").as("pcell"))
+        .select(col("query_id").as("pqid"), col("cid").as("pcell"), col("pdot"))
     }
+    // LUT source: raw coding looks up against the centroids themselves,
+    // residual coding against the SAME rcbs frame the encode side used
+    // (rid 0..15 keeps the (j, code) -> j*k + code layout graft_pq_score
+    // expects in both variants)
+    val lutSource =
+      if (!residual) cents.select(col("cid").as("rid"), col("ce").as("rce"))
+      else rcbs
     val lutEntries = array((0 until m).map { j =>
-      struct(lit(j).as("j"), col("cid"), dot(sl(col("qe"), j), sl(col("ce"), j)).as("val"))
+      struct(lit(j).as("j"), col("rid"), dot(sl(col("qe"), j), sl(col("rce"), j)).as("val"))
     }: _*)
     val luts = queries
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(lutSource))
       .select(col("query_id"), col("qn"), explode(lutEntries).as("le"))
       .groupBy(col("query_id"))
       .agg(first(col("qn")).as("qn"),
-        transform(sort_array(collect_list(struct(col("le.j"), col("le.cid"), col("le.val")))),
+        transform(sort_array(collect_list(struct(col("le.j"), col("le.rid"), col("le.val")))),
           x => x.getField("val")).as("lut"))
     val probedLuts = luts.join(probes, col("query_id") === col("pqid"))
-      .select(col("query_id"), col("qn"), col("lut"), col("pcell"))
+      .select(col("query_id"), col("qn"), col("lut"), col("pcell"), col("pdot"))
+    val adc = call_function("graft_pq_score", col("lut"), col("codes"))
     val scored = encoded.join(broadcast(probedLuts),
         encoded("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
       .withColumn("approx_cos",
-        call_function("graft_pq_score", col("lut"), col("codes")) / (col("qn") * col("nrm")))
+        (if (residual) col("pdot") + adc else adc) / (col("qn") * col("nrm")))
     val shortlist = graft.plans.TopKPerGroup.transform(scored,
       Seq(col("query_id")), Seq(col("approx_cos").desc, col("vec_id").asc), 50)
     val qv = queries
@@ -675,14 +741,22 @@ object Similarity {
        |      c.cid) AS crnk
        |  FROM v, cents c),
        |assigned AS (SELECT vec_id, cid AS cell FROM assign_scored WHERE crnk = 1),
+       |res AS (
+       |  SELECT vv.vec_id, a.cell, vv.nrm,
+       |    list_transform(generate_series(1, 64), i -> vv.e[i] - c.ce[i]) AS r
+       |  FROM v vv JOIN assigned a ON a.vec_id = vv.vec_id
+       |  JOIN cents c ON c.cid = a.cell),
+       |rcb AS (
+       |  SELECT vec_id - 16 AS rid, r AS rce
+       |  FROM res WHERE vec_id >= 16 AND vec_id < 32),
        |sub AS (
-       |  SELECT vv.vec_id, c.cid, t.j,
-       |    -2 * list_reduce(list_transform(generate_series(1, 8), i -> vv.e[t.j*8 + i] * c.ce[t.j*8 + i]), (x, y) -> x + y)
-       |      + list_reduce(list_transform(generate_series(1, 8), i -> c.ce[t.j*8 + i] * c.ce[t.j*8 + i]), (x, y) -> x + y) AS score
-       |  FROM v vv, cents c, (SELECT unnest(generate_series(0, 7)) AS j) t),
+       |  SELECT rv.vec_id, rc.rid, t.j,
+       |    -2 * list_reduce(list_transform(generate_series(1, 8), i -> rv.r[t.j*8 + i] * rc.rce[t.j*8 + i]), (x, y) -> x + y)
+       |      + list_reduce(list_transform(generate_series(1, 8), i -> rc.rce[t.j*8 + i] * rc.rce[t.j*8 + i]), (x, y) -> x + y) AS score
+       |  FROM res rv, rcb rc, (SELECT unnest(generate_series(0, 7)) AS j) t),
        |best AS (
-       |  SELECT vec_id, j, cid AS code,
-       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY score, cid) AS rn
+       |  SELECT vec_id, j, rid AS code,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY score, rid) AS rn
        |  FROM sub),
        |codes AS (
        |  SELECT vec_id, list(code ORDER BY j) AS codes
@@ -690,19 +764,20 @@ object Similarity {
        |q AS (SELECT vec_id AS query_id, e, nrm FROM v WHERE vec_id % 4 = 0),
        |probe_scored AS (
        |  SELECT q.query_id, c.cid,
+       |    list_reduce(list_transform(generate_series(1, 64), i -> q.e[i] * c.ce[i]), (x, y) -> x + y) AS pdot,
        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
        |      list_reduce(list_transform(generate_series(1, 64), i -> q.e[i] * c.ce[i]), (x, y) -> x + y) / (q.nrm * c.cn) DESC,
        |      c.cid) AS crnk
        |  FROM q, cents c),
-       |probes AS (SELECT query_id, cid AS cell FROM probe_scored WHERE crnk <= 4),
+       |probes AS (SELECT query_id, cid AS cell, pdot FROM probe_scored WHERE crnk <= 4),
        |lutrows AS (
-       |  SELECT q.query_id, c.cid, t.j,
-       |    list_reduce(list_transform(generate_series(1, 8), i -> q.e[t.j*8 + i] * c.ce[t.j*8 + i]), (x, y) -> x + y) AS val
-       |  FROM q, cents c, (SELECT unnest(generate_series(0, 7)) AS j) t),
-       |luts AS (SELECT query_id, list(val ORDER BY j, cid) AS lut FROM lutrows GROUP BY query_id),
+       |  SELECT q.query_id, rc.rid, t.j,
+       |    list_reduce(list_transform(generate_series(1, 8), i -> q.e[t.j*8 + i] * rc.rce[t.j*8 + i]), (x, y) -> x + y) AS val
+       |  FROM q, rcb rc, (SELECT unnest(generate_series(0, 7)) AS j) t),
+       |luts AS (SELECT query_id, list(val ORDER BY j, rid) AS lut FROM lutrows GROUP BY query_id),
        |scored AS (
        |  SELECT l.query_id, cd.vec_id AS neighbor_id,
-       |    list_reduce(list_transform(generate_series(0, 7), j -> l.lut[j*16 + cd.codes[j+1] + 1]), (x, y) -> x + y)
+       |    (p.pdot + list_reduce(list_transform(generate_series(0, 7), j -> l.lut[j*16 + cd.codes[j+1] + 1]), (x, y) -> x + y))
        |      / (qv.nrm * nv.nrm) AS approx_cos
        |  FROM luts l
        |  JOIN probes p ON p.query_id = l.query_id

@@ -633,6 +633,52 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     rOpq should be > rPq
   }
 
+  it should "show residual coding beating raw coding in IVF-PQ on clustered vectors" in {
+    // Clustered fixture — the data shape residual coding exists for
+    // (FAISS IVFPQ's default): 16 well-separated centers, every point =
+    // center + a small offset along one of 16 direction vectors. RAW
+    // coding quantizes whole vectors against the 16 centroids, so every
+    // member of a cell reconstructs to the SAME centroid and ADC cannot
+    // rank within the cell (ties → vec_id order → the shortlist is
+    // arbitrary). Residual coding spends the identical codeword budget
+    // on exactly the within-cell offsets — seeds 16..31 carry the 16
+    // directions, so the residual codebook IS the direction set — and
+    // ADC separates cell members. Same recall@5 protocol as above.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.plans.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16)(Array.fill(64)(10.0 * rnd.nextGaussian()))
+    val dirs = Array.fill(16)(Array.fill(64)(rnd.nextGaussian()))
+    def plus(a: Array[Double], b: Array[Double], s: Double) =
+      a.zip(b).map { case (x, y) => x + s * y }
+    val rows = (0 until 16).map(i => (i.toLong, centers(i))) ++
+      (16 until 32).map(i => (i.toLong, plus(centers(i % 16), dirs(i - 16), 1.0))) ++
+      (32 until 1200).map { id =>
+        (id.toLong, plus(centers(rnd.nextInt(16)), dirs(rnd.nextInt(16)),
+          0.8 + 0.4 * rnd.nextDouble()))
+      }
+    val v = rows.toDF("vec_id", "e")
+      .withColumn("nrm", graft.functions.VecFns.l2norm(col("e")))
+    val qs = v.filter(col("vec_id") % 4 === 0 && col("vec_id") >= 32)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.filter(col("rnk") <= 5).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val exact = neighbors(operators.Similarity.annBruteforceFor(v, qs))
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = neighbors(df)
+      val scores = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      scores.sum / scores.size
+    }
+    val rRaw = recall(operators.Similarity.annIvfPqFor(v, qs, residual = false))
+    val rRes = recall(operators.Similarity.annIvfPqFor(v, qs, residual = true))
+    info(f"recall@5 on clustered vectors: raw-coded=$rRaw%.3f residual-coded=$rRes%.3f")
+    rRes should be > rRaw
+  }
+
   it should "reject invalid PQ codes through the CODEGEN path too" in {
     // the generated-Java bounds guards are a hand-written twin of the
     // interpreted ones — drive them through a real whole-stage-codegen

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** CI enforcement of the repeated-scan audit (PLANS.md "Repeated-scan
+  * audit"): each same-table parquet scan beyond the first in a query's
+  * POST-EXECUTION plan is a repeated full corpus pass at 100 TB. The
+  * audit used to live only as a dev tool (tools/ScanAudit) + prose,
+  * which let any refactor silently re-introduce a duplicate pass — this
+  * spec pins every audited query's scan count as a CEILING, measured
+  * from the plan AQE actually ran (ReuseExchange dedups identical
+  * subtrees at runtime, so the static plan over-reports).
+  *
+  * Ceilings are the audited values, not all 1: multi-table joins scan
+  * each table once; the documented deliberate multi-scans (ann_pq's
+  * re-rank fetch, dd_edit_pairs' signature+verify passes, dd_cascade's
+  * stage census, ta_novelty's gram build) keep their audited counts; 0
+  * means the corpus pass happens inside a localCheckpoint materialized
+  * before the final plan. A count DROPPING below the ceiling is fine
+  * (that's an improvement); rising is the regression this catches. */
+class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-scan-audit-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def scans(name: String): Int = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    "FileScan parquet|Scan parquet".r.findAllIn(plan).length
+  }
+
+  // query -> audited ceiling (sf0.001, round 6). Grouped by corpus table
+  // so a failure names the family whose scan discipline broke.
+  private val ceilings: Seq[(String, Int)] = Seq(
+    // lineitem/orders relational core
+    "q1_pricing" -> 1, "q6_filter_agg" -> 1, "q_topk_global" -> 1,
+    "q_histogram" -> 1, "q_ntile" -> 1, "q_window_rank" -> 1,
+    "q15_top_supplier" -> 2, "q17_small_qty" -> 2, "q21_waiting_supplier" -> 3,
+    // events analytics (the 100 TB stream corpus)
+    "q_window_dist" -> 1, "ev_rfm" -> 0, "ev_trend" -> 0, "ev_forecast" -> 0,
+    "ev_funnel" -> 1, "ev_funnel_timing" -> 1, "ev_asof_join" -> 1,
+    "ev_sessions" -> 1, "ev_session_stats" -> 1, "ev_throttle" -> 1,
+    "ev_top_paths" -> 1, "ev_attribution" -> 1, "ev_cumulative_users" -> 1,
+    "sl_lookback" -> 1,
+    // documents dedup/text/pipeline
+    "dd_exact" -> 1, "dd_lsh_pairs" -> 1, "dd_dup_groups" -> 1,
+    "dd_ppjoin" -> 0, "dd_lsh_recall" -> 1, "dd_edit_pairs" -> 3,
+    "dd_cascade" -> 3,
+    "ta_tfidf" -> 2, "ta_surprisal" -> 1, "ta_collocations" -> 1,
+    "ta_novelty" -> 2, "ta_zipf" -> 1,
+    "pipe_budget_mix" -> 1, "pipe_curriculum" -> 1, "mm_dedup" -> 1,
+    // embeddings
+    "cl_drift" -> 1, "cl_kmeans" -> 1, "cl_silhouette" -> 1,
+    // ann_ivfpq's residual coding adds one corpus pass (assignment must
+    // precede coding); the other 6 scans are vec_id-pruned seed/query
+    // fetches (predicate pushdown) + the documented re-rank re-read
+    "ann_pq" -> 5, "ann_ivfpq" -> 8)
+
+  behavior of "post-execution scan counts"
+
+  it should "stay at or below every audited ceiling" in {
+    val over = ceilings.flatMap { case (name, ceiling) =>
+      val n = scans(name)
+      if (n > ceiling) Some(s"$name: $n scans > audited ceiling $ceiling") else None
+    }
+    withClue(over.mkString("; ")) { over shouldBe empty }
+  }
+}
