@@ -281,6 +281,50 @@ object StatsOps {
       .orderBy(col("col_name"))
   }
 
+  /** Expand-free twin of [[qProfile]] — the 100 TB shape. Five exact
+    * `countDistinct`s over different columns force Catalyst to plan an
+    * Expand that multiplies every corpus row ×6 before aggregating (one
+    * replica per distinct-set plus one for the plain aggregates); the
+    * HLL++ swap (`approx_count_distinct`, rsd 1%) collapses the plan to
+    * ONE partial→final aggregate pass with NO Expand node — a 6× input
+    * reduction on the profile every ingest run computes. Estimates are
+    * engine-specific, so this is a rows-only query (no DuckDB oracle);
+    * StatsProfileSpec pins n_distinct within ±5% of the exact twin,
+    * identical min/max/n_rows, and the Expand-free executed plan. */
+  def qProfileApprox: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct(col("l_returnflag"), 0.01).as("d_rf"),
+      min(col("l_returnflag")).as("mn_rf"), max(col("l_returnflag")).as("mx_rf"),
+      approx_count_distinct(col("l_linestatus"), 0.01).as("d_ls"),
+      min(col("l_linestatus")).as("mn_ls"), max(col("l_linestatus")).as("mx_ls"),
+      approx_count_distinct(col("l_shipdate"), 0.01).as("d_sd"),
+      date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("mn_sd"),
+      date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("mx_sd"),
+      approx_count_distinct(col("l_quantity"), 0.01).as("d_q"),
+      min(col("l_quantity")).cast("long").cast("string").as("mn_q"),
+      max(col("l_quantity")).cast("long").cast("string").as("mx_q"),
+      approx_count_distinct(col("l_suppkey"), 0.01).as("d_sk"),
+      min(col("l_suppkey")).cast("string").as("mn_sk"),
+      max(col("l_suppkey")).cast("string").as("mx_sk"))
+    agg.select(col("n_rows"), explode(array(
+        struct(lit("l_returnflag").as("col_name"), col("d_rf").as("n_distinct"),
+          col("mn_rf").as("min_val"), col("mx_rf").as("max_val")),
+        struct(lit("l_linestatus").as("col_name"), col("d_ls").as("n_distinct"),
+          col("mn_ls").as("min_val"), col("mx_ls").as("max_val")),
+        struct(lit("l_shipdate").as("col_name"), col("d_sd").as("n_distinct"),
+          col("mn_sd").as("min_val"), col("mx_sd").as("max_val")),
+        struct(lit("l_quantity").as("col_name"), col("d_q").as("n_distinct"),
+          col("mn_q").as("min_val"), col("mx_q").as("max_val")),
+        struct(lit("l_suppkey").as("col_name"), col("d_sk").as("n_distinct"),
+          col("mn_sk").as("min_val"), col("mx_sk").as("max_val")))).as("p"))
+      .select(col("p.col_name").as("col_name"), col("n_rows"),
+        col("p.n_distinct").as("n_distinct"), col("p.min_val").as("min_val"),
+        col("p.max_val").as("max_val"))
+      .orderBy(col("col_name"))
+  }
+
   val qProfileSql: String =
     """WITH a AS (
       |  SELECT count(*) AS n_rows,
@@ -305,6 +349,7 @@ object StatsOps {
 
   def queries: Map[String, Q] = Map(
     "q_profile" -> qProfile,
+    "q_profile_approx" -> qProfileApprox,
     "q_moments" -> qMoments,
     "q_regr" -> qRegr,
     "q_mode" -> qMode,

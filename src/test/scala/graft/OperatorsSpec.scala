@@ -28,7 +28,7 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
 
   it should "expose an oracle for every query except rows-only ops" in {
     val rowsOnly = Set("mm_decode_stub", "sl_rowbinary", "q_approx_distinct", "dd_bloom",
-      "q_approx_quantiles", "dd_neardup")
+      "q_approx_quantiles", "dd_neardup", "q_profile_approx")
     (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) shouldBe rowsOnly
     SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
   }
@@ -55,6 +55,32 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
 
   it should "keep the multimodal format SQL fragments in sync with FormatSql" in {
     operators.Multimodal.formatSqlConsistent shouldBe true
+  }
+
+  it should "profile within HLL bounds and WITHOUT an Expand in the approx variant" in {
+    import org.apache.spark.sql.functions.col
+    def byCol(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    val exact = byCol(operators.StatsOps.qProfile(spark, sf))
+    val approxDf = operators.StatsOps.qProfileApprox(spark, sf)
+    val approx = byCol(approxDf)
+    approx.keySet shouldBe exact.keySet
+    exact.foreach { case (c, (nRows, nd, mn, mx)) =>
+      val (aRows, and, amn, amx) = approx(c)
+      withClue(s"column $c: ") {
+        aRows shouldBe nRows // plain aggregates are exact in both
+        amn shouldBe mn
+        amx shouldBe mx
+        // HLL++ at rsd 1%: allow ±5% (generous vs the configured bound)
+        math.abs(and - nd).toDouble / nd should be <= 0.05
+      }
+    }
+    // the reason the variant exists: exact multi-column countDistinct
+    // plans an Expand (input ×6); the HLL swap must NOT
+    approxDf.queryExecution.executedPlan.toString should not include "Expand"
+    operators.StatsOps.qProfile(spark, sf)
+      .queryExecution.executedPlan.toString should include("Expand")
   }
 
   it should "produce 8 minhash columns" in {
