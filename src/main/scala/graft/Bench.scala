@@ -134,10 +134,12 @@ object Bench {
       T.saveBloom(spark, T.buildBloom(half, math.max(1L, nDocs)), path)
       T.extendBloom(spark, path, quarter, math.max(1L, nDocs))
       val sat = T.bloomSaturation(T.loadBloom(spark, path), math.max(1L, nDocs))
-      if (sat.rebuildRecommended) // horizon outgrown: rebuild sized 2×
+      var rows = nDocs / 2 + nDocs / 4 + nDocs // built + extended + gated
+      if (sat.rebuildRecommended) { // horizon outgrown: rebuild sized 2×
         T.saveBloom(spark, T.buildBloom(docs, math.max(1L, 2 * nDocs)), path)
+        rows += nDocs // the rebuild pass is timed work — count its rows too
+      }
       T.bloomGate(docs, T.loadBloom(spark, path)).count()
-      val rows = nDocs / 2 + nDocs / 4 + nDocs // built + extended + gated
       rows / ((System.nanoTime() - t0) / 1e9)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bloom gate FAILED: ${e.getClass.getName}: ${e.getMessage}")

@@ -630,7 +630,7 @@ object Similarity {
     val cents = denseSeeds(v, k)
       .select(col("cid"), col("e").as("ce"), col("nrm").as("cn"))
     def sl(c: Column, j: Int) = slice(c, j * subDim + 1, subDim)
-    def subScores(vec: String, cb: String, id: String) = (0 until m).map { j =>
+    def subScores(vec: String, cb: String) = (0 until m).map { j =>
       (lit(-2.0) * dot(sl(col(vec), j), sl(col(cb), j)) +
         dot(sl(col(cb), j), sl(col(cb), j))).as(s"s$j")
     }
@@ -661,7 +661,7 @@ object Similarity {
         // raw coding: cell and all 8 codes from ONE fused aggregation
         v.crossJoin(broadcast(cents))
           .select(Seq(col("vec_id"), col("nrm"), col("cid"), coarseCos) ++
-            subScores("e", "ce", "cid"): _*)
+            subScores("e", "ce"): _*)
           .groupBy(col("vec_id"))
           .agg(first(col("nrm")).as("nrm"),
             max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"),
@@ -682,7 +682,7 @@ object Similarity {
           .select(col("vec_id"), col("nrm"), col("cell"), col("r"))
         withRes.crossJoin(broadcast(rcbs))
           .select(Seq(col("vec_id"), col("nrm"), col("cell"), col("rid")) ++
-            subScores("r", "rce", "rid"): _*)
+            subScores("r", "rce"): _*)
           .groupBy(col("vec_id"))
           .agg(first(col("nrm")).as("nrm"), first(col("cell")).as("cell"),
             array((0 until m).map(j =>

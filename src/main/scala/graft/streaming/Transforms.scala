@@ -879,22 +879,30 @@ object Transforms {
     * [[runningUserTotalsWithTtl]] discipline): a (user, hour) key is
     * dead once the watermark passes the hour's end — every surviving
     * event for it would be watermark-late and filtered before the state
-    * function — so eviction is semantics-preserving and state is
-    * O(active hours × active users), not O(users ever seen). The
-    * counter itself is O(1) however violent the burst. */
+    * function — so eviction itself never changes an emitted row, and
+    * state is O(active hours × active users), not O(users ever seen).
+    * The watermark DOES adopt standard lateness semantics: an event
+    * delivered later than `watermark` behind the stream's max event time
+    * is dropped before the state function rather than throttled — the
+    * trade every bounded-state streaming operator makes. Pass
+    * `watermark = None` to restore the round-5 contract exactly
+    * (process every delivered event, state unbounded). The counter
+    * itself is O(1) however violent the burst. */
   def throttledEvents(spark: SparkSession, events: DataFrame,
-      cap: Int = 2, watermark: String = "30 minutes"): Dataset[ThrottledEvent] = {
+      cap: Int = 2,
+      watermark: Option[String] = Some("30 minutes")): Dataset[ThrottledEvent] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    events
-      .withWatermark("ts", watermark)
+    val ttl = watermark.isDefined
+    watermark.fold(events)(w => events.withWatermark("ts", w))
       .withColumn("hour_start", date_trunc("hour", col("ts")))
       .selectExpr("user_id", "cast(hour_start as long) as hour_s", "event_id",
         "event_type", "ts")
       .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[Long, ThrottledEvent](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        OutputMode.Append,
+        if (ttl) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout) {
         (key: (Long, Long), rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
             state: GroupState[Long]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -908,7 +916,7 @@ object Transforms {
             state.update(seen)
             // dead once the watermark clears the hour: any event of this
             // hour arriving after that is watermark-filtered upstream
-            state.setTimeoutTimestamp(math.max(
+            if (ttl) state.setTimeoutTimestamp(math.max(
               (key._2 + 3600L) * 1000L, state.getCurrentWatermarkMs + 1))
             out.result().iterator
           }
@@ -930,21 +938,29 @@ object Transforms {
     * EVENT-TIME TTL out of the box (the [[runningUserTotalsWithTtl]]
     * discipline): a touch older than `windowUs` behind the watermark
     * can never be credited again — any future in-watermark purchase is
-    * already outside the attribution window — so eviction is
-    * semantics-preserving (evicted state and expired state both credit
-    * "none") and state is O(users active within the window). */
+    * already outside the attribution window — so eviction itself never
+    * changes a credit (evicted state and expired state both credit
+    * "none") and state is O(users active within the window). The
+    * watermark DOES adopt standard lateness semantics: a purchase
+    * delivered later than `watermark` behind the stream's max event time
+    * is dropped before the state function (no row emitted, where the
+    * batch census would still count it) — the trade every bounded-state
+    * streaming operator makes. Pass `watermark = None` to restore the
+    * round-5 contract exactly (every delivered purchase credited,
+    * state unbounded). */
   def lastTouchAttribution(spark: SparkSession, events: DataFrame,
       windowUs: Long = 86400000000L,
-      watermark: String = "30 minutes"): Dataset[AttributionHit] = {
+      watermark: Option[String] = Some("30 minutes")): Dataset[AttributionHit] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    events
-      .withWatermark("ts", watermark)
+    val ttl = watermark.isDefined
+    watermark.fold(events)(w => events.withWatermark("ts", w))
       .selectExpr("user_id", "ts", "event_type", "event_id")
       .as[(Long, java.sql.Timestamp, String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[LastTouch, AttributionHit](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        OutputMode.Append,
+        if (ttl) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Long)],
             state: GroupState[LastTouch]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -966,7 +982,7 @@ object Transforms {
               state.update(st)
               // dead once the window has passed the touch (watermark
               // guard: event-time timeouts must be set past it)
-              state.setTimeoutTimestamp(math.max(
+              if (ttl) state.setTimeoutTimestamp(math.max(
                 (st.us + windowUs) / 1000L, state.getCurrentWatermarkMs + 1))
             }
             out.result().iterator
@@ -1037,16 +1053,16 @@ object Transforms {
           else {
             val batch = rows.toSeq
             val batchMaxMs = batch.map(_._2.getTime).max
-            val out = state.getOption match {
-              case Some(_) => Iterator.empty
+            val (next, out) = state.getOption match {
+              case Some(st) =>
+                (st.copy(lastSeenMs = math.max(st.lastSeenMs, batchMaxMs)),
+                  Iterator.empty)
               case None =>
                 val first = batch.minBy(r => (us(r._2), r._3))
                 val day = us(first._2) / 86400000000L
-                state.update(FirstSeenTtlState(day, batchMaxMs))
-                Iterator.single(NewUserHit(user, first._3, day))
+                (FirstSeenTtlState(day, batchMaxMs),
+                  Iterator.single(NewUserHit(user, first._3, day)))
             }
-            val st = state.get
-            val next = st.copy(lastSeenMs = math.max(st.lastSeenMs, batchMaxMs))
             state.update(next)
             state.setTimeoutTimestamp(math.max(
               next.lastSeenMs + idleMs, state.getCurrentWatermarkMs + 1))

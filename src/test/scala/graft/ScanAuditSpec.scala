@@ -36,9 +36,7 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   private def scans(name: String): Int = {
-    val df = SparkEntry.queries(name)(spark, sf)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val plan = TestPlans.finalPlan(SparkEntry.queries(name)(spark, sf))
     "FileScan parquet|Scan parquet".r.findAllIn(plan).length
   }
 

@@ -1376,7 +1376,7 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     val (ms, df) = eventsStream(Seq(
       Ev(0, ts(1), 1, "view", 1.0, "{}"),
       Ev(1, ts(2), 1, "view", 1.0, "{}")))
-    val q = Transforms.throttledEvents(spark, df, cap = 2, watermark = "1 minute")
+    val q = Transforms.throttledEvents(spark, df, cap = 2, watermark = Some("1 minute"))
       .writeStream.format("memory").queryName("throttle_ttl").outputMode("append").start()
     q.processAllAvailable()
     // 3.5 h later: watermark (3:30 − 1 min) clears hour 0's end, so the
@@ -1448,7 +1448,7 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     val (ms, df) = eventsStream(Seq(Ev(0, ts(1), 1, "click", 1.0, "{}")))
     // 30-min attribution window, 1-min watermark delay
     val q = Transforms.lastTouchAttribution(spark, df,
-        windowUs = 1800000000L, watermark = "1 minute")
+        windowUs = 1800000000L, watermark = Some("1 minute"))
       .writeStream.format("memory").queryName("attrib_ttl").outputMode("append").start()
     q.processAllAvailable()
     // watermark → :59: user 1's touch (:01) + 30 min window expired → evicted;
@@ -1476,6 +1476,23 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     q.processAllAvailable(); q.stop()
     spark.table("newusers_ttl").collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
       Set((1L, 0L), (2L, 1L), (1L, 2L))
+  }
+
+  it should "credit arbitrarily late purchases under watermark = None (round-5 contract)" in {
+    // the TTL default trades lateness for bounded state; None must
+    // restore the exact unbounded contract: every delivered purchase is
+    // credited, however far behind the stream's max event time
+    val (ms, df) = eventsStream(Seq(
+      Ev(0, ts(1), 1, "click", 1.0, "{}"),
+      Ev(1, ts(600), 2, "view", 1.0, "{}"))) // max event time 10 h in
+    val q = Transforms.lastTouchAttribution(spark, df, watermark = None)
+      .writeStream.format("memory").queryName("attrib_nowm").outputMode("append").start()
+    q.processAllAvailable()
+    // 9h59m behind the max — any default watermark would drop it
+    ms.addData(Ev(2, ts(2), 1, "purchase", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    spark.table("attrib_nowm").collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSet shouldBe Set((2L, "click"))
   }
 
   it should "expire a touch outside the attribution window and carry one inside it" in {
