@@ -15,7 +15,8 @@ object SparkEntry {
     Relational.queries ++ RelationalExt.queries ++ RelationalSupply.queries ++
       StatsOps.queries ++ StreamSemantics.queries ++
       EventAnalytics.queries ++ EventValue.queries ++ Joins.queries ++
-      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++ Clustering.queries ++
+      Dedup.queries ++ TextAnalysis.queries ++ TextCorpus.queries ++
+      Similarity.queries ++ Clustering.queries ++
       Multimodal.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -24,6 +25,7 @@ object SparkEntry {
     Relational.oracleSql ++ RelationalExt.oracleSql ++ RelationalSupply.oracleSql ++
       StatsOps.oracleSql ++ StreamSemantics.oracleSql ++
       EventAnalytics.oracleSql ++ EventValue.oracleSql ++ Joins.oracleSql ++
-      Dedup.oracleSql ++ TextAnalysis.oracleSql ++ Similarity.oracleSql ++ Clustering.oracleSql ++
+      Dedup.oracleSql ++ TextAnalysis.oracleSql ++ TextCorpus.oracleSql ++
+      Similarity.oracleSql ++ Clustering.oracleSql ++
       Multimodal.oracleSql ++ Pipeline.oracleSql
 }

@@ -735,8 +735,9 @@ object Transforms {
     * out-of-order arrivals splice in delivery order.
     *
     * Scale: state is two short strings per active user — the same O(users)
-    * class as the funnel tracker; bound it with an event-time TTL as
-    * [[runningUserTotalsWithTtl]] does when the user space is unbounded. */
+    * class as the funnel tracker; [[pathTriplesWithTtl]] is the
+    * bounded-state variant for unbounded user spaces (idle tails evicted
+    * — a deliberate semantic choice, see its doc). */
   def pathTriples(spark: SparkSession, events: DataFrame): Dataset[PathHit] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
@@ -759,6 +760,54 @@ object Transforms {
           }
           state.update(st)
           out.result().iterator
+      }
+  }
+
+  case class PathTailTtl(t1: Option[String], t2: Option[String], lastSeenMs: Long)
+
+  /** [[pathTriples]] with bounded state: a user idle past `idleMs` of
+    * EVENT time loses their two-event tail (the
+    * [[runningUserTotalsWithTtl]] discipline), so their next triple
+    * restarts from scratch. This is a SEMANTIC choice, not just an
+    * optimization — a path step spanning a month of inactivity is
+    * session noise, exactly what gap-based sessionization already
+    * drops — which is why it is a separate function rather than a
+    * default on the exact twin (whose batch-parity spec counts
+    * gap-spanning triples). Late in-watermark arrivals extend the
+    * deadline monotonically. */
+  def pathTriplesWithTtl(spark: SparkSession, events: DataFrame,
+      watermark: String = "30 minutes",
+      idleMs: Long = 30L * 86400000L): Dataset[PathHit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts", "event_type", "event_id")
+      .as[(Long, java.sql.Timestamp, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PathTailTtl, PathHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Long)],
+            state: GroupState[PathTailTtl]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(PathTailTtl(None, None, Long.MinValue))
+            val out = Seq.newBuilder[PathHit]
+            val batch = rows.toSeq
+            batch.sortBy(r => (us(r._2), r._4)).foreach { case (_, _, typ, _) =>
+              (st.t1, st.t2) match {
+                case (Some(a), Some(b)) => out += PathHit(user, s"$a>$b>$typ")
+                case _ => ()
+              }
+              st = PathTailTtl(st.t2, Some(typ), st.lastSeenMs)
+            }
+            val next = st.copy(lastSeenMs =
+              math.max(st.lastSeenMs, batch.map(_._2.getTime).max))
+            state.update(next)
+            state.setTimeoutTimestamp(math.max(
+              next.lastSeenMs + idleMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
       }
   }
 

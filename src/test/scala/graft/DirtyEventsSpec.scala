@@ -88,6 +88,34 @@ class DirtyEventsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "label pre-epoch hours with in-range calendar buckets" in {
+    // 1969-12-31 12:00 UTC is a Wednesday, hour 12. Under truncating
+    // `div`/`%` (both engines truncate toward zero) the old formulation
+    // labeled it hod −12 and a negative dow; the pmod arithmetic used by
+    // ev_forecast must land in [0,7)/[0,24): dow 3 under the epoch-day-0
+    // = Thursday = 4 convention (0 = Sunday), hod 12.
+    val row = spark.sql(
+      "SELECT pmod(((h - pmod(h, 24)) div 24) + 4, 7) AS dow, pmod(h, 24) AS hod " +
+        "FROM (SELECT unix_micros(TIMESTAMP'1969-12-31 12:00:00Z') div 3600000000 AS h)")
+      .collect()(0)
+    row.getLong(0) shouldBe 3L
+    row.getLong(1) shouldBe 12L
+  }
+
+  it should "run ev_forecast end to end over a corpus with a pre-epoch outlier" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-preepoch-ev").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val preEpoch = ev.orderBy(col("event_id")).limit(1)
+      .withColumn("event_id", col("event_id") + 500000L)
+      .withColumn("ts", lit("1965-03-01 06:30:00").cast("timestamp")
+        .cast(ev.schema("ts").dataType))
+    ev.unionByName(preEpoch)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = operators.EventValue.evForecast(spark, dir).collect()
+    out should not be empty
+    out.foreach(r => r.getAs[Long]("n_test_hours") should be > 0L)
+  }
+
   it should "bound the densified spines by the skewed corpus span" in {
     import org.apache.spark.sql.functions.{max => smax, min => smin}
     // ~12 years of hourly spine (2019..2031) — longer, never explosive

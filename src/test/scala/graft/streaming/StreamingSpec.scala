@@ -1389,6 +1389,28 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     spark.table("throttle_ttl").count() shouldBe 3 // eviction emits nothing
   }
 
+  it should "drop an idle user's tail (and restart the path) under the TTL variant" in {
+    val (ms, df) = eventsStream(Seq(
+      Ev(0, ts(1), 1, "view", 1.0, "{}"),
+      Ev(1, ts(2), 1, "click", 1.0, "{}"))) // tail = (view, click)
+    val q = Transforms.pathTriplesWithTtl(spark, df,
+        watermark = "1 minute", idleMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("paths_ttl").outputMode("append").start()
+    q.processAllAvailable()
+    ms.addData(Ev(2, ts(30), 2, "view", 1.0, "{}")) // watermark → :29 ⇒ user 1 evicted
+    q.processAllAvailable()
+    // user 1 resurfaces: the exact twin would emit view>click>purchase
+    // here — the TTL variant must have forgotten the tail
+    ms.addData(Ev(3, ts(31), 1, "purchase", 1.0, "{}"))
+    q.processAllAvailable()
+    spark.table("paths_ttl").count() shouldBe 0
+    // tail rebuilds from scratch: first triple is purchase>view>click
+    ms.addData(Ev(4, ts(32), 1, "view", 1.0, "{}"), Ev(5, ts(33), 1, "click", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    spark.table("paths_ttl").collect().map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      Set((1L, "purchase>view>click"))
+  }
+
   behavior of "Transforms.lastTouchAttribution"
 
   it should "credit purchases in parity with the batch ev_attribution census" in {
