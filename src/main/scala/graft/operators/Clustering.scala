@@ -562,7 +562,98 @@ object Clustering {
       |  floor(sqrt(sum(((ma - mb) * (ma - mb))::DECIMAL(38,18))::DOUBLE) * 1e6 + 0.5) / 1e6 AS centroid_l2
       |FROM means GROUP BY label ORDER BY label""".stripMargin
 
+  /** Per-label embedding outlier census — the mislabeled/corrupt-vector
+    * detector a curation run applies before training on labeled
+    * embeddings: distance of every vector to its LABEL centroid,
+    * z-score-gated (d > mean + 2σ within the label) into per-label
+    * outlier counts. A label whose outlier share spikes is either
+    * heterogeneous (split it) or polluted (clean it).
+    *
+    * Parity: centroids are per-(label, pos) decimal(38,18) means
+    * floor-rounded at 6 dp (the kmeans re-broadcast idiom — rounded
+    * centroids are bit-identical cross-engine, so the distance folds
+    * and the z-gate comparisons run on identical doubles). Scale: two
+    * corpus scans (stats pass + gate pass — the per-label threshold
+    * cannot exist until the first pass ends; dd_embed_cos class), with
+    * the label-centroid and stats frames |labels|-row broadcasts. NOT a
+    * Window.partitionBy(label): ~10 labels would put corpus/10 rows in
+    * one task's partition (the q_window_dist hazard). */
+  def clOutliers: Q = (s, d) => {
+    val v = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        toDouble(col("embedding")).as("e"))
+    val cents = v
+      .select(col("label"), posexplode(col("e")))
+      .groupBy(col("label"), col("pos"))
+      .agg((floor(sum(col("col").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)) * 1e6 + 0.5) / 1e6).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("c"))
+    def dist(vf: DataFrame): DataFrame = vf.join(broadcast(cents), "label")
+      .withColumn("dd",
+        sqrt(aggregate(zip_with(col("e"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)))
+    val stats = dist(v).groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("dd").cast("decimal(38,18)")).cast("double") / count(lit(1))).as("mean_d"),
+        (sum((col("dd") * col("dd")).cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("msq"),
+        max(col("dd")).as("max_d"))
+      .withColumn("sd", sqrt(greatest(col("msq") - col("mean_d") * col("mean_d"), lit(0.0))))
+    val outliers = dist(v).join(broadcast(stats.select(col("label"),
+        (col("mean_d") + lit(2.0) * col("sd")).as("thresh"))), "label")
+      .filter(col("dd") > col("thresh"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n_out"))
+    stats.join(outliers, Seq("label"), "left")
+      .select(col("label"), col("n_vecs"),
+        (floor(col("mean_d") * 1e6 + 0.5) / 1e6).as("mean_dist"),
+        (floor(col("max_d") * 1e6 + 0.5) / 1e6).as("max_dist"),
+        coalesce(col("n_out"), lit(0L)).as("n_outliers"))
+      .withColumn("outlier_share",
+        floor(col("n_outliers") / col("n_vecs") * 1e6 + 0.5) / 1e6)
+      .orderBy(col("label"))
+  }
+
+  val clOutliersSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label::BIGINT AS label,
+      |    list_transform(embedding, x -> x::DOUBLE) AS e
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |cm AS (
+      |  SELECT label, i AS pos,
+      |    floor(sum(e[i]::DECIMAL(38,18))::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 AS m
+      |  FROM v CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY 1, 2),
+      |cents AS (SELECT label, list(m ORDER BY pos) AS c FROM cm GROUP BY label),
+      |dists AS (
+      |  SELECT v.vec_id, v.label,
+      |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+      |      i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i])), (x, y) -> x + y)) AS dd
+      |  FROM v JOIN cents c USING (label)),
+      |stats AS (
+      |  SELECT label, count(*) AS n_vecs,
+      |    sum(dd::DECIMAL(38,18))::DOUBLE / count(*) AS mean_d,
+      |    sum((dd * dd)::DECIMAL(38,18))::DOUBLE / count(*) AS msq,
+      |    max(dd) AS max_d
+      |  FROM dists GROUP BY label),
+      |st2 AS (
+      |  SELECT *, sqrt(greatest(msq - mean_d * mean_d, 0.0)) AS sd FROM stats),
+      |outl AS (
+      |  SELECT d.label, count(*) AS n_out
+      |  FROM dists d JOIN st2 ON st2.label = d.label
+      |  WHERE d.dd > st2.mean_d + 2 * st2.sd
+      |  GROUP BY d.label)
+      |SELECT s.label, s.n_vecs,
+      |  floor(s.mean_d * 1e6 + 0.5) / 1e6 AS mean_dist,
+      |  floor(s.max_d * 1e6 + 0.5) / 1e6 AS max_dist,
+      |  coalesce(o.n_out, 0) AS n_outliers,
+      |  floor(coalesce(o.n_out, 0) / s.n_vecs * 1e6 + 0.5) / 1e6 AS outlier_share
+      |FROM st2 s LEFT JOIN outl o ON o.label = s.label
+      |ORDER BY s.label""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "cl_outliers" -> clOutliers,
     "cl_drift" -> clDrift,
     "cl_pagerank" -> clPagerank,
     "cl_silhouette" -> clSilhouette,
@@ -573,6 +664,7 @@ object Clustering {
     "cl_semantic_dedup" -> clSemanticDedup)
 
   def oracleSql: Map[String, String] = Map(
+    "cl_outliers" -> clOutliersSql,
     "cl_drift" -> clDriftSql,
     "cl_pagerank" -> clPagerankSql,
     "cl_silhouette" -> clSilhouetteSql,
