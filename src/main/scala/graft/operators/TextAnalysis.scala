@@ -466,7 +466,11 @@ object TextAnalysis {
       .agg(count(when(col("tf") > 0, lit(1))).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf_raw").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    // df is VOCABULARY-sized (one row per distinct term — 10⁸⁺ at
+    // 100 TB): a plain keyed join on term, never a broadcast hint (the
+    // dd_ppjoin lesson — AQE still broadcasts it when it really is
+    // small). Only the one-row n_docs scalar broadcasts unconditionally.
+    tf.join(df, "term")
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
       .withColumn("tfidf_raw",
         col("tf") * log(col("n_docs").cast("double") / col("df")))
@@ -535,7 +539,9 @@ object TextAnalysis {
     val avgNll = (log(col("n_total")) -
       sum((col("tf") * log(col("c"))).cast("decimal(38,18)")).cast("double") /
         sum(col("tf")))
-    tf.join(broadcast(cnt), "term")
+    // cnt is VOCABULARY-sized — keyed join on term, not a broadcast
+    // hint (see ta_tfidf); the one-row total stays a broadcast scalar
+    tf.join(cnt, "term")
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"), col("n_total"))
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
