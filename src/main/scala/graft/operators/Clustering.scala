@@ -572,10 +572,12 @@ object Clustering {
     * Parity: centroids are per-(label, pos) decimal(38,18) means
     * floor-rounded at 6 dp (the kmeans re-broadcast idiom — rounded
     * centroids are bit-identical cross-engine, so the distance folds
-    * and the z-gate comparisons run on identical doubles). Scale: two
-    * corpus scans (stats pass + gate pass — the per-label threshold
-    * cannot exist until the first pass ends; dd_embed_cos class), with
-    * the label-centroid and stats frames |labels|-row broadcasts. NOT a
+    * and the z-gate comparisons run on identical doubles). Scale: three
+    * sequential corpus passes, the structural minimum — centroids must
+    * exist before distances, and the per-label threshold before the
+    * gate — each ONE scan, with the |labels|-row centroid and stats
+    * frames localCheckpoint-pinned between passes (lazy branches each
+    * re-derived them: audited 4 scans instead of 3). NOT a
     * Window.partitionBy(label): ~10 labels would put corpus/10 rows in
     * one task's partition (the q_window_dist hazard). */
   def clOutliers: Q = (s, d) => {
@@ -583,6 +585,10 @@ object Clustering {
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         toDouble(col("embedding")).as("e"))
+    // |labels|-row frames localCheckpoint-pinned: cents feeds BOTH
+    // distance passes and stats feeds both the threshold and the report
+    // — lazy branches each re-derived them with their own pruning
+    // (audited: 4 corpus scans instead of the structural 2)
     val cents = v
       .select(col("label"), posexplode(col("e")))
       .groupBy(col("label"), col("pos"))
@@ -591,6 +597,7 @@ object Clustering {
       .groupBy(col("label"))
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("c"))
+      .localCheckpoint(true)
     def dist(vf: DataFrame): DataFrame = vf.join(broadcast(cents), "label")
       .withColumn("dd",
         sqrt(aggregate(zip_with(col("e"), col("c"), (a, b) => (a - b) * (a - b)),
@@ -602,6 +609,7 @@ object Clustering {
           count(lit(1))).as("msq"),
         max(col("dd")).as("max_d"))
       .withColumn("sd", sqrt(greatest(col("msq") - col("mean_d") * col("mean_d"), lit(0.0))))
+      .localCheckpoint(true)
     val outliers = dist(v).join(broadcast(stats.select(col("label"),
         (col("mean_d") + lit(2.0) * col("sd")).as("thresh"))), "label")
       .filter(col("dd") > col("thresh"))

@@ -59,6 +59,11 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "dd_cascade" -> 3,
     "ta_tfidf" -> 2, "ta_surprisal" -> 1, "ta_collocations" -> 1,
     "ta_novelty" -> 2, "ta_zipf" -> 1,
+    // round-6 corpus-health ops (ta_jsd/ta_hapax: tokenize pass + the
+    // doc/total census branch; cl_outliers: gate pass only — centroid
+    // and stats passes land in localCheckpoints)
+    "ta_jsd" -> 2, "ta_gopher_rules" -> 1, "ta_hapax" -> 2,
+    "cl_outliers" -> 1, "q_profile_approx" -> 1,
     "pipe_budget_mix" -> 1, "pipe_curriculum" -> 1, "mm_dedup" -> 1,
     // embeddings
     "cl_drift" -> 1, "cl_kmeans" -> 1, "cl_silhouette" -> 1,
