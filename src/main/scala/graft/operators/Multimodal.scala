@@ -175,6 +175,46 @@ object Multimodal {
     * `mapPartitions` — the batch shape a Pandas-UDF/JNI decoder would use.
     * STUB: features are a deterministic fake (first bytes scaled); swap
     * `fakeDecode` for a real image/audio decoder at deployment. */
+  /** Chunk-level storage-dedup census via CONTENT-DEFINED chunking —
+    * the gear-hash rolling scheme (FastCDC family) behind every
+    * dedup-aware blob store: boundaries depend on a sliding content
+    * window, so an insertion re-synchronizes within ~one chunk instead
+    * of shifting every downstream boundary the way fixed-size chunking
+    * (mm_chunk) does. Per modality: chunk count, distinct-chunk count,
+    * byte totals and the dedup ratio a chunk store would achieve.
+    *
+    * Rows-only (gear hashing is not SQL-expressible in the oracle);
+    * CdcCutsSpec pins the kernel's contracts — reassembly, size bounds,
+    * determinism, shift-resistance, interpreted ≡ codegen — and the
+    * census ties out against mm_meta byte totals in spec. Scale: cuts
+    * are record-local (`graft_cdc_cuts`, codegen'd); the only shuffle
+    * is the (format, chunk-hash) distinct aggregate — exactly the
+    * chunk-index build a real store runs. */
+  def mmCdcChunk: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
+    val perChunk = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"), formatOf(col("doc_id")).as("format"), col("payload"),
+        call_function("graft_cdc_cuts", col("payload"), lit(16), lit(5), lit(128)).as("cuts"))
+      .select(col("format"), col("payload"), col("cuts"), posexplode(col("cuts")))
+      .withColumn("start",
+        when(col("pos") === 0, lit(0)).otherwise(element_at(col("cuts"), col("pos"))))
+      .withColumn("len", col("col") - col("start"))
+      .select(col("format"),
+        md5(expr("substring(payload, start + 1, len)")).as("h"), col("len"))
+    val totals = perChunk.groupBy(col("format"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("len")).as("total_bytes"))
+    val distincts = perChunk.groupBy(col("format"), col("h"))
+      .agg(max(col("len")).as("len")) // same content ⇒ same length
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("len")).as("distinct_bytes"))
+    totals.join(distincts, "format")
+      .withColumn("dedup_ratio", floor(
+        (lit(1.0) - col("distinct_bytes") / col("total_bytes")) * 1e4 + 0.5) / 1e4)
+      .orderBy(col("format"))
+  }
+
   def mmDecodeStub: Q = (s, d) => {
     val spark = s
     import spark.implicits._
@@ -256,6 +296,7 @@ object Multimodal {
       |FROM m GROUP BY format ORDER BY format""".stripMargin
 
   def queries: Map[String, Q] = Map(
+    "mm_cdc_chunk" -> mmCdcChunk,
     "mm_dedup" -> mmDedup,
     "mm_shard_balance" -> mmShardBalance,
     "mm_modality_mix" -> mmModalityMix,

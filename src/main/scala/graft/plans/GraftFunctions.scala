@@ -61,6 +61,22 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_pq_score"),
       new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_score"),
       (args: Seq[Expression]) => { arity("graft_pq_score", args, 2); PqAdcScore(args(0), args(1)) }),
+    (new FunctionIdentifier("graft_cdc_cuts"),
+      new ExpressionInfo(classOf[graft.functions.CdcCuts].getName, "graft_cdc_cuts"),
+      (args: Seq[Expression]) => {
+        arity("graft_cdc_cuts", args, 4)
+        def intLit(i: Int, what: String): Int = {
+          val e = args(i)
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"graft_cdc_cuts: $what must be an integer literal")
+          val v = e.eval()
+          if (v == null) throw new IllegalArgumentException(
+            s"graft_cdc_cuts: $what must be non-null")
+          v.toString.toInt
+        }
+        graft.functions.CdcCuts(args(0),
+          intLit(1, "minSize"), intLit(2, "maskBits"), intLit(3, "maxSize"))
+      }),
     // Spark ships distributed Bloom build/probe as CATALYST expressions
     // (the runtime-filter machinery) but does not register them as SQL
     // functions; graft exposes them for the ingest dedup gate

@@ -28,7 +28,7 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
 
   it should "expose an oracle for every query except rows-only ops" in {
     val rowsOnly = Set("mm_decode_stub", "sl_rowbinary", "q_approx_distinct", "dd_bloom",
-      "q_approx_quantiles", "dd_neardup", "q_profile_approx")
+      "q_approx_quantiles", "dd_neardup", "q_profile_approx", "mm_cdc_chunk")
     (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) shouldBe rowsOnly
     SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
   }
