@@ -14,6 +14,11 @@ object TextFns {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** ONE stopword list shared by ta_quality's per-doc scoring and
+    * ta_gopher_rules' per-rule census — the two are documented twins
+    * and a drifted copy would silently desynchronize them. */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
   /** Word 3-gram shingles (space-joined); empty for docs under 3 tokens.
     * Guarded because Spark's sequence() flips direction when stop < start. */
   def shingles3(toks: Column): Column =

@@ -170,11 +170,6 @@ object Multimodal {
        |  END AS byte_share
        |FROM f ORDER BY format""".stripMargin
 
-  /** Decode stub (rows-only check, no SQL oracle): partition-parallel
-    * "decode" of binary payloads into fixed-width feature vectors via
-    * `mapPartitions` — the batch shape a Pandas-UDF/JNI decoder would use.
-    * STUB: features are a deterministic fake (first bytes scaled); swap
-    * `fakeDecode` for a real image/audio decoder at deployment. */
   /** Chunk-level storage-dedup census via CONTENT-DEFINED chunking —
     * the gear-hash rolling scheme (FastCDC family) behind every
     * dedup-aware blob store: boundaries depend on a sliding content
@@ -186,13 +181,15 @@ object Multimodal {
     * Rows-only (gear hashing is not SQL-expressible in the oracle);
     * CdcCutsSpec pins the kernel's contracts — reassembly, size bounds,
     * determinism, shift-resistance, interpreted ≡ codegen — and the
-    * census ties out against mm_meta byte totals in spec. Scale: cuts
-    * are record-local (`graft_cdc_cuts`, codegen'd); the only shuffle
-    * is the (format, chunk-hash) distinct aggregate — exactly the
-    * chunk-index build a real store runs. */
+    * census ties out against mm_meta byte totals in spec. Scale: ONE
+    * corpus pass — cuts and chunk hashes are record-local
+    * (`graft_cdc_cuts` codegen'd), the (format, chunk-hash) aggregate
+    * carries (count, len) so totals AND distincts roll up from the same
+    * chunk index (a totals branch off the raw chunk frame would be a
+    * second full chunk+md5 pass over the corpus). */
   def mmCdcChunk: Q = (s, d) => {
     graft.plans.GraftFunctions.register(s)
-    val perChunk = Tables.documents(s, d)
+    Tables.documents(s, d)
       .filter(col("text").isNotNull)
       .withColumn("payload", col("text").cast("binary"))
       .select(col("doc_id"), formatOf(col("doc_id")).as("format"), col("payload"),
@@ -203,18 +200,23 @@ object Multimodal {
       .withColumn("len", col("col") - col("start"))
       .select(col("format"),
         md5(expr("substring(payload, start + 1, len)")).as("h"), col("len"))
-    val totals = perChunk.groupBy(col("format"))
-      .agg(count(lit(1)).as("n_chunks"), sum(col("len")).as("total_bytes"))
-    val distincts = perChunk.groupBy(col("format"), col("h"))
-      .agg(max(col("len")).as("len")) // same content ⇒ same length
+      .groupBy(col("format"), col("h"))
+      .agg(count(lit(1)).as("cnt"), max(col("len")).as("len")) // same content ⇒ same length
       .groupBy(col("format"))
-      .agg(count(lit(1)).as("n_distinct"), sum(col("len")).as("distinct_bytes"))
-    totals.join(distincts, "format")
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * col("len")).as("total_bytes"),
+        sum(col("len")).as("distinct_bytes"))
       .withColumn("dedup_ratio", floor(
         (lit(1.0) - col("distinct_bytes") / col("total_bytes")) * 1e4 + 0.5) / 1e4)
       .orderBy(col("format"))
   }
 
+  /** Decode stub (rows-only check, no SQL oracle): partition-parallel
+    * "decode" of binary payloads into fixed-width feature vectors via
+    * `mapPartitions` — the batch shape a Pandas-UDF/JNI decoder would use.
+    * STUB: features are a deterministic fake (first bytes scaled); swap
+    * `fakeDecode` for a real image/audio decoder at deployment. */
   def mmDecodeStub: Q = (s, d) => {
     val spark = s
     import spark.implicits._

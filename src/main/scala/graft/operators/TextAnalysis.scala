@@ -42,7 +42,7 @@ object TextAnalysis {
       |  END AS avg_tok_len
       |FROM t ORDER BY doc_id""".stripMargin
 
-  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private def stopwords = graft.functions.TextFns.stopwords
 
   /** Quality scoring: punctuation ratio, stopword ratio, mean word length
     * and a combined keep/drop flag (the usual pre-training heuristics). */

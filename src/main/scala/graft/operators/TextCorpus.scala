@@ -77,7 +77,10 @@ object TextCorpus {
       |    + CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0.0 END))::DECIMAL(38,18))::DOUBLE, 6) AS jsd
       |FROM al GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
-  private val gopherStops = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  // ONE stopword list shared with ta_quality (TextFns.stopwords): the
+  // census is documented as ta_quality's per-rule rollup twin, and a
+  // drifted copy would silently desynchronize the two
+  private def gopherStops = graft.functions.TextFns.stopwords
 
   /** Gopher-style quality-rule census — the per-RULE pass/fail datacard
     * (Rae et al. 2021's filter battery shape) a curation run publishes
@@ -98,14 +101,19 @@ object TextCorpus {
     val alphaWords = size(filter(tk, t => t.rlike("[a-zA-Z]")))
     val stopsPresent = size(array_intersect(array_distinct(tk),
       array(gopherStops.map(lit): _*)))
+    // coalesce to FALSE, mirroring the oracle's coalesce: a zero-token
+    // doc's meanLen is NULL, and a NULL flag would count as neither pass
+    // nor fail (sum(when(pass)) and sum(when(!pass)) both skip it) —
+    // rule 2's denominator would silently drop the doc while the other
+    // rules count it as fail
     val flags = Tables.documents(s, d)
       .filter(col("text").isNotNull)
       .select(
-        (n >= 10 && n <= 100000).as("f_word_count"),
-        (meanLen >= 2 && meanLen <= 10).as("f_mean_word_len"),
-        (n > 0 && symbols / n.cast("double") < 0.1).as("f_symbol_ratio"),
-        (n > 0 && alphaWords / n.cast("double") > 0.8).as("f_alpha_share"),
-        (stopsPresent >= 2).as("f_stopwords"))
+        coalesce(n >= 10 && n <= 100000, lit(false)).as("f_word_count"),
+        coalesce(meanLen >= 2 && meanLen <= 10, lit(false)).as("f_mean_word_len"),
+        coalesce(n > 0 && symbols / n.cast("double") < 0.1, lit(false)).as("f_symbol_ratio"),
+        coalesce(n > 0 && alphaWords / n.cast("double") > 0.8, lit(false)).as("f_alpha_share"),
+        coalesce(stopsPresent >= 2, lit(false)).as("f_stopwords"))
     flags.select(explode(array(
         struct(lit("1_word_count_10_100k").as("rule"), col("f_word_count").as("pass")),
         struct(lit("2_mean_word_len_2_10").as("rule"), col("f_mean_word_len").as("pass")),

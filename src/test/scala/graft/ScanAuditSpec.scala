@@ -63,7 +63,7 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // doc/total census branch; cl_outliers: gate pass only — centroid
     // and stats passes land in localCheckpoints)
     "ta_jsd" -> 2, "ta_gopher_rules" -> 1, "ta_hapax" -> 2,
-    "cl_outliers" -> 1, "q_profile_approx" -> 1, "mm_cdc_chunk" -> 2,
+    "cl_outliers" -> 1, "q_profile_approx" -> 1, "mm_cdc_chunk" -> 1,
     "pipe_budget_mix" -> 1, "pipe_curriculum" -> 1, "mm_dedup" -> 1,
     // embeddings
     "cl_drift" -> 1, "cl_kmeans" -> 1, "cl_silhouette" -> 1,

@@ -79,9 +79,17 @@ class CdcCutsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     val rows = (0 until 200).map { i => (i.toLong, payload(100 + i * 37, seed = i)) }
-    val df = rows.toDF("id", "p")
+    // a projection over a LocalRelation is constant-folded DRIVER-SIDE by
+    // ConvertToLocalRelation (InterpretedMutableProjection — doGenCode
+    // never runs); round-trip through parquet so the expression really
+    // executes inside a whole-stage-codegen'd scan stage
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-codegen").toString
+    rows.toDF("id", "p").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
       .withColumn("cuts", call_function("graft_cdc_cuts", col("p"), lit(16), lit(4), lit(96)))
-    // codegen path (whole-stage projection over a real scan)
+    // the `*(n)` prefix marks whole-stage-codegen stages in the plan
+    // string; the Project evaluating cdccuts must carry it
+    df.queryExecution.executedPlan.toString should include regex """\*\(\d+\) Project .*cdccuts"""
     val viaSpark = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
     rows.foreach { case (id, p) =>
       viaSpark(id) shouldBe cutsOf(p, 16, 4, 96)
