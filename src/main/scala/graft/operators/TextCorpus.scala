@@ -29,7 +29,11 @@ object TextCorpus {
     * broadcast-joined per-source total (|sources| rows); the pair frame
     * is |sources|² rows and BROADCASTS against the term-keyed
     * distribution; the union-vocabulary alignment is a grouped
-    * max-by-side, never a full-outer per pair. */
+    * max-by-side, never a full-outer per pair. The aligned frame is
+    * O(|sources|² · vocab) — fine for the tens-of-sources regime this
+    * census targets; at thousands of sources run the S-pair variant
+    * instead (each source vs ONE reference snapshot: swap `pairs` for a
+    * reference-source literal — same plan, O(S · vocab)). */
   def taJsd: Q = (s, d) => {
     val tc = Tables.documents(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("t"))
