@@ -726,16 +726,23 @@ object Dedup {
     * occurs more than once corpus-wide (intra-doc repeats included — a
     * doc that repeats itself is as removable as a scrape).
     *
-    * Scale shape: ONE scan, and the corpus-sized shuffle is keyed on
-    * (hash, doc_id) so hash-aggregate partial combine collapses
-    * boilerplate windows map-side BEFORE the exchange — the shuffle
-    * carries distinct (window, doc) pairs, not every position. The
-    * per-hash total then comes from a window over that already-collapsed
-    * frame (hot hash = docs containing it, spill-backed WindowExec, never
-    * the raw position count), and the final per-doc rollup is a second
-    * keyed aggregate. No join back onto the exploded corpus — the
-    * count-over-partition IS the total, so the windows are scanned and
-    * tokenized exactly once. */
+    * Scale shape: the corpus-sized shuffle is keyed on (hash, doc_id)
+    * so hash-aggregate partial combine collapses boilerplate windows
+    * map-side BEFORE the exchange — the shuffle carries distinct
+    * (window, doc) pairs, not every position. The per-hash total is a
+    * second partial-combined `groupBy(h)` (NEVER a
+    * `Window.partitionBy(h)`: a boilerplate 8-gram shared by millions
+    * of docs would put all of them in ONE WindowExec partition, serial
+    * at any cluster size, and AQE cannot split a window partition).
+    * The duplicated-hash table — tiny relative to the corpus: only
+    * hashes appearing in >1 (doc,window) pair survive — left-joins back
+    * onto the pair frame; that join shuffles on h as a sort-merge join,
+    * which AQE's skew-join splitting CAN break up when a hash is hot.
+    * The collapsed pair frame feeds both the total branch and the join
+    * branch, so it is localCheckpoint-pinned: one tokenize pass, one
+    * block write of the already-collapsed frame (column pruning would
+    * otherwise diverge between branches, defeat exchange reuse, and
+    * re-run the tokenizer). */
   def ddSubstring: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
@@ -747,11 +754,15 @@ object Dedup {
         "element_at(tk, i + 6), element_at(tk, i + 7))), 1, 8), 16, 10) as bigint))")).as("h"))
     val perPair = wins.groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
-    val withTot = perPair.withColumn("ntot",
-      sum(col("c")).over(Window.partitionBy(col("h"))))
-    withTot.groupBy(col("doc_id"))
+      .localCheckpoint(true) // collapsed (h, doc) frame feeds both branches once
+    val dupHashes = perPair.groupBy(col("h"))
+      .agg(sum(col("c")).as("ntot"))
+      .filter(col("ntot") > 1)
+      .select(col("h"), lit(1).as("isdup"))
+    perPair.join(dupHashes, Seq("h"), "left")
+      .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_windows"),
-        coalesce(sum(when(col("ntot") > 1, col("c"))), lit(0L)).as("dup_windows"))
+        coalesce(sum(when(col("isdup") === 1, col("c"))), lit(0L)).as("dup_windows"))
       // exact-integer quotient: both engines divide the same two longs, so
       // the double is bit-identical and the floor round is engine-agnostic
       .withColumn("dup_share",
@@ -784,16 +795,24 @@ object Dedup {
     * this answers "is there one long verbatim span worth cutting".
     * Only documents containing a duplicated run are emitted.
     *
-    * Scale shape: ONE scan (n_windows = len−7 rides the explode as a
-    * record-local constant — no second per-doc count pass). The
-    * position frame keeps (doc, pos), so the per-hash total comes from a
-    * count-window over the h-partitioned positions — a hot boilerplate
-    * hash buffers its partition in WindowExec's spill-backed array
-    * (disk-bounded, never OOM; the collapsed-frame trick dd_substring
-    * uses is unavailable here because positions must survive). After
-    * the dup filter the frame is duplicated-positions-only; the island
-    * window (doc-keyed) and the two shrinking aggregates ride on that
-    * reduced frame. */
+    * Scale shape: n_windows = len−7 rides the explode as a record-local
+    * constant — no second per-doc count pass. Positions must survive to
+    * the island merge, so the per-hash total CANNOT ride a collapsed
+    * frame; it is computed as a partial-combined `groupBy(h).count()`
+    * (each map task pre-counts its share of a hot boilerplate hash, so
+    * the h-shuffle carries at most |partitions| rows per hash) filtered
+    * to duplicated hashes, then inner-joined back onto the position
+    * frame on h. That join is a sort-merge join AQE's skew handling CAN
+    * split when one 8-gram is corpus-hot — the previous
+    * `count(*) over (partition by h)` put every position of a hot hash
+    * in ONE WindowExec partition, serial at any cluster size (it was the
+    * slowest query in BENCH_r06). The position frame feeds both the
+    * count branch and the join branch, so it is localCheckpoint-pinned:
+    * its materialized bytes are the same order as the old plan's
+    * h-shuffle write, and the pin buys one tokenize+md5 pass instead of
+    * two. After the join the frame is duplicated-positions-only; the
+    * island window (doc-keyed — bounded by doc length) and the two
+    * shrinking aggregates ride on it. */
   def ddDupSpan: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
@@ -806,9 +825,14 @@ object Dedup {
             "element_at(tk, i + 3), element_at(tk, i + 4), element_at(tk, i + 5), " +
             "element_at(tk, i + 6), element_at(tk, i + 7))), 1, 8), 16, 10) as bigint))"))
           .as(Seq("pos", "h")))
-    val dup = wins
-      .withColumn("ntot", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .localCheckpoint(true) // position frame feeds count + join branches once;
+    // its materialized bytes ≈ the old plan's h-shuffle write, so this
+    // trades the second tokenize+md5 pass for a same-sized block write
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("ntot"))
       .filter(col("ntot") > 1)
+      .select(col("h"))
+    val dup = wins.join(dupHashes, "h")
     val islands = dup
       .withColumn("grp", col("pos") - row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))

@@ -53,10 +53,13 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "ev_sessions" -> 1, "ev_session_stats" -> 1, "ev_throttle" -> 1,
     "ev_top_paths" -> 1, "ev_attribution" -> 1, "ev_cumulative_users" -> 1,
     "sl_lookback" -> 1,
-    // documents dedup/text/pipeline
+    // documents dedup/text/pipeline (dd_dup_span/dd_substring: the r7
+    // hot-hash rewrite localCheckpoints the single tokenize pass, then
+    // feeds it to both the per-hash total branch and the join-back
+    // branch — 0 scans in the final plan, no Window.partitionBy(h))
     "dd_exact" -> 1, "dd_lsh_pairs" -> 1, "dd_dup_groups" -> 1,
     "dd_ppjoin" -> 0, "dd_lsh_recall" -> 1, "dd_edit_pairs" -> 3,
-    "dd_cascade" -> 3,
+    "dd_cascade" -> 3, "dd_dup_span" -> 0, "dd_substring" -> 0,
     "ta_tfidf" -> 2, "ta_surprisal" -> 1, "ta_collocations" -> 1,
     "ta_novelty" -> 2, "ta_zipf" -> 1,
     // round-6 corpus-health ops (ta_jsd/ta_hapax: tokenize pass + the
@@ -80,5 +83,21 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       if (n > ceiling) Some(s"$name: $n scans > audited ceiling $ceiling") else None
     }
     withClue(over.mkString("; ")) { over shouldBe empty }
+  }
+
+  behavior of "corpus-hash window elimination (r7)"
+
+  // The r6 verdict's scale-killer: Window.partitionBy(h) over the
+  // exploded corpus puts every position of one hot boilerplate 8-gram
+  // in a single unsplittable WindowExec partition. The r7 rewrite
+  // replaces it with groupBy(h) + join-back; these ceilings pin the
+  // number of Window nodes in the EXECUTED plan so a refactor cannot
+  // quietly bring the hash window back (dd_dup_span keeps exactly one
+  // Window — the doc-keyed island merge, bounded by doc length).
+  it should "keep dd_substring Window-free and dd_dup_span at one doc-keyed window" in {
+    val winCount = (name: String) =>
+      "\\bWindow\\b".r.findAllIn(TestPlans.finalPlan(SparkEntry.queries(name)(spark, sf))).length
+    winCount("dd_substring") shouldBe 0
+    winCount("dd_dup_span") should be <= 1
   }
 }
