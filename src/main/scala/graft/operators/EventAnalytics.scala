@@ -232,12 +232,22 @@ object EventAnalytics {
 
   /** Late-data accounting: a record is late if its event time trails the
     * running watermark (max ts over earlier offsets in its partition) by
-    * more than the allowed lateness (10 min). */
+    * more than the allowed lateness (10 min).
+    *
+    * Scale: the running watermark is a [[graft.plans.ChunkedPrefix]]
+    * two-phase prefix max over (event_type, offset-chunk) — never a
+    * corpus-sized `Window.partitionBy(event_type)`, which with ~5 types
+    * would sort corpus/5 rows in ONE unsplittable task. Chunk width
+    * hard-bounds the local window partitions (offsets are dense), and
+    * the cross-chunk carry rides a metadata-sized summary frame. */
   def evLateData: Q = (s, d) => {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(s, d)
-      .withColumn("wm_us", unix_micros(max(col("ts")).over(w)))
+    import graft.plans.ChunkedPrefix
+    val marked = ChunkedPrefix.runningMax(
+      Tables.events(s, d),
+      keys = Seq("event_type"), order = Seq(col("event_id")),
+      chunk = ChunkedPrefix.idChunks(col("event_id"), 4096L),
+      value = unix_micros(col("ts")), out = "wm_us", inclusive = false)
+    marked
       .withColumn("late",
         when(col("wm_us").isNotNull &&
           unix_micros(col("ts")) < col("wm_us") - 600000000L, 1).otherwise(0))
@@ -707,15 +717,20 @@ object EventAnalytics {
     * signal behind rate-limit sizing, source-health alerting (rising max
     * gap = a stalling producer) and watermark-delay tuning.
     *
-    * Scale: one window shuffle keyed on event_type. The per-type ordering
-    * is the same prefix layout the per-partition watermark/gap ops use —
-    * at 100 TB this becomes a (type, time-chunk) prefix window with a
-    * two-phase boundary merge, like sl_watermark. The avg is an exact
-    * long-microsecond quotient floor-rounded, so both engines agree. */
+    * Scale: the consecutive-gap lag is a [[graft.plans.ChunkedPrefix]]
+    * two-phase lag over (type, 6-hour time-chunk) — the local lag runs
+    * inside rate-bounded chunk partitions and the chunk-boundary
+    * fallback (last ts of the latest preceding non-empty chunk) rides
+    * the metadata-sized summary frame, so no window partition ever
+    * holds corpus/|types| rows. The avg is an exact long-microsecond
+    * quotient floor-rounded, so both engines agree. */
   def evInterArrival: Q = (s, d) => {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    Tables.events(s, d)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+    import graft.plans.ChunkedPrefix
+    ChunkedPrefix.lagValue(
+        Tables.events(s, d).select(col("event_type"), col("ts"), col("event_id")),
+        keys = Seq("event_type"), order = Seq(col("ts"), col("event_id")),
+        chunk = ChunkedPrefix.timeChunks(col("ts"), 6L * 3600L * 1000000L),
+        value = unix_micros(col("ts")), out = "prev_us")
       .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
       .filter(col("gap_us").isNotNull)
       .groupBy(col("event_type"))

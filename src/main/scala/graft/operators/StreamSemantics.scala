@@ -53,15 +53,21 @@ object StreamSemantics {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Monotonic running watermark per partition (max event time seen so far,
-    * in offset order) — WatermarkProvider semantics, per record. */
+    * in offset order) — WatermarkProvider semantics, per record.
+    *
+    * Scale: a [[graft.plans.ChunkedPrefix]] two-phase prefix max over
+    * (partition, offset-chunk) — the single-consumer running max the
+    * reference computes incrementally decomposes associatively, so no
+    * window partition ever holds corpus/|partitions| rows (the r6 plan's
+    * `Window.partitionBy(event_type)` did exactly that). */
   def slWatermark: Q = (s, d) => {
-    // ROWS frame: cheaper than the default RANGE frame and identical here
-    // (event_id is unique within a partition).
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .select(col("event_id"), col("event_type"), col("ts"))
-      .withColumn("watermark", max(col("ts")).over(w))
+    import graft.plans.ChunkedPrefix
+    ChunkedPrefix.runningMax(
+        Tables.events(s, d).select(col("event_id"), col("event_type"), col("ts")),
+        keys = Seq("event_type"), order = Seq(col("event_id")),
+        chunk = ChunkedPrefix.idChunks(col("event_id"), 4096L),
+        value = col("ts"), out = "watermark", inclusive = true)
+      .select(col("event_id"), col("event_type"), col("ts"), col("watermark"))
       .orderBy(col("event_id"))
   }
 
@@ -175,9 +181,14 @@ object StreamSemantics {
     * assign each record to its batch within the partition and emit one row
     * per committed batch with its range and watermark. */
   def slBatchAssign: Q = (s, d) => {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-    Tables.events(s, d)
-      .withColumn("batch_id", floor((row_number().over(w) - 1) / 1000))
+    import graft.plans.ChunkedPrefix
+    // Two-phase chunked row number (see slWatermark): local rank within
+    // rate-bounded (partition, offset-chunk) windows + carried counts.
+    ChunkedPrefix.rowNumber(
+        Tables.events(s, d),
+        keys = Seq("event_type"), order = Seq(col("event_id")),
+        chunk = ChunkedPrefix.idChunks(col("event_id"), 4096L), out = "rn")
+      .withColumn("batch_id", floor((col("rn") - 1) / 1000))
       .groupBy(col("event_type"), col("batch_id"))
       .agg(count(lit(1)).as("n_records"),
         min(col("event_id")).as("start_offset"),
@@ -200,14 +211,19 @@ object StreamSemantics {
     * partition into 64 KiB byte-budget batches (deterministic proxy for
     * ReachedAnyOf(fileSize=64k)). */
   def slByteBatches: Q = (s, d) => {
+    import graft.plans.ChunkedPrefix
     val line = concat_ws(",",
       col("event_id").cast("string"), col("user_id").cast("string"),
       col("event_type"), unix_millis(col("ts")).cast("string"), col("props"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .withColumn("nbytes", octet_length(line))
-      .withColumn("batch_id", floor((sum(col("nbytes")).over(w) - col("nbytes")) / 65536))
+    // Two-phase chunked exclusive prefix sum (see slWatermark): the
+    // cumulative byte budget carries across offset-chunks via the
+    // metadata-sized summary frame.
+    ChunkedPrefix.runningSum(
+        Tables.events(s, d).withColumn("nbytes", octet_length(line)),
+        keys = Seq("event_type"), order = Seq(col("event_id")),
+        chunk = ChunkedPrefix.idChunks(col("event_id"), 4096L),
+        value = col("nbytes"), out = "cum_prev", inclusive = false)
+      .withColumn("batch_id", floor(col("cum_prev") / 65536))
       .groupBy(col("event_type"), col("batch_id"))
       .agg(count(lit(1)).as("n_records"), sum(col("nbytes")).as("n_bytes"),
         min(col("event_id")).as("start_offset"), max(col("event_id")).as("end_offset"))
@@ -293,10 +309,15 @@ object StreamSemantics {
     * the in-partition stride varies; a "gap" here means an unusually large
     * jump, > 2× the median stride proxy of 15). */
   def slGapDetect: Q = (s, d) => {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-    Tables.events(s, d)
-      .select(col("event_type"), col("event_id"))
-      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+    import graft.plans.ChunkedPrefix
+    // Two-phase chunked lag (see slWatermark): the previous offset at a
+    // chunk boundary is the preceding chunk's max offset, carried on the
+    // metadata-sized summary frame.
+    ChunkedPrefix.lagValue(
+        Tables.events(s, d).select(col("event_type"), col("event_id")),
+        keys = Seq("event_type"), order = Seq(col("event_id")),
+        chunk = ChunkedPrefix.idChunks(col("event_id"), 4096L),
+        value = col("event_id"), out = "prev_id")
       .filter(col("prev_id").isNotNull && col("event_id") - col("prev_id") > 15)
       .select(col("event_type"), col("prev_id").as("gap_start"),
         col("event_id").as("gap_end"),

@@ -1,0 +1,141 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase chunked prefix windows — the scale-safe replacement for
+  * `Window.partitionBy(lowCardinalityKey).orderBy(order)` running
+  * aggregates over a corpus-sized frame.
+  *
+  * The hazard: WindowExec cannot split a partition, and AQE's skew
+  * handling applies to joins, not windows — so a running watermark /
+  * lag / row-number keyed on a ~5-value column (event type, Kafka
+  * partition, source name) puts corpus/5 rows in ONE task at any
+  * cluster size. The reference loader (stream-loader-core
+  * WatermarkProvider.scala:12, commit strategies in
+  * sink/batch/RecordBatchBuilder.scala:20) computes these per-partition
+  * running values incrementally on a single consumer thread; re-expressed
+  * declaratively they become prefix aggregates, and prefix aggregates
+  * decompose associatively.
+  *
+  * The decomposition: pick a chunk id that is NONDECREASING in the
+  * window order within each key (the caller's contract — offsets
+  * quantized by `idChunks`, event time by `timeChunks`). Then
+  *
+  *   prefix(row) = combine(local prefix within (key, chunk),
+  *                         total over all earlier chunks of the key)
+  *
+  * Phase 1 runs the local window keyed (key, chunk) — partition size is
+  * bounded by the chunk width, parallel across the cluster. Phase 2
+  * aggregates one summary row per (key, chunk) (map-side partial
+  * combine), runs the cross-chunk prefix as a window over that
+  * metadata-sized frame (|keys| × |chunks| rows), and joins the carry
+  * back on (key, chunk). The join and the local window share one
+  * clustering, so the plan pays one corpus shuffle — the same bytes the
+  * unsplittable window shuffled — plus a second column-pruned scan for
+  * the summary branch (cheaper than checkpointing the corpus frame;
+  * parquet reads only the key/order/value columns).
+  *
+  * All combines are null-exact w.r.t. the single-window semantics:
+  * `greatest` skips nulls (max), sums are zero-defaulted only where the
+  * monolithic window was too, and lag falls back to the previous
+  * non-empty chunk's last value.
+  */
+object ChunkedPrefix {
+
+  private val CHUNK = "__gp_chunk"
+  private val CARRY = "__gp_carry"
+
+  /** Quantize a dense id column (Kafka offset, event id) into
+    * fixed-width chunks: hard bound of `width` rows per chunk. */
+  def idChunks(id: Column, width: Long): Column = floor(id / width).cast("long")
+
+  /** Quantize event time into fixed-duration chunks. The per-chunk row
+    * bound is the max event rate × `widthUs` — size it from the
+    * source's throughput ceiling. */
+  def timeChunks(ts: Column, widthUs: Long): Column =
+    floor(unix_micros(ts) / widthUs).cast("long")
+
+  private def chunked(df: DataFrame, chunk: Column): DataFrame =
+    df.withColumn(CHUNK, chunk.cast("long"))
+
+  /** The using-join moves the join keys to the front; restore the
+    * caller's column order with the new column appended. */
+  private def reorder(df: DataFrame, original: Seq[String], out: String): DataFrame =
+    df.select((original :+ out).map(col): _*)
+
+  private def carryJoin(df: DataFrame, keys: Seq[String], chunk: Column,
+                        summaryAgg: Column, carryOver: Column => Column): DataFrame = {
+    val cdf = chunked(df, chunk)
+    val summaries = chunked(df, chunk)
+      .groupBy((keys :+ CHUNK).map(col): _*)
+      .agg(summaryAgg.as("__gp_ctot"))
+    val carry = summaries
+      .withColumn(CARRY, carryOver(col("__gp_ctot")))
+      .drop("__gp_ctot")
+    cdf.join(carry, keys :+ CHUNK)
+  }
+
+  private def precedingChunks(keys: Seq[String]) =
+    Window.partitionBy(keys.map(col): _*).orderBy(col(CHUNK))
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+  private def localWin(keys: Seq[String], order: Seq[Column]) =
+    Window.partitionBy((keys :+ CHUNK).map(col): _*).orderBy(order: _*)
+
+  /** Running max of `value` over `order` within each key. `inclusive`
+    * false gives the exclusive prefix (null for the first row of a key,
+    * like `rowsBetween(unboundedPreceding, -1)`). */
+  def runningMax(df: DataFrame, keys: Seq[String], order: Seq[Column], chunk: Column,
+                 value: Column, out: String, inclusive: Boolean): DataFrame = {
+    val frameEnd = if (inclusive) Window.currentRow else -1L
+    val wLoc = localWin(keys, order).rowsBetween(Window.unboundedPreceding, frameEnd)
+    reorder(
+      carryJoin(df, keys, chunk, max(value), c => max(c).over(precedingChunks(keys)))
+        .withColumn(out, greatest(max(value).over(wLoc), col(CARRY))),
+      df.columns, out)
+  }
+
+  /** Running sum of `value` over `order` within each key, zero-defaulted
+    * (an empty prefix sums to 0, matching the
+    * `sum().over(...) - value` idiom rather than SQL's null). */
+  def runningSum(df: DataFrame, keys: Seq[String], order: Seq[Column], chunk: Column,
+                 value: Column, out: String, inclusive: Boolean): DataFrame = {
+    val frameEnd = if (inclusive) Window.currentRow else -1L
+    val wLoc = localWin(keys, order).rowsBetween(Window.unboundedPreceding, frameEnd)
+    reorder(
+      carryJoin(df, keys, chunk, sum(value), c => sum(c).over(precedingChunks(keys)))
+        .withColumn(out,
+          coalesce(sum(value).over(wLoc), lit(0L)) + coalesce(col(CARRY), lit(0L))),
+      df.columns, out)
+  }
+
+  /** 1-based row number over `order` within each key. */
+  def rowNumber(df: DataFrame, keys: Seq[String], order: Seq[Column], chunk: Column,
+                out: String): DataFrame =
+    reorder(
+      carryJoin(df, keys, chunk, count(lit(1)), c => sum(c).over(precedingChunks(keys)))
+        .withColumn(out,
+          row_number().over(localWin(keys, order)).cast("long") +
+            coalesce(col(CARRY), lit(0L))),
+      df.columns, out)
+
+  /** Previous row's `value` in `order` within each key (lag 1; null for
+    * the first row of a key). The cross-chunk fallback is the last value
+    * of the key's latest preceding non-empty chunk. */
+  def lagValue(df: DataFrame, keys: Seq[String], order: Seq[Column], chunk: Column,
+               value: Column, out: String): DataFrame = {
+    val wChunks = Window.partitionBy(keys.map(col): _*).orderBy(col(CHUNK))
+    val wLoc = localWin(keys, order)
+    reorder(
+      carryJoin(df, keys, chunk, max_by(value, struct(order: _*)),
+          c => lag(c, 1).over(wChunks))
+        // first-row-of-chunk detected positionally, NOT via
+        // coalesce(lag, carry): a genuine NULL in the previous row's
+        // value must stay NULL, not fall through to the carry
+        .withColumn(out, when(row_number().over(wLoc) === 1, col(CARRY))
+          .otherwise(lag(value, 1).over(wLoc))),
+      df.columns, out)
+  }
+}

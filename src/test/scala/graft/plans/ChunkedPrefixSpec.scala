@@ -1,0 +1,162 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Pins [[ChunkedPrefix]] — the two-phase replacement for corpus-sized
+  * `Window.partitionBy(lowCardKey)` running aggregates — against
+  * Spark's OWN monolithic windows: identical answers across chunk
+  * widths that exercise every merge branch (width 1 = every row its own
+  * chunk, widths splitting mid-key, width larger than the data = the
+  * degenerate single-chunk case), plus null values, order ties, sparse
+  * ids (empty chunks between populated ones), and empty input. Also
+  * pins that the six ported operators' executed plans window on the
+  * chunk column rather than the bare low-cardinality key. */
+class ChunkedPrefixSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-chunked-prefix-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // 3 keys round-robin, deliberately sparse ids (×7 so most id-chunks at
+  // small widths are empty for any given key), tied + null values
+  private def frame(n: Int) =
+    spark.range(n).select(
+      (col("id") * 7).as("id"),
+      (col("id") % 3).cast("string").as("k"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise((col("id") * 37) % 5).as("v"))
+
+  private val widths = Seq(1L, 3L, 64L, 1000000L)
+  private val sizes = Seq(1, 2, 5, 97, 1000)
+
+  private def parity(name: String, got: org.apache.spark.sql.DataFrame,
+                     want: org.apache.spark.sql.DataFrame): Unit =
+    withClue(s"$name: ") {
+      got.except(want).count() shouldBe 0L
+      want.except(got).count() shouldBe 0L
+    }
+
+  behavior of "runningMax"
+
+  it should "equal the monolithic prefix-max window (inclusive and exclusive)" in {
+    for (n <- sizes; w <- widths; incl <- Seq(true, false)) {
+      val df = frame(n)
+      val frameEnd = if (incl) Window.currentRow else -1L
+      val win = df.withColumn("m", max(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, frameEnd)))
+      val got = ChunkedPrefix.runningMax(df, Seq("k"), Seq(col("id")),
+        ChunkedPrefix.idChunks(col("id"), w), col("v"), "m", inclusive = incl)
+      parity(s"n=$n width=$w incl=$incl", got, win)
+    }
+  }
+
+  behavior of "runningSum"
+
+  it should "equal the zero-defaulted monolithic prefix-sum window" in {
+    for (n <- sizes; w <- widths; incl <- Seq(true, false)) {
+      val df = frame(n)
+      val frameEnd = if (incl) Window.currentRow else -1L
+      val win = df.withColumn("sm", coalesce(sum(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, frameEnd)), lit(0L)))
+      val got = ChunkedPrefix.runningSum(df, Seq("k"), Seq(col("id")),
+        ChunkedPrefix.idChunks(col("id"), w), col("v"), "sm", inclusive = incl)
+      parity(s"n=$n width=$w incl=$incl", got, win)
+    }
+  }
+
+  behavior of "rowNumber"
+
+  it should "equal the monolithic row_number window" in {
+    for (n <- sizes; w <- widths) {
+      val df = frame(n)
+      val win = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("id"))).cast("long"))
+      val got = ChunkedPrefix.rowNumber(df, Seq("k"), Seq(col("id")),
+        ChunkedPrefix.idChunks(col("id"), w), "rn")
+      parity(s"n=$n width=$w", got, win)
+    }
+  }
+
+  behavior of "lagValue"
+
+  it should "equal the monolithic lag-1 window" in {
+    for (n <- sizes; w <- widths) {
+      val df = frame(n)
+      val win = df.withColumn("p", lag(col("v"), 1).over(
+        Window.partitionBy(col("k")).orderBy(col("id"))))
+      val got = ChunkedPrefix.lagValue(df, Seq("k"), Seq(col("id")),
+        ChunkedPrefix.idChunks(col("id"), w), col("v"), "p")
+      parity(s"n=$n width=$w", got, win)
+    }
+  }
+
+  it should "break order ties identically under a compound order" in {
+    // ts-style order with ties: order (t, id), chunk on t so tied rows
+    // land in one chunk — mirrors ev_inter_arrival's (ts, event_id)
+    val df = frame(200).withColumn("t", expr("id div 21"))
+    val win = df.withColumn("p", lag(col("v"), 1).over(
+      Window.partitionBy(col("k")).orderBy(col("t"), col("id"))))
+    val got = ChunkedPrefix.lagValue(df, Seq("k"), Seq(col("t"), col("id")),
+      ChunkedPrefix.idChunks(col("t"), 2L), col("v"), "p")
+    parity("compound order", got, win)
+  }
+
+  behavior of "edge cases"
+
+  it should "return empty on empty input for all primitives" in {
+    val df = frame(0)
+    val ch = ChunkedPrefix.idChunks(col("id"), 4L)
+    ChunkedPrefix.runningMax(df, Seq("k"), Seq(col("id")), ch, col("v"), "m",
+      inclusive = true).count() shouldBe 0L
+    ChunkedPrefix.runningSum(df, Seq("k"), Seq(col("id")), ch, col("v"), "s",
+      inclusive = false).count() shouldBe 0L
+    ChunkedPrefix.rowNumber(df, Seq("k"), Seq(col("id")), ch, "rn").count() shouldBe 0L
+    ChunkedPrefix.lagValue(df, Seq("k"), Seq(col("id")), ch, col("v"), "p")
+      .count() shouldBe 0L
+  }
+
+  it should "chunk timestamps with timeChunks consistently with the raw window" in {
+    val df = frame(500).withColumn("ts", timestamp_micros(col("id") * 900000000L))
+    val win = df.withColumn("wm", max(col("ts")).over(
+      Window.partitionBy(col("k")).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // 1-hour chunks over 15-minute-spaced events: 4 rows per chunk
+    val got = ChunkedPrefix.runningMax(df, Seq("k"), Seq(col("id")),
+      ChunkedPrefix.timeChunks(col("ts"), 3600000000L), col("ts"), "wm",
+      inclusive = true)
+    parity("timeChunks", got, win)
+  }
+
+  behavior of "ported operators"
+
+  it should "window on the chunk column in every ported query's executed plan" in {
+    val targets: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "ev_late_data" -> graft.operators.EventAnalytics.evLateData,
+      "ev_inter_arrival" -> graft.operators.EventAnalytics.evInterArrival,
+      "sl_watermark" -> graft.operators.StreamSemantics.slWatermark,
+      "sl_gap_detect" -> graft.operators.StreamSemantics.slGapDetect,
+      "sl_batch_assign" -> graft.operators.StreamSemantics.slBatchAssign,
+      "sl_byte_batches" -> graft.operators.StreamSemantics.slByteBatches)
+    targets.foreach { case (name, q) =>
+      val plan = graft.TestPlans.finalPlan(q(spark, sf))
+      withClue(s"$name executed plan: ") {
+        plan should include("__gp_chunk")
+      }
+    }
+  }
+}
