@@ -189,9 +189,13 @@ object Pipeline {
     * by ascending virtual position — heavier sources surface
     * proportionally more often. The global pick is ORDER BY + LIMIT
     * (TakeOrderedAndProject: each partition contributes its local top,
-    * no single-partition global window), the per-source rank partitions
-    * on source — both scale-safe. */
+    * no single-partition global window); the per-source rank is a
+    * [[graft.plans.ChunkedPrefix]] two-phase row number over
+    * (source, id-chunk) — sources are LOW-cardinality, so a plain
+    * `Window.partitionBy(source)` would sort each source's full
+    * document set in one unsplittable task at 100 TB. */
   def pipeInterleave: Q = (s, d) => {
+    import graft.plans.ChunkedPrefix
     // identical parse on both engines: 10-char bounded substring and
     // NULL (not error) on a non-numeric source id — Spark's try_cast and
     // the oracle's TRY_CAST agree (a plain cast THROWS under ANSI on a
@@ -199,13 +203,13 @@ object Pipeline {
     // are excluded by contract (NULL ordering differs between engines,
     // so letting them through would diverge inside the LIMIT)
     val wgt = (expr("try_cast(substring(source, 4, 10) as int)") % 3 + 1).cast("double")
-    val rn = row_number().over(
-      Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("double")
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"))
       .withColumn("w", wgt)
       .filter(col("w").isNotNull)
-      .withColumn("vpos", round(rn / col("w"), 4))
+    ChunkedPrefix.rowNumber(base, keys = Seq("source"), order = Seq(col("doc_id")),
+        chunk = ChunkedPrefix.idChunks(col("doc_id"), 4096L), out = "rn")
+      .withColumn("vpos", round(col("rn").cast("double") / col("w"), 4))
       .select(col("doc_id"), col("source"), col("vpos"))
       .orderBy(col("vpos"), col("source"), col("doc_id"))
       .limit(200)
@@ -267,29 +271,39 @@ object Pipeline {
     * fill each source's allocation in deterministic content-hash order.
     * Scale shape: per-doc token counts are record-local; the weight
     * table is a tiny per-source agg crossJoined as a broadcast scalar;
-    * the budget fill is a cumulative window PER SOURCE (keyed partition,
-    * no global sort). The cum ≤ budget comparison pairs integral token
-    * counts with a budget derived from a 20-source sum, so float drift
-    * cannot flip membership except at astronomically exact boundaries.
+    * the budget fill is a [[graft.plans.ChunkedPrefix]] two-phase
+    * cumulative sum over (source, hash-prefix-chunk) — sources are
+    * LOW-cardinality, so the r6 plan's `Window.partitionBy(source)`
+    * sorted each source's full document set in one unsplittable task.
+    * The chunk id is the leading 4 hex digits of the md5 fill order
+    * quantized: lowercase fixed-width hex sorts lexicographically
+    * exactly as its numeric value, so the chunk is monotone in the fill
+    * order, and md5 uniformity balances chunk sizes (widen the prefix
+    * for more chunks at larger corpora). The cum ≤ budget comparison
+    * pairs integral token counts with a budget derived from a 20-source
+    * sum, so float drift cannot flip membership except at
+    * astronomically exact boundaries.
     *
-    * One tokenize scan: per-source token masses are read off the
-    * cumulative window frame (`max(cum)` — n_tok ≥ 0 makes the prefix
-    * sum nondecreasing, so its max IS the total) instead of a separate
-    * groupBy branch, and every derived branch then aggregates over the
-    * same source-partitioned exchange, which AQE reuses. Null-source
-    * docs are excluded from the mix by contract (the filter also keeps
-    * the branches' exchanges canonically identical; the oracle SQL
+    * One tokenize scan: the narrow (source, doc_id, n_tok, hash) frame
+    * is localCheckpoint-pinned (the pipePacking idiom) before fanning
+    * into the chunked prefix's two branches and the per-source totals,
+    * so the corpus text is read and tokenized exactly once. Null-source
+    * docs are excluded from the mix by contract (the oracle SQL
     * carries the same predicate). */
   def pipeBudgetMix: Q = (s, d) => {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(md5s(concat(lit("mix|"), col("doc_id"))))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = Tables.documents(s, d)
+    import graft.plans.ChunkedPrefix
+    val base = Tables.documents(s, d)
       .filter(col("source").isNotNull)
       .select(col("source"), col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
-    val totals = cum.groupBy(col("source")).agg(max(col("cum")).as("tot"))
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        md5s(concat(lit("mix|"), col("doc_id"))).as("h"))
+      .localCheckpoint()
+    val cum = ChunkedPrefix.runningSum(base,
+      keys = Seq("source"), order = Seq(col("h")),
+      chunk = ChunkedPrefix.idChunks(
+        conv(substring(col("h"), 1, 4), 16, 10).cast("long"), 4096L),
+      value = col("n_tok"), out = "cum", inclusive = true)
+    val totals = base.groupBy(col("source")).agg(sum(col("n_tok")).as("tot"))
     // sqrt is IEEE-correctly-rounded (identical in both engines), but the
     // SUM of the sqrt terms is order-dependent in double — decimal(38,18)
     // makes it order-independent (Exact idiom 3); wsum then feeds an

@@ -67,7 +67,10 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // and stats passes land in localCheckpoints)
     "ta_jsd" -> 2, "ta_gopher_rules" -> 1, "ta_hapax" -> 2,
     "cl_outliers" -> 1, "q_profile_approx" -> 1, "mm_cdc_chunk" -> 1,
-    "pipe_budget_mix" -> 1, "pipe_curriculum" -> 1, "mm_dedup" -> 1,
+    // pipe_budget_mix: r7 checkpoint-pins the tokenize pass (pipePacking
+    // idiom) before the chunked-prefix fan-out — 0 scans in the final plan
+    "pipe_budget_mix" -> 0, "pipe_curriculum" -> 1, "mm_dedup" -> 1,
+    "pipe_interleave" -> 2,
     // embeddings
     "cl_drift" -> 1, "cl_kmeans" -> 1, "cl_silhouette" -> 1,
     // ann_ivfpq's residual coding adds one corpus pass (assignment must

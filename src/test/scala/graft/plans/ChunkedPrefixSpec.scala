@@ -151,7 +151,9 @@ class ChunkedPrefixSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
       "sl_watermark" -> graft.operators.StreamSemantics.slWatermark,
       "sl_gap_detect" -> graft.operators.StreamSemantics.slGapDetect,
       "sl_batch_assign" -> graft.operators.StreamSemantics.slBatchAssign,
-      "sl_byte_batches" -> graft.operators.StreamSemantics.slByteBatches)
+      "sl_byte_batches" -> graft.operators.StreamSemantics.slByteBatches,
+      "pipe_interleave" -> graft.operators.Pipeline.pipeInterleave,
+      "pipe_budget_mix" -> graft.operators.Pipeline.pipeBudgetMix)
     targets.foreach { case (name, q) =>
       val plan = graft.TestPlans.finalPlan(q(spark, sf))
       withClue(s"$name executed plan: ") {
