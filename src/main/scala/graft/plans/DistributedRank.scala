@@ -22,12 +22,17 @@ import org.apache.spark.sql.functions._
   *     mapPartitions (stays in whole-stage codegen). The sort keys are
   *     unique total orders (callers append a key tiebreak), so local
   *     iteration order — and hence the id — is deterministic.
-  *  3. Per-partition counts (a P-row aggregate off the SAME range
-  *     exchange — ReuseExchange dedups it to one shuffle, verified by
-  *     ScanAuditSpec) prefix-sum into rank offsets via a P×P theta-join:
-  *     metadata-sized by construction (P = shuffle partitions), chosen
-  *     over a window cumsum so the executed plan contains NO Window node
-  *     at all, single-partition or otherwise.
+  *  3. The id-stamped frame is localCheckpoint-pinned, and the P-row
+  *     per-partition counts aggregate over the pid column of the PINNED
+  *     bytes — correctness is independent of exchange reuse by
+  *     construction (before r7 the counts branch re-read the range
+  *     exchange and silently depended on ReuseExchange firing: had the
+  *     two branches each run their own sampled range shuffle, the
+  *     boundaries could differ and ranks would come out wrong with no
+  *     error). Counts prefix-sum into rank offsets via a P×P
+  *     theta-join: metadata-sized by construction (P = shuffle
+  *     partitions), chosen over a window cumsum so the executed plan
+  *     contains NO Window node at all, single-partition or otherwise.
   *  4. global rank = offset(pid) + local rank; offsets and the total
   *     broadcast back onto the rows (≤ P rows — a real broadcast-small
   *     contract, unlike broadcasting data).
@@ -80,16 +85,21 @@ object DistributedRank {
       rankCol: String,
       totalCol: String): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(p, sortKeys: _*)
-    val rows = ranged.sortWithinPartitions(sortKeys: _*)
+    // localCheckpoint: pid and local rank are FROZEN in materialized
+    // bytes before the counts branch reads them, so both consumers see
+    // one set of range boundaries whatever the exchange-reuse config —
+    // a second sampled range shuffle (RangePartitioner seeds per RDD)
+    // could otherwise place rows differently than the counts describe
+    // and corrupt every downstream rank with no error raised.
+    val rows = df.repartitionByRange(p, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
       .withColumn("__gr_mid", monotonically_increasing_id())
       .withColumn("__gr_pid", shiftright(col("__gr_mid"), LocalBits))
       .withColumn("__gr_lr", col("__gr_mid").bitwiseAND(lit(LocalMask)) + lit(1L))
       .drop("__gr_mid")
-    // P rows: one count per physical range partition, off the same
-    // exchange the rows branch uses (ReuseExchange ⇒ one shuffle).
-    val counts = ranged
-      .withColumn("__gr_pid", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
+    // P rows: one count per physical range partition, off the pinned pids.
+    val counts = rows
       .groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_cnt"))
     // Prefix sums over ≤ P rows via theta-join, NOT a window — keeps the
     // executed plan Window-free so the no-global-window audit is clean.
