@@ -81,24 +81,26 @@ object EventValue {
     * (score 1 = best) with user_id tiebreak, then rolled up to segment
     * counts and revenue. The corpus reference instant is a broadcast
     * scalar off the per-user aggregate; the three quintile assignments
-    * are [[graft.plans.DistributedRank.withNtile]] distributed ranks
-    * over the per-user frame — NOT three global `Window.orderBy` passes,
-    * whose physical plan would sort every user on ONE task, three times
-    * (the r5 verdict's named scale hazard at 10⁸–10⁹ users). */
+    * ride ONE fused [[graft.plans.DistributedRank]] pass over a
+    * dimension-exploded frame — NOT three global `Window.orderBy`
+    * passes, whose physical plan would sort every user on ONE task,
+    * three times (the r5 verdict's named scale hazard at 10⁸–10⁹
+    * users). */
   def evRfm: Q = (s, d) => {
     // ONE corpus scan: the per-user aggregate is localCheckpoint-pinned
     // (the dd_ppjoin idiom — O(users) rows, orders of magnitude below
-    // the corpus) because SEVEN consumers read it: the reference-scalar
-    // branch plus the rows/counts branches of three distributed ranks.
-    // Lazy branches would each re-derive it with their own column
-    // pruning — structurally distinct subtrees AQE's ReuseExchange
-    // cannot dedup (audited: 3 events scans without the pin).
+    // the corpus) because the reference-scalar branch and the exploded
+    // rank frame both read it. Lazy branches would each re-derive it
+    // with their own column pruning — structurally distinct subtrees
+    // AQE's ReuseExchange cannot dedup (audited: 3 events scans without
+    // the pin). Lazy pin: materializes inside the first job instead of
+    // a blocking plan-time job; both consumers still share one RDD.
     val perUser0 = Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg(max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("freq"),
         sum(Exact.dec2(col("value"))).as("mon"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val ref = perUser0.agg(max(col("last_us")).as("__ref_us"))
     val perUser = perUser0.crossJoin(broadcast(ref))
       // integer floor division on both engines (truncating here is fine:
@@ -107,23 +109,36 @@ object EventValue {
       // CAST, a half-day-boundary hash mismatch
       .withColumn("rec_days", expr(s"(__ref_us - last_us) div $DayUs"))
       .drop("__ref_us", "last_us")
-    // three INDEPENDENT rank branches joined back on user_id, not a
-    // chain: chained ranks serialize (rank 2's input contains rank 1's
-    // joins), while independent branches over the checkpointed frame
-    // are disjoint stage trees the DAG scheduler runs CONCURRENTLY —
-    // measured 5.6 s → 3.1 s warm at sf0.1/32 threads. Each branch
-    // also carries only (user_id, its dimension), so the three range
-    // shuffles move a third of the frame each.
-    Seq(
-      ("r_score", "rec_days", Seq(col("rec_days").asc, col("user_id").asc)),
-      ("f_score", "freq", Seq(col("freq").desc, col("user_id").asc)),
-      ("m_score", "mon", Seq(col("mon").desc, col("user_id").asc)))
-      .map { case (name, dim, keys) =>
-        graft.plans.DistributedRank.withNtile(
-          perUser.select(col("user_id"), col(dim)), 5, keys, name)
-          .select(col("user_id"), col(name))
-      }
-      .foldLeft(perUser.select(col("user_id"), col("mon")))(_.join(_, "user_id"))
+    // ONE fused rank pass over all three dimensions, not three branches
+    // (r7; the r6 shape ran three concurrent DistributedRanks + three
+    // user-joins — correct and parallel, but ~15 small stages of flat
+    // scheduler overhead at toy SF). Each user explodes into three
+    // (dim, sortval) rows — descending dimensions negate their value, so
+    // one ascending range sort on (dim, sortval, user_id) totals all
+    // three orders — and a single global rank over the 3N-row frame
+    // yields every per-dim rank arithmetically: each dim holds exactly
+    // N = total/3 rows, so rank_in_dim = r − dim·N and NTILE is
+    // record-local integer math. The three join-backs collapse into one
+    // pivot aggregate on user_id (mon rides the exploded rows). Bytes
+    // shuffled are unchanged (3 × N two-column rows before, one 3N-row
+    // frame now); stages drop ~3×.
+    val dr = graft.plans.DistributedRank
+    val exploded = perUser.select(col("user_id"), col("mon"), explode(array(
+        struct(lit(0L).as("dim"), col("rec_days").cast("decimal(38,6)").as("sv")),
+        struct(lit(1L).as("dim"), (-col("freq")).cast("decimal(38,6)").as("sv")),
+        struct(lit(2L).as("dim"), (-col("mon")).cast("decimal(38,6)").as("sv"))))
+        .as("x"))
+      .select(col("user_id"), col("mon"), col("x.dim").as("dim"), col("x.sv").as("sv"))
+    val nu = dr.idiv(col("__gr_n3"), lit(3L))
+    dr.withGlobalRankAndTotal(exploded,
+        Seq(col("dim"), col("sv"), col("user_id")), "__gr_r3", "__gr_n3")
+      .withColumn("score",
+        dr.ntileFromRank(col("__gr_r3") - col("dim") * nu, nu, 5))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("dim") === 0L, col("score"))).as("r_score"),
+        max(when(col("dim") === 1L, col("score"))).as("f_score"),
+        max(when(col("dim") === 2L, col("score"))).as("m_score"),
+        max(col("mon")).as("mon"))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_users"),
         round(sum(col("mon")), 2).cast("double").as("revenue"))

@@ -90,14 +90,20 @@ object DistributedRank {
     // one set of range boundaries whatever the exchange-reuse config —
     // a second sampled range shuffle (RangePartitioner seeds per RDD)
     // could otherwise place rows differently than the counts describe
-    // and corrupt every downstream rank with no error raised.
+    // and corrupt every downstream rank with no error raised. LAZY
+    // (eager = false): both branches hold the SAME cached RDD, which is
+    // what pins the boundaries — eagerness adds nothing to correctness
+    // but serializes sibling ranks (each eager pin is a blocking job at
+    // plan-construction time; ev_rfm's three concurrent rank branches
+    // regressed 1.4× under eager pins). A lost block fails the job
+    // loudly (truncated lineage), never silently re-samples.
     val rows = df.repartitionByRange(p, sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
       .withColumn("__gr_mid", monotonically_increasing_id())
       .withColumn("__gr_pid", shiftright(col("__gr_mid"), LocalBits))
       .withColumn("__gr_lr", col("__gr_mid").bitwiseAND(lit(LocalMask)) + lit(1L))
       .drop("__gr_mid")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // P rows: one count per physical range partition, off the pinned pids.
     val counts = rows
       .groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_cnt"))
