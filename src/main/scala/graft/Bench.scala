@@ -35,15 +35,20 @@ object Bench {
     // always reproduce the fast time).
     // A failed query reports -1 (never a fake elapsed time) and is listed
     // in "failed" — a crash must not read as a speedup.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // 4-dp values: the artifact is a timing report, not a nanosecond log,
+    // and short values keep the full line small enough to survive log
+    // truncation windows as long as possible
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val firstPass = SparkEntry.queries.map { case (name, fn) =>
       val timed = try {
         fn(spark, sfDir).count() // warm codegen/JIT for this plan
-        val runs = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        runs.min
+        (1 to 2).map(_ => timeOnce(fn)).min
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -51,11 +56,25 @@ object Bench {
       }
       name -> timed
     }
-    // 4-dp values: the artifact is a timing report, not a nanosecond log,
-    // and short values keep the full line small enough to survive log
-    // truncation windows as long as possible
-    def fmt(v: Double): String =
-      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // Contention guard: min-of-2 does NOT protect against SUSTAINED
+    // driver-host contention (r6 shipped a 10 s number for a query that
+    // probes at 1.5 s warm — both timed runs were hit). Any query whose
+    // min exceeds 5× the session median gets a third run after the main
+    // sweep (by then the contention window has usually passed), keeps
+    // the min of 3, and is listed in "reruns" so an outlier that STILL
+    // stands is self-diagnosing in the artifact.
+    val okTimes = firstPass.values.filter(_ >= 0).toSeq.sorted
+    val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
+    val rerun = firstPass.collect {
+      case (name, t) if t >= 0 && median > 0 && t > 5 * median => name
+    }.toSet
+    val results = firstPass.map { case (name, t) =>
+      if (!rerun(name)) name -> t
+      else name -> (try math.min(t, timeOnce(SparkEntry.queries(name)))
+        catch { case _: Throwable => t })
+    }
+    if (rerun.nonEmpty)
+      System.err.println(s"[bench] reran ${rerun.size} outliers (>5x median ${fmt(median)}s): ${rerun.mkString(", ")}")
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -145,19 +164,39 @@ object Bench {
       System.err.println(s"[bench] bloom gate FAILED: ${e.getClass.getName}: ${e.getMessage}")
       -1.0
     }
-    val streamFields = s""""failed":$failed,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong}"""
-    // FULL artifact first: every per-query number, for collectors that
-    // keep whole stdout.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$streamFields}""")
+    val reruns = rerun.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong}"""
+    // FULL artifact: every per-query number. Printed first for
+    // collectors that keep whole stdout AND written to a file so the
+    // full per-query map survives even when only the stdout tail does.
+    // Distinct metric name ("total_full") + "artifact" discriminator:
+    // a collector summing every {"metric":"total"} line would otherwise
+    // double-count the run, and the two lines disagree on the "queries"
+    // payload shape.
+    val fullLine =
+      s"""{"metric":"total_full","artifact":"full","value":$total,"unit":"sec","queries":$qs,$streamFields}"""
+    println(fullLine)
+    try {
+      val outDir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
+      java.nio.file.Files.createDirectories(outDir)
+      java.nio.file.Files.write(outDir.resolve("bench_full.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full artifact written to ${outDir.resolve("bench_full.json")}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] file artifact write FAILED: ${e.getMessage}")
+    }
     // COMPACT artifact LAST: the driver's artifact keeps only a ~2000-char
     // stdout tail, which decapitated the full line (r5 shipped parsed=null
     // and 66/166 visible queries). The final line carries the headline
     // numbers plus the slowest 25 queries and always fits the window
-    // whole, so it parses even when only the tail survives.
+    // whole, so it parses even when only the tail survives. It keeps the
+    // legacy "total" metric name — it IS the line tail-only collectors
+    // have been parsing — and carries "artifact":"compact".
     val slow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(25)
     val qsCompact = slow.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"queries_shown":${slow.size},"queries_run":${results.size},$streamFields}""")
+    println(s"""{"metric":"total","artifact":"compact","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"queries_shown":${slow.size},"queries_run":${results.size},$streamFields}""")
     spark.stop()
   }
 }
