@@ -19,7 +19,8 @@ object TextCorpus {
     * unigram distribution — the drift metric run between corpus
     * snapshots / sources before deciding mixing weights (JSD is
     * symmetric, bounded by ln 2, and defined even where the supports
-    * differ — exactly why it beats raw KL here). Per term with p, q the
+    * differ — exactly why it beats raw KL here; see [[taJsdRef]] for
+    * the O(S·V) reference-snapshot variant). Per term with p, q the
     * term's probability in each source and m = (p+q)/2, the contribution
     * 0.5·(p·ln(p/m) + q·ln(q/m)) folds in decimal(38,18) for order
     * independence (the ta_entropy idiom: ln ulp noise sits far inside
@@ -31,9 +32,9 @@ object TextCorpus {
     * distribution; the union-vocabulary alignment is a grouped
     * max-by-side, never a full-outer per pair. The aligned frame is
     * O(|sources|² · vocab) — fine for the tens-of-sources regime this
-    * census targets; at thousands of sources run the S-pair variant
-    * instead (each source vs ONE reference snapshot: swap `pairs` for a
-    * reference-source literal — same plan, O(S · vocab)). */
+    * census targets; at thousands of sources run [[taJsdRef]]
+    * (`ta_jsd_ref`) instead: each source vs ONE reference snapshot,
+    * O(source-term pairs) total. */
   def taJsd: Q = (s, d) => {
     val tc = Tables.documents(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("t"))
@@ -80,6 +81,74 @@ object TextCorpus {
       |  round(sum((0.5 * (CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0.0 END
       |    + CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0.0 END))::DECIMAL(38,18))::DOUBLE, 6) AS jsd
       |FROM al GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
+  /** [[taJsd]]'s O(S·V) reference-snapshot variant for the
+    * thousands-of-sources regime: each source's unigram distribution
+    * against ONE reference — the whole-corpus mixture — instead of
+    * every source pair. The aligned frame never materializes S·V rows:
+    * the reference support is a SUPERSET of every source's (it is their
+    * sum), so a term absent from the source contributes exactly
+    * 0.5·q·ln 2, and the whole absent-term tail folds to
+    * 0.5·ln 2·(1 − Σ_present q) — the present-term inner join is all
+    * the alignment needed, O(|source-term pairs|) total.
+    *
+    * Scale: the (source, term) count frame is localCheckpoint-pinned
+    * (three consumers: per-source totals, the reference distribution,
+    * and the probability join — lazy branches would tokenize the corpus
+    * three times); everything downstream is term- or source-keyed with
+    * map-side partial combines and metadata-sized broadcasts. Decimal
+    * folding for order independence, floor-rounding for the
+    * cross-engine 6-dp pin (the ta_jsd idioms). */
+  def taJsdRef: Q = (s, d) => {
+    val tc = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = tc.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val refT = tc.groupBy(col("t")).agg(sum(col("c")).as("ct")).localCheckpoint()
+    val grand = refT.agg(sum(col("ct")).as("grand"),
+      count(lit(1)).as("vocab_ref"))
+    val p = tc.join(broadcast(tot), "source")
+      .select(col("source"), col("t"), (col("c") / col("tot")).as("p"))
+    val joined = p.join(refT.crossJoin(broadcast(grand))
+      .select(col("t"), (col("ct") / col("grand")).as("q")), "t")
+    val m = (col("p") + col("q")) / 2
+    val contrib = lit(0.5) *
+      (col("p") * log(col("p") / m) + col("q") * log(col("q") / m))
+    joined.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms_src"),
+        sum(contrib.cast("decimal(38,18)")).cast("double").as("present"),
+        sum(col("q").cast("decimal(38,18)")).cast("double").as("qmass"))
+      .crossJoin(broadcast(grand.select(col("vocab_ref"))))
+      .select(col("source"), col("n_terms_src"), col("vocab_ref"),
+        (floor((col("present") +
+          lit(0.5) * log(lit(2.0)) * (lit(1.0) - col("qmass"))) * 1e6 + 0.5) / 1e6)
+          .as("jsd_vs_ref"))
+      .orderBy(col("source"))
+  }
+
+  val taJsdRefSql: String =
+    """WITH tok AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS t
+      |  FROM documents),
+      |tc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT source, sum(c)::BIGINT AS tot FROM tc GROUP BY 1),
+      |reft AS (SELECT t, sum(c)::BIGINT AS ct FROM tc GROUP BY 1),
+      |grand AS (SELECT sum(ct)::BIGINT AS grand, count(*) AS vocab_ref FROM reft),
+      |p AS (SELECT tc.source, tc.t, tc.c / tot.tot AS p
+      |  FROM tc JOIN tot USING (source)),
+      |j AS (SELECT p.source, p.p, reft.ct / grand.grand AS q
+      |  FROM p JOIN reft USING (t) CROSS JOIN grand),
+      |agg AS (
+      |  SELECT source, count(*) AS n_terms_src,
+      |    sum((0.5 * (p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))))::DECIMAL(38,18))::DOUBLE AS present,
+      |    sum(q::DECIMAL(38,18))::DOUBLE AS qmass
+      |  FROM j GROUP BY 1)
+      |SELECT source, n_terms_src,
+      |  (SELECT vocab_ref FROM grand) AS vocab_ref,
+      |  floor((present + 0.5 * ln(2.0) * (1.0 - qmass)) * 1e6 + 0.5) / 1e6 AS jsd_vs_ref
+      |FROM agg ORDER BY source""".stripMargin
 
   // ONE stopword list shared with ta_quality (TextFns.stopwords): the
   // census is documented as ta_quality's per-rule rollup twin, and a
@@ -224,11 +293,13 @@ object TextCorpus {
 
   def queries: Map[String, Q] = Map(
     "ta_jsd" -> taJsd,
+    "ta_jsd_ref" -> taJsdRef,
     "ta_gopher_rules" -> taGopherRules,
     "ta_hapax" -> taHapax)
 
   def oracleSql: Map[String, String] = Map(
     "ta_jsd" -> taJsdSql,
+    "ta_jsd_ref" -> taJsdRefSql,
     "ta_gopher_rules" -> taGopherRulesSql,
     "ta_hapax" -> taHapaxSql)
 }

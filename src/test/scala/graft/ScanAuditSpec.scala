@@ -66,6 +66,8 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // doc/total census branch; cl_outliers: gate pass only — centroid
     // and stats passes land in localCheckpoints)
     "ta_jsd" -> 2, "ta_gopher_rules" -> 1, "ta_hapax" -> 2,
+    // ta_jsd_ref: the (source, term) count pass lands in a checkpoint
+    "ta_jsd_ref" -> 0,
     "cl_outliers" -> 1, "q_profile_approx" -> 1, "mm_cdc_chunk" -> 1,
     // pipe_budget_mix: r7 checkpoint-pins the tokenize pass (pipePacking
     // idiom) before the chunked-prefix fan-out — 0 scans in the final plan
