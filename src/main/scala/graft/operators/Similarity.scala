@@ -641,21 +641,39 @@ object Similarity {
     // Seeds 16..31's residuals w.r.t. their own nearest cells (seeds
     // 0..15 ARE the centroids, residual zero); the vec_id range predicate
     // pushes to the scan, so this is a 16-row broadcast at any scale.
-    lazy val rcbs = v.filter(col("vec_id") >= k && col("vec_id") < 2L * k)
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("e"), col("cid"), coarseCos)
-      .groupBy(col("vec_id"))
-      .agg(first(col("e")).as("e"),
-        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
-      .join(broadcast(cents.select(col("cid").as("cell"), col("ce"))), "cell")
-      // DENSE rid via re-id (the denseSeeds discipline): a dirty corpus
-      // can lose seeds 16..31 to null-embedding drops, and code values
-      // must stay < |codebook| or graft_pq_score's range check fires.
-      // On a clean corpus rid == vec_id − 16, which is what the oracle
-      // mirrors. ≤16-row window — metadata, not data.
-      .withColumn("rid",
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
-      .select(col("rid"), zip_with(col("e"), col("ce"), (a, b) => a - b).as("rce"))
+    lazy val rcbs = {
+      val frame = v.filter(col("vec_id") >= k && col("vec_id") < 2L * k)
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("e"), col("cid"), coarseCos)
+        .groupBy(col("vec_id"))
+        .agg(first(col("e")).as("e"),
+          max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+        .join(broadcast(cents.select(col("cid").as("cell"), col("ce"))), "cell")
+        // DENSE rid via re-id (the denseSeeds discipline): a dirty corpus
+        // can lose seeds 16..31 to null-embedding drops, and code values
+        // must stay < |codebook| or graft_pq_score's range check fires.
+        // On a clean corpus rid == vec_id − 16, which is what the oracle
+        // mirrors. ≤16-row window — metadata, not data.
+        .withColumn("rid",
+          (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+        .select(col("rid"), zip_with(col("e"), col("ce"), (a, b) => a - b).as("rce"))
+        .localCheckpoint()
+      // Codebook-health guard (mirrors the denseSeeds discipline's
+      // explicit handling): null-embedding drops silently SHRINK the
+      // codebook (the dense re-id keeps graft_pq_score consistent, so no
+      // range error fires) and recall quietly falls below the
+      // spec-pinned clustered-fixture gain; an entirely missing seed
+      // range would yield zero ANN results with no diagnostic at all.
+      val n = frame.count()
+      require(n > 0,
+        s"ann_ivfpq: residual codebook is EMPTY (seed vectors $k..${2 * k - 1} " +
+          "all missing from the corpus) — every ADC score would be undefined")
+      if (n < k) System.err.println(
+        s"[graft] ann_ivfpq: residual codebook has $n/$k codewords " +
+          "(seed vectors dropped by the null-embedding filter) — " +
+          "recall will degrade below the spec-pinned fixture gain")
+      frame
+    }
     val encoded =
       if (!residual) {
         // raw coding: cell and all 8 codes from ONE fused aggregation
