@@ -665,10 +665,15 @@ object Similarity {
       // spec-pinned clustered-fixture gain; an entirely missing seed
       // range would yield zero ANN results with no diagnostic at all.
       val n = frame.count()
-      require(n > 0,
-        s"ann_ivfpq: residual codebook is EMPTY (seed vectors $k..${2 * k - 1} " +
-          "all missing from the corpus) — every ADC score would be undefined")
-      if (n < k) System.err.println(
+      // warning, not require: an EMPTY corpus legitimately yields an
+      // empty codebook and empty ANN results (EmptyInputSpec's
+      // contract); the diagnostic exists so the zero-result case is
+      // never SILENT on a corpus that does have vectors
+      if (n == 0) System.err.println(
+        s"[graft] ann_ivfpq: residual codebook is EMPTY (seed vectors " +
+          s"$k..${2 * k - 1} missing) — ANN results will be empty; " +
+          "expected only if the corpus itself is empty")
+      else if (n < k) System.err.println(
         s"[graft] ann_ivfpq: residual codebook has $n/$k codewords " +
           "(seed vectors dropped by the null-embedding filter) — " +
           "recall will degrade below the spec-pinned fixture gain")

@@ -113,28 +113,42 @@ object StreamSemantics {
     * committed records) and the duration-rewind window (committed records
     * within 2 days of the watermark) — start offset and size of each.
     *
-    * One scan, one shuffle: the per-partition watermark rides along as a
-    * whole-partition window column (same event_type partitioning as the
-    * row-number window, so both share one exchange), and both rewind
-    * windows collapse into the same keyed aggregation — the
-    * broadcast-the-watermark-and-rejoin shape re-scanned events 3×. */
+    * Scale (r7 rewrite): the r6 plan rode one exchange but ordered each
+    * stream partition's FULL committed history through a
+    * `row_number over (partition by event_type order by event_id desc)`
+    * — with ~5 partitions that is corpus/5 rows sorted in one
+    * unsplittable WindowExec task (the ev_late_data hazard class). Now:
+    * the narrow committed frame is localCheckpoint-pinned once; the
+    * last-100 window comes from [[graft.plans.TopKPerGroup]] (two-phase
+    * bounded heaps, O(k·partitions) shuffle, no sort of the history);
+    * the duration window re-aggregates the pinned frame against the
+    * broadcast |partitions|-row watermark table. Three passes over the
+    * pinned 3-column frame replace the serial sort. */
   def slLookback: Q = (s, d) => {
-    val byType = Window.partitionBy(col("event_type"))
-    val w = byType.orderBy(col("event_id").desc)
-    Tables.events(s, d)
+    val committed = Tables.events(s, d)
       .filter(col("ts") < lit("2024-01-15").cast("timestamp"))
       .select(col("event_type"), col("event_id"), col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("wm", max(col("ts")).over(byType))
-      .withColumn("in_dur", col("ts") >= col("wm") - expr("INTERVAL 2 DAYS"))
+      .localCheckpoint()
+    val stats = committed.groupBy(col("event_type"))
+      .agg(max(col("event_id")).as("committed_offset"),
+        max(col("ts")).as("committed_watermark"))
+    val top = graft.plans.TopKPerGroup.transform(committed,
+        Seq(col("event_type")), Seq(col("event_id").desc), 100)
       .groupBy(col("event_type"))
-      .agg(
-        max(col("event_id")).as("committed_offset"),
-        max(col("ts")).as("committed_watermark"),
-        min(when(col("rn") <= 100, col("event_id"))).as("offset_rewind_start"),
-        count(when(col("rn") <= 100, lit(1))).as("offset_rewind_n"),
-        min(when(col("in_dur"), col("event_id"))).as("duration_rewind_start"),
-        count(when(col("in_dur"), lit(1))).as("duration_rewind_n"))
+      .agg(min(col("event_id")).as("offset_rewind_start"),
+        count(lit(1)).as("offset_rewind_n"))
+    val dur = committed
+      .join(broadcast(stats.select(col("event_type"),
+        col("committed_watermark").as("wm"))), "event_type")
+      .filter(col("ts") >= col("wm") - expr("INTERVAL 2 DAYS"))
+      .groupBy(col("event_type"))
+      .agg(min(col("event_id")).as("duration_rewind_start"),
+        count(lit(1)).as("duration_rewind_n"))
+    stats.join(top, "event_type").join(dur, "event_type")
+      .select(col("event_type"), col("committed_offset"),
+        col("committed_watermark"), col("offset_rewind_start"),
+        col("offset_rewind_n"), col("duration_rewind_start"),
+        col("duration_rewind_n"))
       .orderBy(col("event_type"))
   }
 

@@ -52,7 +52,9 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "ev_funnel" -> 1, "ev_funnel_timing" -> 1, "ev_asof_join" -> 1,
     "ev_sessions" -> 1, "ev_session_stats" -> 1, "ev_throttle" -> 1,
     "ev_top_paths" -> 1, "ev_attribution" -> 1, "ev_cumulative_users" -> 1,
-    "sl_lookback" -> 1,
+    // sl_lookback: r7 checkpoint-pins the committed frame, last-100 via
+    // TopKPerGroup heaps instead of a per-type desc row-number window
+    "sl_lookback" -> 0,
     // documents dedup/text/pipeline (dd_dup_span/dd_substring: the r7
     // hot-hash rewrite localCheckpoints the single tokenize pass, then
     // feeds it to both the per-hash total branch and the join-back
