@@ -154,14 +154,23 @@ object Clustering {
     * centroid, per cluster — the curation move of keeping representative
     * exemplars across the semantic space instead of a global top-k that
     * collapses onto one dense region. Ranking uses the 6-dp-rounded
-    * distance with a vec_id tiebreak so both engines order identically. */
+    * distance with a vec_id tiebreak so both engines order identically.
+    *
+    * Scale (r7): the per-cluster pick rides [[graft.plans.TopKPerGroup]]
+    * bounded heaps — with K ~10 clusters, the previous
+    * `row_number over (partition by cluster)` sorted corpus/K vectors in
+    * one unsplittable task; the heap pass keeps ≤5 rows per cluster per
+    * input partition and shuffles O(5·K·partitions) rows, and the final
+    * rank window runs over the ≤5·K survivors (metadata-sized). */
   def clDiverseSample: Q = (s, d) => {
-    val w = Window.partitionBy(col("cluster")).orderBy(col("dist"), col("vec_id"))
-    finalAssign(s, d)
-      .select(col("vec_id"), col("cid").cast("long").as("cluster"),
-        round(col("d"), 6).as("dist"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
+    val picked = graft.plans.TopKPerGroup.transform(
+      finalAssign(s, d)
+        .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+          round(col("d"), 6).as("dist")),
+      Seq(col("cluster")), Seq(col("dist"), col("vec_id")), 5)
+    picked
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("dist"), col("vec_id"))).cast("long"))
       .select(col("cluster"), col("rnk"), col("vec_id"), col("dist"))
       .orderBy(col("cluster"), col("rnk"))
   }

@@ -208,17 +208,19 @@ object StatsOps {
     * id − row_number() grouping key; per type we report island count,
     * longest island, and mean length — the batch twin of the loader's
     * offset-continuity monitoring (`sl_gap_detect` reports the gaps; this
-    * profiles the runs between them). The per-type row_number window
-    * partitions on a LOW-cardinality key — fine here because the whole
-    * sequence profile is inherently per-type ordered; at 100 TB the same
-    * result comes from per-id-range partial islands merged at range
-    * boundaries (the dd_dup_span chunk-merge pattern), output contract
-    * unchanged. */
+    * profiles the runs between them). The per-type row number is a
+    * [[graft.plans.ChunkedPrefix]] two-phase rank over
+    * (type, offset-chunk) (r7) — the previous low-cardinality
+    * `Window.partitionBy(event_type)` sorted corpus/|types| rows in one
+    * unsplittable task; the island key `event_id − rn` is unchanged, so
+    * the output contract is identical. */
   def qGapsIslands: Q = (s, d) => {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-    Tables.events(s, d)
-      .select(col("event_type"), col("event_id"))
-      .withColumn("grp", col("event_id") - row_number().over(w))
+    import graft.plans.ChunkedPrefix
+    ChunkedPrefix.rowNumber(
+        Tables.events(s, d).select(col("event_type"), col("event_id")),
+        keys = Seq("event_type"), order = Seq(col("event_id")),
+        chunk = ChunkedPrefix.idChunks(col("event_id"), 4096L), out = "rn")
+      .withColumn("grp", col("event_id") - col("rn"))
       .groupBy(col("event_type"), col("grp"))
       .agg(count(lit(1)).as("len"))
       .groupBy(col("event_type"))

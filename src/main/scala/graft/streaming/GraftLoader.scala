@@ -252,9 +252,14 @@ object GraftLoader {
               .filter(col("event_id") <= col("_end"))
             val window = iv match {
               case StreamInterval.OffsetRange(n) =>
-                val w = Window.partitionBy(col("event_type")).orderBy(col("event_id").desc)
-                upToCommitted.withColumn("_rn", row_number().over(w))
-                  .filter(col("_rn") <= n)
+                // last n committed records per partition via bounded
+                // heaps (TopKPerGroup) — a desc row-number window keyed
+                // on the ~|partitions|-value event_type would sort each
+                // partition's FULL committed history in one task on
+                // every restart
+                graft.plans.TopKPerGroup.transform(upToCommitted,
+                  Seq(col("event_type")), Seq(col("event_id").desc),
+                  math.toIntExact(n))
               case StreamInterval.WatermarkRange(d) =>
                 upToCommitted.filter(
                   col("ts") >= col("_wm") - expr(s"INTERVAL ${d.toMillis} MILLISECONDS"))
