@@ -47,15 +47,20 @@ object ChunkedPrefix {
   private val CHUNK = "__gp_chunk"
   private val CARRY = "__gp_carry"
 
-  /** Quantize a dense id column (Kafka offset, event id) into
-    * fixed-width chunks: hard bound of `width` rows per chunk. */
-  def idChunks(id: Column, width: Long): Column = floor(id / width).cast("long")
+  /** Quantize a dense non-negative id column (Kafka offset, event id)
+    * into fixed-width chunks: hard bound of `width` rows per chunk.
+    * [[DistributedRank.idiv]] rather than floor(a/b): the double
+    * quotient drifts at chunk boundaries once ids pass 2⁵², which would
+    * silently break the chunk-monotone-in-order contract. */
+  def idChunks(id: Column, width: Long): Column =
+    DistributedRank.idiv(id, lit(width))
 
   /** Quantize event time into fixed-duration chunks. The per-chunk row
     * bound is the max event rate × `widthUs` — size it from the
-    * source's throughput ceiling. */
+    * source's throughput ceiling. (Non-negative epochs assumed — the
+    * post-1970 contract every ts column in this engine carries.) */
   def timeChunks(ts: Column, widthUs: Long): Column =
-    floor(unix_micros(ts) / widthUs).cast("long")
+    DistributedRank.idiv(unix_micros(ts), lit(widthUs))
 
   private def chunked(df: DataFrame, chunk: Column): DataFrame =
     df.withColumn(CHUNK, chunk.cast("long"))
