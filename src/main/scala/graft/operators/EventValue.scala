@@ -130,8 +130,12 @@ object EventValue {
         .as("x"))
       .select(col("user_id"), col("mon"), col("x.dim").as("dim"), col("x.sv").as("sv"))
     val nu = dr.idiv(col("__gr_n3"), lit(3L))
+    // sv ASC NULLS LAST: the pre-fusion keys sorted descending dims with
+    // Spark's DESC default (NULLS LAST), and negation alone would flip a
+    // NULL mon from the worst quintile to the best (ASC default is
+    // NULLS FIRST) — divergent from the oracle's ORDER BY mon DESC
     dr.withGlobalRankAndTotal(exploded,
-        Seq(col("dim"), col("sv"), col("user_id")), "__gr_r3", "__gr_n3")
+        Seq(col("dim"), col("sv").asc_nulls_last, col("user_id")), "__gr_r3", "__gr_n3")
       .withColumn("score",
         dr.ntileFromRank(col("__gr_r3") - col("dim") * nu, nu, 5))
       .groupBy(col("user_id"))

@@ -78,8 +78,16 @@ object ChunkedPrefix {
       .agg(summaryAgg.as("__gp_ctot"))
     val carry = summaries
       .withColumn(CARRY, carryOver(col("__gp_ctot")))
-      .drop("__gp_ctot")
-    cdf.join(carry, keys :+ CHUNK)
+      .select((keys :+ CHUNK).map(c => col(c).as("__gp_r_" + c)) :+ col(CARRY): _*)
+    // NULL-SAFE equi-join (<=>), not a using-join: Window.partitionBy
+    // treats a NULL key (or a NULL chunk from a NULL order value) as an
+    // ordinary group, and an equi-join would silently DROP those rows
+    // from the output — the one way this helper could diverge from the
+    // window it replaces. NULL chunks sort first in both the carry
+    // window and the local order (Spark ASC default), matching the
+    // monolithic window's NULLS-FIRST placement of NULL order values.
+    val cond = (keys :+ CHUNK).map(c => cdf(c) <=> col("__gp_r_" + c)).reduce(_ && _)
+    (keys :+ CHUNK).foldLeft(cdf.join(carry, cond))((d, c) => d.drop("__gp_r_" + c))
   }
 
   private def precedingChunks(keys: Seq[String]) =

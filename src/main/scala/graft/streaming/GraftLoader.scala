@@ -252,14 +252,21 @@ object GraftLoader {
               .filter(col("event_id") <= col("_end"))
             val window = iv match {
               case StreamInterval.OffsetRange(n) =>
-                // last n committed records per partition via bounded
-                // heaps (TopKPerGroup) — a desc row-number window keyed
-                // on the ~|partitions|-value event_type would sort each
-                // partition's FULL committed history in one task on
-                // every restart
-                graft.plans.TopKPerGroup.transform(upToCommitted,
-                  Seq(col("event_type")), Seq(col("event_id").desc),
-                  math.toIntExact(n))
+                // last n committed records per partition = ascending
+                // chunked rank > (per-partition count − n). Handles any
+                // positive Long n with bounded memory (a top-n heap
+                // would hold n rows per partition in RAM; a desc
+                // row-number window keyed on the ~|partitions|-value
+                // event_type would sort each partition's FULL committed
+                // history in one task on every restart).
+                val cnt = upToCommitted.groupBy(col("event_type").as("_ct"))
+                  .agg(count(lit(1)).as("_n"))
+                graft.plans.ChunkedPrefix.rowNumber(upToCommitted,
+                    keys = Seq("event_type"), order = Seq(col("event_id")),
+                    chunk = graft.plans.ChunkedPrefix.idChunks(col("event_id"), 4096L),
+                    out = "_rn")
+                  .join(broadcast(cnt), col("event_type") === col("_ct"))
+                  .filter(col("_rn") > col("_n") - n)
               case StreamInterval.WatermarkRange(d) =>
                 upToCommitted.filter(
                   col("ts") >= col("_wm") - expr(s"INTERVAL ${d.toMillis} MILLISECONDS"))

@@ -45,6 +45,10 @@ class ChunkedPrefixSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
   private def parity(name: String, got: org.apache.spark.sql.DataFrame,
                      want: org.apache.spark.sql.DataFrame): Unit =
     withClue(s"$name: ") {
+      // count first: except() has SET semantics, so a row-duplicating
+      // regression (e.g. two carry rows per (key, chunk)) would slip
+      // through a two-sided except alone
+      got.count() shouldBe want.count()
       got.except(want).count() shouldBe 0L
       want.except(got).count() shouldBe 0L
     }
@@ -117,6 +121,33 @@ class ChunkedPrefixSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
   }
 
   behavior of "edge cases"
+
+  it should "keep NULL partition keys as a window group, matching Window.partitionBy" in {
+    // the carry join is null-safe (<=>): an equi-join would silently DROP
+    // every null-keyed row where Window.partitionBy keeps them as a group
+    val df = spark.range(300).select(
+      (col("id") * 7).as("id"),
+      when(col("id") % 4 === 0, lit(null).cast("string"))
+        .otherwise((col("id") % 3).cast("string")).as("k"),
+      ((col("id") * 37) % 5).as("v"))
+    for (w <- Seq(3L, 64L)) {
+      val ch = ChunkedPrefix.idChunks(col("id"), w)
+      val winMax = df.withColumn("m", max(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      parity(s"null-key max w=$w",
+        ChunkedPrefix.runningMax(df, Seq("k"), Seq(col("id")), ch, col("v"), "m",
+          inclusive = true), winMax)
+      val winLag = df.withColumn("p", lag(col("v"), 1).over(
+        Window.partitionBy(col("k")).orderBy(col("id"))))
+      parity(s"null-key lag w=$w",
+        ChunkedPrefix.lagValue(df, Seq("k"), Seq(col("id")), ch, col("v"), "p"), winLag)
+      val winRn = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("id"))).cast("long"))
+      parity(s"null-key rowNumber w=$w",
+        ChunkedPrefix.rowNumber(df, Seq("k"), Seq(col("id")), ch, "rn"), winRn)
+    }
+  }
 
   it should "return empty on empty input for all primitives" in {
     val df = frame(0)
