@@ -55,6 +55,14 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // sl_lookback: r7 checkpoint-pins the committed frame, last-100 via
     // TopKPerGroup heaps instead of a per-type desc row-number window
     "sl_lookback" -> 0,
+    // ChunkedPrefix consumers: 2 audited scans each — the row branch
+    // plus the column-pruned per-chunk summary branch (the documented
+    // trade vs checkpointing a corpus-sized frame); a third scan means
+    // a new consumer snuck in without a pin
+    "sl_watermark" -> 2, "sl_gap_detect" -> 2, "sl_batch_assign" -> 2,
+    "sl_byte_batches" -> 2, "ev_late_data" -> 2, "ev_inter_arrival" -> 2,
+    "pipe_interleave" -> 2, "q_gaps_islands" -> 2,
+    "cl_diverse_sample" -> 1,
     // documents dedup/text/pipeline (dd_dup_span/dd_substring: the r7
     // hot-hash rewrite localCheckpoints the single tokenize pass, then
     // feeds it to both the per-hash total branch and the join-back
@@ -74,7 +82,6 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // pipe_budget_mix: r7 checkpoint-pins the tokenize pass (pipePacking
     // idiom) before the chunked-prefix fan-out — 0 scans in the final plan
     "pipe_budget_mix" -> 0, "pipe_curriculum" -> 1, "mm_dedup" -> 1,
-    "pipe_interleave" -> 2,
     // embeddings
     "cl_drift" -> 1, "cl_kmeans" -> 1, "cl_silhouette" -> 1,
     // ann_ivfpq's residual coding adds one corpus pass (assignment must
