@@ -1085,6 +1085,76 @@ object Dedup {
       .orderBy(col("j_band"))
   }
 
+  /** LSH banding TUNING card — [[ddLshRecall]] measures the shipped
+    * 4×2 config; this sweeps every (bands × rows) arrangement of the
+    * 8-hash signature — 8×1, 4×2, 2×4, 1×8 — and reports each config's
+    * measured catch rate on the exact J ≥ 0.9 truth set: the actual
+    * decision table for trading index size (more bands = more keys)
+    * against precision (more rows = fewer false candidates) before
+    * turning banding loose on a new corpus.
+    *
+    * Scale: the truth set is the prefix-filtered PPJoin pair set (tiny
+    * by construction — true near-dups, never O(n²)); signatures join in
+    * by doc id (AQE broadcasts the pair side), and band collision per
+    * config is RECORD-LOCAL slot equality on the two 8-slot signatures
+    * — equal slots ⟺ equal band keys, so no banding explode/join runs
+    * at all. One minhash pass per signature side. */
+  def ddLshTuning: Q = (s, d) => {
+    val truth = ppjoinPairsUnsorted(s, d).select(col("doc_a"), col("doc_b"))
+    val mh = minhashDf(s, d)
+    val sa = mh.toDF(mh.columns.map(c => if (c == "doc_id") "doc_a" else "a_" + c): _*)
+    val sb = mh.toDF(mh.columns.map(c => if (c == "doc_id") "doc_b" else "b_" + c): _*)
+    def caught(nb: Int, nr: Int): org.apache.spark.sql.Column =
+      (0 until nb).map { i =>
+        (0 until nr).map(j => col(s"a_m${i * nr + j}") === col(s"b_m${i * nr + j}"))
+          .reduce(_ && _)
+      }.reduce(_ || _)
+    truth.join(sa, "doc_a").join(sb, "doc_b")
+      .select(explode(array(LshConfigs.map { case (nb, nr) =>
+        struct(lit(nb.toLong).as("bands"), lit(nr.toLong).as("rows_per_band"),
+          when(caught(nb, nr), 1L).otherwise(0L).as("c"))
+      }: _*)).as("x"))
+      .groupBy(col("x.bands").as("bands"), col("x.rows_per_band").as("rows_per_band"))
+      .agg(count(lit(1)).as("n_true"), sum(col("x.c")).as("n_caught"))
+      .withColumn("catch_rate",
+        floor(col("n_caught") / col("n_true") * 1e4 + 0.5) / 1e4)
+      .orderBy(col("bands").desc)
+  }
+
+  private val LshConfigs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+
+  val ddLshTuningSql: String = {
+    def catchSql(nb: Int, nr: Int) = (0 until nb).map { i =>
+      "(" + (0 until nr).map(j => s"am${i * nr + j} = bm${i * nr + j}")
+        .mkString(" AND ") + ")"
+    }.mkString(" OR ")
+    val branches = LshConfigs.map { case (nb, nr) =>
+      s"SELECT CAST($nb AS BIGINT) AS bands, CAST($nr AS BIGINT) AS rows_per_band, " +
+        s"CASE WHEN ${catchSql(nb, nr)} THEN 1 ELSE 0 END AS c FROM jj"
+    }.mkString("\nUNION ALL ")
+    val aSlots = (0 until NumHashes).map(j => s"ma.m$j AS am$j").mkString(", ")
+    val bSlots = (0 until NumHashes).map(j => s"mb.m$j AS bm$j").mkString(", ")
+    s"""WITH $minhashCte,
+       |tset AS (SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sk
+       |  FROM toks WHERE len(tk) >= 3),
+       |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM tset a JOIN tset b ON b.doc_id > a.doc_id
+       |  WHERE len(a.sk) >= 1 AND len(b.sk) >= 1
+       |    AND 9 * greatest(len(a.sk), len(b.sk)) <= 10 * least(len(a.sk), len(b.sk))
+       |    AND 10 * len(list_intersect(a.sk, b.sk)) >=
+       |        9 * (len(a.sk) + len(b.sk) - len(list_intersect(a.sk, b.sk)))),
+       |jj AS (SELECT $aSlots, $bSlots
+       |  FROM tp JOIN mh ma ON ma.doc_id = tp.doc_a
+       |          JOIN mh mb ON mb.doc_id = tp.doc_b),
+       |x AS ($branches)
+       |SELECT bands, rows_per_band, count(*) AS n_true,
+       |  CAST(sum(c) AS BIGINT) AS n_caught,
+       |  floor(sum(c) / count(*) * 1e4 + 0.5) / 1e4 AS catch_rate
+       |FROM x GROUP BY 1, 2 ORDER BY bands DESC""".stripMargin
+  }
+
   val ddLshRecallSql: String =
     s"""WITH $minhashCte,
        |$lshPairsCte,
@@ -1255,6 +1325,7 @@ object Dedup {
     "dd_edit_pairs" -> ddEditPairs,
     "dd_ppjoin" -> ddPpjoin,
     "dd_lsh_recall" -> ddLshRecall,
+    "dd_lsh_tuning" -> ddLshTuning,
     "dd_neardup" -> ddNeardup,
     "dd_substring" -> ddSubstring,
     "dd_dup_span" -> ddDupSpan,
@@ -1279,6 +1350,7 @@ object Dedup {
     "dd_edit_pairs" -> ddEditPairsSql,
     "dd_ppjoin" -> ddPpjoinSql,
     "dd_lsh_recall" -> ddLshRecallSql,
+    "dd_lsh_tuning" -> ddLshTuningSql,
     "dd_substring" -> ddSubstringSql,
     "dd_dup_span" -> ddDupSpanSql,
     "dd_decontaminate" -> ddDecontaminateSql,

@@ -349,7 +349,51 @@ object StatsOps {
       |  UNION ALL SELECT 'l_suppkey', n_rows, d_sk, mn_sk, mx_sk FROM a)
       |ORDER BY col_name""".stripMargin
 
+  /** Shuffle-skew advisor for a join/aggregation key — the census a
+    * 100 TB pipeline runs BEFORE picking a salting factor (the
+    * ev_salted_agg treatment): the top-10 hottest keys by row mass,
+    * each with its corpus share and the salt factor that would level
+    * its shuffle partition back to the average load at P = 32 reducer
+    * partitions (salt = ⌈n_key · P / n_total⌉, floored at 1 — a key
+    * carrying 3 partitions' worth of rows gets split 3 ways). The
+    * reference's loader sizes its sinks by static partition count;
+    * this is the data-driven upgrade an analytics engine owes its
+    * operators.
+    *
+    * Scale: one partial-aggregated pass to per-key counts, the top-10
+    * via TakeOrderedAndProject (per-partition local top, never a
+    * global sort), totals broadcast; the rank window orders 10 rows. */
+  def qSkewAdvisor: Q = (s, d) => {
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val tot = counts.agg(sum(col("n_events")).as("n_total"),
+      count(lit(1)).as("n_keys"))
+    val idiv = graft.plans.DistributedRank.idiv _
+    counts.orderBy(col("n_events").desc, col("user_id")).limit(10)
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_events").desc, col("user_id"))).cast("long"))
+      .select(col("rank"), col("user_id"), col("n_events"),
+        col("n_total"), col("n_keys"),
+        (floor(col("n_events") / col("n_total") * 1e6 + 0.5) / 1e6).as("share"),
+        greatest(lit(1L),
+          idiv(col("n_events") * 32 + col("n_total") - 1, col("n_total")))
+          .as("salt_factor"))
+      .orderBy(col("rank"))
+  }
+
+  val qSkewAdvisorSql: String =
+    """WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+      |t AS (SELECT sum(n_events)::BIGINT AS n_total, count(*) AS n_keys FROM c),
+      |top AS (SELECT user_id, n_events FROM c ORDER BY n_events DESC, user_id LIMIT 10)
+      |SELECT row_number() OVER (ORDER BY n_events DESC, user_id) AS rank,
+      |  user_id, n_events, n_total, n_keys,
+      |  floor(n_events / n_total * 1e6 + 0.5) / 1e6 AS share,
+      |  greatest(1, (n_events * 32 + n_total - 1) // n_total) AS salt_factor
+      |FROM top CROSS JOIN t ORDER BY rank""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_skew_advisor" -> qSkewAdvisor,
     "q_profile" -> qProfile,
     "q_profile_approx" -> qProfileApprox,
     "q_moments" -> qMoments,
@@ -359,6 +403,7 @@ object StatsOps {
     "q_gaps_islands" -> qGapsIslands)
 
   def oracleSql: Map[String, String] = Map(
+    "q_skew_advisor" -> qSkewAdvisorSql,
     "q_profile" -> qProfileSql,
     "q_moments" -> qMomentsSql,
     "q_regr" -> qRegrSql,
