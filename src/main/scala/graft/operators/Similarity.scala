@@ -269,7 +269,11 @@ object Similarity {
     * corpus the dense ids equal the raw ids, so the oracles are
     * unaffected. */
   private def denseSeeds(v: DataFrame, k: Int): DataFrame =
-    v.filter(col("vec_id") < k)
+    // limit(k) is a semantic no-op (the filter already admits ≤ k rows)
+    // that makes the bound a STATIC plan fact (maxRows = k), so the
+    // partition-less re-id window below is provably metadata-sized to
+    // any plan auditor (PlanLint), not just to a reader of the filter
+    v.filter(col("vec_id") < k).limit(k)
       .withColumn("cid",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
 
