@@ -173,6 +173,54 @@ class ChunkedPrefixSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
     parity("timeChunks", got, win)
   }
 
+  behavior of "randomized parity (fixed-seed ScalaCheck frames)"
+
+  // the fixed matrix pins chosen edge shapes; this pins shapes nobody
+  // chose — random sizes, key cardinalities, widths, null densities and
+  // value ranges (incl. Long extremes), unique ids for a total order
+  it should "match the monolithic windows on random frames" in {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cfg = for {
+      n <- Gen.chooseNum(0, 1500)
+      keyCard <- Gen.oneOf(1, 2, 7)
+      width <- Gen.oneOf(1L, 5L, 97L, 1000000L)
+      stride <- Gen.chooseNum(1, 11) // sparse ids: id = i * stride
+      nullEvery <- Gen.oneOf(0, 3, 13) // 0 = no nulls
+    } yield (n, keyCard, width, stride, nullEvery)
+    val cases = (0 until 6).flatMap(i => cfg.apply(Gen.Parameters.default, Seed(7L + i)))
+    cases.foreach { case (n, keyCard, width, stride, nullEvery) =>
+      val v0 = (col("id") * 2654435761L) % 1000003L - 500000L
+      val df = spark.range(n).select(
+        (col("id") * stride).as("id"),
+        (col("id") % keyCard).cast("string").as("k"),
+        (if (nullEvery == 0) v0
+         else when(col("id") % nullEvery === 0, lit(null).cast("long")).otherwise(v0))
+          .as("v"))
+      val ch = ChunkedPrefix.idChunks(col("id"), width)
+      val tag = s"n=$n keys=$keyCard w=$width stride=$stride nulls=$nullEvery"
+      parity(s"$tag max",
+        ChunkedPrefix.runningMax(df, Seq("k"), Seq(col("id")), ch, col("v"), "o",
+          inclusive = false),
+        df.withColumn("o", max(col("v")).over(Window.partitionBy(col("k"))
+          .orderBy(col("id")).rowsBetween(Window.unboundedPreceding, -1))))
+      parity(s"$tag sum",
+        ChunkedPrefix.runningSum(df, Seq("k"), Seq(col("id")), ch, col("v"), "o",
+          inclusive = true),
+        df.withColumn("o", coalesce(sum(col("v")).over(Window.partitionBy(col("k"))
+          .orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)), lit(0L))))
+      parity(s"$tag lag",
+        ChunkedPrefix.lagValue(df, Seq("k"), Seq(col("id")), ch, col("v"), "o"),
+        df.withColumn("o", lag(col("v"), 1).over(
+          Window.partitionBy(col("k")).orderBy(col("id")))))
+      parity(s"$tag rn",
+        ChunkedPrefix.rowNumber(df, Seq("k"), Seq(col("id")), ch, "o"),
+        df.withColumn("o", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("id"))).cast("long")))
+    }
+  }
+
   behavior of "ported operators"
 
   it should "window on the chunk column in every ported query's executed plan" in {
