@@ -245,7 +245,8 @@ object EventAnalytics {
     val marked = ChunkedPrefix.runningMax(
       Tables.events(s, d),
       keys = Seq("event_type"), order = Seq(col("event_id")),
-      chunk = ChunkedPrefix.idChunks(col("event_id"), 4096L),
+      chunk = ChunkedPrefix.idChunks(col("event_id"),
+        ChunkedPrefix.autoWidth(Tables.events(s, d).count())),
       value = unix_micros(col("ts")), out = "wm_us", inclusive = false)
     marked
       .withColumn("late",
@@ -718,18 +719,26 @@ object EventAnalytics {
     * gap = a stalling producer) and watermark-delay tuning.
     *
     * Scale: the consecutive-gap lag is a [[graft.plans.ChunkedPrefix]]
-    * two-phase lag over (type, 6-hour time-chunk) — the local lag runs
-    * inside rate-bounded chunk partitions and the chunk-boundary
-    * fallback (last ts of the latest preceding non-empty chunk) rides
-    * the metadata-sized summary frame, so no window partition ever
-    * holds corpus/|types| rows. The avg is an exact long-microsecond
-    * quotient floor-rounded, so both engines agree. */
+    * two-phase lag over (type, time-chunk). The chunk width derives
+    * from the observed span: span/√N-ish chunks keep the local windows
+    * AND the per-type carry window both ~√N under uniform traffic (a
+    * FIXED width would let either side grow corpus-shaped at 100×
+    * scale); the three sizing scalars (count, min ts, max ts) are one
+    * aggregate fetched to the driver — metadata, the documented scalar
+    * exception. The avg is an exact long-microsecond quotient
+    * floor-rounded, so both engines agree. */
   def evInterArrival: Q = (s, d) => {
     import graft.plans.ChunkedPrefix
-    ChunkedPrefix.lagValue(
-        Tables.events(s, d).select(col("event_type"), col("ts"), col("event_id")),
+    val ev = Tables.events(s, d).select(col("event_type"), col("ts"), col("event_id"))
+    val st = ev.agg(count(lit(1)).as("n"),
+      min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi")).head()
+    val widthUs =
+      if (st.getLong(0) == 0 || st.isNullAt(1)) 3600000000L
+      else math.max(1L, (st.getLong(2) - st.getLong(1) + 1) /
+        math.max(16L, math.ceil(math.sqrt(st.getLong(0).toDouble)).toLong))
+    ChunkedPrefix.lagValue(ev,
         keys = Seq("event_type"), order = Seq(col("ts"), col("event_id")),
-        chunk = ChunkedPrefix.timeChunks(col("ts"), 6L * 3600L * 1000000L),
+        chunk = ChunkedPrefix.timeChunks(col("ts"), widthUs),
         value = unix_micros(col("ts")), out = "prev_us")
       .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
       .filter(col("gap_us").isNotNull)

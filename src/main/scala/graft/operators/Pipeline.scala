@@ -208,7 +208,8 @@ object Pipeline {
       .withColumn("w", wgt)
       .filter(col("w").isNotNull)
     ChunkedPrefix.rowNumber(base, keys = Seq("source"), order = Seq(col("doc_id")),
-        chunk = ChunkedPrefix.idChunks(col("doc_id"), 4096L), out = "rn")
+        chunk = ChunkedPrefix.idChunks(col("doc_id"),
+          ChunkedPrefix.autoWidth(Tables.documents(s, d).count())), out = "rn")
       .withColumn("vpos", round(col("rn").cast("double") / col("w"), 4))
       .select(col("doc_id"), col("source"), col("vpos"))
       .orderBy(col("vpos"), col("source"), col("doc_id"))
@@ -275,11 +276,13 @@ object Pipeline {
     * cumulative sum over (source, hash-prefix-chunk) — sources are
     * LOW-cardinality, so the r6 plan's `Window.partitionBy(source)`
     * sorted each source's full document set in one unsplittable task.
-    * The chunk id is the leading 4 hex digits of the md5 fill order
-    * quantized: lowercase fixed-width hex sorts lexicographically
-    * exactly as its numeric value, so the chunk is monotone in the fill
-    * order, and md5 uniformity balances chunk sizes (widen the prefix
-    * for more chunks at larger corpora). The cum ≤ budget comparison
+    * The chunk id is the leading 8 hex digits of the md5 fill order
+    * quantized into ~√N chunks (ChunkedPrefix.hashChunks): lowercase
+    * fixed-width hex sorts lexicographically exactly as its numeric
+    * value, so the chunk is monotone in the fill order, md5 uniformity
+    * balances chunk sizes, and the √N count keeps the local windows AND
+    * the per-source carry window both ~√N at any corpus size. The cum
+    * ≤ budget comparison
     * pairs integral token counts with a budget derived from a 20-source
     * sum, so float drift cannot flip membership except at
     * astronomically exact boundaries.
@@ -300,8 +303,7 @@ object Pipeline {
       .localCheckpoint()
     val cum = ChunkedPrefix.runningSum(base,
       keys = Seq("source"), order = Seq(col("h")),
-      chunk = ChunkedPrefix.idChunks(
-        conv(substring(col("h"), 1, 4), 16, 10).cast("long"), 4096L),
+      chunk = ChunkedPrefix.hashChunks(col("h"), base.count()),
       value = col("n_tok"), out = "cum", inclusive = true)
     val totals = base.groupBy(col("source")).agg(sum(col("n_tok")).as("tot"))
     // sqrt is IEEE-correctly-rounded (identical in both engines), but the

@@ -219,7 +219,8 @@ object StatsOps {
     ChunkedPrefix.rowNumber(
         Tables.events(s, d).select(col("event_type"), col("event_id")),
         keys = Seq("event_type"), order = Seq(col("event_id")),
-        chunk = ChunkedPrefix.idChunks(col("event_id"), 4096L), out = "rn")
+        chunk = ChunkedPrefix.idChunks(col("event_id"),
+          ChunkedPrefix.autoWidth(Tables.events(s, d).count())), out = "rn")
       .withColumn("grp", col("event_id") - col("rn"))
       .groupBy(col("event_type"), col("grp"))
       .agg(count(lit(1)).as("len"))

@@ -52,6 +52,15 @@ object StreamSemantics {
       |  max(ts)::TIMESTAMP AS end_watermark, count(*) AS n_records
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+
+  /** Offset-chunk id for the chunked prefix ports below: width auto-
+    * sizes to √N (ChunkedPrefix.autoWidth) so the local windows AND the
+    * per-partition carry window both stay ~√N rows at any corpus size;
+    * the sizing count is a filter-free parquet footer read. */
+  private def offsetChunks(s: SparkSession, d: String) =
+    graft.plans.ChunkedPrefix.idChunks(col("event_id"),
+      graft.plans.ChunkedPrefix.autoWidth(Tables.events(s, d).count()))
+
   /** Monotonic running watermark per partition (max event time seen so far,
     * in offset order) — WatermarkProvider semantics, per record.
     *
@@ -65,7 +74,7 @@ object StreamSemantics {
     ChunkedPrefix.runningMax(
         Tables.events(s, d).select(col("event_id"), col("event_type"), col("ts")),
         keys = Seq("event_type"), order = Seq(col("event_id")),
-        chunk = ChunkedPrefix.idChunks(col("event_id"), 4096L),
+        chunk = offsetChunks(s, d),
         value = col("ts"), out = "watermark", inclusive = true)
       .select(col("event_id"), col("event_type"), col("ts"), col("watermark"))
       .orderBy(col("event_id"))
@@ -201,7 +210,7 @@ object StreamSemantics {
     ChunkedPrefix.rowNumber(
         Tables.events(s, d),
         keys = Seq("event_type"), order = Seq(col("event_id")),
-        chunk = ChunkedPrefix.idChunks(col("event_id"), 4096L), out = "rn")
+        chunk = offsetChunks(s, d), out = "rn")
       .withColumn("batch_id", floor((col("rn") - 1) / 1000))
       .groupBy(col("event_type"), col("batch_id"))
       .agg(count(lit(1)).as("n_records"),
@@ -235,7 +244,7 @@ object StreamSemantics {
     ChunkedPrefix.runningSum(
         Tables.events(s, d).withColumn("nbytes", octet_length(line)),
         keys = Seq("event_type"), order = Seq(col("event_id")),
-        chunk = ChunkedPrefix.idChunks(col("event_id"), 4096L),
+        chunk = offsetChunks(s, d),
         value = col("nbytes"), out = "cum_prev", inclusive = false)
       .withColumn("batch_id", floor(col("cum_prev") / 65536))
       .groupBy(col("event_type"), col("batch_id"))
@@ -330,7 +339,7 @@ object StreamSemantics {
     ChunkedPrefix.lagValue(
         Tables.events(s, d).select(col("event_type"), col("event_id")),
         keys = Seq("event_type"), order = Seq(col("event_id")),
-        chunk = ChunkedPrefix.idChunks(col("event_id"), 4096L),
+        chunk = offsetChunks(s, d),
         value = col("event_id"), out = "prev_id")
       .filter(col("prev_id").isNotNull && col("event_id") - col("prev_id") > 15)
       .select(col("event_type"), col("prev_id").as("gap_start"),

@@ -55,6 +55,27 @@ object ChunkedPrefix {
   def idChunks(id: Column, width: Long): Column =
     DistributedRank.idiv(id, lit(width))
 
+  /** Chunk width balancing the two window levels: local partitions hold
+    * ≤ width rows, the per-key carry window holds ≈ N/width summary
+    * rows — width = √N equalizes them, so BOTH stay ~√N at any corpus
+    * size (10¹² rows → 10⁶-row tasks on each level; a fixed width would
+    * push the carry window back toward a corpus-sized single task at
+    * 100× scale). Floored at 4096 so toy corpora still split into
+    * multiple chunks and exercise the boundary merge. The count this
+    * takes as input can be approximate — sizing, not semantics; a
+    * parquet footer count (no filter) is free. */
+  def autoWidth(rowCount: Long): Long =
+    math.max(4096L, math.ceil(math.sqrt(math.max(0L, rowCount).toDouble)).toLong)
+
+  /** Chunk id for an md5-hex fill order: the leading 8 hex digits parse
+    * to a uniform 32-bit value whose numeric order IS the string order
+    * (fixed-width lowercase hex), quantized into ~√N balanced chunks. */
+  def hashChunks(hexCol: Column, rowCount: Long): Column = {
+    val nChunks = math.max(16L, math.ceil(math.sqrt(rowCount.toDouble)).toLong)
+    val width = math.max(1L, (1L << 32) / nChunks)
+    DistributedRank.idiv(conv(substring(hexCol, 1, 8), 16, 10).cast("long"), lit(width))
+  }
+
   /** Quantize event time into fixed-duration chunks. The per-chunk row
     * bound is the max event rate × `widthUs` — size it from the
     * source's throughput ceiling. (Non-negative epochs assumed — the

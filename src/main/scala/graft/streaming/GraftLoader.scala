@@ -263,7 +263,8 @@ object GraftLoader {
                   .agg(count(lit(1)).as("_n"))
                 graft.plans.ChunkedPrefix.rowNumber(upToCommitted,
                     keys = Seq("event_type"), order = Seq(col("event_id")),
-                    chunk = graft.plans.ChunkedPrefix.idChunks(col("event_id"), 4096L),
+                    chunk = graft.plans.ChunkedPrefix.idChunks(col("event_id"),
+                      graft.plans.ChunkedPrefix.autoWidth(upToCommitted.count())),
                     out = "_rn")
                   .join(broadcast(cnt), col("event_type") === col("_ct"))
                   .filter(col("_rn") > col("_n") - n)
