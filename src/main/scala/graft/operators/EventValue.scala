@@ -417,12 +417,84 @@ object EventValue {
        |  END AS corr
        |FROM dd ORDER BY type_a, type_b""".stripMargin
 
+  /** Activity-concentration census: the exact Gini coefficient of
+    * per-user event counts, per event type — "is this stream's volume
+    * spread across the user base or is one whale generating it", the
+    * one-number skew card that says whether per-user keyed work
+    * (sessionization, RFM, attribution) will be balanced or hot. Gini is
+    * over ACTIVE users (a user absent from a type contributes no row —
+    * the zero-count tail is not part of the population), 0 = every
+    * active user equally active, → 1 = one user owns the stream.
+    *
+    * Exact grouped-data identity, no per-user ranking: with the
+    * ascending distinct activity values v_k, user counts n_k and
+    * cumulative counts N_k, 2·Σᵢ rankᵢ·xᵢ = Σ_k v_k·n_k·(2·N_{k−1} + n_k + 1),
+    * and G = 2S/(N·T) − (N+1)/N. All terms are integers folded in
+    * decimal(38,0) (exact at any corpus size — v·n·2N is ~10²⁴ at 10⁹
+    * users, far past long), so both engines see the identical rationals.
+    *
+    * Scale shape: one corpus pass into the (type, user) aggregate, a
+    * second shrink to the (type, activity-value) HISTOGRAM — bounded by
+    * the distinct per-user counts (max user activity), never by users —
+    * and the rank window runs over that histogram, not the user base:
+    * the per-type window partition is |distinct v| rows where a naive
+    * per-user rank would be |users|/|types| (the exact low-cardinality
+    * corpus-window hazard this repo eliminated in r7). */
+  def evGini: Q = (s, d) => {
+    val hist = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("v"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val twoS = sum((col("v").cast("decimal(38,0)") * col("n") *
+      (lit(2) * (col("cumn") - col("n")) + col("n") + 1)))
+    hist.withColumn("cumn", sum(col("n")).over(w))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_users"),
+        sum(col("v") * col("n")).as("n_events"),
+        twoS.as("two_s"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        Exact.floorRound(
+          col("two_s").cast("double") /
+            (col("n_users").cast("double") * col("n_events").cast("double")) -
+            (col("n_users") + 1).cast("double") / col("n_users").cast("double"), 6)
+          .as("gini"))
+      .orderBy(col("event_type"))
+  }
+
+  val evGiniSql: String =
+    s"""WITH pu AS (
+       |  SELECT event_type, user_id, count(*) AS v
+       |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+       |  GROUP BY 1, 2),
+       |hist AS (SELECT event_type, v, count(*) AS n FROM pu GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, v, n,
+       |    sum(n) OVER (PARTITION BY event_type ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+       |  FROM hist),
+       |agg AS (
+       |  SELECT event_type,
+       |    CAST(sum(n) AS BIGINT) AS n_users,
+       |    CAST(sum(v * n) AS BIGINT) AS n_events,
+       |    sum(v::HUGEINT * n * (2 * (cumn - n) + n + 1)) AS two_s
+       |  FROM cum GROUP BY 1)
+       |SELECT event_type, n_users, n_events,
+       |  ${Exact.floorRoundSql(
+            "two_s::DOUBLE / (n_users::DOUBLE * n_events::DOUBLE) " +
+              "- CAST(n_users + 1 AS DOUBLE) / n_users::DOUBLE", 6)} AS gini
+       |FROM agg ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ev_ts_similarity" -> evTsSimilarity,
     "ev_attribution" -> evAttribution,
     "ev_concurrency" -> evConcurrency,
     "ev_cumulative_users" -> evCumulativeUsers,
     "ev_forecast" -> evForecast,
+    "ev_gini" -> evGini,
     "ev_rfm" -> evRfm)
 
   def oracleSql: Map[String, String] = Map(
@@ -431,5 +503,6 @@ object EventValue {
     "ev_concurrency" -> evConcurrencySql,
     "ev_cumulative_users" -> evCumulativeUsersSql,
     "ev_forecast" -> evForecastSql,
+    "ev_gini" -> evGiniSql,
     "ev_rfm" -> evRfmSql)
 }

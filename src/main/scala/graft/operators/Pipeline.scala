@@ -579,7 +579,89 @@ object Pipeline {
        |FROM agg CROSS JOIN tot ORDER BY lang, source""".stripMargin
   }
 
+  /** Temperature-mixing decision card: for each sampling temperature α,
+    * every source's mixture share w_s = tot_s^α / Σ_r tot_r^α and the
+    * effective epochs B·w_s / tot_s it implies at a fixed token budget —
+    * the table a multi-source training run reads to pick α (α = 1 is
+    * proportional sampling that lets giant sources drown the tail; α → 0
+    * is uniform sampling that epochs tiny sources into memorization;
+    * published multilingual runs pick the knee in between). The executed
+    * α = 0.5 path is [[pipeBudgetMix]]; this is its sweep twin, the same
+    * relationship dd_lsh_tuning bears to dd_lsh_pairs.
+    *
+    * α is restricted to {0.25, 0.5, 0.75, 1} so every power folds into
+    * IEEE-correctly-rounded sqrt compositions (x^¼ = √√x, x^¾ = √x·√√x —
+    * one correctly-rounded multiply) — `pow` itself carries no
+    * cross-libm exactness guarantee and would make the oracle hash
+    * flaky at share boundaries.
+    *
+    * Scale shape: one corpus pass into the |sources|-row totals frame;
+    * the α explode and the per-α share windows run on 4·|sources| rows
+    * of aggregate output — no corpus-sized shuffle, no data movement
+    * beyond the one groupBy(source). */
+  def pipeAlphaSweep: Q = (s, d) => {
+    val per = Tables.documents(s, d)
+      .filter(col("source").isNotNull && col("text").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val t = col("n_tokens").cast("double")
+    val weights = Seq(
+      0.25 -> sqrt(sqrt(t)),
+      0.5 -> sqrt(t),
+      0.75 -> (sqrt(t) * sqrt(sqrt(t))),
+      1.0 -> t)
+    val exploded = per.select(col("source"), col("n_docs"), col("n_tokens"),
+      explode(array(weights.map { case (a, wc) =>
+        struct(lit(a).as("alpha"), wc.as("w")) }: _*)).as("aw"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("aw.alpha").as("alpha"), col("aw.w").as("w"))
+    val perAlpha = Window.partitionBy(col("alpha"))
+    val share = col("w") / col("wsum")
+    exploded
+      .withColumn("wsum",
+        sum(col("w").cast("decimal(38,18)")).over(perAlpha).cast("double"))
+      .withColumn("toksum", sum(col("n_tokens")).over(perAlpha).cast("double"))
+      .select(col("alpha"), col("source"), col("n_docs"), col("n_tokens"),
+        Exact.floorRound(col("n_tokens").cast("double") / col("toksum"), 6)
+          .as("raw_share"),
+        Exact.floorRound(share, 6).as("temp_share"),
+        when(col("n_tokens") > 0,
+          Exact.floorRound(lit(100000.0) * share / col("n_tokens").cast("double"), 6))
+          .as("epochs"))
+      .orderBy(col("alpha"), col("source"))
+  }
+
+  val pipeAlphaSweepSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+       |      x -> length(x) > 0))) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+       |  GROUP BY 1),
+       |ex AS (
+       |  SELECT source, n_docs, n_tokens, alpha,
+       |    CASE alpha
+       |      WHEN 0.25 THEN sqrt(sqrt(n_tokens::DOUBLE))
+       |      WHEN 0.5 THEN sqrt(n_tokens::DOUBLE)
+       |      WHEN 0.75 THEN sqrt(n_tokens::DOUBLE) * sqrt(sqrt(n_tokens::DOUBLE))
+       |      ELSE n_tokens::DOUBLE END AS w
+       |  FROM per, unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE, 1.0::DOUBLE]) AS a(alpha)),
+       |ws AS (
+       |  SELECT *,
+       |    sum(w::DECIMAL(38,18)) OVER (PARTITION BY alpha)::DOUBLE AS wsum,
+       |    sum(n_tokens) OVER (PARTITION BY alpha)::DOUBLE AS toksum
+       |  FROM ex)
+       |SELECT alpha, source, n_docs, n_tokens,
+       |  ${Exact.floorRoundSql("n_tokens::DOUBLE / toksum", 6)} AS raw_share,
+       |  ${Exact.floorRoundSql("w / wsum", 6)} AS temp_share,
+       |  CASE WHEN n_tokens > 0
+       |    THEN ${Exact.floorRoundSql("100000.0 * (w / wsum) / n_tokens::DOUBLE", 6)}
+       |  END AS epochs
+       |FROM ws ORDER BY alpha, source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "pipe_alpha_sweep" -> pipeAlphaSweep,
     "pipe_chunk" -> pipeChunk,
     "pipe_datacard" -> pipeDatacard,
     "pipe_redact" -> pipeRedact,
@@ -593,6 +675,7 @@ object Pipeline {
     "pipe_shuffle" -> pipeShuffle)
 
   def oracleSql: Map[String, String] = Map(
+    "pipe_alpha_sweep" -> pipeAlphaSweepSql,
     "pipe_chunk" -> pipeChunkSql,
     "pipe_datacard" -> pipeDatacardSql,
     "pipe_redact" -> pipeRedactSql,

@@ -291,15 +291,117 @@ object TextCorpus {
       |FROM d LEFT JOIN lex USING (source)
       |ORDER BY source""".stripMargin
 
+  /** Number of hashed-feature buckets for [[taDsir]] — small enough that
+    * the two distribution tables broadcast (2·B longs), large enough that
+    * bucket collisions stay rare on a unigram+bigram feature space. */
+  val DsirBuckets = 1024
+
+  /** DSIR-style importance-resampling weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how target-like its hashed n-gram feature
+    * distribution is, logw = Σ_f log(p_target(f) / p_raw(f)) over the
+    * doc's unigram+bigram features hashed into [[DsirBuckets]] buckets,
+    * Laplace-smoothed. Sampling ∝ exp(logw) IS importance resampling;
+    * this emits the per-doc weights (total and per-feature, the
+    * length-normalized variant) that the selection step thresholds on.
+    * The target here is the corpus's alphabetically-first source — a
+    * stand-in for the high-quality reference corpus (Wikipedia in the
+    * paper); target docs define p and are not scored.
+    *
+    * Scale shape: TWO corpus passes, no corpus-sized shuffle beyond
+    * them — pass 1 folds both bucket histograms in one map-side-combined
+    * groupBy(bucket) (≤ B rows out per map task, the hot-bucket absorber);
+    * pass 2 re-derives features and broadcast-joins the B-row log-ratio
+    * table, then combines per doc. The B-row histogram/ratio frames and
+    * the 1-row target/grand-total scalars are the only broadcasts. The
+    * per-bucket log-ratio is computed once (B evaluations of ln), so the
+    * per-doc sum is a pure decimal fold of bit-identical doubles. */
+  def taDsir: Q = (s, d) => {
+    val B = DsirBuckets
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 1)
+    // 1-row metadata pin: lazily both feats passes would each re-derive
+    // min(source) with its own column-pruned corpus scan (4 scans total)
+    val target = docs.agg(min(col("source")).as("ts")).localCheckpoint()
+    // unigrams ++ bigrams; sequence() flips direction when stop < start,
+    // so the bigram arm is guarded (the shingles3 idiom)
+    def feats(frame: DataFrame): DataFrame = frame
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("tk"),
+          when(size(col("tk")) >= 2,
+            transform(sequence(lit(1), size(col("tk")) - 1), i =>
+              concat(element_at(col("tk"), i), lit(" "), element_at(col("tk"), i + 1))))
+            .otherwise(array().cast("array<string>")))).as("f"))
+      .withColumn("b",
+        conv(substring(md5s(col("f")), 1, 8), 16, 10).cast("long") % B)
+      .crossJoin(broadcast(target))
+    // B-row metadata pin: cnt feeds grand AND ratio — left lazy, the two
+    // consumers' diverging projections defeat exchange reuse and the
+    // histogram pass (a full tokenize+hash of the corpus) runs twice
+    val cnt = feats(docs).groupBy(col("b")).agg(
+      sum(when(col("source") === col("ts"), 1L).otherwise(0L)).as("tc"),
+      sum(when(col("source") =!= col("ts"), 1L).otherwise(0L)).as("rc"))
+      .localCheckpoint()
+    val grand = cnt.agg(sum(col("tc")).as("tn"), sum(col("rc")).as("rn"))
+    val ratio = cnt.crossJoin(broadcast(grand)).select(col("b"),
+      log(((col("tc") + 1).cast("double") / (col("tn") + B).cast("double")) /
+        ((col("rc") + 1).cast("double") / (col("rn") + B).cast("double"))).as("logr"))
+    feats(docs).filter(col("source") =!= col("ts"))
+      .join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_feats"),
+        Exact.floorRound(
+          sum(col("logr").cast("decimal(38,18)")).cast("double"), 6).as("logw"),
+        Exact.floorRound(
+          sum(col("logr").cast("decimal(38,18)")).cast("double") / count(lit(1)), 6)
+          .as("logw_per_feat"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taDsirSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+       |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+       |t2 AS (SELECT * FROM t WHERE len(tk) >= 1),
+       |tgt AS (SELECT min(source) AS ts FROM t2),
+       |feat AS (
+       |  SELECT doc_id, source, tok AS f FROM t2, unnest(tk) AS u(tok)
+       |  UNION ALL
+       |  SELECT doc_id, source, tk[i] || ' ' || tk[i + 1] AS f
+       |  FROM t2, unnest(range(1, len(tk))) AS u(i)),
+       |fb AS (SELECT doc_id, source,
+       |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % $DsirBuckets AS b
+       |  FROM feat),
+       |cnt AS (SELECT b,
+       |    CAST(sum(CASE WHEN source = (SELECT ts FROM tgt) THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+       |    CAST(sum(CASE WHEN source <> (SELECT ts FROM tgt) THEN 1 ELSE 0 END) AS BIGINT) AS rc
+       |  FROM fb GROUP BY 1),
+       |grand AS (SELECT sum(tc)::BIGINT AS tn, sum(rc)::BIGINT AS rn FROM cnt),
+       |ratio AS (SELECT b,
+       |    ln((CAST(tc + 1 AS DOUBLE) / CAST(tn + $DsirBuckets AS DOUBLE))
+       |      / (CAST(rc + 1 AS DOUBLE) / CAST(rn + $DsirBuckets AS DOUBLE))) AS logr
+       |  FROM cnt CROSS JOIN grand)
+       |SELECT fb.doc_id, fb.source, count(*) AS n_feats,
+       |  ${Exact.floorRoundSql("sum(logr::DECIMAL(38,18))::DOUBLE", 6)} AS logw,
+       |  ${Exact.floorRoundSql("sum(logr::DECIMAL(38,18))::DOUBLE / count(*)", 6)} AS logw_per_feat
+       |FROM fb JOIN ratio USING (b), tgt
+       |WHERE fb.source <> tgt.ts
+       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ta_jsd" -> taJsd,
     "ta_jsd_ref" -> taJsdRef,
     "ta_gopher_rules" -> taGopherRules,
-    "ta_hapax" -> taHapax)
+    "ta_hapax" -> taHapax,
+    "ta_dsir" -> taDsir)
 
   def oracleSql: Map[String, String] = Map(
     "ta_jsd" -> taJsdSql,
     "ta_jsd_ref" -> taJsdRefSql,
     "ta_gopher_rules" -> taGopherRulesSql,
-    "ta_hapax" -> taHapaxSql)
+    "ta_hapax" -> taHapaxSql,
+    "ta_dsir" -> taDsirSql)
 }

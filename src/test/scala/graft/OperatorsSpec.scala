@@ -1173,4 +1173,103 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       }
     }
   }
+
+  it should "match a brute-force ranked Gini per event type" in {
+    // independent derivation: per-user counts collected, ranked ascending,
+    // G = 2·Σ i·x_i / (n·Σx) − (n+1)/n — the textbook formula the grouped
+    // histogram identity in evGini must reproduce exactly
+    val got = operators.EventValue.evGini(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("gini")))).toMap
+    val perUser = Tables.events(spark, sf)
+      .filter("user_id is not null and event_type is not null")
+      .groupBy("event_type", "user_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    got.keySet shouldBe perUser.keySet
+    perUser.foreach { case (t, xs) =>
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val s = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+      val gini = 2.0 * s / (n.toDouble * tot.toDouble) - (n + 1).toDouble / n
+      val (gotN, gotT, gotG) = got(t)
+      withClue(s"type $t: ") {
+        gotN shouldBe n
+        gotT shouldBe tot
+        gotG shouldBe (math.floor(gini * 1e6 + 0.5) / 1e6 +- 1e-6)
+        gotG should (be >= 0.0 and be < 1.0)
+      }
+    }
+  }
+
+  it should "match brute-force DSIR importance weights and exclude the target source" in {
+    def toks(t: String): Array[String] = t.split("\\s+").filter(_.nonEmpty)
+    def bucket(f: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % operators.TextCorpus.DsirBuckets
+    }
+    val docs = Tables.documents(spark, sf)
+      .filter("text is not null and source is not null").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        toks(r.getAs[String]("text"))))
+      .filter(_._3.nonEmpty)
+    val target = docs.map(_._2).min
+    def feats(tk: Array[String]): Array[Long] =
+      (tk ++ tk.sliding(2).filter(_.length == 2).map(_.mkString(" "))).map(bucket)
+    val B = operators.TextCorpus.DsirBuckets
+    val tCnt = docs.filter(_._2 == target).flatMap(d => feats(d._3))
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val rCnt = docs.filter(_._2 != target).flatMap(d => feats(d._3))
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val (tn, rn) = (tCnt.values.sum, rCnt.values.sum)
+    def logr(b: Long): Double = math.log(
+      ((tCnt.getOrElse(b, 0L) + 1).toDouble / (tn + B)) /
+        ((rCnt.getOrElse(b, 0L) + 1).toDouble / (rn + B)))
+    val got = operators.TextCorpus.taDsir(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[Long]("n_feats"), r.getAs[Double]("logw"))))
+      .toMap
+    got.values.map(_._1) should not contain target
+    val expected = docs.filter(_._2 != target).map { case (id, src, tk) =>
+      val fs = feats(tk)
+      id -> ((src, fs.length.toLong, fs.map(logr).sum))
+    }.toMap
+    got.keySet shouldBe expected.keySet
+    expected.foreach { case (id, (src, nf, lw)) =>
+      val (gSrc, gNf, gLw) = got(id)
+      withClue(s"doc $id: ") {
+        gSrc shouldBe src
+        gNf shouldBe nf
+        // Spark folds the per-bucket log ratios in decimal; the Scala sum
+        // is plain double — agreement to well inside the 6-dp rounding
+        gLw shouldBe (lw +- 1e-5)
+      }
+    }
+  }
+
+  it should "keep alpha-sweep shares normalized with alpha=1 proportional and flattening toward the tail" in {
+    val rows = operators.Pipeline.pipeAlphaSweep(spark, sf).collect()
+      .map(r => (r.getAs[Double]("alpha"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("raw_share"),
+        r.getAs[Double]("temp_share"), r.getAs[Double]("epochs")))
+    val byAlpha = rows.groupBy(_._1)
+    byAlpha.keySet shouldBe Set(0.25, 0.5, 0.75, 1.0)
+    byAlpha.foreach { case (a, rs) =>
+      withClue(s"alpha $a: ") {
+        // each share floor-rounded at 1e-6: sum within |sources| ulps of 1
+        rs.map(_._5).sum shouldBe (1.0 +- rs.length * 1e-6)
+        rs.foreach { r =>
+          if (r._3 > 0)
+            r._6 shouldBe (100000.0 * r._5 / r._3 +- math.max(0.2 / r._3 * 1e5 * 1e-5, 1e-3))
+        }
+      }
+    }
+    // alpha = 1 is proportional sampling by definition
+    byAlpha(1.0).foreach(r => r._5 shouldBe (r._4 +- 1e-9))
+    // temperature flattens: the largest source loses share as alpha drops
+    val biggest = rows.maxBy(_._3)._2
+    val bySrc = byAlpha.toSeq.sortBy(_._1).map(_._2.find(_._2 == biggest).get._5)
+    bySrc shouldBe bySrc.sorted
+  }
 }

@@ -78,6 +78,14 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "ta_jsd" -> 2, "ta_gopher_rules" -> 1, "ta_hapax" -> 2,
     // ta_jsd_ref: the (source, term) count pass lands in a checkpoint
     "ta_jsd_ref" -> 0,
+    // ta_dsir: the documented two passes are the histogram build (inside
+    // the B-row cnt checkpoint pin — grand + ratio would otherwise defeat
+    // exchange reuse and run it twice) and the scoring re-derivation, the
+    // only scan left in the final plan; the min(source) target scalar is
+    // a 1-row checkpoint pin
+    "ta_dsir" -> 1,
+    // round-7 cards: single aggregate pass each
+    "ev_gini" -> 1, "pipe_alpha_sweep" -> 1,
     "cl_outliers" -> 1, "q_profile_approx" -> 1, "mm_cdc_chunk" -> 1,
     // pipe_budget_mix: r7 checkpoint-pins the tokenize pass (pipePacking
     // idiom) before the chunked-prefix fan-out — 0 scans in the final plan
