@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -488,7 +488,77 @@ object EventValue {
               "- CAST(n_users + 1 AS DOUBLE) / n_users::DOUBLE", 6)} AS gini
        |FROM agg ORDER BY event_type""".stripMargin
 
+  /** Bot/automation census: the 25 most machine-regular users by
+    * inter-arrival coefficient of variation — organic humans arrive
+    * bursty (cv ≳ 1, exponential-ish gaps), schedulers and scrapers
+    * arrive metronomically (cv → 0) — with the mean gap, the
+    * zero-gap share (batched/replayed submissions) and event volume as
+    * the supporting evidence columns. The training-data hygiene twin of
+    * ta_hapax: this flags the USERS whose traffic is synthetic before
+    * their events pollute behavioral corpora. Users need ≥ 10 events
+    * (9 gaps) for a stable cv; all-simultaneous users (total gap 0,
+    * cv undefined) are excluded — they show up in zero_gap_share of
+    * the cap-t census instead.
+    *
+    * Exactness: gaps are INTEGER micros; Σg and Σg² fold exactly
+    * (decimal(38,0)/HUGEINT — Σg ≤ the corpus span keeps m·Σg² under
+    * 10³⁸ by Cauchy–Schwarz), cv = √(m·Σg² − (Σg)²)/Σg is one sqrt and
+    * one division of bit-identical doubles, ordering uses the ROUNDED
+    * cv with a user_id tiebreak so the top-25 cut is cross-engine
+    * deterministic.
+    *
+    * Scale shape: one corpus pass — the lag window partitions on
+    * user_id (high-cardinality, AQE-balanceable) and the per-user
+    * aggregate rides the same exchange; the top-25 is a
+    * TakeOrderedAndProject, never a global sort. */
+  def evBotCensus: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gaps = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("g", col("us") - lag(col("us"), 1).over(w))
+    val a = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), count(col("g")).as("m"),
+        sum(col("g")).as("sg"),
+        sum(dec(col("g")) * col("g")).as("sg2"),
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("zg"))
+      .filter(col("m") >= 9 && col("sg") > 0)
+    val d2 = (dec(col("m")) * col("sg2") - dec(col("sg")) * col("sg")).cast("double")
+    a.select(col("user_id"), col("n").as("n_events"),
+        Exact.floorRound(col("sg").cast("double") / col("m") / lit(1e6), 6)
+          .as("mean_gap_s"),
+        Exact.floorRound(sqrt(d2) / col("sg").cast("double"), 6).as("cv_gap"),
+        Exact.floorRound(col("zg").cast("double") / col("m"), 6).as("zero_gap_share"))
+      .orderBy(col("cv_gap"), col("user_id"))
+      .limit(25)
+  }
+
+  val evBotCensusSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, event_id
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |g AS (
+       |  SELECT user_id,
+       |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS g
+       |  FROM e),
+       |a AS (
+       |  SELECT user_id, count(*) AS n, count(g) AS m,
+       |    CAST(sum(g) AS BIGINT) AS sg,
+       |    sum(g::HUGEINT * g) AS sg2,
+       |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zg
+       |  FROM g GROUP BY 1),
+       |f AS (SELECT * FROM a WHERE m >= 9 AND sg > 0)
+       |SELECT user_id, n AS n_events,
+       |  ${Exact.floorRoundSql("sg::DOUBLE / m / 1e6", 6)} AS mean_gap_s,
+       |  ${Exact.floorRoundSql(
+            "sqrt((m::HUGEINT * sg2 - sg::HUGEINT * sg)::DOUBLE) / sg::DOUBLE", 6)} AS cv_gap,
+       |  ${Exact.floorRoundSql("zg::DOUBLE / m", 6)} AS zero_gap_share
+       |FROM f ORDER BY cv_gap, user_id LIMIT 25""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ev_bot_census" -> evBotCensus,
     "ev_ts_similarity" -> evTsSimilarity,
     "ev_attribution" -> evAttribution,
     "ev_concurrency" -> evConcurrency,
@@ -498,6 +568,7 @@ object EventValue {
     "ev_rfm" -> evRfm)
 
   def oracleSql: Map[String, String] = Map(
+    "ev_bot_census" -> evBotCensusSql,
     "ev_ts_similarity" -> evTsSimilaritySql,
     "ev_attribution" -> evAttributionSql,
     "ev_concurrency" -> evConcurrencySql,

@@ -831,7 +831,79 @@ object Similarity {
        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
        |FROM rer WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** Measured recall card for the index-structured ANN variants — the
+    * decision table for trading index pruning against answer quality
+    * (the relationship dd_lsh_tuning bears to dd_lsh_pairs, here for
+    * vector search): per method, candidates emitted, exact-top-5 hits,
+    * and recall@5 against the [[annBruteforce]] truth set. Audits the
+    * two representative index shapes — sign-bucket multi-probe LSH and
+    * coarse-cell IVF; the PQ family's recall is pinned in spec against
+    * clustered fixtures instead (its ADC scores depend on codebook
+    * training, not index pruning).
+    *
+    * Exactness: recall is a ratio of exact integer counts — the only
+    * double is the final division, floor-rounded. The method axis is a
+    * 2-row literal frame LEFT-joined so a method that emits nothing
+    * still reports (n_hits 0), rather than vanishing.
+    *
+    * Scale shape: the audited pipelines keep their own scale contracts
+    * (broadcast queries, keyed candidate joins, TopKPerGroup heaps);
+    * the card adds one (query_id, neighbor_id) equi-join of two ≤5·|Q|
+    * frames and |methods|-row aggregates. Runs 3 ANN pipelines, so the
+    * card costs their sum — an evaluation query, priced like
+    * dd_cascade's stage census. */
+  def annRecallCard: Q = (s, d) => {
+    // ≤5·|Q|-row metadata pins: truth feeds the hit join AND the query
+    // count, cand feeds the candidate census AND the hit join — left
+    // lazy, each consumer re-executes its whole ANN pipeline
+    val truth = annBruteforce(s, d).filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val cand = annLsh(s, d)
+      .select(lit("lsh").as("method"), col("query_id"), col("neighbor_id"))
+      .unionByName(annIvf(s, d)
+        .select(lit("ivf").as("method"), col("query_id"), col("neighbor_id")))
+      .localCheckpoint()
+    val methods = s.range(1)
+      .select(explode(array(lit("ivf"), lit("lsh"))).as("method"))
+    val nq = truth.agg(countDistinct(col("query_id")).as("n_queries"))
+    val cc = cand.groupBy(col("method")).agg(count(lit(1)).as("n_cand"))
+    val hits = cand.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
+    methods.join(cc, Seq("method"), "left").join(hits, Seq("method"), "left")
+      .crossJoin(broadcast(nq))
+      .select(col("method"), lit(5L).as("k"), col("n_queries"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_queries") > 0, Exact.floorRound(
+          coalesce(col("n_hits"), lit(0L)).cast("double") /
+            (lit(5.0) * col("n_queries")), 6)).as("recall_at_5"))
+      .orderBy(col("method"))
+  }
+
+  val annRecallCardSql: String =
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id FROM ($annBruteforceSql) WHERE rnk <= 5),
+       |cand AS (
+       |  SELECT 'lsh' AS method, query_id, neighbor_id FROM ($annLshSql)
+       |  UNION ALL
+       |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ($annIvfSql)),
+       |m AS (SELECT unnest(['ivf', 'lsh']) AS method),
+       |cc AS (SELECT method, count(*) AS n_cand FROM cand GROUP BY 1),
+       |h AS (SELECT method, count(*) AS n_hits
+       |  FROM cand JOIN truth USING (query_id, neighbor_id) GROUP BY 1),
+       |nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM truth)
+       |SELECT m.method, CAST(5 AS BIGINT) AS k, nq.n_queries,
+       |  CAST(coalesce(cc.n_cand, 0) AS BIGINT) AS n_cand,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CASE WHEN nq.n_queries > 0 THEN ${Exact.floorRoundSql(
+            "CAST(coalesce(h.n_hits, 0) AS DOUBLE) / (5.0 * nq.n_queries)", 6)}
+       |  END AS recall_at_5
+       |FROM m LEFT JOIN cc USING (method) LEFT JOIN h USING (method)
+       |CROSS JOIN nq ORDER BY method""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ann_recall_card" -> annRecallCard,
     "ann_ivfpq" -> annIvfPq,
     "ann_radius" -> annRadius,
     "ann_bruteforce" -> annBruteforce,
@@ -842,6 +914,7 @@ object Similarity {
     "ann_nndescent" -> annNnDescent)
 
   def oracleSql: Map[String, String] = Map(
+    "ann_recall_card" -> annRecallCardSql,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_radius" -> annRadiusSql,
     "ann_bruteforce" -> annBruteforceSql,

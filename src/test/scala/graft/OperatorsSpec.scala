@@ -1248,6 +1248,56 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "tie the ANN recall card out against its own audited pipelines" in {
+    import org.apache.spark.sql.functions.col
+    val card = operators.Similarity.annRecallCard(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    card.keySet shouldBe Set("ivf", "lsh")
+    val truth = operators.Similarity.annBruteforce(spark, sf)
+      .filter(col("rnk") <= 5).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nQueries = truth.map(_._1).size.toLong
+    Seq("ivf" -> operators.Similarity.annIvf(spark, sf),
+      "lsh" -> operators.Similarity.annLsh(spark, sf)).foreach { case (m, df) =>
+      val pairs = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val hits = pairs.count(truth.contains)
+      val r = card(m)
+      withClue(s"method $m: ") {
+        r.getAs[Long]("n_queries") shouldBe nQueries
+        r.getAs[Long]("n_cand") shouldBe pairs.length.toLong
+        r.getAs[Long]("n_hits") shouldBe hits.toLong
+        r.getAs[Double]("recall_at_5") shouldBe
+          (math.floor(hits / (5.0 * nQueries) * 1e6 + 0.5) / 1e6 +- 1e-9)
+      }
+    }
+  }
+
+  it should "rank metronomic users as more bot-like than bursty ones" in {
+    // the census is oracle-checked for values; this pins the SEMANTICS on
+    // a synthetic frame: a metronome (identical gaps) must score cv 0 and
+    // sort ahead of a bursty user with the same event count
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val bursty = Seq(1L, 2, 3, 4, 100, 101, 102, 5000, 5001, 9000, 9001, 12000)
+    val rows =
+      bursty.zipWithIndex.map { case (t, i) => (100L + i, at(t), 1L, "view", 1.0, "{}") } ++
+        (0 until 12).map(i => (200L + i, at(600L * i), 2L, "view", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("botcensus").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = operators.EventValue.evBotCensus(spark, dir).collect()
+    out.map(_.getAs[Long]("user_id")).toSeq shouldBe Seq(2L, 1L)
+    val bot = out.find(_.getAs[Long]("user_id") == 2L).get
+    bot.getAs[Double]("cv_gap") shouldBe 0.0
+    bot.getAs[Double]("mean_gap_s") shouldBe 600.0
+    out.find(_.getAs[Long]("user_id") == 1L).get
+      .getAs[Double]("cv_gap") should be > 0.5
+  }
+
   it should "keep alpha-sweep shares normalized with alpha=1 proportional and flattening toward the tail" in {
     val rows = operators.Pipeline.pipeAlphaSweep(spark, sf).collect()
       .map(r => (r.getAs[Double]("alpha"), r.getAs[String]("source"),

@@ -85,7 +85,11 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // a 1-row checkpoint pin
     "ta_dsir" -> 1,
     // round-7 cards: single aggregate pass each
-    "ev_gini" -> 1, "pipe_alpha_sweep" -> 1,
+    "ev_gini" -> 1, "pipe_alpha_sweep" -> 1, "ev_bot_census" -> 1,
+    // ann_recall_card: all three audited ANN pipelines run ONCE inside
+    // the truth/cand checkpoint pins (two consumers each — lazy, they
+    // would re-execute whole pipelines); the final plan joins pinned RDDs
+    "ann_recall_card" -> 0,
     "cl_outliers" -> 1, "q_profile_approx" -> 1, "mm_cdc_chunk" -> 1,
     // pipe_budget_mix: r7 checkpoint-pins the tokenize pass (pipePacking
     // idiom) before the chunked-prefix fan-out — 0 scans in the final plan
