@@ -501,8 +501,9 @@ object EventValue {
     * the cap-t census instead.
     *
     * Exactness: gaps are INTEGER micros; Σg and Σg² fold exactly
-    * (decimal(38,0)/HUGEINT — Σg ≤ the corpus span keeps m·Σg² under
-    * 10³⁸ by Cauchy–Schwarz), cv = √(m·Σg² − (Σg)²)/Σg is one sqrt and
+    * (decimal(38,0)/HUGEINT — for non-negative gaps Σg² ≤ (Σg)² and
+    * Σg is bounded by the corpus span ~10¹³ µs, so m·Σg² ≤ 10⁹·10²⁶
+    * stays under 10³⁸), cv = √(m·Σg² − (Σg)²)/Σg is one sqrt and
     * one division of bit-identical doubles, ordering uses the ROUNDED
     * cv with a user_id tiebreak so the top-25 cut is cross-engine
     * deterministic.

@@ -856,14 +856,18 @@ object Similarity {
     // ≤5·|Q|-row metadata pins: truth feeds the hit join AND the query
     // count, cand feeds the candidate census AND the hit join — left
     // lazy, each consumer re-executes its whole ANN pipeline
+    // lazy pins: the truth and cand pipelines are independent siblings —
+    // eager checkpoints would serialize them at plan construction; the
+    // shared RDD still guarantees each pipeline executes once (the
+    // ev_rfm idiom)
     val truth = annBruteforce(s, d).filter(col("rnk") <= 5)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cand = annLsh(s, d)
       .select(lit("lsh").as("method"), col("query_id"), col("neighbor_id"))
       .unionByName(annIvf(s, d)
         .select(lit("ivf").as("method"), col("query_id"), col("neighbor_id")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val methods = s.range(1)
       .select(explode(array(lit("ivf"), lit("lsh"))).as("method"))
     val nq = truth.agg(countDistinct(col("query_id")).as("n_queries"))

@@ -308,8 +308,9 @@ object TextCorpus {
     * stand-in for the high-quality reference corpus (Wikipedia in the
     * paper); target docs define p and are not scored.
     *
-    * Scale shape: TWO corpus passes, no corpus-sized shuffle beyond
-    * them — pass 1 folds both bucket histograms in one map-side-combined
+    * Scale shape: two full corpus passes plus one source-column-only
+    * scan (the 1-row target pin), no corpus-sized shuffle beyond them —
+    * pass 1 folds both bucket histograms in one map-side-combined
     * groupBy(bucket) (≤ B rows out per map task, the hot-bucket absorber);
     * pass 2 re-derives features and broadcast-joins the B-row log-ratio
     * table, then combines per doc. The B-row histogram/ratio frames and
@@ -334,8 +335,7 @@ object TextCorpus {
             transform(sequence(lit(1), size(col("tk")) - 1), i =>
               concat(element_at(col("tk"), i), lit(" "), element_at(col("tk"), i + 1))))
             .otherwise(array().cast("array<string>")))).as("f"))
-      .withColumn("b",
-        conv(substring(md5s(col("f")), 1, 8), 16, 10).cast("long") % B)
+      .withColumn("b", hashBucket("", col("f"), 8, B))
       .crossJoin(broadcast(target))
     // B-row metadata pin: cnt feeds grand AND ratio — left lazy, the two
     // consumers' diverging projections defeat exchange reuse and the
