@@ -383,10 +383,11 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 8)
-    val hashed = docs.select(col("doc_id"), expr(
-      "transform(sequence(1, size(tk) - 4), i -> cast(conv(substring(md5(concat_ws(' ', " +
-        "element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2), " +
-        "element_at(tk, i + 3), element_at(tk, i + 4))), 1, 8), 16, 10) as bigint))").as("hs"))
+    graft.plans.GraftFunctions.register(s)
+    // fused 5-gram hashing (graft_gram_buckets, mod 0) — bit-equal to
+    // the md5/conv chain by GramBucketsSpec
+    val hashed = docs.select(col("doc_id"),
+      call_function("graft_gram_buckets", col("tk"), lit(5), lit(8), lit(0)).as("hs"))
     val fps = hashed.select(col("doc_id"), explode(array_distinct(expr(
       "transform(sequence(1, size(hs) - 3), i -> array_min(slice(hs, i, 4)))"))).as("fp"))
     val bounded = graft.plans.TopKPerGroup.transform(
@@ -744,14 +745,15 @@ object Dedup {
     * otherwise diverge between branches, defeat exchange reuse, and
     * re-run the tokenizer). */
   def ddSubstring: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 8)
-    val wins = docs.select(col("doc_id"), explode(expr(
-      "transform(sequence(1, size(tk) - 7), i -> cast(conv(substring(md5(concat_ws(' ', " +
-        "element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2), " +
-        "element_at(tk, i + 3), element_at(tk, i + 4), element_at(tk, i + 5), " +
-        "element_at(tk, i + 6), element_at(tk, i + 7))), 1, 8), 16, 10) as bigint))")).as("h"))
+    // fused 8-gram hashing (graft_gram_buckets, mod 0 = raw 8-hex-digit
+    // value) — bit-equal to the md5/conv chain by GramBucketsSpec, no
+    // per-window gram string or hex round-trip in the hot pass
+    val wins = docs.select(col("doc_id"), explode(
+      call_function("graft_gram_buckets", col("tk"), lit(8), lit(8), lit(0))).as("h"))
     val perPair = wins.groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // collapsed (h, doc) frame feeds both branches once
@@ -814,16 +816,16 @@ object Dedup {
     * island window (doc-keyed — bounded by doc length) and the two
     * shrinking aggregates ride on it. */
   def ddDupSpan: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 8)
     val wins = docs
       .select(col("doc_id"), (size(col("tk")) - 7).cast("long").as("n_windows"),
-        posexplode(expr(
-          "transform(sequence(1, size(tk) - 7), i -> cast(conv(substring(md5(concat_ws(' ', " +
-            "element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2), " +
-            "element_at(tk, i + 3), element_at(tk, i + 4), element_at(tk, i + 5), " +
-            "element_at(tk, i + 6), element_at(tk, i + 7))), 1, 8), 16, 10) as bigint))"))
+        // fused 8-gram hashing (graft_gram_buckets, mod 0) — bit-equal
+        // to the md5/conv chain by GramBucketsSpec
+        posexplode(call_function("graft_gram_buckets",
+          col("tk"), lit(8), lit(8), lit(0)))
           .as(Seq("pos", "h")))
       .localCheckpoint(true) // position frame feeds count + join branches once;
     // its materialized bytes ≈ the old plan's h-shuffle write, so this

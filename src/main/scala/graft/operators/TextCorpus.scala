@@ -318,6 +318,7 @@ object TextCorpus {
     * per-bucket log-ratio is computed once (B evaluations of ln), so the
     * per-doc sum is a pure decimal fold of bit-identical doubles. */
   def taDsir: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
     val B = DsirBuckets
     val docs = Tables.documents(s, d)
       .filter(col("text").isNotNull && col("source").isNotNull)
@@ -326,16 +327,15 @@ object TextCorpus {
     // 1-row metadata pin: lazily both feats passes would each re-derive
     // min(source) with its own column-pruned corpus scan (4 scans total)
     val target = docs.agg(min(col("source")).as("ts")).localCheckpoint()
-    // unigrams ++ bigrams; sequence() flips direction when stop < start,
-    // so the bigram arm is guarded (the shingles3 idiom)
+    // unigram ++ bigram buckets via the fused kernel (graft_gram_buckets
+    // — bit-equal to hashBucket's md5/conv chain by GramBucketsSpec, no
+    // per-feature gram string or hex round-trip); the kernel emits empty
+    // for size < n, so no bigram guard is needed
     def feats(frame: DataFrame): DataFrame = frame
       .select(col("doc_id"), col("source"),
-        explode(concat(col("tk"),
-          when(size(col("tk")) >= 2,
-            transform(sequence(lit(1), size(col("tk")) - 1), i =>
-              concat(element_at(col("tk"), i), lit(" "), element_at(col("tk"), i + 1))))
-            .otherwise(array().cast("array<string>")))).as("f"))
-      .withColumn("b", hashBucket("", col("f"), 8, B))
+        explode(concat(
+          call_function("graft_gram_buckets", col("tk"), lit(1), lit(8), lit(B)),
+          call_function("graft_gram_buckets", col("tk"), lit(2), lit(8), lit(B)))).as("b"))
       .crossJoin(broadcast(target))
     // B-row metadata pin: cnt feeds grand AND ratio — left lazy, the two
     // consumers' diverging projections defeat exchange reuse and the

@@ -77,6 +77,22 @@ object GraftFunctions {
         graft.functions.CdcCuts(args(0),
           intLit(1, "minSize"), intLit(2, "maskBits"), intLit(3, "maxSize"))
       }),
+    (new FunctionIdentifier("graft_gram_buckets"),
+      new ExpressionInfo(classOf[graft.functions.GramBuckets].getName, "graft_gram_buckets"),
+      (args: Seq[Expression]) => {
+        arity("graft_gram_buckets", args, 4)
+        def intLit(i: Int, what: String): Int = {
+          val e = args(i)
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"graft_gram_buckets: $what must be an integer literal")
+          val v = e.eval()
+          if (v == null) throw new IllegalArgumentException(
+            s"graft_gram_buckets: $what must be non-null")
+          v.toString.toInt
+        }
+        graft.functions.GramBuckets(args(0),
+          intLit(1, "n"), intLit(2, "hexDigits"), intLit(3, "mod"))
+      }),
     // Spark ships distributed Bloom build/probe as CATALYST expressions
     // (the runtime-filter machinery) but does not register them as SQL
     // functions; graft exposes them for the ingest dedup gate
