@@ -282,6 +282,50 @@ object Transforms {
       .withColumn("keep", col("n_tokens") > 0 && col("avg_nll") <= maxNll)
   }
 
+  /** Streaming DSIR gate — the ONLINE half of the importance-resampling
+    * pair (batch `ta_dsir` trains the target/raw bucket histograms over
+    * the full corpus; this applies the FROZEN per-bucket log-ratio table
+    * record-locally to arriving documents, the same trained-offline /
+    * applied-online split as [[surprisalScore]]'s LM). Emits per doc the
+    * hashed-feature count, logw = Σ_f log(p_target(f)/p_raw(f)), its
+    * length-normalized variant, and `keep` = logw_per_feat ≥ threshold —
+    * per-feature ≥ 0 means "more target-like than raw-like", the natural
+    * acceptance line.
+    *
+    * Feature hashing goes through the same codegen'd
+    * `graft_gram_buckets` kernel as the batch op, so a bucket computed
+    * here IS the bucket the ratio table was trained on. A bucket absent
+    * from the table (possible online: the stream drifts past the
+    * training corpus) contributes 0 — neutral, neither target- nor
+    * raw-evidence; the batch op cannot hit this case (it inner-joins
+    * buckets observed in training).
+    *
+    * Scale: the ratio table is ≤ `buckets` rows (B doubles — a literal
+    * map, bounded by config however large the training corpus), and
+    * scoring is record-local: no state, no shuffle, any throughput. */
+  def dsirScore(docs: DataFrame, logRatio: Map[Long, Double],
+      minLogwPerFeat: Double = 0.0,
+      buckets: Int = graft.operators.TextCorpus.DsirBuckets): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val lrCol = if (logRatio.isEmpty) map().cast("map<bigint,double>")
+      else map(logRatio.toSeq.flatMap { case (b, r) => Seq(lit(b), lit(r)) }: _*)
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val bkts = concat(
+      call_function("graft_gram_buckets", toks, lit(1), lit(8), lit(buckets)),
+      call_function("graft_gram_buckets", toks, lit(2), lit(8), lit(buckets)))
+    val logw = aggregate(
+      transform(bkts, b => coalesce(element_at(lrCol, b), lit(0.0))),
+      lit(0.0), (acc, x) => acc + x)
+    docs
+      .withColumn("n_feats", size(bkts).cast("long"))
+      .withColumn("logw",
+        when(col("n_feats") > 0, round(logw, 6)).otherwise(null))
+      .withColumn("logw_per_feat",
+        when(col("n_feats") > 0, round(logw / col("n_feats"), 6)).otherwise(null))
+      .withColumn("keep",
+        col("n_feats") > 0 && col("logw_per_feat") >= minLogwPerFeat)
+  }
+
   case class TypeMoments(n: Long, mean: Double, m2: Double)
   case class AnomalyAlert(event_type: String, event_id: Long, value: Double,
     z: Double, n_seen: Long)

@@ -1205,6 +1205,63 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     oov.getAs[Double]("avg_nll") shouldBe math.log(10.0) +- 1e-6 // -ln(1/10), 6-dp rounded
   }
 
+  it should "score streamed documents in parity with the batch DSIR op" in {
+    // the streaming gate must agree with ta_dsir when the frozen
+    // log-ratio table is the same one the batch op trains
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val B = graft.operators.TextCorpus.DsirBuckets
+    def toks(t: String): Array[String] = t.split("\\s+").filter(_.nonEmpty)
+    def bucket(f: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % B
+    }
+    def feats(tk: Array[String]): Array[Long] =
+      (tk ++ tk.sliding(2).filter(_.length == 2).map(_.mkString(" "))).map(bucket)
+    val corpus = docs.filter("text is not null and source is not null").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        toks(r.getAs[String]("text")))).filter(_._3.nonEmpty)
+    val target = corpus.map(_._2).min
+    val tCnt = corpus.filter(_._2 == target).flatMap(d => feats(d._3))
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val rCnt = corpus.filter(_._2 != target).flatMap(d => feats(d._3))
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val (tn, rn) = (tCnt.values.sum, rCnt.values.sum)
+    val ratio: Map[Long, Double] = rCnt.keysIterator.map { b =>
+      b -> math.log(((tCnt.getOrElse(b, 0L) + 1).toDouble / (tn + B)) /
+        ((rCnt(b) + 1).toDouble / (rn + B)))
+    }.toMap
+    val src = tmp()
+    docs.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(docs.schema).parquet(src)
+    val q = Transforms.dsirScore(stream, ratio)
+      .select(col("doc_id"), col("logw"), col("logw_per_feat"), col("keep"))
+      .writeStream.format("memory").queryName("dsir").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dsir").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val batch = graft.operators.TextCorpus.taDsir(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw")).toMap
+    // every RAW doc the batch op scores agrees through the stream (the
+    // stream also scores target docs — they have no batch twin)
+    batch.foreach { case (id, lw) =>
+      withClue(s"doc $id: ") { streamed(id)._1 shouldBe lw +- 2e-5 }
+    }
+    // the keep gate is exactly the per-feature sign at the default 0.0
+    streamed.values.foreach { case (_, perFeat, keep) =>
+      keep shouldBe (perFeat >= 0.0)
+    }
+    // an unseen-vocabulary doc scores neutral 0, not an error
+    import spark.implicits._
+    val oov = Transforms.dsirScore(
+      Seq((1L, "zzzqz qqzxv")).toDF("doc_id", "text"), Map.empty[Long, Double])
+      .collect()(0)
+    oov.getAs[Double]("logw") shouldBe 0.0
+    oov.getAs[Long]("n_feats") shouldBe 3L
+  }
+
   it should "fan out one source to independently-committed sinks" in {
     // PartitionGroupingSink analog: two sinks, separate checkpoints,
     // each commits its own progress over the same source.
