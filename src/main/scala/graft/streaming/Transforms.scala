@@ -379,6 +379,85 @@ object Transforms {
       }
   }
 
+  case class BotState(lastUs: Long, m: Long, mean: Double, m2: Double,
+    alerted: Boolean)
+  case class BotAlert(user_id: Long, n_gaps: Long, mean_gap_s: Double,
+    cv_gap: Double)
+
+  /** Online bot/automation alerts — the streaming half of the
+    * regularity pair (batch `ev_bot_census` is the offline auditor over
+    * the full history; this is the deployed monitor): per-user Welford
+    * moments over inter-arrival gaps, alerting the FIRST time a user
+    * with ≥ `minGaps` gaps shows coefficient-of-variation below
+    * `cvThresh` — metronomic arrival, the automation signature. One
+    * alert per user (the `alerted` latch): a monitor pages once, the
+    * batch census is where the full ranking lives.
+    *
+    * Within a microbatch events fold in (event-time, event_id) order,
+    * so on in-order delivery the gap sequence — and therefore the alert
+    * point — is exactly the batch operator's (spec-pinned on a
+    * metronome/bursty fixture). A cross-batch arrival BEHIND the
+    * max-seen event time is not a forward step of the arrival process
+    * (its "gap" would be negative); it refreshes the TTL but is skipped
+    * by the gap statistics — the same first-delivery-wins realism as
+    * [[throttledEvents]].
+    *
+    * Scale: state is five numbers per ACTIVE user, evicted by
+    * event-time TTL (the [[runningUserTotalsWithTtl]] discipline) —
+    * O(active users), not O(users ever seen); the Welford recurrence is
+    * the numerically stable one-pass form (a naive Σg² cancels once
+    * mean² ≫ variance). */
+  def botAlerts(spark: SparkSession, events: DataFrame,
+      minGaps: Long = 9L, cvThresh: Double = 0.3,
+      watermark: String = "30 minutes", idleMs: Long = 3600000L): Dataset[BotAlert] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts", "event_id")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BotState, BotAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[BotState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption
+              .getOrElse(BotState(Long.MinValue, 0L, 0.0, 0.0, alerted = false))
+            val alerts = Seq.newBuilder[BotAlert]
+            val batch = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+            batch.foreach { case (_, ts, _) =>
+              val us = ts.getTime * 1000L
+              if (st.lastUs == Long.MinValue) st = st.copy(lastUs = us)
+              else if (us >= st.lastUs) {
+                val g = (us - st.lastUs).toDouble
+                val m1 = st.m + 1
+                val d = g - st.mean
+                val mean1 = st.mean + d / m1
+                st = BotState(us, m1, mean1, st.m2 + d * (g - mean1), st.alerted)
+                if (!st.alerted && st.m >= minGaps && st.mean > 0) {
+                  val cv = math.sqrt(st.m2 / st.m) / st.mean
+                  if (cv < cvThresh) {
+                    alerts += BotAlert(user, st.m,
+                      math.floor(st.mean / 1e6 * 1e6 + 0.5) / 1e6,
+                      math.floor(cv * 1e6 + 0.5) / 1e6)
+                    st = st.copy(alerted = true)
+                  }
+                }
+              } // else: behind max-seen event time — TTL refresh only
+            }
+            state.update(st)
+            val lastSeenMs = math.max(
+              if (st.lastUs == Long.MinValue) Long.MinValue else st.lastUs / 1000L,
+              batch.map(_._2.getTime).max)
+            state.setTimeoutTimestamp(math.max(
+              lastSeenMs + idleMs, state.getCurrentWatermarkMs + 1))
+            alerts.result().iterator
+          }
+      }
+  }
+
   /** Historical-corpus dedup gate — the 100 TB form of "drop anything
     * we already ingested": exact membership state for billions of seen
     * content hashes is TBs, but a Bloom filter at fpp=1% is ~1.2 bytes

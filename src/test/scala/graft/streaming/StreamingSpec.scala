@@ -1262,6 +1262,35 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     oov.getAs[Long]("n_feats") shouldBe 3L
   }
 
+  it should "alert once on metronomic users and never on bursty ones" in {
+    // the online half of the regularity pair: a 600 s metronome must
+    // alert exactly when its 9th gap lands (cv 0), a bursty user with
+    // the same volume must not, and further metronome traffic in a
+    // later microbatch must NOT re-alert (the once-per-user latch)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new Timestamp(base.getTime + sec * 1000)
+    val bursty = Seq(1L, 2, 3, 4, 100, 101, 102, 5000, 5001, 9000, 9001, 12000)
+    val first =
+      (0 until 10).map(i => Ev(200L + i, at(600L * i), 2L, "view", 1.0, "{}")) ++
+        bursty.zipWithIndex.map { case (t, i) => Ev(100L + i, at(t), 1L, "view", 1.0, "{}") }
+    val (ms, df) = eventsStream(first)
+    val cp = tmp()
+    val q = Transforms.botAlerts(spark, df)
+      .writeStream.format("memory").queryName("botalerts")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    q.processAllAvailable()
+    val alerts1 = spark.table("botalerts").collect()
+    alerts1.length shouldBe 1
+    alerts1(0).getAs[Long]("user_id") shouldBe 2L
+    alerts1(0).getAs[Long]("n_gaps") shouldBe 9L
+    alerts1(0).getAs[Double]("cv_gap") shouldBe 0.0
+    alerts1(0).getAs[Double]("mean_gap_s") shouldBe 600.0
+    // more metronome traffic: still bot-regular, but the latch holds
+    ms.addData((10 until 14).map(i => Ev(300L + i, at(600L * i), 2L, "view", 1.0, "{}")): _*)
+    q.processAllAvailable(); q.stop()
+    spark.table("botalerts").count() shouldBe 1
+  }
+
   it should "fan out one source to independently-committed sinks" in {
     // PartitionGroupingSink analog: two sinks, separate checkpoints,
     // each commits its own progress over the same source.
