@@ -123,10 +123,16 @@ object EventValue {
     // shuffled are unchanged (3 × N two-column rows before, one 3N-row
     // frame now); stages drop ~3×.
     val dr = graft.plans.DistributedRank
+    // sv is a sort key only (never output), so its scale is chosen for
+    // HEADROOM, not precision: decimal(38,2) matches mon's native scale
+    // (sum of dec2 → decimal(22,2)) and leaves 36 integer digits — a
+    // scale-6 cast would shave that to 32 and, under non-ANSI, overflow
+    // to NULL sv, silently reordering that user instead of erroring.
+    // rec_days and freq are exact Longs (≤ 19 digits) at any scale here.
     val exploded = perUser.select(col("user_id"), col("mon"), explode(array(
-        struct(lit(0L).as("dim"), col("rec_days").cast("decimal(38,6)").as("sv")),
-        struct(lit(1L).as("dim"), (-col("freq")).cast("decimal(38,6)").as("sv")),
-        struct(lit(2L).as("dim"), (-col("mon")).cast("decimal(38,6)").as("sv"))))
+        struct(lit(0L).as("dim"), col("rec_days").cast("decimal(38,2)").as("sv")),
+        struct(lit(1L).as("dim"), (-col("freq")).cast("decimal(38,2)").as("sv")),
+        struct(lit(2L).as("dim"), (-col("mon")).cast("decimal(38,2)").as("sv"))))
         .as("x"))
       .select(col("user_id"), col("mon"), col("x.dim").as("dim"), col("x.sv").as("sv"))
     val nu = dr.idiv(col("__gr_n3"), lit(3L))

@@ -97,12 +97,17 @@ object PlanLint {
               "array size is bounded only by group cardinality assumptions " +
               "(a hot key builds its array on one executor). Cap membership " +
               "first (graft.plans.TopKPerGroup) or restructure.")
-      case p if p.expressions.exists(containsUdf) =>
+      case _ => ()
+    }
+    // UDF detection runs as its own pass: folded into the match above it
+    // would be shadowed on any node an earlier arm matches (a UDF inside
+    // an Aggregate or Window would silently escape the lint).
+    plan.foreach { p =>
+      if (p.expressions.exists(containsUdf))
         findings += Finding("scala-udf", "warn",
           s"Scala UDF inside ${node(p)}: opaque to codegen, pushdown and " +
             "null-propagation. Prefer built-in functions or a native " +
             "Catalyst expression (graft.functions).")
-      case _ => ()
     }
     // global sort not feeding a limit: walk parent→child so the
     // Limit(Sort) / Sort(Limit) shapes can be excused in one place

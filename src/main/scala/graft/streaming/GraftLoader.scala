@@ -261,10 +261,17 @@ object GraftLoader {
                 // history in one task on every restart).
                 val cnt = upToCommitted.groupBy(col("event_type").as("_ct"))
                   .agg(count(lit(1)).as("_n"))
+                // Chunk sizing wants an APPROXIMATE row count (the autoWidth
+                // contract is sizing, not semantics) — count the raw source,
+                // a metadata-only parquet footer count, instead of executing
+                // the full committed-join pipeline once per rewind restart.
+                // The unfiltered count upper-bounds the committed count, so
+                // chunks err wider, never narrower than optimal.
+                val sizingRows = spark.read.parquet(srcDir).count()
                 graft.plans.ChunkedPrefix.rowNumber(upToCommitted,
                     keys = Seq("event_type"), order = Seq(col("event_id")),
                     chunk = graft.plans.ChunkedPrefix.idChunks(col("event_id"),
-                      graft.plans.ChunkedPrefix.autoWidth(upToCommitted.count())),
+                      graft.plans.ChunkedPrefix.autoWidth(sizingRows)),
                     out = "_rn")
                   .join(broadcast(cnt), col("event_type") === col("_ct"))
                   .filter(col("_rn") > col("_n") - n)

@@ -22,6 +22,7 @@ object Lint {
     val (spark, sf) = DevTool.session()
     val only = args.toSet
     var nErr = 0
+    var nFail = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .foreach { case (name, fn) =>
@@ -34,11 +35,13 @@ object Lint {
           }
           nErr += findings.count(_.severity == "error")
         } catch { case e: Throwable =>
+          // a query that cannot even build must fail the gate, not pass it
+          nFail += 1
           println(s"$name FAILED to build: ${e.getMessage}")
         }
       }
-    println(s"[lint] errors: $nErr")
+    println(s"[lint] errors: $nErr, build failures: $nFail")
     spark.stop()
-    if (nErr > 0) sys.exit(1)
+    if (nErr + nFail > 0) sys.exit(1)
   }
 }

@@ -92,6 +92,20 @@ class PlanLintSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       not contain "scala-udf"
   }
 
+  it should "warn on a UDF inside a node another rule already matched" in {
+    // Regression (r7 advice): the UDF check used to be a fall-through arm
+    // of the same match as the structural rules, so a UDF inside an
+    // Aggregate (matched by the collect arm) or a Window never reached it.
+    val f = udf((x: Long) => x + 1)
+    val inAgg = corpus.groupBy(col("event_type")).agg(sum(f(col("event_id"))).as("s"))
+    PlanLint.lint(inAgg).map(_.rule) should contain("scala-udf")
+    val inWin = corpus.withColumn("r",
+      row_number().over(Window.orderBy(f(col("event_id")))))
+    val winRules = PlanLint.lint(inWin).map(_.rule)
+    winRules should contain("scala-udf")
+    winRules should contain("single-partition-window")
+  }
+
   behavior of "global-sort"
 
   it should "warn on a mid-pipeline global sort and excuse ORDER BY + LIMIT" in {
