@@ -669,7 +669,137 @@ object Clustering {
       |FROM st2 s LEFT JOIN outl o ON o.label = s.label
       |ORDER BY s.label""".stripMargin
 
+  /** Core-point degree threshold for [[clDbscan]] (neighbors within eps,
+    * the point itself excluded — deg ≥ 3 ⇒ the classic minPts = 4 with
+    * self counted). Shared with the oracle SQL. */
+  val DbscanMinPts = 3
+
+  /** Density-based clustering (DBSCAN, Ester et al. 1996) over the
+    * cosine-similarity graph — the density complement to the centroid
+    * family (k-means finds convex cells; DBSCAN finds arbitrary-shape
+    * dense regions and, unlike k-means, names NOISE explicitly): core
+    * points have ≥ [[DbscanMinPts]] neighbors at cos > 0.25, clusters
+    * are connected components of the core-core graph, border points
+    * attach to their lowest-id core neighbor's cluster, everything else
+    * is noise. Output: per-cluster census (cluster_id = lowest core
+    * vec_id — deterministic canonical label), core/border/total counts,
+    * plus one cluster_id = −1 row for the noise mass. All integers —
+    * the only floats are inside the pair threshold, which reuses
+    * [[Dedup.ddEmbedCosFor]]'s exact hash-proven rounding.
+    *
+    * Scale shape: neighbor generation is the LSH-bucketed pair join
+    * (O(bucket²) per bucket — scale sig bits with the corpus, see
+    * ddEmbedCosFor's contract); degrees/cores are partial-agged keyed
+    * counts. Components run hash-min label propagation: per round ONE
+    * keyed join + ONE partial-agged min, driver carries only the
+    * changed-row count (a scalar action, not data). Rounds = core-graph
+    * diameter: near-dup similarity clusters are dense (diameter 2–3),
+    * so the loop is short by construction; a long-chain graph would
+    * want the large-star/small-star contraction instead (documented,
+    * not needed for the similarity-graph regime this operator serves).
+    * The edge frame is pinned once (eager — every consumer and every
+    * round reads it); label frames are |core|-row, pinned per round to
+    * cut lineage. The oracle's recursive CTE materializes the full
+    * reachability closure — exact but O(Σ cluster²) rows, which is why
+    * the ORACLE is the small-SF check and hash-min is the engine. */
+  def clDbscan: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").as("e"))
+    val pairs = Dedup.ddEmbedCosFor(emb, Seq(1, 2, 3, 4), 0.25)
+      .select(col("vec_a"), col("vec_b"))
+    val edges = pairs.select(col("vec_a").as("a"), col("vec_b").as("b"))
+      .union(pairs.select(col("vec_b"), col("vec_a")))
+      .localCheckpoint()
+    val core = edges.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+      .filter(col("dg") >= DbscanMinPts).select(col("a").as("node"))
+      .localCheckpoint()
+    val cedges = edges
+      .join(core.withColumnRenamed("node", "a"), "a")
+      .join(core.withColumnRenamed("node", "b"), "b")
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    // hash-min to fixpoint: lbl(n) ← min(lbl(n), min over neighbors)
+    var labels = core.select(col("node"), col("node").as("lbl")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val msgs = cedges.join(labels.withColumnRenamed("node", "a"), "a")
+        .select(col("b").as("node"), col("lbl"))
+      val merged = labels.unionByName(msgs)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = merged.join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") < col("prev")).count()
+      labels = merged
+    }
+    val clab = labels.withColumnRenamed("lbl", "cluster_id")
+    val border = edges
+      .join(clab.withColumnRenamed("node", "a"), "a")
+      .join(core.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+      .groupBy(col("b")).agg(min(col("cluster_id")).as("cluster_id"))
+      .select(col("b").as("node"), col("cluster_id"))
+    val members = clab.withColumn("is_core", lit(1L))
+      .unionByName(border.withColumn("is_core", lit(0L)))
+    val clusters = members.groupBy(col("cluster_id"))
+      .agg(sum(col("is_core")).as("n_core"),
+        sum(lit(1L) - col("is_core")).as("n_border"),
+        count(lit(1)).as("n_total"))
+    val noise = emb.select(col("vec_id").as("node"))
+      .join(members.select(col("node")), Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_total"))
+      .select(lit(-1L).as("cluster_id"), lit(0L).as("n_core"),
+        lit(0L).as("n_border"), col("n_total"))
+    clusters.unionByName(noise).orderBy(col("cluster_id"))
+  }
+
+  val clDbscanSql: String =
+    s"""WITH RECURSIVE v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+       |    sqrt(list_reduce(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm,
+       |    concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+       |           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+       |           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+       |           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS sig
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |  WHERE round(list_reduce(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]), (x, y) -> x + y) / (a.nrm * b.nrm), 4) > 0.25),
+       |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+       |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |core AS (SELECT a AS node FROM edges GROUP BY a HAVING count(*) >= $DbscanMinPts),
+       |cedges AS (SELECT e.a, e.b FROM edges e
+       |  JOIN core ca ON ca.node = e.a JOIN core cb ON cb.node = e.b),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM core
+       |  UNION
+       |  SELECT c.b, r.lbl FROM reach r JOIN cedges c ON c.a = r.node),
+       |clab AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+       |border AS (
+       |  SELECT e.b AS node, min(cl.cluster_id) AS cluster_id
+       |  FROM edges e JOIN clab cl ON cl.node = e.a
+       |  LEFT JOIN core k ON k.node = e.b
+       |  WHERE k.node IS NULL
+       |  GROUP BY e.b),
+       |members AS (
+       |  SELECT cluster_id, 1 AS is_core FROM clab
+       |  UNION ALL SELECT cluster_id, 0 FROM border),
+       |clusters AS (
+       |  SELECT cluster_id, CAST(sum(is_core) AS BIGINT) AS n_core,
+       |    CAST(sum(1 - is_core) AS BIGINT) AS n_border,
+       |    count(*) AS n_total
+       |  FROM members GROUP BY cluster_id),
+       |noise AS (
+       |  SELECT CAST(-1 AS BIGINT) AS cluster_id, CAST(0 AS BIGINT) AS n_core,
+       |    CAST(0 AS BIGINT) AS n_border, count(*) AS n_total
+       |  FROM v
+       |  WHERE vec_id NOT IN (SELECT node FROM clab)
+       |    AND vec_id NOT IN (SELECT node FROM border))
+       |SELECT * FROM clusters UNION ALL SELECT * FROM noise
+       |ORDER BY cluster_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "cl_dbscan" -> clDbscan,
     "cl_outliers" -> clOutliers,
     "cl_drift" -> clDrift,
     "cl_pagerank" -> clPagerank,
@@ -681,6 +811,7 @@ object Clustering {
     "cl_semantic_dedup" -> clSemanticDedup)
 
   def oracleSql: Map[String, String] = Map(
+    "cl_dbscan" -> clDbscanSql,
     "cl_outliers" -> clOutliersSql,
     "cl_drift" -> clDriftSql,
     "cl_pagerank" -> clPagerankSql,

@@ -133,6 +133,48 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     keys shouldBe keys.sorted
   }
 
+  it should "match a driver-side DBSCAN reclassification exactly" in {
+    import org.apache.spark.sql.functions._
+    // independent third implementation (union-find) of the same graph:
+    // the oracle checks the recursive-CTE closure, hash-min is the
+    // engine — this pins both against a direct reading of the semantics
+    graft.plans.GraftFunctions.register(spark)
+    val pairs = operators.Dedup.ddEmbedCosFor(
+        Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding").as("e")), Seq(1, 2, 3, 4), 0.25)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) => nbrs(a) += b; nbrs(b) += a }
+    val core = nbrs.collect {
+      case (n, s) if s.size >= operators.Clustering.DbscanMinPts => n }.toSet
+    val parent = scala.collection.mutable.Map(core.toSeq.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      if (core(a) && core(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // root = min id
+      }
+    }
+    val coreCluster = core.map(n => n -> find(n)).toMap
+    val borderCluster = nbrs.collect {
+      case (n, s) if !core(n) && s.exists(core) =>
+        n -> s.filter(core).map(coreCluster).min
+    }.toMap
+    val nVecs = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull).count()
+    val expected = (coreCluster.groupBy(_._2).map { case (c, m) =>
+        c -> (m.size.toLong, borderCluster.count(_._2 == c).toLong)
+      } + (-1L -> (0L, 0L))).map { case (c, (nc, nb)) =>
+        if (c == -1L) (c, 0L, 0L, nVecs - coreCluster.size - borderCluster.size)
+        else (c, nc, nb, nc + nb)
+      }.toSeq.sortBy(_._1)
+    val got = operators.Clustering.clDbscan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe expected
+    // census ties out: every vector is core, border, or noise exactly once
+    got.map(_._4).sum shouldBe nVecs
+  }
+
   it should "throttle nothing below the cap and account every event" in {
     import org.apache.spark.sql.functions._
     val rep = operators.EventAnalytics.evThrottle(spark, sf).collect()

@@ -96,6 +96,9 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "pipe_budget_mix" -> 0, "pipe_curriculum" -> 1, "mm_dedup" -> 1,
     // embeddings
     "cl_drift" -> 1, "cl_kmeans" -> 1, "cl_silhouette" -> 1,
+    // cl_dbscan: pair/degree/core frames and the hash-min rounds all land
+    // in checkpoints; the only live scan is the noise anti-join's
+    "cl_dbscan" -> 1,
     // ann_ivfpq's residual coding adds one corpus pass (assignment must
     // precede coding); the other 6 scans are vec_id-pruned seed/query
     // fetches (predicate pushdown) + the documented re-rank re-read
