@@ -297,7 +297,61 @@ object Multimodal {
       |  floor((count(*) - count(DISTINCT payload_md5)) / count(*) * 1e4 + 0.5) / 1e4 AS dup_share
       |FROM m GROUP BY format ORDER BY format""".stripMargin
 
+  /** Perceptual (block-energy) hash — the NEAR-dup primitive for media
+    * payloads, complementing [[mmDedup]]'s exact md5 (which a one-byte
+    * re-encode defeats): the classic pHash pipeline is downscale → DCT →
+    * sign-vs-median bits; with decode stubbed, the structural analog
+    * samples the payload at 64 evenly-strided positions (the
+    * "downscale"), pools them into 16 block sums, and sets bit j iff
+    * block j's energy exceeds the payload mean (`16·b_j > total` — the
+    * exact-integer form of `b_j/4 > total/64`, no division anywhere).
+    * Similar payloads sample similar signals and agree on most bits, so
+    * Hamming-close hashes are re-encode/crop candidates a downstream
+    * pair join can verify — the same generate-then-verify shape as
+    * dd_simhash on text.
+    *
+    * Exactness: all integer (codepoint sums and shifts); empty payloads
+    * hash NULL (there is no signal to hash — and `ascii('')` is
+    * engine-divergent). Scale: record-local per-payload work bounded by
+    * the FIXED 64-sample budget regardless of payload size — one scan,
+    * no shuffle before the presentation sort; the per-doc output is the
+    * joinable primitive (bucket by `phash` or band it like minhash for
+    * the pair stage). */
+  def mmPhash: Q = (s, d) => {
+    val len = length(col("text"))
+    val stride = greatest(lit(1), expr("length(text) div 64"))
+    val samples = transform(sequence(lit(0), lit(63)),
+      k => ascii(col("text").substr(least(lit(1) + k * stride, len), lit(1))))
+    val total = aggregate(samples, lit(0), (a, x) => a + x)
+    def block(j: Int) = (0 until 4).map(i => element_at(samples, 4 * j + i + 1)).reduce(_ + _)
+    val phash = (0 until 16)
+      .map(j => when(block(j) * 16 > total, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    Tables.documents(s, d)
+      .select(col("doc_id"), formatOf(col("doc_id")).as("format"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        when(len > 0, phash).cast("long").as("phash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mmPhashSql: String = {
+    val samples = "list_transform(generate_series(0, 63), " +
+      "k -> ascii(substr(text, least(1 + k * greatest(1, length(text) // 64), length(text)), 1)))"
+    val blocks = (0 until 16).map { j =>
+      val b = (1 to 4).map(i => s"s[${4 * j + i}]").mkString(" + ")
+      s"CASE WHEN ($b) * 16 > tot THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id, text, $samples AS s
+       |  FROM documents),
+       |t AS (SELECT doc_id, text, s, list_reduce(s, (a, b) -> a + b) AS tot FROM m)
+       |SELECT doc_id, $FormatSql AS format, strlen(text) AS n_bytes,
+       |  CASE WHEN length(text) > 0 THEN CAST($blocks AS BIGINT) END AS phash
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "mm_phash" -> mmPhash,
     "mm_cdc_chunk" -> mmCdcChunk,
     "mm_dedup" -> mmDedup,
     "mm_shard_balance" -> mmShardBalance,
@@ -310,6 +364,7 @@ object Multimodal {
 
   /** mm_decode_stub intentionally omitted → rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "mm_phash" -> mmPhashSql,
     "mm_dedup" -> mmDedupSql,
     "mm_shard_balance" -> mmShardBalanceSql,
     "mm_modality_mix" -> mmModalityMixSql,

@@ -660,7 +660,63 @@ object Pipeline {
        |  END AS epochs
        |FROM ws ORDER BY alpha, source""".stripMargin
 
+  /** Power-of-two ladder for [[pipeLenBuckets]] — shared with the oracle
+    * SQL via [[lenBucketCaseSql]]. */
+  private val LenBuckets = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+
+  private def lenBucketCaseSql(col: String): String =
+    LenBuckets.init.map(b => s"WHEN $col <= $b THEN $b").mkString(
+      "CASE ", " ", s" ELSE ${LenBuckets.last} END")
+
+  /** Sequence-length bucketing card — the batch-shape decision table for
+    * PADDED training/finetune loaders (the alternative to
+    * [[pipePacking]]'s concat-packing): every doc lands in the smallest
+    * power-of-two token bucket that holds it (16…4096; longer docs clamp
+    * to the top bucket — they get SPLIT by pipe_chunk, not padded, so
+    * they waste nothing here and are counted in `n_oversize` instead).
+    * Per bucket: doc count, real token mass, padding tokens the bucket
+    * shape would burn, and the padding-waste share — the number you
+    * compare against packing's cross-doc attention contamination to pick
+    * a batching strategy per corpus.
+    *
+    * Exactness: everything is integer arithmetic off one record-local
+    * tokenize; waste_share is a single exact-int ratio, floor-rounded.
+    * Scale: one scan, one partial-agged groupBy on a ≤9-value key —
+    * the hot-key concern of a 9-value grouping does not apply because
+    * partial aggregation collapses each map partition to ≤9 rows before
+    * the shuffle. */
+  def pipeLenBuckets: Q = (s, d) => {
+    val bucket = LenBuckets.init.foldRight(lit(LenBuckets.last): org.apache.spark.sql.Column)(
+      (b, acc) => when(col("n_tokens") <= b, lit(b)).otherwise(acc))
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("bucket") - least(col("n_tokens"), col("bucket"))).as("pad_tokens"),
+        sum(when(col("n_tokens") > LenBuckets.last, 1L).otherwise(0L)).as("n_oversize"))
+      .withColumn("waste_share", Exact.floorRound(
+        col("pad_tokens").cast("double") / (col("n_docs") * col("bucket")), 6))
+      .orderBy(col("bucket"))
+  }
+
+  val pipeLenBucketsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b AS (SELECT n_tokens, ${lenBucketCaseSql("n_tokens")} AS bucket FROM t)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(bucket - least(n_tokens, bucket)) AS BIGINT) AS pad_tokens,
+       |  CAST(sum(CASE WHEN n_tokens > ${LenBuckets.last} THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+       |  ${Exact.floorRoundSql(
+            "CAST(sum(bucket - least(n_tokens, bucket)) AS DOUBLE) / (count(*) * bucket)", 6)} AS waste_share
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "pipe_len_buckets" -> pipeLenBuckets,
     "pipe_alpha_sweep" -> pipeAlphaSweep,
     "pipe_chunk" -> pipeChunk,
     "pipe_datacard" -> pipeDatacard,
@@ -675,6 +731,7 @@ object Pipeline {
     "pipe_shuffle" -> pipeShuffle)
 
   def oracleSql: Map[String, String] = Map(
+    "pipe_len_buckets" -> pipeLenBucketsSql,
     "pipe_alpha_sweep" -> pipeAlphaSweepSql,
     "pipe_chunk" -> pipeChunkSql,
     "pipe_datacard" -> pipeDatacardSql,

@@ -175,6 +175,58 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     got.map(_._4).sum shouldBe nVecs
   }
 
+  it should "recompute the perceptual hash exactly on the driver" in {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def phashOf(text: String): Option[Long] = {
+      if (text.isEmpty) return None
+      val stride = math.max(1, text.length / 64)
+      val samples = (0 until 64).map { k =>
+        val pos = math.min(1 + k * stride, text.length)
+        text.codePointAt(pos - 1)
+      }
+      val total = samples.sum
+      Some((0 until 16).map { j =>
+        val b = (0 until 4).map(i => samples(4 * j + i)).sum
+        if (b * 16 > total) 1L << j else 0L
+      }.sum)
+    }
+    val got = operators.Multimodal.mmPhash(spark, sf).collect()
+    got.length shouldBe docs.size
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      withClue(s"doc $id: ") {
+        Option(r.getAs[java.lang.Long]("phash")).map(_.toLong) shouldBe phashOf(docs(id))
+      }
+    }
+    // 16-bit range and byte-identical payloads hash identically
+    got.flatMap(r => Option(r.getAs[java.lang.Long]("phash"))).foreach { h =>
+      h.toLong should be >= 0L
+      h.toLong should be <= 65535L
+    }
+  }
+
+  it should "account every document once in the length-bucket card" in {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Pipeline.pipeLenBuckets(spark, sf).collect()
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      val (b, nd, st, pad) = (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_tokens"), r.getAs[Long]("pad_tokens"))
+      // padding identity: pad = capacity − clamped token mass, and the
+      // clamp only bites on oversize docs
+      pad should be >= 0L
+      pad should be <= nd * b
+      if (r.getAs[Long]("n_oversize") == 0L) pad shouldBe nd * b - st
+      val ws = r.getAs[Double]("waste_share")
+      ws should be >= 0.0
+      ws should be <= 1.0
+    }
+    val buckets = rows.map(_.getAs[Long]("bucket"))
+    buckets.foreach(b => (b & (b - 1)) shouldBe 0L) // powers of two
+  }
+
   it should "throttle nothing below the cap and account every event" in {
     import org.apache.spark.sql.functions._
     val rep = operators.EventAnalytics.evThrottle(spark, sf).collect()
