@@ -317,7 +317,9 @@ object Multimodal {
     * no shuffle before the presentation sort; the per-doc output is the
     * joinable primitive (bucket by `phash` or band it like minhash for
     * the pair stage). */
-  def mmPhash: Q = (s, d) => {
+  /** The 16-bit block-energy hash of `text` (NULL for empty payloads) —
+    * ONE kernel shared by [[mmPhash]] and [[mmPhashPairs]]. */
+  private def phashOfText: org.apache.spark.sql.Column = {
     val len = length(col("text"))
     val stride = greatest(lit(1), expr("length(text) div 64"))
     val samples = transform(sequence(lit(0), lit(63)),
@@ -327,31 +329,85 @@ object Multimodal {
     val phash = (0 until 16)
       .map(j => when(block(j) * 16 > total, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
+    when(len > 0, phash).cast("long")
+  }
+
+  /** SQL twins of [[phashOfText]]'s internals, shared by both oracles. */
+  private val PhashSamplesSql: String =
+    "list_transform(generate_series(0, 63), " +
+      "k -> ascii(substr(text, least(1 + k * greatest(1, length(text) // 64), length(text)), 1)))"
+  private val PhashBlocksSql: String = (0 until 16).map { j =>
+    val b = (1 to 4).map(i => s"s[${4 * j + i}]").mkString(" + ")
+    s"CASE WHEN ($b) * 16 > tot THEN ${1L << j} ELSE 0 END"
+  }.mkString(" + ")
+
+  def mmPhash: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), formatOf(col("doc_id")).as("format"),
         octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
-        when(len > 0, phash).cast("long").as("phash"))
+        phashOfText.as("phash"))
       .orderBy(col("doc_id"))
-  }
 
-  val mmPhashSql: String = {
-    val samples = "list_transform(generate_series(0, 63), " +
-      "k -> ascii(substr(text, least(1 + k * greatest(1, length(text) // 64), length(text)), 1)))"
-    val blocks = (0 until 16).map { j =>
-      val b = (1 to 4).map(i => s"s[${4 * j + i}]").mkString(" + ")
-      s"CASE WHEN ($b) * 16 > tot THEN ${1L << j} ELSE 0 END"
-    }.mkString(" + ")
+  val mmPhashSql: String =
     s"""WITH m AS (
-       |  SELECT doc_id, text, $samples AS s
+       |  SELECT doc_id, text, $PhashSamplesSql AS s
        |  FROM documents),
        |t AS (SELECT doc_id, text, s, list_reduce(s, (a, b) -> a + b) AS tot FROM m)
        |SELECT doc_id, $FormatSql AS format, strlen(text) AS n_bytes,
-       |  CASE WHEN length(text) > 0 THEN CAST($blocks AS BIGINT) END AS phash
+       |  CASE WHEN length(text) > 0 THEN CAST($PhashBlocksSql AS BIGINT) END AS phash
        |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Hamming-close perceptual pairs — [[mmPhash]]'s pair stage, the
+    * generate-then-verify shape of dd_lsh_pairs transplanted to media
+    * payloads: the 16-bit hash splits into 4 nibble bands, candidates
+    * share any (band index, band value), and the verify keeps Hamming
+    * distance ≤ 2. Recall is COMPLETE for the reported radius by
+    * pigeonhole: 2 differing bits touch at most 2 of the 4 bands, so a
+    * qualifying pair always agrees on some band (holds through d ≤ 3 —
+    * the banding is conservative for the d ≤ 2 cut).
+    *
+    * Scale: the band join is keyed (never all-pairs); its hazard is the
+    * LSH one — a boilerplate-heavy corpus concentrates one band value —
+    * and the mitigation is the dd_lsh_pairs contract (more/wider bands
+    * as the corpus grows, frequency-cap runaway buckets). Hamming is
+    * codegen'd integer xor + bit_count on the pair, no payload bytes
+    * cross the shuffle — bands carry (doc_id, hash) only. */
+  def mmPhashPairs: Q = (s, d) => {
+    val p = Tables.documents(s, d)
+      .select(col("doc_id"), phashOfText.as("phash"))
+      .filter(col("phash").isNotNull)
+    val bands = p.select(col("doc_id"), col("phash"),
+        explode(array((0 until 4).map(k => struct(lit(k).as("bi"),
+          shiftright(col("phash"), 4 * k).bitwiseAND(lit(15L)).as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("phash"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("phash").as("pa"), col("bi"), col("bv"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("phash").as("pb"), col("bi"), col("bv"))
+    a.join(b, Seq("bi", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  val mmPhashPairsSql: String =
+    s"""WITH m AS (SELECT doc_id, text, $PhashSamplesSql AS s FROM documents),
+       |t AS (SELECT doc_id, s, list_reduce(s, (a, b) -> a + b) AS tot
+       |  FROM m WHERE length(text) > 0),
+       |p AS (SELECT doc_id, CAST($PhashBlocksSql AS BIGINT) AS phash FROM t),
+       |bands AS (SELECT doc_id, phash, k AS bi, (phash >> (4 * k)) & 15 AS bv
+       |  FROM p CROSS JOIN generate_series(0, 3) AS g(k)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand
+       |WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "mm_phash" -> mmPhash,
+    "mm_phash_pairs" -> mmPhashPairs,
     "mm_cdc_chunk" -> mmCdcChunk,
     "mm_dedup" -> mmDedup,
     "mm_shard_balance" -> mmShardBalance,
@@ -365,6 +421,7 @@ object Multimodal {
   /** mm_decode_stub intentionally omitted → rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "mm_phash" -> mmPhashSql,
+    "mm_phash_pairs" -> mmPhashPairsSql,
     "mm_dedup" -> mmDedupSql,
     "mm_shard_balance" -> mmShardBalanceSql,
     "mm_modality_mix" -> mmModalityMixSql,

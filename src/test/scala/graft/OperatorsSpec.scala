@@ -207,6 +207,19 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "find every Hamming<=2 phash pair (banding recall is complete)" in {
+    val hashes = operators.Multimodal.mmPhash(spark, sf).collect()
+      .flatMap(r => Option(r.getAs[java.lang.Long]("phash"))
+        .map(h => r.getAs[Long]("doc_id") -> h.toLong))
+    val expected = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 2
+    } yield (a, b, d.toLong)).sorted.toSeq
+    val got = operators.Multimodal.mmPhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+  }
+
   it should "account every document once in the length-bucket card" in {
     import org.apache.spark.sql.functions._
     val rows = operators.Pipeline.pipeLenBuckets(spark, sf).collect()
