@@ -318,8 +318,10 @@ object Multimodal {
     * joinable primitive (bucket by `phash` or band it like minhash for
     * the pair stage). */
   /** The 16-bit block-energy hash of `text` (NULL for empty payloads) —
-    * ONE kernel shared by [[mmPhash]] and [[mmPhashPairs]]. */
-  private def phashOfText: org.apache.spark.sql.Column = {
+    * ONE kernel shared by [[mmPhash]], [[mmPhashPairs]] and the streaming
+    * gate [[graft.streaming.Transforms.perceptualDedup]] (a streamed hash
+    * is a batch hash by construction). */
+  private[graft] def phashOfText: org.apache.spark.sql.Column = {
     val len = length(col("text"))
     val stride = greatest(lit(1), expr("length(text) div 64"))
     val samples = transform(sequence(lit(0), lit(63)),

@@ -55,6 +55,30 @@ object Transforms {
       .dropDuplicatesWithinWatermark(Seq("_content_hash"))
       .drop("_content_hash")
 
+  /** PERCEPTUAL dedup on ingest — the batch `mm_phash` near-dup
+    * fingerprint as a streaming gate: payloads whose block-energy hash
+    * ([[graft.operators.Multimodal.phashOfText]], the same single kernel
+    * the batch operator and pair stage use — a streamed hash IS a batch
+    * hash) collides with an already-seen one inside the watermark horizon
+    * are dropped; the first arrival passes. This is the media twin of
+    * [[contentDedup]]: where the md5 gate only stops byte-identical
+    * re-crawls, the perceptual gate also stops re-encodes of the same
+    * content that shift bytes but not signal. Empty payloads carry no
+    * signal to fingerprint (batch hashes them NULL), so they fall back to
+    * the exact md5 class — all byte-identical, the first passes and the
+    * rest drop, stated explicitly rather than left to NULL-key equality.
+    * State is one small hash key per distinct fingerprint,
+    * watermark-evicted; requires `ts` event time and a `text` payload
+    * column, everything else rides along. */
+  def perceptualDedup(docs: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    docs
+      .withColumn("_phash", coalesce(
+        graft.operators.Multimodal.phashOfText.cast("string"),
+        md5(col("text").cast("binary"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("_phash"))
+      .drop("_phash")
+
   /** Gap-based sessionization with the native session_window — state is
     * merged-window per (user, session), pruned by the watermark. */
   def sessionize(

@@ -691,6 +691,36 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       Seq("doc_id", "ts", "text")
   }
 
+  it should "drop perceptual near-dups on ingest, first arrival wins" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def phash(text: String): Long = { // the mm_phash kernel, driver-side
+      val stride = math.max(1, text.length / 64)
+      val s = (0 until 64).map(k => text.codePointAt(math.min(1 + k * stride, text.length) - 1))
+      val tot = s.sum
+      (0 until 16).map(j => if ((0 until 4).map(i => s(4 * j + i)).sum * 16 > tot) 1L << j else 0L).sum
+    }
+    val base = (0 until 256).map(i => ('a' + i % 26).toChar).mkString
+    // a byte change at an UNSAMPLED position (130 ≡ 2 mod the stride-4
+    // sampling grid): md5 differs — contentDedup would pass it — but the
+    // perceptual fingerprint is untouched, the re-encode story
+    val reenc = base.updated(129, 'q')
+    val other = "a" * 128 + "z" * 128
+    reenc should not be base
+    phash(reenc) shouldBe phash(base) // precondition: invisible to the hash
+    phash(other) should not be phash(base)
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    ms.addData((0L, ts(1), base), (1L, ts(2), reenc), (2L, ts(3), other),
+      (3L, ts(4), ""), (4L, ts(5), "")) // empties: exact-class fallback
+    val q = Transforms.perceptualDedup(ms.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("pdedup").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("pdedup").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(0L, 2L, 3L)
+    spark.table("pdedup").columns should contain theSameElementsAs
+      Seq("doc_id", "ts", "text")
+  }
+
   it should "sessionize with session_window" in {
     val (_, df) = eventsStream(Seq(
       Ev(0, ts(0), 1, "click", 1.0, "{}"),
