@@ -690,8 +690,9 @@ object Clustering {
     * Scale shape: neighbor generation is the LSH-bucketed pair join
     * (O(bucket²) per bucket — scale sig bits with the corpus, see
     * ddEmbedCosFor's contract); degrees/cores are partial-agged keyed
-    * counts. Components run hash-min label propagation: per round ONE
-    * keyed join + ONE partial-agged min, driver carries only the
+    * counts. Components run hash-min label propagation
+    * ([[graft.plans.ConnectedComponents]]): per round ONE keyed join +
+    * ONE partial-agged min, driver carries only the
     * changed-row count (a scalar action, not data). Rounds = core-graph
     * diameter: near-dup similarity clusters are dense (diameter 2–3),
     * so the loop is short by construction; a long-chain graph would
@@ -719,20 +720,8 @@ object Clustering {
       .join(core.withColumnRenamed("node", "b"), "b")
       .select(col("a"), col("b"))
       .localCheckpoint()
-    // hash-min to fixpoint: lbl(n) ← min(lbl(n), min over neighbors)
-    var labels = core.select(col("node"), col("node").as("lbl")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val msgs = cedges.join(labels.withColumnRenamed("node", "a"), "a")
-        .select(col("b").as("node"), col("lbl"))
-      val merged = labels.unionByName(msgs)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-      changed = merged.join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") < col("prev")).count()
-      labels = merged
-    }
-    val clab = labels.withColumnRenamed("lbl", "cluster_id")
+    val clab = graft.plans.ConnectedComponents.labels(core, cedges)
+      .withColumnRenamed("component", "cluster_id")
     val border = edges
       .join(clab.withColumnRenamed("node", "a"), "a")
       .join(core.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
