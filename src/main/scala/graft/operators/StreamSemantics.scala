@@ -407,7 +407,55 @@ object StreamSemantics {
     """SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts, value, props
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Incremental aggregate maintenance — the algebraic contract every
+    * epoch-committed sink relies on: merging the PARTIAL aggregate of a
+    * committed snapshot with the partial aggregate of a newly arrived
+    * delta must equal re-aggregating from scratch,
+    * `merge(partial(A), partial(B)) = partial(A ∪ B)`. The operator
+    * splits the stream deterministically (event_id % 10 = 0 plays the
+    * delta batch), aggregates each side separately, merges by
+    * full-outer combine (counts add, exact-decimal sums add, min/max
+    * fold null-safely, the mean DERIVES from merged sum/count — never
+    * averaged across sides), and the oracle recomputes the whole table
+    * directly: a hash match IS the maintenance identity, checked on
+    * real data. At 100 TB the snapshot side is already materialized
+    * state (epochs of it) and only the delta is scanned — this is why a
+    * loader stores partial aggregates (sum, count) and never finalized
+    * means: means do not merge. */
+  def slIncrAgg: Q = (s, d) => {
+    def partial(df: DataFrame) = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(Exact.dec2(col("value"))).as("sv"),
+        min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    val ev = Tables.events(s, d)
+    val snap = partial(ev.filter(pmod(col("event_id"), lit(10)) =!= 0))
+      .select(col("event_type"), col("n").as("n1"), col("sv").as("sv1"),
+        col("mn").as("mn1"), col("mx").as("mx1"))
+    val delta = partial(ev.filter(pmod(col("event_id"), lit(10)) === 0))
+      .select(col("event_type"), col("n").as("n2"), col("sv").as("sv2"),
+        col("mn").as("mn2"), col("mx").as("mx2"))
+    snap.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n_events"),
+        (coalesce(col("sv1"), lit(0).cast("decimal(22,2)")) +
+          coalesce(col("sv2"), lit(0).cast("decimal(22,2)"))).as("sv"),
+        least(col("mn1"), col("mn2")).as("first_ts"),  // least/greatest skip nulls
+        greatest(col("mx1"), col("mx2")).as("last_ts"))
+      .select(col("event_type"), col("n_events"),
+        round(col("sv"), 2).cast("double").as("total_value"),
+        Exact.floorRound(col("sv").cast("double") / col("n_events"), 4).as("avg_value"),
+        col("first_ts"), col("last_ts"))
+      .orderBy(col("event_type"))
+  }
+
+  val slIncrAggSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value,
+      |  floor(sum(value::DECIMAL(12,2))::DOUBLE / count(*) * 1e4 + 0.5) / 1e4 AS avg_value,
+      |  min(ts) AS first_ts, max(ts) AS last_ts
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "sl_incr_agg" -> slIncrAgg,
     "sl_proto" -> slProto,
     "sl_upsert" -> slUpsert,
     "sl_gap_detect" -> slGapDetect,
@@ -424,6 +472,7 @@ object StreamSemantics {
     "sl_json_props" -> slJsonProps)
 
   def oracleSql: Map[String, String] = Map(
+    "sl_incr_agg" -> slIncrAggSql,
     "sl_proto" -> slProtoSql,
     "sl_upsert" -> slUpsertSql,
     "sl_gap_detect" -> slGapDetectSql,

@@ -220,6 +220,29 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     got shouldBe expected
   }
 
+  it should "merge one-sided groups in the incremental aggregate" in {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a type living ONLY in the delta (every id % 10 == 0) and one ONLY
+    // in the snapshot — the full-outer null-side path the corpus never
+    // exercises (all its types appear on both sides of the split)
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    Seq(
+      (10L, java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), 1L, "deltaonly", 1.25, "{}"),
+      (20L, java.sql.Timestamp.valueOf("2025-01-02 00:00:00"), 1L, "deltaonly", 2.50, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2025-01-03 00:00:00"), 2L, "snaponly", 4.00, "{}"),
+      (4L, java.sql.Timestamp.valueOf("2025-01-04 00:00:00"), 2L, "both", 1.00, "{}"),
+      (30L, java.sql.Timestamp.valueOf("2025-01-05 00:00:00"), 2L, "both", 3.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.StreamSemantics.slIncrAgg(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    got shouldBe Array(
+      ("both", 2L, 4.0, 2.0),
+      ("deltaonly", 2L, 3.75, 1.875),
+      ("snaponly", 1L, 4.0, 4.0))
+  }
+
   it should "account every document once in the length-bucket card" in {
     import org.apache.spark.sql.functions._
     val rows = operators.Pipeline.pipeLenBuckets(spark, sf).collect()
