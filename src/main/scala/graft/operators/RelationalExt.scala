@@ -584,7 +584,59 @@ object RelationalExt {
       |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
       |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  /** Skyline (Pareto frontier) of parts minimizing (size, price) — the
+    * multi-objective "no part is both smaller and cheaper" query Spark
+    * has no native operator for (Börzsönyi et al. 2001). The naive
+    * definition is a quadratic NOT EXISTS self-join (the oracle states
+    * it that way); the engine computes it in linear passes through the
+    * 2-D sorted-prefix identity: group to per-price minimum sizes, take
+    * the strict-prefix running min over ascending price, and a part is
+    * dominated iff a strictly cheaper price reached its size
+    * (`pmin ≤ size`) or its own price group holds a strictly smaller
+    * size (`size > gmin`). Exact duplicates dominate nothing and both
+    * survive, per the skyline definition.
+    *
+    * Scale shape: one partial-agged groupBy to the |distinct price|
+    * frame, the strict-prefix min via [[graft.plans.ChunkedPrefix]]
+    * (price-range chunks — a continuous price domain makes the grouped
+    * frame corpus-sized in the worst case, so no single-task
+    * Window.orderBy), one keyed join back. All comparisons, no
+    * arithmetic — double values hash exactly. */
+  def qSkyline: Q = (s, d) =>
+    qSkylineFor(Tables.part(s, d)
+      .select(col("p_partkey").as("part_key"),
+        col("p_size").cast("long").as("size"), col("p_retailprice").as("price")))
+
+  /** General 2-D min-min skyline over (part_key, size, price). */
+  def qSkylineFor(f: DataFrame): DataFrame = {
+    val cp = graft.plans.ChunkedPrefix
+    val gm = f.groupBy(col("price")).agg(min(col("size")).as("gmin"))
+    // strict-prefix running MIN over price asc = −(exclusive runningMax
+    // of −gmin); each price appears once in gm, so the exclusive row
+    // prefix IS the strictly-cheaper set
+    val withPrefix = cp.runningMax(gm,
+        keys = Seq.empty, order = Seq(col("price").asc),
+        chunk = cp.idChunks(col("price").cast("long"), 64),
+        value = -col("gmin"), out = "__nmin", inclusive = false)
+      .select(col("price"), col("gmin"), (-col("__nmin")).as("pmin"))
+    f.join(withPrefix, Seq("price"))
+      .filter(!(col("pmin").isNotNull && col("pmin") <= col("size")) &&
+        col("size") <= col("gmin"))
+      .select(col("part_key"), col("size"), col("price"))
+      .orderBy(col("price"), col("size"), col("part_key"))
+  }
+
+  val qSkylineSql: String =
+    """WITH f AS (SELECT p_partkey AS part_key, CAST(p_size AS BIGINT) AS size,
+      |    p_retailprice AS price FROM part)
+      |SELECT part_key, size, price FROM f x
+      |WHERE NOT EXISTS (SELECT 1 FROM f y
+      |  WHERE y.size <= x.size AND y.price <= x.price
+      |    AND (y.size < x.size OR y.price < x.price))
+      |ORDER BY price, size, part_key""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_skyline" -> qSkyline,
     "q_window_firstlast" -> qWindowFirstLast,
     "q_full_outer" -> qFullOuter,
     "q_listagg" -> qListagg,
@@ -604,6 +656,7 @@ object RelationalExt {
     "q22_dormant" -> q22Dormant)
 
   def oracleSql: Map[String, String] = Map(
+    "q_skyline" -> qSkylineSql,
     "q_window_firstlast" -> qWindowFirstLastSql,
     "q_full_outer" -> qFullOuterSql,
     "q_listagg" -> qListaggSql,

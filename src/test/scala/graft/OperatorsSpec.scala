@@ -220,6 +220,24 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     got shouldBe expected
   }
 
+  it should "match a brute-force skyline on ties and duplicates" in {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // small domains force equal-price groups, equal-size chains and
+    // exact duplicate points — every tie branch of the dominance test
+    val pts = (0L until 300L).map(i =>
+      (i, rnd.nextInt(12).toLong, (900 + rnd.nextInt(15)).toDouble))
+    val expected = pts.filter { case (_, sz, pr) =>
+      !pts.exists { case (_, s2, p2) =>
+        s2 <= sz && p2 <= pr && (s2 < sz || p2 < pr) }
+    }.map { case (k, s, p) => (p, s, k) }.sorted.map { case (p, s, k) => (k, s, p) }
+    val got = operators.RelationalExt.qSkylineFor(
+        pts.toDF("part_key", "size", "price"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    got shouldBe expected
+  }
+
   it should "merge one-sided groups in the incremental aggregate" in {
     import org.apache.spark.sql.functions._
     import spark.implicits._
