@@ -787,7 +787,106 @@ object Clustering {
        |SELECT * FROM clusters UNION ALL SELECT * FROM noise
        |ORDER BY cluster_id""".stripMargin
 
+  /** Centers picked by [[clKcenter]]'s farthest-first traversal. */
+  val KCenters = 6
+
+  /** k-center seeding by farthest-first traversal (Gonzalez 1985) — the
+    * COVERAGE primitive the centroid family lacks: k-means minimizes
+    * mean distortion and happily ignores small far-away modes, while
+    * farthest-first greedily takes the point FARTHEST from every chosen
+    * center, guaranteeing a 2-approximation of the optimal k-center
+    * radius — the "every region of embedding space is represented"
+    * property that diverse sampling and eval-set seeding actually want
+    * (cl_diverse_sample picks nearest-to-centroid exemplars; this picks
+    * the opposite — boundary coverage). Fully deterministic: seed =
+    * lowest vec_id, argmax ties break to the lowest vec_id, assignment
+    * ties to the lowest center order.
+    *
+    * Output per center: discovery order, center id, assigned population,
+    * and coverage radius (max member distance, 6-dp floor) — the radius
+    * sequence is the diminishing-returns curve that says when k is
+    * enough. Scale: train-small/apply-big like cl_kmeans — the K-round
+    * driver loop carries only K×64 coordinates; each round is ONE
+    * corpus pass (a codegen'd least-of-distances projection into a
+    * top-1 TakeOrderedAndProject — the argmax pass is inherent to
+    * k-center, K passes total) and the final assignment is one more
+    * pass against literal centers. No joins, no corpus-sized state. */
+  def clKcenter: Q = (s, d) => {
+    val v = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val seed = v.orderBy(col("vec_id")).limit(1).collect().headOption
+    seed match {
+      case None =>
+        v.limit(0).select(col("vec_id").as("center_order"),
+          col("vec_id").as("center_id"), col("vec_id").as("n_assigned"),
+          lit(0.0).as("radius"))
+      case Some(row) =>
+        var centers = Vector((0, row.getLong(0),
+          row.getSeq[Double](1).toIndexedSeq))
+        var k = 1
+        var exhausted = false
+        while (k < KCenters && !exhausted) {
+          val md = centers.map { case (_, _, c) => sqDistTo(col("e"), c) }
+            .reduce(least(_, _))
+          val next = v.filter(!col("vec_id").isin(centers.map(_._2): _*))
+            .select(col("vec_id"), col("e"), md.as("md"))
+            .orderBy(col("md").desc, col("vec_id")).limit(1)
+            .collect().headOption
+          next match {
+            case Some(w) =>
+              centers :+= ((k, w.getLong(0), w.getSeq[Double](1).toIndexedSeq))
+              k += 1
+            case None => exhausted = true // corpus smaller than K
+          }
+        }
+        val centerIds = array(centers.map(c => lit(c._2)): _*)
+        val assigned = v
+          .withColumn("a", nearestCentroid(col("e"),
+            centers.map { case (ord, _, c) => (ord, c) }))
+          .select(col("vec_id"), col("a.cid").as("ord"), col("a.d").as("dd"))
+          .groupBy(col("ord"))
+          .agg(count(lit(1)).as("n_assigned"),
+            (floor(max(col("dd")) * 1e6 + 0.5) / 1e6).as("radius"))
+        assigned
+          .select(col("ord").cast("long").as("center_order"),
+            element_at(centerIds, col("ord") + 1).as("center_id"),
+            col("n_assigned"), col("radius"))
+          .orderBy(col("center_order"))
+    }
+  }
+
+  val clKcenterSql: String = {
+    def dist(l: String, r: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> ($l.e[i] - $r.e[i]) * ($l.e[i] - $r.e[i])), (x, y) -> x + y)"
+    val rounds = (1 until KCenters).map { k =>
+      val prev = if (k == 1) "v" else s"m${k - 1}"
+      val mdExpr = if (k == 1) dist("m", "c0")
+        else s"least(m.md, ${dist("m", s"c${k - 1}")})"
+      s"""m$k AS (SELECT m.vec_id, m.e, $mdExpr AS md
+         |  FROM $prev m, c${k - 1} WHERE m.vec_id <> c${k - 1}.vec_id),
+         |c$k AS (SELECT vec_id, e FROM m$k ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val centsUnion = (0 until KCenters)
+      .map(k => s"SELECT $k AS ord, vec_id, e FROM c$k").mkString("\n  UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |c0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1),
+       |$rounds,
+       |cents AS (
+       |  $centsUnion),
+       |a1 AS (SELECT v.vec_id, c.ord, c.vec_id AS center_id, ${dist("v", "c")} AS dd
+       |  FROM v, cents c),
+       |a2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, ord) AS rn
+       |  FROM a1)
+       |SELECT CAST(ord AS BIGINT) AS center_order, center_id,
+       |  count(*) AS n_assigned, floor(max(dd) * 1e6 + 0.5) / 1e6 AS radius
+       |FROM a2 WHERE rn = 1 GROUP BY ord, center_id
+       |ORDER BY center_order""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "cl_kcenter" -> clKcenter,
     "cl_dbscan" -> clDbscan,
     "cl_outliers" -> clOutliers,
     "cl_drift" -> clDrift,
@@ -800,6 +899,7 @@ object Clustering {
     "cl_semantic_dedup" -> clSemanticDedup)
 
   def oracleSql: Map[String, String] = Map(
+    "cl_kcenter" -> clKcenterSql,
     "cl_dbscan" -> clDbscanSql,
     "cl_outliers" -> clOutliersSql,
     "cl_drift" -> clDriftSql,

@@ -220,6 +220,29 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     got shouldBe expected
   }
 
+  it should "reproduce the farthest-first traversal on the driver" in {
+    val vecs = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toIndexedSeq)
+      .sortBy(_._1)
+    def d2(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double =
+      (0 until 64).foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+    var centers = Vector(vecs.head)
+    while (centers.size < operators.Clustering.KCenters) {
+      val rest = vecs.filterNot(v => centers.exists(_._1 == v._1))
+      // argmax of min-distance, ties to the lowest vec_id (sort is stable
+      // and vecs is id-ascending, so maxBy's first-wins tie rule matches)
+      centers :+= rest.maxBy(v => centers.map(c => d2(v._2, c._2)).min)
+    }
+    val got = operators.Clustering.clKcenter(spark, sf).collect()
+    got.map(_.getAs[Long]("center_id")).toSeq shouldBe centers.map(_._1).toSeq
+    // every vector is assigned exactly once and radii are non-negative
+    got.map(_.getAs[Long]("n_assigned")).sum shouldBe vecs.length
+    got.foreach(_.getAs[Double]("radius") should be >= 0.0)
+  }
+
   it should "match a brute-force skyline on ties and duplicates" in {
     import org.apache.spark.sql.functions._
     import spark.implicits._
