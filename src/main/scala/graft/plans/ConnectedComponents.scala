@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   * Scale contract: per round ONE keyed join (edges × labels) + ONE
   * partial-agged min — both AQE-skew-splittable shapes; the driver
   * carries only a changed-row COUNT per round (a scalar action, never
-  * data). Rounds = graph diameter. That is the right trade for the
-  * similarity/dup graphs this engine builds (dense near-dup clusters:
-  * diameter 2–3, so 2–4 rounds); a long-chain graph (diameter ~n) wants
-  * the large-star/small-star contraction (Kiveris et al. 2014) instead —
-  * documented so the caller chooses consciously, not silently. Label
+  * data). Rounds = graph diameter for plain [[labels]] — the right
+  * trade for the similarity/dup graphs this engine builds (dense
+  * near-dup clusters: diameter 2–3, so 2–4 rounds); for graphs that may
+  * carry long chains, [[labelsJumped]] adds pointer jumping for
+  * O(log diameter) rounds (the same contraction goal as Kiveris et
+  * al. 2014's large-star/small-star, in one extra keyed join). Label
   * frames are |nodes|-row and localCheckpoint-pinned each round to cut
   * the iterative lineage (the cl_pagerank idiom); the edge frame should
   * arrive pinned if the caller derived it expensively. */
@@ -29,20 +30,45 @@ object ConnectedComponents {
     * DIRECTED a→b messages — pass both directions for an undirected
     * graph, as [[symmetrize]] does). Nodes absent from `edges` keep
     * their own id (singleton components). Returns (node, component). */
-  def labels(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  def labels(nodes: DataFrame, edges: DataFrame): DataFrame =
+    run(nodes, edges, jump = false)._1
+
+  /** [[labels]] with pointer jumping: each round also folds in the label
+    * OF the label (`L(u) ← min(L(u), L(L(u)))` — one extra self-join +
+    * the same partial-agged min), which contracts label chains
+    * geometrically: O(log diameter) rounds instead of O(diameter). Use
+    * for graphs that may carry long chains (lineage graphs, session
+    * stitching); plain [[labels]] stays the cheaper-per-round choice for
+    * dense similarity/dup clusters whose diameter is already 2–3. A
+    * label is always some node's CURRENT id (labels start as ids and
+    * only adopt smaller seen ids), so the jump join is total. */
+  def labelsJumped(nodes: DataFrame, edges: DataFrame): DataFrame =
+    run(nodes, edges, jump = true)._1
+
+  /** Shared fixpoint loop; returns (labels, rounds) — rounds surfaced so
+    * the spec can pin the geometric contraction, not just the answer. */
+  private[plans] def run(nodes: DataFrame, edges: DataFrame,
+                         jump: Boolean): (DataFrame, Int) = {
     var lbl = nodes.select(col("node"), col("node").as("lbl")).localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val msgs = edges.join(lbl.withColumnRenamed("node", "a"), "a")
         .select(col("b").as("node"), col("lbl"))
-      val merged = lbl.unionByName(msgs)
+      val jumped = if (!jump) Seq.empty[DataFrame] else Seq(
+        lbl.join(
+          lbl.select(col("node").as("__j"), col("lbl").as("__jl")),
+          col("lbl") === col("__j"))
+          .select(col("node"), col("__jl").as("lbl")))
+      val merged = (Seq(lbl, msgs) ++ jumped).reduce(_ unionByName _)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
       changed = merged.join(lbl.withColumnRenamed("lbl", "prev"), "node")
         .filter(col("lbl") < col("prev")).count()
       lbl = merged
+      rounds += 1
     }
-    lbl.withColumnRenamed("lbl", "component")
+    (lbl.withColumnRenamed("lbl", "component"), rounds)
   }
 
   /** Both directions of an undirected pair list (columns `u`, `v`). */

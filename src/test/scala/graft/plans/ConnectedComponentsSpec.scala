@@ -60,6 +60,31 @@ class ConnectedComponentsSpec extends AnyFlatSpec with Matchers with BeforeAndAf
     got.values.toSet shouldBe Set(0L) // everything reaches the min label
   }
 
+  it should "contract a chain geometrically with pointer jumping" in {
+    import spark.implicits._
+    val n = (0L until 64L).toDF("node")
+    val pairs = (0L until 63L).map(i => (i + 1, i))
+    val e = ConnectedComponents.symmetrize(pairs.toDF("u", "v"), "u", "v")
+    val (plain, plainRounds) = ConnectedComponents.run(n, e, jump = false)
+    val (jumped, jumpRounds) = ConnectedComponents.run(n, e, jump = true)
+    plain.collect().map(_.getLong(1)).toSet shouldBe Set(0L)
+    jumped.collect().map(_.getLong(1)).toSet shouldBe Set(0L)
+    // a 64-chain takes ~diameter rounds plain; jumping is logarithmic
+    plainRounds should be >= 30
+    jumpRounds should be <= 10
+    // and jumping must not change answers on an arbitrary graph
+    val rnd = new scala.util.Random(11)
+    val rp = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    run((0L until 40L).toSeq, rp) shouldBe {
+      import spark.implicits._
+      val nd = (0L until 40L).toDF("node")
+      val ed = ConnectedComponents.symmetrize(rp.toDF("u", "v"), "u", "v")
+      ConnectedComponents.labelsJumped(nd, ed).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+  }
+
   it should "label an empty graph empty and an edge-free graph by identity" in {
     run(Seq.empty, Seq.empty) shouldBe Map.empty
     val nodes = Seq(3L, 7L, 9L)
