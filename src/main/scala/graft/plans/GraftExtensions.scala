@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Thrown by `spark.graft.lint=enforce` when a submitted plan carries an
+  * error-severity scale hazard. */
+class GraftLintException(msg: String) extends RuntimeException(msg)
+
+/** Session-boundary enforcement of the engine's plan discipline: an
+  * optimizer rule (injected by [[GraftExtensions]]) that screens EVERY
+  * query submitted through the session — not just the operators this
+  * repo registers and CI-lints — for the [[PlanLint]] shapes that stall
+  * a 1000-executor cluster (partition-less corpus windows, unhinted
+  * cartesians, repartition(1) funnels). This is the fleet-wide version
+  * of the `tools/Lint` CLI and PlanLintSpec: the CLI gates this repo's
+  * queries; the rule gates a USER's ad-hoc ones at planning time, where
+  * a 100 TB mistake is cheapest to catch.
+  *
+  * `spark.graft.lint` contract:
+  *  - `off` (DEFAULT) — pass-through, zero overhead beyond the conf read;
+  *  - `warn`  — error-severity findings log to the driver log once per
+  *    distinct plan, the query runs;
+  *  - `enforce` — error-severity findings throw [[GraftLintException]]
+  *    before a single task launches.
+  *
+  * The rule NEVER rewrites the plan (identity transform — safe under the
+  * optimizer's fixpoint batches). Only `error` findings gate: warnings
+  * (UDFs, unbounded collects, presentation sorts) stay advisory
+  * everywhere. */
+object GraftLintRule extends Rule[LogicalPlan] {
+  private val Mode = "spark.graft.lint"
+  // semanticHashes already warned this session (bounded: ad-hoc sessions
+  // submit thousands of plans, not millions; a miss repeats a log line)
+  private val warned = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]())
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    conf.getConfString(Mode, "off") match {
+      case "off" => ()
+      case mode =>
+        val errors = PlanLint.lintPlan(plan).filter(_.severity == "error")
+        if (errors.nonEmpty) {
+          val msg = s"graft lint: ${errors.size} scale hazard(s):\n  " +
+            errors.mkString("\n  ")
+          if (mode == "enforce") throw new GraftLintException(msg)
+          else if (warned.add(plan.semanticHash())) logWarning(msg)
+        }
+    }
+    plan // identity: this rule observes, it never rewrites
+  }
+}

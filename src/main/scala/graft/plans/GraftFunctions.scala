@@ -149,12 +149,16 @@ object GraftFunctions {
   }
 }
 
-/** Session-extension hook: `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
+/** Session-extension hook: `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  * Injects the engine's function registry, planner strategy, and the
+  * [[GraftLintRule]] scale-hazard gate (see its scaladoc for the
+  * `spark.graft.lint` off/warn/enforce contract). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
     ext.injectPlannerStrategy(_ => GraftStrategy)
+    ext.injectOptimizerRule(_ => GraftLintRule)
   }
 }

@@ -66,8 +66,12 @@ object PlanLint {
 
   private def node(p: LogicalPlan): String = p.nodeName
 
-  def lint(df: Dataset[_]): Seq[Finding] = {
-    val plan = df.queryExecution.optimizedPlan
+  def lint(df: Dataset[_]): Seq[Finding] =
+    lintPlan(df.queryExecution.optimizedPlan)
+
+  /** Plan-level entry point — what [[GraftExtensions]]' injected
+    * optimizer rule calls, where no Dataset exists yet. */
+  def lintPlan(plan: LogicalPlan): Seq[Finding] = {
     val findings = Seq.newBuilder[Finding]
     plan.foreach {
       case w: Window if w.partitionSpec.isEmpty && !reduced(w.child) =>

@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the [[GraftExtensions]] session hook end to end on a session
+  * built purely from `spark.sql.extensions` config — the way a user's
+  * spark-submit wires it: injected functions resolve in plain SQL with
+  * no register() call, and the [[GraftLintRule]] honors its
+  * off/warn/enforce contract (off by default, enforce fails a hazardous
+  * plan at PLANNING time and still passes clean plans). */
+class GraftExtensionsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-extensions-spec")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def hazardous = spark.read.parquet(s"$sf/documents.parquet")
+    .withColumn("r", row_number().over(Window.orderBy(col("doc_id"))))
+
+  behavior of "GraftExtensions"
+
+  it should "resolve injected functions in plain SQL without register()" in {
+    val r = spark.sql(
+      "SELECT graft_gram_buckets(array('a', 'b', 'c'), 2, 8, 0) AS b").collect()
+    r.length shouldBe 1
+    r.head.getSeq[Long](0).length shouldBe 2 // two bigrams from three tokens
+  }
+
+  it should "pass hazardous plans when lint is off (the default)" in {
+    spark.conf.unset("spark.graft.lint")
+    hazardous.count() should be > 0L
+  }
+
+  it should "pass hazardous plans in warn mode" in {
+    spark.conf.set("spark.graft.lint", "warn")
+    try hazardous.count() should be > 0L
+    finally spark.conf.unset("spark.graft.lint")
+  }
+
+  it should "fail hazardous plans at planning time in enforce mode" in {
+    spark.conf.set("spark.graft.lint", "enforce")
+    try {
+      val thrown = intercept[Throwable] { hazardous.collect() }
+      // the optimizer may wrap rule exceptions; accept it anywhere in
+      // the cause chain
+      val chain = Iterator.iterate(thrown)(_.getCause).takeWhile(_ != null).toSeq
+      withClue(chain.map(_.getClass.getName).mkString(" <- ")) {
+        chain.exists(t => t.isInstanceOf[GraftLintException] ||
+          String.valueOf(t.getMessage).contains("graft lint")) shouldBe true
+      }
+    } finally spark.conf.unset("spark.graft.lint")
+  }
+
+  it should "pass clean plans in enforce mode" in {
+    spark.conf.set("spark.graft.lint", "enforce")
+    try {
+      spark.read.parquet(s"$sf/documents.parquet")
+        .groupBy(col("lang")).count().collect().length should be > 0
+    } finally spark.conf.unset("spark.graft.lint")
+  }
+}
