@@ -564,7 +564,88 @@ object EventValue {
        |  ${Exact.floorRoundSql("zg::DOUBLE / m", 6)} AS zero_gap_share
        |FROM f ORDER BY cv_gap, user_id LIMIT 25""".stripMargin
 
+  /** Two-proportion A/B experiment readout — the decision table an
+    * experimentation pipeline derives from the same event stream the
+    * loader lands: users split into arms by salted content hash
+    * (deterministic, re-ingestion-stable — the pipe_split discipline;
+    * NEVER `rand()`), per event type the reached-user share per arm,
+    * the share difference, and the pooled two-proportion z statistic
+    * with its |z| > 1.96 call. The significance flag is tested on the
+    * ROUNDED z (the band-on-rounded contract from ta_readability — a
+    * boundary z must not flip between engines).
+    *
+    * Exactness: every input to the doubles is an exact integer count;
+    * shares/z are fixed expression trees over those ints (one division,
+    * one sqrt — both IEEE-correctly-rounded), floor-rounded for output.
+    * Scale: two corpus passes, the structural minimum — one partial-agg
+    * distinct for the arm denominators (2-row broadcast), one
+    * (type, arm) distinct-user aggregate — then |types|-row arithmetic.
+    * No windows, no corpus joins. */
+  def evAbtest: Q = (s, d) => {
+    import graft.functions.TextFns.hashBucket
+    val arm = hashBucket("ab|", col("user_id"), 4, 2)
+    val ev = Tables.events(s, d)
+    val armSizes = ev.select(col("user_id")).distinct()
+      .select(arm.as("arm"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ua"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("ub"))
+    val reached = ev.select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), arm.as("arm"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"))
+    val pa = col("na").cast("double") / col("ua")
+    val pb = col("nb").cast("double") / col("ub")
+    val pp = (col("na") + col("nb")).cast("double") / (col("ua") + col("ub"))
+    val z = (pa - pb) /
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / col("ua") + lit(1.0) / col("ub")))
+    reached.crossJoin(broadcast(armSizes))
+      .select(col("event_type"), col("na").as("n_users_a"), col("nb").as("n_users_b"),
+        col("ua").as("arm_a_users"), col("ub").as("arm_b_users"),
+        Exact.floorRound(pa, 6).as("share_a"),
+        Exact.floorRound(pb, 6).as("share_b"),
+        Exact.floorRound(pa - pb, 6).as("share_diff"),
+        when(col("ua") > 0 && col("ub") > 0 && pp > 0 && pp < 1,
+          Exact.floorRound(z, 4)).as("z_score"))
+      .withColumn("significant",
+        col("z_score").isNotNull && abs(col("z_score")) > 1.96)
+      .orderBy(col("event_type"))
+  }
+
+  val evAbtestSql: String = {
+    val armOf = (k: String) =>
+      s"CAST(('0x' || substr(md5('ab|' || CAST($k AS VARCHAR)), 1, 4)) AS BIGINT) % 2"
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |arms AS (SELECT
+       |    CAST(sum(CASE WHEN ${armOf("user_id")} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ua,
+       |    CAST(sum(CASE WHEN ${armOf("user_id")} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ub
+       |  FROM u),
+       |r AS (SELECT event_type,
+       |    CAST(sum(CASE WHEN ${armOf("user_id")} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(sum(CASE WHEN ${armOf("user_id")} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+       |  FROM (SELECT DISTINCT event_type, user_id FROM events) GROUP BY 1),
+       |c AS (SELECT event_type, na, nb, ua, ub,
+       |    na::DOUBLE / ua AS pa, nb::DOUBLE / ub AS pb,
+       |    (na + nb)::DOUBLE / (ua + ub) AS pp
+       |  FROM r CROSS JOIN arms)
+       |SELECT event_type, na AS n_users_a, nb AS n_users_b,
+       |  ua AS arm_a_users, ub AS arm_b_users,
+       |  ${Exact.floorRoundSql("pa", 6)} AS share_a,
+       |  ${Exact.floorRoundSql("pb", 6)} AS share_b,
+       |  ${Exact.floorRoundSql("pa - pb", 6)} AS share_diff,
+       |  CASE WHEN ua > 0 AND ub > 0 AND pp > 0 AND pp < 1 THEN
+       |    ${Exact.floorRoundSql(
+              "(pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / ua + 1.0 / ub))", 4)}
+       |  END AS z_score,
+       |  CASE WHEN ua > 0 AND ub > 0 AND pp > 0 AND pp < 1 THEN
+       |    abs(${Exact.floorRoundSql(
+              "(pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / ua + 1.0 / ub))", 4)}) > 1.96
+       |  ELSE FALSE END AS significant
+       |FROM c ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "ev_abtest" -> evAbtest,
     "ev_bot_census" -> evBotCensus,
     "ev_ts_similarity" -> evTsSimilarity,
     "ev_attribution" -> evAttribution,
@@ -575,6 +656,7 @@ object EventValue {
     "ev_rfm" -> evRfm)
 
   def oracleSql: Map[String, String] = Map(
+    "ev_abtest" -> evAbtestSql,
     "ev_bot_census" -> evBotCensusSql,
     "ev_ts_similarity" -> evTsSimilaritySql,
     "ev_attribution" -> evAttributionSql,

@@ -220,6 +220,34 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     got shouldBe expected
   }
 
+  it should "flag a constructed A/B effect and guard degenerate pools" in {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // recover the operator's own hash arms, then construct an effect:
+    // every user emits "base"; only arm-0 users emit "conv"
+    val arms = spark.range(1, 201).toDF("user_id")
+      .select(col("user_id"),
+        graft.functions.TextFns.hashBucket("ab|", col("user_id"), 4, 2).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val rows = arms.toSeq.flatMap { case (u, a) =>
+      val base = Seq((u * 10, t0, u, "base", 1.0, "{}"))
+      if (a == 0L) base :+ ((u * 10 + 1, t0, u, "conv", 1.0, "{}")) else base
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ab").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = operators.EventValue.evAbtest(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    // conv reaches 100% of arm A and 0% of arm B — maximally significant
+    out("conv").getAs[Boolean]("significant") shouldBe true
+    out("conv").getAs[Double]("share_a") shouldBe 1.0
+    out("conv").getAs[Double]("share_b") shouldBe 0.0
+    // base reaches everyone: pooled p = 1 → z undefined, guarded to null
+    out("base").isNullAt(out("base").fieldIndex("z_score")) shouldBe true
+    out("base").getAs[Boolean]("significant") shouldBe false
+  }
+
   it should "reproduce the farthest-first traversal on the driver" in {
     val vecs = Tables.embeddings(spark, sf)
       .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
