@@ -789,7 +789,72 @@ object TextAnalysis {
       |  floor(exp(sum((tf * (ln(c1) - ln(c12)))::DECIMAL(38,18))::DOUBLE / sum(tf)) * 1e6 + 0.5) / 1e6 AS ppl2
       |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Merge rounds trained by [[taBpeTrain]]. */
+  val BpeMerges = 6
+
+  /** BPE merge TRAINING (Sennrich et al. 2016) — where ta_bpe_tokens
+    * merely counts pieces under a fixed pre-tokenizer, this LEARNS the
+    * merge table, the artifact a tokenizer build actually ships: start
+    * from characters, repeatedly take the most frequent adjacent symbol
+    * pair (ties: lowest left, then right symbol — fully deterministic)
+    * and fuse it corpus-wide, greedy leftmost-non-overlapping within
+    * each word. Output: the merge table in training order with each
+    * pair's frequency at selection time — rank, left, right, merged,
+    * pair_count.
+    *
+    * Scale shape — the classic BPE trick: training runs on the WORD
+    * HISTOGRAM (word, count), not the corpus — ONE corpus pass builds
+    * it (checkpoint-pinned, stays distributed: vocabulary tables are
+    * never driver-sized at 10⁸ terms, the ta_tfidf lesson), then each
+    * merge round is a vocab-bounded explode + partial-agged count +
+    * top-1 TakeOrderedAndProject. The driver holds only the K chosen
+    * merges (the kmeans centroid discipline). The fuse step is a
+    * codegen'd array fold — no UDF. Rows-only (no SQL oracle: per-round
+    * greedy array folding is not sanely SQL-expressible); the spec pins
+    * the full merge sequence against an independent driver-side trainer
+    * on the collected histogram. */
+  def taBpeTrain: Q = (s, d) => {
+    import s.implicits._
+    val hist = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(split(col("w"), "").as("syms"), col("wc"))
+      .localCheckpoint()
+    def fuse(syms: Column, l: String, r: String): Column =
+      aggregate(syms, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+    var cur = hist
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < BpeMerges && !exhausted) {
+      val top = cur
+        .filter(size(col("syms")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"), col("wc"))
+        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect().headOption
+      top match {
+        case Some(row) =>
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((k.toLong, l, r, l + r, c))
+          cur = cur.select(fuse(col("syms"), l, r).as("syms"), col("wc"))
+          k += 1
+        case None => exhausted = true
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "ta_bpe_train" -> taBpeTrain,
     "ta_bigram_surprisal" -> taBigramSurprisal,
     "ta_novelty" -> taNovelty,
     "ta_readability" -> taReadability,

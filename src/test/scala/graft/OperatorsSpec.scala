@@ -28,7 +28,8 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
 
   it should "expose an oracle for every query except rows-only ops" in {
     val rowsOnly = Set("mm_decode_stub", "sl_rowbinary", "q_approx_distinct", "dd_bloom",
-      "q_approx_quantiles", "dd_neardup", "q_profile_approx", "mm_cdc_chunk")
+      "q_approx_quantiles", "dd_neardup", "q_profile_approx", "mm_cdc_chunk",
+      "ta_bpe_train")
     (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) shouldBe rowsOnly
     SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
   }
@@ -218,6 +219,44 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     val got = operators.Multimodal.mmPhashPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     got shouldBe expected
+  }
+
+  it should "learn the same BPE merge table as a driver-side trainer" in {
+    import org.apache.spark.sql.functions._
+    // independent reference trainer on the collected word histogram
+    val hist = scala.collection.mutable.Map.empty[Vector[String], Long]
+      .withDefaultValue(0L)
+    Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).foreach { case (w, ws) =>
+        hist(w.split("").toVector) += ws.length.toLong }
+    val expected = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (k <- 0 until operators.TextAnalysis.BpeMerges) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      hist.foreach { case (syms, wc) =>
+        syms.sliding(2).filter(_.size == 2)
+          .foreach(p => pairs((p(0), p(1))) += wc) }
+      if (pairs.nonEmpty) {
+        val ((l, r), c) = pairs.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        expected += ((k.toLong, l, r, l + r, c))
+        // greedy leftmost-non-overlapping fuse, same fold as the engine
+        val fused = hist.toSeq.map { case (syms, wc) =>
+          syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == r)
+              acc.init :+ (l + r)
+            else acc :+ x
+          } -> wc
+        }
+        hist.clear()
+        fused.foreach { case (syms, wc) => hist(syms) += wc }
+      }
+    }
+    val got = operators.TextAnalysis.taBpeTrain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    got shouldBe expected.result()
   }
 
   it should "flag a constructed A/B effect and guard degenerate pools" in {
