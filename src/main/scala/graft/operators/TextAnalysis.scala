@@ -815,16 +815,65 @@ object TextAnalysis {
     * on the collected histogram. */
   def taBpeTrain: Q = (s, d) => {
     import s.implicits._
+    trainedBpeMerges(s, d)
+      .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Greedy leftmost-non-overlapping fuse of the adjacent pair (l, r) —
+    * shared by training, [[taBpeApply]], and the streaming tokenizer
+    * ([[graft.streaming.Transforms.bpeTokens]]): a streamed merge is a
+    * trained merge by construction. Codegen'd array fold, no UDF. */
+  private[graft] def bpeFuse(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** All trained merges applied in rank order to a word's symbols. */
+  private[graft] def bpeEncode(word: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(split(word, ""): Column) {
+      case (syms, (l, r)) => bpeFuse(syms, l, r) }
+
+  // Merge tables memoized per (session, data fingerprint) — training is
+  // fully deterministic, so taBpeTrain / taBpeApply / the streaming
+  // tokenizer share one run instead of each paying BpeMerges corpus
+  // actions (the Clustering.trainedCents idiom: weak session keys, full
+  // listing-string fingerprint so an overwritten dir cannot silently
+  // reuse stale merges).
+  private val mergeCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Seq[(Long, String, String, String, Long)]]]())
+
+  private def docsFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) ""
+    else fs.listStatus(p).map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+  }
+
+  private[graft] def trainedBpeMerges(
+      s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] = {
+    val perSession = mergeCache.synchronized {
+      var m = mergeCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; mergeCache.put(s, m) }
+      m
+    }
+    val key = s"$d|${docsFingerprint(s, d)}"
+    perSession.synchronized {
+      perSession.getOrElseUpdate(key, trainBpe(s, d))
+    }
+  }
+
+  private def trainBpe(s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] = {
     val hist = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .select(split(col("w"), "").as("syms"), col("wc"))
       .localCheckpoint()
-    def fuse(syms: Column, l: String, r: String): Column =
-      aggregate(syms, array().cast("array<string>"), (acc, x) =>
-        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(x))))
     var cur = hist
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var k = 0
@@ -843,18 +892,45 @@ object TextAnalysis {
         case Some(row) =>
           val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += ((k.toLong, l, r, l + r, c))
-          cur = cur.select(fuse(col("syms"), l, r).as("syms"), col("wc"))
+          cur = cur.select(bpeFuse(col("syms"), l, r).as("syms"), col("wc"))
           k += 1
         case None => exhausted = true
       }
     }
     merges.result()
-      .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
-      .orderBy(col("merge_rank"))
+  }
+
+  /** BPE APPLY — tokenize the corpus under the merges [[taBpeTrain]]
+    * learned (the train-small/apply-big split: the K-row merge table is
+    * driver-held metadata, application is one record-local codegen'd
+    * pass — each word folds through the merges in rank order, the same
+    * [[bpeFuse]] kernel training used, so apply(train(C)) is consistent
+    * by construction). Per doc: word count, BPE piece count, merges
+    * applied (chars − pieces), and the pieces-per-word compression the
+    * budget planner reads. Rows-only like the trainer; the spec pins a
+    * driver-side re-encoding, and the invariant n_pieces + n_merges =
+    * n_chars (every fuse consumes exactly one symbol) ties the output
+    * to ta_tokens' exact char accounting. */
+  def taBpeApply: Q = (s, d) => {
+    val merges = trainedBpeMerges(s, d).map(m => (m._2, m._3))
+    val tk = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tk).cast("long").as("n_words"),
+        aggregate(transform(tk, w => size(bpeEncode(w, merges)).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_pieces"),
+        aggregate(transform(tk, w => length(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_word_chars"))
+      .withColumn("n_merges", col("n_word_chars") - col("n_pieces"))
+      .withColumn("pieces_per_word",
+        when(col("n_words") > 0, Exact.floorRound(
+          col("n_pieces").cast("double") / col("n_words"), 4)))
+      .orderBy(col("doc_id"))
   }
 
   def queries: Map[String, Q] = Map(
     "ta_bpe_train" -> taBpeTrain,
+    "ta_bpe_apply" -> taBpeApply,
     "ta_bigram_surprisal" -> taBigramSurprisal,
     "ta_novelty" -> taNovelty,
     "ta_readability" -> taReadability,

@@ -49,11 +49,16 @@ object ConnectedComponents {
     * the spec can pin the geometric contraction, not just the answer. */
   private[plans] def run(nodes: DataFrame, edges: DataFrame,
                          jump: Boolean): (DataFrame, Int) = {
+    // the big edge relation exchanges ONCE onto the per-round join key;
+    // every round's edges⋈labels join then shuffles only the label side
+    // (the dd_dup_groups discipline — without this the corpus-scale edge
+    // frame re-exchanges every round)
+    val e = edges.repartition(col("a")).cache()
     var lbl = nodes.select(col("node"), col("node").as("lbl")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
-      val msgs = edges.join(lbl.withColumnRenamed("node", "a"), "a")
+      val msgs = e.join(lbl.withColumnRenamed("node", "a"), "a")
         .select(col("b").as("node"), col("lbl"))
       val jumped = if (!jump) Seq.empty[DataFrame] else Seq(
         lbl.join(
@@ -68,6 +73,7 @@ object ConnectedComponents {
       lbl = merged
       rounds += 1
     }
+    e.unpersist(false) // the returned labels are a checkpointed RDD
     (lbl.withColumnRenamed("lbl", "component"), rounds)
   }
 

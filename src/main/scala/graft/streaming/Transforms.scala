@@ -350,6 +350,23 @@ object Transforms {
         col("n_feats") > 0 && col("logw_per_feat") >= minLogwPerFeat)
   }
 
+  /** Streaming BPE tokenization under a FROZEN merge table — the
+    * deployed half of the ta_bpe_train/ta_bpe_apply pair (the dsirScore
+    * split: train offline, apply record-locally online). Each arriving
+    * doc's words fold through the merges in rank order via the SAME
+    * [[graft.operators.TextAnalysis.bpeEncode]] kernel the batch
+    * trainer/applier use — a streamed piece is a batch piece by
+    * construction. Adds the flattened piece array and its count;
+    * stateless (pure projection), so it composes with any watermark or
+    * downstream gate. */
+  def bpeTokens(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val tk = graft.functions.TextFns.tokens(col("text"))
+    docs
+      .withColumn("pieces", flatten(transform(tk,
+        w => graft.operators.TextAnalysis.bpeEncode(w, merges))))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+  }
+
   case class TypeMoments(n: Long, mean: Double, m2: Double)
   case class AnomalyAlert(event_type: String, event_id: Long, value: Double,
     z: Double, n_seen: Long)

@@ -29,7 +29,7 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   it should "expose an oracle for every query except rows-only ops" in {
     val rowsOnly = Set("mm_decode_stub", "sl_rowbinary", "q_approx_distinct", "dd_bloom",
       "q_approx_quantiles", "dd_neardup", "q_profile_approx", "mm_cdc_chunk",
-      "ta_bpe_train")
+      "ta_bpe_train", "ta_bpe_apply")
     (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) shouldBe rowsOnly
     SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
   }
@@ -257,6 +257,32 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).toSeq
     got shouldBe expected.result()
+  }
+
+  it should "re-encode every document identically under the learned merges" in {
+    import org.apache.spark.sql.functions._
+    val merges = operators.TextAnalysis.trainedBpeMerges(spark, sf)
+      .map(m => (m._2, m._3))
+    def encode(w: String): Vector[String] =
+      merges.foldLeft(w.split("").toVector) { case (syms, (l, r)) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        }
+      }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = operators.TextAnalysis.taBpeApply(spark, sf).collect()
+    got.length shouldBe docs.size
+    got.foreach { r =>
+      val words = docs(r.getAs[Long]("doc_id")).split("\\s+").filter(_.nonEmpty)
+      withClue(s"doc ${r.getAs[Long]("doc_id")}: ") {
+        r.getAs[Long]("n_pieces") shouldBe words.map(encode(_).size.toLong).sum
+        // every fuse consumes exactly one symbol
+        r.getAs[Long]("n_pieces") + r.getAs[Long]("n_merges") shouldBe
+          r.getAs[Long]("n_word_chars")
+      }
+    }
   }
 
   it should "flag a constructed A/B effect and guard degenerate pools" in {

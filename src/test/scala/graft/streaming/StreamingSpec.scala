@@ -721,6 +721,28 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       Seq("doc_id", "ts", "text")
   }
 
+  it should "tokenize a stream identically to the batch BPE applier" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val merges = graft.operators.TextAnalysis.trainedBpeMerges(spark, sf)
+      .map(m => (m._2, m._3))
+    merges should not be empty // precondition: the corpus trains merges
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), ts(r.getLong(0).toInt), r.getString(1)))
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    ms.addData(docs.toSeq)
+    val q = Transforms.bpeTokens(ms.toDF().toDF("doc_id", "ts", "text"), merges)
+      .select("doc_id", "n_pieces")
+      .writeStream.format("memory").queryName("bpetok").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("bpetok").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.TextAnalysis.taBpeApply(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_pieces")).toMap
+    streamed shouldBe batch // a streamed piece is a batch piece
+  }
+
   it should "sessionize with session_window" in {
     val (_, df) = eventsStream(Seq(
       Ev(0, ts(0), 1, "click", 1.0, "{}"),
