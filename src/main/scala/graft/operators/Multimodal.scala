@@ -326,12 +326,28 @@ object Multimodal {
     val stride = greatest(lit(1), expr("length(text) div 64"))
     val samples = transform(sequence(lit(0), lit(63)),
       k => ascii(col("text").substr(least(lit(1) + k * stride, len), lit(1))))
-    val total = aggregate(samples, lit(0), (a, x) => a + x)
-    def block(j: Int) = (0 until 4).map(i => element_at(samples, 4 * j + i + 1)).reduce(_ + _)
-    val phash = (0 until 16)
-      .map(j => when(block(j) * 16 > total, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    when(len > 0, phash).cast("long")
+    // ONE aggregate pass binds `samples` exactly once. The obvious form
+    // (16 block sums via element_at + a separate total) references the
+    // 64-substr transform 65 times and is only cheap when subexpression
+    // elimination dedups it — which the toRdd/localCheckpoint projection
+    // path does NOT apply (measured: 115 s vs 2 s for 5000 docs inside
+    // mm_phash_pairs' pin). A HOF kernel must not depend on CSE.
+    val zero = struct(lit(0).as("i"),
+      array_repeat(lit(0L), 16).as("b"), lit(0L).as("t"))
+    val folded = aggregate(samples, zero,
+      (acc, x) => struct(
+        (acc.getField("i") + 1).as("i"),
+        transform(acc.getField("b"), (v, bi) =>
+          when(bi === shiftright(acc.getField("i"), 2), v + x).otherwise(v)).as("b"),
+        (acc.getField("t") + x).as("t")),
+      acc => {
+        val b = acc.getField("b")
+        val t = acc.getField("t")
+        (0 until 16)
+          .map(j => when(element_at(b, j + 1) * 16 > t, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+      })
+    when(len > 0, folded).cast("long")
   }
 
   /** SQL twins of [[phashOfText]]'s internals, shared by both oracles. */
@@ -361,35 +377,58 @@ object Multimodal {
 
   /** Hamming-close perceptual pairs — [[mmPhash]]'s pair stage, the
     * generate-then-verify shape of dd_lsh_pairs transplanted to media
-    * payloads: the 16-bit hash splits into 4 nibble bands, candidates
-    * share any (band index, band value), and the verify keeps Hamming
-    * distance ≤ 2. Recall is COMPLETE for the reported radius by
-    * pigeonhole: 2 differing bits touch at most 2 of the 4 bands, so a
-    * qualifying pair always agrees on some band (holds through d ≤ 3 —
-    * the banding is conservative for the d ≤ 2 cut).
+    * payloads. The oracle states the quadratic definition (every doc
+    * pair with Hamming ≤ 2 — the q_skyline oracle discipline); the
+    * engine computes the same set in a SATURATION-PROOF two-level plan:
     *
-    * Scale: the band join is keyed (never all-pairs); its hazard is the
-    * LSH one — a boilerplate-heavy corpus concentrates one band value —
-    * and the mitigation is the dd_lsh_pairs contract (more/wider bands
-    * as the corpus grows, frequency-cap runaway buckets). Hamming is
-    * codegen'd integer xor + bit_count on the pair, no payload bytes
-    * cross the shuffle — bands carry (doc_id, hash) only. */
+    *  1. one pass projects the corpus to the narrow (doc_id, phash)
+    *     frame, checkpoint-pinned — 16 bytes/doc (shuffle-of-ids size
+    *     class), AND the barrier that evaluates the non-codegen HOF
+    *     hash tree exactly ONCE per doc (left lazy, projection collapse
+    *     textually duplicates the tree across the downstream self-join:
+    *     measured 210 s → ~1 s at sf0.1);
+    *  2. the pair search runs at the HASH level: distinct hash values
+    *     band into 4 nibbles and self-join — work bounded by the 2¹⁶
+    *     hash domain REGARDLESS of corpus size (a corpus big enough to
+    *     saturate the domain pays a fixed ~10⁸ codegen'd xor checks,
+    *     never corpus²; banding prunes that further below saturation,
+    *     complete through d ≤ 3 by pigeonhole — 2 flipped bits touch at
+    *     most 2 of 4 bands);
+    *  3. matched hash pairs (both orientations, the equal-hash pair
+    *     once) join back to the doc frame by hash — output-bounded
+    *     work: each emitted row is a real result row.
+    *
+    * A saturated hash value is a HOT join key (every doc sharing a
+    * 16-bit fingerprint lands in one group) — the join is
+    * AQE-skew-splittable, unlike a window, and the output for such
+    * groups is inherently quadratic because every such pair IS a
+    * near-dup result the caller asked for; cap via dd_lsh_pairs'
+    * frequency-cap contract when the corpus makes that unwanted. */
   def mmPhashPairs: Q = (s, d) => {
     val p = Tables.documents(s, d)
       .select(col("doc_id"), phashOfText.as("phash"))
       .filter(col("phash").isNotNull)
-    val bands = p.select(col("doc_id"), col("phash"),
+      .localCheckpoint(false)
+    val h = p.groupBy(col("phash")).agg(count(lit(1)).as("n"))
+    def bands(src: DataFrame, hc: String, out: String) =
+      src.select(col(hc).as(out),
         explode(array((0 until 4).map(k => struct(lit(k).as("bi"),
-          shiftright(col("phash"), 4 * k).bitwiseAND(lit(15L)).as("bv"))): _*)).as("b"))
-      .select(col("doc_id"), col("phash"), col("b.bi").as("bi"), col("b.bv").as("bv"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("phash").as("pa"), col("bi"), col("bv"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("phash").as("pb"), col("bi"), col("bv"))
-    a.join(b, Seq("bi", "bv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+          shiftright(col(hc), 4 * k).bitwiseAND(lit(15L)).as("bv"))): _*)).as("b"))
+        .select(col(out), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val hp = bands(h, "phash", "pa")
+      .join(bands(h, "phash", "pb"), Seq("bi", "bv"))
+      .filter(col("pa") <= col("pb") &&
+        bit_count(col("pa").bitwiseXOR(col("pb"))) <= 2)
+      .select(col("pa"), col("pb"),
         bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 2)
+    val hpBoth = hp.unionByName(hp.filter(col("pa") =!= col("pb"))
+      .select(col("pb").as("pa"), col("pa").as("pb"), col("hamming")))
+    p.select(col("doc_id").as("doc_a"), col("phash").as("pa"))
+      .join(hpBoth, Seq("pa"))
+      .join(p.select(col("doc_id").as("doc_b"), col("phash").as("pb")), Seq("pb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -397,15 +436,12 @@ object Multimodal {
     s"""WITH m AS (SELECT doc_id, text, $PhashSamplesSql AS s FROM documents),
        |t AS (SELECT doc_id, s, list_reduce(s, (a, b) -> a + b) AS tot
        |  FROM m WHERE length(text) > 0),
-       |p AS (SELECT doc_id, CAST($PhashBlocksSql AS BIGINT) AS phash FROM t),
-       |bands AS (SELECT doc_id, phash, k AS bi, (phash >> (4 * k)) & 15 AS bv
-       |  FROM p CROSS JOIN generate_series(0, 3) AS g(k)),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-       |  FROM bands a JOIN bands b
-       |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, hamming FROM cand
-       |WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin
+       |p AS (SELECT doc_id, CAST($PhashBlocksSql AS BIGINT) AS phash FROM t)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM p a JOIN p b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "mm_phash" -> mmPhash,
