@@ -99,6 +99,15 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // cl_dbscan: pair/degree/core frames and the hash-min rounds all land
     // in checkpoints; the only live scan is the noise anti-join's
     "cl_dbscan" -> 1,
+    // round-8 ops: kcenter's K argmax passes run at TRAIN time (driver
+    // loop) — the final assignment plan scans once; abtest/incr_agg's two
+    // scans are their documented structural passes (arm denominators +
+    // reach; snapshot + delta); skyline reads the part dim twice (grouped
+    // minima + join-back); the phash pair search and BPE training run
+    // entirely inside checkpoint pins / driver-held tables
+    "cl_kcenter" -> 1, "ev_abtest" -> 2, "sl_incr_agg" -> 2,
+    "q_skyline" -> 2, "mm_phash" -> 1, "mm_phash_pairs" -> 0,
+    "pipe_len_buckets" -> 1, "ta_bpe_train" -> 0, "ta_bpe_apply" -> 1,
     // ann_ivfpq's residual coding adds one corpus pass (assignment must
     // precede coding); the other 6 scans are vec_id-pruned seed/query
     // fetches (predicate pushdown) + the documented re-rank re-read
