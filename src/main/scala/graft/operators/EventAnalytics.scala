@@ -562,6 +562,99 @@ object EventAnalytics {
       |  floor((n / sum(n) OVER (PARTITION BY from_type)) * 1000000 + 0.5) / 1000000 AS p
       |FROM counts ORDER BY from_type, to_type""".stripMargin
 
+  /** Fixed-point iterations for [[evMarkovStationary]]. */
+  val MarkovIters = 8
+
+  /** Stationary distribution of the [[evMarkov]] transition chain — the
+    * long-run state-occupancy vector ("where do user journeys spend
+    * their time"), the decision number behind capacity and funnel
+    * prioritization that raw transition probabilities do not give. Same
+    * teleport treatment as cl_pagerank (15% restart) so the chain is
+    * ergodic even with absorbing/dangling states, and the same exact
+    * FIXED-POINT integer arithmetic (1e-12 units; per-cell contribution
+    * `n·(π div rowsum)` — bounded by π at any corpus scale, no overflow;
+    * `div` truncation only LOSES mass, identically in both engines).
+    *
+    * Scale: ONE corpus pass builds the |types|² transition counts — the
+    * state space is config-sized by definition (the anomalyAlerts
+    * contract) — and the [[MarkovIters]] fixed iterations then run on
+    * the ≤|types|²-row frame: metadata-shaped joins, no further corpus
+    * work. States = types observed in transitions (from ∪ to). */
+  def evMarkovStationary: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(s, d)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |types|² rows: every iteration reads it
+    val states = counts.select(col("from_type").as("state"))
+      .union(counts.select(col("to_type")))
+      .distinct().localCheckpoint()
+    val nStates = states.count()
+    if (nStates == 0) {
+      // empty corpus / no transitions: empty frame, stable schema
+      states.select(col("state"), lit(0L).as("n_out"),
+        lit(0L).as("pi_fp"), lit(0.0).as("pi_share"))
+    } else {
+      val base = Clustering.PrScale / nStates
+      val tele = 15L * base / 100L
+      val rowsums = counts.groupBy(col("from_type")).agg(sum(col("n")).as("total"))
+      var pi = states.select(col("state"), lit(base).as("pi"))
+      for (_ <- 1 to MarkovIters) {
+        val inflow = counts
+          .join(pi.withColumnRenamed("state", "from_type"), "from_type")
+          .join(rowsums, "from_type")
+          .groupBy(col("to_type"))
+          .agg(sum(col("n") * expr("pi div total")).as("infl"))
+        pi = states
+          .join(inflow.withColumnRenamed("to_type", "state"), Seq("state"), "left")
+          .select(col("state"),
+            (lit(tele) + expr("(85 * coalesce(infl, 0)) div 100")).as("pi"))
+      }
+      pi.join(rowsums.withColumnRenamed("from_type", "state"), Seq("state"), "left")
+        .select(col("state"), coalesce(col("total"), lit(0L)).as("n_out"),
+          col("pi").as("pi_fp"),
+          Exact.floorRound(col("pi").cast("double") / Clustering.PrScale, 6).as("pi_share"))
+        .orderBy(col("state"))
+    }
+  }
+
+  val evMarkovStationarySql: String = {
+    val scale = Clustering.PrScale
+    val iters = (1 to MarkovIters).map { k =>
+      s"""i$k AS (
+         |  SELECT c.to_type AS s, sum(c.n * (p.pi // rs.total)) AS infl
+         |  FROM counts c JOIN p${k - 1} p ON p.s = c.from_type
+         |  JOIN rowsums rs ON rs.from_type = c.from_type
+         |  GROUP BY 1),
+         |p$k AS (
+         |  SELECT st.s, (SELECT tele FROM consts) + (85 * coalesce(i.infl, 0)) // 100 AS pi
+         |  FROM states st LEFT JOIN i$k i ON i.s = st.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+       |           ORDER BY ts::TIMESTAMP, event_id) AS from_type,
+       |    event_type AS to_type
+       |  FROM events),
+       |counts AS (
+       |  SELECT from_type, to_type, count(*) AS n
+       |  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
+       |states AS (
+       |  SELECT from_type AS s FROM counts UNION SELECT to_type FROM counts),
+       |rowsums AS (SELECT from_type, sum(n) AS total FROM counts GROUP BY 1),
+       |consts AS (SELECT $scale // count(*) AS base,
+       |    (15 * ($scale // count(*))) // 100 AS tele FROM states),
+       |p0 AS (SELECT s, (SELECT base FROM consts) AS pi FROM states),
+       |$iters
+       |SELECT st.s AS state, CAST(coalesce(rs.total, 0) AS BIGINT) AS n_out,
+       |  CAST(p.pi AS BIGINT) AS pi_fp,
+       |  floor(p.pi::DOUBLE / $scale * 1e6 + 0.5) / 1e6 AS pi_share
+       |FROM states st JOIN p$MarkovIters p ON p.s = st.s
+       |LEFT JOIN rowsums rs ON rs.from_type = st.s
+       |ORDER BY state""".stripMargin
+  }
+
   /** Daily/weekly active users with the DAU/WAU stickiness ratio — the
     * standard engagement health metric. One distinct pass compresses the
     * corpus to (day, user) pairs; DAU is a count over that table; WAU
@@ -902,6 +995,7 @@ object EventAnalytics {
     "ev_cohort_matrix" -> evCohortMatrix,
     "ev_dau_wau" -> evDauWau,
     "ev_markov" -> evMarkov,
+    "ev_markov_stationary" -> evMarkovStationary,
     "ev_decay" -> evDecay,
     "ev_heavy_hitters" -> evHeavyHitters,
     "ev_anomaly" -> evAnomaly,
@@ -925,6 +1019,7 @@ object EventAnalytics {
     "ev_cohort_matrix" -> evCohortMatrixSql,
     "ev_dau_wau" -> evDauWauSql,
     "ev_markov" -> evMarkovSql,
+    "ev_markov_stationary" -> evMarkovStationarySql,
     "ev_decay" -> evDecaySql,
     "ev_heavy_hitters" -> evHeavyHittersSql,
     "ev_anomaly" -> evAnomalySql,

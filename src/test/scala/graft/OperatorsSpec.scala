@@ -221,6 +221,25 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     got shouldBe expected
   }
 
+  it should "keep stationary mass bounded with teleport-floor states" in {
+    val rows = operators.EventAnalytics.evMarkovStationary(spark, sf).collect()
+    rows.length should be > 0
+    val n = rows.length
+    val base = operators.Clustering.PrScale / n
+    val tele = 15L * base / 100L
+    // every state keeps at least the teleport mass; floor division only
+    // LOSES mass, so the total never exceeds the fixed-point scale
+    rows.foreach(_.getAs[Long]("pi_fp") should be >= tele)
+    val total = rows.map(_.getAs[Long]("pi_fp")).sum
+    total should be <= operators.Clustering.PrScale
+    total should be >= (operators.Clustering.PrScale * 95L) / 100L
+    // a state nobody transitions INTO sits exactly at the teleport floor
+    val intoStates = operators.EventAnalytics.evMarkov(spark, sf).collect()
+      .map(_.getAs[String]("to_type")).toSet
+    rows.filterNot(r => intoStates(r.getAs[String]("state")))
+      .foreach(_.getAs[Long]("pi_fp") shouldBe tele)
+  }
+
   it should "learn the same BPE merge table as a driver-side trainer" in {
     import org.apache.spark.sql.functions._
     // independent reference trainer on the collected word histogram
