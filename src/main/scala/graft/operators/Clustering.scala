@@ -680,7 +680,8 @@ object Clustering {
     * dense regions and, unlike k-means, names NOISE explicitly): core
     * points have ≥ [[DbscanMinPts]] neighbors at cos > 0.25, clusters
     * are connected components of the core-core graph, border points
-    * attach to their lowest-id core neighbor's cluster, everything else
+    * attach to the lowest CLUSTER id among their core neighbors'
+    * clusters, everything else
     * is noise. Output: per-cluster census (cluster_id = lowest core
     * vec_id — deterministic canonical label), core/border/total counts,
     * plus one cluster_id = −1 row for the noise mass. All integers —

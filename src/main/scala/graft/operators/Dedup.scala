@@ -498,50 +498,17 @@ object Dedup {
   }
 
   /** Distributed min-label propagation with pointer jumping (the
-    * 100 TB path — see [[ddDupGroups]]). */
+    * 100 TB path — see [[ddDupGroups]]). Delegates to the shared
+    * [[graft.plans.ConnectedComponents.labelsJumped]] engine (one
+    * fixpoint implementation in the repo, not two drifting copies: the
+    * pre-partitioned edge relation, per-round checkpoint release, and
+    * the jumped-rounds convergence guard all live there). */
   private def distributedMinLabel(pairs: DataFrame): DataFrame = {
-    // symmetric edge list, PRE-PARTITIONED on the per-round join key
-    // (doc_b): the cached blocks already carry hashpartitioning(doc_b),
-    // so every round's edges⋈labels join shuffles only the small labels
-    // side — the big edge relation never re-exchanges across rounds
-    val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .repartition(col("doc_b")).cache()
-    val nodes = edges.select(col("doc_a").as("id")).distinct()
-    var checkpointed = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
-    var labels: DataFrame = checkpointed
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0) {
-      if (rounds >= 64) // 2^64 ≫ any diameter: this is a real bug, say so
-        throw new IllegalStateException(
-          s"dd_dup_groups: min-label propagation not converged after $rounds rounds")
-      // (1) relax: min label over neighbors
-      val viaNeighbors = edges
-        .join(labels, edges("doc_b") === labels("id"))
-        .groupBy(col("doc_a").as("id2")).agg(min(col("lbl")).as("nlbl"))
-      val relaxed = labels.withColumnRenamed("lbl", "old")
-        .join(viaNeighbors, col("id") === col("id2"), "left")
-        .select(col("id"), col("old"),
-          least(col("old"), coalesce(col("nlbl"), col("old"))).as("mid"))
-      // (2) shortcut: follow the label one hop (labels are node ids, so
-      // l(l(v)) is defined) — halves remaining path length every round
-      val lookup = labels.select(col("lbl").as("plbl"), col("id").as("pid"))
-      val step = relaxed
-        .join(lookup, col("mid") === col("pid"), "left")
-        .select(col("id"), col("old"),
-          least(col("mid"), coalesce(col("plbl"), col("mid"))).as("lbl"))
-        .localCheckpoint(true)
-      changed = step.filter(col("lbl") =!= col("old")).count()
-      // the new checkpoint is materialized; release the previous round's
-      // blocks now instead of waiting for GC + ContextCleaner
-      org.apache.spark.sql.GraftShim.unpersistLocalCheckpoint(checkpointed)
-      checkpointed = step
-      labels = step.select(col("id"), col("lbl"))
-      rounds += 1
-    }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+    val cc = graft.plans.ConnectedComponents
+    val edges = cc.symmetrize(pairs, "doc_a", "doc_b")
+    val nodes = edges.select(col("a").as("node")).distinct()
+    cc.labelsJumped(nodes, edges)
+      .select(col("node").as("doc_id"), col("component").as("cluster_rep"))
   }
 
   val ddDupGroupsSql: String = {

@@ -599,12 +599,17 @@ object EventValue {
     val pp = (col("na") + col("nb")).cast("double") / (col("ua") + col("ub"))
     val z = (pa - pb) /
       sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / col("ua") + lit(1.0) / col("ub")))
+    // every share guards its own arm size: an all-one-arm corpus makes
+    // na/ua a 0-division whose result the engines disagree on (Spark
+    // NULL vs DuckDB NaN) — the guard makes the degenerate value an
+    // agreed NULL on both sides
     reached.crossJoin(broadcast(armSizes))
       .select(col("event_type"), col("na").as("n_users_a"), col("nb").as("n_users_b"),
         col("ua").as("arm_a_users"), col("ub").as("arm_b_users"),
-        Exact.floorRound(pa, 6).as("share_a"),
-        Exact.floorRound(pb, 6).as("share_b"),
-        Exact.floorRound(pa - pb, 6).as("share_diff"),
+        when(col("ua") > 0, Exact.floorRound(pa, 6)).as("share_a"),
+        when(col("ub") > 0, Exact.floorRound(pb, 6)).as("share_b"),
+        when(col("ua") > 0 && col("ub") > 0,
+          Exact.floorRound(pa - pb, 6)).as("share_diff"),
         when(col("ua") > 0 && col("ub") > 0 && pp > 0 && pp < 1,
           Exact.floorRound(z, 4)).as("z_score"))
       .withColumn("significant",
@@ -630,9 +635,9 @@ object EventValue {
        |  FROM r CROSS JOIN arms)
        |SELECT event_type, na AS n_users_a, nb AS n_users_b,
        |  ua AS arm_a_users, ub AS arm_b_users,
-       |  ${Exact.floorRoundSql("pa", 6)} AS share_a,
-       |  ${Exact.floorRoundSql("pb", 6)} AS share_b,
-       |  ${Exact.floorRoundSql("pa - pb", 6)} AS share_diff,
+       |  CASE WHEN ua > 0 THEN ${Exact.floorRoundSql("pa", 6)} END AS share_a,
+       |  CASE WHEN ub > 0 THEN ${Exact.floorRoundSql("pb", 6)} END AS share_b,
+       |  CASE WHEN ua > 0 AND ub > 0 THEN ${Exact.floorRoundSql("pa - pb", 6)} END AS share_diff,
        |  CASE WHEN ua > 0 AND ub > 0 AND pp > 0 AND pp < 1 THEN
        |    ${Exact.floorRoundSql(
               "(pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / ua + 1.0 / ub))", 4)}

@@ -359,6 +359,24 @@ object Multimodal {
     s"CASE WHEN ($b) * 16 > tot THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
 
+  /** md5 of the 64-sample downscale — the STREAMING gate key
+    * ([[graft.streaming.Transforms.perceptualDedup]]): identical sampled
+    * signal ⇒ identical signature, so re-encodes that only touch
+    * unsampled bytes still collide (the perceptual property), while the
+    * false-collision rate is md5-class. Keying the gate on the 16-BIT
+    * phash instead would false-DROP genuinely distinct payloads by the
+    * birthday bound once ~300 arrive inside one watermark — equal
+    * compact hashes are CANDIDATES for a verify stage (mm_phash_pairs),
+    * never an identity a drop may act on. NULL for empty payloads. */
+  private[graft] def sampledSignature: org.apache.spark.sql.Column = {
+    val len = length(col("text"))
+    val stride = greatest(lit(1), expr("length(text) div 64"))
+    val samples = transform(sequence(lit(0), lit(63)),
+      k => ascii(col("text").substr(least(lit(1) + k * stride, len), lit(1))))
+    when(len > 0,
+      md5(concat_ws(",", transform(samples, v => v.cast("string"))).cast("binary")))
+  }
+
   def mmPhash: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), formatOf(col("doc_id")).as("format"),
@@ -409,7 +427,7 @@ object Multimodal {
       .select(col("doc_id"), phashOfText.as("phash"))
       .filter(col("phash").isNotNull)
       .localCheckpoint(false)
-    val h = p.groupBy(col("phash")).agg(count(lit(1)).as("n"))
+    val h = p.select(col("phash")).distinct()
     def bands(src: DataFrame, hc: String, out: String) =
       src.select(col(hc).as(out),
         explode(array((0 until 4).map(k => struct(lit(k).as("bi"),

@@ -451,7 +451,7 @@ object StreamSemantics {
     """SELECT event_type, count(*) AS n_events,
       |  round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value,
       |  floor(sum(value::DECIMAL(12,2))::DOUBLE / count(*) * 1e4 + 0.5) / 1e4 AS avg_value,
-      |  min(ts) AS first_ts, max(ts) AS last_ts
+      |  min(ts::TIMESTAMP) AS first_ts, max(ts::TIMESTAMP) AS last_ts
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   def queries: Map[String, Q] = Map(

@@ -54,27 +54,38 @@ object ConnectedComponents {
     // (the dd_dup_groups discipline — without this the corpus-scale edge
     // frame re-exchanges every round)
     val e = edges.repartition(col("a")).cache()
-    var lbl = nodes.select(col("node"), col("node").as("lbl")).localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0) {
-      val msgs = e.join(lbl.withColumnRenamed("node", "a"), "a")
-        .select(col("b").as("node"), col("lbl"))
-      val jumped = if (!jump) Seq.empty[DataFrame] else Seq(
-        lbl.join(
-          lbl.select(col("node").as("__j"), col("lbl").as("__jl")),
-          col("lbl") === col("__j"))
-          .select(col("node"), col("__jl").as("lbl")))
-      val merged = (Seq(lbl, msgs) ++ jumped).reduce(_ unionByName _)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-      changed = merged.join(lbl.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") < col("prev")).count()
-      lbl = merged
-      rounds += 1
-    }
-    e.unpersist(false) // the returned labels are a checkpointed RDD
-    (lbl.withColumnRenamed("lbl", "component"), rounds)
+    try {
+      var lbl = nodes.select(col("node"), col("node").as("lbl")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0) {
+        // pointer jumping contracts chains geometrically: 64 jumped
+        // rounds would mean a diameter beyond 2^64 — a real bug, say so
+        // (plain hash-min legitimately takes diameter rounds; no cap)
+        if (jump && rounds >= 64) throw new IllegalStateException(
+          s"ConnectedComponents: pointer-jumped propagation not converged after $rounds rounds")
+        val msgs = e.join(lbl.withColumnRenamed("node", "a"), "a")
+          .select(col("b").as("node"), col("lbl"))
+        val jumped = if (!jump) Seq.empty[DataFrame] else Seq(
+          lbl.join(
+            lbl.select(col("node").as("__j"), col("lbl").as("__jl")),
+            col("lbl") === col("__j"))
+            .select(col("node"), col("__jl").as("lbl")))
+        val merged = (Seq(lbl, msgs) ++ jumped).reduce(_ unionByName _)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        changed = merged.join(lbl.withColumnRenamed("lbl", "prev"), "node")
+          .filter(col("lbl") < col("prev")).count()
+        // release the superseded round's |nodes|-row checkpoint blocks
+        // now, not when GC + ContextCleaner get to them — a long-diameter
+        // run would otherwise stack rounds × |nodes| blocks in executor
+        // storage (the Dedup.distributedMinLabel discipline)
+        org.apache.spark.sql.GraftShim.unpersistLocalCheckpoint(lbl)
+        lbl = merged
+        rounds += 1
+      }
+      (lbl.withColumnRenamed("lbl", "component"), rounds)
+    } finally e.unpersist(false) // the returned labels are a checkpointed RDD
   }
 
   /** Both directions of an undirected pair list (columns `u`, `v`). */

@@ -8,7 +8,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
 class GraftLintException(msg: String) extends RuntimeException(msg)
 
 /** Session-boundary enforcement of the engine's plan discipline: an
-  * optimizer rule (injected by [[GraftExtensions]]) that screens EVERY
+  * optimizer rule (injected by [[GraftExtensions]] into the PRE-CBO
+  * batch — runs ONCE per query on the post-operator-optimization plan,
+  * never inside the fixpoint batches where it would re-lint every
+  * iteration of partially-optimized shapes) that screens EVERY
   * query submitted through the session — not just the operators this
   * repo registers and CI-lints — for the [[PlanLint]] shapes that stall
   * a 1000-executor cluster (partition-less corpus windows, unhinted
@@ -30,8 +33,10 @@ class GraftLintException(msg: String) extends RuntimeException(msg)
   * everywhere. */
 object GraftLintRule extends Rule[LogicalPlan] {
   private val Mode = "spark.graft.lint"
-  // semanticHashes already warned this session (bounded: ad-hoc sessions
-  // submit thousands of plans, not millions; a miss repeats a log line)
+  // semanticHashes already warned (dedup is best-effort: a miss repeats a
+  // log line, never changes semantics) — hard-capped so a long-lived
+  // JVM's warn-mode session cannot grow it without bound
+  private val WarnedCap = 8192
   private val warned = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]())
 
@@ -44,7 +49,10 @@ object GraftLintRule extends Rule[LogicalPlan] {
           val msg = s"graft lint: ${errors.size} scale hazard(s):\n  " +
             errors.mkString("\n  ")
           if (mode == "enforce") throw new GraftLintException(msg)
-          else if (warned.add(plan.semanticHash())) logWarning(msg)
+          else {
+            if (warned.size() > WarnedCap) warned.clear()
+            if (warned.add(plan.semanticHash())) logWarning(msg)
+          }
         }
     }
     plan // identity: this rule observes, it never rewrites

@@ -159,6 +159,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((id, info, builder))
     }
     ext.injectPlannerStrategy(_ => GraftStrategy)
-    ext.injectOptimizerRule(_ => GraftLintRule)
+    // preCBO, not injectOptimizerRule: the operator-optimization batch is
+    // a FIXPOINT — a rule there re-lints every iteration and judges
+    // partially-optimized plans; the preCBO batch runs ONCE, after
+    // operator optimization, on the plan shape PlanLint's contract names
+    ext.injectPreCBORule(_ => GraftLintRule)
   }
 }

@@ -55,29 +55,32 @@ object Transforms {
       .dropDuplicatesWithinWatermark(Seq("_content_hash"))
       .drop("_content_hash")
 
-  /** PERCEPTUAL dedup on ingest — the batch `mm_phash` near-dup
-    * fingerprint as a streaming gate: payloads whose block-energy hash
-    * ([[graft.operators.Multimodal.phashOfText]], the same single kernel
-    * the batch operator and pair stage use — a streamed hash IS a batch
-    * hash) collides with an already-seen one inside the watermark horizon
-    * are dropped; the first arrival passes. This is the media twin of
-    * [[contentDedup]]: where the md5 gate only stops byte-identical
-    * re-crawls, the perceptual gate also stops re-encodes of the same
-    * content that shift bytes but not signal. Empty payloads carry no
-    * signal to fingerprint (batch hashes them NULL), so they fall back to
-    * the exact md5 class — all byte-identical, the first passes and the
-    * rest drop, stated explicitly rather than left to NULL-key equality.
-    * State is one small hash key per distinct fingerprint,
-    * watermark-evicted; requires `ts` event time and a `text` payload
-    * column, everything else rides along. */
+  /** PERCEPTUAL dedup on ingest — the media twin of [[contentDedup]]:
+    * payloads whose DOWNSCALED SIGNAL (the 64-sample signature behind
+    * the batch `mm_phash` family —
+    * [[graft.operators.Multimodal.sampledSignature]], one shared kernel)
+    * was already seen inside the watermark horizon are dropped; the
+    * first arrival passes. Where the md5 gate only stops byte-identical
+    * re-crawls, this also stops re-encodes that shift unsampled bytes
+    * but not signal. The key is the md5 of the full sample vector, NOT
+    * the 16-bit phash: a drop gate must not act on compact-hash equality
+    * (birthday-bound false drops of genuinely distinct payloads within a
+    * busy watermark — equal phashes are verify-stage CANDIDATES, the
+    * mm_phash_pairs contract), so the gate's false-drop rate is
+    * md5-class while the perceptual tolerance is the sampling grid's.
+    * Empty payloads carry no signal and fall back to the exact md5
+    * class — the first passes, later ones drop, stated explicitly rather
+    * than left to NULL-key equality. State is one md5 per distinct
+    * signature, watermark-evicted; requires `ts` event time and a `text`
+    * payload column, everything else rides along. */
   def perceptualDedup(docs: DataFrame, watermark: String = "30 minutes"): DataFrame =
     docs
-      .withColumn("_phash", coalesce(
-        graft.operators.Multimodal.phashOfText.cast("string"),
+      .withColumn("_psig", coalesce(
+        graft.operators.Multimodal.sampledSignature,
         md5(col("text").cast("binary"))))
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(Seq("_phash"))
-      .drop("_phash")
+      .dropDuplicatesWithinWatermark(Seq("_psig"))
+      .drop("_psig")
 
   /** Gap-based sessionization with the native session_window — state is
     * merged-window per (user, session), pruned by the watermark. */
