@@ -649,7 +649,75 @@ object EventValue {
        |FROM c ORDER BY event_type""".stripMargin
   }
 
+  /** Lorenz concentration deciles per event type — [[evGini]]'s curve
+    * form: users ranked ascending by their exact-decimal value mass,
+    * cut into 10 rank-deciles, cumulative value share at each decile
+    * boundary (the "bottom 80% of users hold X% of value" table; Gini
+    * is 1 − 2·area under this curve). Exactness: decimal sums
+    * throughout, one double division per output row, floor-rounded.
+    *
+    * Scale: the per-user aggregate is (type, user)-keyed; ranking
+    * within type rides ONE fused [[graft.plans.DistributedRank]] pass
+    * over the composite (type, value, user) order — per-type ranks are
+    * global rank minus the preceding types' row counts (a |types|-row
+    * broadcast cumsum), NOT a `Window.partitionBy(type)` over all
+    * users (corpus/|types| rows in one task — the hazard class the r7
+    * rewrites retired). Decile assignment is record-local integer
+    * math; the cumulative windows at the end run over the REDUCED
+    * ≤10·|types|-row decile aggregate. */
+  def evLorenz: Q = (s, d) => {
+    val dr = graft.plans.DistributedRank
+    val perUser = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(Exact.dec2(col("value"))).as("v"))
+    val ranked = dr.withGlobalRankAndTotal(perUser,
+      Seq(col("event_type"), col("v").asc_nulls_last, col("user_id")), "__r", "__n")
+    // per-type offsets: rows of lexicographically earlier types
+    val typeW = Window.orderBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cnt = perUser.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+      .withColumn("off", coalesce(sum(col("n_t")).over(typeW), lit(0L)))
+    val deciled = ranked.join(broadcast(cnt), "event_type")
+      .withColumn("rk", col("__r") - col("off"))
+      .withColumn("decile", dr.idiv((col("rk") - 1) * 10, col("n_t")) + 1)
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("v")).as("dv"))
+    val decW = Window.partitionBy(col("event_type")).orderBy(col("decile"))
+    deciled
+      .withColumn("cumv", sum(col("dv")).over(
+        decW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("totv", sum(col("dv")).over(
+        decW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("event_type"), col("decile"), col("n_users"),
+        when(col("totv") > 0, Exact.floorRound(
+          col("cumv").cast("double") / col("totv").cast("double"), 6))
+          .as("cum_value_share"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
+  val evLorenzSql: String =
+    s"""WITH pu AS (
+       |  SELECT event_type, user_id, sum(value::DECIMAL(12,2)) AS v
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, v,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY v, user_id) AS rk,
+       |    count(*) OVER (PARTITION BY event_type) AS n_t
+       |  FROM pu),
+       |g AS (SELECT event_type, CAST(((rk - 1) * 10) // n_t + 1 AS BIGINT) AS decile,
+       |    count(*) AS n_users, sum(v) AS dv
+       |  FROM r GROUP BY 1, 2),
+       |c AS (SELECT *,
+       |    sum(dv) OVER (PARTITION BY event_type ORDER BY decile) AS cumv,
+       |    sum(dv) OVER (PARTITION BY event_type) AS totv
+       |  FROM g)
+       |SELECT event_type, decile, n_users,
+       |  CASE WHEN totv > 0 THEN
+       |    ${Exact.floorRoundSql("cumv::DOUBLE / totv::DOUBLE", 6)}
+       |  END AS cum_value_share
+       |FROM c ORDER BY event_type, decile""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ev_lorenz" -> evLorenz,
     "ev_abtest" -> evAbtest,
     "ev_bot_census" -> evBotCensus,
     "ev_ts_similarity" -> evTsSimilarity,
@@ -661,6 +729,7 @@ object EventValue {
     "ev_rfm" -> evRfm)
 
   def oracleSql: Map[String, String] = Map(
+    "ev_lorenz" -> evLorenzSql,
     "ev_abtest" -> evAbtestSql,
     "ev_bot_census" -> evBotCensusSql,
     "ev_ts_similarity" -> evTsSimilaritySql,

@@ -221,6 +221,34 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     got shouldBe expected
   }
 
+  it should "produce monotone below-diagonal Lorenz curves that close at 1" in {
+    import org.apache.spark.sql.functions._
+    val rows = operators.EventValue.evLorenz(spark, sf).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    rows.nonEmpty shouldBe true
+    val nUsers = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct().count()
+    rows.values.map(_.map(_.getAs[Long]("n_users")).sum).sum shouldBe nUsers
+    rows.foreach { case (t, rs) =>
+      withClue(s"type $t: ") {
+        val byDec = rs.sortBy(_.getAs[Long]("decile"))
+        val shares = byDec.map(_.getAs[Double]("cum_value_share"))
+        shares.last shouldBe 1.0 +- 1e-6 // the curve closes
+        shares.zip(shares.tail).foreach { case (a, b) => b should be >= a }
+        // majorization: the mean of the k smallest values ≤ the overall
+        // mean, so cum VALUE share ≤ cum POPULATION share — the exact
+        // below-diagonal Lorenz property. Population through decile d is
+        // floor((d·n−1)/10)+1 (the boundary rounds up by ≤ 1 user).
+        val nT = byDec.map(_.getAs[Long]("n_users")).sum
+        byDec.foreach { r =>
+          val d = r.getAs[Long]("decile")
+          val popBound = ((d * nT - 1) / 10 + 1).toDouble / nT
+          r.getAs[Double]("cum_value_share") should be <= (popBound + 1e-6)
+        }
+      }
+    }
+  }
+
   it should "keep stationary mass bounded with teleport-floor states" in {
     val rows = operators.EventAnalytics.evMarkovStationary(spark, sf).collect()
     rows.length should be > 0
