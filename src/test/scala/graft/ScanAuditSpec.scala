@@ -105,7 +105,7 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // reach; snapshot + delta); skyline reads the part dim twice (grouped
     // minima + join-back); the phash pair search and BPE training run
     // entirely inside checkpoint pins / driver-held tables
-    "cl_kcenter" -> 1, "ev_abtest" -> 2, "sl_incr_agg" -> 2,
+    "cl_kcenter" -> 1, "ev_abtest" -> 2, "sl_incr_agg" -> 2, "ev_lorenz" -> 1,
     "q_skyline" -> 2, "mm_phash" -> 1, "mm_phash_pairs" -> 0,
     "pipe_len_buckets" -> 1, "ta_bpe_train" -> 0, "ta_bpe_apply" -> 1,
     // ann_ivfpq's residual coding adds one corpus pass (assignment must
