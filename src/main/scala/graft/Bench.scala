@@ -89,7 +89,20 @@ object Bench {
     // `numRecentProgressUpdates` entries (default 100), so raise the cap
     // well past any epoch count this bench can produce.
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
-    val (loadRate, epochP50, epochP99) = try {
+    // Stream section state shared with the post-bloom rerun below. A
+    // sustained host stall can hit BOTH in-place timed runs (r8 shipped
+    // 7,941 rows/s for a pipeline a clean rerun measures at 48,572 —
+    // the query sweep survived the same stall at 1.09x because it has
+    // post-sweep rerun armor). The armor here: one more timed run of the
+    // stream section AFTER the bloom section (minutes of time
+    // separation), unconditionally — detection-free is strictly stronger
+    // than an anomaly heuristic, costs ~one 3-4 s run, and the emitted
+    // per-run "stream_rates" array makes a stall that still stands
+    // self-diagnosing in the artifact (uniform low rates = suspect host).
+    var streamRates = List.empty[Double]
+    var streamLoad: String => (Double, org.apache.spark.sql.streaming.StreamingQuery) =
+      _ => throw new IllegalStateException("stream section unavailable")
+    val streamOk = try {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
       val src = s"$tmp/src"; val out = s"$tmp/out"; val cp = s"$tmp/cp"
       // 8 source files / 4 per trigger = multiple non-empty epochs, so the
@@ -101,7 +114,7 @@ object Bench {
       val n = spark.read.parquet(src).count()
       // Same warm+timed discipline as the query section: the first run
       // pays one-time stream codegen/JIT (it lands entirely in the first
-      // epoch, skewing both the rate and the latency sample); the timed
+      // epoch, skewing both the rate and the latency sample); each timed
       // run starts from a fresh checkpoint so all epochs re-execute.
       def loadOnce(tag: String) = {
         val q = streaming.Sinks.recordBatchingSink(
@@ -109,23 +122,32 @@ object Bench {
           s"$out-$tag", s"$cp-$tag", writerTasksPerPartition = 4).start()
         q.awaitTermination(); q
       }
-      loadOnce("warm")
-      // two timed runs, best taken — the same one-off host-stall guard as
-      // the query loop (a stall inside a 2 s stream run halves the
-      // headline rate); latencies come from the faster run's epochs
-      val (rate, q) = (1 to 2).map { i =>
+      streamLoad = tag => {
         val t0 = System.nanoTime()
-        val q = loadOnce(s"timed$i")
+        val q = loadOnce(tag)
         (n / ((System.nanoTime() - t0) / 1e9), q)
-      }.maxBy(_._1)
-      val lats = q.recentProgress.toSeq.filter(_.numInputRows > 0).map(_.batchDuration)
-      (rate, util.GraftMetrics.percentileMs(lats, 0.5), util.GraftMetrics.percentileMs(lats, 0.99))
+      }
+      loadOnce("warm")
+      true
     } catch { case e: Throwable =>
       // same discipline as the query loop: a sentinel with NO diagnostic
       // makes the headline loader metric silently vanish
-      System.err.println(s"[bench] stream load FAILED: ${e.getClass.getName}: ${e.getMessage}")
-      (-1.0, -1L, -1L)
+      System.err.println(s"[bench] stream load setup FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      false
     }
+    // Two in-place timed runs, best taken — guards one-off stalls; the
+    // post-bloom third run (below) guards the sustained kind.
+    var streamBest: Option[(Double, org.apache.spark.sql.streaming.StreamingQuery)] = None
+    def timedStreamRun(tag: String): Unit = if (streamOk) {
+      try {
+        val (rate, q) = streamLoad(tag)
+        streamRates = streamRates :+ rate
+        if (streamBest.forall(_._1 < rate)) streamBest = Some((rate, q))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream load run $tag FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    timedStreamRun("timed1"); timedStreamRun("timed2")
     // Bloom history-gate rehearsal — the reference's headline metric
     // (loader rows/s) applied to the 100 TB dedup polarity: build the
     // history filter over half the document corpus, extend it with a
@@ -134,7 +156,9 @@ object Bench {
     // total rows pushed through all stages / wall time. A tiny warm
     // pass pays the one-time codegen of the bloom agg/probe expressions
     // so the figure reflects steady state (same discipline as above).
-    val bloomRate = try {
+    // Reusable so the post-section rerun (below) measures the identical
+    // cycle; each call rebuilds from scratch in its own temp dir.
+    def bloomOnce(): Double = {
       import org.apache.spark.sql.functions.col
       val docs = graft.Tables.documents(spark, sfDir).filter(col("text").isNotNull)
       val nDocs = docs.count()
@@ -160,12 +184,31 @@ object Bench {
       }
       T.bloomGate(docs, T.loadBloom(spark, path)).count()
       rows / ((System.nanoTime() - t0) / 1e9)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] bloom gate FAILED: ${e.getClass.getName}: ${e.getMessage}")
-      -1.0
     }
+    var bloomRates = List.empty[Double]
+    def timedBloomRun(): Unit = try { bloomRates = bloomRates :+ bloomOnce() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bloom gate FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    timedBloomRun()
+    // Post-section rerun armor (the query sweep's discipline, applied to
+    // the stream + bloom headlines): one more timed pass of EACH section
+    // now that the first passes are minutes in the past. Best-of-all is
+    // the headline; the per-run arrays ship in the artifact so a
+    // regression that survives time-separated reruns is distinguishable
+    // from a host stall (stall = one low outlier in the array; real
+    // regression = uniformly low).
+    timedStreamRun("timed3")
+    timedBloomRun()
+    val (loadRate, epochP50, epochP99) = streamBest.map { case (rate, q) =>
+      val lats = q.recentProgress.toSeq.filter(_.numInputRows > 0).map(_.batchDuration)
+      (rate, util.GraftMetrics.percentileMs(lats, 0.5), util.GraftMetrics.percentileMs(lats, 0.99))
+    }.getOrElse((-1.0, -1L, -1L))
+    val bloomRate = if (bloomRates.isEmpty) -1.0 else bloomRates.max
     val reruns = rerun.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong}"""
+    val streamRatesJson = streamRates.map(r => fmt(r)).mkString("[", ",", "]")
+    val bloomRatesJson = bloomRates.map(r => fmt(r)).mkString("[", ",", "]")
+    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":1,"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson"""
     // FULL artifact: every per-query number. Printed first for
     // collectors that keep whole stdout AND written to a file so the
     // full per-query map survives even when only the stdout tail does.

@@ -24,6 +24,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Factory sessions get planning-time scale screening out of the box:
+      // error-severity PlanLint findings (partition-less corpus windows,
+      // unhinted cartesians, repartition(1) funnels) log once per distinct
+      // plan. Escape hatch: `.config("spark.graft.lint", "off")` after
+      // this builder (or at runtime via spark.conf.set) — later wins.
+      // `enforce` stays opt-in.
+      .config("spark.graft.lint", "warn")
       // RocksDB-backed streaming state: bounded memory for large keyed
       // state (sessionization/dedup at 100 TB), incremental checkpoints.
       .config("spark.sql.streaming.stateStore.providerClass",

@@ -21,7 +21,9 @@ class GraftLintException(msg: String) extends RuntimeException(msg)
   * a 100 TB mistake is cheapest to catch.
   *
   * `spark.graft.lint` contract:
-  *  - `off` (DEFAULT) — pass-through, zero overhead beyond the conf read;
+  *  - `off` (rule default for externally-built sessions; [[graft.GraftSession]]
+  *    factory sessions default to `warn`) — pass-through, zero overhead
+  *    beyond the conf read;
   *  - `warn`  — error-severity findings log to the driver log once per
   *    distinct plan, the query runs;
   *  - `enforce` — error-severity findings throw [[GraftLintException]]

@@ -76,4 +76,30 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterA
         .groupBy(col("lang")).count().collect().length should be > 0
     } finally spark.conf.unset("spark.graft.lint")
   }
+
+  // The engine's own session factory ships with planning-time screening
+  // on (r8 verdict: `off` is the one default a 100 TB engine shouldn't
+  // ship). The raw-rule default stays `off` — pinned above — so
+  // externally-built sessions are unaffected. Sessions here share the
+  // spec's SparkContext; they must NOT be stopped.
+  it should "default factory sessions to spark.graft.lint=warn" in {
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s = graft.GraftSession.create("local[4]", 4)
+      s.conf.get("spark.graft.lint") shouldBe "warn"
+    } finally {
+      SparkSession.setActiveSession(spark); SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  it should "honor an explicit lint=off override on the factory builder" in {
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s = graft.GraftSession.builder("local[4]", 4)
+        .config("spark.graft.lint", "off").getOrCreate()
+      s.conf.get("spark.graft.lint") shouldBe "off"
+    } finally {
+      SparkSession.setActiveSession(spark); SparkSession.setDefaultSession(spark)
+    }
+  }
 }
