@@ -830,8 +830,23 @@ object TextAnalysis {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
-  /** All trained merges applied in rank order to a word's symbols. */
+  /** All trained merges applied in rank order to a word's symbols, via
+    * the native `graft_bpe_fuse` kernel: the merge table ships as ONE
+    * array-literal pair and the rank loop runs at runtime, so plan size
+    * is O(1) in the merge count — a shipped tokenizer's 10k–30k merges
+    * compile fine, where the K-nested-[[bpeFuse]] chain (kept below as
+    * [[bpeEncodeHof]], the spec's parity reference) blows plan
+    * compilation past toy K. */
   private[graft] def bpeEncode(word: Column,
+      merges: Seq[(String, String)]): Column =
+    if (merges.isEmpty) split(word, "")
+    else call_function("graft_bpe_fuse", split(word, ""),
+      typedLit(merges.map(_._1)), typedLit(merges.map(_._2)))
+
+  /** The composed-HOF encode — SEMANTICS REFERENCE ONLY (BpeFuseSpec
+    * pins [[bpeEncode]] against it); plan size grows linearly in the
+    * merge count, so production paths use [[bpeEncode]]. */
+  private[graft] def bpeEncodeHof(word: Column,
       merges: Seq[(String, String)]): Column =
     merges.foldLeft(split(word, ""): Column) {
       case (syms, (l, r)) => bpeFuse(syms, l, r) }
@@ -869,6 +884,7 @@ object TextAnalysis {
   }
 
   private def trainBpe(s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] = {
+    graft.plans.GraftFunctions.register(s) // graft_bpe_fuse below
     val hist = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
@@ -892,7 +908,10 @@ object TextAnalysis {
         case Some(row) =>
           val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += ((k.toLong, l, r, l + r, c))
-          cur = cur.select(bpeFuse(col("syms"), l, r).as("syms"), col("wc"))
+          // same native kernel apply uses (one-entry table): a trained
+          // merge is a streamed/applied merge by construction
+          cur = cur.select(call_function("graft_bpe_fuse", col("syms"),
+            typedLit(Seq(l)), typedLit(Seq(r))).as("syms"), col("wc"))
           k += 1
         case None => exhausted = true
       }
@@ -912,6 +931,7 @@ object TextAnalysis {
     * n_chars (every fuse consumes exactly one symbol) ties the output
     * to ta_tokens' exact char accounting. */
   def taBpeApply: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s) // graft_bpe_fuse via bpeEncode
     val merges = trainedBpeMerges(s, d).map(m => (m._2, m._3))
     val tk = tokens(col("text"))
     Tables.documents(s, d)

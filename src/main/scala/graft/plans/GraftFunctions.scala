@@ -43,6 +43,10 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_verticarow"),
       new ExpressionInfo(classOf[VerticaNativeEncode].getName, "graft_verticarow"),
       (args: Seq[Expression]) => VerticaNativeEncode(args(0), fieldSpecArg(args, "graft_verticarow"))),
+    (new FunctionIdentifier("graft_bpe_fuse"),
+      new ExpressionInfo(classOf[graft.functions.BpeFuseAll].getName, "graft_bpe_fuse"),
+      (args: Seq[Expression]) => { arity("graft_bpe_fuse", args, 3)
+        graft.functions.BpeFuseAll(args(0), args(1), args(2)) }),
     (new FunctionIdentifier("graft_proto"),
       new ExpressionInfo(classOf[ProtoWireEncode].getName, "graft_proto"),
       (args: Seq[Expression]) => { arity("graft_proto", args, 1); ProtoWireEncode(args(0)) }),

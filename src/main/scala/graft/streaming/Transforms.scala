@@ -363,6 +363,7 @@ object Transforms {
     * stateless (pure projection), so it composes with any watermark or
     * downstream gate. */
   def bpeTokens(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession) // graft_bpe_fuse
     val tk = graft.functions.TextFns.tokens(col("text"))
     docs
       .withColumn("pieces", flatten(transform(tk,
