@@ -68,6 +68,41 @@ object Clustering {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, Seq[(Int, Seq[Double])]]]())
 
+  // The thresholded similarity-edge PAIRS (ddEmbedCosFor's sign-bucket
+  // LSH candidates filtered by cosine > threshold) are the shared input
+  // of cl_pagerank and cl_dbscan — the two graph operators of the suite.
+  // Same discipline as the centroids above: the build is deterministic
+  // given the corpus (exact rounded cosines), so memoize the LAZY
+  // checkpoint-pinned frame per (session, dir+fingerprint, threshold)
+  // and both consumers read ONE materialized pair set instead of each
+  // re-running the bucketed self-join behind its own eager pin (the r8
+  // verdict's double-payment finding). Lazy, not eager: the shared-RDD
+  // consistency comes from the single cached RDD; eagerness would only
+  // serialize plan construction (PLANS.md lazy-pin idiom).
+  private val pairsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]())
+
+  /** Memoized undirected similarity candidate pairs (vec_a < vec_b). */
+  private[operators] def simEdgePairs(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
+    val perSession = pairsCache.synchronized {
+      var m = pairsCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; pairsCache.put(s, m) }
+      m
+    }
+    val key = s"$d|${dataFingerprint(s, d)}|$threshold"
+    perSession.synchronized {
+      perSession.getOrElseUpdate(key, {
+        val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding").as("e"))
+        Dedup.ddEmbedCosFor(emb, Seq(1, 2, 3, 4), threshold)
+          .select(col("vec_a"), col("vec_b"))
+          .localCheckpoint(false)
+      })
+    }
+  }
+
   private def dataFingerprint(s: SparkSession, d: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -432,8 +467,10 @@ object Clustering {
     * O(n²)); each iteration is one keyed join edges⋈ranks plus one
     * partial-aggregated groupBy on dst — the canonical distributed power
     * iteration, 2 shuffles per round, no driver-side graph state. The
-    * edge frame is pinned once (localCheckpoint here; a bucketed table
-    * write at cluster scale) so iterations never re-run the self-join. */
+    * candidate pairs are the MEMOIZED [[simEdgePairs]] frame shared with
+    * cl_dbscan (lazily checkpoint-pinned here; a bucketed table write at
+    * cluster scale) so iterations — and sibling operators — never re-run
+    * the self-join. */
   def clPagerank: Q = (s, d) => {
     graft.plans.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
@@ -441,11 +478,10 @@ object Clustering {
     val n = emb.count() // driver scalar: node count (one narrow scan)
     val base = if (n == 0) 0L else PrScale / n // empty graph: no mass, empty result
     val tele = 15L * base / 100L
-    val pairs = Dedup.ddEmbedCosFor(emb, Seq(1, 2, 3, 4), 0.25)
-      .select(col("vec_a"), col("vec_b"))
+    val pairs = simEdgePairs(s, d, 0.25) // memoized, shared with cl_dbscan
     val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = emb.select(col("vec_id"))
     var ranks = nodes.select(col("vec_id"), lit(base).as("r"))
@@ -699,28 +735,29 @@ object Clustering {
     * so the loop is short by construction; a long-chain graph would
     * want the large-star/small-star contraction instead (documented,
     * not needed for the similarity-graph regime this operator serves).
-    * The edge frame is pinned once (eager — every consumer and every
-    * round reads it); label frames are |core|-row, pinned per round to
-    * cut lineage. The oracle's recursive CTE materializes the full
+    * The candidate pairs come from the MEMOIZED [[simEdgePairs]] frame
+    * shared with cl_pagerank (one bucketed self-join per corpus, not
+    * one per operator); edge/core frames are lazily checkpoint-pinned
+    * (shared-RDD consistency, no plan-construction blocking); label
+    * frames are |core|-row, pinned per round to cut lineage. The oracle's recursive CTE materializes the full
     * reachability closure — exact but O(Σ cluster²) rows, which is why
     * the ORACLE is the small-SF check and hash-min is the engine. */
   def clDbscan: Q = (s, d) => {
     graft.plans.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").as("e"))
-    val pairs = Dedup.ddEmbedCosFor(emb, Seq(1, 2, 3, 4), 0.25)
-      .select(col("vec_a"), col("vec_b"))
+    val pairs = simEdgePairs(s, d, 0.25) // memoized, shared with cl_pagerank
     val edges = pairs.select(col("vec_a").as("a"), col("vec_b").as("b"))
       .union(pairs.select(col("vec_b"), col("vec_a")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val core = edges.groupBy(col("a")).agg(count(lit(1)).as("dg"))
       .filter(col("dg") >= DbscanMinPts).select(col("a").as("node"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cedges = edges
       .join(core.withColumnRenamed("node", "a"), "a")
       .join(core.withColumnRenamed("node", "b"), "b")
       .select(col("a"), col("b"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val clab = graft.plans.ConnectedComponents.labels(core, cedges)
       .withColumnRenamed("component", "cluster_id")
     val border = edges
