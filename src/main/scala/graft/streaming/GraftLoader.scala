@@ -37,13 +37,24 @@ object GraftLoader {
     * Deployment note: needs `spark-sql-kafka-0-10` on the classpath.
     * This environment ships no kafka jars, so `start()` fails with
     * Spark's data-source-not-found error (pinned in StreamingSpec) —
-    * everything downstream of the source is connector-agnostic. */
+    * everything downstream of the source is connector-agnostic.
+    *
+    * `options` passes consumer-level settings straight to the connector
+    * (the reference's KafkaSource consumer-properties seam — SASL/SSL
+    * configs go here as `kafka.`-prefixed keys). `format` injects the
+    * connector implementation itself: production leaves the default
+    * `"kafka"`; tests drive the IDENTICAL builder path through a
+    * wire-schema-faithful fake (KafkaIntegrationSpec's FakeKafkaSource),
+    * and `tools/kafka-ci/` holds the compose recipe for running the
+    * real-broker gate. */
   final case class KafkaTopic(
       bootstrapServers: String,
       topic: String,
       startingOffsets: String = "earliest",
       maxOffsetsPerTrigger: Option[Long] = None,
-      decode: DataFrame => DataFrame = Builder.jsonEventDecoder) extends Source
+      decode: DataFrame => DataFrame = Builder.jsonEventDecoder,
+      options: Map[String, String] = Map.empty,
+      format: String = "kafka") extends Source
 
   sealed trait Sink
   /** Partitioned file sink (HDFS/S3 storage analog). */
@@ -147,9 +158,10 @@ object GraftLoader {
       // quarantine query's progress is independent of the main sink's
       def decoded(): DataFrame = src match {
         case FileSource(dir, n) => EventSource.fileStream(spark, dir, n)
-        case KafkaTopic(servers, topic, startingOffsets, maxOffsets, decode) =>
+        case KafkaTopic(servers, topic, startingOffsets, maxOffsets, decode, opts, fmt) =>
           val r = spark.readStream
-            .format("kafka")
+            .format(fmt)
+            .options(opts)
             .option("kafka.bootstrap.servers", servers)
             .option("subscribe", topic)
             .option("startingOffsets", startingOffsets)
