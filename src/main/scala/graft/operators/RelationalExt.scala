@@ -607,6 +607,27 @@ object RelationalExt {
       .select(col("p_partkey").as("part_key"),
         col("p_size").cast("long").as("size"), col("p_retailprice").as("price")))
 
+  /** Chunking for [[qSkylineFor]]'s strict-prefix pass, derived from the
+    * DATA (one sizing agg over `f` at plan construction, like every
+    * other autoWidth consumer): ~√|distinct price| range chunks over the
+    * observed [min, max] price span. A fixed integer width would
+    * collapse any price domain narrower than the width (fractional
+    * prices) into ONE chunk — the single-task hazard ChunkedPrefix
+    * exists to avoid. Returns (chunkColumn, nChunks); nChunks is
+    * exposed so the spec can pin that a narrow domain still splits. */
+  def skylineChunks(f: DataFrame): (org.apache.spark.sql.Column, Long) = {
+    val cp = graft.plans.ChunkedPrefix
+    val stats = f.agg(min(col("price")).cast("double"),
+      max(col("price")).cast("double"),
+      approx_count_distinct(col("price"))).collect()(0)
+    if (stats.isNullAt(0)) (lit(0L), 1L) // empty input: one (empty) chunk
+    else {
+      val nd = stats.getLong(2)
+      val n = math.max(1L, math.ceil(nd.toDouble / cp.autoWidth(nd)).toLong)
+      (cp.rangeChunks(col("price"), stats.getDouble(0), stats.getDouble(1), n), n)
+    }
+  }
+
   /** General 2-D min-min skyline over (part_key, size, price). */
   def qSkylineFor(f: DataFrame): DataFrame = {
     val cp = graft.plans.ChunkedPrefix
@@ -616,7 +637,7 @@ object RelationalExt {
     // prefix IS the strictly-cheaper set
     val withPrefix = cp.runningMax(gm,
         keys = Seq.empty, order = Seq(col("price").asc),
-        chunk = cp.idChunks(col("price").cast("long"), 64),
+        chunk = skylineChunks(f)._1,
         value = -col("gmin"), out = "__nmin", inclusive = false)
       .select(col("price"), col("gmin"), (-col("__nmin")).as("pmin"))
     f.join(withPrefix, Seq("price"))

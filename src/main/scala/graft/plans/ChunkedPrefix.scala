@@ -83,6 +83,26 @@ object ChunkedPrefix {
   def timeChunks(ts: Column, widthUs: Long): Column =
     DistributedRank.idiv(unix_micros(ts), lit(widthUs))
 
+  /** Quantize a CONTINUOUS numeric column into `nChunks` monotone range
+    * chunks over the OBSERVED [lo, hi] domain — for order columns whose
+    * unit spacing is unknown (prices, scores), where [[idChunks]]'s
+    * fixed integer width silently collapses a narrow domain (e.g. all
+    * fractional prices inside one 64-unit span) into ONE chunk, the
+    * exact single-task hazard this module exists to avoid. Monotone
+    * non-decreasing in `value`: `x - lo` and `/ w` (w > 0) are
+    * monotone under IEEE round-to-nearest and `floor`/`least` preserve
+    * it, so the chunk-monotone-in-order contract holds for any finite
+    * domain. A degenerate domain (hi <= lo, or non-finite) yields the
+    * single chunk it genuinely is. Values at `hi` land in the last
+    * chunk via the `least` clamp. */
+  def rangeChunks(value: Column, lo: Double, hi: Double, nChunks: Long): Column = {
+    require(nChunks >= 1, s"rangeChunks needs nChunks >= 1 (got $nChunks)")
+    val span = hi - lo
+    if (!(span > 0) || !java.lang.Double.isFinite(span) || nChunks == 1) lit(0L)
+    else least(floor((value.cast("double") - lit(lo)) / lit(span / nChunks)).cast("long"),
+      lit(nChunks - 1))
+  }
+
   private def chunked(df: DataFrame, chunk: Column): DataFrame =
     df.withColumn(CHUNK, chunk.cast("long"))
 

@@ -401,6 +401,31 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     got shouldBe expected
   }
 
+  it should "split a narrow fractional price domain into multiple skyline chunks" in {
+    import spark.implicits._
+    // every price inside ONE integer unit: the old fixed-64-unit
+    // idChunks quantization collapsed this to a single chunk (single
+    // carry task at scale); the data-derived rangeChunks must both
+    // split it AND stay exact against brute force
+    val rnd = new scala.util.Random(11)
+    val pts = (0L until 5000L).map(i =>
+      (i, rnd.nextInt(40).toLong, 900.0 + i * (0.9999 / 5000.0)))
+    val df = pts.toDF("part_key", "size", "price")
+    val (chunkCol, nChunks) = operators.RelationalExt.skylineChunks(df)
+    nChunks should be > 1L
+    // the chunk column actually spreads the domain (not all one value)
+    val distinctChunks = df.select(chunkCol.as("c")).distinct().count()
+    distinctChunks should be > 1L
+    distinctChunks should be <= nChunks
+    val expected = pts.filter { case (_, sz, pr) =>
+      !pts.exists { case (_, s2, p2) =>
+        s2 <= sz && p2 <= pr && (s2 < sz || p2 < pr) }
+    }.map { case (k, s, p) => (p, s, k) }.sorted.map { case (p, s, k) => (k, s, p) }
+    val got = operators.RelationalExt.qSkylineFor(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    got shouldBe expected
+  }
+
   it should "merge one-sided groups in the incremental aggregate" in {
     import org.apache.spark.sql.functions._
     import spark.implicits._

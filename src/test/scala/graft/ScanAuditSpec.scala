@@ -102,8 +102,10 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // round-8 ops: kcenter's K argmax passes run at TRAIN time (driver
     // loop) — the final assignment plan scans once; abtest/incr_agg's two
     // scans are their documented structural passes (arm denominators +
-    // reach; snapshot + delta); skyline reads the part dim twice (grouped
-    // minima + join-back); the phash pair search and BPE training run
+    // reach; snapshot + delta); skyline reads the part dim twice in the
+    // final plan (grouped minima + join-back) — its plan-construction
+    // price-domain sizing agg is a separate light job outside this
+    // plan's scan count; the phash pair search and BPE training run
     // entirely inside checkpoint pins / driver-held tables
     "cl_kcenter" -> 1, "ev_abtest" -> 2, "sl_incr_agg" -> 2, "ev_lorenz" -> 1,
     "q_skyline" -> 2, "mm_phash" -> 1, "mm_phash_pairs" -> 0,
