@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Cross-engine multibyte pin for mm_phash's sampling kernel: the oracle
+  * corpus is pure ASCII, so Spark-vs-DuckDB agreement of
+  * `ascii`/`substr`/`length` on non-BMP text was never exercised by the
+  * driver gate. Both engines are codepoint-based (length counts
+  * codepoints, substr indexes codepoints, ascii returns the full
+  * codepoint — probed empirically: U+1F600 → 128512 in both), and this
+  * spec pins that three ways on a fixture with 2-byte, 3-byte and
+  * ASTRAL (4-byte / surrogate-pair) characters:
+  *
+  *  1. Spark `mmPhash` over the fixture parquet;
+  *  2. the production mm_phash oracle SQL, executed in REAL DuckDB via
+  *     the driver-side python (gated with `assume` — cancels, not
+  *     fails, where python3+duckdb are absent);
+  *  3. a codepoint-correct driver recompute (NOT `String.length` /
+  *     `codePointAt(i)`, which count UTF-16 units and diverge on
+  *     astral text — the exact trap this spec exists to catch).
+  */
+class MultibytePhashSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-multibyte-phash-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def duckdbAvailable: Boolean =
+    scala.util.Try {
+      new ProcessBuilder("python3", "-c", "import duckdb").start().waitFor() == 0
+    }.getOrElse(false)
+
+  // the fixture: every UTF-8 width class, short (stride=1) and long
+  // (stride>1) payloads, and the empty payload (NULL phash)
+  private val docs: Seq[(Long, String)] = Seq(
+    0L -> "",
+    1L -> "hello world, plain ascii only",
+    2L -> ("héllo wörld çà ñöt äscii " * 8), // 2-byte chars, 200 cp
+    3L -> ("日本語のテキスト処理" * 20), // 3-byte chars, 200 cp
+    4L -> ("😀🎉🚀😺" * 40), // astral only, 160 cp
+    5L -> ("a😀b日c" * 30), // mixed widths straddling sample positions
+    6L -> "😀", // single astral char
+    7L -> "日本語") // short CJK, stride=1
+
+  behavior of "mm_phash multibyte sampling"
+
+  it should "agree between Spark, DuckDB and a codepoint-correct recompute on non-BMP text" in {
+    assume(duckdbAvailable, "python3+duckdb not available (driver-side gate)")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mb-phash").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'xx' AS lang", "'fixture' AS source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // 1. Spark, through the production operator
+    val got = operators.Multimodal.mmPhash(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_bytes"),
+        Option(r.getAs[java.lang.Long]("phash")).map(_.toLong)))
+      .sortBy(_._1)
+
+    // 2. real DuckDB running the PRODUCTION oracle SQL on the same parquet
+    val sqlFile = java.nio.file.Files.createTempFile("mmphash", ".sql")
+    java.nio.file.Files.write(sqlFile,
+      SparkEntry.oracleSql("mm_phash").getBytes("UTF-8"))
+    val py =
+      s"""import duckdb, pathlib
+         |con = duckdb.connect()
+         |con.sql("CREATE VIEW documents AS SELECT * FROM read_parquet('$dir/documents.parquet/*.parquet')")
+         |for r in con.sql(pathlib.Path('$sqlFile').read_text()).fetchall():
+         |    print(f"{r[0]}|{r[2]}|{'' if r[3] is None else r[3]}")
+         |""".stripMargin
+    val proc = new ProcessBuilder("python3", "-c", py).redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    withClue(s"duckdb output:\n$out") { proc.waitFor() shouldBe 0 }
+    val duck = out.linesIterator.filter(_.nonEmpty).map { l =>
+      val p = l.split('|')
+      (p(0).toLong, p(1).toLong, if (p.length < 3 || p(2).isEmpty) None else Some(p(2).toLong))
+    }.toSeq.sortBy(_._1)
+
+    // 3. codepoint-correct driver recompute of the sampling kernel
+    def phashOf(text: String): Option[Long] = {
+      val cps = text.codePoints().toArray // codepoints, NOT UTF-16 units
+      if (cps.isEmpty) return None
+      val stride = math.max(1, cps.length / 64)
+      val samples = (0 until 64).map(k => cps(math.min(1 + k * stride, cps.length) - 1))
+      val total = samples.map(_.toLong).sum
+      Some((0 until 16).map { j =>
+        val b = (0 until 4).map(i => samples(4 * j + i).toLong).sum
+        if (b * 16 > total) 1L << j else 0L
+      }.sum)
+    }
+    val ref = docs.map { case (id, t) =>
+      (id, t.getBytes("UTF-8").length.toLong, phashOf(t))
+    }.sortBy(_._1)
+
+    got shouldBe ref
+    duck shouldBe ref
+    // the astral-only doc is genuinely non-BMP: its byte count is 4x its
+    // codepoint count, so this fixture cannot silently degrade to ASCII
+    ref.find(_._1 == 4L).get._2 shouldBe 4L * 160L
+  }
+}
