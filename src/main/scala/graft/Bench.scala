@@ -6,6 +6,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.create(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
+    // Timing harness: planning-time lint analysis off, same as Verify —
+    // warn-mode PlanLint would run on every re-planned timed query,
+    // adding planning overhead and log noise to headline timings (and a
+    // comparability skew vs pre-r9 artifacts benched without it).
+    spark.conf.set("spark.graft.lint", "off")
     // Warm the table scans + codegen paths once so per-query timings
     // reflect steady state rather than first-touch JIT. (events goes
     // through its typed accessor for the ts-shape adaptation.) One broken
@@ -75,6 +80,22 @@ object Bench {
     }
     if (rerun.nonEmpty)
       System.err.println(s"[bench] reran ${rerun.size} outliers (>5x median ${fmt(median)}s): ${rerun.mkString(", ")}")
+    // The similarity-edge pair frame is memoized across cl_pagerank and
+    // cl_dbscan (the production shape: both graph queries share one
+    // build), so their timed numbers above are MARGINAL costs over the
+    // shared frame. The build itself is reported as its own timed line
+    // ("pair_build_sec") so round-over-round artifacts stay comparable
+    // and the shared cost never silently vanishes from the report.
+    val pairBuild = try {
+      operators.Clustering.evictSimEdgePairs(spark)
+      val t0 = System.nanoTime()
+      operators.Clustering.simEdgePairs(spark, sfDir,
+        operators.Clustering.SimEdgeThreshold).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] pair build FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      -1.0
+    }
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -208,7 +229,9 @@ object Bench {
     val reruns = rerun.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val streamRatesJson = streamRates.map(r => fmt(r)).mkString("[", ",", "]")
     val bloomRatesJson = bloomRates.map(r => fmt(r)).mkString("[", ",", "]")
-    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":1,"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson"""
+    // stream_reruns derives from the actual run count (runs beyond the
+    // first timed pass), never a literal — a self-describing artifact
+    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)}"""
     // FULL artifact: every per-query number. Printed first for
     // collectors that keep whole stdout AND written to a file so the
     // full per-query map survives even when only the stdout tail does.

@@ -64,9 +64,13 @@ object Clustering {
   // changes — without it, overwriting the dir mid-session would silently
   // assign NEW vectors against centroids trained on the OLD corpus.
   // Weak session keys so stopped test sessions are not kept alive.
+  // Keyed by DIR with the fingerprint stored alongside (not baked into
+  // the key): a refreshed corpus under the same dir REPLACES the stale
+  // entry instead of stranding it for the session lifetime — the bounded-
+  // cache behavior a long-lived session needs.
   private val centsCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, Seq[(Int, Seq[Double])]]]())
+      scala.collection.mutable.Map[String, (String, Seq[(Int, Seq[Double])])]]())
 
   // The thresholded similarity-edge PAIRS (ddEmbedCosFor's sign-bucket
   // LSH candidates filtered by cosine > threshold) are the shared input
@@ -79,29 +83,52 @@ object Clustering {
   // verdict's double-payment finding). Lazy, not eager: the shared-RDD
   // consistency comes from the single cached RDD; eagerness would only
   // serialize plan construction (PLANS.md lazy-pin idiom).
+  // Keyed by (dir, threshold) with the fingerprint stored ALONGSIDE the
+  // frame, mirroring centsCache: a refreshed corpus under the same dir
+  // replaces the stale entry, whose checkpoint blocks the ContextCleaner
+  // reclaims once the dropped frame reference is GC'd — no strand for
+  // the session lifetime.
   private val pairsCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]())
+      scala.collection.mutable.Map[(String, Double), (String, DataFrame)]]())
 
   /** Memoized undirected similarity candidate pairs (vec_a < vec_b). */
-  private[operators] def simEdgePairs(s: SparkSession, d: String,
+  private[graft] def simEdgePairs(s: SparkSession, d: String,
       threshold: Double): DataFrame = {
     val perSession = pairsCache.synchronized {
       var m = pairsCache.get(s)
       if (m == null) { m = scala.collection.mutable.Map.empty; pairsCache.put(s, m) }
       m
     }
-    val key = s"$d|${dataFingerprint(s, d)}|$threshold"
+    val fp = dataFingerprint(s, d)
     perSession.synchronized {
-      perSession.getOrElseUpdate(key, {
-        val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
-          .select(col("vec_id"), col("embedding").as("e"))
-        Dedup.ddEmbedCosFor(emb, Seq(1, 2, 3, 4), threshold)
-          .select(col("vec_a"), col("vec_b"))
-          .localCheckpoint(false)
-      })
+      perSession.get((d, threshold)) match {
+        case Some((cachedFp, frame)) if cachedFp == fp => frame
+        case _ => // miss, or the corpus under this dir changed: rebuild
+          val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+            .select(col("vec_id"), col("embedding").as("e"))
+          val frame = Dedup.ddEmbedCosFor(emb, Seq(1, 2, 3, 4), threshold)
+            .select(col("vec_a"), col("vec_b"))
+            .localCheckpoint(false)
+          perSession.put((d, threshold), (fp, frame))
+          frame
+      }
     }
   }
+
+  /** The threshold cl_pagerank/cl_dbscan share (their one memo entry). */
+  private[graft] val SimEdgeThreshold = 0.25
+
+  /** Bench hook: drop this session's memoized pair frames so a timed
+    * run measures the BUILD, not a cache hit — the pair-build cost would
+    * otherwise vanish from every timed number (it is paid once during
+    * the warm run and shared thereafter, which is the production shape
+    * but not a comparable per-query timing). */
+  private[graft] def evictSimEdgePairs(s: SparkSession): Unit =
+    pairsCache.synchronized {
+      val m = pairsCache.get(s)
+      if (m != null) m.synchronized { m.clear() }
+    }
 
   private def dataFingerprint(s: SparkSession, d: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
@@ -142,11 +169,11 @@ object Clustering {
       if (m == null) { m = scala.collection.mutable.Map.empty; centsCache.put(s, m) }
       m
     }
-    val cacheKey = s"$d|${dataFingerprint(s, d)}"
+    val fp = dataFingerprint(s, d)
     perSession.synchronized {
-      perSession.get(cacheKey) match {
-        case Some(cached) => return cached
-        case None =>
+      perSession.get(d) match {
+        case Some((cachedFp, cached)) if cachedFp == fp => return cached
+        case _ => // miss, or stale fingerprint: retrain below and replace
       }
     }
     // seeds: the first K vectors by id, used RAW (no rounding) — the
@@ -174,7 +201,7 @@ object Clustering {
         .map(r => r.getInt(0) -> (1 to Dim).map(i => r.getDouble(i)).toSeq).toMap
       cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
     }
-    perSession.synchronized { perSession.update(cacheKey, cents) }
+    perSession.synchronized { perSession.update(d, (fp, cents)) }
     cents
   }
 
@@ -478,7 +505,7 @@ object Clustering {
     val n = emb.count() // driver scalar: node count (one narrow scan)
     val base = if (n == 0) 0L else PrScale / n // empty graph: no mass, empty result
     val tele = 15L * base / 100L
-    val pairs = simEdgePairs(s, d, 0.25) // memoized, shared with cl_dbscan
+    val pairs = simEdgePairs(s, d, SimEdgeThreshold) // memoized, shared with cl_dbscan
     val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
       .localCheckpoint(false)
@@ -746,7 +773,7 @@ object Clustering {
     graft.plans.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").as("e"))
-    val pairs = simEdgePairs(s, d, 0.25) // memoized, shared with cl_pagerank
+    val pairs = simEdgePairs(s, d, SimEdgeThreshold) // memoized, shared with cl_pagerank
     val edges = pairs.select(col("vec_a").as("a"), col("vec_b").as("b"))
       .union(pairs.select(col("vec_b"), col("vec_a")))
       .localCheckpoint(false)
