@@ -36,16 +36,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * must have equal length (checked per table build, not per row). A
   * null in any of the three arrays → null row (TernaryExpression null
   * intolerance). Null ELEMENTS don't occur in the callers' arrays
-  * (symbols come from `split` of non-empty tokens); the kernel treats
-  * one as an empty string rather than throwing. Empty-string SYMBOLS in
+  * (symbols come from `split` of non-empty tokens); the kernel
+  * CANONICALLY coerces one to the empty string — a DOCUMENTED
+  * divergence from the HOF chain, whose Catalyst null-propagating
+  * equality passes a null element through unchanged (the "≡ HOF" claim
+  * above is for null-free symbol arrays; BpeFuseSpec pins the
+  * divergence in executable form). The coercion is also what licenses
+  * the declared `containsNull = false` output. Empty-string SYMBOLS in
   * the merge table are rejected (they cannot arise from training and
   * would make "merged == left" re-fusion ambiguous).
   *
   * The merge-table decode (UTF8String → String, plus the skip set) is
-  * cached per thread keyed on the ArrayData pair IDENTITY: a
-  * literal-backed table is the same instance every row, so the decode
-  * is paid once per (thread, table) — per-row (non-literal) tables
-  * still work, they just rebuild the table each row. */
+  * cached per thread keyed on the ArrayData pair IDENTITY — but ONLY
+  * when both table children are foldable (then the planner evaluates
+  * them once and the same instance arrives every row, so identity
+  * implies content). A non-foldable table rebuilds per row: a source
+  * that recycles one mutable ArrayData container across rows with
+  * different content must never pass an identity check and silently
+  * apply a stale table. Foldability is decided once at plan time and
+  * baked into both the interpreted and codegen paths. */
 case class BpeFuseAll(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
 
@@ -59,13 +68,18 @@ case class BpeFuseAll(first: Expression, second: Expression, third: Expression)
           s"graft_bpe_fuse expects array<string> for argument ${i + 1}, got $t")
     }.getOrElse(TypeCheckResult.TypeCheckSuccess)
 
+  // plan-time fact: a foldable table is planner-evaluated once, so the
+  // same ArrayData instance arrives every row and identity caching is
+  // sound; anything else rebuilds per row (correct for mutable reuse)
+  private lazy val tableRowConstant: Boolean = second.foldable && third.foldable
+
   override def nullSafeEval(syms: Any, lefts: Any, rights: Any): Any =
     BpeFuseKernel.compute(syms.asInstanceOf[ArrayData],
-      lefts.asInstanceOf[ArrayData], rights.asInstanceOf[ArrayData])
+      lefts.asInstanceOf[ArrayData], rights.asInstanceOf[ArrayData], tableRowConstant)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, l, r) =>
-      s"${ev.value} = graft.functions.BpeFuseKernel$$.MODULE$$.compute($s, $l, $r);")
+      s"${ev.value} = graft.functions.BpeFuseKernel$$.MODULE$$.compute($s, $l, $r, $tableRowConstant);")
 
   override def prettyName: String = "graft_bpe_fuse"
 
@@ -89,10 +103,12 @@ object BpeFuseKernel {
     override def initialValue() = new java.util.IdentityHashMap[ArrayData, (ArrayData, Table)]()
   }
 
-  private def table(lefts: ArrayData, rights: ArrayData): Table = {
-    val c = cache.get()
-    val hit = c.get(lefts)
-    if (hit != null && (hit._1 eq rights)) return hit._2
+  private def table(lefts: ArrayData, rights: ArrayData, cacheable: Boolean): Table = {
+    val c = if (cacheable) cache.get() else null
+    if (c != null) {
+      val hit = c.get(lefts)
+      if (hit != null && (hit._1 eq rights)) return hit._2
+    }
     val k = lefts.numElements()
     if (rights.numElements() != k) throw new IllegalArgumentException(
       s"graft_bpe_fuse: lefts has $k entries but rights has ${rights.numElements()}")
@@ -109,13 +125,21 @@ object BpeFuseKernel {
       i += 1
     }
     val t = new Table(ls, rs)
-    if (c.size() > 64) c.clear() // bound a long-lived executor thread's cache
-    c.put(lefts, (rights, t))
+    if (c != null) {
+      if (c.size() > 64) c.clear() // bound a long-lived executor thread's cache
+      c.put(lefts, (rights, t))
+    }
     t
   }
 
-  def compute(syms: ArrayData, leftsData: ArrayData, rightsData: ArrayData): ArrayData = {
-    val t = table(leftsData, rightsData)
+  /** Direct-call convenience (specs): cache off — a raw caller carries
+    * no foldability evidence, so never trust instance identity. */
+  def compute(syms: ArrayData, leftsData: ArrayData, rightsData: ArrayData): ArrayData =
+    compute(syms, leftsData, rightsData, cacheTable = false)
+
+  def compute(syms: ArrayData, leftsData: ArrayData, rightsData: ArrayData,
+      cacheTable: Boolean): ArrayData = {
+    val t = table(leftsData, rightsData, cacheTable)
     val n0 = syms.numElements()
     val cur = new Array[String](n0)
     // present-symbol skip set: O(1) rejection of merges whose parts the

@@ -134,4 +134,61 @@ class BpeFuseSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     an[IllegalArgumentException] should be thrownBy
       BpeFuseKernel.compute(arr("a"), arr(""), arr("b"))
   }
+
+  it should "never trust instance identity for non-constant tables" in {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(xs: String*): ArrayData =
+      ArrayData.toArrayData(xs.map(UTF8String.fromString).toArray)
+    def out(ad: ArrayData): Seq[String] =
+      ad.toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    // a MUTABLE container reused across rows with different content — the
+    // hazard class the foldable gate exists for: identity says "same
+    // table", content says otherwise
+    val left = new Array[Any](1); val right = new Array[Any](1)
+    left(0) = UTF8String.fromString("a"); right(0) = UTF8String.fromString("b")
+    val lArr = new GenericArrayData(left); val rArr = new GenericArrayData(right)
+    // prime the per-thread cache through the cacheable (foldable) path
+    out(BpeFuseKernel.compute(arr("a", "b"), lArr, rArr, cacheTable = true)) shouldBe Seq("ab")
+    // mutate the SAME containers in place
+    left(0) = UTF8String.fromString("x"); right(0) = UTF8String.fromString("y")
+    // the guarded path (what non-foldable children are pinned to) must
+    // re-decode and see the new content, not the cached stale table
+    out(BpeFuseKernel.compute(arr("x", "y"), lArr, rArr, cacheTable = false)) shouldBe Seq("xy")
+  }
+
+  it should "apply per-row (non-foldable) merge tables correctly through the expression" in {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // column-valued tables: second/third children are NOT foldable, so
+    // the expression pins cacheTable=false and every row decodes its own
+    // table — two rows, two different tables, both correct
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-perrow").toString
+    Seq(
+      (1L, Seq("a", "b", "c"), Seq("a"), Seq("b")),
+      (2L, Seq("a", "b", "c"), Seq("b"), Seq("c")))
+      .toDF("id", "s", "l", "r").write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir)
+      .selectExpr("id", "graft_bpe_fuse(s, l, r) AS p")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    got(1L) shouldBe Seq("ab", "c")
+    got(2L) shouldBe Seq("a", "bc")
+  }
+
+  it should "pin the documented null-element divergence from the HOF chain" in {
+    graft.plans.GraftFunctions.register(spark)
+    // kernel: canonical null→"" coercion (licenses containsNull=false);
+    // HOF chain: Catalyst's null-propagating equality passes the null
+    // element through. Production symbol arrays are null-free (split of
+    // non-empty tokens) so the divergence is unreachable there — this
+    // pins WHICH behavior is canonical and that the difference is known
+    val df = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b') AS s")
+    val kernel = df.selectExpr("graft_bpe_fuse(s, array('a'), array('b')) AS p")
+      .collect()(0).getSeq[String](0)
+    kernel shouldBe Seq("a", "", "b")
+    val hof = df.select(graft.operators.TextAnalysis.bpeFuse(
+        org.apache.spark.sql.functions.col("s"), "a", "b").as("p"))
+      .collect()(0).getSeq[String](0)
+    hof shouldBe Seq("a", null, "b")
+  }
 }
