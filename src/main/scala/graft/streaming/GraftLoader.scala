@@ -226,7 +226,12 @@ object GraftLoader {
       * from the SOURCE (not the sink's already-transformed rows),
       * re-apply the transform, and publish it as one extra committed
       * epoch before live consumption resumes from the checkpoint.
-      * Supported for the epoch-addressed sink that can atomically commit
+      * Supported for every RE-READABLE source — FileSource re-reads the
+      * directory; KafkaTopic re-reads the topic through the connector's
+      * BATCH surface (`spark.read.format("kafka")`, startingOffsets
+      * earliest — the broker's retention must still cover the window,
+      * the same precondition the reference's KafkaSource rewind has) —
+      * paired with the epoch-addressed sink that can atomically commit
       * the extra epoch (InDataOffsets); a no-op on first start (no
       * committed position to rewind from). Downstream must dedup —
       * see [[Sinks.InDataOffsetSink.readDeduped]]. */
@@ -236,10 +241,20 @@ object GraftLoader {
       import org.apache.spark.sql.functions._
       (interval, src, snk) match {
         case (StreamInterval.Current, _, _) => ()
-        case (iv, FileSource(srcDir, _), InDataOffsets(dir)) =>
+        case (iv, src2 @ (_: FileSource | _: KafkaTopic), InDataOffsets(dir)) =>
           val sink = new Sinks.InDataOffsetSink(dir)
           val maxId = sink.committedMaxBatchId(spark)
           if (maxId >= 0) {
+            // raw SOURCE re-read in the event schema, per source type
+            def rawSource(): DataFrame = src2 match {
+              case FileSource(srcDir, _) =>
+                spark.read.schema(EventSource.schema).parquet(srcDir)
+              case kt: KafkaTopic =>
+                kt.decode(spark.read.format(kt.format).options(kt.options)
+                  .option("kafka.bootstrap.servers", kt.bootstrapServers)
+                  .option("subscribe", kt.topic)
+                  .option("startingOffsets", "earliest").load())
+            }
             // Committed positions come from the TRANSFORMED sink rows but
             // select raw SOURCE records — the transform must therefore
             // preserve the position columns (event_type/event_id/ts), the
@@ -259,7 +274,7 @@ object GraftLoader {
             val pos = committed
               .groupBy(col("event_type"))
               .agg(max(col("event_id")).as("_end"), max(col("ts")).as("_wm"))
-            val upToCommitted = spark.read.schema(EventSource.schema).parquet(srcDir)
+            val upToCommitted = rawSource()
               .join(broadcast(pos), Seq("event_type"))
               .filter(col("event_id") <= col("_end"))
             val window = iv match {
@@ -274,12 +289,17 @@ object GraftLoader {
                 val cnt = upToCommitted.groupBy(col("event_type").as("_ct"))
                   .agg(count(lit(1)).as("_n"))
                 // Chunk sizing wants an APPROXIMATE row count (the autoWidth
-                // contract is sizing, not semantics) — count the raw source,
-                // a metadata-only parquet footer count, instead of executing
-                // the full committed-join pipeline once per rewind restart.
+                // contract is sizing, not semantics) — count the raw source
+                // rather than executing the full committed-join pipeline once
+                // per rewind restart: for files that is a metadata-only
+                // parquet footer count; for kafka one batch count of the
+                // topic (no footer shortcut exists — a restart-path cost).
                 // The unfiltered count upper-bounds the committed count, so
                 // chunks err wider, never narrower than optimal.
-                val sizingRows = spark.read.parquet(srcDir).count()
+                val sizingRows = src2 match {
+                  case FileSource(srcDir, _) => spark.read.parquet(srcDir).count()
+                  case _ => rawSource().count()
+                }
                 graft.plans.ChunkedPrefix.rowNumber(upToCommitted,
                     keys = Seq("event_type"), order = Seq(col("event_id")),
                     chunk = graft.plans.ChunkedPrefix.idChunks(col("event_id"),
@@ -297,9 +317,10 @@ object GraftLoader {
           }
         case (_, src2, other) =>
           throw new UnsupportedOperationException(
-            "lookback requires a re-readable source (FileSource) and the " +
-              "epoch-addressed InDataOffsets sink (atomic replay epoch + " +
-              s"in-data dedup keys); got source=$src2 sink=$other")
+            "lookback requires a re-readable source (FileSource or " +
+              "KafkaTopic) and the epoch-addressed InDataOffsets sink " +
+              "(atomic replay epoch + in-data dedup keys); " +
+              s"got source=$src2 sink=$other")
       }
     }
   }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -64,8 +64,10 @@ object FakeKafkaSource {
 private[streaming] class FakeKafkaTable extends Table with SupportsRead {
   override def name(): String = "fake-kafka"
   override def schema(): StructType = FakeKafkaSource.wireSchema
+  // BATCH_READ mirrors the real connector's `spark.read.format("kafka")`
+  // surface — the re-read path GraftLoader's kafka lookback rewind uses
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan {
@@ -73,6 +75,17 @@ private[streaming] class FakeKafkaTable extends Table with SupportsRead {
       override def readSchema(): StructType = FakeKafkaSource.wireSchema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new FakeKafkaStream(options)
+      override def toBatch: Batch = {
+        // same option contract and reader as the stream; the whole
+        // topic in one planned read (earliest → latest)
+        val s = new FakeKafkaStream(options)
+        new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            s.planInputPartitions(s.initialOffset(), s.latestOffset())
+          override def createReaderFactory(): PartitionReaderFactory =
+            s.createReaderFactory()
+        }
+      }
     }
 }
 

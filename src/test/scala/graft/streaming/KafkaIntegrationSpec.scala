@@ -131,6 +131,100 @@ class KafkaIntegrationSpec extends AnyFlatSpec with Matchers with BeforeAndAfter
     dead.select("dl_reason").collect().map(_.getString(0)) shouldBe Array("decode_failure")
   }
 
+  // --- exactly-once protocol matrix over the kafka wire schema ---
+  // Each sink's commit protocol executes against the SAME wire-faithful
+  // fake, so every protocol graft ships is exercised end to end from
+  // kafka-shaped input: two-phase markers (replay skip), snapshot-table
+  // metadata commits, and the lookback rewind (which drives the
+  // connector's BATCH read surface through KafkaTopic's format seam).
+
+  private def goodWire: String = Seq(
+    """{"event_id":0,"ts":"2024-01-01T00:01:00Z","user_id":1,"event_type":"click","value":1.5,"props":"{}"}""",
+    """{"event_id":1,"ts":"2024-01-01T00:02:00Z","user_id":1,"event_type":"view","value":2.0,"props":"{}"}""",
+    """{"event_id":2,"ts":"2024-01-01T00:03:00Z","user_id":2,"event_type":"purchase","value":30.0,"props":"{}"}""",
+    """{"event_id":3,"ts":"2024-01-01T00:04:00Z","user_id":3,"event_type":"click","value":0.5,"props":"{}"}""").mkString("\n")
+
+  private def fakeTopic: GraftLoader.KafkaTopic = GraftLoader.KafkaTopic(
+    "fake:9092", "events-fake", startingOffsets = "earliest",
+    options = Map("fake.jsonlines" -> goodWire),
+    format = "graft.streaming.FakeKafkaSource")
+
+  it should "commit kafka epochs exactly once through the two-phase protocol, skipping replays" in {
+    val out = tmp()
+    def run(): Unit = GraftLoader.builder()
+      .source(fakeTopic)
+      .sink(GraftLoader.TwoPhaseCommit(out))
+      .checkpoint(tmp()) // FRESH checkpoint each run: epoch ids restart at 0
+      .start(spark).awaitTermination()
+    run()
+    val sink = new Sinks.TwoPhaseCommitSink(out)
+    val ids = sink.committedBatchIds(spark).sorted
+    ids.nonEmpty shouldBe true
+    spark.read.parquet(out).count() shouldBe 4L
+    // checkpoint LOSS: the stream re-delivers the same epoch ids from
+    // scratch; the marker files — not the checkpoint — are what make the
+    // sink exactly-once, so the data must not duplicate
+    run()
+    spark.read.parquet(out).count() shouldBe 4L
+    sink.committedBatchIds(spark).sorted shouldBe ids
+    // the marker records consumed ranges per partition group
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(out, s"_commits/${ids.head}")
+    val in = fs.open(marker)
+    val content = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    content should include ("click=0..3")
+    content should include ("rows=4")
+  }
+
+  it should "publish kafka epochs as snapshot-table commits with a stable committed set" in {
+    val table = tmp()
+    def run(): Unit = GraftLoader.builder()
+      .source(fakeTopic)
+      .sink(GraftLoader.SnapshotTable(table))
+      .checkpoint(tmp())
+      .start(spark).awaitTermination()
+    run()
+    val sink = new SnapshotTableSink(table)
+    sink.read(spark).count() shouldBe 4L
+    val (snapId, committed) = sink.currentSnapshot(spark).get
+    committed should contain (0L)
+    // checkpoint loss: the replayed epoch is recognized by the snapshot
+    // metadata's committed set — no duplicate rows, no new snapshot
+    run()
+    sink.read(spark).count() shouldBe 4L
+    sink.currentSnapshot(spark).get shouldBe ((snapId, committed))
+  }
+
+  it should "replay the lookback window from the kafka topic into the in-data-offset sink" in {
+    import org.apache.spark.sql.functions.col
+    val out = tmp()
+    def run(iv: StreamInterval): Unit = GraftLoader.builder()
+      .source(fakeTopic)
+      .lookback(iv)
+      .sink(GraftLoader.InDataOffsets(out))
+      .checkpoint(tmp())
+      .start(spark).awaitTermination()
+    // first start: no committed position — rewind is a documented no-op
+    run(StreamInterval.OffsetRange(2))
+    val sink = new Sinks.InDataOffsetSink(out)
+    sink.read(spark).count() shouldBe 4L
+    sink.read(spark).filter(col("_batch_id") === Long.MaxValue).count() shouldBe 0L
+    // restart with rewind: the last 2 committed records per partition
+    // group re-read from the TOPIC (the connector's batch surface via
+    // the format seam), re-published as an atomic replay epoch; the
+    // groups are click(2)/view(1)/purchase(1), so the window holds all 4
+    run(StreamInterval.OffsetRange(2))
+    val all = sink.read(spark)
+    all.filter(col("_batch_id") === Long.MaxValue).count() shouldBe 4L
+    // live epochs did not duplicate (writeBatch skipped the replayed id)
+    all.filter(col("_batch_id") =!= Long.MaxValue).count() shouldBe 4L
+    // the consumer-side dedup view collapses the re-delivery
+    sink.readDeduped(spark).count() shouldBe 4L
+    sink.readDeduped(spark).select("event_id").collect()
+      .map(_.getLong(0)).sorted shouldBe Array(0L, 1L, 2L, 3L)
+  }
+
   it should "reject a loader whose option plumbing drops the topic subscription" in {
     // contract check of the fake itself: the required-option gate fires
     // (guards the guard — a silent empty read would mask a plumbing bug)
