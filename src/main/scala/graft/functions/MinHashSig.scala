@@ -85,9 +85,19 @@ object MinHashSig {
     * `TextFns.tokens` produces (which never contain nulls — a null token
     * here renders as an empty string, where concat_ws would skip it):
     * space-joined 3-windows, < 3 tokens → all slots null. */
-  def computeFromTokens(toks: ArrayData): ArrayData = {
+  def computeFromTokens(toks: ArrayData): ArrayData =
+    computeFromTokensN(toks, NumSalts)
+
+  /** [[computeFromTokens]] at an arbitrary salt count (`numSalts × 4`
+    * permutations). Salts are a PREFIX chain: the first `4 × g` slots of
+    * a wider signature are bit-identical to the `g`-salt signature (salt
+    * g's digest never depends on the salt count), so a width sweep pays
+    * ONE widest pass and slices — the dd_sig_width decision-card
+    * contract. */
+  def computeFromTokensN(toks: ArrayData, numSalts: Int): ArrayData = {
+    val nHashes = numSalts * SlicesPerDigest
     val n = toks.numElements()
-    val mins = new Array[String](NumHashes)
+    val mins = new Array[String](nHashes)
     var i = 0
     while (i + 2 < n) {
       val sb = new java.lang.StringBuilder
@@ -99,7 +109,7 @@ object MinHashSig {
       }
       val s = sb.toString
       var g = 0
-      while (g < NumSalts) {
+      while (g < numSalts) {
         val h = DigestUtils.md5Hex(g.toString + "|" + s)
         var k = 0
         while (k < SlicesPerDigest) {
@@ -112,9 +122,9 @@ object MinHashSig {
       }
       i += 1
     }
-    val out = new Array[AnyRef](NumHashes)
+    val out = new Array[AnyRef](nHashes)
     var j = 0
-    while (j < NumHashes) {
+    while (j < nHashes) {
       out(j) = if (mins(j) == null) null else UTF8String.fromString(mins(j))
       j += 1
     }
@@ -167,4 +177,36 @@ case class MinHashTokens(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinHashTokens = copy(child = c)
 
   override def prettyName: String = "graft_minhash_tokens"
+}
+
+/** [[MinHashTokens]] at a caller-chosen width: `salts × 4` permutations
+  * (`graft_minhash_tokens_w(tk, salts)`; the salt count is baked at
+  * registration from a required int literal, so the kernel loop bound is
+  * a plan-time constant). Two salts ≡ [[MinHashTokens]] bit-exactly, and
+  * wider signatures are prefix-consistent (see
+  * [[MinHashSig.computeFromTokensN]]) — the signature-width sweep behind
+  * the dd_sig_width scaling card. Same deliberate nondeterminism flag as
+  * [[MinHashTokens]] (multi-reference consumers must read one
+  * materialized attribute). */
+case class MinHashTokensWide(child: Expression, salts: Int) extends UnaryExpression {
+
+  override lazy val deterministic: Boolean = false
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_minhash_tokens_w expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.computeFromTokensN(input.asInstanceOf[ArrayData], salts)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.computeFromTokensN($c, $salts);")
+
+  override protected def withNewChildInternal(c: Expression): MinHashTokensWide = copy(child = c)
+
+  override def prettyName: String = "graft_minhash_tokens_w"
 }

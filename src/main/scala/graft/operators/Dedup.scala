@@ -1092,6 +1092,117 @@ object Dedup {
 
   private val LshConfigs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
 
+  /** Signature-WIDTH scaling card — the parameter [[ddLshTuning]] holds
+    * fixed: the shipped 8-perm signature is sized for this corpus, but
+    * MinHash catch probability at a fixed rows-per-band is
+    * 1−(1−Jʳ)ᵇ, so the band count (= perms / rows) must GROW with the
+    * corpus before banding is trusted at 100 TB. This card measures the
+    * real catch rate of 8/16/32-perm signatures (rows-per-band 2 and 4)
+    * on the exact J ≥ 0.9 truth set from [[ddPpjoin]], next to the
+    * theoretical rate at the J = 0.9 threshold boundary (the worst case
+    * inside the truth set) — the data-driven table for choosing
+    * signature width at any scale, instead of folklore.
+    *
+    * Scale shape: ONE widest (32-perm) signature pass — salts are a
+    * prefix chain ([[graft.functions.MinHashSig.computeFromTokensN]]),
+    * so every narrower width is a slot-prefix slice of the same column;
+    * the truth side is the prefix-filtered PPJoin pair set (never
+    * O(n²)); band collision per config is RECORD-LOCAL slot equality on
+    * the joined signature pair — no banding explode/join executes. The
+    * predicted column is a per-config CONSTANT (exact 6-dp literal on
+    * both engines; a per-pair mean would add float-sum order hazards
+    * for no decision value). */
+  def ddSigWidth: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
+    val truth = ppjoinPairsUnsorted(s, d).select(col("doc_a"), col("doc_b"))
+    val wide = Tables.documents(s, d)
+      .select(col("doc_id"),
+        call_function("graft_minhash_tokens_w", tokens(col("text")), lit(8)).as("sig"))
+      .filter(element_at(col("sig"), 1).isNotNull)
+    val mh = wide.select(col("doc_id") +:
+      (0 until 32).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
+    val sa = mh.toDF(mh.columns.map(c => if (c == "doc_id") "doc_a" else "a_" + c): _*)
+    val sb = mh.toDF(mh.columns.map(c => if (c == "doc_id") "doc_b" else "b_" + c): _*)
+    def caught(nb: Int, nr: Int): org.apache.spark.sql.Column =
+      (0 until nb).map { i =>
+        (0 until nr).map(j => col(s"a_m${i * nr + j}") === col(s"b_m${i * nr + j}"))
+          .reduce(_ && _)
+      }.reduce(_ || _)
+    truth.join(sa, "doc_a").join(sb, "doc_b")
+      .select(explode(array(SigWidthConfigs.map { case (perms, nb, nr) =>
+        struct(lit(perms.toLong).as("perms"),
+          lit(nb.toLong).as("bands"), lit(nr.toLong).as("rows_per_band"),
+          when(caught(nb, nr), 1L).otherwise(0L).as("c"))
+      }: _*)).as("x"))
+      .groupBy(col("x.perms").as("perms"), col("x.bands").as("bands"),
+        col("x.rows_per_band").as("rows_per_band"))
+      .agg(count(lit(1)).as("n_true"), sum(col("x.c")).as("n_caught"))
+      .withColumn("catch_rate",
+        floor(col("n_caught") / col("n_true") * 1e4 + 0.5) / 1e4)
+      .withColumn("predicted_at_t",
+        SigWidthConfigs.foldLeft(lit(null).cast("double")) {
+          case (acc, (perms, nb, nr)) =>
+            when(col("perms") === perms && col("bands") === nb,
+              lit(predictedAtThreshold(nb, nr))).otherwise(acc)
+        })
+      .orderBy(col("perms"), col("bands"))
+  }
+
+  /** (perms, bands, rows): rows-per-band 2 and 4 at each width; the
+    * first 4·g slots of the 32-perm signature ARE the 4·g-perm one. */
+  private val SigWidthConfigs =
+    Seq((8, 4, 2), (8, 2, 4), (16, 8, 2), (16, 4, 4), (32, 16, 2), (32, 8, 4))
+
+  /** 1−(1−0.9ʳ)ᵇ rounded to 6 dp — a driver-side constant embedded as
+    * the SAME literal in the Spark plan and the oracle SQL, so the
+    * column is cross-engine exact by construction. */
+  private def predictedAtThreshold(b: Int, r: Int): Double = {
+    val p = 1.0 - math.pow(1.0 - math.pow(0.9, r), b)
+    math.floor(p * 1e6 + 0.5) / 1e6
+  }
+
+  val ddSigWidthSql: String = {
+    val salts = 8 // 32 perms
+    val mins = (0 until salts * 4)
+      .map(j => s"min(substr(md5('${j / 4}|' || s), ${8 * (j % 4) + 1}, 8)) AS m$j")
+      .mkString(", ")
+    def catchSql(nb: Int, nr: Int) = (0 until nb).map { i =>
+      "(" + (0 until nr).map(j => s"am${i * nr + j} = bm${i * nr + j}")
+        .mkString(" AND ") + ")"
+    }.mkString(" OR ")
+    val branches = SigWidthConfigs.map { case (perms, nb, nr) =>
+      s"SELECT CAST($perms AS BIGINT) AS perms, CAST($nb AS BIGINT) AS bands, " +
+        s"CAST($nr AS BIGINT) AS rows_per_band, " +
+        s"CASE WHEN ${catchSql(nb, nr)} THEN 1 ELSE 0 END AS c, " +
+        s"CAST(${java.math.BigDecimal.valueOf(predictedAtThreshold(nb, nr)).toPlainString} AS DOUBLE) AS p FROM jj"
+    }.mkString("\nUNION ALL ")
+    val aSlots = (0 until salts * 4).map(j => s"ma.m$j AS am$j").mkString(", ")
+    val bSlots = (0 until salts * 4).map(j => s"mb.m$j AS bm$j").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS tk FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+       |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM toks),
+       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |tset AS (SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sk
+       |  FROM toks WHERE len(tk) >= 3),
+       |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM tset a JOIN tset b ON b.doc_id > a.doc_id
+       |  WHERE len(a.sk) >= 1 AND len(b.sk) >= 1
+       |    AND 9 * greatest(len(a.sk), len(b.sk)) <= 10 * least(len(a.sk), len(b.sk))
+       |    AND 10 * len(list_intersect(a.sk, b.sk)) >=
+       |        9 * (len(a.sk) + len(b.sk) - len(list_intersect(a.sk, b.sk)))),
+       |jj AS (SELECT $aSlots, $bSlots
+       |  FROM tp JOIN mh ma ON ma.doc_id = tp.doc_a
+       |          JOIN mh mb ON mb.doc_id = tp.doc_b),
+       |x AS ($branches)
+       |SELECT perms, bands, rows_per_band, count(*) AS n_true,
+       |  CAST(sum(c) AS BIGINT) AS n_caught,
+       |  floor(sum(c) / count(*) * 1e4 + 0.5) / 1e4 AS catch_rate,
+       |  min(p) AS predicted_at_t
+       |FROM x GROUP BY 1, 2, 3 ORDER BY perms, bands""".stripMargin
+  }
+
   val ddLshTuningSql: String = {
     def catchSql(nb: Int, nr: Int) = (0 until nb).map { i =>
       "(" + (0 until nr).map(j => s"am${i * nr + j} = bm${i * nr + j}")
@@ -1295,6 +1406,7 @@ object Dedup {
     "dd_ppjoin" -> ddPpjoin,
     "dd_lsh_recall" -> ddLshRecall,
     "dd_lsh_tuning" -> ddLshTuning,
+    "dd_sig_width" -> ddSigWidth,
     "dd_neardup" -> ddNeardup,
     "dd_substring" -> ddSubstring,
     "dd_dup_span" -> ddDupSpan,
@@ -1320,6 +1432,7 @@ object Dedup {
     "dd_ppjoin" -> ddPpjoinSql,
     "dd_lsh_recall" -> ddLshRecallSql,
     "dd_lsh_tuning" -> ddLshTuningSql,
+    "dd_sig_width" -> ddSigWidthSql,
     "dd_substring" -> ddSubstringSql,
     "dd_dup_span" -> ddDupSpanSql,
     "dd_decontaminate" -> ddDecontaminateSql,

@@ -37,6 +37,23 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_minhash_tokens"),
       new ExpressionInfo(classOf[MinHashTokens].getName, "graft_minhash_tokens"),
       (args: Seq[Expression]) => { arity("graft_minhash_tokens", args, 1); MinHashTokens(args(0)) }),
+    (new FunctionIdentifier("graft_minhash_tokens_w"),
+      new ExpressionInfo(classOf[graft.functions.MinHashTokensWide].getName, "graft_minhash_tokens_w"),
+      (args: Seq[Expression]) => {
+        arity("graft_minhash_tokens_w", args, 2)
+        val e = args(1)
+        if (!e.foldable) throw new IllegalArgumentException(
+          "graft_minhash_tokens_w: the salt count must be an integer literal")
+        val n = e.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_tokens_w: salt count must be an integer literal, got $other")
+        }
+        if (n < 1 || n > 64) throw new IllegalArgumentException(
+          s"graft_minhash_tokens_w: salt count must be in [1, 64], got $n")
+        graft.functions.MinHashTokensWide(args(0), n)
+      }),
     (new FunctionIdentifier("graft_rowbinary"),
       new ExpressionInfo(classOf[RowBinaryEncode].getName, "graft_rowbinary"),
       (args: Seq[Expression]) => RowBinaryEncode(args(0), fieldSpecArg(args, "graft_rowbinary"))),

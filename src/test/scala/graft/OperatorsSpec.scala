@@ -89,6 +89,63 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       ("doc_id" +: (0 until 8).map(j => s"m$j"))
   }
 
+  it should "widen minhash signatures prefix-consistently and monotonically in the width card" in {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.register(spark)
+    // prefix chain: salt g's digest never depends on the salt count, so
+    // the 2-salt signature IS the first 8 slots of the 8-salt one, and
+    // graft_minhash_tokens_w(tk, 2) is bit-equal to graft_minhash_tokens
+    val tk = graft.functions.TextFns.tokens(col("text"))
+    val sigs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        call_function("graft_minhash_tokens", tk).as("s8"),
+        call_function("graft_minhash_tokens_w", tk, lit(2)).as("w8"),
+        call_function("graft_minhash_tokens_w", tk, lit(8)).as("w32"))
+      .collect()
+    sigs.length should be > 0
+    sigs.foreach { r =>
+      val s8 = r.getSeq[String](1); val w8 = r.getSeq[String](2)
+      val w32 = r.getSeq[String](3)
+      withClue(s"doc ${r.getLong(0)}: ") {
+        w8 shouldBe s8
+        w32.length shouldBe 32
+        w32.take(8) shouldBe s8
+      }
+    }
+    // driver recompute of one non-trivial 32-perm signature (independent
+    // of both engines): same salted-md5 slice-min loop in plain Scala
+    val doc = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.length(col("text")) > 50)
+      .select("doc_id", "text").head()
+    val toks = doc.getString(1).split("\\s+").filter(_.nonEmpty)
+    val shingles = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+    val expected = (0 until 32).map { j =>
+      shingles.map { s =>
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"${j / 4}|$s")
+          .substring(8 * (j % 4), 8 * (j % 4) + 8)
+      }.min
+    }
+    val got = sigs.find(_.getLong(0) == doc.getLong(0)).get.getSeq[String](3)
+    got shouldBe expected
+    // card invariants: same truth set in every row; catch rate
+    // non-decreasing in width at fixed rows-per-band (wider bands are a
+    // slot-prefix SUPERSET); r=2 catches at least what r=4 does at the
+    // same width (a 4-slot band match implies both 2-slot halves match)
+    val card = operators.Dedup.ddSigWidth(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)),
+        (r.getLong(3), r.getDouble(5), r.getDouble(6)))).toMap
+    card.size shouldBe 6
+    card.values.map(_._1).toSet.size shouldBe 1 // one truth set
+    for (r <- Seq(2L, 4L)) {
+      card((8L, r))._2 should be <= card((16L, r))._2
+      card((16L, r))._2 should be <= card((32L, r))._2
+    }
+    for (p <- Seq(8L, 16L, 32L)) {
+      card((p, 4L))._2 should be <= card((p, 2L))._2
+      card((p, 4L))._3 should be < card((p, 2L))._3 // theory agrees on direction
+    }
+  }
+
   it should "keep ann ranks within k and unique per query" in {
     import org.apache.spark.sql.functions._
     val df = operators.Similarity.annBruteforce(spark, sf)

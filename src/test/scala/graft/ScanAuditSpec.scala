@@ -69,6 +69,9 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // branch — 0 scans in the final plan, no Window.partitionBy(h))
     "dd_exact" -> 1, "dd_lsh_pairs" -> 1, "dd_dup_groups" -> 1,
     "dd_ppjoin" -> 0, "dd_lsh_recall" -> 1, "dd_edit_pairs" -> 3,
+    // dd_sig_width: the truth side lives in ppjoin's checkpoint pin; the
+    // one live scan is the single widest (32-perm) signature pass
+    "dd_sig_width" -> 1,
     "dd_cascade" -> 3, "dd_dup_span" -> 0, "dd_substring" -> 0,
     "ta_tfidf" -> 2, "ta_surprisal" -> 1, "ta_collocations" -> 1,
     "ta_novelty" -> 2, "ta_zipf" -> 1,
