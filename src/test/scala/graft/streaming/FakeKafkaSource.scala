@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,10 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * executes the PRODUCTION builder path — readStream options → load →
   * decode → transform/quarantine → sink — with zero kafka jars: the
   * contract test for everything graft owns on this surface. What it
-  * deliberately does NOT fake: broker I/O, rebalancing, and offset
-  * admission (records arrive in one micro-batch; `maxOffsetsPerTrigger`
-  * is accepted and validated as a pass-through, not enforced) — those
-  * belong to the real connector and run under `tools/kafka-ci/`.
+  * deliberately does NOT fake: broker I/O and rebalancing — those
+  * belong to the real connector and run under `tools/kafka-ci/`. Offset
+  * ADMISSION is faked faithfully: like the real connector, the stream
+  * implements SupportsTriggerAvailableNow, so `maxOffsetsPerTrigger`
+  * paces consumption into MULTIPLE micro-batches (epochs) per run —
+  * the shape that exercises every sink's multi-epoch commit protocol.
   *
   * Option-contract checks happen at stream build: a missing `subscribe`
   * or bootstrap servers — i.e. a regression in GraftLoader's option
@@ -94,7 +96,7 @@ private[streaming] class FakeKafkaOffset(val n: Long) extends Offset {
 }
 
 private[streaming] class FakeKafkaStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // the option contract the real connector enforces — regression gate on
   // GraftLoader's plumbing
@@ -107,12 +109,31 @@ private[streaming] class FakeKafkaStream(options: CaseInsensitiveStringMap)
   required("kafka.bootstrap.servers")
   require(options.get("startingOffsets") != null,
     "fake-kafka: startingOffsets not passed through")
-  // accepted as pass-through; admission control is the real connector's job
-  Option(options.get("maxOffsetsPerTrigger")).foreach(_.toLong)
+  // ENFORCED like the real connector: maxOffsetsPerTrigger becomes the
+  // default ReadLimit, so the runner admits that many records per epoch
+  private val maxPerTrigger: Option[Long] =
+    Option(options.get("maxOffsetsPerTrigger")).map(_.toLong)
   private val lines: Array[String] =
     Option(options.get("fake.jsonlines")).map(_.split("\n")).getOrElse(Array.empty)
 
   override def initialOffset(): Offset = new FakeKafkaOffset(0L)
+  // admission-control path (the runner calls this, not the no-arg form)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FakeKafkaOffset].n
+    limit match {
+      case rl: ReadMaxRows =>
+        new FakeKafkaOffset(math.min(lines.length.toLong, s + rl.maxRows()))
+      case _ => new FakeKafkaOffset(lines.length.toLong)
+    }
+  }
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+  // AvailableNow contract: pin the run's end position up front (ours is
+  // already static) — the runner then paces epochs toward it
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def reportLatestOffset(): Offset = new FakeKafkaOffset(lines.length.toLong)
+  // no-arg form kept for the BATCH scan path (our own call site); the
+  // admission-control runner never calls it once the trait is present
   override def latestOffset(): Offset = new FakeKafkaOffset(lines.length.toLong)
   override def deserializeOffset(json: String): Offset = new FakeKafkaOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

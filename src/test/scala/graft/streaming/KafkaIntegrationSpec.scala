@@ -144,8 +144,13 @@ class KafkaIntegrationSpec extends AnyFlatSpec with Matchers with BeforeAndAfter
     """{"event_id":2,"ts":"2024-01-01T00:03:00Z","user_id":2,"event_type":"purchase","value":30.0,"props":"{}"}""",
     """{"event_id":3,"ts":"2024-01-01T00:04:00Z","user_id":3,"event_type":"click","value":0.5,"props":"{}"}""").mkString("\n")
 
+  // maxOffsetsPerTrigger=2 over 4 records: the fake ENFORCES admission
+  // (SupportsTriggerAvailableNow, like the real connector), so every
+  // protocol below runs across TWO epochs — multi-epoch commit paths,
+  // not the degenerate single-epoch shape
   private def fakeTopic: GraftLoader.KafkaTopic = GraftLoader.KafkaTopic(
     "fake:9092", "events-fake", startingOffsets = "earliest",
+    maxOffsetsPerTrigger = Some(2),
     options = Map("fake.jsonlines" -> goodWire),
     format = "graft.streaming.FakeKafkaSource")
 
@@ -159,7 +164,7 @@ class KafkaIntegrationSpec extends AnyFlatSpec with Matchers with BeforeAndAfter
     run()
     val sink = new Sinks.TwoPhaseCommitSink(out)
     val ids = sink.committedBatchIds(spark).sorted
-    ids.nonEmpty shouldBe true
+    ids shouldBe Seq(0L, 1L) // 4 records / maxOffsetsPerTrigger=2 = 2 epochs
     spark.read.parquet(out).count() shouldBe 4L
     // checkpoint LOSS: the stream re-delivers the same epoch ids from
     // scratch; the marker files — not the checkpoint — are what make the
@@ -167,14 +172,16 @@ class KafkaIntegrationSpec extends AnyFlatSpec with Matchers with BeforeAndAfter
     run()
     spark.read.parquet(out).count() shouldBe 4L
     sink.committedBatchIds(spark).sorted shouldBe ids
-    // the marker records consumed ranges per partition group
+    // each marker records its epoch's consumed ranges; rows tie out
     val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(out, s"_commits/${ids.head}")
-    val in = fs.open(marker)
-    val content = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    content should include ("click=0..3")
-    content should include ("rows=4")
+    val contents = ids.map { id =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(out, s"_commits/$id"))
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    contents.map(_.split("rows=")(1).trim.toLong).sum shouldBe 4L
+    contents.head should include ("click=0..0")
+    contents.head should include ("view=1..1")
   }
 
   it should "publish kafka epochs as snapshot-table commits with a stable committed set" in {
@@ -188,7 +195,7 @@ class KafkaIntegrationSpec extends AnyFlatSpec with Matchers with BeforeAndAfter
     val sink = new SnapshotTableSink(table)
     sink.read(spark).count() shouldBe 4L
     val (snapId, committed) = sink.currentSnapshot(spark).get
-    committed should contain (0L)
+    committed.sorted shouldBe Seq(0L, 1L) // two admitted epochs, both committed
     // checkpoint loss: the replayed epoch is recognized by the snapshot
     // metadata's committed set — no duplicate rows, no new snapshot
     run()
