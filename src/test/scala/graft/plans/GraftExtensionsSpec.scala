@@ -44,6 +44,26 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterA
     r.head.getSeq[Long](0).length shouldBe 2 // two bigrams from three tokens
   }
 
+  it should "reject a non-literal or out-of-range salt count for graft_minhash_tokens_w" in {
+    // the salt count is baked into the kernel at plan time, so anything
+    // but an in-range integer literal must fail loudly at analysis
+    val nonLiteral = intercept[Exception] {
+      // a column reference is unresolved-to-non-foldable at the point the
+      // builder runs (a foldable EXPRESSION like length('xx') is fine —
+      // the guard is about row-varying salt counts, not literal syntax)
+      spark.sql("SELECT graft_minhash_tokens_w(array('a','b','c'), x) AS s " +
+        "FROM (SELECT 2 AS x)").collect()
+    }
+    nonLiteral.getMessage should include ("integer literal")
+    val outOfRange = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_tokens_w(array('a','b','c'), 65) AS s").collect()
+    }
+    outOfRange.getMessage should include ("[1, 64]")
+    // and the legal form resolves in plain SQL with the right width
+    spark.sql("SELECT graft_minhash_tokens_w(array('a','b','c','d'), 4) AS s")
+      .collect().head.getSeq[String](0).length shouldBe 16
+  }
+
   it should "pass hazardous plans when lint is off (the default)" in {
     spark.conf.unset("spark.graft.lint")
     hazardous.count() should be > 0L
