@@ -161,8 +161,10 @@ object Dedup {
     sigDf(s, d).select(col("doc_id") +:
       (0 until NumHashes).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
 
-  private val minhashCte: String = {
-    val mins = (0 until NumHashes)
+  /** tok/shingle/minhash CTE chain at an arbitrary slot count — the
+    * 8-slot instance is THE shipped signature; dd_sig_width widens it. */
+  private def minhashCteN(nSlots: Int): String = {
+    val mins = (0 until nSlots)
       .map(j => s"min(substr(md5('${j / 4}|' || s), ${8 * (j % 4) + 1}, 8)) AS m$j")
       .mkString(", ")
     s"""toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS tk FROM documents),
@@ -170,6 +172,35 @@ object Dedup {
        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM toks),
        |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
   }
+
+  private val minhashCte: String = minhashCteN(NumHashes)
+
+  /** Exact J ≥ 0.9 truth-pair CTE (tset/tp over `toks`) + the joined
+    * a/b slot columns (`jj`) — the SQL twin of [[truthWithSignatures]],
+    * shared by both banding-card oracles. */
+  private def truthJoinCte(nSlots: Int): String = {
+    val aSlots = (0 until nSlots).map(j => s"ma.m$j AS am$j").mkString(", ")
+    val bSlots = (0 until nSlots).map(j => s"mb.m$j AS bm$j").mkString(", ")
+    s"""tset AS (SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sk
+       |  FROM toks WHERE len(tk) >= 3),
+       |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM tset a JOIN tset b ON b.doc_id > a.doc_id
+       |  WHERE len(a.sk) >= 1 AND len(b.sk) >= 1
+       |    AND 9 * greatest(len(a.sk), len(b.sk)) <= 10 * least(len(a.sk), len(b.sk))
+       |    AND 10 * len(list_intersect(a.sk, b.sk)) >=
+       |        9 * (len(a.sk) + len(b.sk) - len(list_intersect(a.sk, b.sk)))),
+       |jj AS (SELECT $aSlots, $bSlots
+       |  FROM tp JOIN mh ma ON ma.doc_id = tp.doc_a
+       |          JOIN mh mb ON mb.doc_id = tp.doc_b)""".stripMargin
+  }
+
+  /** SQL twin of [[bandCollision]]. */
+  private def bandCatchSql(nb: Int, nr: Int): String = (0 until nb).map { i =>
+    "(" + (0 until nr).map(j => s"am${i * nr + j} = bm${i * nr + j}")
+      .mkString(" AND ") + ")"
+  }.mkString(" OR ")
 
   /** MinHash signatures per document (8 permutations, 3-gram shingles). */
   def ddMinhash: Q = (s, d) => minhashDf(s, d).orderBy(col("doc_id"))
@@ -1068,27 +1099,36 @@ object Dedup {
     * config is RECORD-LOCAL slot equality on the two 8-slot signatures
     * — equal slots ⟺ equal band keys, so no banding explode/join runs
     * at all. One minhash pass per signature side. */
-  def ddLshTuning: Q = (s, d) => {
+  /** Exact J ≥ 0.9 truth pairs joined to per-doc signature slot columns
+    * (`a_m*` / `b_m*`) — the shared scaffold of the two banding cards
+    * ([[ddLshTuning]], [[ddSigWidth]]). */
+  private def truthWithSignatures(s: SparkSession, d: String, mh: DataFrame): DataFrame = {
     val truth = ppjoinPairsUnsorted(s, d).select(col("doc_a"), col("doc_b"))
-    val mh = minhashDf(s, d)
     val sa = mh.toDF(mh.columns.map(c => if (c == "doc_id") "doc_a" else "a_" + c): _*)
     val sb = mh.toDF(mh.columns.map(c => if (c == "doc_id") "doc_b" else "b_" + c): _*)
-    def caught(nb: Int, nr: Int): org.apache.spark.sql.Column =
-      (0 until nb).map { i =>
-        (0 until nr).map(j => col(s"a_m${i * nr + j}") === col(s"b_m${i * nr + j}"))
-          .reduce(_ && _)
-      }.reduce(_ || _)
     truth.join(sa, "doc_a").join(sb, "doc_b")
+  }
+
+  /** Record-local band collision of an (nb × nr) arrangement over the
+    * joined slot columns — equal slots ⟺ equal band keys, THE banding
+    * predicate both cards measure. */
+  private def bandCollision(nb: Int, nr: Int): org.apache.spark.sql.Column =
+    (0 until nb).map { i =>
+      (0 until nr).map(j => col(s"a_m${i * nr + j}") === col(s"b_m${i * nr + j}"))
+        .reduce(_ && _)
+    }.reduce(_ || _)
+
+  def ddLshTuning: Q = (s, d) =>
+    truthWithSignatures(s, d, minhashDf(s, d))
       .select(explode(array(LshConfigs.map { case (nb, nr) =>
         struct(lit(nb.toLong).as("bands"), lit(nr.toLong).as("rows_per_band"),
-          when(caught(nb, nr), 1L).otherwise(0L).as("c"))
+          when(bandCollision(nb, nr), 1L).otherwise(0L).as("c"))
       }: _*)).as("x"))
       .groupBy(col("x.bands").as("bands"), col("x.rows_per_band").as("rows_per_band"))
       .agg(count(lit(1)).as("n_true"), sum(col("x.c")).as("n_caught"))
       .withColumn("catch_rate",
         floor(col("n_caught") / col("n_true") * 1e4 + 0.5) / 1e4)
       .orderBy(col("bands").desc)
-  }
 
   private val LshConfigs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
 
@@ -1114,25 +1154,17 @@ object Dedup {
     * for no decision value). */
   def ddSigWidth: Q = (s, d) => {
     graft.plans.GraftFunctions.register(s)
-    val truth = ppjoinPairsUnsorted(s, d).select(col("doc_a"), col("doc_b"))
     val wide = Tables.documents(s, d)
       .select(col("doc_id"),
         call_function("graft_minhash_tokens_w", tokens(col("text")), lit(8)).as("sig"))
       .filter(element_at(col("sig"), 1).isNotNull)
     val mh = wide.select(col("doc_id") +:
       (0 until 32).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
-    val sa = mh.toDF(mh.columns.map(c => if (c == "doc_id") "doc_a" else "a_" + c): _*)
-    val sb = mh.toDF(mh.columns.map(c => if (c == "doc_id") "doc_b" else "b_" + c): _*)
-    def caught(nb: Int, nr: Int): org.apache.spark.sql.Column =
-      (0 until nb).map { i =>
-        (0 until nr).map(j => col(s"a_m${i * nr + j}") === col(s"b_m${i * nr + j}"))
-          .reduce(_ && _)
-      }.reduce(_ || _)
-    truth.join(sa, "doc_a").join(sb, "doc_b")
+    truthWithSignatures(s, d, mh)
       .select(explode(array(SigWidthConfigs.map { case (perms, nb, nr) =>
         struct(lit(perms.toLong).as("perms"),
           lit(nb.toLong).as("bands"), lit(nr.toLong).as("rows_per_band"),
-          when(caught(nb, nr), 1L).otherwise(0L).as("c"))
+          when(bandCollision(nb, nr), 1L).otherwise(0L).as("c"))
       }: _*)).as("x"))
       .groupBy(col("x.perms").as("perms"), col("x.bands").as("bands"),
         col("x.rows_per_band").as("rows_per_band"))
@@ -1162,39 +1194,14 @@ object Dedup {
   }
 
   val ddSigWidthSql: String = {
-    val salts = 8 // 32 perms
-    val mins = (0 until salts * 4)
-      .map(j => s"min(substr(md5('${j / 4}|' || s), ${8 * (j % 4) + 1}, 8)) AS m$j")
-      .mkString(", ")
-    def catchSql(nb: Int, nr: Int) = (0 until nb).map { i =>
-      "(" + (0 until nr).map(j => s"am${i * nr + j} = bm${i * nr + j}")
-        .mkString(" AND ") + ")"
-    }.mkString(" OR ")
     val branches = SigWidthConfigs.map { case (perms, nb, nr) =>
       s"SELECT CAST($perms AS BIGINT) AS perms, CAST($nb AS BIGINT) AS bands, " +
         s"CAST($nr AS BIGINT) AS rows_per_band, " +
-        s"CASE WHEN ${catchSql(nb, nr)} THEN 1 ELSE 0 END AS c, " +
+        s"CASE WHEN ${bandCatchSql(nb, nr)} THEN 1 ELSE 0 END AS c, " +
         s"CAST(${java.math.BigDecimal.valueOf(predictedAtThreshold(nb, nr)).toPlainString} AS DOUBLE) AS p FROM jj"
     }.mkString("\nUNION ALL ")
-    val aSlots = (0 until salts * 4).map(j => s"ma.m$j AS am$j").mkString(", ")
-    val bSlots = (0 until salts * 4).map(j => s"mb.m$j AS bm$j").mkString(", ")
-    s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS tk FROM documents),
-       |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
-       |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM toks),
-       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       |tset AS (SELECT doc_id,
-       |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
-       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sk
-       |  FROM toks WHERE len(tk) >= 3),
-       |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM tset a JOIN tset b ON b.doc_id > a.doc_id
-       |  WHERE len(a.sk) >= 1 AND len(b.sk) >= 1
-       |    AND 9 * greatest(len(a.sk), len(b.sk)) <= 10 * least(len(a.sk), len(b.sk))
-       |    AND 10 * len(list_intersect(a.sk, b.sk)) >=
-       |        9 * (len(a.sk) + len(b.sk) - len(list_intersect(a.sk, b.sk)))),
-       |jj AS (SELECT $aSlots, $bSlots
-       |  FROM tp JOIN mh ma ON ma.doc_id = tp.doc_a
-       |          JOIN mh mb ON mb.doc_id = tp.doc_b),
+    s"""WITH ${minhashCteN(32)},
+       |${truthJoinCte(32)},
        |x AS ($branches)
        |SELECT perms, bands, rows_per_band, count(*) AS n_true,
        |  CAST(sum(c) AS BIGINT) AS n_caught,
@@ -1204,30 +1211,12 @@ object Dedup {
   }
 
   val ddLshTuningSql: String = {
-    def catchSql(nb: Int, nr: Int) = (0 until nb).map { i =>
-      "(" + (0 until nr).map(j => s"am${i * nr + j} = bm${i * nr + j}")
-        .mkString(" AND ") + ")"
-    }.mkString(" OR ")
     val branches = LshConfigs.map { case (nb, nr) =>
       s"SELECT CAST($nb AS BIGINT) AS bands, CAST($nr AS BIGINT) AS rows_per_band, " +
-        s"CASE WHEN ${catchSql(nb, nr)} THEN 1 ELSE 0 END AS c FROM jj"
+        s"CASE WHEN ${bandCatchSql(nb, nr)} THEN 1 ELSE 0 END AS c FROM jj"
     }.mkString("\nUNION ALL ")
-    val aSlots = (0 until NumHashes).map(j => s"ma.m$j AS am$j").mkString(", ")
-    val bSlots = (0 until NumHashes).map(j => s"mb.m$j AS bm$j").mkString(", ")
     s"""WITH $minhashCte,
-       |tset AS (SELECT doc_id,
-       |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
-       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sk
-       |  FROM toks WHERE len(tk) >= 3),
-       |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM tset a JOIN tset b ON b.doc_id > a.doc_id
-       |  WHERE len(a.sk) >= 1 AND len(b.sk) >= 1
-       |    AND 9 * greatest(len(a.sk), len(b.sk)) <= 10 * least(len(a.sk), len(b.sk))
-       |    AND 10 * len(list_intersect(a.sk, b.sk)) >=
-       |        9 * (len(a.sk) + len(b.sk) - len(list_intersect(a.sk, b.sk)))),
-       |jj AS (SELECT $aSlots, $bSlots
-       |  FROM tp JOIN mh ma ON ma.doc_id = tp.doc_a
-       |          JOIN mh mb ON mb.doc_id = tp.doc_b),
+       |${truthJoinCte(NumHashes)},
        |x AS ($branches)
        |SELECT bands, rows_per_band, count(*) AS n_true,
        |  CAST(sum(c) AS BIGINT) AS n_caught,

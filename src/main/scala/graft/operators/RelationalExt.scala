@@ -609,22 +609,36 @@ object RelationalExt {
 
   /** Chunking for [[qSkylineFor]]'s strict-prefix pass, derived from the
     * DATA (one sizing agg over `f` at plan construction, like every
-    * other autoWidth consumer): ~√|distinct price| range chunks over the
-    * observed [min, max] price span. A fixed integer width would
-    * collapse any price domain narrower than the width (fractional
-    * prices) into ONE chunk — the single-task hazard ChunkedPrefix
-    * exists to avoid. Returns (chunkColumn, nChunks); nChunks is
-    * exposed so the spec can pin that a narrow domain still splits. */
+    * other autoWidth consumer): ~√|distinct price| chunks anchored on 32
+    * approx-percentile cells of the observed price distribution, each
+    * cell split uniformly. A fixed integer width would collapse any
+    * price domain narrower than the width (fractional prices) into ONE
+    * chunk — the single-task hazard ChunkedPrefix exists to avoid —
+    * and percentile anchoring additionally bounds chunk mass to ~N/32
+    * under VALUE skew (a price distribution concentrated in a sliver of
+    * the span), which pure min/max quantization would re-concentrate.
+    * Returns (chunkColumn, nChunks); nChunks is exposed so the spec can
+    * pin that a narrow domain still splits. */
   def skylineChunks(f: DataFrame): (org.apache.spark.sql.Column, Long) = {
     val cp = graft.plans.ChunkedPrefix
+    val cells = 32
+    val probs = (1 until cells).map(_.toDouble / cells).toArray
     val stats = f.agg(min(col("price")).cast("double"),
       max(col("price")).cast("double"),
-      approx_count_distinct(col("price"))).collect()(0)
+      approx_count_distinct(col("price")),
+      percentile_approx(col("price").cast("double"), lit(probs), lit(10000)))
+      .collect()(0)
     if (stats.isNullAt(0)) (lit(0L), 1L) // empty input: one (empty) chunk
     else {
       val nd = stats.getLong(2)
       val n = math.max(1L, math.ceil(nd.toDouble / cp.autoWidth(nd)).toLong)
-      (cp.rangeChunks(col("price"), stats.getDouble(0), stats.getDouble(1), n), n)
+      if (n == 1L) (when(col("price").isNotNull, lit(0L)), 1L)
+      else {
+        val bs = stats.getSeq[Double](3).toSeq.sorted
+        val sub = math.max(1L, math.ceil(n.toDouble / cells).toLong)
+        (cp.percentileChunks(col("price"), bs,
+          stats.getDouble(0), stats.getDouble(1), sub), cells.toLong * sub)
+      }
     }
   }
 

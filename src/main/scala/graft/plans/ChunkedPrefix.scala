@@ -94,13 +94,65 @@ object ChunkedPrefix {
     * it, so the chunk-monotone-in-order contract holds for any finite
     * domain. A degenerate domain (hi <= lo, or non-finite) yields the
     * single chunk it genuinely is. Values at `hi` land in the last
-    * chunk via the `least` clamp. */
+    * chunk via the `least` clamp. A NULL value gets a NULL chunk
+    * (ascending NULLS-FIRST placement, matching idChunks/timeChunks and
+    * the monolithic window) — `least` alone would SKIP the null and
+    * misfile the row into the LAST chunk, handing it the full
+    * cross-chunk carry its (empty) prefix must not see.
+    *
+    * Skew caveat: quantization is uniform in VALUE, so a distribution
+    * concentrated in a sliver of the observed span re-concentrates rows
+    * into few chunks (a milder relative of the fixed-width hazard). For
+    * row-balanced chunks on skewed continuous domains use
+    * [[percentileChunks]]; rangeChunks is the cheap choice when the
+    * domain is roughly uniform (sizing stats are one agg either way). */
   def rangeChunks(value: Column, lo: Double, hi: Double, nChunks: Long): Column = {
     require(nChunks >= 1, s"rangeChunks needs nChunks >= 1 (got $nChunks)")
     val span = hi - lo
-    if (!(span > 0) || !java.lang.Double.isFinite(span) || nChunks == 1) lit(0L)
-    else least(floor((value.cast("double") - lit(lo)) / lit(span / nChunks)).cast("long"),
-      lit(nChunks - 1))
+    if (!(span > 0) || !java.lang.Double.isFinite(span) || nChunks == 1)
+      when(value.isNotNull, lit(0L))
+    else when(value.isNotNull,
+      least(floor((value.cast("double") - lit(lo)) / lit(span / nChunks)).cast("long"),
+        lit(nChunks - 1)))
+  }
+
+  /** Row-balanced chunks for a SKEWED continuous domain: `boundaries`
+    * are ascending percentile cut points (from an
+    * `approx_percentile(value, …)` sizing agg at plan construction), and
+    * each of the `boundaries.size + 1` cells is split uniformly into
+    * `subChunks` range chunks between its edges. Chunk mass is bounded
+    * by the CELL mass (~N / cells, up to approx-percentile error)
+    * regardless of the value distribution — a dense value cluster can
+    * saturate one cell, never the corpus. Monotone: the cell index is a
+    * sum of monotone indicators, the within-cell offset is a clamped
+    * [[rangeChunks]]-style quantization of the cell's own span, and
+    * `cell * subChunks + offset` preserves order across cell edges.
+    * NULL value → NULL chunk, like every chunker in this module. The
+    * boundary count is a PLAN-SIZE cost (one comparison chain per row),
+    * so keep it ≤ ~64 and let `subChunks` carry the rest of the
+    * resolution. */
+  def percentileChunks(value: Column, boundaries: Seq[Double], lo: Double,
+      hi: Double, subChunks: Long): Column = {
+    require(subChunks >= 1, s"percentileChunks needs subChunks >= 1 (got $subChunks)")
+    require(boundaries == boundaries.sorted,
+      "percentileChunks boundaries must be ascending")
+    if (boundaries.isEmpty) return rangeChunks(value, lo, hi, subChunks)
+    val v = value.cast("double")
+    val cell = boundaries.map(b => when(v > lit(b), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val edges = (lo +: boundaries) :+ hi
+    // within-cell uniform offset, selected by cell id (static when-chain:
+    // |boundaries|+1 arms, each a clamped linear quantization)
+    val offset = edges.sliding(2).zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (Seq(clo, chi), i)) =>
+        val span = chi - clo
+        val off =
+          if (!(span > 0) || !java.lang.Double.isFinite(span) || subChunks == 1) lit(0L)
+          else least(floor((v - lit(clo)) / lit(span / subChunks)).cast("long"),
+            lit(subChunks - 1))
+        when(cell === i, off).otherwise(acc)
+    }
+    when(value.isNotNull, cell * lit(subChunks) + greatest(offset, lit(0L)))
   }
 
   private def chunked(df: DataFrame, chunk: Column): DataFrame =

@@ -44,15 +44,17 @@ object GraftFunctions {
         val e = args(1)
         if (!e.foldable) throw new IllegalArgumentException(
           "graft_minhash_tokens_w: the salt count must be an integer literal")
-        val n = e.eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
+        // range-check BEFORE any narrowing: a Long out of Int range must
+        // fail loudly, not wrap to a silently-valid width
+        val n: Long = e.eval() match {
+          case i: Int => i.toLong
+          case l: Long => l
           case other => throw new IllegalArgumentException(
             s"graft_minhash_tokens_w: salt count must be an integer literal, got $other")
         }
         if (n < 1 || n > 64) throw new IllegalArgumentException(
           s"graft_minhash_tokens_w: salt count must be in [1, 64], got $n")
-        graft.functions.MinHashTokensWide(args(0), n)
+        graft.functions.MinHashTokensWide(args(0), n.toInt)
       }),
     (new FunctionIdentifier("graft_rowbinary"),
       new ExpressionInfo(classOf[RowBinaryEncode].getName, "graft_rowbinary"),

@@ -313,7 +313,17 @@ object GraftLoader {
               case StreamInterval.Current => upToCommitted // unreachable
             }
             val replay = window.select(EventSource.schema.fieldNames.map(col(_)): _*)
-            sink.writeReplayEpoch(transformFn(replay))
+            // mirror the LIVE pipeline exactly: quarantined rows were
+            // diverted to the dead-letter table on first delivery, so the
+            // replay must exclude them too — re-publishing them into the
+            // main sink would let the rewind bypass the quarantine.
+            // (Decode failures self-exclude via the positions join — all
+            // their position columns are null — but a validation rule
+            // over VALID positions, e.g. value < 0, reaches here.) They
+            // are NOT re-dead-lettered: the quarantine table already
+            // holds their first delivery.
+            val clean = maybeQuarantine.fold(replay)(q => replay.filter(!q.bad))
+            sink.writeReplayEpoch(transformFn(clean))
           }
         case (_, src2, other) =>
           throw new UnsupportedOperationException(

@@ -51,32 +51,61 @@ class MultibytePhashSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAl
     6L -> "😀", // single astral char
     7L -> "日本語") // short CJK, stride=1
 
-  behavior of "mm_phash multibyte sampling"
-
-  it should "agree between Spark, DuckDB and a codepoint-correct recompute on non-BMP text" in {
-    assume(duckdbAvailable, "python3+duckdb not available (driver-side gate)")
+  // one shared fixture write + the codepoint-correct reference, used by
+  // BOTH tests so the Spark leg never depends on the DuckDB gate
+  private lazy val fixtureDir: String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mb-phash").toString
     docs.toDF("doc_id", "text")
       .selectExpr("doc_id", "text", "'xx' AS lang", "'fixture' AS source",
         "CAST(length(text) AS LONG) AS n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
 
-    // 1. Spark, through the production operator
-    val got = operators.Multimodal.mmPhash(spark, dir).collect()
+  /** Codepoint-correct recompute of the sampling kernel — deliberately
+    * NOT `String.length`/`codePointAt(i)`, which count UTF-16 units. */
+  private def phashOf(text: String): Option[Long] = {
+    val cps = text.codePoints().toArray
+    if (cps.isEmpty) return None
+    val stride = math.max(1, cps.length / 64)
+    val samples = (0 until 64).map(k => cps(math.min(1 + k * stride, cps.length) - 1))
+    val total = samples.map(_.toLong).sum
+    Some((0 until 16).map { j =>
+      val b = (0 until 4).map(i => samples(4 * j + i).toLong).sum
+      if (b * 16 > total) 1L << j else 0L
+    }.sum)
+  }
+
+  private lazy val ref: Seq[(Long, Long, Option[Long])] = docs.map { case (id, t) =>
+    (id, t.getBytes("UTF-8").length.toLong, phashOf(t))
+  }.sortBy(_._1)
+
+  behavior of "mm_phash multibyte sampling"
+
+  // UNGATED: a UTF-16-unit regression in the Spark kernel on astral text
+  // must fail everywhere, including boxes without python3/duckdb
+  it should "match a codepoint-correct recompute on non-BMP text in Spark" in {
+    val got = operators.Multimodal.mmPhash(spark, fixtureDir).collect()
       .map(r => (r.getAs[Long]("doc_id"),
         r.getAs[Long]("n_bytes"),
         Option(r.getAs[java.lang.Long]("phash")).map(_.toLong)))
       .sortBy(_._1)
+    got shouldBe ref
+    // the astral-only doc is genuinely non-BMP: its byte count is 4x its
+    // codepoint count, so this fixture cannot silently degrade to ASCII
+    ref.find(_._1 == 4L).get._2 shouldBe 4L * 160L
+  }
 
-    // 2. real DuckDB running the PRODUCTION oracle SQL on the same parquet
+  it should "agree with real DuckDB running the production oracle SQL on non-BMP text" in {
+    assume(duckdbAvailable, "python3+duckdb not available (driver-side gate)")
     val sqlFile = java.nio.file.Files.createTempFile("mmphash", ".sql")
     java.nio.file.Files.write(sqlFile,
       SparkEntry.oracleSql("mm_phash").getBytes("UTF-8"))
     val py =
       s"""import duckdb, pathlib
          |con = duckdb.connect()
-         |con.sql("CREATE VIEW documents AS SELECT * FROM read_parquet('$dir/documents.parquet/*.parquet')")
+         |con.sql("CREATE VIEW documents AS SELECT * FROM read_parquet('$fixtureDir/documents.parquet/*.parquet')")
          |for r in con.sql(pathlib.Path('$sqlFile').read_text()).fetchall():
          |    print(f"{r[0]}|{r[2]}|{'' if r[3] is None else r[3]}")
          |""".stripMargin
@@ -87,27 +116,6 @@ class MultibytePhashSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAl
       val p = l.split('|')
       (p(0).toLong, p(1).toLong, if (p.length < 3 || p(2).isEmpty) None else Some(p(2).toLong))
     }.toSeq.sortBy(_._1)
-
-    // 3. codepoint-correct driver recompute of the sampling kernel
-    def phashOf(text: String): Option[Long] = {
-      val cps = text.codePoints().toArray // codepoints, NOT UTF-16 units
-      if (cps.isEmpty) return None
-      val stride = math.max(1, cps.length / 64)
-      val samples = (0 until 64).map(k => cps(math.min(1 + k * stride, cps.length) - 1))
-      val total = samples.map(_.toLong).sum
-      Some((0 until 16).map { j =>
-        val b = (0 until 4).map(i => samples(4 * j + i).toLong).sum
-        if (b * 16 > total) 1L << j else 0L
-      }.sum)
-    }
-    val ref = docs.map { case (id, t) =>
-      (id, t.getBytes("UTF-8").length.toLong, phashOf(t))
-    }.sortBy(_._1)
-
-    got shouldBe ref
     duck shouldBe ref
-    // the astral-only doc is genuinely non-BMP: its byte count is 4x its
-    // codepoint count, so this fixture cannot silently degrade to ASCII
-    ref.find(_._1 == 4L).get._2 shouldBe 4L * 160L
   }
 }

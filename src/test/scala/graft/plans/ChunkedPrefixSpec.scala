@@ -149,6 +149,45 @@ class ChunkedPrefixSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
     }
   }
 
+  it should "equal the monolithic window when chunking a continuous domain (range + percentile)" in {
+    // a SKEWED continuous order column (90% of values in a [900, 901)
+    // sliver, tail spread to ~1e6) with ~8% NULLS: rangeChunks must file
+    // null order values into the null chunk (least() alone would misfile
+    // them into the LAST chunk and hand them the full carry), and
+    // percentileChunks must stay order-exact while bounding cell mass
+    for (n <- Seq(5, 97, 1000)) {
+      val df = spark.range(n).select(
+        (col("id") % 3).cast("string").as("k"),
+        when(col("id") % 13 === 0, lit(null).cast("double"))
+          .otherwise(when(col("id") % 10 < 9, lit(900.0) + col("id") * lit(1e-4))
+            .otherwise(col("id").cast("double") * lit(1000.0))).as("p"),
+        ((col("id") * 37) % 5).as("v"))
+      val win = df.withColumn("m", max(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("p"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val st = df.agg(min(col("p")), max(col("p")),
+        percentile_approx(col("p"), lit(Array(0.25, 0.5, 0.75)), lit(10000)))
+        .collect()(0)
+      if (!st.isNullAt(0)) {
+        val (lo, hi) = (st.getDouble(0), st.getDouble(1))
+        val rc = ChunkedPrefix.rangeChunks(col("p"), lo, hi, 8)
+        parity(s"range n=$n", ChunkedPrefix.runningMax(
+          df, Seq("k"), Seq(col("p")), rc, col("v"), "m", inclusive = true), win)
+        val pc = ChunkedPrefix.percentileChunks(col("p"),
+          st.getSeq[Double](2).toSeq.sorted, lo, hi, subChunks = 4)
+        parity(s"percentile n=$n", ChunkedPrefix.runningMax(
+          df, Seq("k"), Seq(col("p")), pc, col("v"), "m", inclusive = true), win)
+        // the percentile chunker actually spreads the skewed sliver: with
+        // 3 boundaries + 4 sub-chunks the 90% cluster cannot all land in
+        // one chunk once it spans multiple percentile cells
+        if (n >= 97) {
+          val nonNull = df.filter(col("p").isNotNull)
+          nonNull.select(pc.as("c")).distinct().count() should be > 2L
+        }
+      }
+    }
+  }
+
   it should "return empty on empty input for all primitives" in {
     val df = frame(0)
     val ch = ChunkedPrefix.idChunks(col("id"), 4L)

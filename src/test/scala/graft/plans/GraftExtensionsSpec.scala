@@ -59,6 +59,12 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterA
       spark.sql("SELECT graft_minhash_tokens_w(array('a','b','c'), 65) AS s").collect()
     }
     outOfRange.getMessage should include ("[1, 64]")
+    // a Long that would WRAP to a valid Int (4294967299L.toInt == 3) must
+    // still be rejected — range check happens before any narrowing
+    val longWrap = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_tokens_w(array('a','b','c'), 4294967299) AS s").collect()
+    }
+    longWrap.getMessage should include ("[1, 64]")
     // and the legal form resolves in plain SQL with the right width
     spark.sql("SELECT graft_minhash_tokens_w(array('a','b','c','d'), 4) AS s")
       .collect().head.getSeq[String](0).length shouldBe 16

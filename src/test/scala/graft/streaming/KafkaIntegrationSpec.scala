@@ -232,6 +232,43 @@ class KafkaIntegrationSpec extends AnyFlatSpec with Matchers with BeforeAndAfter
       .map(_.getLong(0)).sorted shouldBe Array(0L, 1L, 2L, 3L)
   }
 
+  it should "not let the lookback replay bypass the quarantine" in {
+    import org.apache.spark.sql.functions.{col, lit}
+    // a record with VALID positions INSIDE the committed range that a
+    // validation rule quarantines (value < 0): decode-failure rows
+    // self-exclude from the rewind via the positions join, but this
+    // class passes it (clicks commit 0..10, the bad click is 5) and
+    // must be filtered from the replay exactly like the live path
+    val wire = Seq(
+      """{"event_id":0,"ts":"2024-01-01T00:01:00Z","user_id":1,"event_type":"click","value":1.5,"props":"{}"}""",
+      """{"event_id":1,"ts":"2024-01-01T00:02:00Z","user_id":1,"event_type":"view","value":2.0,"props":"{}"}""",
+      """{"event_id":5,"ts":"2024-01-01T00:03:00Z","user_id":5,"event_type":"click","value":-1.0,"props":"{}"}""",
+      """{"event_id":2,"ts":"2024-01-01T00:04:00Z","user_id":2,"event_type":"purchase","value":30.0,"props":"{}"}""",
+      """{"event_id":10,"ts":"2024-01-01T00:05:00Z","user_id":3,"event_type":"click","value":0.5,"props":"{}"}""")
+      .mkString("\n")
+    val out = tmp(); val dl = tmp()
+    def run(iv: StreamInterval): Unit = GraftLoader.builder()
+      .source(fakeTopic.copy(options = Map("fake.jsonlines" -> wire)))
+      .quarantine(dl, bad = col("value") < 0, reason = lit("negative_value"))
+      .lookback(iv)
+      .sink(GraftLoader.InDataOffsets(out))
+      .checkpoint(tmp())
+      .startAll(spark).foreach(_.awaitTermination())
+    run(StreamInterval.OffsetRange(5))
+    val sink = new Sinks.InDataOffsetSink(out)
+    sink.read(spark).filter(col("value") < 0).count() shouldBe 0L
+    spark.read.parquet(dl).count() shouldBe 1L
+    // rewind: the bad record sits INSIDE the rewound window (its
+    // event_id is the max committed click... it is not committed, but
+    // its event_type/event_id pass the raw re-read) — the replay epoch
+    // must still exclude it
+    run(StreamInterval.OffsetRange(5))
+    val all = sink.read(spark)
+    all.filter(col("_batch_id") === Long.MaxValue).count() should be > 0L
+    all.filter(col("value") < 0).count() shouldBe 0L
+    sink.readDeduped(spark).count() shouldBe 4L
+  }
+
   it should "reject a loader whose option plumbing drops the topic subscription" in {
     // contract check of the fake itself: the required-option gate fires
     // (guards the guard — a silent empty read would mask a plumbing bug)
