@@ -948,7 +948,84 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Unicode script census per document — the script-mix signal behind
+    * standard corpus filters (mojibake → `other` spike; lookalike
+    * script injection → off-dominant share; language routing when the
+    * `lang` column is missing or untrusted). One codepoint pass per doc
+    * via the native [[graft.functions.ScriptCensus]] kernel (a
+    * transform-over-positions chain would be O(len²) on multibyte text
+    * — substr addresses codepoints by front-scan); the oracle states
+    * the identical range comparisons over `ascii(substr(text, i, 1))`,
+    * exact by the cross-engine codepoint agreement MultibytePhashSpec
+    * pins. Dominant script = the first class in slot-priority order
+    * holding the max count ('none' for empty/null docs); all counts are
+    * integers — nothing to round. Scale: record-local, one scan, no
+    * shuffle before the presentation sort. */
+  def taScript: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
+    val classes = Seq("latin", "digit", "space", "punct", "cjk", "cyrillic", "arabic", "other")
+    val cen = call_function("graft_script_census", col("text"))
+    val base = Tables.documents(s, d).select(
+      col("doc_id") +:
+        coalesce(element_at(cen, 1), lit(0L)).as("n_cp") +:
+        classes.zipWithIndex.map { case (n, i) =>
+          coalesce(element_at(cen, i + 2), lit(0L)).as(s"n_$n") }: _*)
+    val maxc = greatest(classes.map(n => col(s"n_$n")): _*)
+    val dom = classes.tail.foldLeft(
+        when(col(s"n_${classes.head}") === maxc, classes.head)) {
+      (acc, n) => acc.when(col(s"n_$n") === maxc, n)
+    }.otherwise("other")
+    base.withColumn("dominant", when(col("n_cp") === 0, "none").otherwise(dom))
+      .orderBy(col("doc_id"))
+  }
+
+  val taScriptSql: String = {
+    // the kernel's classOf ranges, stated literally (disjoint by
+    // construction, so independent CASE sums equal the if/else chain)
+    val latin = "(c BETWEEN 65 AND 90) OR (c BETWEEN 97 AND 122) OR (c BETWEEN 192 AND 591)"
+    val digit = "c BETWEEN 48 AND 57"
+    val space = "(c BETWEEN 9 AND 13) OR c = 32 OR c = 160"
+    val punct = "(c BETWEEN 33 AND 47) OR (c BETWEEN 58 AND 64) OR (c BETWEEN 91 AND 96) OR (c BETWEEN 123 AND 126)"
+    val cjk = "(c BETWEEN 12352 AND 12543) OR (c BETWEEN 13312 AND 19903) OR (c BETWEEN 19968 AND 40959) OR (c BETWEEN 44032 AND 55215) OR (c BETWEEN 63744 AND 64255)"
+    val cyr = "c BETWEEN 1024 AND 1279"
+    val arab = "(c BETWEEN 1536 AND 1791) OR (c BETWEEN 1872 AND 1919)"
+    val sums = Seq("latin" -> latin, "digit" -> digit, "space" -> space,
+      "punct" -> punct, "cjk" -> cjk, "cyrillic" -> cyr, "arabic" -> arab)
+      .map { case (n, p) => s"sum(CASE WHEN $p THEN 1 ELSE 0 END) AS n_$n" }
+      .mkString(",\n|    ")
+    val domCase = Seq("latin", "digit", "space", "punct", "cjk", "cyrillic", "arabic")
+      .map(n => s"WHEN n_$n = mx THEN '$n'").mkString(" ")
+    s"""WITH cp AS (
+       |  SELECT doc_id, ascii(substr(text, i, 1)) AS c
+       |  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+       |  WHERE length(text) > 0),
+       |cls AS (
+       |  SELECT doc_id, count(*) AS n_cp,
+       |    $sums
+       |  FROM cp GROUP BY doc_id),
+       |filled AS (
+       |  SELECT d.doc_id, CAST(coalesce(n_cp, 0) AS BIGINT) AS n_cp,
+       |    CAST(coalesce(n_latin, 0) AS BIGINT) AS n_latin,
+       |    CAST(coalesce(n_digit, 0) AS BIGINT) AS n_digit,
+       |    CAST(coalesce(n_space, 0) AS BIGINT) AS n_space,
+       |    CAST(coalesce(n_punct, 0) AS BIGINT) AS n_punct,
+       |    CAST(coalesce(n_cjk, 0) AS BIGINT) AS n_cjk,
+       |    CAST(coalesce(n_cyrillic, 0) AS BIGINT) AS n_cyrillic,
+       |    CAST(coalesce(n_arabic, 0) AS BIGINT) AS n_arabic,
+       |    CAST(coalesce(n_cp, 0) - coalesce(n_latin, 0) - coalesce(n_digit, 0)
+       |      - coalesce(n_space, 0) - coalesce(n_punct, 0) - coalesce(n_cjk, 0)
+       |      - coalesce(n_cyrillic, 0) - coalesce(n_arabic, 0) AS BIGINT) AS n_other
+       |  FROM documents d LEFT JOIN cls ON cls.doc_id = d.doc_id),
+       |m AS (SELECT *, greatest(n_latin, n_digit, n_space, n_punct, n_cjk,
+       |    n_cyrillic, n_arabic, n_other) AS mx FROM filled)
+       |SELECT doc_id, n_cp, n_latin, n_digit, n_space, n_punct, n_cjk,
+       |  n_cyrillic, n_arabic, n_other,
+       |  CASE WHEN n_cp = 0 THEN 'none' $domCase ELSE 'other' END AS dominant
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "ta_script" -> taScript,
     "ta_bpe_train" -> taBpeTrain,
     "ta_bpe_apply" -> taBpeApply,
     "ta_bigram_surprisal" -> taBigramSurprisal,
@@ -969,6 +1046,7 @@ object TextAnalysis {
     "ta_vocab" -> taVocab)
 
   def oracleSql: Map[String, String] = Map(
+    "ta_script" -> taScriptSql,
     "ta_bigram_surprisal" -> taBigramSurprisalSql,
     "ta_novelty" -> taNoveltySql,
     "ta_readability" -> taReadabilitySql,

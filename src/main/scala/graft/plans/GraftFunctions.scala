@@ -56,6 +56,10 @@ object GraftFunctions {
           s"graft_minhash_tokens_w: salt count must be in [1, 64], got $n")
         graft.functions.MinHashTokensWide(args(0), n.toInt)
       }),
+    (new FunctionIdentifier("graft_script_census"),
+      new ExpressionInfo(classOf[graft.functions.ScriptCensus].getName, "graft_script_census"),
+      (args: Seq[Expression]) => { arity("graft_script_census", args, 1)
+        graft.functions.ScriptCensus(args(0)) }),
     (new FunctionIdentifier("graft_rowbinary"),
       new ExpressionInfo(classOf[RowBinaryEncode].getName, "graft_rowbinary"),
       (args: Seq[Expression]) => RowBinaryEncode(args(0), fieldSpecArg(args, "graft_rowbinary"))),

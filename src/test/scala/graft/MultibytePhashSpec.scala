@@ -97,6 +97,52 @@ class MultibytePhashSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAl
     ref.find(_._1 == 4L).get._2 shouldBe 4L * 160L
   }
 
+  behavior of "ta_script on multibyte text"
+
+  it should "match a codepoint-correct census recompute and classify scripts sensibly" in {
+    val got = operators.TextAnalysis.taScript(spark, fixtureDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    got.size shouldBe docs.size
+    val classes = Seq("latin", "digit", "space", "punct", "cjk", "cyrillic", "arabic", "other")
+    docs.foreach { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val byClass = cps.groupBy(functions.ScriptCensus.classOf).view.mapValues(_.length.toLong)
+      val r = got(id)
+      withClue(s"doc $id: ") {
+        r.getAs[Long]("n_cp") shouldBe cps.length.toLong
+        classes.zipWithIndex.foreach { case (n, i) =>
+          r.getAs[Long](s"n_$n") shouldBe byClass.getOrElse(i + 1, 0L)
+        }
+      }
+    }
+    // the classifications a corpus filter would act on
+    got(0L).getAs[String]("dominant") shouldBe "none" // empty doc
+    got(3L).getAs[String]("dominant") shouldBe "cjk"
+    got(4L).getAs[String]("dominant") shouldBe "other" // astral emoji
+    got(1L).getAs[String]("dominant") shouldBe "latin"
+  }
+
+  it should "agree with real DuckDB running the production ta_script oracle on non-BMP text" in {
+    assume(duckdbAvailable, "python3+duckdb not available (driver-side gate)")
+    val sqlFile = java.nio.file.Files.createTempFile("tascript", ".sql")
+    java.nio.file.Files.write(sqlFile,
+      SparkEntry.oracleSql("ta_script").getBytes("UTF-8"))
+    val py =
+      s"""import duckdb, pathlib
+         |con = duckdb.connect()
+         |con.sql("CREATE VIEW documents AS SELECT * FROM read_parquet('$fixtureDir/documents.parquet/*.parquet')")
+         |for r in con.sql(pathlib.Path('$sqlFile').read_text()).fetchall():
+         |    print('|'.join(str(x) for x in r))
+         |""".stripMargin
+    val proc = new ProcessBuilder("python3", "-c", py).redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    withClue(s"duckdb output:\n$out") { proc.waitFor() shouldBe 0 }
+    val duck = out.linesIterator.filter(_.nonEmpty).map(_.split('|').toSeq).toSeq
+    val spark_ = operators.TextAnalysis.taScript(spark, fixtureDir).collect()
+      .map(r => r.toSeq.map(String.valueOf).toSeq).toSeq
+    duck shouldBe spark_
+  }
+
   it should "agree with real DuckDB running the production oracle SQL on non-BMP text" in {
     assume(duckdbAvailable, "python3+duckdb not available (driver-side gate)")
     val sqlFile = java.nio.file.Files.createTempFile("mmphash", ".sql")

@@ -78,7 +78,7 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // round-6 corpus-health ops (ta_jsd/ta_hapax: tokenize pass + the
     // doc/total census branch; cl_outliers: gate pass only — centroid
     // and stats passes land in localCheckpoints)
-    "ta_jsd" -> 2, "ta_gopher_rules" -> 1, "ta_hapax" -> 2,
+    "ta_jsd" -> 2, "ta_gopher_rules" -> 1, "ta_hapax" -> 2, "ta_script" -> 1,
     // ta_jsd_ref: the (source, term) count pass lands in a checkpoint
     "ta_jsd_ref" -> 0,
     // ta_dsir: the documented two passes are the histogram build (inside
