@@ -733,6 +733,41 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       Seq("doc_id", "ts", "text")
   }
 
+  it should "gate mojibake documents by script mix on ingest" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    ms.addData(
+      (0L, ts(1), "clean latin text with words and 123 numbers"),
+      (1L, ts(2), "日本語のテキストは問題ない"), // CJK is a covered script — passes
+      (2L, ts(3), "m��jib�ke ��� br�ken"), // replacement chars → other spike
+      (3L, ts(4), ""), // no signal — passes (quality rules own empty docs)
+      (4L, ts(5), "mostly fine text with one stray � char")) // under threshold
+    val q = Transforms.scriptGate(ms.toDF().toDF("doc_id", "ts", "text"), maxOtherShare = 0.2)
+      .writeStream.format("memory").queryName("sgate").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    spark.table("sgate").collect().map(_.getLong(0)).sorted shouldBe Array(0L, 1L, 3L, 4L)
+    // the census column does not leak into the output
+    spark.table("sgate").columns should contain theSameElementsAs
+      Seq("doc_id", "ts", "text")
+    // stream ≡ batch: the gate's verdict matches the batch census's
+    // other-share for every fixture doc (one shared kernel)
+    val docs = Seq(
+      0L -> "clean latin text with words and 123 numbers",
+      1L -> "日本語のテキストは問題ない",
+      2L -> "m��jib�ke ��� br�ken",
+      3L -> "",
+      4L -> "mostly fine text with one stray � char")
+    docs.foreach { case (id, t) =>
+      val cps = t.codePoints().toArray
+      val other = cps.count(graft.functions.ScriptCensus.classOf(_) == 8)
+      val passes = cps.isEmpty || other <= 0.2 * cps.length
+      withClue(s"doc $id: ") {
+        passes shouldBe Array(0L, 1L, 3L, 4L).contains(id)
+      }
+    }
+  }
+
   it should "drop perceptual near-dups on ingest, first arrival wins" in {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
