@@ -8,13 +8,18 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unicode script census of a text payload —
-  * `graft_script_census(text)` returns 9 fixed slots
-  * `[n_cp, latin, digit, space, punct, cjk, cyrillic, arabic, other]`
-  * counted in ONE codepoint pass. The script-mix signal behind standard
-  * corpus filters: mojibake and encoding damage show up as an `other`
-  * spike, script spam (e.g. Cyrillic lookalike injection in Latin text)
-  * as an off-dominant share, and the census keys language routing when
-  * `lang` metadata is missing or untrusted.
+  * `graft_script_census(text)` returns 10 fixed slots
+  * `[n_cp, latin, digit, space, punct, cjk, cyrillic, arabic, bad,
+  * other]` counted in ONE codepoint pass. The script-mix signal behind
+  * standard corpus filters: mojibake and encoding damage show up in the
+  * `bad` slot (U+FFFD replacement chars, C0/C1 controls,
+  * noncharacters — unambiguous damage markers that healthy text in ANY
+  * script never carries), script spam (e.g. Cyrillic lookalike
+  * injection in Latin text) as an off-dominant share, and the census
+  * keys language routing when `lang` metadata is missing or untrusted.
+  * `other` holds healthy-but-uncovered scripts (Greek, Hebrew, Thai,
+  * Devanagari, emoji, …) — deliberately SEPARATE from `bad`, so a gate
+  * can drop damage without destroying whole languages.
   *
   * Classification is RANGE-BASED and deliberately simple, so the oracle
   * SQL can state the identical integer comparisons (the cross-engine
@@ -66,12 +71,15 @@ object ScriptCensus {
 
   /** Slot order of the returned array (n_cp first, then the classes in
     * the dominant-tiebreak priority order the consumers use). */
-  val SlotNames: Seq[String] =
-    Seq("n_cp", "latin", "digit", "space", "punct", "cjk", "cyrillic", "arabic", "other")
+  val SlotNames: Seq[String] = Seq("n_cp", "latin", "digit", "space",
+    "punct", "cjk", "cyrillic", "arabic", "bad", "other")
 
   /** One codepoint → class slot index (1-based into the output array;
     * slot 0 is the total). Shared by the kernel and the spec's driver
-    * recompute; the oracle SQL states the same ranges literally. */
+    * recompute; the oracle SQL states the same ranges literally.
+    * `bad` (8) = U+FFFD replacement char, C0 controls outside the
+    * whitespace class, DEL + C1 controls, and the BMP noncharacters —
+    * codepoints healthy text never carries regardless of script. */
   def classOf(cp: Int): Int = {
     if ((cp >= 0x41 && cp <= 0x5A) || (cp >= 0x61 && cp <= 0x7A) ||
         (cp >= 0xC0 && cp <= 0x24F)) 1 // latin
@@ -84,11 +92,14 @@ object ScriptCensus {
         (cp >= 0xF900 && cp <= 0xFAFF)) 5 // cjk
     else if (cp >= 0x400 && cp <= 0x4FF) 6 // cyrillic
     else if ((cp >= 0x600 && cp <= 0x6FF) || (cp >= 0x750 && cp <= 0x77F)) 7 // arabic
-    else 8 // other
+    else if ((cp >= 0x00 && cp <= 0x08) || (cp >= 0x0E && cp <= 0x1F) ||
+        (cp >= 0x7F && cp <= 0x9F) || cp == 0xFFFD ||
+        cp == 0xFFFE || cp == 0xFFFF) 8 // bad: damage markers
+    else 9 // other: healthy-but-uncovered scripts
   }
 
   def compute(text: UTF8String): GenericArrayData = {
-    val slots = new Array[Long](9)
+    val slots = new Array[Long](10)
     val it = text.toString.codePoints().iterator()
     while (it.hasNext) {
       val cp = it.nextInt()

@@ -632,7 +632,10 @@ object RelationalExt {
     else {
       val nd = stats.getLong(2)
       val n = math.max(1L, math.ceil(nd.toDouble / cp.autoWidth(nd)).toLong)
-      if (n == 1L) (when(col("price").isNotNull, lit(0L)), 1L)
+      // nChunks == 1 delegates to rangeChunks' degenerate branch so the
+      // null-placement convention stays defined in ONE place
+      if (n == 1L)
+        (cp.rangeChunks(col("price"), stats.getDouble(0), stats.getDouble(1), 1L), 1L)
       else {
         val bs = stats.getSeq[Double](3).toSeq.sorted
         val sub = math.max(1L, math.ceil(n.toDouble / cells).toLong)

@@ -963,13 +963,19 @@ object TextAnalysis {
     * shuffle before the presentation sort. */
   def taScript: Q = (s, d) => {
     graft.plans.GraftFunctions.register(s)
-    val classes = Seq("latin", "digit", "space", "punct", "cjk", "cyrillic", "arabic", "other")
-    val cen = call_function("graft_script_census", col("text"))
-    val base = Tables.documents(s, d).select(
+    val classes = Seq("latin", "digit", "space", "punct", "cjk", "cyrillic",
+      "arabic", "bad", "other")
+    // TWO projections (the sigDf idiom): the census lands as ONE
+    // materialized attribute, then slots read from it — embedding the
+    // (nondeterministic-flagged) kernel 9x in a single select would run
+    // the full codepoint walk once per slot
+    val withCen = Tables.documents(s, d)
+      .select(col("doc_id"), call_function("graft_script_census", col("text")).as("cen"))
+    val base = withCen.select(
       col("doc_id") +:
-        coalesce(element_at(cen, 1), lit(0L)).as("n_cp") +:
+        coalesce(element_at(col("cen"), 1), lit(0L)).as("n_cp") +:
         classes.zipWithIndex.map { case (n, i) =>
-          coalesce(element_at(cen, i + 2), lit(0L)).as(s"n_$n") }: _*)
+          coalesce(element_at(col("cen"), i + 2), lit(0L)).as(s"n_$n") }: _*)
     val maxc = greatest(classes.map(n => col(s"n_$n")): _*)
     val dom = classes.tail.foldLeft(
         when(col(s"n_${classes.head}") === maxc, classes.head)) {
@@ -989,11 +995,14 @@ object TextAnalysis {
     val cjk = "(c BETWEEN 12352 AND 12543) OR (c BETWEEN 13312 AND 19903) OR (c BETWEEN 19968 AND 40959) OR (c BETWEEN 44032 AND 55215) OR (c BETWEEN 63744 AND 64255)"
     val cyr = "c BETWEEN 1024 AND 1279"
     val arab = "(c BETWEEN 1536 AND 1791) OR (c BETWEEN 1872 AND 1919)"
+    val bad = "(c BETWEEN 0 AND 8) OR (c BETWEEN 14 AND 31) OR (c BETWEEN 127 AND 159) OR c = 65533 OR c = 65534 OR c = 65535"
     val sums = Seq("latin" -> latin, "digit" -> digit, "space" -> space,
-      "punct" -> punct, "cjk" -> cjk, "cyrillic" -> cyr, "arabic" -> arab)
+      "punct" -> punct, "cjk" -> cjk, "cyrillic" -> cyr, "arabic" -> arab,
+      "bad" -> bad)
       .map { case (n, p) => s"sum(CASE WHEN $p THEN 1 ELSE 0 END) AS n_$n" }
       .mkString(",\n|    ")
-    val domCase = Seq("latin", "digit", "space", "punct", "cjk", "cyrillic", "arabic")
+    val domCase = Seq("latin", "digit", "space", "punct", "cjk", "cyrillic",
+      "arabic", "bad")
       .map(n => s"WHEN n_$n = mx THEN '$n'").mkString(" ")
     s"""WITH cp AS (
        |  SELECT doc_id, ascii(substr(text, i, 1)) AS c
@@ -1012,14 +1021,16 @@ object TextAnalysis {
        |    CAST(coalesce(n_cjk, 0) AS BIGINT) AS n_cjk,
        |    CAST(coalesce(n_cyrillic, 0) AS BIGINT) AS n_cyrillic,
        |    CAST(coalesce(n_arabic, 0) AS BIGINT) AS n_arabic,
+       |    CAST(coalesce(n_bad, 0) AS BIGINT) AS n_bad,
        |    CAST(coalesce(n_cp, 0) - coalesce(n_latin, 0) - coalesce(n_digit, 0)
        |      - coalesce(n_space, 0) - coalesce(n_punct, 0) - coalesce(n_cjk, 0)
-       |      - coalesce(n_cyrillic, 0) - coalesce(n_arabic, 0) AS BIGINT) AS n_other
+       |      - coalesce(n_cyrillic, 0) - coalesce(n_arabic, 0)
+       |      - coalesce(n_bad, 0) AS BIGINT) AS n_other
        |  FROM documents d LEFT JOIN cls ON cls.doc_id = d.doc_id),
        |m AS (SELECT *, greatest(n_latin, n_digit, n_space, n_punct, n_cjk,
-       |    n_cyrillic, n_arabic, n_other) AS mx FROM filled)
+       |    n_cyrillic, n_arabic, n_bad, n_other) AS mx FROM filled)
        |SELECT doc_id, n_cp, n_latin, n_digit, n_space, n_punct, n_cjk,
-       |  n_cyrillic, n_arabic, n_other,
+       |  n_cyrillic, n_arabic, n_bad, n_other,
        |  CASE WHEN n_cp = 0 THEN 'none' $domCase ELSE 'other' END AS dominant
        |FROM m ORDER BY doc_id""".stripMargin
   }

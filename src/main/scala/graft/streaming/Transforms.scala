@@ -371,25 +371,29 @@ object Transforms {
       .withColumn("n_pieces", size(col("pieces")).cast("long"))
   }
 
-  /** Script-mix ingest gate — the streaming twin of the batch
+  /** Encoding-damage ingest gate — the streaming twin of the batch
     * `ta_script` census (ONE shared `graft_script_census` kernel, so a
     * streamed verdict is a batch verdict by construction): drops
-    * documents whose `other`-class codepoint share exceeds
-    * `maxOtherShare` — the mojibake / encoding-damage signal (damaged
-    * text decodes into unclassifiable codepoints; healthy text in any
-    * covered script does not). Empty docs carry no signal and PASS —
-    * empty-doc policy belongs to the quality rules, not the script
-    * gate. STATELESS: a record-local filter, no watermark or state
-    * store, safe at any throughput; requires a `text` column. */
-  def scriptGate(docs: DataFrame, maxOtherShare: Double = 0.2): DataFrame = {
-    require(maxOtherShare >= 0.0 && maxOtherShare <= 1.0,
-      s"maxOtherShare must be in [0, 1] (got $maxOtherShare)")
+    * documents whose BAD-class codepoint share (U+FFFD replacement
+    * chars, C0/C1 controls, noncharacters — markers healthy text never
+    * carries in ANY script) exceeds `maxBadShare`. Deliberately NOT the
+    * `other` share: `other` holds healthy-but-uncovered scripts (Greek,
+    * Hebrew, Thai, …), and a data-destroying filter must never conflate
+    * "script we didn't enumerate" with "encoding damage". Empty docs
+    * carry no signal and PASS — empty-doc policy belongs to the quality
+    * rules, not this gate. STATELESS: a record-local filter, no
+    * watermark or state store, safe at any throughput; requires a
+    * `text` column. */
+  def scriptGate(docs: DataFrame, maxBadShare: Double = 0.05): DataFrame = {
+    require(maxBadShare >= 0.0 && maxBadShare <= 1.0,
+      s"maxBadShare must be in [0, 1] (got $maxBadShare)")
     graft.plans.GraftFunctions.register(docs.sparkSession) // graft_script_census
     val cen = call_function("graft_script_census", col("text"))
+    // bad = slot 9 of the census (ScriptCensus.SlotNames)
     docs.withColumn("_cen", cen)
       .filter(coalesce(element_at(col("_cen"), 1), lit(0L)) === 0 ||
         element_at(col("_cen"), 9).cast("double") <=
-          lit(maxOtherShare) * element_at(col("_cen"), 1).cast("double"))
+          lit(maxBadShare) * element_at(col("_cen"), 1).cast("double"))
       .drop("_cen")
   }
 

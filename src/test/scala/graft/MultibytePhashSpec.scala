@@ -103,7 +103,8 @@ class MultibytePhashSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAl
     val got = operators.TextAnalysis.taScript(spark, fixtureDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     got.size shouldBe docs.size
-    val classes = Seq("latin", "digit", "space", "punct", "cjk", "cyrillic", "arabic", "other")
+    val classes = Seq("latin", "digit", "space", "punct", "cjk", "cyrillic",
+      "arabic", "bad", "other")
     docs.foreach { case (id, text) =>
       val cps = text.codePoints().toArray
       val byClass = cps.groupBy(functions.ScriptCensus.classOf).view.mapValues(_.length.toLong)

@@ -156,14 +156,18 @@ class ChunkedPrefixSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
     // them into the LAST chunk and hand them the full carry), and
     // percentileChunks must stay order-exact while bounding cell mass
     for (n <- Seq(5, 97, 1000)) {
+      // id rides along as the tiebreak: NULL p rows tie in the p order,
+      // and an unpinned tie makes the running max plan-dependent (an
+      // intermittent except() diff with no product bug)
       val df = spark.range(n).select(
+        col("id"),
         (col("id") % 3).cast("string").as("k"),
         when(col("id") % 13 === 0, lit(null).cast("double"))
           .otherwise(when(col("id") % 10 < 9, lit(900.0) + col("id") * lit(1e-4))
             .otherwise(col("id").cast("double") * lit(1000.0))).as("p"),
         ((col("id") * 37) % 5).as("v"))
       val win = df.withColumn("m", max(col("v")).over(
-        Window.partitionBy(col("k")).orderBy(col("p"))
+        Window.partitionBy(col("k")).orderBy(col("p"), col("id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val st = df.agg(min(col("p")), max(col("p")),
         percentile_approx(col("p"), lit(Array(0.25, 0.5, 0.75)), lit(10000)))
@@ -172,11 +176,11 @@ class ChunkedPrefixSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
         val (lo, hi) = (st.getDouble(0), st.getDouble(1))
         val rc = ChunkedPrefix.rangeChunks(col("p"), lo, hi, 8)
         parity(s"range n=$n", ChunkedPrefix.runningMax(
-          df, Seq("k"), Seq(col("p")), rc, col("v"), "m", inclusive = true), win)
+          df, Seq("k"), Seq(col("p"), col("id")), rc, col("v"), "m", inclusive = true), win)
         val pc = ChunkedPrefix.percentileChunks(col("p"),
           st.getSeq[Double](2).toSeq.sorted, lo, hi, subChunks = 4)
         parity(s"percentile n=$n", ChunkedPrefix.runningMax(
-          df, Seq("k"), Seq(col("p")), pc, col("v"), "m", inclusive = true), win)
+          df, Seq("k"), Seq(col("p"), col("id")), pc, col("v"), "m", inclusive = true), win)
         // the percentile chunker actually spreads the skewed sliver: with
         // 3 boundaries + 4 sub-chunks the 90% cluster cannot all land in
         // one chunk once it spans multiple percentile cells

@@ -733,37 +733,35 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       Seq("doc_id", "ts", "text")
   }
 
-  it should "gate mojibake documents by script mix on ingest" in {
+  it should "gate encoding-damaged documents on ingest without destroying uncovered scripts" in {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      0L -> "clean latin text with words and 123 numbers",
+      1L -> "日本語のテキストは問題ない、句読点も。", // CJK incl. CJK punctuation — passes
+      2L -> "m��jib�ke ��� br�ken", // replacement chars → bad spike → dropped
+      3L -> "", // no signal — passes (quality rules own empty docs)
+      4L -> ("mostly fine text with one stray � char " * 2), // under threshold
+      5L -> "Ελληνικό κείμενο χωρίς κανένα πρόβλημα", // Greek: UNCOVERED script, healthy — must PASS
+      6L -> "ctl \u0001\u0002\u0003 damaged \u0007\u0008 text") // C0 controls -> dropped
+    val expected = Array(0L, 1L, 3L, 4L, 5L)
     val ms = MemoryStream[(Long, Timestamp, String)]
-    ms.addData(
-      (0L, ts(1), "clean latin text with words and 123 numbers"),
-      (1L, ts(2), "日本語のテキストは問題ない"), // CJK is a covered script — passes
-      (2L, ts(3), "m��jib�ke ��� br�ken"), // replacement chars → other spike
-      (3L, ts(4), ""), // no signal — passes (quality rules own empty docs)
-      (4L, ts(5), "mostly fine text with one stray � char")) // under threshold
-    val q = Transforms.scriptGate(ms.toDF().toDF("doc_id", "ts", "text"), maxOtherShare = 0.2)
+    ms.addData(docs.map { case (id, t) => (id, ts(id.toInt + 1), t) }: _*)
+    val q = Transforms.scriptGate(ms.toDF().toDF("doc_id", "ts", "text"), maxBadShare = 0.05)
       .writeStream.format("memory").queryName("sgate").outputMode("append").start()
     q.processAllAvailable(); q.stop()
-    spark.table("sgate").collect().map(_.getLong(0)).sorted shouldBe Array(0L, 1L, 3L, 4L)
+    spark.table("sgate").collect().map(_.getLong(0)).sorted shouldBe expected
     // the census column does not leak into the output
     spark.table("sgate").columns should contain theSameElementsAs
       Seq("doc_id", "ts", "text")
     // stream ≡ batch: the gate's verdict matches the batch census's
-    // other-share for every fixture doc (one shared kernel)
-    val docs = Seq(
-      0L -> "clean latin text with words and 123 numbers",
-      1L -> "日本語のテキストは問題ない",
-      2L -> "m��jib�ke ��� br�ken",
-      3L -> "",
-      4L -> "mostly fine text with one stray � char")
+    // bad-share for every fixture doc (one shared kernel)
     docs.foreach { case (id, t) =>
       val cps = t.codePoints().toArray
-      val other = cps.count(graft.functions.ScriptCensus.classOf(_) == 8)
-      val passes = cps.isEmpty || other <= 0.2 * cps.length
+      val bad = cps.count(graft.functions.ScriptCensus.classOf(_) == 8)
+      val passes = cps.isEmpty || bad <= 0.05 * cps.length
       withClue(s"doc $id: ") {
-        passes shouldBe Array(0L, 1L, 3L, 4L).contains(id)
+        passes shouldBe expected.contains(id)
       }
     }
   }
