@@ -96,6 +96,17 @@ object Bench {
       System.err.println(s"[bench] pair build FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       -1.0
     }
+    // Same transparency for the OTHER memo: the Iters-round k-means
+    // training every cl_* query amortizes, timed after eviction.
+    val centroidTrain = try {
+      operators.Clustering.evictTrainedCentroids(spark)
+      val t0 = System.nanoTime()
+      operators.Clustering.trainedCents(spark, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] centroid train FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      -1.0
+    }
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -231,7 +242,7 @@ object Bench {
     val bloomRatesJson = bloomRates.map(r => fmt(r)).mkString("[", ",", "]")
     // stream_reruns derives from the actual run count (runs beyond the
     // first timed pass), never a literal — a self-describing artifact
-    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)}"""
+    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)}"""
     // FULL artifact: every per-query number. Printed first for
     // collectors that keep whole stdout AND written to a file so the
     // full per-query map survives even when only the stdout tail does.

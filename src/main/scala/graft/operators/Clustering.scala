@@ -130,6 +130,15 @@ object Clustering {
       if (m != null) m.synchronized { m.clear() }
     }
 
+  /** Bench hook, the [[evictSimEdgePairs]] twin for the OTHER memo: drop
+    * the trained centroids so a timed [[trainedCents]] call measures the
+    * Iters-round training sweep every cl_* query amortizes. */
+  private[graft] def evictTrainedCentroids(s: SparkSession): Unit =
+    centsCache.synchronized {
+      val m = centsCache.get(s)
+      if (m != null) m.synchronized { m.clear() }
+    }
+
   private def dataFingerprint(s: SparkSession, d: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -162,7 +171,7 @@ object Clustering {
     * the training half, split out so operators needing more than the
     * nearest centroid, e.g. [[clSilhouette]]'s second-nearest, can reuse
     * the same run). */
-  private def trainedCents(s: SparkSession, d: String): Seq[(Int, Seq[Double])] = {
+  private[graft] def trainedCents(s: SparkSession, d: String): Seq[(Int, Seq[Double])] = {
     val v = cleanVectors(s, d)
     val perSession = centsCache.synchronized {
       var m = centsCache.get(s)
