@@ -100,6 +100,61 @@ class PropertySpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "form a salt-prefix chain at every width (the dd_sig_width contract)" in {
+    // computeFromTokensN(toks, g) must be EXACTLY the first 4g slots of
+    // the widest signature — salt g's digest never depends on the salt
+    // count; a violated chain would silently desynchronize the width
+    // card's 8/16-perm rows from the one 32-perm pass it slices
+    val tokGen: Gen[List[String]] =
+      Gen.listOfN(6, Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+    samples(tokGen, 60).foreach { toks =>
+      val arr = new GenericArrayData(toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      def slots(g: Int): Seq[Option[String]] = {
+        val out = MinHashSig.computeFromTokensN(arr, g)
+        (0 until out.numElements()).map(i =>
+          if (out.isNullAt(i)) None else Some(out.getUTF8String(i).toString))
+      }
+      val widest = slots(8)
+      widest.length shouldBe 32
+      (1 to 7).foreach { g =>
+        withClue(s"toks=$toks g=$g: ") { slots(g) shouldBe widest.take(4 * g) }
+      }
+      // and 2 salts IS the shipped signature
+      slots(2) shouldBe {
+        val out = MinHashSig.computeFromTokens(arr)
+        (0 until out.numElements()).map(i =>
+          if (out.isNullAt(i)) None else Some(out.getUTF8String(i).toString))
+      }
+    }
+  }
+
+  behavior of "ScriptCensus"
+
+  private val mixedTextGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.asciiPrintableChar.map(_.toInt),
+    2 -> Gen.chooseNum(0x4E00, 0x9FFF), // cjk
+    1 -> Gen.chooseNum(0x370, 0x3FF), // greek (uncovered -> other)
+    1 -> Gen.chooseNum(0x1F300, 0x1F64F), // astral emoji (other)
+    1 -> Gen.oneOf(0xFFFD, 0x01, 0x85), // damage markers (bad)
+    1 -> Gen.chooseNum(0x400, 0x4FF))) // cyrillic
+    .map(cps => new String(cps.toArray, 0, cps.length))
+
+  it should "partition every codepoint into exactly one class, totals tying out" in {
+    samples(mixedTextGen, 150).foreach { text =>
+      val out = ScriptCensus.compute(UTF8String.fromString(text))
+      val slots = (0 until 10).map(out.getLong)
+      val cps = text.codePoints().toArray
+      withClue(s"text=${text.take(40)}…: ") {
+        slots(0) shouldBe cps.length.toLong
+        slots.drop(1).sum shouldBe slots(0) // classes partition the total
+        // kernel == the shared classifier, slot by slot
+        val byClass = cps.groupBy(ScriptCensus.classOf).view.mapValues(_.length.toLong)
+        (1 to 9).foreach(k => slots(k) shouldBe byClass.getOrElse(k, 0L))
+        cps.foreach(cp => ScriptCensus.classOf(cp) should (be >= 1 and be <= 9))
+      }
+    }
+  }
+
   behavior of "DotProduct eval"
 
   it should "match the naive double fold on random float vectors" in {

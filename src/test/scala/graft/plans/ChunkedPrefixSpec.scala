@@ -192,6 +192,47 @@ class ChunkedPrefixSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
     }
   }
 
+  it should "assign monotone chunk ids on random continuous domains" in {
+    // randomized pin of the chunk-monotone-in-order contract for BOTH
+    // continuous chunkers: sorted by value, chunk ids never decrease,
+    // nulls get the null chunk, and ids stay inside [0, nChunks)
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 8) {
+      val lo = rnd.nextDouble() * 2000 - 1000
+      val span = rnd.nextDouble() * 1e6 + 1e-3 // narrow through wide domains
+      val hi = lo + span
+      val n = 400
+      val vals: Seq[Option[Double]] = (0 until n).map { _ =>
+        if (rnd.nextInt(11) == 0) None
+        // cluster most mass near lo to exercise the skew path
+        else if (rnd.nextInt(10) < 8) Some(lo + rnd.nextDouble() * span * 0.01)
+        else Some(lo + rnd.nextDouble() * span)
+      }
+      val df = vals.toDF("p")
+      val nChunks = 1 + rnd.nextInt(12)
+      val boundaries = (1 to 3).map(q => lo + span * q / 4.0)
+      for ((name, ch) <- Seq(
+        "range" -> ChunkedPrefix.rangeChunks(col("p"), lo, hi, nChunks),
+        "percentile" -> ChunkedPrefix.percentileChunks(col("p"), boundaries, lo, hi,
+          subChunks = nChunks))) {
+        val rows = df.select(col("p"), ch.as("c")).collect()
+          .map(r => (Option(r.get(0)).map(_.asInstanceOf[Double]),
+            Option(r.get(1)).map(_.asInstanceOf[Long])))
+        withClue(s"trial=$trial chunker=$name lo=$lo span=$span n=$nChunks: ") {
+          rows.foreach { case (p, c) => c.isDefined shouldBe p.isDefined } // null ⇔ null
+          val defined = rows.collect { case (Some(p), Some(c)) => (p, c) }.sortBy(_._1)
+          defined.sliding(2).foreach {
+            case Array((_, c1), (_, c2)) => c1 should be <= c2
+            case _ =>
+          }
+          val cap = if (name == "range") nChunks else 4L * nChunks
+          defined.foreach { case (_, c) => c should (be >= 0L and be < cap) }
+        }
+      }
+    }
+  }
+
   it should "return empty on empty input for all primitives" in {
     val df = frame(0)
     val ch = ChunkedPrefix.idChunks(col("id"), 4L)
