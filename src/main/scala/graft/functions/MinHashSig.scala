@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.commons.codec.digest.DigestUtils
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -45,37 +44,83 @@ object MinHashSig {
   final val SlicesPerDigest = 4
   final val NumHashes: Int = NumSalts * SlicesPerDigest
 
+  // Kernel internals, shared by [[compute]] and [[computeFromTokensN]].
+  // Slot minima are kept as UNSIGNED 32-bit digest slices (one Long per
+  // slot, -1 = empty) and hex-rendered only at OUTPUT: fixed-width
+  // lowercase hex sorts exactly as its numeric value, so an integer min
+  // is bit-identical to the old per-shingle `substring` + string-compare
+  // form while allocating NOTHING per (shingle, salt). The digest input
+  // is `<salt>|<shingle>` composed from a constant salt-prefix byte
+  // array + the shingle's UTF-8 bytes encoded ONCE per shingle — the old
+  // form re-concatenated and re-encoded the whole string once per SALT,
+  // which dominated the wide-signature kernels.
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val SaltPrefix: Array[Array[Byte]] = (0 until 64)
+    .map(g => (g.toString + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Fold one shingle's salted digest slices into the running minima. */
+  private def foldShingle(mins: Array[Long], numSalts: Int,
+      md: java.security.MessageDigest, sBytes: Array[Byte]): Unit = {
+    var g = 0
+    while (g < numSalts) {
+      md.reset()
+      md.update(SaltPrefix(g))
+      md.update(sBytes)
+      val dig = md.digest()
+      var k = 0
+      while (k < SlicesPerDigest) {
+        val v = ((dig(4 * k) & 0xffL) << 24) | ((dig(4 * k + 1) & 0xffL) << 16) |
+          ((dig(4 * k + 2) & 0xffL) << 8) | (dig(4 * k + 3) & 0xffL)
+        val j = g * SlicesPerDigest + k
+        if (mins(j) == -1L || v < mins(j)) mins(j) = v
+        k += 1
+      }
+      g += 1
+    }
+  }
+
+  /** Render the slot minima as the 8-hex-char signature array. */
+  private def render(mins: Array[Long]): GenericArrayData = {
+    val out = new Array[AnyRef](mins.length)
+    var j = 0
+    while (j < mins.length) {
+      out(j) =
+        if (mins(j) == -1L) null
+        else {
+          val cs = new Array[Char](8)
+          var h = 0
+          while (h < 8) {
+            cs(h) = HexChars(((mins(j) >> (28 - 4 * h)) & 0xfL).toInt)
+            h += 1
+          }
+          UTF8String.fromString(new String(cs))
+        }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Single-pass signature; null/empty input slots stay null (callers
     * filter empty shingle arrays to keep oracle parity). */
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
-    val mins = new Array[String](NumHashes)
+    val mins = new Array[Long](NumHashes)
+    java.util.Arrays.fill(mins, -1L)
+    val md = md5Local.get()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i).toString
-        var g = 0
-        while (g < NumSalts) {
-          val h = DigestUtils.md5Hex(g.toString + "|" + s)
-          var k = 0
-          while (k < SlicesPerDigest) {
-            val j = g * SlicesPerDigest + k
-            val sub = h.substring(8 * k, 8 * k + 8)
-            if (mins(j) == null || sub.compareTo(mins(j)) < 0) mins(j) = sub
-            k += 1
-          }
-          g += 1
-        }
+        foldShingle(mins, NumSalts, md,
+          arr.getUTF8String(i).toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
       i += 1
     }
-    val out = new Array[AnyRef](NumHashes)
-    var j = 0
-    while (j < NumHashes) {
-      out(j) = if (mins(j) == null) null else UTF8String.fromString(mins(j))
-      j += 1
-    }
-    new GenericArrayData(out)
+    render(mins)
   }
 
   /** [[MinHashTokens]] kernel: the same signature as [[compute]] over the
@@ -95,9 +140,13 @@ object MinHashSig {
     * ONE widest pass and slices — the dd_sig_width decision-card
     * contract. */
   def computeFromTokensN(toks: ArrayData, numSalts: Int): ArrayData = {
+    require(numSalts >= 1 && numSalts <= SaltPrefix.length,
+      s"numSalts must be in [1, ${SaltPrefix.length}] (got $numSalts)")
     val nHashes = numSalts * SlicesPerDigest
     val n = toks.numElements()
-    val mins = new Array[String](nHashes)
+    val mins = new Array[Long](nHashes)
+    java.util.Arrays.fill(mins, -1L)
+    val md = md5Local.get()
     var i = 0
     while (i + 2 < n) {
       val sb = new java.lang.StringBuilder
@@ -107,28 +156,11 @@ object MinHashSig {
         if (!toks.isNullAt(i + w)) sb.append(toks.getUTF8String(i + w).toString)
         w += 1
       }
-      val s = sb.toString
-      var g = 0
-      while (g < numSalts) {
-        val h = DigestUtils.md5Hex(g.toString + "|" + s)
-        var k = 0
-        while (k < SlicesPerDigest) {
-          val j = g * SlicesPerDigest + k
-          val sub = h.substring(8 * k, 8 * k + 8)
-          if (mins(j) == null || sub.compareTo(mins(j)) < 0) mins(j) = sub
-          k += 1
-        }
-        g += 1
-      }
+      foldShingle(mins, numSalts, md,
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       i += 1
     }
-    val out = new Array[AnyRef](nHashes)
-    var j = 0
-    while (j < nHashes) {
-      out(j) = if (mins(j) == null) null else UTF8String.fromString(mins(j))
-      j += 1
-    }
-    new GenericArrayData(out)
+    render(mins)
   }
 }
 
