@@ -49,11 +49,13 @@ object MinHashSig {
   // slot, -1 = empty) and hex-rendered only at OUTPUT: fixed-width
   // lowercase hex sorts exactly as its numeric value, so an integer min
   // is bit-identical to the old per-shingle `substring` + string-compare
-  // form while allocating NOTHING per (shingle, salt). The digest input
-  // is `<salt>|<shingle>` composed from a constant salt-prefix byte
-  // array + the shingle's UTF-8 bytes encoded ONCE per shingle — the old
-  // form re-concatenated and re-encoded the whole string once per SALT,
-  // which dominated the wide-signature kernels.
+  // form with no per-(shingle, salt) string/boxing allocation — the
+  // digest itself lands in a caller-preallocated 16-byte buffer via
+  // `md.digest(buf, 0, 16)`. The digest input is `<salt>|<shingle>`
+  // composed from a constant salt-prefix byte array + the shingle's
+  // UTF-8 bytes encoded ONCE per shingle — the old form re-concatenated
+  // and re-encoded the whole string once per SALT, which dominated the
+  // wide-signature kernels.
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -62,15 +64,17 @@ object MinHashSig {
     .map(g => (g.toString + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
   private val HexChars = "0123456789abcdef".toCharArray
 
-  /** Fold one shingle's salted digest slices into the running minima. */
+  /** Fold one shingle's salted digest slices into the running minima;
+    * `dig` is a caller-owned 16-byte scratch buffer reused across calls. */
   private def foldShingle(mins: Array[Long], numSalts: Int,
-      md: java.security.MessageDigest, sBytes: Array[Byte]): Unit = {
+      md: java.security.MessageDigest, dig: Array[Byte],
+      sBytes: Array[Byte]): Unit = {
     var g = 0
     while (g < numSalts) {
       md.reset()
       md.update(SaltPrefix(g))
       md.update(sBytes)
-      val dig = md.digest()
+      md.digest(dig, 0, 16)
       var k = 0
       while (k < SlicesPerDigest) {
         val v = ((dig(4 * k) & 0xffL) << 24) | ((dig(4 * k + 1) & 0xffL) << 16) |
@@ -111,10 +115,11 @@ object MinHashSig {
     val mins = new Array[Long](NumHashes)
     java.util.Arrays.fill(mins, -1L)
     val md = md5Local.get()
+    val dig = new Array[Byte](16)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        foldShingle(mins, NumSalts, md,
+        foldShingle(mins, NumSalts, md, dig,
           arr.getUTF8String(i).toString
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
@@ -147,6 +152,7 @@ object MinHashSig {
     val mins = new Array[Long](nHashes)
     java.util.Arrays.fill(mins, -1L)
     val md = md5Local.get()
+    val dig = new Array[Byte](16)
     var i = 0
     while (i + 2 < n) {
       val sb = new java.lang.StringBuilder
@@ -156,7 +162,7 @@ object MinHashSig {
         if (!toks.isNullAt(i + w)) sb.append(toks.getUTF8String(i + w).toString)
         w += 1
       }
-      foldShingle(mins, numSalts, md,
+      foldShingle(mins, numSalts, md, dig,
         sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       i += 1
     }

@@ -949,7 +949,7 @@ object TextAnalysis {
   }
 
   /** Unicode script census per document — the script-mix signal behind
-    * standard corpus filters (mojibake → `other` spike; lookalike
+    * standard corpus filters (mojibake → `bad` spike; lookalike
     * script injection → off-dominant share; language routing when the
     * `lang` column is missing or untrusted). One codepoint pass per doc
     * via the native [[graft.functions.ScriptCensus]] kernel (a
@@ -995,7 +995,7 @@ object TextAnalysis {
     val cjk = "(c BETWEEN 12352 AND 12543) OR (c BETWEEN 13312 AND 19903) OR (c BETWEEN 19968 AND 40959) OR (c BETWEEN 44032 AND 55215) OR (c BETWEEN 63744 AND 64255)"
     val cyr = "c BETWEEN 1024 AND 1279"
     val arab = "(c BETWEEN 1536 AND 1791) OR (c BETWEEN 1872 AND 1919)"
-    val bad = "(c BETWEEN 0 AND 8) OR (c BETWEEN 14 AND 31) OR (c BETWEEN 127 AND 159) OR c = 65533 OR c = 65534 OR c = 65535"
+    val bad = "(c BETWEEN 0 AND 8) OR (c BETWEEN 14 AND 31) OR (c BETWEEN 127 AND 159) OR (c BETWEEN 64976 AND 65007) OR c = 65533 OR c = 65534 OR c = 65535"
     val sums = Seq("latin" -> latin, "digit" -> digit, "space" -> space,
       "punct" -> punct, "cjk" -> cjk, "cyrillic" -> cyr, "arabic" -> arab,
       "bad" -> bad)

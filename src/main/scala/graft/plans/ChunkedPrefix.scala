@@ -94,7 +94,10 @@ object ChunkedPrefix {
     * it, so the chunk-monotone-in-order contract holds for any finite
     * domain. A degenerate domain (hi <= lo, or non-finite) yields the
     * single chunk it genuinely is. Values at `hi` land in the last
-    * chunk via the `least` clamp. A NULL value gets a NULL chunk
+    * chunk via the `least` clamp; a value BELOW `lo` (possible only if
+    * the sizing stats and the data diverge) clamps to chunk 0 via the
+    * symmetric `greatest`, keeping the documented [0, nChunks) range.
+    * A NULL value gets a NULL chunk
     * (ascending NULLS-FIRST placement, matching idChunks/timeChunks and
     * the monolithic window) — `least` alone would SKIP the null and
     * misfile the row into the LAST chunk, handing it the full
@@ -112,7 +115,9 @@ object ChunkedPrefix {
     if (!(span > 0) || !java.lang.Double.isFinite(span) || nChunks == 1)
       when(value.isNotNull, lit(0L))
     else when(value.isNotNull,
-      least(floor((value.cast("double") - lit(lo)) / lit(span / nChunks)).cast("long"),
+      least(greatest(
+          floor((value.cast("double") - lit(lo)) / lit(span / nChunks)).cast("long"),
+          lit(0L)),
         lit(nChunks - 1)))
   }
 

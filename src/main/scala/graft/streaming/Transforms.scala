@@ -380,7 +380,9 @@ object Transforms {
     * `other` share: `other` holds healthy-but-uncovered scripts (Greek,
     * Hebrew, Thai, …), and a data-destroying filter must never conflate
     * "script we didn't enumerate" with "encoding damage". Empty docs
-    * carry no signal and PASS — empty-doc policy belongs to the quality
+    * AND null-text docs carry no signal and PASS (a null census takes
+    * the `coalesce(n_cp, 0) = 0` branch — an explicit contract, not a
+    * coalesce accident) — empty/null-doc policy belongs to the quality
     * rules, not this gate. STATELESS: a record-local filter, no
     * watermark or state store, safe at any throughput; requires a
     * `text` column. */

@@ -102,4 +102,32 @@ class DirtyTextSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       failures shouldBe empty
     }
   }
+
+  it should "census a book-sized multibyte doc in one byte pass (decoder parity at scale)" in {
+    import spark.implicits._
+    // ~300k codepoints hitting every census class (latin/digit/space/
+    // punct/cjk/cyrillic/arabic/bad/other, ASCII through astral) — the
+    // UTF8String byte-walk decoder must agree with String.codePoints
+    // exactly, including the U+FDD0 noncharacter and control markers in
+    // the bad class. Parity via slotOf on both sides isolates the DECODE
+    // step, which is what the byte-walk rewrite changed.
+    graft.plans.GraftFunctions.register(spark)
+    val unit = "The quick brown fox 123, café über: " +
+      "今日は世界 привет " +
+      "مرحبا 😀🎉 �﷐\n"
+    val text = unit * 4000
+    val cps = text.codePoints().toArray
+    val expected = (0 until 10).map { slot =>
+      if (slot == 0) cps.length.toLong
+      else cps.count(graft.functions.ScriptCensus.slotOf(_) == slot).toLong
+    }
+    // round-trip through parquet so the kernel runs over a scan-backed
+    // UTF8String (not a LocalRelation constant-fold)
+    val dir = java.nio.file.Files.createTempDirectory("graft-census-big").toString
+    Seq((1L, text)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir)
+      .selectExpr("graft_script_census(text) AS cen")
+      .collect()(0).getSeq[Long](0)
+    got shouldBe expected
+  }
 }

@@ -107,7 +107,7 @@ class MultibytePhashSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAl
       "arabic", "bad", "other")
     docs.foreach { case (id, text) =>
       val cps = text.codePoints().toArray
-      val byClass = cps.groupBy(functions.ScriptCensus.classOf).view.mapValues(_.length.toLong)
+      val byClass = cps.groupBy(functions.ScriptCensus.slotOf).view.mapValues(_.length.toLong)
       val r = got(id)
       withClue(s"doc $id: ") {
         r.getAs[Long]("n_cp") shouldBe cps.length.toLong

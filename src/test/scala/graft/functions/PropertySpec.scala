@@ -148,9 +148,9 @@ class PropertySpec extends AnyFlatSpec with Matchers {
         slots(0) shouldBe cps.length.toLong
         slots.drop(1).sum shouldBe slots(0) // classes partition the total
         // kernel == the shared classifier, slot by slot
-        val byClass = cps.groupBy(ScriptCensus.classOf).view.mapValues(_.length.toLong)
+        val byClass = cps.groupBy(ScriptCensus.slotOf).view.mapValues(_.length.toLong)
         (1 to 9).foreach(k => slots(k) shouldBe byClass.getOrElse(k, 0L))
-        cps.foreach(cp => ScriptCensus.classOf(cp) should (be >= 1 and be <= 9))
+        cps.foreach(cp => ScriptCensus.slotOf(cp) should (be >= 1 and be <= 9))
       }
     }
   }

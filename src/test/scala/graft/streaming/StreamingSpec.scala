@@ -758,7 +758,7 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // bad-share for every fixture doc (one shared kernel)
     docs.foreach { case (id, t) =>
       val cps = t.codePoints().toArray
-      val bad = cps.count(graft.functions.ScriptCensus.classOf(_) == 8)
+      val bad = cps.count(graft.functions.ScriptCensus.slotOf(_) == 8)
       val passes = cps.isEmpty || bad <= 0.05 * cps.length
       withClue(s"doc $id: ") {
         passes shouldBe expected.contains(id)
