@@ -1389,7 +1389,97 @@ object Dedup {
        |  ${Exact.floorRoundSql("(n_raw - least(n_neardup, n_norm))::DOUBLE / n_raw", 4)} AS total_drop_rate
        |FROM base CROSS JOIN reps WHERE n_raw > 0""".stripMargin
 
+  /** Duplicated-LINE census — the C4/CCNet-family boilerplate filter
+    * ([[ddSubstring]]'s machinery at LINE granularity): scraped corpora
+    * repeat navigation headers, footers and cookie banners verbatim
+    * across millions of pages, and the standard filter drops or trims
+    * documents whose LINES are mostly seen elsewhere in the corpus.
+    * A "line" is a `\r?\n` segment (trimmed, empties dropped); any line
+    * longer than [[LineDupWidth]] tokens further splits into ALIGNED
+    * 16-token pseudo-lines — the unpunctuated-scrape fallback, so a
+    * single-line wall of text still yields a meaningful census instead
+    * of one corpus-unique hash. A line POSITION counts as duplicated
+    * when its hash occurs more than once corpus-wide (intra-doc repeats
+    * included — a page that repeats its own banner is as removable as a
+    * scrape). Output per doc: line counts, duplicated share (4-decimal
+    * floor round), and the removal flag at share ≥ 0.3 — compared in
+    * exact INTEGER cross-multiplication (`10·dup ≥ 3·total`), never
+    * against a float literal.
+    *
+    * Scale shape (the [[ddSubstring]] transplant, line-for-window): the
+    * corpus-sized shuffle is keyed on (hash, doc_id) so hash-aggregate
+    * partial combine collapses a hot boilerplate line map-side BEFORE
+    * the exchange; the duplicated-hash table (only hashes in >1
+    * (doc,line) pair survive) left-joins back as a sort-merge join that
+    * AQE's skew splitting CAN break up — NEVER a
+    * `Window.partitionBy(h)`, which would serialize a million-doc
+    * cookie banner into one partition. The collapsed pair frame feeds
+    * both the total branch and the join branch, so it is
+    * localCheckpoint-pinned: one segmentation pass, one block write. */
+  def ddLineDup: Q = (s, d) => {
+    val W = LineDupWidth
+    val rawLines = Tables.documents(s, d)
+      .select(col("doc_id"), explode(
+        filter(transform(split(col("text"), "\\r?\\n"), l => trim(l)),
+          l => length(l) > 0)).as("rawline"))
+    val toks = rawLines
+      .select(col("doc_id"), tokens(col("rawline")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val segs = toks.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0), floor((size(col("tk")) - 1) / lit(W.toDouble)).cast("int")),
+        i => concat_ws(" ", slice(col("tk"), i * lit(W) + 1, lit(W))))).as("line"))
+    val perPair = segs
+      .groupBy(substring(md5s(col("line")), 1, 16).as("h"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // collapsed (h, doc) frame feeds both branches once
+    val dupHashes = perPair.groupBy(col("h"))
+      .agg(sum(col("c")).as("ntot"))
+      .filter(col("ntot") > 1)
+      .select(col("h"), lit(1).as("isdup"))
+    perPair.join(dupHashes, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_lines"),
+        coalesce(sum(when(col("isdup") === 1, col("c"))), lit(0L)).as("dup_lines"))
+      .withColumn("dup_line_share",
+        floor(col("dup_lines") / col("n_lines") * 1e4 + 0.5) / 1e4)
+      .withColumn("remove_flag",
+        when(col("dup_lines") * 10 >= col("n_lines") * 3, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pseudo-line width for [[ddLineDup]]'s long-line fallback. */
+  final val LineDupWidth = 16
+
+  val ddLineDupSql: String =
+    s"""WITH l0 AS (
+       |  SELECT doc_id, trim(x) AS rawline
+       |  FROM documents, unnest(string_split_regex(text, '\\r?\\n')) AS u(x)
+       |  WHERE length(trim(x)) > 0),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(rawline, '\\s+'), x -> length(x) > 0) AS tk
+       |  FROM l0),
+       |seg AS (
+       |  SELECT doc_id, list_aggregate(
+       |      tk[(i - 1) * $LineDupWidth + 1 : i * $LineDupWidth],
+       |      'string_agg', ' ') AS line
+       |  FROM t, unnest(range(1,
+       |    CAST(ceil(len(tk) / $LineDupWidth.0) AS BIGINT) + 1)) AS u(i)
+       |  WHERE len(tk) > 0),
+       |pp AS (SELECT substr(md5(line), 1, 16) AS h, doc_id, count(*) AS c
+       |  FROM seg GROUP BY 1, 2),
+       |wt AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY h) AS ntot FROM pp)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+       |  CAST(coalesce(sum(c) FILTER (ntot > 1), 0) AS BIGINT) AS dup_lines,
+       |  floor(coalesce(sum(c) FILTER (ntot > 1), 0) / sum(c) * 1e4 + 0.5) / 1e4
+       |    AS dup_line_share,
+       |  CAST(CASE WHEN coalesce(sum(c) FILTER (ntot > 1), 0) * 10 >= sum(c) * 3
+       |    THEN 1 ELSE 0 END AS BIGINT) AS remove_flag
+       |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "dd_line_dup" -> ddLineDup,
     "dd_cascade" -> ddCascade,
     "dd_edit_pairs" -> ddEditPairs,
     "dd_ppjoin" -> ddPpjoin,
@@ -1416,6 +1506,7 @@ object Dedup {
     "dd_embed_cos" -> ddEmbedCos)
 
   def oracleSql: Map[String, String] = Map(
+    "dd_line_dup" -> ddLineDupSql,
     "dd_cascade" -> ddCascadeSql,
     "dd_edit_pairs" -> ddEditPairsSql,
     "dd_ppjoin" -> ddPpjoinSql,

@@ -754,6 +754,50 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .filter(col("dup_share") < 0.0 || col("dup_share") > 1.0).count() shouldBe 0L
   }
 
+  it should "census duplicated lines: boilerplate across docs, self-repeats, aligned pseudo-lines" in {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val header = "nav home about contact"
+    val footer = "copyright terms privacy cookies"
+    val long16 = (1 to 16).map(i => s"wall$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-linedup").toString
+    Seq(
+      // 0/1 share header+footer; 1 uses CRLF — same line hashes as 0's LF
+      (0L, s"$header\n${(1 to 10).map(i => s"a$i").mkString(" ")}\n$footer", "en", "src0", 100L),
+      (1L, s"$header\r\n${(1 to 10).map(i => s"b$i").mkString(" ")}\r\n$footer", "en", "src1", 100L),
+      // 2: all-unique lines — zero dup, no removal
+      (2L, s"${(1 to 5).map(i => s"u$i").mkString(" ")}\n${(6 to 10).map(i => s"u$i").mkString(" ")}", "en", "src0", 100L),
+      // 3: intra-doc repeated line — self-boilerplate counts
+      (3L, "promo deal now\npromo deal now\npromo deal now", "en", "src0", 100L),
+      // 4/5: ONE long unpunctuated line each; the first ALIGNED 16-token
+      // pseudo-line is shared, the tails differ (4 has 40 tokens → 3
+      // pseudo-lines of 16/16/8; 5 has 26 → 2 of 16/10)
+      (4L, s"$long16 ${(1 to 24).map(i => s"t4x$i").mkString(" ")}", "en", "src0", 100L),
+      (5L, s"$long16 ${(1 to 10).map(i => s"t5x$i").mkString(" ")}", "en", "src0", 100L),
+      // 6: blank/whitespace-only lines drop; the surviving line is the
+      // shared header → full-dup doc
+      (6L, s"\n   \n\t\n$header\n  ", "en", "src0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Dedup.ddLineDup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_lines"),
+        r.getAs[Long]("dup_lines"), r.getAs[Double]("dup_line_share"),
+        r.getAs[Long]("remove_flag")))).toMap
+    rows(0L) shouldBe ((3L, 2L, 0.6667, 1L))
+    rows(1L) shouldBe ((3L, 2L, 0.6667, 1L)) // CRLF hashes equal LF hashes
+    rows(2L) shouldBe ((2L, 0L, 0.0, 0L))
+    rows(3L) shouldBe ((3L, 3L, 1.0, 1L))    // self-repeat is removable
+    rows(4L) shouldBe ((3L, 1L, 0.3333, 1L)) // aligned 16-token pseudo-line
+    rows(5L) shouldBe ((2L, 1L, 0.5, 1L))
+    rows(6L) shouldBe ((1L, 1L, 1.0, 1L))    // blanks dropped, header dups
+    // corpus invariants: share in [0,1], flag exactly the 10·dup ≥ 3·n rule
+    val bad = operators.Dedup.ddLineDup(spark, sf)
+      .filter(col("dup_line_share") < 0.0 || col("dup_line_share") > 1.0 ||
+        (col("remove_flag") === 1) =!= (col("dup_lines") * 10 >= col("n_lines") * 3))
+      .count()
+    bad shouldBe 0L
+  }
+
   it should "summarize the session distribution consistently with the session frame" in {
     val stats = operators.EventAnalytics.evSessionStats(spark, sf).collect()(0)
     val sessions = operators.EventAnalytics.evSessions(spark, sf)

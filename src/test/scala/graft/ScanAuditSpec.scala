@@ -73,6 +73,9 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // one live scan is the single widest (32-perm) signature pass
     "dd_sig_width" -> 1,
     "dd_cascade" -> 3, "dd_dup_span" -> 0, "dd_substring" -> 0,
+    // dd_line_dup: the ddSubstring transplant — segmentation pass lands
+    // in the collapsed (h, doc) checkpoint pin, 0 scans in the final plan
+    "dd_line_dup" -> 0,
     "ta_tfidf" -> 2, "ta_surprisal" -> 1, "ta_collocations" -> 1,
     "ta_novelty" -> 2, "ta_zipf" -> 1,
     // round-6 corpus-health ops (ta_jsd/ta_hapax: tokenize pass + the
@@ -142,5 +145,6 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       "\\bWindow\\b".r.findAllIn(TestPlans.finalPlan(SparkEntry.queries(name)(spark, sf))).length
     winCount("dd_substring") shouldBe 0
     winCount("dd_dup_span") should be <= 1
+    winCount("dd_line_dup") shouldBe 0
   }
 }
