@@ -961,18 +961,29 @@ object TextAnalysis {
     * holding the max count ('none' for empty/null docs); all counts are
     * integers — nothing to round. Scale: record-local, one scan, no
     * shuffle before the presentation sort. */
-  def taScript: Q = (s, d) => {
+  def taScript: Q = (s, d) =>
+    censusPerDoc(s, d).drop("lang").orderBy(col("doc_id"))
+
+  /** The census classes in dominant-tiebreak priority order — ONE list
+    * shared by [[taScript]] and [[taScriptLangid]] (the routing card
+    * must read the same slots as the census it audits). */
+  private val ScriptClasses = Seq("latin", "digit", "space", "punct",
+    "cjk", "cyrillic", "arabic", "bad", "other")
+
+  /** Shared per-doc census frame behind [[taScript]] / [[taScriptLangid]]:
+    * doc_id, lang, slot counts and the dominant class. TWO projections
+    * (the sigDf idiom): the census lands as ONE materialized attribute,
+    * then slots read from it — embedding the (nondeterministic-flagged)
+    * kernel 9x in a single select would run the full codepoint walk
+    * once per slot. */
+  private def censusPerDoc(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    val classes = Seq("latin", "digit", "space", "punct", "cjk", "cyrillic",
-      "arabic", "bad", "other")
-    // TWO projections (the sigDf idiom): the census lands as ONE
-    // materialized attribute, then slots read from it — embedding the
-    // (nondeterministic-flagged) kernel 9x in a single select would run
-    // the full codepoint walk once per slot
+    val classes = ScriptClasses
     val withCen = Tables.documents(s, d)
-      .select(col("doc_id"), call_function("graft_script_census", col("text")).as("cen"))
+      .select(col("doc_id"), col("lang"),
+        call_function("graft_script_census", col("text")).as("cen"))
     val base = withCen.select(
-      col("doc_id") +:
+      col("doc_id") +: col("lang") +:
         coalesce(element_at(col("cen"), 1), lit(0L)).as("n_cp") +:
         classes.zipWithIndex.map { case (n, i) =>
           coalesce(element_at(col("cen"), i + 2), lit(0L)).as(s"n_$n") }: _*)
@@ -982,28 +993,65 @@ object TextAnalysis {
       (acc, n) => acc.when(col(s"n_$n") === maxc, n)
     }.otherwise("other")
     base.withColumn("dominant", when(col("n_cp") === 0, "none").otherwise(dom))
-      .orderBy(col("doc_id"))
   }
 
-  val taScriptSql: String = {
-    // the kernel's classOf ranges, stated literally (disjoint by
-    // construction, so independent CASE sums equal the if/else chain)
-    val latin = "(c BETWEEN 65 AND 90) OR (c BETWEEN 97 AND 122) OR (c BETWEEN 192 AND 591)"
-    val digit = "c BETWEEN 48 AND 57"
-    val space = "(c BETWEEN 9 AND 13) OR c = 32 OR c = 160"
-    val punct = "(c BETWEEN 33 AND 47) OR (c BETWEEN 58 AND 64) OR (c BETWEEN 91 AND 96) OR (c BETWEEN 123 AND 126)"
-    val cjk = "(c BETWEEN 12352 AND 12543) OR (c BETWEEN 13312 AND 19903) OR (c BETWEEN 19968 AND 40959) OR (c BETWEEN 44032 AND 55215) OR (c BETWEEN 63744 AND 64255)"
-    val cyr = "c BETWEEN 1024 AND 1279"
-    val arab = "(c BETWEEN 1536 AND 1791) OR (c BETWEEN 1872 AND 1919)"
-    val bad = "(c BETWEEN 0 AND 8) OR (c BETWEEN 14 AND 31) OR (c BETWEEN 127 AND 159) OR (c BETWEEN 64976 AND 65007) OR c = 65533 OR c = 65534 OR c = 65535"
-    val sums = Seq("latin" -> latin, "digit" -> digit, "space" -> space,
-      "punct" -> punct, "cjk" -> cjk, "cyrillic" -> cyr, "arabic" -> arab,
-      "bad" -> bad)
+  /** Script-vs-declared-language consistency card — the routing-hygiene
+    * census a pipeline runs once [[taScript]] and [[taLangid]] both
+    * exist: the cross-tab of (declared `lang`, dominant script) with
+    * per-lang shares and a mismatch flag (declared=zh but
+    * dominant=latin → mislabeled metadata or spam; the docs a router
+    * would send to the wrong tokenizer/filter chain). `mismatch` fires
+    * only when the declared language has a KNOWN expected script AND
+    * the dominant class is a SCRIPT signal (latin/cjk/cyrillic/arabic/
+    * other) differing from it — a digit/space/punct/none dominant is a
+    * content-shape question for the quality rules, not a routing
+    * signal. Share is the 4-dp floor round of exact long division.
+    *
+    * Scale: the census is record-local (one kernel pass, one scan);
+    * the cross-tab is a partial-combined groupBy collapsing to
+    * ≤ |langs|×|classes| rows, and the per-lang total window rides
+    * THAT card-sized frame — never the corpus. */
+  def taScriptLangid: Q = (s, d) => {
+    val expected =
+      when(col("lang").isin("en", "es", "de", "fr", "it", "pt", "nl"), "latin")
+        .when(col("lang").isin("zh", "ja", "ko"), "cjk")
+        .when(col("lang").isin("ru", "uk", "bg", "sr"), "cyrillic")
+        .when(col("lang").isin("ar", "fa", "ur"), "arabic")
+    censusPerDoc(s, d)
+      .groupBy(col("lang"), col("dominant"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_docs", sum(col("n_docs"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+      .withColumn("share_of_lang",
+        floor(col("n_docs") / col("lang_docs") * 1e4 + 0.5) / 1e4)
+      .withColumn("mismatch",
+        when(expected.isNotNull &&
+          col("dominant").isin("latin", "cjk", "cyrillic", "arabic", "other") &&
+          col("dominant") =!= expected, 1L).otherwise(0L))
+      .orderBy(col("lang"), col("dominant"))
+  }
+
+  // the kernel's slotOf ranges, stated literally (disjoint by
+  // construction, so independent CASE sums equal the if/else chain) —
+  // ONE copy shared by the ta_script and ta_script_langid oracles
+  private val scriptRangeSql: Seq[(String, String)] = Seq(
+    "latin" -> "(c BETWEEN 65 AND 90) OR (c BETWEEN 97 AND 122) OR (c BETWEEN 192 AND 591)",
+    "digit" -> "c BETWEEN 48 AND 57",
+    "space" -> "(c BETWEEN 9 AND 13) OR c = 32 OR c = 160",
+    "punct" -> "(c BETWEEN 33 AND 47) OR (c BETWEEN 58 AND 64) OR (c BETWEEN 91 AND 96) OR (c BETWEEN 123 AND 126)",
+    "cjk" -> "(c BETWEEN 12352 AND 12543) OR (c BETWEEN 13312 AND 19903) OR (c BETWEEN 19968 AND 40959) OR (c BETWEEN 44032 AND 55215) OR (c BETWEEN 63744 AND 64255)",
+    "cyrillic" -> "c BETWEEN 1024 AND 1279",
+    "arabic" -> "(c BETWEEN 1536 AND 1791) OR (c BETWEEN 1872 AND 1919)",
+    "bad" -> ("(c BETWEEN 0 AND 8) OR (c BETWEEN 14 AND 31) OR (c BETWEEN 127 AND 159)" +
+      " OR (c BETWEEN 64976 AND 65007) OR c = 65533 OR c = 65534 OR c = 65535"))
+
+  /** The cp/cls/filled/m census CTE chain shared by the ta_script and
+    * ta_script_langid oracles; `extraDocCols` rides doc columns (e.g.
+    * `, d.lang`) through the filled frame. */
+  private def censusCteSql(extraDocCols: String): String = {
+    val sums = scriptRangeSql
       .map { case (n, p) => s"sum(CASE WHEN $p THEN 1 ELSE 0 END) AS n_$n" }
-      .mkString(",\n|    ")
-    val domCase = Seq("latin", "digit", "space", "punct", "cjk", "cyrillic",
-      "arabic", "bad")
-      .map(n => s"WHEN n_$n = mx THEN '$n'").mkString(" ")
+      .mkString(",\n    ")
     s"""WITH cp AS (
        |  SELECT doc_id, ascii(substr(text, i, 1)) AS c
        |  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
@@ -1013,7 +1061,7 @@ object TextAnalysis {
        |    $sums
        |  FROM cp GROUP BY doc_id),
        |filled AS (
-       |  SELECT d.doc_id, CAST(coalesce(n_cp, 0) AS BIGINT) AS n_cp,
+       |  SELECT d.doc_id$extraDocCols, CAST(coalesce(n_cp, 0) AS BIGINT) AS n_cp,
        |    CAST(coalesce(n_latin, 0) AS BIGINT) AS n_latin,
        |    CAST(coalesce(n_digit, 0) AS BIGINT) AS n_digit,
        |    CAST(coalesce(n_space, 0) AS BIGINT) AS n_space,
@@ -1028,15 +1076,46 @@ object TextAnalysis {
        |      - coalesce(n_bad, 0) AS BIGINT) AS n_other
        |  FROM documents d LEFT JOIN cls ON cls.doc_id = d.doc_id),
        |m AS (SELECT *, greatest(n_latin, n_digit, n_space, n_punct, n_cjk,
-       |    n_cyrillic, n_arabic, n_bad, n_other) AS mx FROM filled)
+       |    n_cyrillic, n_arabic, n_bad, n_other) AS mx FROM filled)""".stripMargin
+  }
+
+  private val domCaseSql: String = Seq("latin", "digit", "space", "punct",
+    "cjk", "cyrillic", "arabic", "bad")
+    .map(n => s"WHEN n_$n = mx THEN '$n'").mkString(" ")
+
+  val taScriptSql: String =
+    s"""${censusCteSql("")}
        |SELECT doc_id, n_cp, n_latin, n_digit, n_space, n_punct, n_cjk,
        |  n_cyrillic, n_arabic, n_bad, n_other,
-       |  CASE WHEN n_cp = 0 THEN 'none' $domCase ELSE 'other' END AS dominant
+       |  CASE WHEN n_cp = 0 THEN 'none' $domCaseSql ELSE 'other' END AS dominant
        |FROM m ORDER BY doc_id""".stripMargin
+
+  val taScriptLangidSql: String = {
+    // the expected-script map, stated once and inlined at both uses
+    val exp = """CASE WHEN lang IN ('en','es','de','fr','it','pt','nl') THEN 'latin'
+                |    WHEN lang IN ('zh','ja','ko') THEN 'cjk'
+                |    WHEN lang IN ('ru','uk','bg','sr') THEN 'cyrillic'
+                |    WHEN lang IN ('ar','fa','ur') THEN 'arabic' END""".stripMargin
+    s"""${censusCteSql(", d.lang")}
+       |, dom AS (
+       |  SELECT lang,
+       |    CASE WHEN n_cp = 0 THEN 'none' $domCaseSql ELSE 'other' END AS dominant
+       |  FROM m),
+       |ct AS (SELECT lang, dominant, count(*) AS n_docs FROM dom GROUP BY 1, 2),
+       |wt AS (SELECT lang, dominant, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_docs FROM ct)
+       |SELECT lang, dominant, n_docs, lang_docs,
+       |  floor(n_docs / lang_docs * 1e4 + 0.5) / 1e4 AS share_of_lang,
+       |  CAST(CASE WHEN ($exp) IS NOT NULL
+       |      AND dominant IN ('latin','cjk','cyrillic','arabic','other')
+       |      AND dominant <> ($exp)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS mismatch
+       |FROM wt ORDER BY lang, dominant""".stripMargin
   }
 
   def queries: Map[String, Q] = Map(
     "ta_script" -> taScript,
+    "ta_script_langid" -> taScriptLangid,
     "ta_bpe_train" -> taBpeTrain,
     "ta_bpe_apply" -> taBpeApply,
     "ta_bigram_surprisal" -> taBigramSurprisal,
@@ -1058,6 +1137,7 @@ object TextAnalysis {
 
   def oracleSql: Map[String, String] = Map(
     "ta_script" -> taScriptSql,
+    "ta_script_langid" -> taScriptLangidSql,
     "ta_bigram_surprisal" -> taBigramSurprisalSql,
     "ta_novelty" -> taNoveltySql,
     "ta_readability" -> taReadabilitySql,

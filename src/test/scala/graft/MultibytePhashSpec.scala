@@ -123,6 +123,37 @@ class MultibytePhashSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAl
     got(1L).getAs[String]("dominant") shouldBe "latin"
   }
 
+  it should "cross-tab declared language against dominant script with exact mismatch semantics" in {
+    import spark.implicits._
+    // real multilingual text: matches, mislabels in both directions, a
+    // digit-dominant doc (content-shape, NOT a routing mismatch), and an
+    // unknown declared lang (no expectation -> never flagged)
+    val dir = java.nio.file.Files.createTempDirectory("graft-langid-x").toString
+    Seq(
+      (0L, "hello world plain text", "en"),
+      (1L, "今日は世界の漢字だらけ", "en"),   // cjk under en -> mismatch
+      (2L, "привет мир снова", "ru"),          // cyrillic under ru -> ok
+      (3L, "hello world", "zh"),               // latin under zh -> mismatch
+      (4L, "12345 67890", "en"),               // digit-dominant -> no flag
+      (5L, "hello there", "xx"),               // unknown lang -> no flag
+      (6L, "مرحبا بالعالم", "ar"))             // arabic under ar -> ok
+      .map { case (id, t, l) => (id, t, l, "fix", t.codePointCount(0, t.length).toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextAnalysis.taScriptLangid(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("dominant")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("lang_docs"),
+          r.getAs[Double]("share_of_lang"), r.getAs[Long]("mismatch")))).toMap
+    got(("en", "latin")) shouldBe ((1L, 3L, 0.3333, 0L))
+    got(("en", "cjk")) shouldBe ((1L, 3L, 0.3333, 1L))
+    got(("en", "digit")) shouldBe ((1L, 3L, 0.3333, 0L))
+    got(("ru", "cyrillic")) shouldBe ((1L, 1L, 1.0, 0L))
+    got(("zh", "latin")) shouldBe ((1L, 1L, 1.0, 1L))
+    got(("xx", "latin")) shouldBe ((1L, 1L, 1.0, 0L))
+    got(("ar", "arabic")) shouldBe ((1L, 1L, 1.0, 0L))
+    got.size shouldBe 7
+  }
+
   it should "agree with real DuckDB running the production ta_script oracle on non-BMP text" in {
     assume(duckdbAvailable, "python3+duckdb not available (driver-side gate)")
     val sqlFile = java.nio.file.Files.createTempFile("tascript", ".sql")

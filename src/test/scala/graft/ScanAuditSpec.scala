@@ -82,6 +82,9 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // doc/total census branch; cl_outliers: gate pass only — centroid
     // and stats passes land in localCheckpoints)
     "ta_jsd" -> 2, "ta_gopher_rules" -> 1, "ta_hapax" -> 2, "ta_script" -> 1,
+    // ta_script_langid: one census scan; the per-lang window rides the
+    // |langs|x|classes| cross-tab card, never the corpus
+    "ta_script_langid" -> 1,
     // ta_jsd_ref: the (source, term) count pass lands in a checkpoint
     "ta_jsd_ref" -> 0,
     // ta_dsir: the documented two passes are the histogram build (inside
