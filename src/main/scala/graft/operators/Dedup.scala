@@ -1193,6 +1193,120 @@ object Dedup {
     math.floor(p * 1e6 + 0.5) / 1e6
   }
 
+  /** Signature-PLAN recommendation card — the decision step AFTER
+    * [[ddSigWidth]]'s measurement: given the MEASURED Jaccard
+    * distribution of the exact truth set, emit the minimal band count
+    * (and implied perms) whose predicted catch rate reaches each target
+    * — the "how wide do I build the signature for THIS corpus at THAT
+    * recall" answer a 100 TB dedup operator actually needs, closed-form
+    * per pair (catch(b) = 1−(1−Jʳ)ᵇ averaged over the truth pairs)
+    * instead of folklore or the worst-case-only J=0.9 constant.
+    *
+    * Candidate band counts are POWERS OF TWO (1..128): doubling is how
+    * signatures actually grow, and it keeps every power cross-engine
+    * IEEE-exact — Jʳ and (1−Jʳ)ᵇ compose from MULTIPLICATIONS ONLY
+    * (repeated squaring), never a libm pow whose last ulp may differ
+    * between the JVM and DuckDB. The per-pair catch terms sum through
+    * decimal(38,18) (the ev_decay idiom) so the truth-set mean is
+    * independent of partition/sum order; the mean divides as
+    * decimal-sum-derived double over the pair count with mirrored
+    * operator order and floor-rounds to 4 dp before the ≥ target
+    * comparison (identical doubles on both sides ⟹ identical
+    * comparison).
+    *
+    * Scale shape: the truth side is the prefix-filtered PPJoin pair set
+    * (never O(n²)) whose tokenize pass lands in [[ppjoinPairsUnsorted]]'s
+    * checkpoint pin; the power chain is record-local arithmetic on that
+    * tiny pair frame; the 16-row (r, b) grid is checkpoint-pinned for
+    * its two consumers (threshold scan + plan lookup). Empty truth set
+    * → empty card (nothing to recommend from). */
+  def ddSigPlan: Q = (s, d) => {
+    val tj = ppjoinPairsUnsorted(s, d).select(col("jaccard").as("j"))
+    // miss bases per rows-per-band: 1 - J^r via multiplication only
+    var dfx = tj
+      .withColumn("j2", col("j") * col("j"))
+      .withColumn("p_2_1", lit(1.0) - col("j2"))
+      .withColumn("p_4_1", lit(1.0) - col("j2") * col("j2"))
+      .drop("j2")
+    // repeated squaring: p_r_b = (1 - J^r)^b for b = 2^k
+    for (r <- SigPlanRows; k <- 1 to 7) {
+      val b = 1 << k; val h = 1 << (k - 1)
+      dfx = dfx.withColumn(s"p_${r}_$b", col(s"p_${r}_$h") * col(s"p_${r}_$h"))
+    }
+    val entries = for (r <- SigPlanRows; k <- 0 to 7; b = 1 << k) yield
+      struct(lit(r.toLong).as("rows_per_band"), lit(b.toLong).as("bands"),
+        (lit(1.0) - col(s"p_${r}_$b")).cast("decimal(38,18)").as("ct"))
+    val grid = dfx.select(explode(array(entries: _*)).as("x"))
+      .groupBy(col("x.rows_per_band").as("rows_per_band"), col("x.bands").as("bands"))
+      .agg(count(lit(1)).as("n_true"), sum(col("x.ct")).as("sct"))
+      .withColumn("predicted_catch",
+        floor(col("sct").cast("double") / col("n_true") * 1e4 + 0.5) / 1e4)
+      .withColumn("perms", col("bands") * col("rows_per_band"))
+      .select(col("rows_per_band"), col("bands"), col("perms"), col("predicted_catch"))
+      .localCheckpoint(true) // 16-row grid feeds the scan + lookup branches once
+    val targets = s.range(1)
+      .select(explode(array(SigPlanTargets.map(lit): _*)).as("target_catch"))
+    val rec = grid.crossJoin(targets)
+      .filter(col("predicted_catch") >= col("target_catch"))
+      .groupBy(col("rows_per_band"), col("target_catch"))
+      .agg(min(col("bands")).as("recommended_bands"))
+    val lookup = grid.select(col("rows_per_band").as("r2"), col("bands").as("b2"),
+      col("perms"), col("predicted_catch"))
+    rec.join(lookup, rec("rows_per_band") === lookup("r2") &&
+        rec("recommended_bands") === lookup("b2"))
+      .select(col("rows_per_band"), col("target_catch"),
+        col("recommended_bands"), col("perms").as("recommended_perms"),
+        col("predicted_catch"))
+      .orderBy(col("rows_per_band"), col("target_catch"))
+  }
+
+  private val SigPlanRows = Seq(2, 4)
+  private val SigPlanTargets = Seq(0.95, 0.99)
+
+  val ddSigPlanSql: String = {
+    // the same repeated-squaring chain, one CTE per squaring step
+    val sq = (1 to 7).map { k =>
+      val b = 1 << k; val h = 1 << (k - 1)
+      s"pw$k AS (SELECT *, ${SigPlanRows.map(r => s"p_${r}_$h * p_${r}_$h AS p_${r}_$b").mkString(", ")} FROM pw${k - 1})"
+    }.mkString(",\n")
+    val branches = (for (r <- SigPlanRows; k <- 0 to 7; b = 1 << k) yield
+      s"SELECT CAST($r AS BIGINT) AS rows_per_band, CAST($b AS BIGINT) AS bands, " +
+        s"CAST(1 - p_${r}_$b AS DECIMAL(38,18)) AS ct FROM pw7").mkString("\nUNION ALL ")
+    val targets = SigPlanTargets.map(t => s"SELECT CAST($t AS DOUBLE) AS target_catch")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS tk
+       |  FROM documents),
+       |tset AS (SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sk
+       |  FROM toks WHERE len(tk) >= 3),
+       |tr AS (SELECT len(list_intersect(a.sk, b.sk)) AS n_common,
+       |    len(a.sk) + len(b.sk) - len(list_intersect(a.sk, b.sk)) AS n_union
+       |  FROM tset a JOIN tset b ON b.doc_id > a.doc_id
+       |  WHERE len(a.sk) >= 1 AND len(b.sk) >= 1
+       |    AND 9 * greatest(len(a.sk), len(b.sk)) <= 10 * least(len(a.sk), len(b.sk))),
+       |tj AS (SELECT floor(n_common / n_union * 1e4 + 0.5) / 1e4 AS j
+       |  FROM tr WHERE 10 * n_common >= 9 * n_union),
+       |pw0 AS (SELECT j, 1 - j * j AS p_2_1, 1 - (j * j) * (j * j) AS p_4_1 FROM tj),
+       |$sq,
+       |x AS ($branches),
+       |g AS (SELECT rows_per_band, bands, count(*) AS n_true, sum(ct) AS sct
+       |  FROM x GROUP BY 1, 2),
+       |g2 AS (SELECT rows_per_band, bands, bands * rows_per_band AS perms,
+       |    floor(CAST(sct AS DOUBLE) / n_true * 1e4 + 0.5) / 1e4 AS predicted_catch
+       |  FROM g),
+       |t AS ($targets),
+       |rec AS (SELECT g2.rows_per_band, t.target_catch,
+       |    min(bands) AS recommended_bands
+       |  FROM g2 CROSS JOIN t WHERE predicted_catch >= target_catch GROUP BY 1, 2)
+       |SELECT rec.rows_per_band, rec.target_catch, rec.recommended_bands,
+       |  CAST(g2.perms AS BIGINT) AS recommended_perms, g2.predicted_catch
+       |FROM rec JOIN g2 ON g2.rows_per_band = rec.rows_per_band
+       |  AND g2.bands = rec.recommended_bands
+       |ORDER BY rec.rows_per_band, rec.target_catch""".stripMargin
+  }
+
   val ddSigWidthSql: String = {
     val branches = SigWidthConfigs.map { case (perms, nb, nr) =>
       s"SELECT CAST($perms AS BIGINT) AS perms, CAST($nb AS BIGINT) AS bands, " +
@@ -1486,6 +1600,7 @@ object Dedup {
     "dd_lsh_recall" -> ddLshRecall,
     "dd_lsh_tuning" -> ddLshTuning,
     "dd_sig_width" -> ddSigWidth,
+    "dd_sig_plan" -> ddSigPlan,
     "dd_neardup" -> ddNeardup,
     "dd_substring" -> ddSubstring,
     "dd_dup_span" -> ddDupSpan,
@@ -1513,6 +1628,7 @@ object Dedup {
     "dd_lsh_recall" -> ddLshRecallSql,
     "dd_lsh_tuning" -> ddLshTuningSql,
     "dd_sig_width" -> ddSigWidthSql,
+    "dd_sig_plan" -> ddSigPlanSql,
     "dd_substring" -> ddSubstringSql,
     "dd_dup_span" -> ddDupSpanSql,
     "dd_decontaminate" -> ddDecontaminateSql,

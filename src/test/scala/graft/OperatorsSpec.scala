@@ -754,6 +754,42 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .filter(col("dup_share") < 0.0 || col("dup_share") > 1.0).count() shouldBe 0L
   }
 
+  it should "recommend the minimal power-of-two band count reaching each target catch" in {
+    import spark.implicits._
+    // driver recompute from the SAME measured truth-set J distribution:
+    // per-pair repeated squaring (the IEEE-exact multiplication-only
+    // chain), decimal(38,18) term rounding, exact decimal sum, 4-dp
+    // floor-rounded mean — then the minimal power-of-two b >= target
+    val js = operators.Dedup.ddPpjoin(spark, sf)
+      .select("jaccard").as[Double].collect()
+    js.length should be > 0
+    def predicted(r: Int, b: Int): Double = {
+      val sum = js.map { j =>
+        val jr = if (r == 2) j * j else { val j2 = j * j; j2 * j2 }
+        var m = 1.0 - jr
+        var bb = 1
+        while (bb < b) { m = m * m; bb *= 2 }
+        java.math.BigDecimal.valueOf(1.0 - m)
+          .setScale(18, java.math.RoundingMode.HALF_UP)
+      }.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      math.floor(sum.doubleValue / js.length * 1e4 + 0.5) / 1e4
+    }
+    val got = operators.Dedup.ddSigPlan(spark, sf).collect().map(r =>
+      (r.getAs[Long]("rows_per_band"), r.getAs[Double]("target_catch")) ->
+        ((r.getAs[Long]("recommended_bands"), r.getAs[Long]("recommended_perms"),
+          r.getAs[Double]("predicted_catch")))).toMap
+    got.size shouldBe 4
+    for (r <- Seq(2, 4); t <- Seq(0.95, 0.99)) {
+      val bStar = (0 to 7).map(1 << _).find(b => predicted(r, b) >= t).get
+      withClue(s"r=$r target=$t: ") {
+        got((r.toLong, t)) shouldBe ((bStar.toLong, (bStar * r).toLong, predicted(r, bStar)))
+      }
+    }
+    // a stricter target can never recommend fewer bands
+    got((2L, 0.99))._1 should be >= got((2L, 0.95))._1
+    got((4L, 0.99))._1 should be >= got((4L, 0.95))._1
+  }
+
   it should "census duplicated lines: boilerplate across docs, self-repeats, aligned pseudo-lines" in {
     import org.apache.spark.sql.functions._
     import spark.implicits._

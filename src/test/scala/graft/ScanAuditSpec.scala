@@ -72,6 +72,9 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // dd_sig_width: the truth side lives in ppjoin's checkpoint pin; the
     // one live scan is the single widest (32-perm) signature pass
     "dd_sig_width" -> 1,
+    // dd_sig_plan: truth pairs + the 16-row (r, b) grid all land in
+    // checkpoint pins; the final plan joins pinned card frames
+    "dd_sig_plan" -> 0,
     "dd_cascade" -> 3, "dd_dup_span" -> 0, "dd_substring" -> 0,
     // dd_line_dup: the ddSubstring transplant — segmentation pass lands
     // in the collapsed (h, doc) checkpoint pin, 0 scans in the final plan
