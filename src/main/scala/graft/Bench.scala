@@ -11,6 +11,42 @@ object Bench {
     // adding planning overhead and log noise to headline timings (and a
     // comparability skew vs pre-r9 artifacts benched without it).
     spark.conf.set("spark.graft.lint", "off")
+    // Host-load calibration (r10 adjudication gap): a FIXED, seeded,
+    // CPU-bound workload — 8 threads each filling and sorting a 1M-long
+    // array 4 times from a xorshift stream — timed at bench START and
+    // END, pure JVM compute with no Spark/IO. The r10 closing artifact
+    // under-reported a healthy engine ~2x under sustained host load and
+    // the in-bench rerun armor could not prove it (uniform-low rates are
+    // indistinguishable from slow code without a reference); calib_sec
+    // is that reference: constant work, so a stretched value reads
+    // directly as host contention and round-over-round numbers can be
+    // normalized against it.
+    val calibSink = new java.util.concurrent.atomic.AtomicLong
+    def calibrateOnce(): Double = {
+      val t0 = System.nanoTime()
+      val threads = (0 until 8).map { t =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + t
+          val arr = new Array[Long](1 << 20)
+          var rep = 0
+          while (rep < 4) {
+            var i = 0
+            while (i < arr.length) {
+              x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+              arr(i) = x; i += 1
+            }
+            java.util.Arrays.sort(arr)
+            x ^= arr(arr.length / 2)
+            rep += 1
+          }
+          calibSink.addAndGet(x) // defeat dead-code elimination
+          ()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibStart = calibrateOnce()
     // Warm the table scans + codegen paths once so per-query timings
     // reflect steady state rather than first-touch JIT. (events goes
     // through its typed accessor for the ts-shape adaptation.) One broken
@@ -232,6 +268,7 @@ object Bench {
     // regression = uniformly low).
     timedStreamRun("timed3")
     timedBloomRun()
+    val calibEnd = calibrateOnce()
     val (loadRate, epochP50, epochP99) = streamBest.map { case (rate, q) =>
       val lats = q.recentProgress.toSeq.filter(_.numInputRows > 0).map(_.batchDuration)
       (rate, util.GraftMetrics.percentileMs(lats, 0.5), util.GraftMetrics.percentileMs(lats, 0.99))
@@ -242,7 +279,7 @@ object Bench {
     val bloomRatesJson = bloomRates.map(r => fmt(r)).mkString("[", ",", "]")
     // stream_reruns derives from the actual run count (runs beyond the
     // first timed pass), never a literal — a self-describing artifact
-    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)}"""
+    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}]"""
     // FULL artifact: every per-query number. Printed first for
     // collectors that keep whole stdout AND written to a file so the
     // full per-query map survives even when only the stdout tail does.
