@@ -57,7 +57,7 @@ object ScaleGen {
     (0 until factor).map { k =>
       if (k == 0) docs
       else docs
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$$1~" + k))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1~" + k))
         .select((col("doc_id") + k * dM).as("doc_id"), col("text"),
           col("lang"), col("source"),
           length(col("text")).cast("long").as("n_chars"))

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Scale-up ratio gate (round 11): pins the big/base wall-time ratio of
+  * the heavy query set against graft.tools.ScalePlan's per-query
+  * ceilings, so a rewrite that silently changes a query's scaling class
+  * (linear → quadratic) fails CI instead of surfacing at the next data
+  * bump — the r8 mm_phash_pairs lesson (0.4 s at sf0.01, 210 s at
+  * sf0.1) made measured super-linearity checks part of the bar.
+  *
+  * GATED like the kafka suite: runs only when `SPARK_GRAFT_SCALE_DIR`
+  * points at a [[graft.tools.ScaleGen]] output (base defaults to
+  * /root/testdata/sf0.1, override with `SPARK_GRAFT_SCALE_BASE`);
+  * cancels cleanly otherwise — a factor-10 sweep of the heavy set is a
+  * deliberate ~20-minute run, not an every-commit cost. The ratio
+  * mostly cancels sustained host load (both sides time in one session);
+  * ceilings carry ~1.6× headroom over the round-11 measured run. */
+class ScaleCheckSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  private val bigDir = sys.env.get("SPARK_GRAFT_SCALE_DIR")
+
+  lazy val spark = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val s = GraftSession.create(s"local[$cpus]", 32)
+    s.sparkContext.setLogLevel("ERROR")
+    s.conf.set("spark.graft.lint", "off")
+    s
+  }
+
+  override def afterAll(): Unit = if (bigDir.isDefined) spark.stop()
+
+  behavior of "heavy-query scale ratios"
+
+  it should "stay at or below every audited big/base ratio ceiling" in {
+    assume(bigDir.isDefined,
+      "SPARK_GRAFT_SCALE_DIR not set — generate a corpus with graft.tools.ScaleGen to run the scale gate")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+    val over = tools.ScalePlan.checks.flatMap { case (id, ceiling) =>
+      tools.ScaleCheck.timeOnce(spark, base, id) // warm codegen for the plan shape
+      val baseSec = math.min(tools.ScaleCheck.timeOnce(spark, base, id),
+        tools.ScaleCheck.timeOnce(spark, base, id))
+      val first = tools.ScaleCheck.timeOnce(spark, bigDir.get, id)
+      val bigSec =
+        if (first < 60.0) math.min(first, tools.ScaleCheck.timeOnce(spark, bigDir.get, id))
+        else first
+      val ratio = bigSec / baseSec
+      info(f"$id%-18s base=$baseSec%8.3f s  big=$bigSec%8.3f s  ratio=$ratio%7.2f  ceiling=$ceiling")
+      if (ratio > ceiling) Some(f"$id: ratio $ratio%.1f > ceiling $ceiling%.1f") else None
+    }
+    withClue(over.mkString("; ")) { over shouldBe empty }
+  }
+}
