@@ -30,6 +30,46 @@ object TextFns {
   /** md5 hex of a string column (Spark needs an explicit binary cast). */
   def md5s(c: Column): Column = md5(c.cast("binary"))
 
+  /** The "line" segmentation of the duplicated-line family — ONE
+    * definition shared by the batch census (`Dedup.ddLineDup`) and the
+    * streaming boilerplate gate (`Transforms.lineDupGate`), so a
+    * streamed verdict is a batch verdict by construction: text splits
+    * on `\r?\n` (trimmed, empties dropped), and each line further
+    * splits into ALIGNED `width`-token pseudo-lines (the
+    * unpunctuated-scrape fallback; the last partial chunk is kept).
+    * Null text → null (callers treat no-segments as no-signal). */
+  def lineSegments(text: Column, width: Int): Column = {
+    val lines = filter(transform(split(text, "\\r?\\n"), l => trim(l)),
+      l => length(l) > 0)
+    flatten(transform(lines, line => segmentsOf(tokens(line), width)))
+  }
+
+  /** Aligned `width`-token chunks of a token array as ONE
+    * `aggregate` fold that binds the array exactly once (the
+    * phashOfText template) — the composed form
+    * `transform(sequence(...), i -> concat_ws(' ', slice(tk, ...)))`
+    * re-evaluates `tk` (and anything inlined into it, e.g. the
+    * tokenizer) once per CHUNK under HOF alias inlining: O(L²/width)
+    * on a book-sized single-line document. Accumulator is
+    * (finished segments, open buffer, tokens in buffer). */
+  private def segmentsOf(tk: Column, width: Int): Column =
+    aggregate(
+      tk,
+      struct(array().cast("array<string>").as("segs"),
+        lit("").as("buf"), lit(0).as("n")),
+      (acc, t) => {
+        val nbuf = when(acc.getField("n") === 0, t)
+          .otherwise(concat(acc.getField("buf"), lit(" "), t))
+        when(acc.getField("n") === width - 1,
+          struct(concat(acc.getField("segs"), array(nbuf)).as("segs"),
+            lit("").as("buf"), lit(0).as("n")))
+          .otherwise(struct(acc.getField("segs").as("segs"),
+            nbuf.as("buf"), (acc.getField("n") + 1).as("n")))
+      },
+      acc => when(acc.getField("n") > 0,
+        concat(acc.getField("segs"), array(acc.getField("buf"))))
+        .otherwise(acc.getField("segs")))
+
   /** Text normalization for content-hash dedup: lowercase, strip
     * non-alphanumerics, collapse whitespace, trim. ONE definition —
     * pipe_curation's content groups must equal dd_exact_norm's, and a

@@ -1531,18 +1531,13 @@ object Dedup {
     * both the total branch and the join branch, so it is
     * localCheckpoint-pinned: one segmentation pass, one block write. */
   def ddLineDup: Q = (s, d) => {
-    val W = LineDupWidth
-    val rawLines = Tables.documents(s, d)
-      .select(col("doc_id"), explode(
-        filter(transform(split(col("text"), "\\r?\\n"), l => trim(l)),
-          l => length(l) > 0)).as("rawline"))
-    val toks = rawLines
-      .select(col("doc_id"), tokens(col("rawline")).as("tk"))
-      .filter(size(col("tk")) > 0)
-    val segs = toks.select(col("doc_id"),
-      explode(transform(
-        sequence(lit(0), floor((size(col("tk")) - 1) / lit(W.toDouble)).cast("int")),
-        i => concat_ws(" ", slice(col("tk"), i * lit(W) + 1, lit(W))))).as("line"))
+    // segmentation via the SHARED TextFns.lineSegments expression (one
+    // aggregate fold per line, array bound once) — the same column the
+    // streaming lineDupGate probes, so gate verdicts and census shares
+    // can never disagree on what a "line" is
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(lineSegments(col("text"), LineDupWidth)).as("line"))
     val perPair = segs
       .groupBy(substring(md5s(col("line")), 1, 16).as("h"), col("doc_id"))
       .agg(count(lit(1)).as("c"))

@@ -894,6 +894,77 @@ object Transforms {
     merged
   }
 
+  /** Build the LINE-hash history filter — the boilerplate-gate twin of
+    * [[buildBloom]] at line granularity: the filter holds
+    * `xxhash64(segment)` for every line segment of the history corpus
+    * (`TextFns.lineSegments` — the SAME segmentation the batch
+    * `dd_line_dup` census counts, so the gate and the census can never
+    * disagree on what a "line" is). `expectedLines` sizes the filter in
+    * SEGMENTS, not documents (a 10-line page inserts 10 keys);
+    * under-sizing degrades fpp, never correctness (no false negatives:
+    * a truly duplicated line always probes true). */
+  def buildLineBloom(historical: DataFrame, expectedLines: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    require(expectedLines > 0, s"expectedLines must be positive (got $expectedLines)")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1) (got $fpp)")
+    val numBits = math.ceil(
+      -expectedLines * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    graft.plans.GraftFunctions.register(historical.sparkSession)
+    historical
+      .select(explode(graft.functions.TextFns.lineSegments(col("text"),
+        graft.operators.Dedup.LineDupWidth)).as("seg"))
+      .select(xxhash64(col("seg")).as("h"))
+      .agg(call_function("graft_bloom_agg", col("h"),
+        lit(expectedLines), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Boilerplate ingest gate — the streaming twin of the batch
+    * `dd_line_dup` census (C4/CCNet family): drops documents whose line
+    * segments are mostly ALREADY KNOWN to the history filter — the
+    * navigation/footer/cookie-banner pages a scrape re-serves millions
+    * of times. Drop rule matches the census removal flag: duplicated
+    * share ≥ `maxDupShare` (probed share here — Bloom false positives
+    * can only round the measured share UP by ~fpp, never manufacture a
+    * false negative). Docs with NO segments (empty, whitespace-only or
+    * null text) carry no signal and PASS — empty-doc policy belongs to
+    * the quality rules, not this gate. STATELESS: record-local filter,
+    * no watermark, no state store. The segment array is evaluated a
+    * bounded 2× per row (count + hit-count references; a constant
+    * factor, unlike the per-chunk tokenizer re-evaluation the
+    * fold-based segmentation exists to avoid). */
+  def lineDupGate(docs: DataFrame, filter: Array[Byte],
+      maxDupShare: Double = 0.3): DataFrame = {
+    require(maxDupShare >= 0.0 && maxDupShare <= 1.0,
+      s"maxDupShare must be in [0, 1] (got $maxDupShare)")
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val segs = graft.functions.TextFns.lineSegments(col("text"),
+      graft.operators.Dedup.LineDupWidth)
+    val nseg = size(segs) // -1 for null text
+    // functions.filter qualified: the `filter` param (the bytes) shadows it
+    val ndup = size(org.apache.spark.sql.functions.filter(segs, s =>
+      call_function("graft_bloom_contains", lit(filter), xxhash64(s))))
+    docs.filter(nseg <= 0 || ndup < lit(maxDupShare) * nseg)
+  }
+
+  /** [[bloomDedup]]'s build+gate convenience for the line gate
+    * (production loops persist the build via [[saveBloom]] instead). */
+  def lineDupDedup(docs: DataFrame, historical: DataFrame,
+      expectedLines: Long, fpp: Double = 0.01,
+      maxDupShare: Double = 0.3): DataFrame =
+    lineDupGate(docs, buildLineBloom(historical, expectedLines, fpp), maxDupShare)
+
+  /** [[extendBloom]] for the line filter: OR the new batch's segment
+    * keys into the saved history — one pass over the increment. Same
+    * sizing-params contract as every merge. */
+  def extendLineBloom(spark: SparkSession, path: String, newDocs: DataFrame,
+      expectedLines: Long, fpp: Double = 0.01): Array[Byte] = {
+    val merged = mergeBloom(loadBloom(spark, path),
+      buildLineBloom(newDocs, expectedLines, fpp))
+    saveBloom(spark, merged, path)
+    merged
+  }
+
   private val SigCol = "__graft_nd_sig"
 
   /** Stage the minhash signature as a materialized column via the FUSED

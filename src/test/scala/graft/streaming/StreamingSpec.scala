@@ -766,6 +766,71 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "gate boilerplate pages against a history line filter, pseudo-lines included" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val header = "nav home about contact"
+    val footer = "copyright terms privacy cookies"
+    val wall16 = (1 to 16).map(i => s"wall$i").mkString(" ")
+    // driver recompute of the SHARED segmentation (TextFns.lineSegments):
+    // \r?\n split, trim, drop empties, aligned 16-token chunks
+    def segsOf(text: String): Seq[String] =
+      text.split("\\r?\\n").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+        line.split("\\s+").filter(_.nonEmpty).grouped(16).map(_.mkString(" "))
+      }
+    val history = Seq(
+      (100L, s"$header\n${(1 to 9).map(i => s"h$i").mkString(" ")}\n$footer"),
+      (101L, s"$wall16 ${(1 to 20).map(i => s"hw$i").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    val nLines = history.collect().map(r => segsOf(r.getString(1)).size).sum
+    val bf = Transforms.buildLineBloom(history, nLines.toLong)
+    val docs = Seq(
+      0L -> s"$header\n${(1 to 10).map(i => s"a$i").mkString(" ")}\n$footer", // 2/3 dup -> drop
+      1L -> (1 to 12).map(i => s"fresh$i").mkString(" "),                     // clean -> pass
+      2L -> header,                                                           // 1/1 dup -> drop
+      3L -> "",                                                               // no signal -> pass
+      4L -> s"${(1 to 5).map(i => s"b$i").mkString(" ")}\n${(6 to 10).map(i => s"b$i").mkString(" ")}\n${(11 to 15).map(i => s"b$i").mkString(" ")}\n$footer", // 1/4 -> pass
+      5L -> s"$wall16 ${(1 to 24).map(i => s"c$i").mkString(" ")}")           // aligned banner 1/3 -> drop
+    val expected = Array(1L, 3L, 4L)
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    ms.addData(docs.map { case (id, t) => (id, ts(id.toInt + 1), t) }: _*)
+    val q = Transforms.lineDupGate(ms.toDF().toDF("doc_id", "ts", "text"), bf)
+      .writeStream.format("memory").queryName("lgate").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    spark.table("lgate").collect().map(_.getLong(0)).sorted shouldBe expected
+    spark.table("lgate").columns should contain theSameElementsAs
+      Seq("doc_id", "ts", "text")
+    // stream ≡ batch ≡ driver: the gate applied to the same frame as a
+    // batch call keeps the same docs, and a driver recompute of
+    // (segments, history hits) predicts every verdict (zero false
+    // negatives: a truly-known line ALWAYS probes true)
+    val batchKept = Transforms.lineDupGate(
+        docs.toDF("doc_id", "text"), bf)
+      .collect().map(_.getLong(0)).sorted
+    batchKept shouldBe expected
+    val historyLines = history.collect().flatMap(r => segsOf(r.getString(1))).toSet
+    docs.foreach { case (id, t) =>
+      val segs = segsOf(t)
+      val hits = segs.count(historyLines)
+      val passes = segs.isEmpty || hits < 0.3 * segs.size
+      withClue(s"doc $id (${segs.size} segs, $hits hits): ") {
+        passes shouldBe expected.contains(id)
+      }
+    }
+    // the fold-based segmentation matches the driver chunker on edge
+    // shapes: exact 16-multiples, 1 token, CRLF, blank/whitespace lines
+    val edges = Seq(
+      (1 to 32).map(i => s"e$i").mkString(" "),       // exact 2 chunks
+      "solo",                                          // 1 token
+      s"a b\r\nc d\r\n\r\n   \r\ne f",                // CRLF + blanks
+      " \t ",                                          // whitespace only
+      (1 to 17).map(i => s"x$i").mkString(" "))        // 16 + 1 tail
+    val got = edges.toDF("text")
+      .select(graft.functions.TextFns.lineSegments(org.apache.spark.sql.functions.col("text"), 16))
+      .collect().map(_.getSeq[String](0).toSeq)
+    got shouldBe edges.map(segsOf)
+  }
+
   it should "drop perceptual near-dups on ingest, first arrival wins" in {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
