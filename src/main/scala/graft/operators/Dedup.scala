@@ -1560,6 +1560,52 @@ object Dedup {
   /** Pseudo-line width for [[ddLineDup]]'s long-line fallback. */
   final val LineDupWidth = 16
 
+  /** Top duplicated lines corpus-wide — the REPORT half of the line
+    * family ([[ddLineDup]] scores documents; this names the boilerplate
+    * itself): the 25 most-repeated line segments with their position
+    * and document counts, the list an operator eyeballs before turning
+    * on removal (is it navigation chrome, or a licence header every doc
+    * legitimately carries?). Same SHARED segmentation.
+    *
+    * Scale shape: groupBy(line) partial-agg — a million-doc cookie
+    * banner collapses map-side to one row per map task before the
+    * exchange; the distinct-doc count rides the same aggregate
+    * (Spark's two-phase distinct expand, still keyed on line). Top-25
+    * by (copies, docs, line) plans as TakeOrderedAndProject — no global
+    * sort materializes. */
+  def ddLineCensus: Q = (s, d) => {
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(lineSegments(col("text"), LineDupWidth)).as("line"))
+    segs.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("n_copies").desc, col("n_docs").desc, col("line"))
+      .limit(25)
+  }
+
+  val ddLineCensusSql: String =
+    s"""WITH l0 AS (
+       |  SELECT doc_id, trim(x) AS rawline
+       |  FROM documents, unnest(string_split_regex(text, '\\r?\\n')) AS u(x)
+       |  WHERE length(trim(x)) > 0),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(rawline, '\\s+'), x -> length(x) > 0) AS tk
+       |  FROM l0),
+       |seg AS (
+       |  SELECT doc_id, list_aggregate(
+       |      tk[(i - 1) * $LineDupWidth + 1 : i * $LineDupWidth],
+       |      'string_agg', ' ') AS line
+       |  FROM t, unnest(range(1,
+       |    CAST(ceil(len(tk) / $LineDupWidth.0) AS BIGINT) + 1)) AS u(i)
+       |  WHERE len(tk) > 0)
+       |SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_copies
+       |FROM seg GROUP BY line HAVING count(*) > 1
+       |ORDER BY n_copies DESC, n_docs DESC, line LIMIT 25""".stripMargin
+
   val ddLineDupSql: String =
     s"""WITH l0 AS (
        |  SELECT doc_id, trim(x) AS rawline
@@ -1589,6 +1635,7 @@ object Dedup {
 
   def queries: Map[String, Q] = Map(
     "dd_line_dup" -> ddLineDup,
+    "dd_line_census" -> ddLineCensus,
     "dd_cascade" -> ddCascade,
     "dd_edit_pairs" -> ddEditPairs,
     "dd_ppjoin" -> ddPpjoin,
@@ -1617,6 +1664,7 @@ object Dedup {
 
   def oracleSql: Map[String, String] = Map(
     "dd_line_dup" -> ddLineDupSql,
+    "dd_line_census" -> ddLineCensusSql,
     "dd_cascade" -> ddCascadeSql,
     "dd_edit_pairs" -> ddEditPairsSql,
     "dd_ppjoin" -> ddPpjoinSql,

@@ -832,6 +832,17 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
         (col("remove_flag") === 1) =!= (col("dup_lines") * 10 >= col("n_lines") * 3))
       .count()
     bad shouldBe 0L
+    // the census REPORT names the boilerplate with exact counts and the
+    // deterministic (copies desc, docs desc, line) order
+    val census = operators.Dedup.ddLineCensus(spark, dir).collect()
+      .map(r => (r.getAs[String]("line"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_copies")))
+    census.take(2) shouldBe Array(
+      (header, 3L, 3L),             // docs 0/1/6 — ties on copies, more docs first
+      ("promo deal now", 1L, 3L))   // doc 3's self-repeat
+    census.drop(2).toSet shouldBe Set(
+      (footer, 2L, 2L), (long16, 2L, 2L))
+    // report ⊆ duplicated: every census line is duplicated by definition
+    census.foreach { case (_, nd, nc) => nc should be > 1L; nd should be >= 1L }
   }
 
   it should "summarize the session distribution consistently with the session frame" in {

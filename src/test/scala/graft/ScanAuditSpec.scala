@@ -79,6 +79,8 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // dd_line_dup: the ddSubstring transplant — segmentation pass lands
     // in the collapsed (h, doc) checkpoint pin, 0 scans in the final plan
     "dd_line_dup" -> 0,
+    // dd_line_census: one segmentation scan, TakeOrdered top-25
+    "dd_line_census" -> 1,
     "ta_tfidf" -> 2, "ta_surprisal" -> 1, "ta_collocations" -> 1,
     "ta_novelty" -> 2, "ta_zipf" -> 1,
     // round-6 corpus-health ops (ta_jsd/ta_hapax: tokenize pass + the
