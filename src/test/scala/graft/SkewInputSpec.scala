@@ -80,6 +80,30 @@ class SkewInputSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     totalDrop should be >= exactDrop
   }
 
+  it should "census a corpus-hot boilerplate line with exact counts" in {
+    // every doc carries the same banner line — the hot-hash shape where
+    // a Window.partitionBy(h) would serialize into one task; the
+    // (h, doc)-keyed partial agg + join-back must stay exact AND the
+    // report must name the banner with full counts
+    val banner = "accept cookies to continue reading this site"
+    val docs = spark.range(1000).select(col("id").as("doc_id"),
+      concat(lit(banner + "\n"), lit("body number "), col("id"),
+        lit(" words "), col("id") * 13).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew-line").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Dedup.ddLineDup(spark, dir).collect()
+    rows.length shouldBe 1000
+    rows.foreach { r => // 2 lines each: the hot banner + a unique body
+      r.getAs[Long]("n_lines") shouldBe 2L
+      r.getAs[Long]("dup_lines") shouldBe 1L
+      r.getAs[Long]("remove_flag") shouldBe 1L // 0.5 >= 0.3
+    }
+    val top = operators.Dedup.ddLineCensus(spark, dir).collect().head
+    top.getAs[String]("line") shouldBe banner
+    top.getAs[Long]("n_docs") shouldBe 1000L
+    top.getAs[Long]("n_copies") shouldBe 1000L
+  }
+
   behavior of "event operators under a dominant user"
 
   lazy val skewDir: String = {
