@@ -906,7 +906,140 @@ object Similarity {
        |FROM m LEFT JOIN cc USING (method) LEFT JOIN h USING (method)
        |CROSS JOIN nq ORDER BY method""".stripMargin
 
+  /** Dimension-truncation retrieval card (round 11) — the
+    * Matryoshka-style ADAPTIVE-RETRIEVAL evaluation: score candidates
+    * on only the FIRST w dims (w = 8/16/32), keep a top-50 shortlist,
+    * re-rank the shortlist with the full 64-dim cosine, and measure
+    * both stages against the exact full-dim top-5 truth. This is the
+    * decision card for the standard 100 TB trick — a w-dim scan costs
+    * w/64 of the full scan's flops AND w/64 of its scan bytes (with
+    * truncated columns stored separately), while the exact re-rank
+    * touches only 50 rows per query; the card tells you the recall
+    * price per width on YOUR embedding distribution.
+    *
+    * The two recall columns bracket the re-rank's value:
+    * `recall_trunc5` is the truncated top-5 taken DIRECTLY (no
+    * re-rank — what a w-dim-only index returns), `recall_at_5` the
+    * shortlist+re-rank pipeline. The re-rank recall provably EQUALS the
+    * shortlist's truth containment — a truth neighbor inside the
+    * shortlist has fewer than 5 corpus vectors above it by exact
+    * cosine, hence fewer than 5 shortlist members above it, so the
+    * exact re-rank can never evict it — meaning every recall point lost
+    * is lost at the SHORTLIST boundary, which is exactly the knob
+    * (shortlist size) the card calibrates.
+    *
+    * Scale shape: per width one broadcast-query scan computing ONLY the
+    * w-dim cosine; the full 64-dim cosine is computed on the ≤50·|Q|
+    * shortlist rows AFTER the TopKPerGroup heaps — never on the Q×N
+    * pair stream. Zero-truncated-norm vectors are excluded from that
+    * width's scan on BOTH engines (a zero prefix carries no ranking
+    * signal and would divide by zero). Truth and each shortlist are
+    * lazy-pinned (the recall-card idiom: two consumers each). Counts
+    * are exact longs; recalls 6-dp floor-rounded exact quotients. */
+  def annDimTrunc: Q = (s, d) => {
+    val v = vectors(s, d)
+    val q = defaultQueries(v)
+    val truth = annBruteforceFor(v, q).filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(false) // feeds the two hit joins per width + nq
+    val nq = truth.agg(countDistinct(col("query_id")).as("n_queries"))
+      .localCheckpoint(false)
+    val cards = DimTruncWidths.map { w =>
+      val vw = v
+        .select(col("vec_id"), col("e"), col("nrm"),
+          slice(col("e"), 1, w).as("ew"), l2norm(slice(col("e"), 1, w)).as("nw"))
+        .filter(col("nw") > 0)
+      val qw = q
+        .select(col("query_id"), col("qe"), col("qn"),
+          slice(col("qe"), 1, w).as("qew"), l2norm(slice(col("qe"), 1, w)).as("qnw"))
+        .filter(col("qnw") > 0)
+      // the Q×N stream stays NARROW — three columns through the heaps;
+      // full vectors join back onto the 50·|Q| shortlist only (at scale
+      // this is the point: the wide columns never ride the scan stream)
+      val scored = vw.select(col("vec_id"), col("ew"), col("nw"))
+        .crossJoin(broadcast(qw.select(col("query_id"), col("qew"), col("qnw"))))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dot(col("qew"), col("ew")) / (col("qnw") * col("nw"))).as("cosw"))
+      val short = graft.plans.TopKPerGroup.transform(scored,
+          Seq(col("query_id")), Seq(col("cosw").desc, col("vec_id").asc), 50)
+        .join(broadcast(v.select(col("vec_id"), col("e"), col("nrm"))), "vec_id")
+        .join(broadcast(q.select(col("query_id"), col("qe"), col("qn"))), "query_id")
+        .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cosw"), col("cos"))
+        .localCheckpoint(false) // feeds the trunc5 + re-rank hit joins
+      // no-re-rank baseline: the truncated top-5 is the shortlist's own
+      // head (the shortlist IS the cosw order)
+      val trunc5 = graft.plans.TopKPerGroup.transform(short,
+        Seq(col("query_id")), Seq(col("cosw").desc, col("neighbor_id").asc), 5)
+      val fin = graft.plans.TopKPerGroup.transform(short,
+        Seq(col("query_id")), Seq(col("cos").desc, col("neighbor_id").asc), 5)
+      val tHits = trunc5.join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_trunc_hits"))
+      val fHits = fin.join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      nq.crossJoin(tHits).crossJoin(fHits)
+        .select(lit(w.toLong).as("dim"), col("n_queries"),
+          col("n_trunc_hits"), col("n_hits"),
+          when(col("n_queries") > 0, Exact.floorRound(
+            col("n_trunc_hits").cast("double") / (lit(5.0) * col("n_queries")), 6))
+            .as("recall_trunc5"),
+          when(col("n_queries") > 0, Exact.floorRound(
+            col("n_hits").cast("double") / (lit(5.0) * col("n_queries")), 6))
+            .as("recall_at_5"))
+    }
+    cards.reduce(_ unionByName _).orderBy(col("dim"))
+  }
+
+  private val DimTruncWidths = Seq(8, 16, 32)
+
+  val annDimTruncSql: String = {
+    def dotW(w: Int, a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, $w), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def nrmW(w: Int, a: String) =
+      s"sqrt(${dotW(w, a, a)})"
+    val widthCtes = DimTruncWidths.map { w =>
+      s"""vw$w AS (SELECT * FROM (SELECT vec_id, e, nrm, ${nrmW(w, "e")} AS nw FROM v) WHERE nw > 0),
+         |qw$w AS (SELECT * FROM (SELECT vec_id AS query_id, e AS qe, nrm AS qn, ${nrmW(w, "e")} AS qnw
+         |  FROM v WHERE vec_id % 4 = 0) WHERE qnw > 0),
+         |sc$w AS (SELECT qq.query_id, vv.vec_id, vv.e AS ve, vv.nrm AS vnrm, qq.qe, qq.qn,
+         |    ${dotW(w, "qq.qe", "vv.e")} / (qq.qnw * vv.nw) AS cosw
+         |  FROM qw$w qq JOIN vw$w vv ON vv.vec_id <> qq.query_id),
+         |sh$w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosw DESC, vec_id) AS rn
+         |  FROM sc$w),
+         |shl$w AS (SELECT query_id, vec_id AS neighbor_id, rn,
+         |    ${dotW(64, "qe", "ve")} / (qn * vnrm) AS cos
+         |  FROM sh$w WHERE rn <= 50),
+         |fin$w AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM shl$w) WHERE rk <= 5)""".stripMargin
+    }.mkString(",\n")
+    val rows = DimTruncWidths.map { w =>
+      s"""SELECT CAST($w AS BIGINT) AS dim,
+         |  (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM truth) AS n_queries,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM shl$w s JOIN truth t
+         |     ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+         |     WHERE s.rn <= 5) AS n_trunc_hits,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM fin$w f JOIN truth t
+         |     ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id) AS n_hits""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH $vectorsCte,
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM ($annBruteforceSql) WHERE rnk <= 5),
+       |$widthCtes,
+       |card AS ($rows)
+       |SELECT dim, n_queries, n_trunc_hits, n_hits,
+       |  CASE WHEN n_queries > 0 THEN ${Exact.floorRoundSql(
+      "CAST(n_trunc_hits AS DOUBLE) / (5.0 * n_queries)", 6)} END AS recall_trunc5,
+       |  CASE WHEN n_queries > 0 THEN ${Exact.floorRoundSql(
+      "CAST(n_hits AS DOUBLE) / (5.0 * n_queries)", 6)} END AS recall_at_5
+       |FROM card ORDER BY dim""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "ann_dim_trunc" -> annDimTrunc,
     "ann_recall_card" -> annRecallCard,
     "ann_ivfpq" -> annIvfPq,
     "ann_radius" -> annRadius,
@@ -918,6 +1051,7 @@ object Similarity {
     "ann_nndescent" -> annNnDescent)
 
   def oracleSql: Map[String, String] = Map(
+    "ann_dim_trunc" -> annDimTruncSql,
     "ann_recall_card" -> annRecallCardSql,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_radius" -> annRadiusSql,

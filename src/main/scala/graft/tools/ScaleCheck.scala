@@ -117,5 +117,7 @@ object ScalePlan {
     // adc-scan cards (measured 17-44x): Θ(factor²) by contract — the
     // ceiling bounds the CONSTANT, the class is the documented price
     "ann_pq" -> 70.0,
-    "ann_opq" -> 70.0)
+    "ann_opq" -> 70.0,
+    // same class: three truncated-dim Q×N scans (at w/64 the flops each)
+    "ann_dim_trunc" -> 70.0)
 }

@@ -754,6 +754,42 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .filter(col("dup_share") < 0.0 || col("dup_share") > 1.0).count() shouldBe 0L
   }
 
+  it should "bracket truncated-dim retrieval: exact on zero-tail vectors, re-rank never hurts" in {
+    import spark.implicits._
+    // fixture 1: ALL ranking signal in the first 8 dims (zeros after) —
+    // truncated cosine == full cosine at every width, so both recall
+    // columns must be EXACTLY 1.0
+    val dir = java.nio.file.Files.createTempDirectory("graft-dimtrunc").toString
+    (0 until 64).map { i =>
+      val e = Array.tabulate(64)(j =>
+        if (j < 8) math.sin(i * 7.0 + j * 1.3).toFloat else 0.0f)
+      (i.toLong, e, i % 4)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val exact = operators.Similarity.annDimTrunc(spark, dir).collect()
+    exact.length shouldBe 3
+    exact.foreach { r =>
+      withClue(s"dim ${r.getAs[Long]("dim")}: ") {
+        r.getAs[Double]("recall_trunc5") shouldBe 1.0
+        r.getAs[Double]("recall_at_5") shouldBe 1.0
+      }
+    }
+    // corpus invariants at sf: the exact re-rank can only ADD recall
+    // over the raw truncated top-5 (a shortlist truth hit provably
+    // survives re-rank), and both stay in [0, 1]
+    val rows = operators.Similarity.annDimTrunc(spark, sf).collect()
+    rows.length shouldBe 3
+    rows.foreach { r =>
+      val (t5, r5) = (r.getAs[Double]("recall_trunc5"), r.getAs[Double]("recall_at_5"))
+      withClue(s"dim ${r.getAs[Long]("dim")}: ") {
+        r5 should be >= t5
+        t5 should (be >= 0.0 and be <= 1.0)
+        r5 should (be >= 0.0 and be <= 1.0)
+        r.getAs[Long]("n_hits") should be <= 5L * r.getAs[Long]("n_queries")
+      }
+    }
+  }
+
   it should "recommend the minimal power-of-two band count reaching each target catch" in {
     import spark.implicits._
     // driver recompute from the SAME measured truth-set J distribution:

@@ -127,7 +127,9 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // ann_ivfpq's residual coding adds one corpus pass (assignment must
     // precede coding); the other 6 scans are vec_id-pruned seed/query
     // fetches (predicate pushdown) + the documented re-rank re-read
-    "ann_pq" -> 5, "ann_ivfpq" -> 8)
+    "ann_pq" -> 5, "ann_ivfpq" -> 8,
+    // ann_dim_trunc: truth + per-width shortlists all land in lazy pins
+    "ann_dim_trunc" -> 0)
 
   behavior of "post-execution scan counts"
 
