@@ -46,6 +46,8 @@ object Bench {
       threads.foreach(_.start()); threads.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
+    calibrateOnce() // untimed: pay JIT/OSR warmup of the loop itself, so
+    // calibStart measures the HOST, not the interpreter
     val calibStart = calibrateOnce()
     // Warm the table scans + codegen paths once so per-query timings
     // reflect steady state rather than first-touch JIT. (events goes

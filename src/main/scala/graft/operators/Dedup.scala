@@ -1531,14 +1531,7 @@ object Dedup {
     * both the total branch and the join branch, so it is
     * localCheckpoint-pinned: one segmentation pass, one block write. */
   def ddLineDup: Q = (s, d) => {
-    // segmentation via the SHARED TextFns.lineSegments expression (one
-    // aggregate fold per line, array bound once) — the same column the
-    // streaming lineDupGate probes, so gate verdicts and census shares
-    // can never disagree on what a "line" is
-    val segs = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(lineSegments(col("text"), LineDupWidth)).as("line"))
-    val perPair = segs
+    val perPair = lineSegFrame(s, d)
       .groupBy(substring(md5s(col("line")), 1, 16).as("h"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // collapsed (h, doc) frame feeds both branches once
@@ -1560,6 +1553,17 @@ object Dedup {
   /** Pseudo-line width for [[ddLineDup]]'s long-line fallback. */
   final val LineDupWidth = 16
 
+  /** The exploded (doc_id, line) frame — segmentation via the SHARED
+    * TextFns.lineSegments expression (one aggregate fold per line,
+    * array bound once), the same column the streaming lineDupGate
+    * probes. ONE definition for [[ddLineDup]] and [[ddLineCensus]], so
+    * the per-doc scores and the boilerplate report can never
+    * desynchronize on what a "line" is. */
+  private def lineSegFrame(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(lineSegments(col("text"), LineDupWidth)).as("line"))
+
   /** Top duplicated lines corpus-wide — the REPORT half of the line
     * family ([[ddLineDup]] scores documents; this names the boilerplate
     * itself): the 25 most-repeated line segments with their position
@@ -1573,17 +1577,13 @@ object Dedup {
     * (Spark's two-phase distinct expand, still keyed on line). Top-25
     * by (copies, docs, line) plans as TakeOrderedAndProject — no global
     * sort materializes. */
-  def ddLineCensus: Q = (s, d) => {
-    val segs = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(lineSegments(col("text"), LineDupWidth)).as("line"))
-    segs.groupBy(col("line"))
+  def ddLineCensus: Q = (s, d) =>
+    lineSegFrame(s, d).groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
       .orderBy(col("n_copies").desc, col("n_docs").desc, col("line"))
       .limit(25)
-  }
 
   val ddLineCensusSql: String =
     s"""WITH l0 AS (

@@ -961,10 +961,17 @@ object Similarity {
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           (dot(col("qew"), col("ew")) / (col("qnw") * col("nw"))).as("cosw"))
-      val short = graft.plans.TopKPerGroup.transform(scored,
-          Seq(col("query_id")), Seq(col("cosw").desc, col("vec_id").asc), 50)
-        .join(broadcast(v.select(col("vec_id"), col("e"), col("nrm"))), "vec_id")
-        .join(broadcast(q.select(col("query_id"), col("qe"), col("qn"))), "query_id")
+      // the re-rank fetch follows the PQ idiom (corpus STREAMED, the
+      // 50·|Q| shortlist broadcast — never the other way around): first
+      // v joins the broadcast shortlist ids to attach e/nrm, then the
+      // query side streams against the broadcast of that still-small
+      // result. Only shortlist-sized frames ever broadcast.
+      val shortIds = graft.plans.TopKPerGroup.transform(scored,
+        Seq(col("query_id")), Seq(col("cosw").desc, col("vec_id").asc), 50)
+      val withVec = v.select(col("vec_id"), col("e"), col("nrm"))
+        .join(broadcast(shortIds), "vec_id")
+      val short = q.select(col("query_id"), col("qe"), col("qn"))
+        .join(broadcast(withVec), "query_id")
         .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           col("cosw"), col("cos"))

@@ -42,6 +42,31 @@ object ScaleCheck {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** THE measurement discipline, shared by the artifact run and the
+    * ScaleCheckSpec gate so the CI ceiling always pins the same
+    * statistic the artifact records: base = warm pass + min-of-2
+    * (the Bench discipline); big = min-of-2 only while a single run
+    * stays under 60 s (the adc-scan cards pay one run — their ceilings
+    * carry the margin). Returns (baseSec, bigSec, ratio); a failed side
+    * reports -1 and ratio -1. */
+  def measureRatio(spark: SparkSession, base: String, big: String,
+      id: String): (Double, Double, Double) = {
+    val baseSec = try {
+      timeOnce(spark, base, id) // warm codegen/JIT for this plan shape
+      math.min(timeOnce(spark, base, id), timeOnce(spark, base, id))
+    } catch { case e: Throwable =>
+      System.err.println(s"[scalecheck] $id base FAILED: ${e.getMessage}"); -1.0
+    }
+    val bigSec = try {
+      val first = timeOnce(spark, big, id)
+      if (first < 60.0) math.min(first, timeOnce(spark, big, id)) else first
+    } catch { case e: Throwable =>
+      System.err.println(s"[scalecheck] $id big FAILED: ${e.getMessage}"); -1.0
+    }
+    val ratio = if (baseSec > 0 && bigSec >= 0) bigSec / baseSec else -1.0
+    (baseSec, bigSec, ratio)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 4, "usage: ScaleCheck <baseSfDir> <bigSfDir> <factor> <outJson> [ids...]")
     val (base, big, factor, outJson) = (args(0), args(1), args(2).toInt, args(3))
@@ -51,19 +76,7 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.graft.lint", "off")
     val rows = ids.map { id =>
-      val baseSec = try {
-        timeOnce(spark, base, id) // warm codegen/JIT for this plan shape
-        math.min(timeOnce(spark, base, id), timeOnce(spark, base, id))
-      } catch { case e: Throwable =>
-        System.err.println(s"[scalecheck] $id base FAILED: ${e.getMessage}"); -1.0
-      }
-      val bigSec = try {
-        val first = timeOnce(spark, big, id)
-        if (first < 60.0) math.min(first, timeOnce(spark, big, id)) else first
-      } catch { case e: Throwable =>
-        System.err.println(s"[scalecheck] $id big FAILED: ${e.getMessage}"); -1.0
-      }
-      val ratio = if (baseSec > 0 && bigSec >= 0) bigSec / baseSec else -1.0
+      val (baseSec, bigSec, ratio) = measureRatio(spark, base, big, id)
       println(f"[scalecheck] $id%-18s base=$baseSec%8.3f s  big=$bigSec%8.3f s  ratio=$ratio%7.2f")
       (id, baseSec, bigSec, ratio)
     }

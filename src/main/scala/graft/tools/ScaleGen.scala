@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   *   artificial clone groups introduce a quadratic truth set the base
   *   corpus doesn't have.
   * - `embeddings`: dimensions rotate by 7k mod 64 with a seeded
-  *   per-(k, dim) sign flip — norms and within-copy cosines are
-  *   preserved EXACTLY (per-copy ANN structure = the source's);
+  *   per-(k, dim) sign flip — norms are preserved exactly and
+  *   within-copy cosines are equal up to SUMMATION-ORDER rounding (a
+  *   downstream dot product sums the same per-dim products in rotated
+  *   order), so per-copy ANN structure matches the source's except
+  *   where two candidates tie within ~1 ulp at a rank boundary;
   *   cross-copy cosines decorrelate. Labels ride along.
   * - `events`: user_id shifts by k·(max user + 1) — per-user timelines
   *   replicate, the user population and per-hour event density scale

@@ -15,9 +15,13 @@ import org.scalatest.matchers.should.Matchers
   * points at a [[graft.tools.ScaleGen]] output (base defaults to
   * /root/testdata/sf0.1, override with `SPARK_GRAFT_SCALE_BASE`);
   * cancels cleanly otherwise — a factor-10 sweep of the heavy set is a
-  * deliberate ~20-minute run, not an every-commit cost. The ratio
-  * mostly cancels sustained host load (both sides time in one session);
-  * ceilings carry ~1.6× headroom over the round-11 measured run. */
+  * deliberate ~12-minute run, not an every-commit cost. The ratio
+  * mostly cancels sustained host load (both sides time in one
+  * session); ceilings are calibrated per ScalePlan's own doc (≈ 2–3×
+  * the round-11 measured ratios, floored at the class minimum), and
+  * the measurement discipline is ScaleCheck.measureRatio — ONE shared
+  * definition, so this gate always pins the same statistic the
+  * artifact records. */
 class ScaleCheckSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
 
   private val bigDir = sys.env.get("SPARK_GRAFT_SCALE_DIR")
@@ -39,16 +43,12 @@ class ScaleCheckSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       "SPARK_GRAFT_SCALE_DIR not set — generate a corpus with graft.tools.ScaleGen to run the scale gate")
     val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
     val over = tools.ScalePlan.checks.flatMap { case (id, ceiling) =>
-      tools.ScaleCheck.timeOnce(spark, base, id) // warm codegen for the plan shape
-      val baseSec = math.min(tools.ScaleCheck.timeOnce(spark, base, id),
-        tools.ScaleCheck.timeOnce(spark, base, id))
-      val first = tools.ScaleCheck.timeOnce(spark, bigDir.get, id)
-      val bigSec =
-        if (first < 60.0) math.min(first, tools.ScaleCheck.timeOnce(spark, bigDir.get, id))
-        else first
-      val ratio = bigSec / baseSec
+      val (baseSec, bigSec, ratio) =
+        tools.ScaleCheck.measureRatio(spark, base, bigDir.get, id)
       info(f"$id%-18s base=$baseSec%8.3f s  big=$bigSec%8.3f s  ratio=$ratio%7.2f  ceiling=$ceiling")
-      if (ratio > ceiling) Some(f"$id: ratio $ratio%.1f > ceiling $ceiling%.1f") else None
+      if (ratio < 0) Some(s"$id: measurement FAILED")
+      else if (ratio > ceiling) Some(f"$id: ratio $ratio%.1f > ceiling $ceiling%.1f")
+      else None
     }
     withClue(over.mkString("; ")) { over shouldBe empty }
   }
