@@ -1011,12 +1011,20 @@ object TextAnalysis {
     * the cross-tab is a partial-combined groupBy collapsing to
     * ≤ |langs|×|classes| rows, and the per-lang total window rides
     * THAT card-sized frame — never the corpus. */
+  /** declared lang → expected dominant script: ONE table driving both
+    * the Spark when-chain and the oracle's CASE (built from the same
+    * rows in [[taScriptLangidSql]]), so the two can never drift. */
+  private val ExpectedScript: Seq[(Seq[String], String)] = Seq(
+    Seq("en", "es", "de", "fr", "it", "pt", "nl") -> "latin",
+    Seq("zh", "ja", "ko") -> "cjk",
+    Seq("ru", "uk", "bg", "sr") -> "cyrillic",
+    Seq("ar", "fa", "ur") -> "arabic")
+
   def taScriptLangid: Q = (s, d) => {
-    val expected =
-      when(col("lang").isin("en", "es", "de", "fr", "it", "pt", "nl"), "latin")
-        .when(col("lang").isin("zh", "ja", "ko"), "cjk")
-        .when(col("lang").isin("ru", "uk", "bg", "sr"), "cyrillic")
-        .when(col("lang").isin("ar", "fa", "ur"), "arabic")
+    val expected = ExpectedScript.foldLeft(lit(null).cast("string")) {
+      case (acc, (langs, script)) =>
+        when(col("lang").isin(langs: _*), script).otherwise(acc)
+    }
     censusPerDoc(s, d)
       .groupBy(col("lang"), col("dominant"))
       .agg(count(lit(1)).as("n_docs"))
@@ -1091,11 +1099,10 @@ object TextAnalysis {
        |FROM m ORDER BY doc_id""".stripMargin
 
   val taScriptLangidSql: String = {
-    // the expected-script map, stated once and inlined at both uses
-    val exp = """CASE WHEN lang IN ('en','es','de','fr','it','pt','nl') THEN 'latin'
-                |    WHEN lang IN ('zh','ja','ko') THEN 'cjk'
-                |    WHEN lang IN ('ru','uk','bg','sr') THEN 'cyrillic'
-                |    WHEN lang IN ('ar','fa','ur') THEN 'arabic' END""".stripMargin
+    // the SAME ExpectedScript rows as the Spark when-chain
+    val exp = "CASE " + ExpectedScript.map { case (langs, script) =>
+      s"WHEN lang IN (${langs.map(l => s"'$l'").mkString(",")}) THEN '$script'"
+    }.mkString("\n    ") + " END"
     s"""${censusCteSql(", d.lang")}
        |, dom AS (
        |  SELECT lang,
