@@ -48,11 +48,20 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: ScaleGen <srcSfDir> <outDir> <factor>")
     val (src, out, factor) = (args(0), args(1), args(2).toInt)
-    require(factor >= 1, s"factor must be >= 1 (got $factor)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = GraftSession.create(s"local[$cpus]", 32)
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.graft.lint", "off")
+    generate(spark, src, out, factor)
+    println(s"[scalegen] wrote ${factor}x of $src to $out")
+    spark.stop()
+  }
+
+  /** The generation itself, session-agnostic — ScaleGenSpec pins the
+    * invariants the scale ratios rely on through this entry point. */
+  def generate(spark: org.apache.spark.sql.SparkSession, src: String,
+      out: String, factor: Int): Unit = {
+    require(factor >= 1, s"factor must be >= 1 (got $factor)")
 
     // documents: suffix every token with ~k (copy 0 verbatim)
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -102,7 +111,5 @@ object ScaleGen {
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
-    println(s"[scalegen] wrote ${factor}x of $src to $out")
-    spark.stop()
   }
 }
