@@ -31,7 +31,7 @@ object Pipeline {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_tokens")).as("total_tokens"))
-      .orderBy(col("lang"))
+      .orderBy(col("lang").asc_nulls_last)
   }
 
   val pipeCurationSql: String =
@@ -105,7 +105,7 @@ object Pipeline {
       .groupBy(col("lang"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-      .orderBy(col("lang"), col("pack_id"))
+      .orderBy(col("lang").asc_nulls_last, col("pack_id"))
   }
 
   val pipePackingSql: String =
@@ -144,7 +144,7 @@ object Pipeline {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-      .orderBy(col("lang"))
+      .orderBy(col("lang").asc_nulls_last)
   }
 
   val pipeSampleSql: String =
@@ -170,7 +170,7 @@ object Pipeline {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("char_mass"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-      .orderBy(col("lang"), col("split"))
+      .orderBy(col("lang").asc_nulls_last, col("split"))
   }
 
   val pipeSplitSql: String =
@@ -558,7 +558,7 @@ object Pipeline {
           .as("avg_tokens"),
         Exact.floorRound(col("total_tokens").cast("double") / col("corpus_tokens"), 6)
           .as("token_share"))
-      .orderBy(col("lang"), col("source"))
+      .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
   }
 
   val pipeDatacardSql: String = {

@@ -48,10 +48,28 @@ object Similarity {
       .withColumn("nrm", l2norm(col("e")))
   }
 
-  /** Query-side adapter for the bench/oracle ids: every 4th corpus
-    * vector, shaped (query_id, qe, qn). */
+  /** FIXED deterministic query budget for every ANN evaluation card
+    * (round 12, the r11 `weak`): the cards previously took every 4th
+    * corpus vector as a query, so Q ∝ N and even a compressed LINEAR
+    * scan per query (PQ-ADC) made the card Θ(N²) — SCALECHECK_r11
+    * measured ann_pq at 26.6× and ann_ivfpq at 13.7× for a factor-10
+    * corpus. A fixed budget is also the operational form at 100 TB:
+    * an evaluation card's query set is a SAMPLE whose size buys
+    * statistical confidence, not corpus coverage, so it has no business
+    * growing with the corpus. With Q fixed, every card is Θ(N). */
+  private[graft] val QueryBudget = 256
+
+  /** Query-side adapter for the bench/oracle ids: the [[QueryBudget]]
+    * corpus vectors with the smallest md5(vec_id) — a deterministic
+    * hash-stratified sample both engines compute identically (Spark's
+    * long→string cast and DuckDB's `CAST(... AS VARCHAR)` agree, md5
+    * hex is lowercase on both, and hex-string order is byte order on
+    * both). Shaped (query_id, qe, qn). Plans as TakeOrderedAndProject —
+    * a bounded heap per partition + one |budget|-row reduce, never a
+    * global sort. A corpus under the budget is taken whole. */
   private def defaultQueries(v: DataFrame): DataFrame =
-    v.filter(col("vec_id") % 4 === 0)
+    v.orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(QueryBudget)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
 
   private val vectorsCte: String =
@@ -61,7 +79,15 @@ object Similarity {
       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
       |  FROM embeddings)""".stripMargin
 
-  /** Exact cosine top-10 for every query vector (vec_id % 4 = 0).
+  /** SQL twin of [[defaultQueries]]'s id rule (over the unrotated ids —
+    * the rule is content-independent, so one CTE serves the OPQ path's
+    * rotated vectors too). */
+  private val queryIdsCte: String =
+    s"""qids AS (
+       |  SELECT vec_id FROM v
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $QueryBudget)""".stripMargin
+
+  /** Exact cosine top-10 for the budgeted query sample ([[defaultQueries]]).
     * Candidate scoring stays partitioned (queries broadcast); the top-k
     * itself runs on graft's TopKPerGroup operator — two-phase bounded
     * heaps instead of a full per-group sort, so the shuffle carries at
@@ -74,11 +100,11 @@ object Similarity {
 
   /** General form. CONTRACT: `queries` (query_id, qe, qn) is the SMALL
     * side — it is broadcast whole to every executor, so it must fit in
-    * executor memory (≲ a few hundred MB of vectors; the testdata
-    * adapter's 25% slice is already past what a production caller should
-    * pass). The corpus side stays partitioned at any scale; if the query
-    * set grows with the corpus, this operator is the wrong tool — use the
-    * keyed [[annLshFor]]/[[annIvfFor]] paths and keep nprobe bounded, or
+    * executor memory (≲ a few hundred MB of vectors; [[defaultQueries]]'s
+    * fixed [[QueryBudget]] is metadata-sized by construction). The corpus
+    * side stays partitioned at any scale; if the query set grows with the
+    * corpus, this operator is the wrong tool — use the keyed
+    * [[annLshFor]]/[[annIvfFor]] paths and keep nprobe bounded, or
     * self-join on bucket keys instead of broadcasting. */
   def annBruteforceFor(v: DataFrame, queries: DataFrame): DataFrame = {
     val scored = v.crossJoin(broadcast(queries))
@@ -89,7 +115,8 @@ object Similarity {
 
   val annBruteforceSql: String =
     s"""WITH $vectorsCte,
-       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v WHERE vec_id % 4 = 0),
+       |$queryIdsCte,
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v JOIN qids USING (vec_id)),
        |scored AS (
        |  SELECT q.query_id, v.vec_id AS neighbor_id,
        |    list_reduce(list_transform(generate_series(1, 64), i -> qe[i] * e[i]), (x, y) -> x + y) / (qn * nrm) AS cos
@@ -152,8 +179,9 @@ object Similarity {
       .map(i => s"CASE WHEN $tbl.e[$i] >= 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
     s"""WITH $vectorsCte,
+       |$queryIdsCte,
        |q0 AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, ${sig("v")} AS sig0
-       |      FROM v WHERE vec_id % 4 = 0),
+       |      FROM v JOIN qids USING (vec_id)),
        |q AS (SELECT query_id, qe, qn, unnest(${multiProbeSqlList("sig0", 4)}) AS qsig FROM q0),
        |scored AS (
        |  SELECT q.query_id, v.vec_id AS neighbor_id,
@@ -182,8 +210,43 @@ object Similarity {
     * twice (centroid probing + candidate scoring) — small side only.
     * Corpus cell assignment is corpus-partitioned and nprobe bounds
     * per-query candidate work regardless of corpus size. */
-  def annIvfFor(v: DataFrame, queries: DataFrame): DataFrame = {
-    val nCentroids = 16
+  def annIvfFor(v: DataFrame, queries: DataFrame): DataFrame =
+    annIvfK(v, queries, 16)
+
+  /** The K-SCHEDULE rule for [[annIvfSqrt]]: cells = max(16, ⌊√N⌋), the
+    * standard IVF sizing (FAISS trains K ∝ √N) that keeps BOTH sides of
+    * the index balanced as the corpus grows — candidates per probed
+    * query ∝ N/K = √N AND cell count ∝ √N, instead of fixed-K's
+    * candidates ∝ N (the residual linear factor the r11 SCALECHECK
+    * measured on ann_ivfpq). ONE definition shared by the retrieval op,
+    * the health card and the oracles' `greatest(16, floor(sqrt(n)))`. */
+  private[graft] def sqrtCells(n: Long): Int =
+    math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
+
+  /** √N-cells IVF (round 12, r11 verdict item 1b): [[annIvf]]'s exact
+    * pipeline with the [[sqrtCells]] K schedule instead of fixed K=16.
+    * What changes at scale: per-query candidate work drops from Θ(N/16)
+    * to Θ(√N) — the serving-path story fixed-K could not honestly tell —
+    * while assignment pays Θ(N·√N) brute-force centroid scoring (the
+    * documented build-side price; a production build at K ≫ 10³ indexes
+    * the centroids themselves — coarse-assign against √K super-cells —
+    * to bring the build back near-linear; at this round's K ≤ a few
+    * hundred the brute-force form is both exact and cheaper than the
+    * two-level machinery). The corpus count is ONE column-pruned
+    * aggregate collected to the driver (the cl_kmeans train-small
+    * discipline); K is then a plan literal, so the cents filter still
+    * pushes to the scan. */
+  def annIvfSqrt: Q = (s, d) => {
+    val v = vectors(s, d)
+    annIvfSqrtFor(v, defaultQueries(v))
+  }
+
+  /** General form of [[annIvfSqrt]]; broadcast contract = [[annIvfFor]]'s
+    * (centroids stay metadata-sized: √N rows of 64 doubles). */
+  def annIvfSqrtFor(v: DataFrame, queries: DataFrame): DataFrame =
+    annIvfK(v, queries, sqrtCells(v.count()))
+
+  private def annIvfK(v: DataFrame, queries: DataFrame, nCentroids: Int): DataFrame = {
     val nProbe = 4
     val cents = v.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
@@ -213,9 +276,13 @@ object Similarity {
     rankTopK(scored, 5)
   }
 
-  val annIvfSql: String =
+  /** The IVF oracle pipeline parameterized by the cell-count bound —
+    * shared verbatim by [[annIvfSql]] (fixed 16) and [[annIvfSqrtSql]]
+    * (the [[sqrtCells]] schedule), so the two oracles cannot drift. */
+  private def ivfPipelineSql(centsBound: String): String =
     s"""WITH $vectorsCte,
-       |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+       |$queryIdsCte,
+       |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < $centsBound),
        |assign_scored AS (
        |  SELECT v.vec_id, v.e, v.nrm, c.cid,
        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -223,7 +290,7 @@ object Similarity {
        |      c.cid) AS crnk
        |  FROM v, cents c),
        |assigned AS (SELECT vec_id, e, nrm, cid AS cell FROM assign_scored WHERE crnk = 1),
-       |q AS (SELECT vec_id AS query_id, e, nrm FROM v WHERE vec_id % 4 = 0),
+       |q AS (SELECT vec_id AS query_id, e, nrm FROM v JOIN qids USING (vec_id)),
        |probe_scored AS (
        |  SELECT q.query_id, q.e AS qe, q.nrm AS qn, c.cid,
        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
@@ -241,6 +308,15 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  val annIvfSql: String = ivfPipelineSql("16")
+
+  /** `greatest(16, floor(sqrt(N)))` over the corpus — [[sqrtCells]]'s SQL
+    * twin (same count, same floor, same floor-at-16). */
+  private val SqrtCellsBoundSql: String =
+    "(SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM v)"
+
+  val annIvfSqrtSql: String = ivfPipelineSql(SqrtCellsBoundSql)
 
   /** Product-quantization ANN with exact re-rank — the standard
     * two-stage pipeline: (1) ADC scan: vectors coded as 8 subspace codes
@@ -351,8 +427,8 @@ object Similarity {
        |lutrows AS (
        |  SELECT q.vec_id AS query_id, c.cid, t.j,
        |    list_reduce(list_transform(generate_series(1, 8), i -> q.e[t.j*8 + i] * c.ce[t.j*8 + i]), (x, y) -> x + y) AS val
-       |  FROM $vec q, cents c, (SELECT unnest(generate_series(0, 7)) AS j) t
-       |  WHERE q.vec_id % 4 = 0),
+       |  FROM $vec q JOIN qids ON qids.vec_id = q.vec_id,
+       |    cents c, (SELECT unnest(generate_series(0, 7)) AS j) t),
        |luts AS (SELECT query_id, list(val ORDER BY j, cid) AS lut FROM lutrows GROUP BY query_id),
        |scored AS (
        |  SELECT l.query_id, cd.vec_id AS neighbor_id,
@@ -383,6 +459,7 @@ object Similarity {
 
   val annPqSql: String =
     s"""WITH $vectorsCte,
+       |$queryIdsCte,
        |${pqPipelineSql("v")}""".stripMargin
 
   /** OPQ-style rotation ahead of PQ: a data-driven orthogonal rotation of
@@ -436,8 +513,8 @@ object Similarity {
 
   def annOpq: Q = (s, d) => annOpqFor(vectors(s, d))
 
-  /** General form: rotate, then PQ with the standard query adapter
-    * (every 4th vector). Same broadcast contract as [[annPqFor]]. */
+  /** General form: rotate, then PQ with the standard budgeted query
+    * adapter. Same broadcast contract as [[annPqFor]]. */
   def annOpqFor(v: DataFrame): DataFrame = {
     val vr = opqRotate(v)
     annPqFor(vr, defaultQueries(vr))
@@ -446,6 +523,7 @@ object Similarity {
   val annOpqSql: String = {
     def moms(f: Int => String) = (1 to 32).map(f).mkString(", ")
     s"""WITH $vectorsCte,
+       |$queryIdsCte,
        |mom AS (SELECT
        |  [${moms(i => s"sum((e[$i] * e[${i + 32}])::DECIMAL(38,18))::DOUBLE")}] AS sxy,
        |  [${moms(i => s"sum((e[$i] * e[$i])::DECIMAL(38,18))::DOUBLE")}] AS sxx,
@@ -591,7 +669,8 @@ object Similarity {
 
   val annRadiusSql: String =
     s"""WITH $vectorsCte,
-       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v WHERE vec_id % 4 = 0),
+       |$queryIdsCte,
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v JOIN qids USING (vec_id)),
        |scored AS (
        |  SELECT q.query_id, v.vec_id AS neighbor_id,
        |    list_reduce(list_transform(generate_series(1, 64), i -> qe[i] * e[i]), (x, y) -> x + y) / (qn * nrm) AS cos
@@ -760,6 +839,7 @@ object Similarity {
 
   val annIvfPqSql: String =
     s"""WITH $vectorsCte,
+       |$queryIdsCte,
        |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
        |assign_scored AS (
        |  SELECT v.vec_id, c.cid,
@@ -788,7 +868,7 @@ object Similarity {
        |codes AS (
        |  SELECT vec_id, list(code ORDER BY j) AS codes
        |  FROM best WHERE rn = 1 GROUP BY vec_id),
-       |q AS (SELECT vec_id AS query_id, e, nrm FROM v WHERE vec_id % 4 = 0),
+       |q AS (SELECT vec_id AS query_id, e, nrm FROM v JOIN qids USING (vec_id)),
        |probe_scored AS (
        |  SELECT q.query_id, c.cid,
        |    list_reduce(list_transform(generate_series(1, 64), i -> q.e[i] * c.ce[i]), (x, y) -> x + y) AS pdot,
@@ -1009,7 +1089,7 @@ object Similarity {
     val widthCtes = DimTruncWidths.map { w =>
       s"""vw$w AS (SELECT * FROM (SELECT vec_id, e, nrm, ${nrmW(w, "e")} AS nw FROM v) WHERE nw > 0),
          |qw$w AS (SELECT * FROM (SELECT vec_id AS query_id, e AS qe, nrm AS qn, ${nrmW(w, "e")} AS qnw
-         |  FROM v WHERE vec_id % 4 = 0) WHERE qnw > 0),
+         |  FROM v JOIN qids USING (vec_id)) WHERE qnw > 0),
          |sc$w AS (SELECT qq.query_id, vv.vec_id, vv.e AS ve, vv.nrm AS vnrm, qq.qe, qq.qn,
          |    ${dotW(w, "qq.qe", "vv.e")} / (qq.qnw * vv.nw) AS cosw
          |  FROM qw$w qq JOIN vw$w vv ON vv.vec_id <> qq.query_id),
@@ -1033,6 +1113,7 @@ object Similarity {
          |     ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id) AS n_hits""".stripMargin
     }.mkString("\nUNION ALL ")
     s"""WITH $vectorsCte,
+       |$queryIdsCte,
        |truth AS (
        |  SELECT query_id, neighbor_id FROM ($annBruteforceSql) WHERE rnk <= 5),
        |$widthCtes,
@@ -1045,7 +1126,98 @@ object Similarity {
        |FROM card ORDER BY dim""".stripMargin
   }
 
+
+  /** IVF coarse-quantizer health card (round 12, r11 verdict item 3) —
+    * the index-health audit cl_inertia performs for k-means, here for
+    * the IVF family: per cell, its population, share of the corpus and
+    * imbalance vs the mean cell; per scheme, the empty-cell count and
+    * the BALANCED-case candidates-per-query the nprobe=4 probe implies
+    * (nprobe · N/K — the number the K schedule is chosen against; the
+    * per-cell imbalance column is exactly the factor by which a hot
+    * cell exceeds it). Audits BOTH deployed schedules side by side —
+    * fixed K=16 ([[annIvf]], [[annIvfPq]]) and the [[sqrtCells]]
+    * schedule ([[annIvfSqrt]]) — so the K-scaling decision reads off
+    * one card: under √N cells the cand_per_query column grows as √N
+    * instead of N (the measurement behind SURVEY §4's K-schedule rule).
+    *
+    * Scale shape: per scheme ONE broadcast-centroid argmax aggregation
+    * over the corpus (the [[annIvfFor]] assignment, minus the carried
+    * vector columns) partial-agg-collapsed to a ≤K-row population
+    * frame; every window below runs on that metadata-sized frame (the
+    * mm_shard_balance discipline). Exact longs; 4/6-dp floor-rounded
+    * exact quotients, identical operation order on both engines. */
+  def annIvfHealth: Q = (s, d) => {
+    val v = vectors(s, d)
+    val n = v.count()
+    val nProbe = 4
+    val cards = Seq(("fixed16", 16), ("sqrtn", sqrtCells(n))).map { case (name, k) =>
+      val cents = v.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+      val assigned = v.crossJoin(broadcast(cents))
+        .withColumn("ccos", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+      val pops = assigned.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+      // empty cells must REPORT (pop 0), not vanish — the left join from
+      // the centroid spine is the point of the card
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cents.select(col("cid"))
+        .join(pops, col("cid") === col("cell"), "left")
+        .select(lit(name).as("scheme"), col("cid"),
+          coalesce(col("pop"), lit(0L)).as("pop"))
+        .withColumn("n_cells", count(lit(1)).over(w))
+        .withColumn("n_assigned", sum(col("pop")).over(w))
+        .withColumn("n_empty", sum(when(col("pop") === 0, 1L).otherwise(0L)).over(w))
+        .select(col("scheme"), col("cid"), col("pop"),
+          when(col("n_assigned") > 0, Exact.floorRound(
+            col("pop").cast("double") / col("n_assigned"), 6)).as("pop_share"),
+          when(col("n_assigned") > 0, Exact.floorRound(
+            col("pop").cast("double") * col("n_cells") / col("n_assigned"), 4)).as("imbalance"),
+          col("n_cells"), col("n_empty"),
+          when(col("n_cells") > 0, Exact.floorRound(
+            lit(nProbe) * col("n_assigned").cast("double") / col("n_cells"), 4)).as("cand_per_query"))
+    }
+    cards.reduce(_ unionByName _).orderBy(col("scheme"), col("cid"))
+  }
+
+  /** One scheme's health CTE chain ([[annIvfHealthSql]]): the assignment
+    * is the [[ivfPipelineSql]] argmax (row_number over (ccos DESC, cid)),
+    * populations from a LEFT join off the centroid spine so empty cells
+    * report 0. */
+  private def ivfHealthSchemeSql(name: String, bound: String): String =
+    s"""${name}_cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < $bound),
+       |${name}_assign AS (
+       |  SELECT v.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      list_reduce(list_transform(generate_series(1, 64), i -> v.e[i] * c.ce[i]), (x, y) -> x + y) / (v.nrm * c.cn) DESC,
+       |      c.cid) AS crnk
+       |  FROM v, ${name}_cents c),
+       |${name}_asg AS (SELECT vec_id, cid AS cell FROM ${name}_assign WHERE crnk = 1),
+       |${name}_pop AS (SELECT c.cid, CAST(count(a.vec_id) AS BIGINT) AS pop
+       |  FROM ${name}_cents c LEFT JOIN ${name}_asg a ON a.cell = c.cid GROUP BY c.cid),
+       |${name}_tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       |    CAST(sum(pop) AS BIGINT) AS n_assigned,
+       |    CAST(count(*) FILTER (pop = 0) AS BIGINT) AS n_empty
+       |  FROM ${name}_pop),
+       |${name}_card AS (
+       |  SELECT '$name' AS scheme, p.cid, p.pop,
+       |    CASE WHEN t.n_assigned > 0 THEN ${Exact.floorRoundSql("p.pop::DOUBLE / t.n_assigned", 6)} END AS pop_share,
+       |    CASE WHEN t.n_assigned > 0 THEN ${Exact.floorRoundSql("p.pop::DOUBLE * t.n_cells / t.n_assigned", 4)} END AS imbalance,
+       |    t.n_cells, t.n_empty,
+       |    CASE WHEN t.n_cells > 0 THEN ${Exact.floorRoundSql("4 * t.n_assigned::DOUBLE / t.n_cells", 4)} END AS cand_per_query
+       |  FROM ${name}_pop p CROSS JOIN ${name}_tot t)""".stripMargin
+
+  val annIvfHealthSql: String =
+    s"""WITH $vectorsCte,
+       |${ivfHealthSchemeSql("fixed16", "16")},
+       |${ivfHealthSchemeSql("sqrtn", SqrtCellsBoundSql)}
+       |SELECT * FROM fixed16_card
+       |UNION ALL SELECT * FROM sqrtn_card
+       |ORDER BY scheme, cid""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ann_ivf_sqrt" -> annIvfSqrt,
+    "ann_ivf_health" -> annIvfHealth,
     "ann_dim_trunc" -> annDimTrunc,
     "ann_recall_card" -> annRecallCard,
     "ann_ivfpq" -> annIvfPq,
@@ -1058,6 +1230,8 @@ object Similarity {
     "ann_nndescent" -> annNnDescent)
 
   def oracleSql: Map[String, String] = Map(
+    "ann_ivf_sqrt" -> annIvfSqrtSql,
+    "ann_ivf_health" -> annIvfHealthSql,
     "ann_dim_trunc" -> annDimTruncSql,
     "ann_recall_card" -> annRecallCardSql,
     "ann_ivfpq" -> annIvfPqSql,

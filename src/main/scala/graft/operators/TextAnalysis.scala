@@ -112,7 +112,7 @@ object TextAnalysis {
       .select(col("lang"), guessed.as("guessed_lang"))
       .groupBy(col("lang"), col("guessed_lang"))
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("lang"), col("guessed_lang"))
+      .orderBy(col("lang").asc_nulls_last, col("guessed_lang"))
   }
 
   val taLangidSql: String = {
@@ -195,7 +195,7 @@ object TextAnalysis {
       .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
     top.withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("lang"), col("rnk"), col("bigram"), col("n"))
-      .orderBy(col("lang"), col("rnk"))
+      .orderBy(col("lang").asc_nulls_last, col("rnk"))
   }
 
   val taNgramFreqSql: String =
@@ -1036,7 +1036,7 @@ object TextAnalysis {
         when(expected.isNotNull &&
           col("dominant").isin("latin", "cjk", "cyrillic", "arabic", "other") &&
           col("dominant") =!= expected, 1L).otherwise(0L))
-      .orderBy(col("lang"), col("dominant"))
+      .orderBy(col("lang").asc_nulls_last, col("dominant"))
   }
 
   // the kernel's slotOf ranges, stated literally (disjoint by
