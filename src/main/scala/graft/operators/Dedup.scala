@@ -1633,7 +1633,101 @@ object Dedup {
        |    THEN 1 ELSE 0 END AS BIGINT) AS remove_flag
        |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Duplicated-line TRIM (round 12, r11 verdict item 2) — the REMOVAL
+    * half of the line family: [[ddLineDup]] flags whole documents, the
+    * C4 pipeline instead REMOVES the duplicated lines and keeps the
+    * document remainder. Emits the cleaned text (kept segments in
+    * original order, newline-joined; empty string when every line was
+    * boilerplate) plus per-doc kept/removed line AND token accounting —
+    * the token ledger is what a corpus budget is re-planned against
+    * after trimming. Same duplicated rule as the census: a line
+    * POSITION is removed when its hash occurs more than once
+    * corpus-wide (intra-doc repeats included), over the SHARED
+    * `TextFns.lineSegments` segmentation — so trim ≡ census by
+    * construction (OperatorsSpec pins `removed_tokens` totals against
+    * [[ddLineDup]]'s dup counts and re-segments the cleaned text).
+    *
+    * Scale shape: the position-level segment frame is pinned ONCE (one
+    * segmentation pass; it feeds the hash census and the join-back).
+    * The census is a partial-agg `groupBy(h)` — a million-doc cookie
+    * banner collapses map-side before the exchange; the duplicated-hash
+    * table joins back keyed on h (sort-merge, AQE-skew-splittable —
+    * NEVER `Window.partitionBy(h)`). Reassembly is doc-local:
+    * `collect_list` per doc_id is bounded by document size, the same
+    * bound the segmentation itself already holds in memory. */
+  def ddLineTrim: Q = (s, d) => {
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(lineSegments(col("text"), LineDupWidth)).as(Seq("pos", "line")))
+      .withColumn("h", substring(md5s(col("line")), 1, 16))
+      .localCheckpoint(true) // one segmentation pass feeds census + join-back
+    val dupHashes = segs.groupBy(col("h"))
+      .agg(count(lit(1)).as("ntot"))
+      .filter(col("ntot") > 1)
+      .select(col("h"), lit(1).as("isdup"))
+    segs.join(dupHashes, Seq("h"), "left")
+      // segments are single-space-joined nonempty tokens, so the token
+      // count is exact on both engines without re-tokenizing
+      .withColumn("ntk", size(split(col("line"), " ")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("isdup").isNull,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line"))).as("cleaned_text"),
+        count(lit(1)).as("n_lines"),
+        coalesce(sum(when(col("isdup").isNull, 1L)), lit(0L)).as("kept_lines"),
+        coalesce(sum(when(col("isdup") === 1, 1L)), lit(0L)).as("removed_lines"),
+        sum(col("ntk")).as("n_tokens"),
+        coalesce(sum(when(col("isdup").isNull, col("ntk"))), lit(0L)).as("kept_tokens"),
+        coalesce(sum(when(col("isdup") === 1, col("ntk"))), lit(0L)).as("removed_tokens"))
+      .select(col("doc_id"), col("cleaned_text"), col("n_lines"),
+        col("kept_lines"), col("removed_lines"), col("n_tokens"),
+        col("kept_tokens"), col("removed_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle twin of [[ddLineTrim]]: the census SQL's segmentation with
+    * explicit (line, pseudo-line) indexes so the kept segments reassemble
+    * in original order — (li, i) lexicographic ≡ Spark's flattened
+    * segment position. */
+  val ddLineTrimSql: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(string_split_regex(text, '\\r?\\n'),
+       |      x -> trim(x)), x -> length(x) > 0) AS ls
+       |  FROM documents),
+       |l0 AS (
+       |  SELECT doc_id, li, ls[li] AS rawline
+       |  FROM d0, unnest(generate_series(1, len(ls))) AS u(li)),
+       |t AS (
+       |  SELECT doc_id, li,
+       |    list_filter(string_split_regex(rawline, '\\s+'), x -> length(x) > 0) AS tk
+       |  FROM l0),
+       |seg AS (
+       |  SELECT doc_id, li, i, list_aggregate(
+       |      tk[(i - 1) * $LineDupWidth + 1 : i * $LineDupWidth],
+       |      'string_agg', ' ') AS line
+       |  FROM t, unnest(range(1,
+       |    CAST(ceil(len(tk) / $LineDupWidth.0) AS BIGINT) + 1)) AS u(i)
+       |  WHERE len(tk) > 0),
+       |hc AS (SELECT substr(md5(line), 1, 16) AS h, count(*) AS ntot
+       |  FROM seg GROUP BY 1),
+       |j AS (SELECT s.doc_id, s.li, s.i, s.line, (c.ntot > 1) AS isdup,
+       |    CAST(len(string_split(s.line, ' ')) AS BIGINT) AS ntk
+       |  FROM seg s JOIN hc c ON c.h = substr(md5(s.line), 1, 16))
+       |SELECT doc_id,
+       |  coalesce(string_agg(line, chr(10) ORDER BY li, i) FILTER (NOT isdup), '') AS cleaned_text,
+       |  CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(coalesce(count(*) FILTER (NOT isdup), 0) AS BIGINT) AS kept_lines,
+       |  CAST(coalesce(count(*) FILTER (isdup), 0) AS BIGINT) AS removed_lines,
+       |  CAST(sum(ntk) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(sum(ntk) FILTER (NOT isdup), 0) AS BIGINT) AS kept_tokens,
+       |  CAST(coalesce(sum(ntk) FILTER (isdup), 0) AS BIGINT) AS removed_tokens
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "dd_line_trim" -> ddLineTrim,
     "dd_line_dup" -> ddLineDup,
     "dd_line_census" -> ddLineCensus,
     "dd_cascade" -> ddCascade,
@@ -1663,6 +1757,7 @@ object Dedup {
     "dd_embed_cos" -> ddEmbedCos)
 
   def oracleSql: Map[String, String] = Map(
+    "dd_line_trim" -> ddLineTrimSql,
     "dd_line_dup" -> ddLineDupSql,
     "dd_line_census" -> ddLineCensusSql,
     "dd_cascade" -> ddCascadeSql,

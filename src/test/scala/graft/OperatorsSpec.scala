@@ -1842,4 +1842,126 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     val bySrc = byAlpha.toSeq.sortBy(_._1).map(_._2.find(_._2 == biggest).get._5)
     bySrc shouldBe bySrc.sorted
   }
+
+  behavior of "round-12 additions"
+
+  it should "keep dd_line_trim consistent with the dd_line_dup census and its own cleaned text" in {
+    import org.apache.spark.sql.functions._
+    val trim = operators.Dedup.ddLineTrim(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val census = operators.Dedup.ddLineDup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    trim.keySet shouldBe census.keySet
+    census.foreach { case (id, c) =>
+      val t = trim(id)
+      withClue(s"doc $id: ") {
+        // trim ≡ census by construction: same segmentation, same dup rule
+        t.getAs[Long]("n_lines") shouldBe c.getAs[Long]("n_lines")
+        t.getAs[Long]("removed_lines") shouldBe c.getAs[Long]("dup_lines")
+        t.getAs[Long]("kept_lines") + t.getAs[Long]("removed_lines") shouldBe
+          t.getAs[Long]("n_lines")
+        t.getAs[Long]("kept_tokens") + t.getAs[Long]("removed_tokens") shouldBe
+          t.getAs[Long]("n_tokens")
+      }
+    }
+    // Re-segmentation closure: a kept segment is ≤ width tokens, so
+    // segmenting the cleaned text re-yields EXACTLY the kept lines and
+    // kept tokens — the invariant that makes the trimmed corpus safe to
+    // feed back through the same census.
+    val spark2 = spark
+    import spark2.implicits._
+    val reseg = trim.values.toSeq
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("cleaned_text")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        coalesce(org.apache.spark.sql.functions.size(
+          graft.functions.TextFns.lineSegments(col("text"),
+            operators.Dedup.LineDupWidth)), lit(0)).cast("long").as("n_seg"),
+        coalesce(org.apache.spark.sql.functions.size(
+          graft.functions.TextFns.tokens(col("text"))), lit(0))
+          .cast("long").as("n_tok"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    trim.foreach { case (id, t) =>
+      withClue(s"doc $id reseg: ") {
+        reseg(id)._1 shouldBe t.getAs[Long]("kept_lines")
+        reseg(id)._2 shouldBe t.getAs[Long]("kept_tokens")
+      }
+    }
+  }
+
+  it should "report a coherent IVF health card across both K schedules" in {
+    import org.apache.spark.sql.functions._
+    val n = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull).count()
+    val rows = operators.Similarity.annIvfHealth(spark, sf).collect()
+    val bySch = rows.groupBy(_.getAs[String]("scheme"))
+    bySch.keySet shouldBe Set("fixed16", "sqrtn")
+    bySch("fixed16").length shouldBe 16
+    bySch("sqrtn").length shouldBe operators.Similarity.sqrtCells(n)
+    bySch.foreach { case (sch, rs) =>
+      withClue(s"scheme $sch: ") {
+        // every vector lands in exactly one cell
+        rs.map(_.getAs[Long]("pop")).sum shouldBe n
+        rs.map(_.getAs[Long]("n_cells")).distinct shouldBe Seq(rs.length.toLong)
+        rs.map(_.getAs[Long]("n_empty")).distinct.length shouldBe 1
+        rs.count(_.getAs[Long]("pop") == 0L) shouldBe
+          rs.head.getAs[Long]("n_empty")
+      }
+    }
+    // THE serving-path claim the card exists to measure: more cells ⇒
+    // fewer balanced candidates per probed query (K grows as √N, so
+    // cand_per_query grows as √N instead of N/16)
+    val cand = (s: String) => bySch(s).head.getAs[Double]("cand_per_query")
+    if (operators.Similarity.sqrtCells(n) > 16) cand("sqrtn") should be < cand("fixed16")
+  }
+
+  it should "return well-formed sqrt-N IVF neighbors" in {
+    import org.apache.spark.sql.functions._
+    val df = operators.Similarity.annIvfSqrt(spark, sf)
+    df.count() should be > 0L
+    df.agg(max("rnk")).collect()(0).getLong(0) should be <= 5L
+    df.groupBy("query_id", "rnk").count()
+      .filter(col("count") > 1).count() shouldBe 0L
+  }
+
+  it should "count every integrity lane exactly on a seeded dirty fixture" in {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("mm-integrity").toString
+    // docs 0..9: 0-4 web (2,3 payload-less: null/empty), 5-9 null source;
+    // embeddings exist for 0..6 but 1 and 6 are null vectors; 100/101 orphans
+    Seq[(Long, String, String)](
+      (0L, "alpha text", "web"), (1L, "beta text", "web"), (2L, null, "web"),
+      (3L, "", "web"), (4L, "gamma", "web"),
+      (5L, "delta", null), (6L, "epsilon", null), (7L, null, null),
+      (8L, "zeta", null), (9L, "eta", null))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", coalesce(
+        org.apache.spark.sql.functions.length(col("text")).cast("long"), lit(0L)))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val vec = Array.fill(64)(0.5f)
+    (Seq[(Long, Option[Array[Float]])]((100L, Some(vec)), (101L, None)) ++
+      (0L to 6L).map(i => (i, if (i == 1L || i == 6L) None else Some(vec))))
+      .toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = operators.Multimodal.mmIntegrity(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    out.keySet shouldBe Set("web", "(none)")
+    val web = out("web"); val none = out("(none)")
+    web.getAs[Long]("n_docs") shouldBe 5L
+    web.getAs[Long]("n_payload") shouldBe 3L
+    web.getAs[Long]("n_missing_payload") shouldBe 2L
+    web.getAs[Long]("n_missing_embedding") shouldBe 0L // 0..4 all have rows
+    web.getAs[Long]("n_null_embedding") shouldBe 1L // doc 1
+    web.getAs[Long]("n_trainable") shouldBe 2L // 0, 4
+    none.getAs[Long]("n_docs") shouldBe 5L
+    none.getAs[Long]("n_payload") shouldBe 4L
+    none.getAs[Long]("n_missing_embedding") shouldBe 3L // 7, 8, 9
+    none.getAs[Long]("n_null_embedding") shouldBe 1L // doc 6
+    none.getAs[Long]("n_trainable") shouldBe 1L // 5
+    out.values.map(_.getAs[Long]("n_orphan_embeddings")).toSet shouldBe Set(2L)
+  }
 }

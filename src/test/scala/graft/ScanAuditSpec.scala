@@ -129,7 +129,16 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // fetches (predicate pushdown) + the documented re-rank re-read
     "ann_pq" -> 5, "ann_ivfpq" -> 8,
     // ann_dim_trunc: truth + per-width shortlists all land in lazy pins
-    "ann_dim_trunc" -> 0)
+    "ann_dim_trunc" -> 0,
+    // round-12 ops: dd_line_trim's segmentation pass lands in the
+    // position-frame checkpoint pin (the dd_line_dup discipline);
+    // mm_integrity's doc/emb id spines are both pinned before the
+    // anti/semi fan-out; ann_ivf_sqrt = ann_ivf's 3 (corpus assignment +
+    // two vec_id-pruned seed/query fetches); ann_ivf_health audits TWO
+    // K schedules, so 2 full assignment passes + 4 pruned seed fetches
+    // are its structural price
+    "dd_line_trim" -> 0, "mm_integrity" -> 0,
+    "ann_ivf_sqrt" -> 3, "ann_ivf_health" -> 6)
 
   behavior of "post-execution scan counts"
 
@@ -156,5 +165,8 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     winCount("dd_substring") shouldBe 0
     winCount("dd_dup_span") should be <= 1
     winCount("dd_line_dup") shouldBe 0
+    // dd_line_trim reassembles per doc via aggregation (collect_list),
+    // never a corpus-hash window
+    winCount("dd_line_trim") shouldBe 0
   }
 }
