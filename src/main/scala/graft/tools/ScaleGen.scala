@@ -46,27 +46,39 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: ScaleGen <srcSfDir> <outDir> <factor>")
+    require(args.length >= 3, "usage: ScaleGen <srcSfDir> <outDir> <factor> [tables...]")
     val (src, out, factor) = (args(0), args(1), args(2).toInt)
+    val only = if (args.length > 3) Some(args.drop(3).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = GraftSession.create(s"local[$cpus]", 32)
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.graft.lint", "off")
-    generate(spark, src, out, factor)
-    println(s"[scalegen] wrote ${factor}x of $src to $out")
+    generate(spark, src, out, factor, only)
+    println(s"[scalegen] wrote ${factor}x of $src to $out" +
+      only.fold("")(t => s" (scaled tables: ${t.toSeq.sorted.mkString(",")})"))
     spark.stop()
   }
 
   /** The generation itself, session-agnostic — ScaleGenSpec pins the
-    * invariants the scale ratios rely on through this entry point. */
+    * invariants the scale ratios rely on through this entry point.
+    * `only` restricts which of the three SCALED tables actually scale
+    * (the rest copy verbatim, keeping the directory a complete sf
+    * layout) — the factor-32 documents-only slope run (r11 verdict item
+    * 6) scales the one table its linear-class queries read instead of
+    * paying a 32× events/embeddings generation it never scans. */
   def generate(spark: org.apache.spark.sql.SparkSession, src: String,
-      out: String, factor: Int): Unit = {
+      out: String, factor: Int, only: Option[Set[String]] = None): Unit = {
     require(factor >= 1, s"factor must be >= 1 (got $factor)")
+    val scaleTable = (t: String) => only.forall(_.contains(t))
+    def copyVerbatim(t: String): Unit =
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     // documents: suffix every token with ~k (copy 0 verbatim)
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val dM = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
-    (0 until factor).map { k =>
+    if (!scaleTable("documents")) copyVerbatim("documents")
+    else (0 until factor).map { k =>
       if (k == 0) docs
       else docs
         .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1~" + k))
@@ -77,6 +89,7 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     // embeddings: rotate dims by 7k mod 64, seeded sign flips
+    if (!scaleTable("embeddings")) copyVerbatim("embeddings") else {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val eM = emb.agg(max("vec_id")).collect()(0).getLong(0) + 1
     val dims = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
@@ -93,8 +106,10 @@ object ScaleGen {
       }
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
     // events: shift event/user ids, timelines and timestamps verbatim
+    if (!scaleTable("events")) copyVerbatim("events") else {
     val ev = spark.read.parquet(s"$src/events.parquet")
     val evM = ev.agg(max("event_id")).collect()(0).getLong(0) + 1
     val uM = ev.agg(max("user_id")).collect()(0).getLong(0) + 1
@@ -104,6 +119,7 @@ object ScaleGen {
         .withColumn("user_id", col("user_id") + k * uM)
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
 
     // TPC-H tables ride along verbatim
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")

@@ -63,4 +63,24 @@ class NullInputSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       failures shouldBe empty
     }
   }
+
+  // Cross-engine presentation order under null lang (ADVICE r11): Spark's
+  // default ASC sort puts NULL first while DuckDB's puts it last, so every
+  // lang-keyed presentation sort carries asc_nulls_last. Pin the property
+  // on the operator the advice named — null-lang groups must trail.
+  it should "sort null-lang groups last in lang-keyed presentation orders" in {
+    Seq(
+      operators.TextAnalysis.queries("ta_script_langid"),
+      operators.TextAnalysis.queries("ta_langid"),
+      operators.Pipeline.queries("pipe_datacard")
+    ).foreach { fn =>
+      val langs = fn(spark, nullDir).collect().map(r =>
+        Option(r.getAs[String]("lang")))
+      withClue(s"lang order ${langs.mkString(",")}: ") {
+        langs.count(_.isEmpty) should be > 0 // the fixture does null lang
+        // once the first null lang appears, no non-null lang may follow
+        langs.dropWhile(_.isDefined).forall(_.isEmpty) shouldBe true
+      }
+    }
+  }
 }

@@ -25,6 +25,7 @@ import org.scalatest.matchers.should.Matchers
 class ScaleCheckSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
 
   private val bigDir = sys.env.get("SPARK_GRAFT_SCALE_DIR")
+  private val big32Dir = sys.env.get("SPARK_GRAFT_SCALE32_DIR")
 
   lazy val spark = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -34,22 +35,40 @@ class ScaleCheckSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     s
   }
 
-  override def afterAll(): Unit = if (bigDir.isDefined) spark.stop()
+  override def afterAll(): Unit =
+    if (bigDir.isDefined || big32Dir.isDefined) spark.stop()
 
-  behavior of "heavy-query scale ratios"
-
-  it should "stay at or below every audited big/base ratio ceiling" in {
-    assume(bigDir.isDefined,
-      "SPARK_GRAFT_SCALE_DIR not set — generate a corpus with graft.tools.ScaleGen to run the scale gate")
+  private def gate(checks: Seq[(String, Double)], big: String): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
-    val over = tools.ScalePlan.checks.flatMap { case (id, ceiling) =>
+    val over = checks.flatMap { case (id, ceiling) =>
       val (baseSec, bigSec, ratio) =
-        tools.ScaleCheck.measureRatio(spark, base, bigDir.get, id)
+        tools.ScaleCheck.measureRatio(spark, base, big, id)
       info(f"$id%-18s base=$baseSec%8.3f s  big=$bigSec%8.3f s  ratio=$ratio%7.2f  ceiling=$ceiling")
       if (ratio < 0) Some(s"$id: measurement FAILED")
       else if (ratio > ceiling) Some(f"$id: ratio $ratio%.1f > ceiling $ceiling%.1f")
       else None
     }
     withClue(over.mkString("; ")) { over shouldBe empty }
+  }
+
+  behavior of "heavy-query scale ratios"
+
+  it should "stay at or below every audited big/base ratio ceiling" in {
+    assume(bigDir.isDefined,
+      "SPARK_GRAFT_SCALE_DIR not set — generate a corpus with graft.tools.ScaleGen to run the scale gate")
+    gate(tools.ScalePlan.checks, bigDir.get)
+  }
+
+  // Factor-32 documents-only slope gate (round 12, r11 verdict item 6):
+  // at factor 10 the linear class measures 0.7–2.7x where per-job fixed
+  // overheads dominate, so a hidden N·log N (or worse) could hide inside
+  // the band. 32x the documents table puts real slope on the claim —
+  // the ceilings in ScalePlan.checks32 are slope-aware (≈2x the
+  // measured factor-32 ratios, all far under the 32x a linear-in-wall
+  // profile would only reach once data dominates overheads).
+  it should "hold the linear class at or below its factor-32 slope ceilings" in {
+    assume(big32Dir.isDefined,
+      "SPARK_GRAFT_SCALE32_DIR not set — generate with ScaleGen <src> <out> 32 documents to run the slope gate")
+    gate(tools.ScalePlan.checks32, big32Dir.get)
   }
 }
