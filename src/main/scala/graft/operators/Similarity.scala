@@ -513,11 +513,15 @@ object Similarity {
 
   def annOpq: Q = (s, d) => annOpqFor(vectors(s, d))
 
-  /** General form: rotate, then PQ with the standard budgeted query
-    * adapter. Same broadcast contract as [[annPqFor]]. */
-  def annOpqFor(v: DataFrame): DataFrame = {
+  /** General form: rotate, then PQ with queries drawn from the ROTATED
+    * corpus by `queriesOf` (default: the standard budgeted adapter —
+    * the selector runs post-rotation because queries must live in the
+    * same rotated space as the codes). Same broadcast contract as
+    * [[annPqFor]]. */
+  def annOpqFor(v: DataFrame,
+      queriesOf: DataFrame => DataFrame = defaultQueries): DataFrame = {
     val vr = opqRotate(v)
-    annPqFor(vr, defaultQueries(vr))
+    annPqFor(vr, queriesOf(vr))
   }
 
   val annOpqSql: String = {
@@ -1143,9 +1147,10 @@ object Similarity {
     * Scale shape: per scheme ONE broadcast-centroid argmax aggregation
     * over the corpus (the [[annIvfFor]] assignment, minus the carried
     * vector columns) partial-agg-collapsed to a ≤K-row population
-    * frame; every window below runs on that metadata-sized frame (the
-    * mm_shard_balance discipline). Exact longs; 4/6-dp floor-rounded
-    * exact quotients, identical operation order on both engines. */
+    * frame; scheme totals are a 1-row aggregate broadcast back onto
+    * the cell rows (the oracle's _tot CTE shape — no partition-less
+    * window anywhere). Exact longs; 4/6-dp floor-rounded exact
+    * quotients, identical operation order on both engines. */
   def annIvfHealth: Q = (s, d) => {
     val v = vectors(s, d)
     val n = v.count()
@@ -1159,15 +1164,20 @@ object Similarity {
         .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
       val pops = assigned.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
       // empty cells must REPORT (pop 0), not vanish — the left join from
-      // the centroid spine is the point of the card
-      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      cents.select(col("cid"))
+      // the centroid spine is the point of the card. Scheme totals are a
+      // 1-row aggregate broadcast back onto the cell rows (the oracle's
+      // _tot CTE shape) — NOT a partition-less window: even over a
+      // metadata-sized frame that plans as a single-task WindowExec and
+      // PlanLint rightly rejects the shape on principle.
+      val cells = cents.select(col("cid"))
         .join(pops, col("cid") === col("cell"), "left")
         .select(lit(name).as("scheme"), col("cid"),
           coalesce(col("pop"), lit(0L)).as("pop"))
-        .withColumn("n_cells", count(lit(1)).over(w))
-        .withColumn("n_assigned", sum(col("pop")).over(w))
-        .withColumn("n_empty", sum(when(col("pop") === 0, 1L).otherwise(0L)).over(w))
+        .localCheckpoint(true) // ≤K rows; feeds the totals agg + the output
+      val tot = cells.agg(count(lit(1)).as("n_cells"),
+        sum(col("pop")).as("n_assigned"),
+        sum(when(col("pop") === 0, 1L).otherwise(0L)).as("n_empty"))
+      cells.crossJoin(broadcast(tot))
         .select(col("scheme"), col("cid"), col("pop"),
           when(col("n_assigned") > 0, Exact.floorRound(
             col("pop").cast("double") / col("n_assigned"), 6)).as("pop_share"),

@@ -972,6 +972,41 @@ object Transforms {
       maxDupShare: Double = 0.3): DataFrame =
     lineDupGate(docs, buildLineBloom(historical, expectedLines, fpp), maxDupShare)
 
+  /** Boilerplate line TRIM at ingest — the streaming twin of the batch
+    * `dd_line_trim` operator, completing the line family's stream side
+    * ([[lineDupGate]] drops whole documents; this REMOVES the known
+    * lines and keeps the remainder, the C4 behavior): `text` is
+    * replaced by the kept segments (original order, newline-joined) and
+    * per-doc accounting columns (`n_lines`, `kept_lines`,
+    * `removed_lines`) are appended — the ledger a downstream budget
+    * reads. A segment is removed iff the history filter CONTAINS it;
+    * Bloom false positives can only remove ~fpp extra lines (size the
+    * filter accordingly), never resurrect boilerplate. Docs with NO
+    * segments (null/empty/whitespace text) pass through UNCHANGED with
+    * zero accounting — a trim transform never drops rows; pair with
+    * [[lineDupGate]] when whole-doc policy is wanted. STATELESS,
+    * record-local; the same SHARED `TextFns.lineSegments` segmentation
+    * as the whole family, so a streamed trim is a batch trim by
+    * construction (StreamingSpec pins cleaned-text equality against
+    * `dd_line_trim` on a corpus whose duplicated lines are the
+    * history). The segment/kept arrays are each referenced a bounded
+    * 2× per row (the lineDupGate constant-factor contract). */
+  def lineTrim(docs: DataFrame, filter: Array[Byte]): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val segs = graft.functions.TextFns.lineSegments(col("text"),
+      graft.operators.Dedup.LineDupWidth)
+    val kept = org.apache.spark.sql.functions.filter(segs, s =>
+      !call_function("graft_bloom_contains", lit(filter), xxhash64(s)))
+    val nseg = coalesce(size(segs), lit(-1)) // -1 for null text
+    docs
+      .withColumn("n_lines", greatest(nseg, lit(0)).cast("long"))
+      .withColumn("kept_lines",
+        when(nseg <= 0, 0L).otherwise(size(kept)).cast("long"))
+      .withColumn("removed_lines", col("n_lines") - col("kept_lines"))
+      .withColumn("text",
+        when(nseg <= 0, col("text")).otherwise(array_join(kept, "\n")))
+  }
+
   /** [[extendBloom]] for the line filter: OR the new batch's segment
     * keys into the saved history — one pass over the increment. Same
     * sizing-params contract as every merge. */

@@ -1174,7 +1174,11 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       scores.sum / scores.size
     }
     val rPq = recall(operators.Similarity.annPqFor(v, qs))
-    val rOpq = recall(operators.Similarity.annOpqFor(v))
+    // same %4 fixture queries on BOTH sides (selected post-rotation on
+    // the OPQ side — the id rule is content-independent)
+    val rOpq = recall(operators.Similarity.annOpqFor(v,
+      vr => vr.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))))
     info(f"recall@5 on variance-imbalanced vectors: PQ=$rPq%.3f OPQ=$rOpq%.3f")
     rOpq should be > rPq
   }

@@ -134,11 +134,11 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // position-frame checkpoint pin (the dd_line_dup discipline);
     // mm_integrity's doc/emb id spines are both pinned before the
     // anti/semi fan-out; ann_ivf_sqrt = ann_ivf's 3 (corpus assignment +
-    // two vec_id-pruned seed/query fetches); ann_ivf_health audits TWO
-    // K schedules, so 2 full assignment passes + 4 pruned seed fetches
-    // are its structural price
+    // two vec_id-pruned seed/query fetches); ann_ivf_health's per-scheme
+    // assignment passes land inside the ≤K-row cell-frame checkpoint
+    // pins, so the final plan joins pinned RDDs only
     "dd_line_trim" -> 0, "mm_integrity" -> 0,
-    "ann_ivf_sqrt" -> 3, "ann_ivf_health" -> 6)
+    "ann_ivf_sqrt" -> 3, "ann_ivf_health" -> 0)
 
   behavior of "post-execution scan counts"
 

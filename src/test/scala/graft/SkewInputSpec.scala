@@ -102,6 +102,16 @@ class SkewInputSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     top.getAs[String]("line") shouldBe banner
     top.getAs[Long]("n_docs") shouldBe 1000L
     top.getAs[Long]("n_copies") shouldBe 1000L
+    // the removal half on the same hot-hash corpus: the banner line is
+    // trimmed from every doc, each unique body survives verbatim
+    val trims = operators.Dedup.ddLineTrim(spark, dir).collect()
+    trims.length shouldBe 1000
+    trims.foreach { r =>
+      r.getAs[Long]("removed_lines") shouldBe 1L
+      r.getAs[Long]("kept_lines") shouldBe 1L
+      val id = r.getAs[Long]("doc_id")
+      r.getAs[String]("cleaned_text") shouldBe s"body number $id words ${id * 13}"
+    }
   }
 
   behavior of "event operators under a dominant user"

@@ -831,6 +831,56 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     got shouldBe edges.map(segsOf)
   }
 
+  it should "trim known boilerplate lines in-stream exactly as the batch dd_line_trim" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Corpus where every duplicated line is shared across ≥2 docs and
+    // bodies are unique: batch dd_line_trim removes exactly the shared
+    // lines. Stream side builds its history from the OTHER docs (the
+    // production shape: the filter knows yesterday's boilerplate), so a
+    // doc's duplicated lines are all IN history and its unique body is
+    // not — streamed cleaned text must equal the batch's per doc.
+    val header = "nav home about contact"
+    val footer = "copyright terms privacy cookies"
+    val docs = Seq(
+      0L -> s"$header\n${(1 to 10).map(i => s"a$i").mkString(" ")}\n$footer",
+      1L -> s"$header\n${(1 to 12).map(i => s"b$i").mkString(" ")}\n$footer",
+      2L -> s"${(1 to 7).map(i => s"c$i").mkString(" ")}\n$footer",
+      3L -> "", // no segments: passes through unchanged, zero accounting
+      4L -> s"$header") // all-boilerplate: cleaned text is empty
+    val dir = java.nio.file.Files.createTempDirectory("graft-linetrim").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Dedup.ddLineTrim(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("cleaned_text"), r.getAs[Long]("kept_lines"),
+          r.getAs[Long]("removed_lines"))).toMap
+    val results = docs.map { case (id, text) =>
+      val history = docs.filter(_._1 != id).map(_._2).toDF("text")
+      val bf = Transforms.buildLineBloom(history, 64L, fpp = 1e-6)
+      val ms = MemoryStream[(Long, Timestamp, String)]
+      ms.addData((id, ts(id.toInt + 1), text))
+      val q = Transforms.lineTrim(ms.toDF().toDF("doc_id", "ts", "text"), bf)
+        .writeStream.format("memory").queryName(s"ltrim$id")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      id -> spark.table(s"ltrim$id").collect().head
+    }.toMap
+    // doc 3 has no segments: unchanged passthrough, zero accounting
+    results(3L).getAs[String]("text") shouldBe ""
+    results(3L).getAs[Long]("n_lines") shouldBe 0L
+    results(3L).getAs[Long]("removed_lines") shouldBe 0L
+    batch.keySet shouldBe Set(0L, 1L, 2L, 4L) // batch omits no-segment docs
+    batch.foreach { case (id, (cleaned, kept, removed)) =>
+      val s = results(id)
+      withClue(s"doc $id: ") {
+        s.getAs[String]("text") shouldBe cleaned
+        s.getAs[Long]("kept_lines") shouldBe kept
+        s.getAs[Long]("removed_lines") shouldBe removed
+      }
+    }
+  }
+
   it should "drop perceptual near-dups on ingest, first arrival wins" in {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
