@@ -715,7 +715,71 @@ object Pipeline {
             "CAST(sum(bucket - least(n_tokens, bucket)) AS DOUBLE) / (count(*) * bucket)", 6)} AS waste_share
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Post-trim corpus-budget card (round 12) — the re-plan step after
+    * boilerplate line removal that [[graft.operators.Dedup.ddLineTrim]]'s
+    * token ledger exists for: per (lang, source) stratum, doc count, raw
+    * vs kept vs removed token totals, the stratum's removed share, and
+    * its share of the corpus's KEPT token budget — the number a sampling
+    * config (pipe_alpha_sweep / pipe_budget_mix) is re-balanced against
+    * once trimming changes every stratum's mass by a different factor
+    * (boilerplate is not uniformly distributed across sources; that is
+    * the whole point of measuring it per stratum). Docs with no
+    * countable segments (null/empty/whitespace text) carry no tokens
+    * and do not participate, exactly as in the trim itself.
+    *
+    * Scale shape: the trim pipeline's own shape (pinned segment frame,
+    * partial-agg census, AQE-splittable join-back) feeds a doc_id-keyed
+    * join to the (lang, source) metadata — column-pruned to three
+    * columns — and collapses to a strata-sized aggregate; the corpus
+    * total is a frame window over THAT aggregate (the pipe_datacard
+    * discipline). Exact longs; 4/6-dp floor-rounded exact quotients. */
+  def pipeTrimBudget: Q = (s, d) => {
+    val trim = graft.operators.Dedup.ddLineTrim(s, d)
+      .select(col("doc_id"), col("n_tokens"),
+        col("kept_tokens"), col("removed_tokens"))
+    val meta = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val totW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    trim.join(meta, "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(col("kept_tokens")).as("kept_tokens"),
+        sum(col("removed_tokens")).as("removed_tokens"))
+      .withColumn("corpus_kept", sum(col("kept_tokens")).over(totW))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("raw_tokens"), col("kept_tokens"), col("removed_tokens"),
+        when(col("raw_tokens") > 0, Exact.floorRound(
+          col("removed_tokens").cast("double") / col("raw_tokens"), 4))
+          .as("removed_share"),
+        when(col("corpus_kept") > 0, Exact.floorRound(
+          col("kept_tokens").cast("double") / col("corpus_kept"), 6))
+          .as("kept_budget_share"))
+      .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
+  }
+
+  val pipeTrimBudgetSql: String =
+    s"""WITH j AS (
+       |  SELECT d.lang, d.source, t.n_tokens, t.kept_tokens, t.removed_tokens
+       |  FROM (${graft.operators.Dedup.ddLineTrimSql}) t
+       |  JOIN documents d USING (doc_id)),
+       |a AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+       |    CAST(sum(kept_tokens) AS BIGINT) AS kept_tokens,
+       |    CAST(sum(removed_tokens) AS BIGINT) AS removed_tokens
+       |  FROM j GROUP BY 1, 2)
+       |SELECT lang, source, n_docs, raw_tokens, kept_tokens, removed_tokens,
+       |  CASE WHEN raw_tokens > 0 THEN ${Exact.floorRoundSql(
+            "removed_tokens::DOUBLE / raw_tokens", 4)} END AS removed_share,
+       |  CASE WHEN (SELECT CAST(sum(kept_tokens) AS BIGINT) FROM a) > 0
+       |    THEN ${Exact.floorRoundSql(
+            "kept_tokens::DOUBLE / (SELECT CAST(sum(kept_tokens) AS BIGINT) FROM a)", 6)}
+       |  END AS kept_budget_share
+       |FROM a ORDER BY lang, source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "pipe_trim_budget" -> pipeTrimBudget,
     "pipe_len_buckets" -> pipeLenBuckets,
     "pipe_alpha_sweep" -> pipeAlphaSweep,
     "pipe_chunk" -> pipeChunk,
@@ -731,6 +795,7 @@ object Pipeline {
     "pipe_shuffle" -> pipeShuffle)
 
   def oracleSql: Map[String, String] = Map(
+    "pipe_trim_budget" -> pipeTrimBudgetSql,
     "pipe_len_buckets" -> pipeLenBucketsSql,
     "pipe_alpha_sweep" -> pipeAlphaSweepSql,
     "pipe_chunk" -> pipeChunkSql,

@@ -1893,6 +1893,25 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "tie the post-trim budget card out against dd_line_trim totals" in {
+    import org.apache.spark.sql.functions._
+    val card = operators.Pipeline.pipeTrimBudget(spark, sf).collect()
+    val trim = operators.Dedup.ddLineTrim(spark, sf)
+      .agg(sum("n_tokens"), sum("kept_tokens"), sum("removed_tokens"),
+        count(lit(1))).collect()(0)
+    card.map(_.getAs[Long]("raw_tokens")).sum shouldBe trim.getLong(0)
+    card.map(_.getAs[Long]("kept_tokens")).sum shouldBe trim.getLong(1)
+    card.map(_.getAs[Long]("removed_tokens")).sum shouldBe trim.getLong(2)
+    card.map(_.getAs[Long]("n_docs")).sum shouldBe trim.getLong(3)
+    // kept budget shares are floor-rounded at 1e-6: sum within strata ulps of 1
+    val shares = card.flatMap(r => Option(r.getAs[java.lang.Double]("kept_budget_share")))
+    shares.map(_.toDouble).sum shouldBe (1.0 +- card.length * 1e-6)
+    card.foreach { r =>
+      r.getAs[Long]("kept_tokens") + r.getAs[Long]("removed_tokens") shouldBe
+        r.getAs[Long]("raw_tokens")
+    }
+  }
+
   it should "report a coherent IVF health card across both K schedules" in {
     import org.apache.spark.sql.functions._
     val n = Tables.embeddings(spark, sf)

@@ -138,7 +138,11 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // assignment passes land inside the ≤K-row cell-frame checkpoint
     // pins, so the final plan joins pinned RDDs only
     "dd_line_trim" -> 0, "mm_integrity" -> 0,
-    "ann_ivf_sqrt" -> 3, "ann_ivf_health" -> 0)
+    "ann_ivf_sqrt" -> 3, "ann_ivf_health" -> 0,
+    // pipe_trim_budget: the trim pipeline rides dd_line_trim's pinned
+    // segment frame; the one live scan is the (doc_id, lang, source)
+    // metadata side of the budget join
+    "pipe_trim_budget" -> 1)
 
   behavior of "post-execution scan counts"
 
