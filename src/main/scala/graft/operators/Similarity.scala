@@ -711,10 +711,31 @@ object Similarity {
     annIvfPqFor(v, defaultQueries(v), residual = true)
   }
 
+  /** IVF-PQ under the √N coarse-cell schedule (round 12) — the
+    * canonical billion-scale serving shape with BOTH honest scale knobs
+    * set: [[sqrtCells]] keeps ADC candidates per probed query ∝ √N
+    * (fixed K leaves them ∝ N — the r11 finding), while the residual
+    * codebook stays 16 codewords (8 B/vector at any corpus). Same
+    * pipeline, probe rule and re-rank as [[annIvfPq]] — one
+    * parameterized implementation and one parameterized oracle, zero
+    * drift. Build side pays the same Θ(N·√N) brute-force assignment as
+    * [[annIvfSqrt]] (same production remedy). */
+  def annIvfPqSqrt: Q = (s, d) => {
+    val v = vectors(s, d)
+    annIvfPqFor(v, defaultQueries(v), residual = true,
+      nCells = sqrtCells(v.count()))
+  }
+
+  /** General form. `nCells` is the COARSE cell count (the K schedule);
+    * the PQ codebook stays 16 codewords regardless — cell count and
+    * codebook size are independent index parameters, and only the
+    * former scales with the corpus. Residual seeds move with the cell
+    * range: vectors [nCells, nCells+16) coded w.r.t. their own cells. */
   private[graft] def annIvfPqFor(
-      v: DataFrame, queries: DataFrame, residual: Boolean): DataFrame = {
+      v: DataFrame, queries: DataFrame, residual: Boolean,
+      nCells: Int = 16): DataFrame = {
     val m = 8; val subDim = 8; val nProbe = 4; val k = 16
-    val cents = denseSeeds(v, k)
+    val cents = denseSeeds(v, nCells)
       .select(col("cid"), col("e").as("ce"), col("nrm").as("cn"))
     def sl(c: Column, j: Int) = slice(c, j * subDim + 1, subDim)
     def subScores(vec: String, cb: String) = (0 until m).map { j =>
@@ -729,7 +750,7 @@ object Similarity {
     // 0..15 ARE the centroids, residual zero); the vec_id range predicate
     // pushes to the scan, so this is a 16-row broadcast at any scale.
     lazy val rcbs = {
-      val frame = v.filter(col("vec_id") >= k && col("vec_id") < 2L * k)
+      val frame = v.filter(col("vec_id") >= nCells && col("vec_id") < nCells.toLong + k)
         .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("e"), col("cid"), coarseCos)
         .groupBy(col("vec_id"))
@@ -758,7 +779,7 @@ object Similarity {
       // never SILENT on a corpus that does have vectors
       if (n == 0) System.err.println(
         s"[graft] ann_ivfpq: residual codebook is EMPTY (seed vectors " +
-          s"$k..${2 * k - 1} missing) — ANN results will be empty; " +
+          s"$nCells..${nCells + k - 1} missing) — ANN results will be empty; " +
           "expected only if the corpus itself is empty")
       else if (n < k) System.err.println(
         s"[graft] ann_ivfpq: residual codebook has $n/$k codewords " +
@@ -841,10 +862,17 @@ object Similarity {
     rankTopK(exact, 5)
   }
 
-  val annIvfPqSql: String =
+  /** The IVF-PQ oracle pipeline parameterized by the coarse-cell count
+    * CTE (`kc` must yield one row, column `k`) — shared verbatim by
+    * [[annIvfPqSql]] (fixed 16) and [[annIvfPqSqrtSql]] (the
+    * [[sqrtCells]] schedule), so the two oracles cannot drift. The PQ
+    * codebook stays 16 codewords (the `j*16` LUT stride) — independent
+    * of the cell count by design. */
+  private def ivfPqPipelineSql(kcDef: String): String =
     s"""WITH $vectorsCte,
        |$queryIdsCte,
-       |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+       |kc AS ($kcDef),
+       |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < (SELECT k FROM kc)),
        |assign_scored AS (
        |  SELECT v.vec_id, c.cid,
        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -858,8 +886,9 @@ object Similarity {
        |  FROM v vv JOIN assigned a ON a.vec_id = vv.vec_id
        |  JOIN cents c ON c.cid = a.cell),
        |rcb AS (
-       |  SELECT vec_id - 16 AS rid, r AS rce
-       |  FROM res WHERE vec_id >= 16 AND vec_id < 32),
+       |  SELECT vec_id - (SELECT k FROM kc) AS rid, r AS rce
+       |  FROM res WHERE vec_id >= (SELECT k FROM kc)
+       |    AND vec_id < (SELECT k FROM kc) + 16),
        |sub AS (
        |  SELECT rv.vec_id, rc.rid, t.j,
        |    -2 * list_reduce(list_transform(generate_series(1, 8), i -> rv.r[t.j*8 + i] * rc.rce[t.j*8 + i]), (x, y) -> x + y)
@@ -914,6 +943,12 @@ object Similarity {
        |  FROM exact)
        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
        |FROM rer WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  val annIvfPqSql: String =
+    ivfPqPipelineSql("SELECT CAST(16 AS BIGINT) AS k")
+
+  val annIvfPqSqrtSql: String = ivfPqPipelineSql(
+    "SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k FROM v")
 
   /** Measured recall card for the index-structured ANN variants — the
     * decision table for trading index pruning against answer quality
@@ -1226,6 +1261,7 @@ object Similarity {
        |ORDER BY scheme, cid""".stripMargin
 
   def queries: Map[String, Q] = Map(
+    "ann_ivfpq_sqrt" -> annIvfPqSqrt,
     "ann_ivf_sqrt" -> annIvfSqrt,
     "ann_ivf_health" -> annIvfHealth,
     "ann_dim_trunc" -> annDimTrunc,
@@ -1240,6 +1276,7 @@ object Similarity {
     "ann_nndescent" -> annNnDescent)
 
   def oracleSql: Map[String, String] = Map(
+    "ann_ivfpq_sqrt" -> annIvfPqSqrtSql,
     "ann_ivf_sqrt" -> annIvfSqrtSql,
     "ann_ivf_health" -> annIvfHealthSql,
     "ann_dim_trunc" -> annDimTruncSql,

@@ -160,9 +160,10 @@ object ScalePlan {
     "ann_recall_card" -> 10.0,
     "ann_dim_trunc" -> 10.0,
     // sqrt-schedule IVF (K = max(16, √N)): Θ(N·√N) build priced in the
-    // operator doc; measured 1.0-1.6x at factor 10
+    // operator doc; measured 1.0-2.1x at factor 10 (ivfpq_sqrt 2.0x)
     "ann_ivf_sqrt" -> 12.0,
-    "ann_ivf_health" -> 12.0)
+    "ann_ivf_health" -> 12.0,
+    "ann_ivfpq_sqrt" -> 12.0)
 
   /** Factor-32 DOCUMENTS-ONLY slope plan (round 12, r11 verdict item
     * 6): the linear class at factor 10 is fixed-overhead-dominated

@@ -1938,13 +1938,15 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     if (operators.Similarity.sqrtCells(n) > 16) cand("sqrtn") should be < cand("fixed16")
   }
 
-  it should "return well-formed sqrt-N IVF neighbors" in {
+  it should "return well-formed sqrt-N IVF and IVF-PQ neighbors" in {
     import org.apache.spark.sql.functions._
-    val df = operators.Similarity.annIvfSqrt(spark, sf)
-    df.count() should be > 0L
-    df.agg(max("rnk")).collect()(0).getLong(0) should be <= 5L
-    df.groupBy("query_id", "rnk").count()
-      .filter(col("count") > 1).count() shouldBe 0L
+    Seq(operators.Similarity.annIvfSqrt(spark, sf),
+        operators.Similarity.annIvfPqSqrt(spark, sf)).foreach { df =>
+      df.count() should be > 0L
+      df.agg(max("rnk")).collect()(0).getLong(0) should be <= 5L
+      df.groupBy("query_id", "rnk").count()
+        .filter(col("count") > 1).count() shouldBe 0L
+    }
   }
 
   it should "count every integrity lane exactly on a seeded dirty fixture" in {

@@ -67,6 +67,26 @@ class ScaleGenSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "copy unscaled tables verbatim in table-subset mode" in {
+    // the factor-32 documents-only slope run relies on this: the corpus
+    // directory stays a COMPLETE sf layout, but only the named table
+    // scales — everything else must be the source byte-for-byte (row-set
+    // equality; file layout may differ)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scalegen-sub").toString
+    tools.ScaleGen.generate(spark, src, dir, factor, Some(Set("documents")))
+    spark.read.parquet(s"$dir/documents.parquet").count() shouldBe
+      factor * spark.read.parquet(s"$src/documents.parquet").count()
+    for (t <- Seq("embeddings", "events", "lineitem")) {
+      val s0 = spark.read.parquet(s"$src/$t.parquet")
+      val g = spark.read.parquet(s"$dir/$t.parquet")
+      withClue(s"$t: ") {
+        g.count() shouldBe s0.count()
+        g.exceptAll(s0).count() shouldBe 0L
+        s0.exceptAll(g).count() shouldBe 0L
+      }
+    }
+  }
+
   it should "keep cross-copy vocabularies disjoint" in {
     val docs = spark.read.parquet(s"$out/documents.parquet")
     val m = spark.read.parquet(s"$src/documents.parquet")

@@ -127,7 +127,7 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // ann_ivfpq's residual coding adds one corpus pass (assignment must
     // precede coding); the other 6 scans are vec_id-pruned seed/query
     // fetches (predicate pushdown) + the documented re-rank re-read
-    "ann_pq" -> 5, "ann_ivfpq" -> 8,
+    "ann_pq" -> 5, "ann_ivfpq" -> 8, "ann_ivfpq_sqrt" -> 8,
     // ann_dim_trunc: truth + per-width shortlists all land in lazy pins
     "ann_dim_trunc" -> 0,
     // round-12 ops: dd_line_trim's segmentation pass lands in the
