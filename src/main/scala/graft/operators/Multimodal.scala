@@ -496,6 +496,18 @@ object Multimodal {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("has_payload"), 1L).otherwise(0L)).as("n_payload"),
         sum(when(!col("has_payload"), 1L).otherwise(0L)).as("n_missing_payload"))
+      // the one corpus state this census most exists for — embeddings
+      // whose documents are ALL gone — would otherwise report NOTHING
+      // (zero doc rows to carry the orphan column): a '(no-docs)'
+      // sentinel row keeps the orphan count visible exactly when the
+      // documents table is empty but embeddings are not. Both counts
+      // are 1-row aggregates over the pinned spines.
+      .unionByName(
+        docs.agg(count(lit(1)).as("nd"))
+          .crossJoin(embKeys.agg(count(lit(1)).as("ne")))
+          .filter(col("nd") === 0 && col("ne") > 0)
+          .select(lit("(no-docs)").as("source"), lit(0L).as("n_docs"),
+            lit(0L).as("n_payload"), lit(0L).as("n_missing_payload")))
     val missing = docs.join(embKeys, col("doc_id") === col("vec_id"), "left_anti")
       .groupBy(col("source")).agg(count(lit(1)).as("n_missing_embedding"))
     val nullEmb = docs.join(embKeys.filter(!col("has_vec")),
@@ -530,7 +542,10 @@ object Multimodal {
       |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |    CAST(coalesce(sum(CASE WHEN has_payload THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_payload,
       |    CAST(coalesce(sum(CASE WHEN has_payload THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_missing_payload
-      |  FROM docs GROUP BY 1),
+      |  FROM docs GROUP BY 1
+      |  UNION ALL
+      |  SELECT '(no-docs)', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |  WHERE NOT EXISTS (SELECT 1 FROM docs) AND EXISTS (SELECT 1 FROM e)),
       |miss AS (SELECT source, CAST(count(*) AS BIGINT) AS n_missing_embedding
       |  FROM docs WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.vec_id = docs.doc_id)
       |  GROUP BY 1),

@@ -77,7 +77,8 @@ object Similarity {
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
       |    sqrt(list_reduce(list_transform(generate_series(1, 64),
       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
-      |  FROM embeddings)""".stripMargin
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL)""".stripMargin
 
   /** SQL twin of [[defaultQueries]]'s id rule (over the unrotated ids —
     * the rule is content-independent, so one CTE serves the OPQ path's
@@ -276,6 +277,17 @@ object Similarity {
     rankTopK(scored, 5)
   }
 
+  /** The coarse-assignment CTE body — ONE definition of the argmax rule
+    * (cosine DESC, ties to lowest cid) shared by the IVF retrieval
+    * oracles AND the health card, so the audited index can never drift
+    * from the served one. `carry` lists extra v columns to keep. */
+  private def ivfAssignScoredSql(cents: String, carry: String): String =
+    s"""SELECT v.vec_id,$carry c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      list_reduce(list_transform(generate_series(1, 64), i -> v.e[i] * c.ce[i]), (x, y) -> x + y) / (v.nrm * c.cn) DESC,
+       |      c.cid) AS crnk
+       |  FROM v, $cents c""".stripMargin
+
   /** The IVF oracle pipeline parameterized by the cell-count bound —
     * shared verbatim by [[annIvfSql]] (fixed 16) and [[annIvfSqrtSql]]
     * (the [[sqrtCells]] schedule), so the two oracles cannot drift. */
@@ -284,11 +296,7 @@ object Similarity {
        |$queryIdsCte,
        |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < $centsBound),
        |assign_scored AS (
-       |  SELECT v.vec_id, v.e, v.nrm, c.cid,
-       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-       |      list_reduce(list_transform(generate_series(1, 64), i -> v.e[i] * c.ce[i]), (x, y) -> x + y) / (v.nrm * c.cn) DESC,
-       |      c.cid) AS crnk
-       |  FROM v, cents c),
+       |  ${ivfAssignScoredSql("cents", " v.e, v.nrm,")}),
        |assigned AS (SELECT vec_id, e, nrm, cid AS cell FROM assign_scored WHERE crnk = 1),
        |q AS (SELECT vec_id AS query_id, e, nrm FROM v JOIN qids USING (vec_id)),
        |probe_scored AS (
@@ -874,11 +882,7 @@ object Similarity {
        |kc AS ($kcDef),
        |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < (SELECT k FROM kc)),
        |assign_scored AS (
-       |  SELECT v.vec_id, c.cid,
-       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-       |      list_reduce(list_transform(generate_series(1, 64), i -> v.e[i] * c.ce[i]), (x, y) -> x + y) / (v.nrm * c.cn) DESC,
-       |      c.cid) AS crnk
-       |  FROM v, cents c),
+       |  ${ivfAssignScoredSql("cents", "")}),
        |assigned AS (SELECT vec_id, cid AS cell FROM assign_scored WHERE crnk = 1),
        |res AS (
        |  SELECT vv.vec_id, a.cell, vv.nrm,
@@ -1232,11 +1236,7 @@ object Similarity {
   private def ivfHealthSchemeSql(name: String, bound: String): String =
     s"""${name}_cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < $bound),
        |${name}_assign AS (
-       |  SELECT v.vec_id, c.cid,
-       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-       |      list_reduce(list_transform(generate_series(1, 64), i -> v.e[i] * c.ce[i]), (x, y) -> x + y) / (v.nrm * c.cn) DESC,
-       |      c.cid) AS crnk
-       |  FROM v, ${name}_cents c),
+       |  ${ivfAssignScoredSql(s"${name}_cents", "")}),
        |${name}_asg AS (SELECT vec_id, cid AS cell FROM ${name}_assign WHERE crnk = 1),
        |${name}_pop AS (SELECT c.cid, CAST(count(a.vec_id) AS BIGINT) AS pop
        |  FROM ${name}_cents c LEFT JOIN ${name}_asg a ON a.cell = c.cid GROUP BY c.cid),

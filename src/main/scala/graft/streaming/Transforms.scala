@@ -944,22 +944,23 @@ object Transforms {
     // functions.filter qualified: the `filter` param (the bytes) shadows it
     val ndup = size(org.apache.spark.sql.functions.filter(segs, s =>
       call_function("graft_bloom_contains", lit(filter), xxhash64(s))))
-    // Boundary-exact drop rule for ANY share value (ADVICE r11): the
-    // census removal flag compares in exact INTEGER cross-multiplication
-    // (10·dup ≥ 3·n), and the float product `maxDupShare * nseg` only
-    // happens to agree at every integer boundary for the default 0.3.
-    // Take the share's shortest-decimal rational num/denom (0.3 → 3/10
-    // EXACTLY — BigDecimal(Double) via valueOf round-trips the decimal
-    // literal, never the binary expansion) and keep iff
-    // ndup·denom < num·nseg, so stream and batch verdicts coincide at
-    // every boundary for every representable share. Decimal columns:
-    // denom can reach 1e17 for a full-precision double, past long range
-    // once multiplied by a segment count.
+    // Boundary-exact drop rule for ANY practical share value (ADVICE
+    // r11): the census removal flag compares in exact INTEGER
+    // cross-multiplication (10·dup ≥ 3·n), and the float product
+    // `maxDupShare * nseg` only happens to agree at every integer
+    // boundary for the default 0.3. Take the share's shortest-decimal
+    // rational num/denom (0.3 → 3/10 EXACTLY — BigDecimal(Double) via
+    // valueOf round-trips the decimal literal, never the binary
+    // expansion) and keep iff ndup·denom < num·nseg. The scale clamps
+    // at 18: a share with more than 18 decimal digits rounds to the
+    // nearest 1e-18 (half-up) rather than overflowing decimal(38,0) —
+    // a sub-1e-18 distinction in a drop threshold has no observable
+    // boundary below ~1e18 segments per doc. Decimal columns: denom
+    // reaches 1e18, past long range once multiplied by a segment count.
     val share = BigDecimal(java.math.BigDecimal.valueOf(maxDupShare))
-    val denom = BigDecimal(10).pow(math.max(share.scale, 0))
-    val num = (share * denom).toBigIntExact.getOrElse(
-      throw new IllegalStateException(s"non-integral rational for $maxDupShare"))
-    val numLit = lit(new java.math.BigDecimal(num.bigInteger)).cast("decimal(38,0)")
+    val denom = BigDecimal(10).pow(math.min(math.max(share.scale, 0), 18))
+    val num = (share * denom).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+    val numLit = lit(num.underlying()).cast("decimal(38,0)")
     val denomLit = lit(denom.underlying()).cast("decimal(38,0)")
     docs.filter(nseg <= 0 ||
       ndup.cast("decimal(18,0)") * denomLit < numLit * nseg.cast("decimal(18,0)"))

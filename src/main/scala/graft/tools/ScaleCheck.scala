@@ -84,7 +84,12 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     require(args.length >= 4, "usage: ScaleCheck <baseSfDir> <bigSfDir> <factor> <outJson> [ids...]")
     val (base, big, factor, outJson) = (args(0), args(1), args(2).toInt, args(3))
-    val ids = if (args.length > 4) args.drop(4).toSeq else ScalePlan.checks.map(_._1)
+    // the default id list AND the ceiling map both follow the plan
+    // matching the run's factor — a bare factor-32 run must sweep the
+    // documents-only slope set, not pay the full ANN/clustering sweep
+    // against a corpus whose embeddings/events never scaled
+    val plan = if (factor >= 32) ScalePlan.checks32 else ScalePlan.checks
+    val ids = if (args.length > 4) args.drop(4).toSeq else plan.map(_._1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.create(s"local[$cpus]", 32)
     spark.sparkContext.setLogLevel("WARN")
@@ -95,10 +100,7 @@ object ScaleCheck {
       (id, baseSec, bigSec, ratio)
     }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // artifact ceilings come from the plan matching the run's factor:
-    // the factor-32 documents-only slope plan carries its own
-    // slope-aware ceilings (ScalePlan.checks32)
-    val ceil = (if (factor >= 32) ScalePlan.checks32 else ScalePlan.checks).toMap
+    val ceil = plan.toMap
     val qs = rows.map { case (id, b, g, r) =>
       s""""$id":{"base_sec":${fmt(b)},"big_sec":${fmt(g)},"ratio":${fmt(r)},"ceiling":${ceil.getOrElse(id, -1.0)}}"""
     }.mkString("{", ",", "}")

@@ -69,16 +69,27 @@ object ScaleGen {
   def generate(spark: org.apache.spark.sql.SparkSession, src: String,
       out: String, factor: Int, only: Option[Set[String]] = None): Unit = {
     require(factor >= 1, s"factor must be >= 1 (got $factor)")
+    // a typo'd table name would silently produce a factor-1 corpus and
+    // let the slope gate pass vacuously — fail loudly instead (the
+    // Verify-ids discipline)
+    val scalable = Set("documents", "embeddings", "events")
+    only.foreach { t =>
+      val unknown = t -- scalable
+      require(unknown.isEmpty,
+        s"ScaleGen: unknown scalable table(s) ${unknown.toSeq.sorted.mkString(", ")} " +
+          s"— the scaled tables are ${scalable.toSeq.sorted.mkString(", ")}")
+    }
     val scaleTable = (t: String) => only.forall(_.contains(t))
     def copyVerbatim(t: String): Unit =
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     // documents: suffix every token with ~k (copy 0 verbatim)
+    if (!scaleTable("documents")) copyVerbatim("documents")
+    else {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val dM = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
-    if (!scaleTable("documents")) copyVerbatim("documents")
-    else (0 until factor).map { k =>
+    (0 until factor).map { k =>
       if (k == 0) docs
       else docs
         .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1~" + k))
@@ -87,6 +98,7 @@ object ScaleGen {
           length(col("text")).cast("long").as("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
 
     // embeddings: rotate dims by 7k mod 64, seeded sign flips
     if (!scaleTable("embeddings")) copyVerbatim("embeddings") else {

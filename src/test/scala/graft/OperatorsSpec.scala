@@ -1988,5 +1988,20 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     none.getAs[Long]("n_null_embedding") shouldBe 1L // doc 6
     none.getAs[Long]("n_trainable") shouldBe 1L // 5
     out.values.map(_.getAs[Long]("n_orphan_embeddings")).toSet shouldBe Set(2L)
+    // the all-dangling corpus: documents wiped, embeddings left behind —
+    // the orphan count must stay VISIBLE via the '(no-docs)' sentinel row
+    val dir2 = java.nio.file.Files.createTempDirectory("mm-integrity-nodocs").toString
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    Seq((100L, vec), (101L, vec)).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val dangling = operators.Multimodal.mmIntegrity(spark, dir2).collect()
+    dangling.length shouldBe 1
+    dangling.head.getAs[String]("source") shouldBe "(no-docs)"
+    dangling.head.getAs[Long]("n_docs") shouldBe 0L
+    dangling.head.getAs[Long]("n_orphan_embeddings") shouldBe 2L
   }
 }
