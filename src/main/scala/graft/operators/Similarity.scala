@@ -224,44 +224,152 @@ object Similarity {
   private[graft] def sqrtCells(n: Long): Int =
     math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
 
+  /** Super-cell count for [[assignCells]]'s two-level rule: ⌈ ⌊√K⌋ ⌉
+    * floored at 4 — the K schedule applied to the centroid table itself
+    * (index the index). ONE definition shared with the oracles'
+    * `greatest(4, floor(sqrt(k)))`. */
+  private[graft] def superCells(k: Int): Int =
+    math.max(4, math.floor(math.sqrt(k.toDouble)).toInt)
+
+  /** Super-cells probed per vector during two-level assignment — fixed
+    * like the query-side nProbe: more probes buy exact-assignment
+    * agreement (TwoLevelAssignSpec measures it), not corpus coverage. */
+  private[graft] val AssignProbes = 4
+
+  // Corpus count memoized per (session, dir + data fingerprint) — r12
+  // advice item 3: annIvfSqrt / annIvfPqSqrt / annIvfHealth each need N
+  // as a plan literal (K = sqrtCells(N), the cl_kmeans train-small
+  // discipline) and previously each paid its own eager column-pruned
+  // count at plan-construction time. One count per (session, dir) now
+  // serves the whole √N family; the file-listing fingerprint invalidates
+  // on a rewritten dir (the Clustering memo discipline — keyed by dir
+  // with the fingerprint alongside, weak session keys).
+  private val countCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (String, Long)]]())
+
+  private[graft] def corpusCount(s: SparkSession, d: String): Long = {
+    val perSession = countCache.synchronized {
+      var m = countCache.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, (String, Long)]
+        countCache.put(s, m)
+      }
+      m
+    }
+    val fp = dataFingerprint(s, d)
+    perSession.synchronized {
+      perSession.get(d) match {
+        case Some((cachedFp, n)) if cachedFp == fp => n
+        case _ =>
+          val n = vectors(s, d).count()
+          perSession.put(d, (fp, n)); n
+      }
+    }
+  }
+
+  private def dataFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) ""
+    else fs.listStatus(p).map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+  }
+
+  /** Coarse cell assignment — (vec_id[, carry…], cell), the argmax rule
+    * (cosine DESC, ties to lowest cid) every IVF-family op shares.
+    *
+    * `twoLevel = false` is the exact one-level form: ONE
+    * crossJoin-with-broadcast-centroids argmax aggregation, Θ(N·K)
+    * centroid scores — right while K stays O(100) (the fixed-16 ops).
+    *
+    * `twoLevel = true` (round 13, r12 verdict item 1) is the build-side
+    * answer for the √N K schedule, where one-level assignment is the
+    * repo's last super-linear stage (Θ(N·√N)): index the index. The
+    * [[superCells]] lowest-id centroids serve as super-cells; each
+    * centroid exact-assigns to its parent super-cell (K·√K driver-scale
+    * work); each VECTOR scores only the √K super-cells, keeps its
+    * [[AssignProbes]] best, and exact-assigns among those super-cells'
+    * children — Θ(N·(√K + p·√K)) = Θ(N·√K) = Θ(N·N^¼) under the √N
+    * schedule, against one-level's Θ(N·N^½). The result can differ from
+    * exact argmax only when the true cell's parent is outside the
+    * probed super-cells; TwoLevelAssignSpec measures the agreement rate
+    * on the clustered fixture and the SCALECHECK32E artifact measures
+    * the build-side ratio. Deterministic throughout (every argmax ties
+    * to the lowest id), so the oracles replay the same rule.
+    *
+    * Plan shape at scale: the super-cell table is a ≤√K-row broadcast;
+    * the per-vector top-p runs on TopKPerGroup bounded heaps (the
+    * shuffle carries p rows per vector — the one price over one-level's
+    * single row); the children join is against a broadcast K-row
+    * parent table; and the final argmax aggregation reuses the heap
+    * shuffle's hash partitioning on vec_id (no extra exchange). */
+  private[graft] def assignCells(v: DataFrame, cents: DataFrame, k: Int,
+      twoLevel: Boolean, carry: Seq[String] = Seq("e", "nrm")): DataFrame = {
+    val carryAgg = carry.map(c => first(col(c)).as(c))
+    val cellAgg = max_by(col("cid"),
+      struct(col("ccos"), (-col("cid")).as("nc"))).as("cell")
+    val aggs = carryAgg :+ cellAgg
+    if (!twoLevel) {
+      v.crossJoin(broadcast(cents))
+        .withColumn("ccos", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+        .groupBy(col("vec_id"))
+        .agg(aggs.head, aggs.tail: _*)
+    } else {
+      val sup = cents.filter(col("cid") < superCells(k))
+        .select(col("cid").as("scid"), col("ce").as("se"), col("cn").as("sn"))
+      val parents = cents.crossJoin(broadcast(sup))
+        .withColumn("pcos", dot(col("ce"), col("se")) / (col("cn") * col("sn")))
+        .groupBy(col("cid"))
+        .agg(first(col("ce")).as("ce"), first(col("cn")).as("cn"),
+          max_by(col("scid"), struct(col("pcos"), (-col("scid")).as("ns"))).as("parent"))
+      val scoredSup = v.crossJoin(broadcast(sup))
+        .select(col("vec_id"), col("e"), col("nrm"), col("scid"),
+          (dot(col("e"), col("se")) / (col("nrm") * col("sn"))).as("scos"))
+      val probed = graft.plans.TopKPerGroup.transform(scoredSup,
+        Seq(col("vec_id")), Seq(col("scos").desc, col("scid").asc), AssignProbes)
+      probed.join(broadcast(parents), col("scid") === col("parent"))
+        .withColumn("ccos", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+        .groupBy(col("vec_id"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
   /** √N-cells IVF (round 12, r11 verdict item 1b): [[annIvf]]'s exact
     * pipeline with the [[sqrtCells]] K schedule instead of fixed K=16.
     * What changes at scale: per-query candidate work drops from Θ(N/16)
     * to Θ(√N) — the serving-path story fixed-K could not honestly tell —
-    * while assignment pays Θ(N·√N) brute-force centroid scoring (the
-    * documented build-side price; a production build at K ≫ 10³ indexes
-    * the centroids themselves — coarse-assign against √K super-cells —
-    * to bring the build back near-linear; at this round's K ≤ a few
-    * hundred the brute-force form is both exact and cheaper than the
-    * two-level machinery). The corpus count is ONE column-pruned
-    * aggregate collected to the driver (the cl_kmeans train-small
-    * discipline); K is then a plan literal, so the cents filter still
-    * pushes to the scan. */
+    * and (round 13, r12 verdict item 1) the BUILD side runs
+    * [[assignCells]]'s two-level rule, so assignment costs Θ(N·√K) =
+    * Θ(N·N^¼) instead of the brute-force Θ(N·√N) that was the repo's
+    * last super-linear stage. The corpus count is ONE memoized
+    * column-pruned aggregate collected to the driver ([[corpusCount]] —
+    * the cl_kmeans train-small discipline); K is then a plan literal,
+    * so the cents filter still pushes to the scan. */
   def annIvfSqrt: Q = (s, d) => {
     val v = vectors(s, d)
-    annIvfSqrtFor(v, defaultQueries(v))
+    annIvfK(v, defaultQueries(v), sqrtCells(corpusCount(s, d)), twoLevel = true)
   }
 
   /** General form of [[annIvfSqrt]]; broadcast contract = [[annIvfFor]]'s
-    * (centroids stay metadata-sized: √N rows of 64 doubles). */
+    * (centroids stay metadata-sized: √N rows of 64 doubles). Pays one
+    * eager count of `v` — the (session, dir) adapter goes through the
+    * memoized [[corpusCount]] instead. */
   def annIvfSqrtFor(v: DataFrame, queries: DataFrame): DataFrame =
-    annIvfK(v, queries, sqrtCells(v.count()))
+    annIvfK(v, queries, sqrtCells(v.count()), twoLevel = true)
 
-  private def annIvfK(v: DataFrame, queries: DataFrame, nCentroids: Int): DataFrame = {
+  private def annIvfK(v: DataFrame, queries: DataFrame, nCentroids: Int,
+      twoLevel: Boolean = false): DataFrame = {
     val nProbe = 4
     val cents = v.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-    // top-1 cell per vector as an ARGMAX AGGREGATION, not a sort window:
-    // partial agg collapses the 16 scored rows per vector map-side, so the
-    // shuffle carries one row per vector instead of nCentroids — the
-    // difference between shuffling the corpus and shuffling corpus×cells
-    // at 100 TB. The (ccos, -cid) struct key makes ties pick the lowest
-    // cell id, identical to the oracle's ORDER BY ccos DESC, cid.
-    val assigned = v.crossJoin(broadcast(cents))
-      .withColumn("ccos", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
-      .groupBy(col("vec_id"))
-      .agg(first(col("e")).as("e"), first(col("nrm")).as("nrm"), // constant per group
-        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+    // top-1 cell per vector via the shared [[assignCells]] argmax rule
+    // (an AGGREGATION, not a sort window: partial agg collapses the
+    // scored rows per vector map-side, so the shuffle carries one row
+    // per vector instead of nCentroids — the difference between
+    // shuffling the corpus and shuffling corpus×cells at 100 TB).
+    val assigned = assignCells(v, cents, nCentroids, twoLevel)
     // top-nProbe cells per query via the bounded-heap TopKPerGroup
     val probes = {
       val scored = queries
@@ -288,16 +396,59 @@ object Similarity {
        |      c.cid) AS crnk
        |  FROM v, $cents c""".stripMargin
 
-  /** The IVF oracle pipeline parameterized by the cell-count bound —
-    * shared verbatim by [[annIvfSql]] (fixed 16) and [[annIvfSqrtSql]]
-    * (the [[sqrtCells]] schedule), so the two oracles cannot drift. */
-  private def ivfPipelineSql(centsBound: String): String =
+  /** Assignment CTE chain ending in `<p>assigned` (vec_id,<carryOut>
+    * cell) — ONE builder for both rules so every IVF oracle replays the
+    * exact rule its Spark op serves with. `skBound = None` is the
+    * one-level argmax over all cells ([[ivfAssignScoredSql]]);
+    * `skBound = Some(sql)` is [[assignCells]]'s two-level rule — the
+    * `sql` scalar is [[superCells]]'s bound — with the same three
+    * deterministic argmaxes (centroid→parent, vector→top-[[AssignProbes]]
+    * super-cells, vector→cell among probed children; every tie to the
+    * lowest id). */
+  private def assignCtesSql(p: String, cents: String, carry: String,
+      carryOut: String, skBound: Option[String]): String = skBound match {
+    case None =>
+      s"""${p}assign_scored AS (
+         |  ${ivfAssignScoredSql(cents, carry)}),
+         |${p}assigned AS (SELECT vec_id,$carryOut cid AS cell FROM ${p}assign_scored WHERE crnk = 1)""".stripMargin
+    case Some(sk) =>
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+      s"""${p}sup AS (SELECT cid AS scid, ce AS se, cn AS sn FROM $cents WHERE cid < $sk),
+         |${p}cpar_scored AS (
+         |  SELECT c.cid, c.ce, c.cn, s.scid,
+         |    row_number() OVER (PARTITION BY c.cid ORDER BY
+         |      ${dotSql("c.ce", "s.se")} / (c.cn * s.sn) DESC,
+         |      s.scid) AS prnk
+         |  FROM $cents c, ${p}sup s),
+         |${p}cpar AS (SELECT cid, ce, cn, scid AS parent FROM ${p}cpar_scored WHERE prnk = 1),
+         |${p}vprobe_scored AS (
+         |  SELECT v.vec_id, s.scid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${dotSql("v.e", "s.se")} / (v.nrm * s.sn) DESC,
+         |      s.scid) AS srnk
+         |  FROM v, ${p}sup s),
+         |${p}vprobe AS (SELECT vec_id, scid FROM ${p}vprobe_scored WHERE srnk <= $AssignProbes),
+         |${p}assign_scored AS (
+         |  SELECT v.vec_id,$carry c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |      c.cid) AS crnk
+         |  FROM v JOIN ${p}vprobe pr ON pr.vec_id = v.vec_id
+         |  JOIN ${p}cpar c ON c.parent = pr.scid),
+         |${p}assigned AS (SELECT vec_id,$carryOut cid AS cell FROM ${p}assign_scored WHERE crnk = 1)""".stripMargin
+  }
+
+  /** The IVF oracle pipeline parameterized by the cell-count bound and
+    * the assignment rule — shared verbatim by [[annIvfSql]] (fixed 16,
+    * one-level) and [[annIvfSqrtSql]] (the [[sqrtCells]] schedule,
+    * two-level), so the oracles cannot drift from each other or from
+    * the rule their Spark ops serve with. */
+  private def ivfPipelineSql(centsBound: String, skBound: Option[String]): String =
     s"""WITH $vectorsCte,
        |$queryIdsCte,
        |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < $centsBound),
-       |assign_scored AS (
-       |  ${ivfAssignScoredSql("cents", " v.e, v.nrm,")}),
-       |assigned AS (SELECT vec_id, e, nrm, cid AS cell FROM assign_scored WHERE crnk = 1),
+       |${assignCtesSql("", "cents", " v.e, v.nrm,", " e, nrm,", skBound)},
        |q AS (SELECT vec_id AS query_id, e, nrm FROM v JOIN qids USING (vec_id)),
        |probe_scored AS (
        |  SELECT q.query_id, q.e AS qe, q.nrm AS qn, c.cid,
@@ -317,14 +468,19 @@ object Similarity {
        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
-  val annIvfSql: String = ivfPipelineSql("16")
+  val annIvfSql: String = ivfPipelineSql("16", None)
 
   /** `greatest(16, floor(sqrt(N)))` over the corpus — [[sqrtCells]]'s SQL
     * twin (same count, same floor, same floor-at-16). */
   private val SqrtCellsBoundSql: String =
     "(SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM v)"
 
-  val annIvfSqrtSql: String = ivfPipelineSql(SqrtCellsBoundSql)
+  /** `greatest(4, floor(sqrt(K)))` over the √N cell count —
+    * [[superCells]]∘[[sqrtCells]]'s SQL twin. */
+  private val SqrtSuperBoundSql: String =
+    s"(SELECT greatest(4, CAST(floor(sqrt(greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS BIGINT)) FROM v)"
+
+  val annIvfSqrtSql: String = ivfPipelineSql(SqrtCellsBoundSql, Some(SqrtSuperBoundSql))
 
   /** Product-quantization ANN with exact re-rank — the standard
     * two-stage pipeline: (1) ADC scan: vectors coded as 8 subspace codes
@@ -726,22 +882,27 @@ object Similarity {
     * codebook stays 16 codewords (8 B/vector at any corpus). Same
     * pipeline, probe rule and re-rank as [[annIvfPq]] — one
     * parameterized implementation and one parameterized oracle, zero
-    * drift. Build side pays the same Θ(N·√N) brute-force assignment as
-    * [[annIvfSqrt]] (same production remedy). */
+    * drift. Build side runs [[assignCells]]'s two-level rule (round 13
+    * — Θ(N·N^¼) instead of the brute-force Θ(N·√N)). */
   def annIvfPqSqrt: Q = (s, d) => {
     val v = vectors(s, d)
     annIvfPqFor(v, defaultQueries(v), residual = true,
-      nCells = sqrtCells(v.count()))
+      nCells = sqrtCells(corpusCount(s, d)), twoLevel = true)
   }
 
   /** General form. `nCells` is the COARSE cell count (the K schedule);
     * the PQ codebook stays 16 codewords regardless — cell count and
     * codebook size are independent index parameters, and only the
     * former scales with the corpus. Residual seeds move with the cell
-    * range: vectors [nCells, nCells+16) coded w.r.t. their own cells. */
+    * range: vectors [nCells, nCells+16) coded w.r.t. their own cells.
+    * `twoLevel` selects [[assignCells]]'s build rule — residual coding
+    * only (the raw path's fused cell+code aggregation exists for the
+    * fixed-16 spec comparison and has no super-linear build to fix). */
   private[graft] def annIvfPqFor(
       v: DataFrame, queries: DataFrame, residual: Boolean,
-      nCells: Int = 16): DataFrame = {
+      nCells: Int = 16, twoLevel: Boolean = false): DataFrame = {
+    require(!twoLevel || residual,
+      "twoLevel assignment is wired for the residual path (the deployed √N form)")
     val m = 8; val subDim = 8; val nProbe = 4; val k = 16
     val cents = denseSeeds(v, nCells)
       .select(col("cid"), col("e").as("ce"), col("nrm").as("cn"))
@@ -758,12 +919,13 @@ object Similarity {
     // 0..15 ARE the centroids, residual zero); the vec_id range predicate
     // pushes to the scan, so this is a 16-row broadcast at any scale.
     lazy val rcbs = {
-      val frame = v.filter(col("vec_id") >= nCells && col("vec_id") < nCells.toLong + k)
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("e"), col("cid"), coarseCos)
-        .groupBy(col("vec_id"))
-        .agg(first(col("e")).as("e"),
-          max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+      // Seed assignment goes through the SAME assignCells rule (incl.
+      // twoLevel) as the corpus below — the oracle derives the residual
+      // codebook from the corpus-wide assignment, so a rule split here
+      // would silently drift the codebook cells from the oracle's.
+      val frame = assignCells(
+          v.filter(col("vec_id") >= nCells && col("vec_id") < nCells.toLong + k),
+          cents, nCells, twoLevel, carry = Seq("e"))
         .join(broadcast(cents.select(col("cid").as("cell"), col("ce"))), "cell")
         // DENSE rid via re-id (the denseSeeds discipline): a dirty corpus
         // can lose seeds 16..31 to null-embedding drops, and code values
@@ -807,14 +969,10 @@ object Similarity {
             array((0 until m).map(j =>
               min_by(col("cid"), struct(col(s"s$j"), col("cid")))): _*).as("codes"))
       } else {
-        // residual coding: assign cell first (carrying e through the
-        // aggregate), subtract the cell centroid, then code the residual
-        // against the residual codebook
-        val assigned = v.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("nrm"), col("e"), col("cid"), coarseCos)
-          .groupBy(col("vec_id"))
-          .agg(first(col("nrm")).as("nrm"), first(col("e")).as("e"),
-            max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+        // residual coding: assign cell first (the shared assignCells
+        // rule — two-level under the √N schedule), subtract the cell
+        // centroid, then code the residual against the residual codebook
+        val assigned = assignCells(v, cents, nCells, twoLevel)
         val withRes = assigned
           .join(broadcast(cents.select(col("cid").as("cell"), col("ce"))), "cell")
           .withColumn("r", zip_with(col("e"), col("ce"), (a, b) => a - b))
@@ -871,19 +1029,17 @@ object Similarity {
   }
 
   /** The IVF-PQ oracle pipeline parameterized by the coarse-cell count
-    * CTE (`kc` must yield one row, column `k`) — shared verbatim by
-    * [[annIvfPqSql]] (fixed 16) and [[annIvfPqSqrtSql]] (the
-    * [[sqrtCells]] schedule), so the two oracles cannot drift. The PQ
-    * codebook stays 16 codewords (the `j*16` LUT stride) — independent
-    * of the cell count by design. */
-  private def ivfPqPipelineSql(kcDef: String): String =
+    * CTE (`kc` must yield one row, column `k`) and the assignment rule
+    * — shared verbatim by [[annIvfPqSql]] (fixed 16, one-level) and
+    * [[annIvfPqSqrtSql]] (the [[sqrtCells]] schedule, two-level), so
+    * the oracles cannot drift. The PQ codebook stays 16 codewords (the
+    * `j*16` LUT stride) — independent of the cell count by design. */
+  private def ivfPqPipelineSql(kcDef: String, skBound: Option[String]): String =
     s"""WITH $vectorsCte,
        |$queryIdsCte,
        |kc AS ($kcDef),
        |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < (SELECT k FROM kc)),
-       |assign_scored AS (
-       |  ${ivfAssignScoredSql("cents", "")}),
-       |assigned AS (SELECT vec_id, cid AS cell FROM assign_scored WHERE crnk = 1),
+       |${assignCtesSql("", "cents", "", "", skBound)},
        |res AS (
        |  SELECT vv.vec_id, a.cell, vv.nrm,
        |    list_transform(generate_series(1, 64), i -> vv.e[i] - c.ce[i]) AS r
@@ -949,10 +1105,11 @@ object Similarity {
        |FROM rer WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   val annIvfPqSql: String =
-    ivfPqPipelineSql("SELECT CAST(16 AS BIGINT) AS k")
+    ivfPqPipelineSql("SELECT CAST(16 AS BIGINT) AS k", None)
 
   val annIvfPqSqrtSql: String = ivfPqPipelineSql(
-    "SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k FROM v")
+    "SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k FROM v",
+    Some("(SELECT greatest(4, CAST(floor(sqrt(k)) AS BIGINT)) FROM kc)"))
 
   /** Measured recall card for the index-structured ANN variants — the
     * decision table for trading index pruning against answer quality
@@ -1192,15 +1349,16 @@ object Similarity {
     * quotients, identical operation order on both engines. */
   def annIvfHealth: Q = (s, d) => {
     val v = vectors(s, d)
-    val n = v.count()
+    val n = corpusCount(s, d)
     val nProbe = 4
-    val cards = Seq(("fixed16", 16), ("sqrtn", sqrtCells(n))).map { case (name, k) =>
+    // each scheme audits the assignment rule it SERVES with — fixed16
+    // one-level, sqrtn two-level — so the audited index equals the
+    // deployed one ([[assignCells]]'s drift-free contract)
+    val cards = Seq(("fixed16", 16, false), ("sqrtn", sqrtCells(n), true))
+        .map { case (name, k, twoLevel) =>
       val cents = v.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-      val assigned = v.crossJoin(broadcast(cents))
-        .withColumn("ccos", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+      val assigned = assignCells(v, cents, k, twoLevel, carry = Nil)
       val pops = assigned.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
       // empty cells must REPORT (pop 0), not vanish — the left join from
       // the centroid spine is the point of the card. Scheme totals are a
@@ -1230,16 +1388,15 @@ object Similarity {
   }
 
   /** One scheme's health CTE chain ([[annIvfHealthSql]]): the assignment
-    * is the [[ivfPipelineSql]] argmax (row_number over (ccos DESC, cid)),
-    * populations from a LEFT join off the centroid spine so empty cells
-    * report 0. */
-  private def ivfHealthSchemeSql(name: String, bound: String): String =
+    * replays the rule the scheme SERVES with ([[assignCtesSql]] —
+    * one-level for fixed16, two-level for sqrtn), populations from a
+    * LEFT join off the centroid spine so empty cells report 0. */
+  private def ivfHealthSchemeSql(name: String, bound: String,
+      skBound: Option[String]): String =
     s"""${name}_cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < $bound),
-       |${name}_assign AS (
-       |  ${ivfAssignScoredSql(s"${name}_cents", "")}),
-       |${name}_asg AS (SELECT vec_id, cid AS cell FROM ${name}_assign WHERE crnk = 1),
+       |${assignCtesSql(s"${name}_", s"${name}_cents", "", "", skBound)},
        |${name}_pop AS (SELECT c.cid, CAST(count(a.vec_id) AS BIGINT) AS pop
-       |  FROM ${name}_cents c LEFT JOIN ${name}_asg a ON a.cell = c.cid GROUP BY c.cid),
+       |  FROM ${name}_cents c LEFT JOIN ${name}_assigned a ON a.cell = c.cid GROUP BY c.cid),
        |${name}_tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
        |    CAST(sum(pop) AS BIGINT) AS n_assigned,
        |    CAST(count(*) FILTER (pop = 0) AS BIGINT) AS n_empty
@@ -1254,8 +1411,8 @@ object Similarity {
 
   val annIvfHealthSql: String =
     s"""WITH $vectorsCte,
-       |${ivfHealthSchemeSql("fixed16", "16")},
-       |${ivfHealthSchemeSql("sqrtn", SqrtCellsBoundSql)}
+       |${ivfHealthSchemeSql("fixed16", "16", None)},
+       |${ivfHealthSchemeSql("sqrtn", SqrtCellsBoundSql, Some(SqrtSuperBoundSql))}
        |SELECT * FROM fixed16_card
        |UNION ALL SELECT * FROM sqrtn_card
        |ORDER BY scheme, cid""".stripMargin

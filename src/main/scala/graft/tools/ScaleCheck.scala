@@ -44,10 +44,13 @@ import org.apache.spark.sql.SparkSession
   * linear text/dedup class where factor-10 wall ratios are
   * overhead-dominated.
   *
-  * Usage: `ScaleCheck <baseSfDir> <bigSfDir> <factor> <outJson> [ids…]`
-  * — base side times warm + min-of-2 (the Bench discipline); the big
-  * side takes min-of-2 only while a single run stays under 60 s
-  * (quad-class cards pay one run — their ceilings carry the margin). */
+  * Usage: `ScaleCheck <baseSfDir> <bigSfDir> <factor> <outJson>
+  * [plan=checks|checks32|checks32e] [ids…]` — base side times warm +
+  * min-of-2 (the Bench discipline); the big side takes min-of-2 only
+  * while a single run stays under 60 s (quad-class cards pay one run —
+  * their ceilings carry the margin). Sub-0.5 ratios re-measure once
+  * (stalled-base detection) and every row records its capture order and
+  * session-memo state, so the artifact adjudicates its own captures. */
 object ScaleCheck {
 
   def timeOnce(spark: SparkSession, d: String, id: String): Double = {
@@ -81,30 +84,88 @@ object ScaleCheck {
     (baseSec, bigSec, ratio)
   }
 
+  /** Session-memo groups (capture-order transparency, round 13, r12
+    * note 1): queries sharing a memoized session frame time differently
+    * depending on WHICH of them ran first — the artifact records
+    * cold/warm per query so a flattering capture order is readable off
+    * the artifact instead of needing the reader to know the memo map. */
+  private val MemoGroups: Map[String, String] = Map(
+    "cl_pagerank" -> "simedges", "cl_dbscan" -> "simedges",
+    "cl_kmeans" -> "kmeans-cents", "cl_inertia" -> "kmeans-cents",
+    "cl_silhouette" -> "kmeans-cents", "cl_purity" -> "kmeans-cents",
+    "cl_semantic_dedup" -> "kmeans-cents", "cl_drift" -> "kmeans-cents",
+    "cl_outliers" -> "kmeans-cents", "cl_diverse_sample" -> "kmeans-cents")
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4, "usage: ScaleCheck <baseSfDir> <bigSfDir> <factor> <outJson> [ids...]")
+    require(args.length >= 4,
+      "usage: ScaleCheck <baseSfDir> <bigSfDir> <factor> <outJson> [plan=checks|checks32|checks32e] [ids...]")
     val (base, big, factor, outJson) = (args(0), args(1), args(2).toInt, args(3))
     // the default id list AND the ceiling map both follow the plan
     // matching the run's factor — a bare factor-32 run must sweep the
     // documents-only slope set, not pay the full ANN/clustering sweep
-    // against a corpus whose embeddings/events never scaled
-    val plan = if (factor >= 32) ScalePlan.checks32 else ScalePlan.checks
-    val ids = if (args.length > 4) args.drop(4).toSeq else plan.map(_._1)
+    // against a corpus whose embeddings/events never scaled. An explicit
+    // plan= token picks a named plan (the factor-32 EMBEDDINGS-subset
+    // sweep shares the factor with the documents one).
+    val extra0 = args.drop(4).toSeq
+    val (plan, planName, extra) = extra0.headOption match {
+      case Some(p) if p.startsWith("plan=") =>
+        val name = p.stripPrefix("plan=")
+        val sel = ScalePlan.byName.getOrElse(name, sys.error(
+          s"ScaleCheck: unknown plan '$name' — one of ${ScalePlan.byName.keys.toSeq.sorted.mkString(", ")}"))
+        (sel, name, extra0.tail)
+      case _ =>
+        if (factor >= 32) (ScalePlan.checks32, "checks32", extra0)
+        else (ScalePlan.checks, "checks", extra0)
+    }
+    // Explicit ids must be plan members SOMEWHERE (r12 advice: a typo'd
+    // or cross-plan id used to record ceiling -1.0 and go silently
+    // ungated) — validate against the union of plans, and let ceilings
+    // fall back across plans, selected plan winning.
+    val allPlans = ScalePlan.byName.values.toSeq
+    val known = allPlans.flatMap(_.map(_._1)).toSet
+    val ids = if (extra.nonEmpty) {
+      val unknown = extra.filterNot(known)
+      require(unknown.isEmpty,
+        s"ScaleCheck: id(s) not in any ScalePlan: ${unknown.mkString(", ")} " +
+          s"— plan members are ${known.toSeq.sorted.mkString(", ")}")
+      extra
+    } else plan.map(_._1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.create(s"local[$cpus]", 32)
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.graft.lint", "off")
-    val rows = ids.map { id =>
-      val (baseSec, bigSec, ratio) = measureRatio(spark, base, big, id)
-      println(f"[scalecheck] $id%-18s base=$baseSec%8.3f s  big=$bigSec%8.3f s  ratio=$ratio%7.2f")
-      (id, baseSec, bigSec, ratio)
+    val seenGroups = scala.collection.mutable.Set.empty[String]
+    val rows = ids.zipWithIndex.map { case (id, order) =>
+      val memo = MemoGroups.get(id) match {
+        case Some(g) => val warm = seenGroups(g); seenGroups += g
+          if (warm) "warm" else "cold"
+        case None => "none"
+      }
+      var (baseSec, bigSec, ratio) = measureRatio(spark, base, big, id)
+      // Stalled-base detection (round 13, r12 note 1): a ratio far BELOW
+      // 1 — factor-k data measuring FASTER than base — is as diagnostic
+      // of a bad capture as one above the ceiling, and it silently
+      // flatters the artifact. Re-measure (the Bench rerun discipline:
+      // by now the contention window has usually passed), keep the MIN
+      // of each side, recompute. A ratio that still stands after the
+      // rerun is recorded as-is with remeasured=true — self-adjudicating.
+      var remeasured = false
+      if (ratio >= 0 && ratio < 0.5) {
+        remeasured = true
+        val (b2, g2, _) = measureRatio(spark, base, big, id)
+        if (b2 > 0) baseSec = if (baseSec > 0) math.min(baseSec, b2) else b2
+        if (g2 >= 0) bigSec = if (bigSec >= 0) math.min(bigSec, g2) else g2
+        ratio = if (baseSec > 0 && bigSec >= 0) bigSec / baseSec else -1.0
+      }
+      println(f"[scalecheck] $id%-18s base=$baseSec%8.3f s  big=$bigSec%8.3f s  ratio=$ratio%7.2f  memo=$memo${if (remeasured) "  (remeasured)" else ""}")
+      (id, baseSec, bigSec, ratio, order, memo, remeasured)
     }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val ceil = plan.toMap
-    val qs = rows.map { case (id, b, g, r) =>
-      s""""$id":{"base_sec":${fmt(b)},"big_sec":${fmt(g)},"ratio":${fmt(r)},"ceiling":${ceil.getOrElse(id, -1.0)}}"""
+    val ceil = allPlans.foldLeft(Map.empty[String, Double])(_ ++ _.toMap) ++ plan.toMap
+    val qs = rows.map { case (id, b, g, r, order, memo, rem) =>
+      s""""$id":{"base_sec":${fmt(b)},"big_sec":${fmt(g)},"ratio":${fmt(r)},"ceiling":${ceil.getOrElse(id, -1.0)},"order":$order,"memo":"$memo","remeasured":$rem}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"artifact":"scalecheck","factor":$factor,"base":"$base","big":"$big","queries":$qs}"""
+    val line = s"""{"artifact":"scalecheck","factor":$factor,"plan":"$planName","base":"$base","big":"$big","queries":$qs}"""
     println(line)
     val outPath = java.nio.file.Paths.get(outJson)
     // a missing parent must not discard a 10-minute measurement run
@@ -181,4 +242,30 @@ object ScalePlan {
     "dd_dup_span" -> 30.0,
     "ta_dsir" -> 30.0,
     "mm_phash" -> 12.0)
+
+  /** Factor-32 EMBEDDINGS-ONLY slope plan (round 13, r12 verdict item
+    * 1): the build-side measurement behind the √N IVF family's
+    * two-level coarse assignment. 32× the embeddings table (64k vectors
+    * against the sf0.1 base's 2k) puts real slope on the ANN class the
+    * factor-10 sweep reads as overhead-dominated: the fixed-budget
+    * evaluation cards should track the linear band, and the √N ops —
+    * whose K grows ~5.7× here — expose their assignment stage's class
+    * directly. Ceilings ≈ 2× the round-13 measured factor-32 ratios
+    * (two-level assignment ON): sqrt family measured 2.7–5.4×,
+    * fixed-budget cards 1.9–7.3× (ivfpq's 7.3 includes its residual
+    * pass), bruteforce 5.2× (256 queries × 32× corpus — pure linear
+    * scan). A brute-force Θ(N·√N) assignment rewrite would push the
+    * sqrt family toward 32^1.5/32 ≈ 5.7× the linear slope and through
+    * these ceilings once data dominates. */
+  val checks32e: Seq[(String, Double)] = Seq(
+    "ann_bruteforce" -> 12.0,
+    "ann_pq" -> 12.0,
+    "ann_ivfpq" -> 16.0,
+    "ann_ivf_sqrt" -> 12.0,
+    "ann_ivfpq_sqrt" -> 16.0,
+    "ann_ivf_health" -> 12.0)
+
+  /** Name → plan, for ScaleCheck's `plan=` selector. */
+  val byName: Map[String, Seq[(String, Double)]] = Map(
+    "checks" -> checks, "checks32" -> checks32, "checks32e" -> checks32e)
 }

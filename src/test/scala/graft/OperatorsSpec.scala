@@ -1229,6 +1229,47 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     rRes should be > rRaw
   }
 
+  it should "keep two-level coarse assignment in near-exact agreement with one-level" in {
+    // Assignment-quality pin for assignCells' twoLevel rule (round 13,
+    // r12 verdict item 1): on a clustered corpus — the shape IVF indexes
+    // exist for — the two-level build must (a) assign EVERY vector the
+    // one-level rule assigns (no coverage loss from probing), and (b)
+    // agree with the exact argmax on ≥90% of vectors (a point near a
+    // center scores that center's parent super-cell about as well as the
+    // center does, so the true cell's parent is nearly always probed).
+    // K = 64 exercises a real two-level split (8 super-cells, 8 children
+    // each) rather than the degenerate √16 = 4 case.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.plans.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(31)
+    val k = 64
+    val centers = Array.fill(k)(Array.fill(64)(10.0 * rnd.nextGaussian()))
+    def plus(a: Array[Double], b: Array[Double], s: Double) =
+      a.zip(b).map { case (x, y) => x + s * y }
+    val rows = (0 until k).map(i => (i.toLong, centers(i))) ++
+      (k until 2000).map { id =>
+        (id.toLong, plus(centers(rnd.nextInt(k)),
+          Array.fill(64)(rnd.nextGaussian()), 0.5))
+      }
+    val v = rows.toDF("vec_id", "e")
+      .withColumn("nrm", graft.functions.VecFns.l2norm(col("e")))
+    val cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    def cells(twoLevel: Boolean): Map[Long, Long] =
+      operators.Similarity.assignCells(v, cents, k, twoLevel, carry = Nil)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = cells(twoLevel = false)
+    val two = cells(twoLevel = true)
+    two.keySet shouldBe one.keySet // every vector assigned under both rules
+    val agree = one.count { case (id, c) => two(id) == c }.toDouble / one.size
+    info(f"two-level vs one-level assignment agreement: $agree%.4f over ${one.size} vectors")
+    agree should be >= 0.9
+    // the centers themselves must assign exactly (cos(c, c) = 1 wins and
+    // c's own parent is always probed — the construction's fixed point)
+    (0 until k).foreach { i => two(i.toLong) shouldBe i.toLong }
+  }
+
   it should "reject invalid PQ codes through the CODEGEN path too" in {
     // the generated-Java bounds guards are a hand-written twin of the
     // interpreted ones — drive them through a real whole-stage-codegen

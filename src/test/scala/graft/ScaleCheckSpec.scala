@@ -26,6 +26,7 @@ class ScaleCheckSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
 
   private val bigDir = sys.env.get("SPARK_GRAFT_SCALE_DIR")
   private val big32Dir = sys.env.get("SPARK_GRAFT_SCALE32_DIR")
+  private val big32eDir = sys.env.get("SPARK_GRAFT_SCALE32E_DIR")
 
   lazy val spark = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -36,7 +37,7 @@ class ScaleCheckSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   }
 
   override def afterAll(): Unit =
-    if (bigDir.isDefined || big32Dir.isDefined) spark.stop()
+    if (bigDir.isDefined || big32Dir.isDefined || big32eDir.isDefined) spark.stop()
 
   private def gate(checks: Seq[(String, Double)], big: String): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
@@ -60,15 +61,27 @@ class ScaleCheckSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   }
 
   // Factor-32 documents-only slope gate (round 12, r11 verdict item 6):
-  // at factor 10 the linear class measures 0.7–2.7x where per-job fixed
-  // overheads dominate, so a hidden N·log N (or worse) could hide inside
-  // the band. 32x the documents table puts real slope on the claim —
-  // the ceilings in ScalePlan.checks32 are slope-aware (≈2x the
-  // measured factor-32 ratios, all far under the 32x a linear-in-wall
-  // profile would only reach once data dominates overheads).
+  // at factor 10 the linear class measures 0.2–3.9x (ScaleCheck's class
+  // doc — the calibration record) where per-job fixed overheads
+  // dominate, so a hidden N·log N (or worse) could hide inside the
+  // band. 32x the documents table puts real slope on the claim — the
+  // ceilings in ScalePlan.checks32 are slope-aware (≈2x the measured
+  // factor-32 ratios, all far under the 32x a linear-in-wall profile
+  // would only reach once data dominates overheads).
   it should "hold the linear class at or below its factor-32 slope ceilings" in {
     assume(big32Dir.isDefined,
       "SPARK_GRAFT_SCALE32_DIR not set — generate with ScaleGen <src> <out> 32 documents to run the slope gate")
     gate(tools.ScalePlan.checks32, big32Dir.get)
+  }
+
+  // Factor-32 embeddings-only slope gate (round 13, r12 verdict item 1):
+  // the ANN build-side measurement — 32x the embeddings table exposes
+  // the √N IVF family's assignment class (two-level coarse assignment)
+  // and pins the fixed-budget cards to the linear band once vector data
+  // dominates overheads.
+  it should "hold the ANN class at or below its factor-32 embeddings slope ceilings" in {
+    assume(big32eDir.isDefined,
+      "SPARK_GRAFT_SCALE32E_DIR not set — generate with ScaleGen <src> <out> 32 embeddings to run the ANN slope gate")
+    gate(tools.ScalePlan.checks32e, big32eDir.get)
   }
 }

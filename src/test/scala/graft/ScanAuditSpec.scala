@@ -134,11 +134,13 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // position-frame checkpoint pin (the dd_line_dup discipline);
     // mm_integrity's doc/emb id spines are both pinned before the
     // anti/semi fan-out; ann_ivf_sqrt = ann_ivf's 3 (corpus assignment +
-    // two vec_id-pruned seed/query fetches); ann_ivf_health's per-scheme
-    // assignment passes land inside the ≤K-row cell-frame checkpoint
-    // pins, so the final plan joins pinned RDDs only
+    // two vec_id-pruned seed/query fetches) + the two-level build's 2
+    // extra vec_id-pruned METADATA fetches (super-cells + the
+    // centroid-parent table — ≤K rows each, round 13); ann_ivf_health's
+    // per-scheme assignment passes land inside the ≤K-row cell-frame
+    // checkpoint pins, so the final plan joins pinned RDDs only
     "dd_line_trim" -> 0, "mm_integrity" -> 0,
-    "ann_ivf_sqrt" -> 3, "ann_ivf_health" -> 0,
+    "ann_ivf_sqrt" -> 5, "ann_ivf_health" -> 0,
     // pipe_trim_budget: the trim pipeline rides dd_line_trim's pinned
     // segment frame; the one live scan is the (doc_id, lang, source)
     // metadata side of the budget join
