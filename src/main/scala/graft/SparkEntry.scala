@@ -16,6 +16,7 @@ object SparkEntry {
       StatsOps.queries ++ StreamSemantics.queries ++
       EventAnalytics.queries ++ EventValue.queries ++ Joins.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ TextCorpus.queries ++
+      QualityClassifier.queries ++
       Similarity.queries ++ Clustering.queries ++
       Multimodal.queries ++ Pipeline.queries
 
@@ -26,6 +27,7 @@ object SparkEntry {
       StatsOps.oracleSql ++ StreamSemantics.oracleSql ++
       EventAnalytics.oracleSql ++ EventValue.oracleSql ++ Joins.oracleSql ++
       Dedup.oracleSql ++ TextAnalysis.oracleSql ++ TextCorpus.oracleSql ++
+      QualityClassifier.oracleSql ++
       Similarity.oracleSql ++ Clustering.oracleSql ++
       Multimodal.oracleSql ++ Pipeline.oracleSql
 }

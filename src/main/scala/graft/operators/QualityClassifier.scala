@@ -1,0 +1,247 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained quality-classifier family (round 13, r12 verdict item 2) —
+  * the DISCRIMINATIVE sibling of ta_dsir and the third member of the
+  * published quality-filter lineage every 100 TB pipeline runs (GPT-3 /
+  * CCNet train a classifier with the reference corpus as the positive
+  * class and the raw crawl as the negative, then keep raw documents the
+  * classifier scores reference-like; reference bar per the r12 verdict).
+  *
+  * Model: one logistic weight per hashed n-gram bucket, trained by
+  * [[QlRounds]] DETERMINISTIC gradient rounds on the B-row class
+  * histogram (the train-small/apply-big discipline — the histogram is
+  * the training set). Per bucket, with Laplace-smoothed class rates
+  * a = (tc+1)/(tn+B) and c = (rc+1)/(rn+B) and target share
+  * u = a/(a+c), the weight follows the univariate logistic gradient
+  * w ← w + η·(u − σ(w)) from w₀ = 0 — fixed point σ(w) = u, i.e.
+  * w* = logit(u) = the class-balanced log-odds (ta_dsir's log-ratio,
+  * logistic-calibrated); at η = 4 the map is non-expansive (4·σ′ ≤ 1),
+  * so the iteration converges monotonically and the finite round count
+  * acts as an implicit regularizer clipping extreme log-odds — the
+  * smoothing a rare bucket needs. Every input to the iteration is an
+  * exact integer, so the weights are bit-identical across engines
+  * (exp parity per the ta_surprisal precedent).
+  *
+  * Scoring: a document's score is the MEAN weight over its feature
+  * occurrences (tf-weighted linear classifier; length-invariant, so one
+  * threshold serves all document sizes), prob = σ(score), keep =
+  * score ≥ 0 (the balanced-prior acceptance line — the class weighting
+  * above makes 0 the natural threshold despite the skewed corpus).
+  *
+  * Feature space = ta_dsir's: unigram + bigram md5 buckets, B =
+  * [[TextCorpus.DsirBuckets]], through the same codegen'd
+  * `graft_gram_buckets` kernel — a bucket scored here IS the bucket the
+  * histogram counted. Target class = the alphabetically-first source
+  * (the ta_dsir convention standing in for the curated reference).
+  *
+  * Scale shape (the taDsir shape exactly): pass 1 folds the class
+  * histogram in one map-side-combined groupBy(bucket) (≤ B rows out per
+  * map task); the B-row weight table broadcasts; pass 2 re-derives
+  * features and combines per doc. No corpus-sized shuffle beyond the
+  * two tokenize passes; the gradient rounds run over the B-row frame as
+  * a linear projection chain.
+  */
+object QualityClassifier {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Gradient rounds / step for the per-bucket univariate logistic.
+    * Convergence: |w_T − logit(u)| shrinks monotonically; 8 rounds at
+    * η = 4 reach the fixed point to ~1e-2 for moderate u and plateau
+    * near |w| ≈ 7 for extreme u (the implicit clip). */
+  val QlRounds = 8
+  val QlStep = 4.0
+
+  private def B = TextCorpus.DsirBuckets
+
+  /** (doc_id, source, y, b) — one row per feature OCCURRENCE, labeled
+    * against the broadcast 1-row target pin. */
+  private def labeledFeats(docs: DataFrame, target: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("source"),
+      explode(concat(
+        call_function("graft_gram_buckets", col("tk"), lit(1), lit(8), lit(B)),
+        call_function("graft_gram_buckets", col("tk"), lit(2), lit(8), lit(B)))).as("b"))
+    .crossJoin(broadcast(target))
+    .withColumn("y", col("source") === col("ts"))
+
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 1)
+  }
+
+  /** B-row weight table (b, tc, rc, u, w) — histogram + gradient chain.
+    * localCheckpoint-pinned: ql_score/ql_eval broadcast-join it while
+    * ql_train presents it, and the histogram pass behind it is a full
+    * corpus tokenize. */
+  private def weightTable(s: SparkSession, d: String): DataFrame = {
+    val docs = corpus(s, d)
+    val target = docs.agg(min(col("source")).as("ts")).localCheckpoint(false)
+    val cnt = labeledFeats(docs, target).groupBy(col("b")).agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("tc"),
+      sum(when(!col("y"), 1L).otherwise(0L)).as("rc"))
+      .localCheckpoint(false)
+    val grand = cnt.agg(sum(col("tc")).as("tn"), sum(col("rc")).as("rn"))
+    val withU = cnt.crossJoin(broadcast(grand))
+      .withColumn("a", (col("tc") + 1).cast("double") / (col("tn") + B).cast("double"))
+      .withColumn("c", (col("rc") + 1).cast("double") / (col("rn") + B).cast("double"))
+      .withColumn("u", col("a") / (col("a") + col("c")))
+    (1 to QlRounds).foldLeft(withU.withColumn("w", lit(0.0))) { (df, _) =>
+      df.withColumn("w",
+        col("w") + lit(QlStep) * (col("u") - lit(1.0) / (lit(1.0) + exp(-col("w")))))
+    }.select(col("b"), col("tc"), col("rc"), col("u"), col("w"))
+      .localCheckpoint(false)
+  }
+
+  /** Per-doc scores (doc_id, source, label, n_feats, score, prob, keep)
+    * with score/prob UNROUNDED — [[qlScore]] presents the rounded card;
+    * ql_eval aggregates the raw values. */
+  private def scored(s: SparkSession, d: String): DataFrame = {
+    val docs = corpus(s, d)
+    val target = docs.agg(min(col("source")).as("ts")).localCheckpoint(false)
+    val w = weightTable(s, d).select(col("b"), col("w"))
+    labeledFeats(docs, target)
+      .join(broadcast(w), "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(when(col("y"), 1L).otherwise(0L)).as("label"), // constant per doc
+        count(lit(1)).as("n_feats"),
+        (sum(col("w").cast("decimal(38,18)")).cast("double") / count(lit(1))).as("score"))
+      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("score"))))
+      .withColumn("keep", when(col("score") >= 0, 1L).otherwise(0L))
+  }
+
+  /** The trained-model card: per bucket its class counts, smoothed
+    * target share and trained weight. */
+  def qlTrain: Q = (s, d) =>
+    weightTable(s, d).select(col("b"), col("tc"), col("rc"),
+      Exact.floorRound(col("u"), 6).as("u"),
+      Exact.floorRound(col("w"), 6).as("w"))
+      .orderBy(col("b"))
+
+  /** Per-document quality scores under the trained weights. */
+  def qlScore: Q = (s, d) =>
+    scored(s, d).select(col("doc_id"), col("source"), col("label"),
+      col("n_feats"),
+      Exact.floorRound(col("score"), 6).as("score"),
+      Exact.floorRound(col("prob"), 6).as("prob"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  /** Training-set separation card: per class, doc count, kept count,
+    * mean probability and accuracy of the keep decision — the
+    * threshold-picking readout (a mean_prob gap near zero says the
+    * sources are indistinguishable at this feature space; keep_rate on
+    * label 0 is the raw-corpus acceptance rate the token budget cares
+    * about). */
+  def qlEval: Q = (s, d) =>
+    scored(s, d).groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_keep"),
+        Exact.floorRound(
+          sum(col("prob").cast("decimal(38,18)")).cast("double") / count(lit(1)), 6)
+          .as("mean_prob"),
+        Exact.floorRound(
+          sum(when(col("keep") === col("label"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("accuracy"))
+      .orderBy(col("label"))
+
+  /** Frozen weights for the streaming twin
+    * ([[graft.streaming.Transforms.qlScore]]) and any deployment that
+    * scores outside this session — the dsirScore split: train offline
+    * here, apply record-locally online. */
+  def trainedWeights(s: SparkSession, d: String): Map[Long, Double] =
+    weightTable(s, d).select(col("b"), col("w")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  // ---- oracles -----------------------------------------------------------
+
+  private val corpusCte: String =
+    """t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+      |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+      |t2 AS (SELECT * FROM t WHERE len(tk) >= 1),
+      |tgt AS (SELECT min(source) AS ts FROM t2),
+      |feat AS (
+      |  SELECT doc_id, source, tok AS f FROM t2, unnest(tk) AS u(tok)
+      |  UNION ALL
+      |  SELECT doc_id, source, tk[i] || ' ' || tk[i + 1] AS f
+      |  FROM t2, unnest(range(1, len(tk))) AS u(i))""".stripMargin
+
+  private def weightCtes: String = {
+    val base =
+      s"""fb AS (SELECT doc_id, source,
+         |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % $B AS b
+         |  FROM feat),
+         |lab AS (SELECT fb.doc_id, fb.source, fb.b, (fb.source = tgt.ts) AS y FROM fb, tgt),
+         |cnt AS (SELECT b,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS rc
+         |  FROM lab GROUP BY 1),
+         |grand AS (SELECT sum(tc)::BIGINT AS tn, sum(rc)::BIGINT AS rn FROM cnt),
+         |w0 AS (SELECT b, tc, rc,
+         |    (CAST(tc + 1 AS DOUBLE) / CAST(tn + $B AS DOUBLE))
+         |      / ((CAST(tc + 1 AS DOUBLE) / CAST(tn + $B AS DOUBLE))
+         |        + (CAST(rc + 1 AS DOUBLE) / CAST(rn + $B AS DOUBLE))) AS u,
+         |    0.0 AS w
+         |  FROM cnt CROSS JOIN grand)""".stripMargin
+    val rounds = (1 to QlRounds).map { r =>
+      s"w$r AS (SELECT b, tc, rc, u, (w + $QlStep * (u - 1.0 / (1.0 + exp(-(w))))) AS w FROM w${r - 1})"
+    }.mkString(",\n")
+    s"$base,\n$rounds"
+  }
+
+  val qlTrainSql: String =
+    s"""WITH $corpusCte,
+       |$weightCtes
+       |SELECT b, tc, rc,
+       |  ${Exact.floorRoundSql("u", 6)} AS u,
+       |  ${Exact.floorRoundSql("w", 6)} AS w
+       |FROM w$QlRounds ORDER BY b""".stripMargin
+
+  private def scoredCtes: String =
+    s"""$weightCtes,
+       |sc AS (
+       |  SELECT lab.doc_id, lab.source,
+       |    CAST(max(CASE WHEN lab.y THEN 1 ELSE 0 END) AS BIGINT) AS label,
+       |    count(*) AS n_feats,
+       |    sum(w.w::DECIMAL(38,18))::DOUBLE / count(*) AS score
+       |  FROM lab JOIN w$QlRounds w USING (b)
+       |  GROUP BY 1, 2),
+       |scp AS (SELECT *, 1.0 / (1.0 + exp(-(score))) AS prob,
+       |    CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |  FROM sc)""".stripMargin
+
+  val qlScoreSql: String =
+    s"""WITH $corpusCte,
+       |$scoredCtes
+       |SELECT doc_id, source, label, n_feats,
+       |  ${Exact.floorRoundSql("score", 6)} AS score,
+       |  ${Exact.floorRoundSql("prob", 6)} AS prob, keep
+       |FROM scp ORDER BY doc_id""".stripMargin
+
+  val qlEvalSql: String =
+    s"""WITH $corpusCte,
+       |$scoredCtes
+       |SELECT label, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_keep,
+       |  ${Exact.floorRoundSql("sum(prob::DECIMAL(38,18))::DOUBLE / count(*)", 6)} AS mean_prob,
+       |  ${Exact.floorRoundSql(
+            "CAST(sum(CASE WHEN keep = label THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS accuracy
+       |FROM scp GROUP BY 1 ORDER BY label""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "ql_train" -> qlTrain,
+    "ql_score" -> qlScore,
+    "ql_eval" -> qlEval)
+
+  def oracleSql: Map[String, String] = Map(
+    "ql_train" -> qlTrainSql,
+    "ql_score" -> qlScoreSql,
+    "ql_eval" -> qlEvalSql)
+}

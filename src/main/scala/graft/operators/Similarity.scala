@@ -299,41 +299,58 @@ object Similarity {
     * the build-side ratio. Deterministic throughout (every argmax ties
     * to the lowest id), so the oracles replay the same rule.
     *
-    * Plan shape at scale: the super-cell table is a ≤√K-row broadcast;
-    * the per-vector top-p runs on TopKPerGroup bounded heaps (the
-    * shuffle carries p rows per vector — the one price over one-level's
-    * single row); the children join is against a broadcast K-row
-    * parent table; and the final argmax aggregation reuses the heap
-    * shuffle's hash partitioning on vec_id (no extra exchange). */
+    * Plan shape at scale: MAP-ONLY (the `graft_ivf_assign` kernel). The
+    * codebook — and for two-level the super-cell table and the K-row
+    * centroid→parent map — flattens into broadcast double arrays (the
+    * contract that cents is metadata-sized, already required by every
+    * broadcast(cents) in the family), and assignment is then a pure
+    * record-local projection inside whole-stage codegen: ZERO corpus
+    * shuffle. The aggregation shape this replaces partial-agg-collapsed
+    * map-side but still paid one full corpus exchange (a row per vector
+    * with the embedding attached) — the assignment stage's dominant
+    * cost at 100 TB, for either rule. */
   private[graft] def assignCells(v: DataFrame, cents: DataFrame, k: Int,
       twoLevel: Boolean, carry: Seq[String] = Seq("e", "nrm")): DataFrame = {
-    val carryAgg = carry.map(c => first(col(c)).as(c))
-    val cellAgg = max_by(col("cid"),
-      struct(col("ccos"), (-col("cid")).as("nc"))).as("cell")
-    val aggs = carryAgg :+ cellAgg
-    if (!twoLevel) {
-      v.crossJoin(broadcast(cents))
-        .withColumn("ccos", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
-        .groupBy(col("vec_id"))
-        .agg(aggs.head, aggs.tail: _*)
-    } else {
-      val sup = cents.filter(col("cid") < superCells(k))
-        .select(col("cid").as("scid"), col("ce").as("se"), col("cn").as("sn"))
-      val parents = cents.crossJoin(broadcast(sup))
-        .withColumn("pcos", dot(col("ce"), col("se")) / (col("cn") * col("sn")))
-        .groupBy(col("cid"))
-        .agg(first(col("ce")).as("ce"), first(col("cn")).as("cn"),
-          max_by(col("scid"), struct(col("pcos"), (-col("scid")).as("ns"))).as("parent"))
-      val scoredSup = v.crossJoin(broadcast(sup))
-        .select(col("vec_id"), col("e"), col("nrm"), col("scid"),
-          (dot(col("e"), col("se")) / (col("nrm") * col("sn"))).as("scos"))
-      val probed = graft.plans.TopKPerGroup.transform(scoredSup,
-        Seq(col("vec_id")), Seq(col("scos").desc, col("scid").asc), AssignProbes)
-      probed.join(broadcast(parents), col("scid") === col("parent"))
-        .withColumn("ccos", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
-        .groupBy(col("vec_id"))
-        .agg(aggs.head, aggs.tail: _*)
-    }
+    graft.plans.GraftFunctions.register(v.sparkSession)
+    // [parent, cid, cn, ce(dim)] blocks; one-level parents are the cids
+    // themselves (ignored under probes = 0)
+    def cbOf(src: DataFrame): DataFrame = src
+      .select(struct(col("parent").cast("double").as("parent"),
+        col("cid").cast("double").as("cid"), col("cn"),
+        transform(col("ce"), x => x.cast("double")).as("ced")).as("b"))
+      .agg(collect_list(col("b")).as("bs"))
+      .select(flatten(transform(sort_array(col("bs")), x => concat(
+        array(x.getField("parent"), x.getField("cid"), x.getField("cn")),
+        x.getField("ced")))).as("cb"))
+    val (book, probes) =
+      if (!twoLevel)
+        (cbOf(cents.withColumn("parent", col("cid")))
+          .withColumn("sb", lit(Array.empty[Double])), 0)
+      else {
+        val sup = cents.filter(col("cid") < superCells(k))
+          .select(col("cid").as("scid"), col("ce").as("se"), col("cn").as("sn"))
+        // centroid → parent super-cell: a K×√K argmax — metadata-sized,
+        // same tie rule as the oracle's cpar CTE (pcos DESC, scid ASC)
+        val parents = cents.crossJoin(broadcast(sup))
+          .withColumn("pcos", dot(col("ce"), col("se")) / (col("cn") * col("sn")))
+          .groupBy(col("cid"))
+          .agg(first(col("ce")).as("ce"), first(col("cn")).as("cn"),
+            max_by(col("scid"), struct(col("pcos"), (-col("scid")).as("ns"))).as("parent"))
+        val sb = sup
+          .select(struct(col("scid").cast("double").as("scid"), col("sn"),
+            transform(col("se"), x => x.cast("double")).as("sed")).as("s"))
+          .agg(collect_list(col("s")).as("ss"))
+          .select(flatten(transform(sort_array(col("ss")), x => concat(
+            array(x.getField("scid"), x.getField("sn")), x.getField("sed")))).as("sb"))
+        (cbOf(parents).crossJoin(sb), AssignProbes)
+      }
+    v.crossJoin(broadcast(book))
+      .select(Seq(col("vec_id")) ++ carry.map(col) :+
+        call_function("graft_ivf_assign", col("e"), col("nrm"),
+          col("sb"), col("cb"), lit(probes)).as("cell"): _*)
+      // -1 = no eligible cell (empty codebook): drop, restoring the
+      // empty-join semantics of the aggregation shape this replaces
+      .filter(col("cell") >= 0)
   }
 
   /** √N-cells IVF (round 12, r11 verdict item 1b): [[annIvf]]'s exact
@@ -517,30 +534,48 @@ object Similarity {
       .withColumn("cid",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
 
+  /** Re-balance a NARROW coded frame ahead of the ADC/heap stage when
+    * the scan's split count cannot feed the cluster — the local
+    * single-small-file case: parquet row-group granularity caps scan
+    * splits, and a map-only encode inherits them, serializing the
+    * downstream scan. At scale the scan is already wide and NO exchange
+    * enters the plan (the partition check is plan-time, no job). When
+    * it does fire, the exchanged rows carry 8-byte codes, not 256-byte
+    * vectors — ~7× less movement than the aggregation shuffle the
+    * encode kernels replaced. */
+  private def balanceNarrow(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions >= sc.defaultParallelism) df
+    else df.repartition(sc.defaultParallelism)
+  }
+
+  /** One-row frame with a flat [cid, ce(dim)] codebook column `pcb` —
+    * [[graft.functions.PqEncode]]'s layout, sorted by cid for a
+    * reproducible array (the argmin is order-independent regardless).
+    * Input: (cid, ce); the codebook frame is metadata-sized by the
+    * family's broadcast contract. */
+  private def flatPqBook(cb: DataFrame): DataFrame = cb
+    .select(struct(col("cid").cast("double").as("cid"),
+      transform(col("ce"), x => x.cast("double")).as("ced")).as("b"))
+    .agg(collect_list(col("b")).as("bs"))
+    .select(flatten(transform(sort_array(col("bs")), x =>
+      concat(array(x.getField("cid")), x.getField("ced")))).as("pcb"))
+
   def annPqFor(v: DataFrame, queries: DataFrame): DataFrame = {
     val m = 8; val subDim = 8; val k = 16
     val cents = denseSeeds(v, k)
       .select(col("cid"), col("e").as("ce"))
     def sl(c: Column, j: Int) = slice(c, j * subDim + 1, subDim)
-    // assignment: per (vector, centroid), all 8 subspace L2 scores as
-    // COLUMNS (|v_j|² dropped — constant within the argmin over
-    // centroids), then ONE aggregation computing every subspace argmin
-    // as its own min_by. The previous explode(8×)+groupBy(vec_id, j)
-    // +groupBy(vec_id) shape shuffled the corpus twice and octupled the
-    // pre-shuffle row count; here partial agg collapses the 16 centroid
-    // rows per vector map-side and the corpus shuffles ONCE, one row per
-    // vector (measured 2.25 s → 1.9 s at sf0.1; at 100 TB it removes a
-    // full corpus-wide exchange).
-    val subScoreCols = (0 until m).map { j =>
-      (lit(-2.0) * dot(sl(col("e"), j), sl(col("ce"), j)) +
-        dot(sl(col("ce"), j), sl(col("ce"), j))).as(s"s$j")
-    }
-    val codes = v.crossJoin(broadcast(cents))
-      .select(Seq(col("vec_id"), col("nrm"), col("cid")) ++ subScoreCols: _*)
-      .groupBy(col("vec_id"))
-      .agg(first(col("nrm")).as("nrm"),
-        array((0 until m).map(j =>
-          min_by(col("cid"), struct(col(s"s$j"), col("cid")))): _*).as("codes"))
+    // encode: MAP-ONLY via the graft_pq_encode kernel over the broadcast
+    // flattened codebook (round 13) — all 8 subspace argmins computed
+    // record-locally inside whole-stage codegen, ZERO corpus shuffle.
+    // The replaced crossJoin + 8-way min_by aggregation partial-agg
+    // collapsed map-side but still paid one full corpus exchange (a row
+    // per vector) — at 100 TB the encode stage's dominant cost.
+    val codes = balanceNarrow(v.crossJoin(broadcast(flatPqBook(cents)))
+      .select(col("vec_id"), col("nrm"),
+        call_function("graft_pq_encode", col("e"), col("pcb"), lit(m)).as("codes"))
+      .filter(col("codes").isNotNull))
     // query-side LUT: flattened 8×16 table ordered by (subspace, code)
     val lutEntries = array((0 until m).map { j =>
       struct(lit(j).as("j"), col("cid"), dot(sl(col("qe"), j), sl(col("ce"), j)).as("val"))
@@ -907,11 +942,6 @@ object Similarity {
     val cents = denseSeeds(v, nCells)
       .select(col("cid"), col("e").as("ce"), col("nrm").as("cn"))
     def sl(c: Column, j: Int) = slice(c, j * subDim + 1, subDim)
-    def subScores(vec: String, cb: String) = (0 until m).map { j =>
-      (lit(-2.0) * dot(sl(col(vec), j), sl(col(cb), j)) +
-        dot(sl(col(cb), j), sl(col(cb), j))).as(s"s$j")
-    }
-    val coarseCos = (dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("ccos")
     // Residual codebook — ONE definition used by BOTH the encode side
     // (code assignment) and the query side (LUT values); any drift
     // between the two would silently turn ADC scores into noise.
@@ -957,17 +987,20 @@ object Similarity {
           "recall will degrade below the spec-pinned fixture gain")
       frame
     }
+    // The whole encode — coarse assignment, residual, codes — is
+    // MAP-ONLY (round 13): assignCells' graft_ivf_assign kernel, a
+    // broadcast cell→centroid join, and the graft_pq_encode kernel over
+    // the broadcast flattened codebook. Zero corpus shuffle anywhere in
+    // the IVF-PQ build; the replaced min_by aggregations each paid one
+    // full corpus exchange.
     val encoded =
       if (!residual) {
-        // raw coding: cell and all 8 codes from ONE fused aggregation
-        v.crossJoin(broadcast(cents))
-          .select(Seq(col("vec_id"), col("nrm"), col("cid"), coarseCos) ++
-            subScores("e", "ce"): _*)
-          .groupBy(col("vec_id"))
-          .agg(first(col("nrm")).as("nrm"),
-            max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"),
-            array((0 until m).map(j =>
-              min_by(col("cid"), struct(col(s"s$j"), col("cid")))): _*).as("codes"))
+        // raw coding: codes against the centroids themselves
+        balanceNarrow(assignCells(v, cents, nCells, twoLevel)
+          .crossJoin(broadcast(flatPqBook(cents.select(col("cid"), col("ce")))))
+          .select(col("vec_id"), col("nrm"), col("cell"),
+            call_function("graft_pq_encode", col("e"), col("pcb"), lit(m)).as("codes"))
+          .filter(col("codes").isNotNull))
       } else {
         // residual coding: assign cell first (the shared assignCells
         // rule — two-level under the √N schedule), subtract the cell
@@ -977,13 +1010,12 @@ object Similarity {
           .join(broadcast(cents.select(col("cid").as("cell"), col("ce"))), "cell")
           .withColumn("r", zip_with(col("e"), col("ce"), (a, b) => a - b))
           .select(col("vec_id"), col("nrm"), col("cell"), col("r"))
-        withRes.crossJoin(broadcast(rcbs))
-          .select(Seq(col("vec_id"), col("nrm"), col("cell"), col("rid")) ++
-            subScores("r", "rce"): _*)
-          .groupBy(col("vec_id"))
-          .agg(first(col("nrm")).as("nrm"), first(col("cell")).as("cell"),
-            array((0 until m).map(j =>
-              min_by(col("rid"), struct(col(s"s$j"), col("rid")))): _*).as("codes"))
+        balanceNarrow(withRes
+          .crossJoin(broadcast(flatPqBook(
+            rcbs.select(col("rid").as("cid"), col("rce").as("ce")))))
+          .select(col("vec_id"), col("nrm"), col("cell"),
+            call_function("graft_pq_encode", col("r"), col("pcb"), lit(m)).as("codes"))
+          .filter(col("codes").isNotNull))
       }
     val probes = {
       val scoredP = queries.crossJoin(broadcast(cents))

@@ -88,6 +88,40 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_pq_score"),
       new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_score"),
       (args: Seq[Expression]) => { arity("graft_pq_score", args, 2); PqAdcScore(args(0), args(1)) }),
+    (new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "graft_pq_encode"),
+      (args: Seq[Expression]) => {
+        arity("graft_pq_encode", args, 3)
+        val me = args(2)
+        if (!me.foldable) throw new IllegalArgumentException(
+          "graft_pq_encode: the subspace count must be an integer literal")
+        val n: Long = me.eval() match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case other => throw new IllegalArgumentException(
+            s"graft_pq_encode: subspace count must be an integer literal, got $other")
+        }
+        if (n < 1 || n > 1024) throw new IllegalArgumentException(
+          s"graft_pq_encode: subspace count must be in [1, 1024], got $n")
+        graft.functions.PqEncode(args(0), args(1), n.toInt)
+      }),
+    (new FunctionIdentifier("graft_ivf_assign"),
+      new ExpressionInfo(classOf[graft.functions.IvfAssign].getName, "graft_ivf_assign"),
+      (args: Seq[Expression]) => {
+        arity("graft_ivf_assign", args, 5)
+        val p = args(4)
+        if (!p.foldable) throw new IllegalArgumentException(
+          "graft_ivf_assign: the probe count must be an integer literal")
+        val n: Long = p.eval() match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case other => throw new IllegalArgumentException(
+            s"graft_ivf_assign: probe count must be an integer literal, got $other")
+        }
+        if (n < 0 || n > 1024) throw new IllegalArgumentException(
+          s"graft_ivf_assign: probe count must be in [0, 1024] (0 = probe all), got $n")
+        graft.functions.IvfAssign(args(0), args(1), args(2), args(3), n.toInt)
+      }),
     (new FunctionIdentifier("graft_cdc_cuts"),
       new ExpressionInfo(classOf[graft.functions.CdcCuts].getName, "graft_cdc_cuts"),
       (args: Seq[Expression]) => {

@@ -353,6 +353,49 @@ object Transforms {
         col("n_feats") > 0 && col("logw_per_feat") >= minLogwPerFeat)
   }
 
+  /** Streaming quality-classifier gate — the ONLINE half of the
+    * trained-classifier pair (round 13: batch `ql_train` fits one
+    * logistic weight per hashed n-gram bucket on the class histogram;
+    * this applies the FROZEN weight table record-locally to arriving
+    * documents — the dsirScore split). Emits per doc the feature count,
+    * score = MEAN weight over feature occurrences (length-invariant),
+    * prob = σ(score), and `keep` = score ≥ `minScore` (0.0 default —
+    * the class-balanced training makes 0 the natural acceptance line).
+    *
+    * Feature hashing goes through the same codegen'd
+    * `graft_gram_buckets` kernel as the batch trainer, so a bucket
+    * scored here IS the bucket the weight was trained on. A bucket
+    * absent from the table (possible online: the stream drifts past
+    * the training corpus) contributes 0 — neutral evidence, the
+    * dsirScore convention.
+    *
+    * Scale: the weight table is ≤ `buckets` doubles (a literal map,
+    * bounded by config however large the training corpus); scoring is
+    * record-local — no state, no shuffle, any throughput. */
+  def qlScore(docs: DataFrame, weights: Map[Long, Double],
+      minScore: Double = 0.0,
+      buckets: Int = graft.operators.TextCorpus.DsirBuckets): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val wCol = if (weights.isEmpty) map().cast("map<bigint,double>")
+      else map(weights.toSeq.flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val bkts = concat(
+      call_function("graft_gram_buckets", toks, lit(1), lit(8), lit(buckets)),
+      call_function("graft_gram_buckets", toks, lit(2), lit(8), lit(buckets)))
+    val wsum = aggregate(
+      transform(bkts, b => coalesce(element_at(wCol, b), lit(0.0))),
+      lit(0.0), (acc, x) => acc + x)
+    docs
+      .withColumn("n_feats", size(bkts).cast("long"))
+      .withColumn("score",
+        when(col("n_feats") > 0, round(wsum / col("n_feats"), 6)).otherwise(null))
+      .withColumn("prob",
+        when(col("n_feats") > 0,
+          round(lit(1.0) / (lit(1.0) + exp(-(wsum / col("n_feats")))), 6)).otherwise(null))
+      .withColumn("keep",
+        col("n_feats") > 0 && (wsum / col("n_feats")) >= minScore)
+  }
+
   /** Streaming BPE tokenization under a FROZEN merge table — the
     * deployed half of the ta_bpe_train/ta_bpe_apply pair (the dsirScore
     * split: train offline, apply record-locally online). Each arriving

@@ -149,8 +149,14 @@ object ScaleCheck {
       // by now the contention window has usually passed), keep the MIN
       // of each side, recompute. A ratio that still stands after the
       // rerun is recorded as-is with remeasured=true — self-adjudicating.
+      // 0.67, not the note's literal 0.5: the r13 calibration sweep
+      // caught a stalled 14.5 s ann_ivfpq base (probe-verified 3.7 s
+      // warm) slipping through at ratio 0.546 — factor-k data measuring
+      // meaningfully FASTER than base is implausible for every class
+      // in the plans, so the re-measure line sits above the noise band,
+      // not at the headline threshold.
       var remeasured = false
-      if (ratio >= 0 && ratio < 0.5) {
+      if (ratio >= 0 && ratio < 0.67) {
         remeasured = true
         val (b2, g2, _) = measureRatio(spark, base, big, id)
         if (b2 > 0) baseSec = if (baseSec > 0) math.min(baseSec, b2) else b2

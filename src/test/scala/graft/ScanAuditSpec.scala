@@ -134,17 +134,23 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // position-frame checkpoint pin (the dd_line_dup discipline);
     // mm_integrity's doc/emb id spines are both pinned before the
     // anti/semi fan-out; ann_ivf_sqrt = ann_ivf's 3 (corpus assignment +
-    // two vec_id-pruned seed/query fetches) + the two-level build's 2
-    // extra vec_id-pruned METADATA fetches (super-cells + the
-    // centroid-parent table — ≤K rows each, round 13); ann_ivf_health's
+    // two vec_id-pruned seed/query fetches) + the two-level MAP-ONLY
+    // build's 3 extra vec_id-pruned METADATA fetches (flattened
+    // codebook, super-cell table, centroid-parent table — ≤K rows each,
+    // round 13; the price of zero corpus shuffle); ann_ivf_health's
     // per-scheme assignment passes land inside the ≤K-row cell-frame
     // checkpoint pins, so the final plan joins pinned RDDs only
     "dd_line_trim" -> 0, "mm_integrity" -> 0,
-    "ann_ivf_sqrt" -> 5, "ann_ivf_health" -> 0,
+    "ann_ivf_sqrt" -> 6, "ann_ivf_health" -> 0,
     // pipe_trim_budget: the trim pipeline rides dd_line_trim's pinned
     // segment frame; the one live scan is the (doc_id, lang, source)
     // metadata side of the budget join
-    "pipe_trim_budget" -> 1)
+    "pipe_trim_budget" -> 1,
+    // round-13 quality classifier: the B-row weight table (histogram +
+    // gradient chain) is checkpoint-pinned, so ql_train presents the pin
+    // (0 scans) and ql_score/ql_eval pay exactly the ONE re-tokenize
+    // scoring pass over documents (the taDsir two-pass shape)
+    "ql_train" -> 0, "ql_score" -> 1, "ql_eval" -> 1)
 
   behavior of "post-execution scan counts"
 

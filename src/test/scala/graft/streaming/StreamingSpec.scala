@@ -1504,6 +1504,48 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     oov.getAs[Long]("n_feats") shouldBe 3L
   }
 
+  it should "score streamed documents in parity with the batch quality classifier" in {
+    // the online gate must agree with ql_score when the frozen weight
+    // table is the one the batch op trains (round 13 — the dsirScore
+    // split for the discriminative classifier)
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val weights = graft.operators.QualityClassifier.trainedWeights(spark, sf)
+    weights.nonEmpty shouldBe true
+    val docs = graft.Tables.documents(spark, sf)
+    val src = tmp()
+    docs.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(docs.schema).parquet(src)
+    val q = Transforms.qlScore(stream, weights)
+      .select(col("doc_id"), col("score"), col("prob"), col("keep"))
+      .writeStream.format("memory").queryName("qlscore").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("qlscore").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val batch = graft.operators.QualityClassifier.qlScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("score"), r.getAs[Double]("prob"), r.getAs[Long]("keep")))).toMap
+    // every doc the batch op scores agrees through the stream (stream
+    // folds doubles in occurrence order, batch folds decimal per
+    // occurrence — tolerance, not bit-equality; the dsirScore idiom)
+    batch.foreach { case (id, (sc, pr, kp)) =>
+      withClue(s"doc $id: ") {
+        streamed(id)._1 shouldBe sc +- 2e-5
+        streamed(id)._2 shouldBe pr +- 2e-5
+        streamed(id)._3 shouldBe (kp == 1L)
+      }
+    }
+    // an unseen-vocabulary doc scores neutral 0 / prob 0.5, not an error
+    import spark.implicits._
+    val oov = Transforms.qlScore(
+      Seq((1L, "zzzqz qqzxv")).toDF("doc_id", "text"), Map.empty[Long, Double])
+      .collect()(0)
+    oov.getAs[Double]("score") shouldBe 0.0
+    oov.getAs[Double]("prob") shouldBe 0.5
+    oov.getAs[Boolean]("keep") shouldBe true
+    oov.getAs[Long]("n_feats") shouldBe 3L
+  }
+
   it should "alert once on metronomic users and never on bursty ones" in {
     // the online half of the regularity pair: a 600 s metronome must
     // alert exactly when its 9th gap lands (cv 0), a bursty user with
