@@ -27,6 +27,18 @@ object TextFns {
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
+  /** Word n-gram shingles (space-joined), [[shingles3]]'s generic form;
+    * empty for docs under n tokens (same sequence() direction guard).
+    * Compose over a pre-materialized token COLUMN, not an inlined
+    * tokenizer (the lineSegments binding discipline). */
+  def shinglesN(toks: Column, n: Int): Column = {
+    require(n >= 1, s"shinglesN: n must be >= 1 (got $n)")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** md5 hex of a string column (Spark needs an explicit binary cast). */
   def md5s(c: Column): Column = md5(c.cast("binary"))
 

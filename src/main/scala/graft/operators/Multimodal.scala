@@ -571,7 +571,110 @@ object Multimodal {
       |CROSS JOIN orph o
       |ORDER BY source""".stripMargin
 
+  /** Manifest/shard referential-integrity census (round 13, r12 verdict
+    * item 3) — [[mmIntegrity]]'s sibling for the OTHER multimodal
+    * relation pair: the training-shard manifest against the documents
+    * it indexes. Per shard: entry count, dangling entries (manifest
+    * rows whose doc is gone — a re-ingestion's leftovers; a dataloader
+    * seeking these reads garbage bytes), length mismatches (entry
+    * n_bytes ≠ the doc's actual payload bytes — the shard was packed
+    * from a different corpus state), offset breaks (entry offset ≠ the
+    * previous entry's offset + n_bytes, first entry ≠ 0 — a corrupted
+    * index misaligns every later seek in the shard), record-index
+    * breaks (rec_idx not dense 1..n), and the byte tie-outs: the
+    * manifest's claimed shard bytes vs the matched docs' actual bytes.
+    * The corpus-level n_unsharded_docs column (same value every row —
+    * an unsharded doc names no shard) counts documents in NO manifest
+    * entry: silently missing from every training epoch.
+    *
+    * The registered query audits the [[mmManifest]] sharding against
+    * its own corpus — all-zero defect columns on any corpus, proving
+    * the manifest invariants the oracle replays; the GENERAL form takes
+    * an arbitrary manifest relation and is dirty-fixture-pinned in
+    * spec (dangling/mismatched/broken entries detected and counted).
+    *
+    * Scale shape: keyed joins on doc_id only (ids + byte counts move,
+    * never payloads); the offset/index checks are windows PARTITIONED
+    * BY SHARD ordered by rec_idx — shard count grows with the corpus,
+    * no global window; per-shard aggregates are |shards|-row frames;
+    * the unsharded count is a 1-row aggregate broadcast back. */
+  def mmManifestIntegrity: Q = (s, d) =>
+    mmManifestIntegrityFor(Tables.documents(s, d), mmManifest(s, d))
+
+  def mmManifestIntegrityFor(docs: DataFrame, manifest: DataFrame): DataFrame = {
+    val dSpine = docs.select(col("doc_id"),
+      octet_length(col("text").cast("binary")).cast("long").as("doc_bytes"))
+      .localCheckpoint(false) // id+bytes spine: feeds the len join + unsharded anti
+    val mSpine = manifest.select(col("doc_id"), col("shard"),
+      col("n_bytes"), col("rec_idx"), col("offset"))
+      .localCheckpoint(false) // feeds the window pass + dangling anti + base
+    val w = Window.partitionBy(col("shard")).orderBy(col("rec_idx"))
+    val checked = mSpine
+      .withColumn("expected_off",
+        coalesce(lag(col("offset") + col("n_bytes"), 1).over(w), lit(0L)))
+      .withColumn("dense_idx", row_number().over(w).cast("long"))
+      // has_doc, not doc_bytes-null, distinguishes a DANGLING entry from
+      // an entry whose doc exists with a null payload (a quarantine case
+      // the len-mismatch column owns)
+      .join(dSpine.select(col("doc_id"), col("doc_bytes"), lit(true).as("has_doc")),
+        Seq("doc_id"), "left")
+    val perShard = checked.groupBy(col("shard")).agg(
+      count(lit(1)).as("n_entries"),
+      sum(when(col("has_doc").isNull, 1L).otherwise(0L)).as("n_dangling"),
+      sum(when(col("has_doc") && !(col("n_bytes") <=> col("doc_bytes")), 1L)
+        .otherwise(0L)).as("n_len_mismatch"),
+      sum(when(!(col("offset") <=> col("expected_off")), 1L).otherwise(0L))
+        .as("n_offset_breaks"),
+      sum(when(!(col("rec_idx") <=> col("dense_idx")), 1L).otherwise(0L))
+        .as("n_idx_breaks"),
+      sum(col("n_bytes")).as("shard_bytes_manifest"),
+      sum(coalesce(col("doc_bytes"), lit(0L))).as("shard_bytes_docs"))
+    val unsharded = dSpine
+      .join(mSpine.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_unsharded_docs"))
+    perShard.crossJoin(broadcast(unsharded))
+      .select(col("shard"), col("n_entries"), col("n_dangling"),
+        col("n_len_mismatch"), col("n_offset_breaks"), col("n_idx_breaks"),
+        col("shard_bytes_manifest"), col("shard_bytes_docs"),
+        col("n_unsharded_docs"))
+      .orderBy(col("shard"))
+  }
+
+  val mmManifestIntegritySql: String =
+    """WITH mf AS (
+      |  SELECT doc_id, shard, n_bytes,
+      |    row_number() OVER w AS rec_idx,
+      |    coalesce(sum(n_bytes) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS offset
+      |  FROM (SELECT doc_id,
+      |      CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard,
+      |      strlen(text) AS n_bytes
+      |    FROM documents)
+      |  WINDOW w AS (PARTITION BY shard ORDER BY doc_id)),
+      |d AS (SELECT doc_id, strlen(text) AS doc_bytes, true AS has_doc FROM documents),
+      |chk AS (
+      |  SELECT mf.*, d.doc_bytes, d.has_doc,
+      |    coalesce(lag(mf."offset" + mf.n_bytes) OVER (PARTITION BY mf.shard ORDER BY mf.rec_idx), 0) AS expected_off,
+      |    row_number() OVER (PARTITION BY mf.shard ORDER BY mf.rec_idx) AS dense_idx
+      |  FROM mf LEFT JOIN d USING (doc_id)),
+      |per AS (
+      |  SELECT shard, count(*) AS n_entries,
+      |    CAST(sum(CASE WHEN has_doc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling,
+      |    CAST(sum(CASE WHEN has_doc AND NOT (n_bytes IS NOT DISTINCT FROM doc_bytes) THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+      |    CAST(sum(CASE WHEN NOT ("offset" IS NOT DISTINCT FROM expected_off) THEN 1 ELSE 0 END) AS BIGINT) AS n_offset_breaks,
+      |    CAST(sum(CASE WHEN NOT (rec_idx IS NOT DISTINCT FROM dense_idx) THEN 1 ELSE 0 END) AS BIGINT) AS n_idx_breaks,
+      |    CAST(sum(n_bytes) AS BIGINT) AS shard_bytes_manifest,
+      |    CAST(sum(coalesce(doc_bytes, 0)) AS BIGINT) AS shard_bytes_docs
+      |  FROM chk GROUP BY 1),
+      |uns AS (SELECT CAST(count(*) AS BIGINT) AS n_unsharded_docs
+      |  FROM documents dd WHERE NOT EXISTS (
+      |    SELECT 1 FROM mf WHERE mf.doc_id = dd.doc_id))
+      |SELECT per.*, uns.n_unsharded_docs
+      |FROM per CROSS JOIN uns
+      |ORDER BY shard""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "mm_manifest_integrity" -> mmManifestIntegrity,
     "mm_integrity" -> mmIntegrity,
     "mm_phash" -> mmPhash,
     "mm_phash_pairs" -> mmPhashPairs,
@@ -587,6 +690,7 @@ object Multimodal {
 
   /** mm_decode_stub intentionally omitted → rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "mm_manifest_integrity" -> mmManifestIntegritySql,
     "mm_integrity" -> mmIntegritySql,
     "mm_phash" -> mmPhashSql,
     "mm_phash_pairs" -> mmPhashPairsSql,

@@ -256,20 +256,20 @@ object ScalePlan {
     * factor-10 sweep reads as overhead-dominated: the fixed-budget
     * evaluation cards should track the linear band, and the √N ops —
     * whose K grows ~5.7× here — expose their assignment stage's class
-    * directly. Ceilings ≈ 2× the round-13 measured factor-32 ratios
-    * (two-level assignment ON): sqrt family measured 2.7–5.4×,
-    * fixed-budget cards 1.9–7.3× (ivfpq's 7.3 includes its residual
-    * pass), bruteforce 5.2× (256 queries × 32× corpus — pure linear
-    * scan). A brute-force Θ(N·√N) assignment rewrite would push the
-    * sqrt family toward 32^1.5/32 ≈ 5.7× the linear slope and through
-    * these ceilings once data dominates. */
+    * directly. Ceilings ≈ 3× the round-13 measured factor-32 ratios
+    * (SCALECHECK32E.json, map-only two-level kernels ON): sqrt family
+    * 0.90–1.77×, fixed-budget cards 2.55–2.64×, bruteforce 1.40× (256
+    * queries × 32× corpus — pure linear scan). A brute-force Θ(N·√N)
+    * assignment rewrite would push the sqrt family toward
+    * 32^1.5/32 ≈ 5.7× the linear slope and through these ceilings once
+    * data dominates. */
   val checks32e: Seq[(String, Double)] = Seq(
-    "ann_bruteforce" -> 12.0,
-    "ann_pq" -> 12.0,
-    "ann_ivfpq" -> 16.0,
-    "ann_ivf_sqrt" -> 12.0,
-    "ann_ivfpq_sqrt" -> 16.0,
-    "ann_ivf_health" -> 12.0)
+    "ann_bruteforce" -> 6.0,
+    "ann_pq" -> 8.0,
+    "ann_ivfpq" -> 10.0,
+    "ann_ivf_sqrt" -> 6.0,
+    "ann_ivfpq_sqrt" -> 8.0,
+    "ann_ivf_health" -> 6.0)
 
   /** Name → plan, for ScaleCheck's `plan=` selector. */
   val byName: Map[String, Seq[(String, Double)]] = Map(

@@ -2045,4 +2045,87 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     dangling.head.getAs[Long]("n_docs") shouldBe 0L
     dangling.head.getAs[Long]("n_orphan_embeddings") shouldBe 2L
   }
+
+  it should "flag 13-gram contamination as a strict refinement of the 3-gram rule" in {
+    // round 13 (r12 verdict item 5): a shared 13-gram implies all its
+    // constituent 3-grams are shared, so the 13-gram flag set must be a
+    // SUBSET of the 3-gram one — and on real data a far smaller one
+    // (3-grams are common phrases; the whole point of the published
+    // 8–13-gram convention). sf0.1 carries actual cloned boilerplate,
+    // so the 13-gram set is non-empty there.
+    val sf01 = "/root/testdata/sf0.1"
+    val docs = graft.Tables.documents(spark, sf01)
+    def pairs(n: Int): Set[(Long, Long)] =
+      operators.Dedup.ddDecontaminatePairs(docs, n)
+        .select("doc_id", "bench_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p13 = pairs(13)
+    val p3 = pairs(3)
+    p13.nonEmpty shouldBe true // the cloned docs ARE flagged
+    (p13 -- p3) shouldBe empty // subset relation
+    p3.size should be > (10 * p13.size) // and 3-grams over-fire massively
+    // the census ties out against the pair view and reports clean bench
+    // docs as zeros instead of dropping them
+    val census = operators.Dedup.ddDecontaminate(spark, sf01).collect()
+      .map(r => r.getAs[Long]("bench_id") -> r).toMap
+    val byBench = p13.groupBy(_._2).view.mapValues(_.size).toMap
+    census.foreach { case (b, r) =>
+      withClue(s"bench $b: ") {
+        r.getAs[Long]("n_contam_docs") shouldBe byBench.getOrElse(b, 0).toLong
+      }
+    }
+    byBench.keySet.subsetOf(census.keySet) shouldBe true
+    census.values.exists(_.getAs[Long]("n_leaked_grams") == 0L) shouldBe true
+  }
+
+  it should "count every manifest defect lane exactly on a seeded dirty manifest" in {
+    // the mm_manifest_integrity general form against a hand-corrupted
+    // manifest (round 13, r12 verdict item 3): dangling entry, byte-length
+    // mismatch, offset break, record-index gap and an unsharded doc, each
+    // counted in its own lane; the clean shard reads all-zero
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq[(Long, String)](
+      (1L, "aaaa"), (2L, "bb"), (3L, "cccccc"), (4L, null))
+      .toDF("doc_id", "text")
+    val manifest = Seq(
+      // shard 0: clean — contiguous offsets, dense rec_idx, true lengths
+      (1L, 0L, 4L, 1L, 0L), (2L, 0L, 2L, 2L, 4L),
+      // shard 1: entry for a doc that is GONE (99), then doc 3 with a
+      // wrong claimed length (7 vs actual 6), a broken offset (6, the
+      // previous entry ends at 5) and a rec_idx gap (3 after 1)
+      (99L, 1L, 5L, 1L, 0L), (3L, 1L, 7L, 3L, 6L))
+      .toDF("doc_id", "shard", "n_bytes", "rec_idx", "offset")
+    val out = operators.Multimodal.mmManifestIntegrityFor(docs, manifest)
+      .collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    out.keySet shouldBe Set(0L, 1L)
+    val clean = out(0L); val dirty = out(1L)
+    clean.getAs[Long]("n_entries") shouldBe 2L
+    Seq("n_dangling", "n_len_mismatch", "n_offset_breaks", "n_idx_breaks")
+      .foreach(c => withClue(s"$c: ") { clean.getAs[Long](c) shouldBe 0L })
+    clean.getAs[Long]("shard_bytes_manifest") shouldBe 6L
+    clean.getAs[Long]("shard_bytes_docs") shouldBe 6L
+    dirty.getAs[Long]("n_entries") shouldBe 2L
+    dirty.getAs[Long]("n_dangling") shouldBe 1L // doc 99
+    dirty.getAs[Long]("n_len_mismatch") shouldBe 1L // doc 3: 7 vs 6
+    dirty.getAs[Long]("n_offset_breaks") shouldBe 1L // 6 where 5 expected
+    dirty.getAs[Long]("n_idx_breaks") shouldBe 1L // rec_idx 3 where 2
+    dirty.getAs[Long]("shard_bytes_manifest") shouldBe 12L
+    dirty.getAs[Long]("shard_bytes_docs") shouldBe 6L // only doc 3 matched
+    // doc 4 (null payload, still a document) appears in NO shard
+    out.values.map(_.getAs[Long]("n_unsharded_docs")).toSet shouldBe Set(1L)
+    // and the registered query over real testdata audits mmManifest
+    // against its own corpus: every defect lane zero on every shard
+    val real = operators.Multimodal.mmManifestIntegrity(spark, sf).collect()
+    real.length should be > 0
+    real.foreach { r =>
+      Seq("n_dangling", "n_len_mismatch", "n_offset_breaks", "n_idx_breaks")
+        .foreach(c => withClue(s"shard ${r.getAs[Long]("shard")} $c: ") {
+          r.getAs[Long](c) shouldBe 0L
+        })
+      r.getAs[Long]("shard_bytes_manifest") shouldBe r.getAs[Long]("shard_bytes_docs")
+      r.getAs[Long]("n_unsharded_docs") shouldBe 0L
+    }
+  }
 }
