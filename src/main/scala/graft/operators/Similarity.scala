@@ -280,24 +280,25 @@ object Similarity {
   /** Coarse cell assignment — (vec_id[, carry…], cell), the argmax rule
     * (cosine DESC, ties to lowest cid) every IVF-family op shares.
     *
-    * `twoLevel = false` is the exact one-level form: ONE
-    * crossJoin-with-broadcast-centroids argmax aggregation, Θ(N·K)
-    * centroid scores — right while K stays O(100) (the fixed-16 ops).
+    * `twoLevel = false` is the exact one-level form: argmax over every
+    * cell, Θ(N·K) centroid scores — right while K stays O(100) (the
+    * fixed-16 ops).
     *
     * `twoLevel = true` (round 13, r12 verdict item 1) is the build-side
     * answer for the √N K schedule, where one-level assignment is the
     * repo's last super-linear stage (Θ(N·√N)): index the index. The
     * [[superCells]] lowest-id centroids serve as super-cells; each
-    * centroid exact-assigns to its parent super-cell (K·√K driver-scale
-    * work); each VECTOR scores only the √K super-cells, keeps its
-    * [[AssignProbes]] best, and exact-assigns among those super-cells'
-    * children — Θ(N·(√K + p·√K)) = Θ(N·√K) = Θ(N·N^¼) under the √N
-    * schedule, against one-level's Θ(N·N^½). The result can differ from
-    * exact argmax only when the true cell's parent is outside the
-    * probed super-cells; TwoLevelAssignSpec measures the agreement rate
-    * on the clustered fixture and the SCALECHECK32E artifact measures
-    * the build-side ratio. Deterministic throughout (every argmax ties
-    * to the lowest id), so the oracles replay the same rule.
+    * centroid exact-assigns to its parent super-cell (a K×√K
+    * metadata-sized argmax); each VECTOR scores only the √K
+    * super-cells, keeps its [[AssignProbes]] best, and exact-assigns
+    * among those super-cells' children — Θ(N·(√K + p·√K)) = Θ(N·√K) =
+    * Θ(N·N^¼) under the √N schedule, against one-level's Θ(N·N^½). The
+    * result can differ from exact argmax only when the true cell's
+    * parent is outside the probed super-cells; OperatorsSpec measures
+    * the agreement rate (1.000 on the K=64 clustered fixture) and the
+    * SCALECHECK32E artifact measures the build-side ratio.
+    * Deterministic throughout (every argmax ties to the lowest id), so
+    * the oracles replay the same rule.
     *
     * Plan shape at scale: MAP-ONLY (the `graft_ivf_assign` kernel). The
     * codebook — and for two-level the super-cell table and the K-row
@@ -381,11 +382,9 @@ object Similarity {
     val nProbe = 4
     val cents = v.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-    // top-1 cell per vector via the shared [[assignCells]] argmax rule
-    // (an AGGREGATION, not a sort window: partial agg collapses the
-    // scored rows per vector map-side, so the shuffle carries one row
-    // per vector instead of nCentroids — the difference between
-    // shuffling the corpus and shuffling corpus×cells at 100 TB).
+    // top-1 cell per vector via the shared assignCells rule — map-only
+    // (graft_ivf_assign over the broadcast flattened codebook), so the
+    // whole build side of this pipeline is shuffle-free
     val assigned = assignCells(v, cents, nCentroids, twoLevel)
     // top-nProbe cells per query via the bounded-heap TopKPerGroup
     val probes = {
