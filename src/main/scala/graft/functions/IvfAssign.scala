@@ -126,7 +126,7 @@ object IvfAssign {
       acc
     }
     // top-`probes` super-cells by (score DESC, scid ASC) — insertion into
-    // fixed slots; Double.compare gives Spark's sort semantics for NaN
+    // fixed slots; cmpScore gives Spark's nan-safe sort semantics
     var probedIds: Array[Double] = null
     var probedN = 0
     if (probes > 0) {
