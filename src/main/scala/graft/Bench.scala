@@ -298,9 +298,13 @@ object Bench {
     // silently mis-normalizing against this VM's constant. A
     // non-positive override is a misconfiguration, not a measurement —
     // fall back to the documented constant rather than emit Infinity.
+    // finite-positive only: "Infinity"/"1e999" parse to a Double that
+    // passes a bare > 0 check and then interpolates as invalid JSON —
+    // losing the whole artifact, the exact failure the hostnorm guard
+    // below exists to prevent
     val ReferenceCalibSec = sys.env.get("SPARK_GRAFT_CALIB_REF")
       .flatMap(v => scala.util.Try(v.toDouble).toOption)
-      .filter(_ > 0) .getOrElse(0.50)
+      .filter(v => v > 0 && !v.isInfinite).getOrElse(0.50)
     val hostFactor = (calibStart + calibEnd) / 2.0 / ReferenceCalibSec
     val (loadRate, epochP50, epochP99) = streamBest.map { case (rate, q) =>
       val lats = q.recentProgress.toSeq.filter(_.numInputRows > 0).map(_.batchDuration)

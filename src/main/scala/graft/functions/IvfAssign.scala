@@ -91,8 +91,9 @@ object IvfAssign {
     * max_by/TopK shapes used): NaN greater than everything, NaN == NaN,
     * and -0.0 == 0.0 (primitive compare — java.lang.Double.compare
     * would order -0.0 < 0.0 and could flip a tie the oracle breaks the
-    * other way). */
-  private def cmpScore(a: Double, b: Double): Int =
+    * other way). ONE definition shared with [[PqEncode]] — the two
+    * kernels' tie rules must never drift. */
+  private[functions] def cmpScore(a: Double, b: Double): Int =
     if (java.lang.Double.isNaN(a)) { if (java.lang.Double.isNaN(b)) 0 else 1 }
     else if (java.lang.Double.isNaN(b)) -1
     else if (a < b) -1 else if (a > b) 1 else 0

@@ -71,10 +71,8 @@ case class PqEncode(left: Expression, right: Expression, m: Int)
 
 object PqEncode {
 
-  private def cmpScore(a: Double, b: Double): Int =
-    if (java.lang.Double.isNaN(a)) { if (java.lang.Double.isNaN(b)) 0 else 1 }
-    else if (java.lang.Double.isNaN(b)) -1
-    else if (a < b) -1 else if (a > b) 1 else 0
+  // the shared nan-safe score ordering — see IvfAssign.cmpScore's doc
+  private def cmpScore(a: Double, b: Double): Int = IvfAssign.cmpScore(a, b)
 
   /** ONE static kernel shared by the interpreted and codegen paths. */
   def encode(x: ArrayData, xIsFloat: Boolean, cb: ArrayData, m: Int): ArrayData = {

@@ -713,8 +713,16 @@ object Dedup {
       .filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("bench_id"), col("g"))
       .localCheckpoint(false) // eval-sized; feeds the spine agg + the join
-    val spine = benchGrams.groupBy(col("bench_id"))
-      .agg(count(lit(1)).as("n_grams")) // grams pre-deduped per doc
+    // the spine comes from the bench DOCUMENTS, not the gram frame: a
+    // bench doc under n tokens (or with null text) has no grams but
+    // must still report as a checked row with n_grams 0 — "checked,
+    // clean" holds for exactly the docs that cannot leak
+    val spine = Tables.documents(s, d)
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"))
+      .join(benchGrams.groupBy(col("bench_id"))
+        .agg(count(lit(1)).as("ng")), Seq("bench_id"), "left") // grams pre-deduped per doc
+      .select(col("bench_id"), coalesce(col("ng"), lit(0L)).as("n_grams"))
     val hits = docGrams(Tables.documents(s, d), n)
       .filter(col("doc_id") % 97 =!= 0)
       .join(benchGrams, "g")
@@ -764,7 +772,12 @@ object Dedup {
        |    i -> list_aggregate(tk[i:i+${n - 1}], 'string_agg', ' ')))) AS g
        |  FROM toks WHERE len(tk) >= $n),
        |bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 97 = 0),
-       |spine AS (SELECT bench_id, count(*) AS n_grams FROM bench GROUP BY 1),
+       |spine AS (
+       |  SELECT d.doc_id AS bench_id, CAST(coalesce(bg.ng, 0) AS BIGINT) AS n_grams
+       |  FROM documents d LEFT JOIN (
+       |    SELECT bench_id, count(*) AS ng FROM bench GROUP BY 1) bg
+       |  ON bg.bench_id = d.doc_id
+       |  WHERE d.doc_id % 97 = 0),
        |hits AS (
        |  SELECT b.bench_id,
        |    count(DISTINCT g2.g) AS n_leaked_grams,

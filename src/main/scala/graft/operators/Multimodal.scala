@@ -609,9 +609,15 @@ object Multimodal {
       col("n_bytes"), col("rec_idx"), col("offset"))
       .localCheckpoint(false) // feeds the window pass + dangling anti + base
     val w = Window.partitionBy(col("shard")).orderBy(col("rec_idx"))
+    // null n_bytes contributes 0 to the expected cumulative — exactly
+    // [[mmManifest]]'s own rule (its running sum() SKIPS nulls), so a
+    // self-consistent manifest over null-payload docs reports zero
+    // breaks; a bare lag(offset + n_bytes) would go null after such an
+    // entry, coalesce to the first-row default 0, and flag a spurious
+    // break on the NEXT entry
     val checked = mSpine
       .withColumn("expected_off",
-        coalesce(lag(col("offset") + col("n_bytes"), 1).over(w), lit(0L)))
+        coalesce(lag(col("offset") + coalesce(col("n_bytes"), lit(0L)), 1).over(w), lit(0L)))
       .withColumn("dense_idx", row_number().over(w).cast("long"))
       // has_doc, not doc_bytes-null, distinguishes a DANGLING entry from
       // an entry whose doc exists with a null payload (a quarantine case
@@ -627,7 +633,9 @@ object Multimodal {
         .as("n_offset_breaks"),
       sum(when(!(col("rec_idx") <=> col("dense_idx")), 1L).otherwise(0L))
         .as("n_idx_breaks"),
-      sum(col("n_bytes")).as("shard_bytes_manifest"),
+      // null claims fold as 0 on BOTH byte columns so the tie-out holds
+      // on a shard whose every payload is null
+      sum(coalesce(col("n_bytes"), lit(0L))).as("shard_bytes_manifest"),
       sum(coalesce(col("doc_bytes"), lit(0L))).as("shard_bytes_docs"))
     val unsharded = dSpine
       .join(mSpine.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -654,7 +662,7 @@ object Multimodal {
       |d AS (SELECT doc_id, strlen(text) AS doc_bytes, true AS has_doc FROM documents),
       |chk AS (
       |  SELECT mf.*, d.doc_bytes, d.has_doc,
-      |    coalesce(lag(mf."offset" + mf.n_bytes) OVER (PARTITION BY mf.shard ORDER BY mf.rec_idx), 0) AS expected_off,
+      |    coalesce(lag(mf."offset" + coalesce(mf.n_bytes, 0)) OVER (PARTITION BY mf.shard ORDER BY mf.rec_idx), 0) AS expected_off,
       |    row_number() OVER (PARTITION BY mf.shard ORDER BY mf.rec_idx) AS dense_idx
       |  FROM mf LEFT JOIN d USING (doc_id)),
       |per AS (
@@ -663,7 +671,7 @@ object Multimodal {
       |    CAST(sum(CASE WHEN has_doc AND NOT (n_bytes IS NOT DISTINCT FROM doc_bytes) THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
       |    CAST(sum(CASE WHEN NOT ("offset" IS NOT DISTINCT FROM expected_off) THEN 1 ELSE 0 END) AS BIGINT) AS n_offset_breaks,
       |    CAST(sum(CASE WHEN NOT (rec_idx IS NOT DISTINCT FROM dense_idx) THEN 1 ELSE 0 END) AS BIGINT) AS n_idx_breaks,
-      |    CAST(sum(n_bytes) AS BIGINT) AS shard_bytes_manifest,
+      |    CAST(sum(coalesce(n_bytes, 0)) AS BIGINT) AS shard_bytes_manifest,
       |    CAST(sum(coalesce(doc_bytes, 0)) AS BIGINT) AS shard_bytes_docs
       |  FROM chk GROUP BY 1),
       |uns AS (SELECT CAST(count(*) AS BIGINT) AS n_unsharded_docs

@@ -80,10 +80,18 @@ object QualityClassifier {
   /** B-row weight table (b, tc, rc, u, w) — histogram + gradient chain.
     * localCheckpoint-pinned: ql_score/ql_eval broadcast-join it while
     * ql_train presents it, and the histogram pass behind it is a full
-    * corpus tokenize. */
+    * corpus tokenize. Takes the docs/target frames from the caller so
+    * [[scored]] shares ONE target pin with the training pass instead
+    * of re-aggregating min(source) behind a second pin. */
   private def weightTable(s: SparkSession, d: String): DataFrame = {
     val docs = corpus(s, d)
-    val target = docs.agg(min(col("source")).as("ts")).localCheckpoint(false)
+    weightTableFor(docs, targetOf(docs))
+  }
+
+  private def targetOf(docs: DataFrame): DataFrame =
+    docs.agg(min(col("source")).as("ts")).localCheckpoint(false)
+
+  private def weightTableFor(docs: DataFrame, target: DataFrame): DataFrame = {
     val cnt = labeledFeats(docs, target).groupBy(col("b")).agg(
       sum(when(col("y"), 1L).otherwise(0L)).as("tc"),
       sum(when(!col("y"), 1L).otherwise(0L)).as("rc"))
@@ -105,8 +113,8 @@ object QualityClassifier {
     * ql_eval aggregates the raw values. */
   private def scored(s: SparkSession, d: String): DataFrame = {
     val docs = corpus(s, d)
-    val target = docs.agg(min(col("source")).as("ts")).localCheckpoint(false)
-    val w = weightTable(s, d).select(col("b"), col("w"))
+    val target = targetOf(docs)
+    val w = weightTableFor(docs, target).select(col("b"), col("w"))
     labeledFeats(docs, target)
       .join(broadcast(w), "b")
       .groupBy(col("doc_id"), col("source"))

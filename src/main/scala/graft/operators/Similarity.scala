@@ -538,13 +538,19 @@ object Similarity {
     * single-small-file case: parquet row-group granularity caps scan
     * splits, and a map-only encode inherits them, serializing the
     * downstream scan. At scale the scan is already wide and NO exchange
-    * enters the plan (the partition check is plan-time, no job). When
-    * it does fire, the exchanged rows carry 8-byte codes, not 256-byte
-    * vectors — ~7× less movement than the aggregation shuffle the
-    * encode kernels replaced. */
-  private def balanceNarrow(df: DataFrame): DataFrame = {
+    * enters the plan. When it does fire, the exchanged rows carry
+    * 8-byte codes, not 256-byte vectors — ~7× less movement than the
+    * aggregation shuffle the encode kernels replaced.
+    *
+    * The split count is probed off `scanSide` — the exchange-free
+    * corpus lineage (scan→filter→project), whose `.rdd` resolves
+    * WITHOUT running anything — never off `df` itself: the coded frame
+    * contains broadcast subtrees, and resolving an AQE plan's RDD
+    * materializes its query stages, which would execute the codebook
+    * build eagerly at plan-construction time and again per action. */
+  private def balanceNarrow(df: DataFrame, scanSide: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    if (df.rdd.getNumPartitions >= sc.defaultParallelism) df
+    if (scanSide.rdd.getNumPartitions >= sc.defaultParallelism) df
     else df.repartition(sc.defaultParallelism)
   }
 
@@ -574,7 +580,7 @@ object Similarity {
     val codes = balanceNarrow(v.crossJoin(broadcast(flatPqBook(cents)))
       .select(col("vec_id"), col("nrm"),
         call_function("graft_pq_encode", col("e"), col("pcb"), lit(m)).as("codes"))
-      .filter(col("codes").isNotNull))
+      .filter(col("codes").isNotNull), v)
     // query-side LUT: flattened 8×16 table ordered by (subspace, code)
     val lutEntries = array((0 until m).map { j =>
       struct(lit(j).as("j"), col("cid"), dot(sl(col("qe"), j), sl(col("ce"), j)).as("val"))
@@ -999,7 +1005,7 @@ object Similarity {
           .crossJoin(broadcast(flatPqBook(cents.select(col("cid"), col("ce")))))
           .select(col("vec_id"), col("nrm"), col("cell"),
             call_function("graft_pq_encode", col("e"), col("pcb"), lit(m)).as("codes"))
-          .filter(col("codes").isNotNull))
+          .filter(col("codes").isNotNull), v)
       } else {
         // residual coding: assign cell first (the shared assignCells
         // rule — two-level under the √N schedule), subtract the cell
@@ -1014,7 +1020,7 @@ object Similarity {
             rcbs.select(col("rid").as("cid"), col("rce").as("ce")))))
           .select(col("vec_id"), col("nrm"), col("cell"),
             call_function("graft_pq_encode", col("r"), col("pcb"), lit(m)).as("codes"))
-          .filter(col("codes").isNotNull))
+          .filter(col("codes").isNotNull), v)
       }
     val probes = {
       val scoredP = queries.crossJoin(broadcast(cents))

@@ -48,7 +48,7 @@ import org.apache.spark.sql.SparkSession
   * [plan=checks|checks32|checks32e] [ids…]` — base side times warm +
   * min-of-2 (the Bench discipline); the big side takes min-of-2 only
   * while a single run stays under 60 s (quad-class cards pay one run —
-  * their ceilings carry the margin). Sub-0.5 ratios re-measure once
+  * their ceilings carry the margin). Sub-0.67 ratios re-measure once
   * (stalled-base detection) and every row records its capture order and
   * session-memo state, so the artifact adjudicates its own captures. */
 object ScaleCheck {
@@ -94,7 +94,10 @@ object ScaleCheck {
     "cl_kmeans" -> "kmeans-cents", "cl_inertia" -> "kmeans-cents",
     "cl_silhouette" -> "kmeans-cents", "cl_purity" -> "kmeans-cents",
     "cl_semantic_dedup" -> "kmeans-cents", "cl_drift" -> "kmeans-cents",
-    "cl_outliers" -> "kmeans-cents", "cl_diverse_sample" -> "kmeans-cents")
+    "cl_outliers" -> "kmeans-cents", "cl_diverse_sample" -> "kmeans-cents",
+    // the √N family shares Similarity.corpusCount per (session, dir)
+    "ann_ivf_sqrt" -> "emb-count", "ann_ivfpq_sqrt" -> "emb-count",
+    "ann_ivf_health" -> "emb-count")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,

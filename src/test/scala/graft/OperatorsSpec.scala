@@ -2087,19 +2087,31 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     import spark2.implicits._
     import org.apache.spark.sql.functions._
     val docs = Seq[(Long, String)](
-      (1L, "aaaa"), (2L, "bb"), (3L, "cccccc"), (4L, null))
+      (1L, "aaaa"), (2L, "bb"), (3L, "cccccc"), (4L, null), (5L, null))
       .toDF("doc_id", "text")
-    val manifest = Seq(
+    val manifest = Seq[(Long, Long, Option[Long], Long, Long)](
       // shard 0: clean — contiguous offsets, dense rec_idx, true lengths
-      (1L, 0L, 4L, 1L, 0L), (2L, 0L, 2L, 2L, 4L),
+      (1L, 0L, Some(4L), 1L, 0L), (2L, 0L, Some(2L), 2L, 4L),
       // shard 1: entry for a doc that is GONE (99), then doc 3 with a
       // wrong claimed length (7 vs actual 6), a broken offset (6, the
       // previous entry ends at 5) and a rec_idx gap (3 after 1)
-      (99L, 1L, 5L, 1L, 0L), (3L, 1L, 7L, 3L, 6L))
+      (99L, 1L, Some(5L), 1L, 0L), (3L, 1L, Some(7L), 3L, 6L),
+      // shard 2: a null-payload doc's entry (null n_bytes, the
+      // mmManifest shape for null text) followed by a normal entry —
+      // the null claim contributes 0 to the expected cumulative, so
+      // NOTHING in this shard is a defect (null <=> null is no
+      // len-mismatch; offset 0 after a null entry is no break); doc 4
+      // stays in NO shard to keep the unsharded lane exercised
+      (5L, 2L, None, 1L, 0L), (2L, 2L, Some(2L), 2L, 0L))
       .toDF("doc_id", "shard", "n_bytes", "rec_idx", "offset")
     val out = operators.Multimodal.mmManifestIntegrityFor(docs, manifest)
       .collect().map(r => r.getAs[Long]("shard") -> r).toMap
-    out.keySet shouldBe Set(0L, 1L)
+    out.keySet shouldBe Set(0L, 1L, 2L)
+    val nullShard = out(2L)
+    Seq("n_dangling", "n_len_mismatch", "n_offset_breaks", "n_idx_breaks")
+      .foreach(c => withClue(s"shard2 $c: ") { nullShard.getAs[Long](c) shouldBe 0L })
+    nullShard.getAs[Long]("shard_bytes_manifest") shouldBe 2L
+    nullShard.getAs[Long]("shard_bytes_docs") shouldBe 2L
     val clean = out(0L); val dirty = out(1L)
     clean.getAs[Long]("n_entries") shouldBe 2L
     Seq("n_dangling", "n_len_mismatch", "n_offset_breaks", "n_idx_breaks")
