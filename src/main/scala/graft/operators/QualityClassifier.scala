@@ -159,6 +159,28 @@ object QualityClassifier {
             count(lit(1)), 6).as("accuracy"))
       .orderBy(col("label"))
 
+  /** Calibration (reliability) card: scored docs bucketed into 20
+    * probability bins of 0.05; per bin the doc count, positive count,
+    * mean predicted probability and the EMPIRICAL positive rate — the
+    * reliability diagram a deployed filter publishes before its scores
+    * feed a sampling temperature (a well-calibrated bin has mean_prob ≈
+    * pos_rate; the histogram-trained model is NB-flavored, so this card
+    * is where its over/under-confidence shows). Bins with no docs are
+    * absent by construction (the card reads the score distribution, not
+    * a bin spine). One |bins|-row aggregate over the scored frame. */
+  def qlCalibration: Q = (s, d) =>
+    scored(s, d)
+      .withColumn("bin", least(floor(col("prob") * 20).cast("long"), lit(19L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label")).as("n_pos"),
+        Exact.floorRound(
+          sum(col("prob").cast("decimal(38,18)")).cast("double") / count(lit(1)), 6)
+          .as("mean_prob"),
+        Exact.floorRound(
+          sum(col("label")).cast("double") / count(lit(1)), 6).as("pos_rate"))
+      .orderBy(col("bin"))
+
   /** Frozen weights for the streaming twin
     * ([[graft.streaming.Transforms.qlScore]]) and any deployment that
     * scores outside this session — the dsirScore split: train offline
@@ -243,13 +265,24 @@ object QualityClassifier {
             "CAST(sum(CASE WHEN keep = label THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS accuracy
        |FROM scp GROUP BY 1 ORDER BY label""".stripMargin
 
+  val qlCalibrationSql: String =
+    s"""WITH $corpusCte,
+       |$scoredCtes,
+       |binned AS (SELECT least(CAST(floor(prob * 20) AS BIGINT), 19) AS bin, label, prob FROM scp)
+       |SELECT bin, count(*) AS n_docs, CAST(sum(label) AS BIGINT) AS n_pos,
+       |  ${Exact.floorRoundSql("sum(prob::DECIMAL(38,18))::DOUBLE / count(*)", 6)} AS mean_prob,
+       |  ${Exact.floorRoundSql("CAST(sum(label) AS DOUBLE) / count(*)", 6)} AS pos_rate
+       |FROM binned GROUP BY 1 ORDER BY bin""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ql_train" -> qlTrain,
     "ql_score" -> qlScore,
-    "ql_eval" -> qlEval)
+    "ql_eval" -> qlEval,
+    "ql_calibration" -> qlCalibration)
 
   def oracleSql: Map[String, String] = Map(
     "ql_train" -> qlTrainSql,
     "ql_score" -> qlScoreSql,
-    "ql_eval" -> qlEvalSql)
+    "ql_eval" -> qlEvalSql,
+    "ql_calibration" -> qlCalibrationSql)
 }

@@ -42,9 +42,25 @@ class ScaleCheckSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   private def gate(checks: Seq[(String, Double)], big: String): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
     val over = checks.flatMap { case (id, ceiling) =>
-      val (baseSec, bigSec, ratio) =
+      var (baseSec, bigSec, ratio) =
         tools.ScaleCheck.measureRatio(spark, base, big, id)
-      info(f"$id%-18s base=$baseSec%8.3f s  big=$bigSec%8.3f s  ratio=$ratio%7.2f  ceiling=$ceiling")
+      // Single-capture armor (round 13): a shared-VM stall on EITHER
+      // side can push one capture through a ceiling (or under the 0.67
+      // floor) without any class change — the r13 calibration sessions
+      // caught dd_lsh_tuning at 14.3× and dd_ppjoin at 19.1× in two
+      // consecutive gate runs whose quiet-host artifact prices were
+      // 2.1× and 3.5×. Re-measure ONCE (minutes later, the Bench rerun
+      // discipline), keep the min of each side; a breach that stands
+      // after the rerun fails the gate as a real class change.
+      var remeasured = false
+      if (ratio >= 0 && (ratio > ceiling || ratio < 0.67)) {
+        remeasured = true
+        val (b2, g2, _) = tools.ScaleCheck.measureRatio(spark, base, big, id)
+        if (b2 > 0) baseSec = if (baseSec > 0) math.min(baseSec, b2) else b2
+        if (g2 >= 0) bigSec = if (bigSec >= 0) math.min(bigSec, g2) else g2
+        ratio = if (baseSec > 0 && bigSec >= 0) bigSec / baseSec else -1.0
+      }
+      info(f"$id%-18s base=$baseSec%8.3f s  big=$bigSec%8.3f s  ratio=$ratio%7.2f  ceiling=$ceiling${if (remeasured) "  (remeasured)" else ""}")
       if (ratio < 0) Some(s"$id: measurement FAILED")
       else if (ratio > ceiling) Some(f"$id: ratio $ratio%.1f > ceiling $ceiling%.1f")
       else None
