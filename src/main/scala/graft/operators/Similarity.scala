@@ -310,9 +310,12 @@ object Similarity {
     * map-side but still paid one full corpus exchange (a row per vector
     * with the embedding attached) — the assignment stage's dominant
     * cost at 100 TB, for either rule. */
-  private[graft] def assignCells(v: DataFrame, cents: DataFrame, k: Int,
-      twoLevel: Boolean, carry: Seq[String] = Seq("e", "nrm")): DataFrame = {
-    graft.plans.GraftFunctions.register(v.sparkSession)
+  /** The one-row flattened-codebook frame (columns sb, cb) + probe
+    * count behind [[assignCells]] — split out so [[frozenCodebook]] can
+    * collect the identical book the batch build broadcasts. */
+  private def assignBook(cents: DataFrame, k: Int,
+      twoLevel: Boolean): (DataFrame, Int) = {
+    graft.plans.GraftFunctions.register(cents.sparkSession)
     // [parent, cid, cn, ce(dim)] blocks; one-level parents are the cids
     // themselves (ignored under probes = 0)
     def cbOf(src: DataFrame): DataFrame = src
@@ -323,28 +326,50 @@ object Similarity {
       .select(flatten(transform(sort_array(col("bs")), x => concat(
         array(x.getField("parent"), x.getField("cid"), x.getField("cn")),
         x.getField("ced")))).as("cb"))
-    val (book, probes) =
-      if (!twoLevel)
-        (cbOf(cents.withColumn("parent", col("cid")))
-          .withColumn("sb", lit(Array.empty[Double])), 0)
-      else {
-        val sup = cents.filter(col("cid") < superCells(k))
-          .select(col("cid").as("scid"), col("ce").as("se"), col("cn").as("sn"))
-        // centroid → parent super-cell: a K×√K argmax — metadata-sized,
-        // same tie rule as the oracle's cpar CTE (pcos DESC, scid ASC)
-        val parents = cents.crossJoin(broadcast(sup))
-          .withColumn("pcos", dot(col("ce"), col("se")) / (col("cn") * col("sn")))
-          .groupBy(col("cid"))
-          .agg(first(col("ce")).as("ce"), first(col("cn")).as("cn"),
-            max_by(col("scid"), struct(col("pcos"), (-col("scid")).as("ns"))).as("parent"))
-        val sb = sup
-          .select(struct(col("scid").cast("double").as("scid"), col("sn"),
-            transform(col("se"), x => x.cast("double")).as("sed")).as("s"))
-          .agg(collect_list(col("s")).as("ss"))
-          .select(flatten(transform(sort_array(col("ss")), x => concat(
-            array(x.getField("scid"), x.getField("sn")), x.getField("sed")))).as("sb"))
-        (cbOf(parents).crossJoin(sb), AssignProbes)
-      }
+    if (!twoLevel)
+      (cbOf(cents.withColumn("parent", col("cid")))
+        .withColumn("sb", lit(Array.empty[Double])), 0)
+    else {
+      val sup = cents.filter(col("cid") < superCells(k))
+        .select(col("cid").as("scid"), col("ce").as("se"), col("cn").as("sn"))
+      // centroid → parent super-cell: a K×√K argmax — metadata-sized,
+      // same tie rule as the oracle's cpar CTE (pcos DESC, scid ASC)
+      val parents = cents.crossJoin(broadcast(sup))
+        .withColumn("pcos", dot(col("ce"), col("se")) / (col("cn") * col("sn")))
+        .groupBy(col("cid"))
+        .agg(first(col("ce")).as("ce"), first(col("cn")).as("cn"),
+          max_by(col("scid"), struct(col("pcos"), (-col("scid")).as("ns"))).as("parent"))
+      val sb = sup
+        .select(struct(col("scid").cast("double").as("scid"), col("sn"),
+          transform(col("se"), x => x.cast("double")).as("sed")).as("s"))
+        .agg(collect_list(col("s")).as("ss"))
+        .select(flatten(transform(sort_array(col("ss")), x => concat(
+          array(x.getField("scid"), x.getField("sn")), x.getField("sed")))).as("sb"))
+      (cbOf(parents).crossJoin(sb), AssignProbes)
+    }
+  }
+
+  /** Frozen flattened IVF codebook for ONLINE cell routing
+    * ([[graft.streaming.Transforms.ivfRoute]]) — the trainedWeights
+    * split applied to the vector index: the batch build trains/freezes,
+    * the stream routes record-locally under the IDENTICAL book and rule
+    * (one [[assignBook]] definition, so a routed cell is a built cell by
+    * construction). Returns (sb, cb, probes) with K = [[sqrtCells]] of
+    * the corpus and the two-level rule — the deployed √N schedule. */
+  def frozenCodebook(s: SparkSession, d: String,
+      twoLevel: Boolean = true): (Array[Double], Array[Double], Int) = {
+    val v = vectors(s, d)
+    val k = sqrtCells(corpusCount(s, d))
+    val cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val (book, probes) = assignBook(cents, k, twoLevel)
+    val row = book.select(col("sb"), col("cb")).head()
+    (row.getSeq[Double](0).toArray, row.getSeq[Double](1).toArray, probes)
+  }
+
+  private[graft] def assignCells(v: DataFrame, cents: DataFrame, k: Int,
+      twoLevel: Boolean, carry: Seq[String] = Seq("e", "nrm")): DataFrame = {
+    val (book, probes) = assignBook(cents, k, twoLevel)
     v.crossJoin(broadcast(book))
       .select(Seq(col("vec_id")) ++ carry.map(col) :+
         call_function("graft_ivf_assign", col("e"), col("nrm"),

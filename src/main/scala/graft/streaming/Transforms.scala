@@ -396,6 +396,37 @@ object Transforms {
         col("n_feats") > 0 && (wsum / col("n_feats")) >= minScore)
   }
 
+  /** Streaming IVF cell router (round 13) — the INGEST half of the IVF
+    * index pair: the batch build (`ann_ivf_sqrt` / `ann_ivfpq_sqrt`)
+    * trains and freezes the coarse codebook; this routes each ARRIVING
+    * embedding to its cell under the identical frozen book and rule —
+    * the write path of a production vector store (a new vector must land
+    * in the shard/cell the index will later probe for it). The codebook
+    * comes from [[graft.operators.Similarity.frozenCodebook]]; routing
+    * runs the same `graft_ivf_assign` kernel as the batch build, so a
+    * routed cell IS a built cell by construction (parity spec-pinned).
+    *
+    * Emits `cell` and `routed`; an unroutable vector (null embedding,
+    * zero-norm, or an empty codebook's -1 sentinel) KEEPS its row with
+    * routed = false — ingest quarantines, it never silently drops (the
+    * batch build filters instead: an unroutable vector cannot be
+    * indexed, but a stream row must reach the DLQ).
+    *
+    * Scale: the flattened book is (K+√K)·(dim+3) doubles as literals —
+    * metadata-sized by the IVF family's broadcast contract, however
+    * large the corpus it was trained on; routing is record-local, no
+    * state, no shuffle, any throughput. */
+  def ivfRoute(vectors: DataFrame, sb: Array[Double], cb: Array[Double],
+      probes: Int, vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftFunctions.register(vectors.sparkSession)
+    vectors
+      .withColumn("_nrm", graft.functions.VecFns.l2norm(col(vecCol)))
+      .withColumn("cell", call_function("graft_ivf_assign",
+        col(vecCol), col("_nrm"), lit(sb), lit(cb), lit(probes)))
+      .withColumn("routed", coalesce(col("cell") >= 0, lit(false)))
+      .drop("_nrm")
+  }
+
   /** Streaming BPE tokenization under a FROZEN merge table — the
     * deployed half of the ta_bpe_train/ta_bpe_apply pair (the dsirScore
     * split: train offline, apply record-locally online). Each arriving

@@ -1546,6 +1546,54 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     oov.getAs[Long]("n_feats") shouldBe 3L
   }
 
+  it should "route streamed vectors to the exact cells the batch build assigns" in {
+    // the ingest router must agree with the batch index build under the
+    // same frozen codebook (round 13 — one assignBook + one kernel, so
+    // this pins the whole frozen-book plumbing, not just the rule)
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val (sb, cb, p) = graft.operators.Similarity.frozenCodebook(spark, sf)
+    cb.nonEmpty shouldBe true
+    val emb = graft.Tables.embeddings(spark, sf)
+    val src = tmp()
+    emb.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(emb.schema).parquet(src)
+    val q = Transforms.ivfRoute(stream, sb, cb, p)
+      .select(col("vec_id"), col("cell"), col("routed"))
+      .writeStream.format("memory").queryName("ivfroute").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ivfroute").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // batch truth through the shared private assignment path
+    val v = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", graft.functions.VecFns.l2norm(col("e")))
+    val k = graft.operators.Similarity.sqrtCells(
+      graft.operators.Similarity.corpusCount(spark, sf))
+    val cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val batch = graft.operators.Similarity
+      .assignCells(v, cents, k, twoLevel = true, carry = Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    batch.nonEmpty shouldBe true
+    batch.foreach { case (id, cell) =>
+      withClue(s"vec $id: ") { streamed(id) shouldBe ((cell, true)) }
+    }
+    // unroutable rows QUARANTINE (routed=false), never drop: a null
+    // embedding, and any vector against an EMPTY codebook
+    import spark.implicits._
+    val nullRow = Transforms.ivfRoute(
+      Seq((1L, Option.empty[Array[Float]])).toDF("vec_id", "embedding"), sb, cb, p)
+      .collect()(0)
+    nullRow.getAs[Boolean]("routed") shouldBe false
+    val emptyBook = Transforms.ivfRoute(
+      Seq((2L, Option(Array.fill(64)(0.5f)))).toDF("vec_id", "embedding"),
+      Array.empty[Double], Array.empty[Double], 0)
+      .collect()(0)
+    emptyBook.getAs[Long]("cell") shouldBe -1L
+    emptyBook.getAs[Boolean]("routed") shouldBe false
+  }
+
   it should "alert once on metronomic users and never on bursty ones" in {
     // the online half of the regularity pair: a 600 s metronome must
     // alert exactly when its 9th gap lands (cv 0), a bursty user with
