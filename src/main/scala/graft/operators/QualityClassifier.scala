@@ -181,6 +181,47 @@ object QualityClassifier {
           sum(col("label")).cast("double") / count(lit(1)), 6).as("pos_rate"))
       .orderBy(col("bin"))
 
+  /** Exact ROC-AUC (tie-corrected Mann–Whitney U) over `(label, score)`
+    * — the threshold-free separation number ql_eval's fixed-threshold
+    * accuracy cannot give. With ranks ascending by score and ties at
+    * average rank, AUC = (Σ_pos rank − P(P+1)/2) / (P·N); doubling the
+    * rank sum keeps EVERYTHING integer: per distinct score s (count c,
+    * positives np, strictly-below count cum), 2·Σ_pos rank folds as
+    * Σ np·(2·cum + c + 1), so AUC = (S₂ − P(P+1)) / (2·P·N) — an exact
+    * integer quotient, floor-rounded once (cross-engine deterministic;
+    * the only doubles are the final division's operands).
+    *
+    * Scale shape: the distinct-score frame is built by one partial-
+    * combined groupBy(score); the strictly-below cumulative runs as a
+    * CHUNKED prefix over it ([[graft.plans.ChunkedPrefix.runningSum]],
+    * score-range chunks — scores live in the weight clip's ±8 band) —
+    * NEVER a partition-less ordered window, which would serialize the
+    * near-unique score domain at any cluster size; the card is a 1-row
+    * aggregate. Products fold through decimal(38,0) (HUGEINT on the
+    * oracle side) — at 10¹² docs the doubled rank sum passes 2⁶³. */
+  private[graft] def aucOf(sc: DataFrame): DataFrame = {
+    val byScore = sc.groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("label")).as("np"))
+      .withColumn("k", lit(0))
+    val withCum = graft.plans.ChunkedPrefix.runningSum(
+      byScore, Seq("k"), Seq(col("score").asc),
+      graft.plans.ChunkedPrefix.rangeChunks(col("score"), -8.0, 8.0, 1024),
+      col("c"), "cum_below", inclusive = false)
+    withCum.agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("c") - col("np")).as("n_neg"),
+        sum(col("np").cast("decimal(38,0)") *
+          (lit(2L) * col("cum_below") + col("c") + lit(1L)).cast("decimal(38,0)"))
+          .as("s2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0, Exact.floorRound(
+          (col("s2") - col("n_pos").cast("decimal(38,0)") *
+            (col("n_pos") + 1).cast("decimal(38,0)")).cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
+  def qlAuc: Q = (s, d) => aucOf(scored(s, d))
+
   /** Frozen weights for the streaming twin
     * ([[graft.streaming.Transforms.qlScore]]) and any deployment that
     * scores outside this session — the dsirScore split: train offline
@@ -274,15 +315,39 @@ object QualityClassifier {
        |  ${Exact.floorRoundSql("CAST(sum(label) AS DOUBLE) / count(*)", 6)} AS pos_rate
        |FROM binned GROUP BY 1 ORDER BY bin""".stripMargin
 
+  val qlAucSql: String =
+    s"""WITH $corpusCte,
+       |$scoredCtes,
+       |byscore AS (
+       |  SELECT score, count(*) AS c, CAST(sum(label) AS BIGINT) AS np
+       |  FROM scp GROUP BY 1),
+       |cum AS (
+       |  SELECT score, c, np,
+       |    coalesce(sum(c) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_below
+       |  FROM byscore),
+       |agg AS (
+       |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |    CAST(sum(c - np) AS BIGINT) AS n_neg,
+       |    sum(CAST(np AS HUGEINT) * (2 * cum_below + c + 1)) AS s2
+       |  FROM cum)
+       |SELECT n_pos, n_neg,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN ${Exact.floorRoundSql(
+            "CAST(s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg)", 6)}
+       |  END AS auc
+       |FROM agg""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ql_train" -> qlTrain,
     "ql_score" -> qlScore,
     "ql_eval" -> qlEval,
-    "ql_calibration" -> qlCalibration)
+    "ql_calibration" -> qlCalibration,
+    "ql_auc" -> qlAuc)
 
   def oracleSql: Map[String, String] = Map(
     "ql_train" -> qlTrainSql,
     "ql_score" -> qlScoreSql,
     "ql_eval" -> qlEvalSql,
-    "ql_calibration" -> qlCalibrationSql)
+    "ql_calibration" -> qlCalibrationSql,
+    "ql_auc" -> qlAucSql)
 }

@@ -2046,6 +2046,27 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     dangling.head.getAs[Long]("n_orphan_embeddings") shouldBe 2L
   }
 
+  it should "compute the exact tie-corrected AUC on a known-answer fixture" in {
+    // pairs: pos {0.9, 0.8, 0.5} vs neg {0.5, 0.3} → wins 5, tie 0.5
+    // → U = 5.5, AUC = 5.5 / 6 = 0.91666… (half-up 6-dp → 0.916667)
+    val spark2 = spark
+    import spark2.implicits._
+    val sc = Seq((1L, 0.9), (1L, 0.8), (1L, 0.5), (0L, 0.5), (0L, 0.3))
+      .toDF("label", "score")
+    val r = operators.QualityClassifier.aucOf(sc).collect()(0)
+    r.getAs[Long]("n_pos") shouldBe 3L
+    r.getAs[Long]("n_neg") shouldBe 2L
+    r.getAs[Double]("auc") shouldBe 0.916667
+    // degenerate single-class corpora report NULL, not a division error
+    val onePos = Seq((1L, 0.9), (1L, 0.1)).toDF("label", "score")
+    operators.QualityClassifier.aucOf(onePos).collect()(0).isNullAt(2) shouldBe true
+    // perfect separation → 1.0; anti-separation → 0.0
+    val perfect = Seq((1L, 0.9), (1L, 0.8), (0L, 0.2), (0L, 0.1)).toDF("label", "score")
+    operators.QualityClassifier.aucOf(perfect).collect()(0).getAs[Double]("auc") shouldBe 1.0
+    val inverted = Seq((0L, 0.9), (1L, 0.1)).toDF("label", "score")
+    operators.QualityClassifier.aucOf(inverted).collect()(0).getAs[Double]("auc") shouldBe 0.0
+  }
+
   it should "flag 13-gram contamination as a strict refinement of the 3-gram rule" in {
     // round 13 (r12 verdict item 5): a shared 13-gram implies all its
     // constituent 3-grams are shared, so the 13-gram flag set must be a

@@ -150,7 +150,10 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // gradient chain) is checkpoint-pinned, so ql_train presents the pin
     // (0 scans) and ql_score/ql_eval pay exactly the ONE re-tokenize
     // scoring pass over documents (the taDsir two-pass shape)
+    // ql_auc pays the scoring pass + ChunkedPrefix's documented second
+    // column-pruned pass for the carry-summary branch
     "ql_train" -> 0, "ql_score" -> 1, "ql_eval" -> 1, "ql_calibration" -> 1,
+    "ql_auc" -> 2,
     // round-13 manifest census: doc and manifest spines both pinned
     // before the window/join fan-out
     "mm_manifest_integrity" -> 0)
