@@ -154,6 +154,29 @@ object Bench {
       System.err.println(s"[bench] centroid train FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       -1.0
     }
+    // The ql_* weight-table training the five quality-classifier queries
+    // amortize (round 14 memo): timed after eviction, forced to actually
+    // materialize via a count on the pinned B-row frame.
+    val qlTrain = try {
+      operators.QualityClassifier.evictTrainedModel(spark)
+      val t0 = System.nanoTime()
+      operators.QualityClassifier.trainedModel(spark, sfDir)._2.count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ql train FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      -1.0
+    }
+    // The OPQ rotation training ann_opq amortizes (round 14 memo — the
+    // chronic rerun-flag fix: training no longer re-pays per timing run).
+    val opqTrain = try {
+      operators.Similarity.evictTrainedRotation(spark)
+      val t0 = System.nanoTime()
+      operators.Similarity.trainedRotation(spark, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] opq train FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      -1.0
+    }
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -316,7 +339,7 @@ object Bench {
     val bloomRatesJson = bloomRates.map(r => fmt(r)).mkString("[", ",", "]")
     // stream_reruns derives from the actual run count (runs beyond the
     // first timed pass), never a literal — a self-describing artifact
-    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
+    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"opq_train_sec":${fmt(opqTrain)},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
     // FULL artifact: every per-query number. Printed first for
     // collectors that keep whole stdout AND written to a file so the
     // full per-query map survives even when only the stdout tail does.

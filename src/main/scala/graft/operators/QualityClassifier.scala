@@ -53,9 +53,25 @@ object QualityClassifier {
   /** Gradient rounds / step for the per-bucket univariate logistic.
     * Convergence: |w_T − logit(u)| shrinks monotonically; 8 rounds at
     * η = 4 reach the fixed point to ~1e-2 for moderate u and plateau
-    * near |w| ≈ 7 for extreme u (the implicit clip). */
+    * near |w| ≈ 3.6 for extreme u (the implicit clip: from w₀ = 0 with
+    * u → 1 the steps shrink as η·e^−w, so the 8-round trajectory is
+    * 2, 2.48, 2.79, 3.01, …, ≈ 3.59 — [[WBound]] derives the exact
+    * figure so the AUC chunk band below can never drift from it). */
   val QlRounds = 8
   val QlStep = 4.0
+
+  /** Tight magnitude bound on any trained weight — the worst case is
+    * u = 1 (or symmetrically u = 0) driven for all [[QlRounds]] rounds,
+    * computed by RUNNING that recurrence rather than quoting a figure
+    * (r13 advice: the previously stated |w| ≈ 7 plateau was wrong, and
+    * a hand-written band can silently under-cover if QlRounds/QlStep
+    * change). A document score is a MEAN of weights, so |score| ≤
+    * [[WBound]] too — [[aucOf]]'s range-chunk band reads this value. */
+  private[graft] val WBound: Double = {
+    var w = 0.0
+    for (_ <- 1 to QlRounds) w += QlStep * (1.0 - 1.0 / (1.0 + math.exp(-w)))
+    math.ceil(w)
+  }
 
   private def B = TextCorpus.DsirBuckets
 
@@ -77,16 +93,74 @@ object QualityClassifier {
       .filter(size(col("tk")) >= 1)
   }
 
-  /** B-row weight table (b, tc, rc, u, w) — histogram + gradient chain.
-    * localCheckpoint-pinned: ql_score/ql_eval broadcast-join it while
-    * ql_train presents it, and the histogram pass behind it is a full
-    * corpus tokenize. Takes the docs/target frames from the caller so
-    * [[scored]] shares ONE target pin with the training pass instead
-    * of re-aggregating min(source) behind a second pin. */
-  private def weightTable(s: SparkSession, d: String): DataFrame = {
-    val docs = corpus(s, d)
-    weightTableFor(docs, targetOf(docs))
+  // Trained model memoized per (session, dir + data fingerprint) —
+  // round 14, r13 verdict item 1: the five ql_* queries each rebuilt the
+  // histogram + gradient chain behind their own pins (~4 redundant
+  // full-corpus tokenize passes per evaluation suite; at 100 TB four
+  // wasted corpus scans). One training run now serves the whole family,
+  // the Clustering.trainedCents discipline exactly: keyed by DIR with
+  // the documents-parquet fingerprint stored alongside (a refreshed
+  // corpus under the same dir REPLACES the stale entry), weak session
+  // keys so stopped test sessions are not kept alive. The cached value
+  // is the (1-row target pin, B-row weight pin) PAIR — scoring needs
+  // the same frozen target the weights were trained against, and
+  // caching them together keeps the two from ever drifting.
+  private val modelCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (String, (DataFrame, DataFrame))]]())
+
+  /** Bench hook (the Clustering.evictTrainedCentroids twin): drop this
+    * session's memoized ql model so a timed [[trainedModel]] call
+    * measures the training sweep the five ql_* queries amortize. */
+  private[graft] def evictTrainedModel(s: SparkSession): Unit =
+    modelCache.synchronized {
+      val m = modelCache.get(s)
+      if (m != null) m.synchronized { m.clear() }
+    }
+
+  private def dataFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) ""
+    // the FULL listing string, not a hashCode — a collision would
+    // silently score under stale weights (the Clustering rationale)
+    else fs.listStatus(p).map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
   }
+
+  /** The memoized (target pin, weight-table pin) pair — ONE training
+    * run per (session, dir) shared by all five ql_* queries and
+    * [[trainedWeights]]. Both frames are lazily checkpoint-pinned, so
+    * the corpus passes behind them execute once at first action and
+    * every later consumer reads the materialized RDDs. */
+  private[graft] def trainedModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val perSession = modelCache.synchronized {
+      var m = modelCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; modelCache.put(s, m) }
+      m
+    }
+    val fp = dataFingerprint(s, d)
+    perSession.synchronized {
+      perSession.get(d) match {
+        case Some((cachedFp, model)) if cachedFp == fp => model
+        case _ => // miss, or the corpus under this dir changed: retrain
+          val docs = corpus(s, d)
+          val target = targetOf(docs)
+          val model = (target, weightTableFor(docs, target))
+          perSession.put(d, (fp, model))
+          model
+      }
+    }
+  }
+
+  /** B-row weight table (b, tc, rc, u, w) — histogram + gradient chain.
+    * localCheckpoint-pinned and memoized ([[trainedModel]]):
+    * ql_score/ql_eval broadcast-join it while ql_train presents it, and
+    * the histogram pass behind it is a full corpus tokenize paid ONCE
+    * per (session, dir). */
+  private def weightTable(s: SparkSession, d: String): DataFrame =
+    trainedModel(s, d)._2
 
   private def targetOf(docs: DataFrame): DataFrame =
     docs.agg(min(col("source")).as("ts")).localCheckpoint(false)
@@ -113,8 +187,8 @@ object QualityClassifier {
     * ql_eval aggregates the raw values. */
   private def scored(s: SparkSession, d: String): DataFrame = {
     val docs = corpus(s, d)
-    val target = targetOf(docs)
-    val w = weightTableFor(docs, target).select(col("b"), col("w"))
+    val (target, weights) = trainedModel(s, d)
+    val w = weights.select(col("b"), col("w"))
     labeledFeats(docs, target)
       .join(broadcast(w), "b")
       .groupBy(col("doc_id"), col("source"))
@@ -194,7 +268,8 @@ object QualityClassifier {
     * Scale shape: the distinct-score frame is built by one partial-
     * combined groupBy(score); the strictly-below cumulative runs as a
     * CHUNKED prefix over it ([[graft.plans.ChunkedPrefix.runningSum]],
-    * score-range chunks — scores live in the weight clip's ±8 band) —
+    * score-range chunks — scores live in the weight clip's ±[[WBound]]
+    * band, derived from (QlRounds, QlStep)) —
     * NEVER a partition-less ordered window, which would serialize the
     * near-unique score domain at any cluster size; the card is a 1-row
     * aggregate. Products fold through decimal(38,0) (HUGEINT on the
@@ -205,7 +280,10 @@ object QualityClassifier {
       .withColumn("k", lit(0))
     val withCum = graft.plans.ChunkedPrefix.runningSum(
       byScore, Seq("k"), Seq(col("score").asc),
-      graft.plans.ChunkedPrefix.rangeChunks(col("score"), -8.0, 8.0, 1024),
+      // band = ±WBound, DERIVED from (QlRounds, QlStep) so the two can
+      // never drift (r13 advice item 2); scores are mean weights, so
+      // the band covers by construction and rangeChunks clamps anyway
+      graft.plans.ChunkedPrefix.rangeChunks(col("score"), -WBound, WBound, 1024),
       col("c"), "cum_below", inclusive = false)
     withCum.agg(
         sum(col("np")).as("n_pos"),

@@ -46,6 +46,14 @@ object Similarity {
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", l2norm(col("e")))
+      // zero-norm (the all-zero failed-embed sentinel) is equally
+      // unindexable: every cosine against it is 0/0 = NaN, and the
+      // NaN-greatest tie rule would silently bucket it into the lowest
+      // cell (r13 advice item 1). Dropped here — mirrored in the
+      // oracles' vectorsCte and in the streaming router's quarantine
+      // guard ([[graft.streaming.Transforms.ivfRoute]]), so gate and
+      // build agree that a zero-norm vector is never in the index.
+      .filter(col("nrm") > 0)
   }
 
   /** FIXED deterministic query budget for every ANN evaluation card
@@ -74,11 +82,13 @@ object Similarity {
 
   private val vectorsCte: String =
     """v AS (
-      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
-      |    sqrt(list_reduce(list_transform(generate_series(1, 64),
-      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
-      |  FROM embeddings
-      |  WHERE embedding IS NOT NULL)""".stripMargin
+      |  SELECT * FROM (
+      |    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+      |      sqrt(list_reduce(list_transform(generate_series(1, 64),
+      |        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+      |    FROM embeddings
+      |    WHERE embedding IS NOT NULL)
+      |  WHERE nrm > 0)""".stripMargin
 
   /** SQL twin of [[defaultQueries]]'s id rule (over the unrotated ids —
     * the rule is content-independent, so one CTE serves the OPQ path's
@@ -713,24 +723,30 @@ object Similarity {
     * one partial-aggregated corpus pass producing 96 doubles; the angle
     * row broadcasts; rotation is record-local arithmetic — nothing new
     * shuffles. */
-  private def opqRotate(v: DataFrame): DataFrame = {
+  /** The 32 trained Givens angles — one moment aggregate, collected
+    * through the driver (train-small/apply-big — the cl_kmeans
+    * pattern): the PQ pipeline reads the rotated corpus from several
+    * branches (codes, LUTs, exact re-rank), and an inline angle subtree
+    * would re-run the full moment aggregate per branch (measured: 6
+    * embeddings scans vs ann_pq's 5 and +1.4 s at sf0.1). The collected
+    * row is 96 doubles; Math.atan2/cos/sin are exactly the functions the
+    * equivalent Spark expressions evaluate, so cross-engine parity with
+    * the oracle's angle math is unchanged. */
+  private def rotationAngles(v: DataFrame): Seq[Double] = {
     def mom(f: Int => Column) = array((1 to 32).map(f): _*)
     def e(i: Int) = element_at(col("e"), i)
     val moments = v.agg(
       mom(i => sum((e(i) * e(i + 32)).cast("decimal(38,18)")).cast("double")).as("sxy"),
       mom(i => sum((e(i) * e(i)).cast("decimal(38,18)")).cast("double")).as("sxx"),
       mom(i => sum((e(i + 32) * e(i + 32)).cast("decimal(38,18)")).cast("double")).as("syy"))
-    // 32 angles through the driver (train-small/apply-big — the cl_kmeans
-    // pattern): the PQ pipeline reads the rotated corpus from several
-    // branches (codes, LUTs, exact re-rank), and an inline angle subtree
-    // would re-run the full moment aggregate per branch (measured: 6
-    // embeddings scans vs ann_pq's 5 and +1.4 s at sf0.1). The collected
-    // row is 96 doubles; Math.atan2/cos/sin are exactly the functions the
-    // equivalent Spark expressions evaluate, so cross-engine parity with
-    // the oracle's angle math is unchanged.
     val m = moments.select(col("sxy"), col("sxx"), col("syy")).head()
-    val theta = (0 until 32).map(j => 0.5 * math.atan2(
+    (0 until 32).map(j => 0.5 * math.atan2(
       m.getSeq[Double](2)(j) - m.getSeq[Double](1)(j), 2 * m.getSeq[Double](0)(j)))
+  }
+
+  /** Record-local application of a trained rotation (literal cos/sin
+    * tables — a pure projection, nothing shuffles). */
+  private def applyRotation(v: DataFrame, theta: Seq[Double]): DataFrame =
     v.withColumn("cs", array(theta.map(t => lit(math.cos(t))): _*))
       .withColumn("sn", array(theta.map(t => lit(math.sin(t))): _*))
       .withColumn("e", expr(
@@ -738,9 +754,54 @@ object Similarity {
           |  element_at(cs, i) * element_at(e, i) + element_at(sn, i) * element_at(e, i + 32),
           |  -element_at(sn, i - 32) * element_at(e, i - 32) + element_at(cs, i - 32) * element_at(e, i)))""".stripMargin))
       .drop("cs", "sn")
+
+  private def opqRotate(v: DataFrame): DataFrame =
+    applyRotation(v, rotationAngles(v))
+
+  // Rotation angles memoized per (session, dir + data fingerprint) —
+  // round 14, r13 verdict item 3: ann_opq retrained the 32 closed-form
+  // Givens pairs (a full-corpus moment pass) on EVERY invocation, which
+  // made its bench line chronically rerun-flagged (the only per-query
+  // cost that re-pays a training sweep each timing run) and at 100 TB
+  // would re-scan the corpus per evaluation. Training is deterministic
+  // (decimal-hardened moments), so the memo is exact; the countCache /
+  // trainedCents discipline — dir-keyed, fingerprint-validated, weak
+  // session keys. Bench prices the training as its own artifact line
+  // (opq_train_sec) after eviction, the pair_build_sec pattern.
+  private val opqCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (String, Seq[Double])]]())
+
+  /** Bench hook: drop this session's memoized rotation so a timed
+    * [[trainedRotation]] call measures the moment sweep ann_opq
+    * amortizes. */
+  private[graft] def evictTrainedRotation(s: SparkSession): Unit =
+    opqCache.synchronized {
+      val m = opqCache.get(s)
+      if (m != null) m.synchronized { m.clear() }
+    }
+
+  private[graft] def trainedRotation(s: SparkSession, d: String): Seq[Double] = {
+    val perSession = opqCache.synchronized {
+      var m = opqCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; opqCache.put(s, m) }
+      m
+    }
+    val fp = dataFingerprint(s, d)
+    perSession.synchronized {
+      perSession.get(d) match {
+        case Some((cachedFp, theta)) if cachedFp == fp => theta
+        case _ =>
+          val theta = rotationAngles(vectors(s, d))
+          perSession.put(d, (fp, theta)); theta
+      }
+    }
   }
 
-  def annOpq: Q = (s, d) => annOpqFor(vectors(s, d))
+  def annOpq: Q = (s, d) => {
+    val vr = applyRotation(vectors(s, d), trainedRotation(s, d))
+    annPqFor(vr, defaultQueries(vr))
+  }
 
   /** General form: rotate, then PQ with queries drawn from the ROTATED
     * corpus by `queriesOf` (default: the standard budgeted adapter —

@@ -387,11 +387,17 @@ object Transforms {
       lit(0.0), (acc, x) => acc + x)
     docs
       .withColumn("n_feats", size(bkts).cast("long"))
+      // Exact.floorRound, NOT Spark round() (r13 advice item 4): the
+      // batch twin floor-rounds (floor(x·p + 0.5) — negative halves
+      // toward +∞) while round() is HALF_UP (negative halves away from
+      // zero), so the two could disagree by 1e-6 on negative knife-edge
+      // scores; the online twin must share the batch rounding rule.
       .withColumn("score",
-        when(col("n_feats") > 0, round(wsum / col("n_feats"), 6)).otherwise(null))
-      .withColumn("prob",
         when(col("n_feats") > 0,
-          round(lit(1.0) / (lit(1.0) + exp(-(wsum / col("n_feats")))), 6)).otherwise(null))
+          graft.operators.Exact.floorRound(wsum / col("n_feats"), 6)).otherwise(null))
+      .withColumn("prob",
+        when(col("n_feats") > 0, graft.operators.Exact.floorRound(
+          lit(1.0) / (lit(1.0) + exp(-(wsum / col("n_feats")))), 6)).otherwise(null))
       .withColumn("keep",
         col("n_feats") > 0 && (wsum / col("n_feats")) >= minScore)
   }
@@ -410,7 +416,14 @@ object Transforms {
     * zero-norm, or an empty codebook's -1 sentinel) KEEPS its row with
     * routed = false — ingest quarantines, it never silently drops (the
     * batch build filters instead: an unroutable vector cannot be
-    * indexed, but a stream row must reach the DLQ).
+    * indexed, but a stream row must reach the DLQ). Zero-norm needs its
+    * OWN guard (r13 advice item 1): with nrm = 0 every cosine is
+    * 0/0 = NaN and the kernel's NaN-greatest tie rule would "assign"
+    * the vector to the lowest probed cid — an all-zero failed-embed
+    * sentinel silently indexed into cell 0 instead of reaching the DLQ.
+    * The batch build drops the same vectors at load
+    * ([[graft.operators.Similarity]]'s nrm > 0 filter), so gate and
+    * build agree: a zero-norm vector is never in the index.
     *
     * Scale: the flattened book is (K+√K)·(dim+3) doubles as literals —
     * metadata-sized by the IVF family's broadcast contract, however
@@ -421,8 +434,12 @@ object Transforms {
     graft.plans.GraftFunctions.register(vectors.sparkSession)
     vectors
       .withColumn("_nrm", graft.functions.VecFns.l2norm(col(vecCol)))
-      .withColumn("cell", call_function("graft_ivf_assign",
-        col(vecCol), col("_nrm"), lit(sb), lit(cb), lit(probes)))
+      // nrm = 0 → -1 (quarantine); nrm null (null embedding) → null;
+      // both read as routed = false below
+      .withColumn("cell",
+        when(col("_nrm") > 0, call_function("graft_ivf_assign",
+          col(vecCol), col("_nrm"), lit(sb), lit(cb), lit(probes)))
+        .when(col("_nrm").isNotNull, lit(-1L)))
       .withColumn("routed", coalesce(col("cell") >= 0, lit(false)))
       .drop("_nrm")
   }

@@ -1592,6 +1592,14 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .collect()(0)
     emptyBook.getAs[Long]("cell") shouldBe -1L
     emptyBook.getAs[Boolean]("routed") shouldBe false
+    // a ZERO-NORM vector (the all-zero failed-embed sentinel) must
+    // quarantine too, not ride the NaN tie rule into cell 0 (r13
+    // advice item 1 — the documented contract now has its own guard)
+    val zeroNorm = Transforms.ivfRoute(
+      Seq((3L, Option(Array.fill(64)(0.0f)))).toDF("vec_id", "embedding"), sb, cb, p)
+      .collect()(0)
+    zeroNorm.getAs[Long]("cell") shouldBe -1L
+    zeroNorm.getAs[Boolean]("routed") shouldBe false
   }
 
   it should "alert once on metronomic users and never on bursty ones" in {
