@@ -177,6 +177,17 @@ object Bench {
       System.err.println(s"[bench] opq train FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       -1.0
     }
+    // The IVF coarse-codebook Lloyd sweep ann_ivf_trained / the health
+    // and recall cards amortize (round 14).
+    val ivfTrain = try {
+      operators.Similarity.evictTrainedIvfCents(spark)
+      val t0 = System.nanoTime()
+      operators.Similarity.trainedIvfCents(spark, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ivf train FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      -1.0
+    }
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -339,7 +350,7 @@ object Bench {
     val bloomRatesJson = bloomRates.map(r => fmt(r)).mkString("[", ",", "]")
     // stream_reruns derives from the actual run count (runs beyond the
     // first timed pass), never a literal — a self-describing artifact
-    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"opq_train_sec":${fmt(opqTrain)},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
+    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"opq_train_sec":${fmt(opqTrain)},"ivf_train_sec":${fmt(ivfTrain)},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
     // FULL artifact: every per-query number. Printed first for
     // collectors that keep whole stdout AND written to a file so the
     // full per-query map survives even when only the stdout tail does.

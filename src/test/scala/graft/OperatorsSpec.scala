@@ -1229,6 +1229,52 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     rRes should be > rRaw
   }
 
+  it should "show the trained IVF codebook beating first-K seeding on id-ordered clusters" in {
+    // Adversarial-but-realistic fixture for coarse-codebook training
+    // (round 14): vec_ids CORRELATED with cluster — ids 0..39 all drawn
+    // from cluster 0, the shape a sorted/partitioned ingest produces.
+    // First-K seeding then picks K near-parallel vectors as centroids
+    // (cell boundaries are cosine noise; probing 4 cells recovers a
+    // near-random corpus slice), while two spherical-Lloyd rounds over
+    // the hash-stratified sample (id-independent by construction) pull
+    // the centroids onto the actual cluster directions. Same K, same
+    // nprobe, same serving pipeline — only the codebook differs.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.plans.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    // center scale vs jitter chosen so within-cluster spread is wide
+    // enough that near-parallel noise centroids CANNOT assign a
+    // cluster's members consistently (tight clusters hide bad seeding:
+    // near-duplicate vectors land in the same noise cell as their
+    // query and recall stays high no matter the codebook)
+    val centers = Array.fill(16)(Array.fill(64)(4.0 * rnd.nextGaussian()))
+    def near(c: Array[Double]) = c.map(x => x + 2.0 * rnd.nextGaussian())
+    val rows = (0 until 40).map(id => (id.toLong, near(centers(0)))) ++
+      (40 until 1240).map(id => (id.toLong, near(centers(id % 16))))
+    val v = rows.toDF("vec_id", "e")
+      .withColumn("nrm", graft.functions.VecFns.l2norm(col("e")))
+    val qs = v.filter(col("vec_id") % 7 === 3 && col("vec_id") >= 40)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.filter(col("rnk") <= 5).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val exact = neighbors(operators.Similarity.annBruteforceFor(v, qs))
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = neighbors(df)
+      val scores = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      scores.sum / scores.size
+    }
+    val rSeeded = recall(operators.Similarity.annIvfSqrtFor(v, qs))
+    val rTrained = recall(operators.Similarity.annIvfTrainedFor(v, qs))
+    info(f"recall@5 on id-ordered clusters: first-K=$rSeeded%.3f trained=$rTrained%.3f")
+    // measured 0.758 vs 0.998 on this seed — pin a wide margin so the
+    // assertion survives fixture noise but a training regression cannot
+    rTrained should be > (rSeeded + 0.15)
+  }
+
   it should "keep two-level coarse assignment in near-exact agreement with one-level" in {
     // Assignment-quality pin for assignCells' twoLevel rule (round 13,
     // r12 verdict item 1): on a clustered corpus — the shape IVF indexes

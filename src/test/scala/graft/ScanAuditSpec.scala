@@ -156,7 +156,14 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "ql_auc" -> 2,
     // round-13 manifest census: doc and manifest spines both pinned
     // before the window/join fan-out
-    "mm_manifest_integrity" -> 0)
+    "mm_manifest_integrity" -> 0,
+    // round-14 trained-codebook IVF: the Lloyd sweep runs at plan
+    // construction (driver loop over the bounded sample) and the
+    // trained centroids enter the plan as a LocalRelation — so unlike
+    // ann_ivf_sqrt's 6 (which derives cents/super-cells from vec_id-
+    // pruned scans), the final plan scans only the corpus assignment
+    // pass and the budgeted query fetch
+    "ann_ivf_trained" -> 2)
 
   behavior of "post-execution scan counts"
 
