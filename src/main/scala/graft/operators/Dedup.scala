@@ -762,6 +762,74 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Decontamination ACTION stage (round 14, r13 verdict item 5) — the
+    * removal twin of the [[ddDecontaminate]] census (the dd_line_trim
+    * relationship: census reports, this one emits the cleaned corpus):
+    * one row per CORPUS (non-bench) document with its contamination
+    * accounting — distinct bench docs it shares a
+    * [[DecontaminateGram]]-gram with, distinct shared grams — a `kept`
+    * flag (kept = shares NO gram with any bench doc, the
+    * doc-level-drop convention C4/Dolma-lineage pipelines apply), and
+    * for kept rows the md5 of the surviving text, so the oracle
+    * HASH-CHECKS the cleaned corpus itself, not just the flags (a drop
+    * stage that silently mangled survivors would still fail). Dropped
+    * rows stay in the card with text_md5 null — the accounting half; a
+    * deployment materializes `kept = 1` and drops the column.
+    *
+    * Scale shape = the census's: one exact string-keyed gram join
+    * (work bounded by true overlaps — no hash false positives in a
+    * removal decision), the flag frame collapses to ≤|contaminated|
+    * rows before the corpus-spine left join, and the hash is
+    * record-local. */
+  def ddDecontaminateDrop: Q = (s, d) => {
+    val n = DecontaminateGram
+    val docs = Tables.documents(s, d)
+    val grams = docGrams(docs, n)
+    val benchGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    val flags = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(benchGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("nb"),
+        countDistinct(col("g")).as("ng"))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bench_docs"),
+        coalesce(col("ng"), lit(0L)).as("n_shared_grams"),
+        when(col("nb").isNull, 1L).otherwise(0L).as("kept"),
+        when(col("nb").isNull, md5(col("text").cast("binary"))).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ddDecontaminateDropSql: String = {
+    val n = DecontaminateGram
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk) - ${n - 1}),
+       |    i -> list_aggregate(tk[i:i+${n - 1}], 'string_agg', ' ')))) AS g
+       |  FROM toks WHERE len(tk) >= $n),
+       |bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 97 = 0),
+       |flags AS (
+       |  SELECT g2.doc_id,
+       |    count(DISTINCT b.bench_id) AS nb,
+       |    count(DISTINCT g2.g) AS ng
+       |  FROM grams g2 JOIN bench b ON b.g = g2.g
+       |  WHERE g2.doc_id % 97 <> 0
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(f.nb, 0) AS BIGINT) AS n_bench_docs,
+       |  CAST(coalesce(f.ng, 0) AS BIGINT) AS n_shared_grams,
+       |  CAST(CASE WHEN f.nb IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       |  CASE WHEN f.nb IS NULL THEN md5(d.text) END AS text_md5
+       |FROM documents d LEFT JOIN flags f USING (doc_id)
+       |WHERE d.doc_id % 97 <> 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val ddDecontaminateSql: String = {
     val n = DecontaminateGram
     s"""WITH toks AS (
@@ -1823,6 +1891,7 @@ object Dedup {
     "dd_dup_span" -> ddDupSpan,
     "dd_bloom" -> ddBloom,
     "dd_decontaminate" -> ddDecontaminate,
+    "dd_decontaminate_drop" -> ddDecontaminateDrop,
     "dd_exact" -> ddExact,
     "dd_cross_source" -> ddCrossSource,
     "dd_exact_norm" -> ddExactNorm,
@@ -1851,6 +1920,7 @@ object Dedup {
     "dd_substring" -> ddSubstringSql,
     "dd_dup_span" -> ddDupSpanSql,
     "dd_decontaminate" -> ddDecontaminateSql,
+    "dd_decontaminate_drop" -> ddDecontaminateDropSql,
     "dd_exact" -> ddExactSql,
     "dd_cross_source" -> ddCrossSourceSql,
     "dd_exact_norm" -> ddExactNormSql,

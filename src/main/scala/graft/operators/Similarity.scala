@@ -565,11 +565,26 @@ object Similarity {
     * (the family invariant), `queries` is the small side. */
   private def annIvfWith(v: DataFrame, queries: DataFrame, cents: DataFrame,
       nCentroids: Int, twoLevel: Boolean): DataFrame = {
-    val nProbe = 4
     // top-1 cell per vector via the shared assignCells rule — map-only
     // (graft_ivf_assign over the broadcast flattened codebook), so the
     // whole build side of this pipeline is shuffle-free
-    val assigned = assignCells(v, cents, nCentroids, twoLevel)
+    serveAssigned(assignCells(v, cents, nCentroids, twoLevel), cents, queries)
+  }
+
+  /** The IVF SERVING tail over an already-assigned corpus (vec_id, e,
+    * nrm, cell) — split from [[annIvfWith]] so a STREAMED index (rows
+    * routed at ingest by [[graft.streaming.Transforms.ivfRoute]] and
+    * published through a snapshot table) serves queries through the
+    * IDENTICAL probe/score/rank text as the batch build
+    * ([[graft.streaming.VectorStoreLoader]] — routed ≡ built end to
+    * end, spec-pinned). Probing broadcasts the queries against the
+    * metadata-sized cents; candidate scoring touches only probed
+    * cells — with the table cell-partitioned on disk, the `cell`
+    * filter prunes at the PATH level, so a probe reads nprobe/K of the
+    * index files. */
+  private[graft] def serveAssigned(assigned: DataFrame, cents: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val nProbe = 4
     // top-nProbe cells per query via the bounded-heap TopKPerGroup
     val probes = {
       val scored = queries
@@ -583,6 +598,27 @@ object Similarity {
         assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
     rankTopK(scored, 5)
+  }
+
+  /** Reconstruct the centroid frame (cid, ce, cn) from a FLATTENED
+    * candidate codebook (the `cb` layout [[assignBook]] emits and
+    * [[frozenCodebook]] ships — blocks of [parent, cid, cn, ce(dim)]):
+    * the probe side of a deployed vector store needs the cents to rank
+    * cells, and the flattened book is the ONE artifact the store
+    * freezes — deriving cents from it (rather than re-reading the
+    * corpus) keeps probe and router on the same book by construction.
+    * Driver-side reshape of a metadata-sized array; LocalRelation out. */
+  private[graft] def centsFromBook(s: SparkSession, cb: Array[Double]): DataFrame = {
+    import s.implicits._
+    val block = Dim + 3
+    require(cb.length % block == 0,
+      s"flattened codebook length ${cb.length} is not a multiple of block size $block")
+    // the STORED cn, not a recompute — the book is the frozen artifact
+    val cents = cb.grouped(block).map { b =>
+      (b(1).toLong, b.slice(3, block).toSeq, b(2))
+    }.toSeq
+    if (cents.isEmpty) Seq.empty[(Long, Seq[Double], Double)].toDF("cid", "ce", "cn")
+    else cents.toDF("cid", "ce", "cn")
   }
 
   /** The coarse-assignment CTE body — ONE definition of the argmax rule

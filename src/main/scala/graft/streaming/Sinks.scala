@@ -262,8 +262,18 @@ object Sinks {
     * invisible to recovery (the epoch just re-delivers, idempotently),
     * and no commit ever rewrites another commit's record. A legacy
     * `_manifest` file from the append-era layout is still honored
-    * read-only, tolerating a torn final line. */
-  class TwoPhaseCommitSink(outDir: String) extends Serializable {
+    * read-only, tolerating a torn final line.
+    *
+    * @param epochGate optional pre-publish integrity gate (round 14,
+    *   r13 verdict item 6): runs against the staged epoch frame BEFORE
+    *   phase 2's rename — a gated defect refuses the whole epoch
+    *   loudly (no data visible, no marker written; the stream fails
+    *   and a restart re-delivers the epoch), closing the loop the
+    *   reference's storage trait implies: a committing sink owns its
+    *   epoch's integrity, not just its atomicity.
+    *   [[Transforms.manifestEpochGate]] is the shard-manifest instance. */
+  class TwoPhaseCommitSink(outDir: String,
+      epochGate: Option[DataFrame => Option[String]] = None) extends Serializable {
 
     def attach(events: DataFrame, checkpointDir: String): StreamingQuery =
       events.writeStream
@@ -301,18 +311,35 @@ object Sinks {
       val spark = batchRaw.sparkSession
       if (committedBatchIds(spark).contains(batchId)) return // replay → skip
       val batch = batchRaw.persist()
+      // Integrity gate BEFORE phase 2: a refused epoch publishes
+      // NOTHING — no visible data dir, no marker — and fails the query
+      // loudly (never a silent drop; the epoch re-delivers after the
+      // defect is fixed upstream)
+      for (g <- epochGate; reason <- g(batch)) {
+        batch.unpersist()
+        throw new IllegalStateException(
+          s"two-phase commit REFUSED epoch $batchId: $reason")
+      }
       val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       // Phases 1+2: stage, then one atomic rename (shared protocol)
       publish(fs, outDir, s"batch=$batchId") { staging =>
         batch.write.mode("overwrite").parquet(staging.toString)
       }
-      // Commit: marker `_commits/<id>` with `partition=min..max,...;rows=n`
-      val ranges = batch.groupBy(col("event_type"))
-        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
-        .collect()
-        .sortBy(_.getString(0))
-        .map(r => s"${r.getString(0)}=${r.getLong(1)}..${r.getLong(2)}")
-        .mkString(",")
+      // Commit: marker `_commits/<id>` with `partition=min..max,...;rows=n`.
+      // Range endpoints come from (event_type, event_id) when the schema
+      // carries them — the sink itself is schema-agnostic (the
+      // SnapshotTableSink rule), so non-event epochs (e.g. a gated
+      // shard-manifest stream) commit rows-only markers
+      val hasEv = batch.columns.contains("event_type") &&
+        batch.columns.contains("event_id")
+      val ranges =
+        if (!hasEv) ""
+        else batch.groupBy(col("event_type"))
+          .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+          .collect()
+          .sortBy(_.getString(0))
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}..${r.getLong(2)}")
+          .mkString(",")
       val commits = new Path(outDir, "_commits")
       fs.mkdirs(commits)
       val tmpMarker = new Path(commits, s".tmp.$batchId")

@@ -24,7 +24,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * a stale epoch. Snapshots track data dirs (`live`) separately from the
   * guard for exactly this reason.
   */
-class SnapshotTableSink(tableDir: String) extends Serializable {
+/** @param partitionCols optional Hive-style partition columns for the
+  *   epoch data dirs (round 14): a vector-store table partitioned by
+  *   its IVF `cell` turns every probe's cell filter into PATH-level
+  *   pruning — a nprobe=4 probe reads 4/K of the index files instead
+  *   of scanning every epoch. Orthogonal to the snapshot protocol
+  *   (dirs, commits and replay guards are untouched; parquet partition
+  *   discovery restores the column on read). */
+class SnapshotTableSink(tableDir: String,
+    partitionCols: Seq[String] = Nil) extends Serializable {
 
   def attach(events: DataFrame, checkpointDir: String): StreamingQuery =
     events.writeStream
@@ -105,7 +113,19 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
     // applies; without it parquet takes one file's schema and silently
     // DROPS the other epochs' new columns
     if (paths.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    else if (partitionCols.isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    else
+      // partitioned epochs read PER DIR: a multi-path read would try to
+      // discover one partition layout across batch=/compact= roots and
+      // throw CONFLICTING_DIRECTORY_STRUCTURES; per-dir discovery
+      // restores the partition columns, and unionByName with missing
+      // columns gives evolved epochs the same null-fill treatment
+      // mergeSchema gives unpartitioned ones (an empty epoch writes an
+      // unpartitioned schema-only file — its missing partition column
+      // null-fills over zero rows)
+      paths.map(p => spark.read.option("mergeSchema", "true").parquet(p))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Read the table as of the latest snapshot (only committed files). */
@@ -252,8 +272,14 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
     if (prev.exists(_.committed.contains(batchId))) return // replayed epoch
     // cache: the write and the ranges agg would otherwise each re-read the source
     val batch = batchRaw.persist()
-    // data files (distributed write)
-    batch.write.mode("overwrite").parquet(s"$tableDir/data/batch=$batchId")
+    // data files (distributed write; optionally cell/partition-pruned).
+    // An EMPTY epoch writes unpartitioned: partitionBy of zero rows
+    // emits no files at all and the dir becomes unreadable (schema
+    // inference fails); the unpartitioned empty write keeps a
+    // schema-bearing file, and readDirs null-fills the partition column
+    val w = batch.write.mode("overwrite")
+    (if (partitionCols.nonEmpty && !batch.isEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$tableDir/data/batch=$batchId")
     // consumed ranges recorded with the commit (StreamRange analog); the
     // range endpoints come from event_id when the schema carries one —
     // the sink itself is schema-agnostic, so other tables get rows-only
@@ -291,8 +317,10 @@ class SnapshotTableSink(tableDir: String) extends Serializable {
       case Some(s) =>
         val snapshotId = s.id + 1
         val dir = s"compact=$snapshotId"
-        readLatest(spark, keyCols, versionCol)
-          .write.mode("overwrite").parquet(s"$tableDir/data/$dir")
+        val cw = readLatest(spark, keyCols, versionCol)
+          .write.mode("overwrite")
+        (if (partitionCols.nonEmpty) cw.partitionBy(partitionCols: _*) else cw)
+          .parquet(s"$tableDir/data/$dir")
         publishSnapshot(spark, Snap(snapshotId, s.committed, Seq(dir)),
           parent = s.id, epoch = -1L, rangeJson = "null")
         Some(snapshotId)

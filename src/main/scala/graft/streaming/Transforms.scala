@@ -444,6 +444,40 @@ object Transforms {
       .drop("_nrm")
   }
 
+  /** Manifest-epoch integrity gate for [[Sinks.TwoPhaseCommitSink]]
+    * (round 14, r13 verdict item 6) — the STREAMING twin of the batch
+    * `mm_manifest_integrity` census, enforced at publish time: the
+    * epoch's manifest entries (doc_id, shard, n_bytes, rec_idx, offset)
+    * are audited against the published `docs` table through the SAME
+    * [[graft.operators.Multimodal.mmManifestIntegrityFor]] lanes the
+    * batch census reports, and ANY dangling entry, length mismatch,
+    * offset break or record-index break refuses the commit before the
+    * epoch becomes visible — a dataloader can never seek garbage bytes
+    * out of a committed shard index. The batch census REPORTS defects
+    * in tables already published; this gate makes the defect
+    * unpublishable.
+    *
+    * The census's corpus-level n_unsharded_docs lane is deliberately
+    * NOT gated: an epoch shards a SUBSET of the corpus by design, so
+    * "docs this epoch didn't index" is the normal case, not a defect.
+    *
+    * Scale shape: the audit is the census's — keyed joins on doc_id
+    * (ids and byte counts move, never payloads), shard-partitioned
+    * windows, a |shards|-row verdict collected to the driver. */
+  def manifestEpochGate(docs: DataFrame): DataFrame => Option[String] = { epoch =>
+    val lanes = graft.operators.Multimodal.mmManifestIntegrityFor(docs, epoch)
+      .agg(sum(col("n_dangling")), sum(col("n_len_mismatch")),
+        sum(col("n_offset_breaks")), sum(col("n_idx_breaks")))
+      .collect()(0)
+    val names = Seq("dangling entries", "length mismatches",
+      "offset breaks", "record-index breaks")
+    val bad = names.zipWithIndex.flatMap { case (n, i) =>
+      val v = if (lanes.isNullAt(i)) 0L else lanes.getLong(i)
+      if (v > 0) Some(s"$v $n") else None
+    }
+    if (bad.isEmpty) None else Some(bad.mkString(", "))
+  }
+
   /** Streaming BPE tokenization under a FROZEN merge table — the
     * deployed half of the ta_bpe_train/ta_bpe_apply pair (the dsirScore
     * split: train offline, apply record-locally online). Each arriving

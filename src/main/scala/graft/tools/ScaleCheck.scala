@@ -88,16 +88,25 @@ object ScaleCheck {
     * note 1): queries sharing a memoized session frame time differently
     * depending on WHICH of them ran first — the artifact records
     * cold/warm per query so a flattering capture order is readable off
-    * the artifact instead of needing the reader to know the memo map. */
-  private val MemoGroups: Map[String, String] = Map(
-    "cl_pagerank" -> "simedges", "cl_dbscan" -> "simedges",
-    "cl_kmeans" -> "kmeans-cents", "cl_inertia" -> "kmeans-cents",
-    "cl_silhouette" -> "kmeans-cents", "cl_purity" -> "kmeans-cents",
-    "cl_semantic_dedup" -> "kmeans-cents", "cl_drift" -> "kmeans-cents",
-    "cl_outliers" -> "kmeans-cents", "cl_diverse_sample" -> "kmeans-cents",
-    // the √N family shares Similarity.corpusCount per (session, dir)
-    "ann_ivf_sqrt" -> "emb-count", "ann_ivfpq_sqrt" -> "emb-count",
-    "ann_ivf_health" -> "emb-count")
+    * the artifact instead of needing the reader to know the memo map.
+    * Round 14: a query can touch SEVERAL memo groups (the health card
+    * warms both the corpus count and the trained codebook), so the
+    * memo field records exactly which groups were cold at its capture
+    * — `cold(g1,g2)` — or `warm` when every touched group was. */
+  private val MemoGroups: Map[String, Seq[String]] = Map(
+    "cl_pagerank" -> Seq("simedges"), "cl_dbscan" -> Seq("simedges"),
+    "cl_kmeans" -> Seq("kmeans-cents"), "cl_inertia" -> Seq("kmeans-cents"),
+    "cl_silhouette" -> Seq("kmeans-cents"), "cl_purity" -> Seq("kmeans-cents"),
+    "cl_semantic_dedup" -> Seq("kmeans-cents"), "cl_drift" -> Seq("kmeans-cents"),
+    "cl_outliers" -> Seq("kmeans-cents"), "cl_diverse_sample" -> Seq("kmeans-cents"),
+    // the √N family shares Similarity.corpusCount per (session, dir);
+    // the round-14 trained-codebook consumers additionally share the
+    // Lloyd-trained matrix (ivf-train) and ann_opq its rotation memo
+    "ann_ivf_sqrt" -> Seq("emb-count"), "ann_ivfpq_sqrt" -> Seq("emb-count"),
+    "ann_ivf_health" -> Seq("emb-count", "ivf-train"),
+    "ann_ivf_trained" -> Seq("emb-count", "ivf-train"),
+    "ann_recall_card" -> Seq("emb-count", "ivf-train"),
+    "ann_opq" -> Seq("opq-rot"))
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
@@ -140,8 +149,10 @@ object ScaleCheck {
     val seenGroups = scala.collection.mutable.Set.empty[String]
     val rows = ids.zipWithIndex.map { case (id, order) =>
       val memo = MemoGroups.get(id) match {
-        case Some(g) => val warm = seenGroups(g); seenGroups += g
-          if (warm) "warm" else "cold"
+        case Some(gs) =>
+          val cold = gs.filterNot(seenGroups)
+          gs.foreach(seenGroups += _)
+          if (cold.isEmpty) "warm" else cold.mkString("cold(", ",", ")")
         case None => "none"
       }
       var (baseSec, bigSec, ratio) = measureRatio(spark, base, big, id)
@@ -235,7 +246,11 @@ object ScalePlan {
     // operator doc; measured 1.0-2.1x at factor 10 (ivfpq_sqrt 2.0x)
     "ann_ivf_sqrt" -> 12.0,
     "ann_ivf_health" -> 12.0,
-    "ann_ivfpq_sqrt" -> 12.0)
+    "ann_ivfpq_sqrt" -> 12.0,
+    // trained codebook (round 14): serving = ann_ivf_sqrt's class; the
+    // Lloyd sweep is Θ(budget·K) = Θ(√N) and memoized, so the first
+    // capture pays it once (memo field says which)
+    "ann_ivf_trained" -> 12.0)
 
   /** Factor-32 DOCUMENTS-ONLY slope plan (round 12, r11 verdict item
     * 6): the linear class at factor 10 is fixed-overhead-dominated
@@ -272,7 +287,13 @@ object ScalePlan {
     "ann_ivfpq" -> 10.0,
     "ann_ivf_sqrt" -> 6.0,
     "ann_ivfpq_sqrt" -> 8.0,
-    "ann_ivf_health" -> 6.0)
+    "ann_ivf_health" -> 8.0,
+    // round 14: trained serving must track ann_ivf_sqrt's slope — the
+    // Θ(budget·K) Lloyd sweep grows only as √N, so a ceiling break here
+    // means the TRAINING stage went corpus-shaped (ceiling ≈ 3× the
+    // round-14 measured ratio); the health card's ceiling moves 6→8 for
+    // its third (trained) scheme's extra ≤K-row audit pass
+    "ann_ivf_trained" -> 8.0)
 
   /** Name → plan, for ScaleCheck's `plan=` selector. */
   val byName: Map[String, Seq[(String, Double)]] = Map(

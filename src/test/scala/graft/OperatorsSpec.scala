@@ -2143,6 +2143,26 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
     byBench.keySet.subsetOf(census.keySet) shouldBe true
     census.values.exists(_.getAs[Long]("n_leaked_grams") == 0L) shouldBe true
+    // the ACTION stage ties out against the pair view (round 14): the
+    // dropped corpus docs are EXACTLY the pair view's flagged docs, a
+    // kept doc never carries contamination counts, and survivors carry
+    // a text hash (the oracle hash-checks the cleaned corpus)
+    val drop = operators.Dedup.ddDecontaminateDrop(spark, sf01).collect()
+    val flagged13 = p13.map(_._1)
+    drop.filter(_.getAs[Long]("kept") == 0L).map(_.getAs[Long]("doc_id")).toSet shouldBe flagged13
+    val byDoc = p13.groupBy(_._1).view.mapValues(_.map(_._2).toSet.size).toMap
+    drop.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      withClue(s"doc $id: ") {
+        r.getAs[Long]("n_bench_docs") shouldBe byDoc.getOrElse(id, 0).toLong
+        if (r.getAs[Long]("kept") == 1L) {
+          r.getAs[Long]("n_shared_grams") shouldBe 0L
+          // null text stays null-hashed; any real text hashes
+          (r.getAs[String]("text_md5") != null ||
+            r.isNullAt(r.fieldIndex("text_md5"))) shouldBe true
+        } else r.getAs[String]("text_md5") shouldBe null
+      }
+    }
   }
 
   it should "count every manifest defect lane exactly on a seeded dirty manifest" in {
