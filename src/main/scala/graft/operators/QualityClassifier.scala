@@ -255,6 +255,47 @@ object QualityClassifier {
           sum(col("label")).cast("double") / count(lit(1)), 6).as("pos_rate"))
       .orderBy(col("bin"))
 
+  /** Precision/recall operating-point card (round 14) — the
+    * threshold-sweep table a deployed filter publishes next to its
+    * calibration card: per candidate acceptance threshold (the 20
+    * probability bins of 0.05 — the SAME `floor(prob·20)` binning as
+    * [[qlCalibration]], so "keep at bin ≥ i" is exact on both engines
+    * with no float-boundary knife edges), the kept-document count,
+    * true positives, and precision / recall / F1. This is where the
+    * token-budget ↔ purity trade reads off: recall is the share of
+    * reference-like docs a threshold keeps, precision the purity of
+    * the kept stream. F1 folds as the exact integer identity
+    * 2·tp / (n_keep + P) (= 2TP/(2TP+FP+FN)) — one floor-rounded
+    * division, no compounded ratios.
+    *
+    * Scale shape: ONE scoring pass collapses to the 20-row bin
+    * histogram (the calibration aggregate); the threshold sweep is a
+    * 20×20 spine join over that metadata-sized frame — never a second
+    * corpus pass, never a partition-less window. */
+  def qlPrCurve: Q = (s, d) => {
+    val binned = scored(s, d)
+      .withColumn("bin", least(floor(col("prob") * 20).cast("long"), lit(19L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("n_pos"))
+      .localCheckpoint(false) // 20-row histogram; feeds the sweep + totals
+    val totals = binned.agg(
+      sum(col("n_docs")).as("n_total"), sum(col("n_pos")).as("p_total"))
+    val spine = s.range(20).select(col("id").as("thr_bin"))
+    spine.join(binned, col("bin") >= col("thr_bin"), "left")
+      .groupBy(col("thr_bin"))
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_keep"),
+        coalesce(sum(col("n_pos")), lit(0L)).as("tp"))
+      .crossJoin(broadcast(totals))
+      .select(col("thr_bin"), col("n_keep"), col("tp"),
+        when(col("n_keep") > 0, Exact.floorRound(
+          col("tp").cast("double") / col("n_keep"), 6)).as("precision"),
+        when(col("p_total") > 0, Exact.floorRound(
+          col("tp").cast("double") / col("p_total"), 6)).as("recall"),
+        when(col("n_keep") + col("p_total") > 0, Exact.floorRound(
+          lit(2.0) * col("tp") / (col("n_keep") + col("p_total")), 6)).as("f1"))
+      .orderBy(col("thr_bin"))
+  }
+
   /** Exact ROC-AUC (tie-corrected Mann–Whitney U) over `(label, score)`
     * — the threshold-free separation number ql_eval's fixed-threshold
     * accuracy cannot give. With ranks ascending by score and ties at
@@ -393,6 +434,28 @@ object QualityClassifier {
        |  ${Exact.floorRoundSql("CAST(sum(label) AS DOUBLE) / count(*)", 6)} AS pos_rate
        |FROM binned GROUP BY 1 ORDER BY bin""".stripMargin
 
+  val qlPrCurveSql: String =
+    s"""WITH $corpusCte,
+       |$scoredCtes,
+       |binned AS (
+       |  SELECT least(CAST(floor(prob * 20) AS BIGINT), 19) AS bin,
+       |    count(*) AS n_docs, CAST(sum(label) AS BIGINT) AS n_pos
+       |  FROM scp GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+       |    CAST(sum(n_pos) AS BIGINT) AS p_total FROM binned),
+       |spine AS (SELECT unnest(generate_series(0, 19)) AS thr_bin),
+       |sw AS (
+       |  SELECT s.thr_bin,
+       |    CAST(coalesce(sum(b.n_docs), 0) AS BIGINT) AS n_keep,
+       |    CAST(coalesce(sum(b.n_pos), 0) AS BIGINT) AS tp
+       |  FROM spine s LEFT JOIN binned b ON b.bin >= s.thr_bin
+       |  GROUP BY 1)
+       |SELECT CAST(thr_bin AS BIGINT) AS thr_bin, n_keep, tp,
+       |  CASE WHEN n_keep > 0 THEN ${Exact.floorRoundSql("tp::DOUBLE / n_keep", 6)} END AS "precision",
+       |  CASE WHEN p_total > 0 THEN ${Exact.floorRoundSql("tp::DOUBLE / p_total", 6)} END AS recall,
+       |  CASE WHEN n_keep + p_total > 0 THEN ${Exact.floorRoundSql("2.0 * tp / (n_keep + p_total)", 6)} END AS f1
+       |FROM sw CROSS JOIN tot ORDER BY thr_bin""".stripMargin
+
   val qlAucSql: String =
     s"""WITH $corpusCte,
        |$scoredCtes,
@@ -420,6 +483,7 @@ object QualityClassifier {
     "ql_score" -> qlScore,
     "ql_eval" -> qlEval,
     "ql_calibration" -> qlCalibration,
+    "ql_pr_curve" -> qlPrCurve,
     "ql_auc" -> qlAuc)
 
   def oracleSql: Map[String, String] = Map(
@@ -427,5 +491,6 @@ object QualityClassifier {
     "ql_score" -> qlScoreSql,
     "ql_eval" -> qlEvalSql,
     "ql_calibration" -> qlCalibrationSql,
+    "ql_pr_curve" -> qlPrCurveSql,
     "ql_auc" -> qlAucSql)
 }

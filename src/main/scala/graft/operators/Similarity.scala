@@ -1252,6 +1252,29 @@ object Similarity {
       nCells = sqrtCells(corpusCount(s, d)), twoLevel = true)
   }
 
+  /** IVF-PQ under the TRAINED coarse codebook (round 14) — the shape
+    * FAISS actually deploys at billion scale: trained coarse quantizer
+    * (ivf_train's spherical-Lloyd centroids), √N cell schedule,
+    * residual coding, two-level map-only build, exact re-rank. One
+    * [[annIvfPqFor]] body with the cents frame swapped
+    * ([[annIvfTrained]]'s relationship to ann_ivf_sqrt), one
+    * parameterized oracle that REPLAYS the training — zero drift
+    * against the seeded variant, and the trained/seeded recall
+    * comparison is spec-pinned on the id-ordered-cluster fixture. */
+  def annIvfPqTrained: Q = (s, d) => {
+    val v = vectors(s, d)
+    annIvfPqFor(v, defaultQueries(v), residual = true,
+      nCells = sqrtCells(corpusCount(s, d)), twoLevel = true,
+      centsOverride = Some(centsDf(s, trainedIvfCents(s, d))))
+  }
+
+  /** General form of [[annIvfPqTrained]] for fixture specs. */
+  private[graft] def annIvfPqTrainedFor(v: DataFrame, queries: DataFrame): DataFrame = {
+    val k = sqrtCells(v.count())
+    annIvfPqFor(v, queries, residual = true, nCells = k, twoLevel = true,
+      centsOverride = Some(centsDf(v.sparkSession, trainIvfCents(v, k))))
+  }
+
   /** General form. `nCells` is the COARSE cell count (the K schedule);
     * the PQ codebook stays 16 codewords regardless — cell count and
     * codebook size are independent index parameters, and only the
@@ -1262,12 +1285,17 @@ object Similarity {
     * fixed-16 spec comparison and has no super-linear build to fix). */
   private[graft] def annIvfPqFor(
       v: DataFrame, queries: DataFrame, residual: Boolean,
-      nCells: Int = 16, twoLevel: Boolean = false): DataFrame = {
+      nCells: Int = 16, twoLevel: Boolean = false,
+      centsOverride: Option[DataFrame] = None): DataFrame = {
     require(!twoLevel || residual,
       "twoLevel assignment is wired for the residual path (the deployed √N form)")
     val m = 8; val subDim = 8; val nProbe = 4; val k = 16
-    val cents = denseSeeds(v, nCells)
-      .select(col("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    // `centsOverride` swaps in a TRAINED coarse codebook (round 14 —
+    // the annIvfWith relationship): every downstream stage (seed
+    // residuals, corpus assignment, probing, LUTs) flows from this one
+    // frame, so the swap cannot half-apply
+    val cents = centsOverride.getOrElse(denseSeeds(v, nCells)
+      .select(col("cid"), col("e").as("ce"), col("nrm").as("cn")))
     def sl(c: Column, j: Int) = slice(c, j * subDim + 1, subDim)
     // Residual codebook — ONE definition used by BOTH the encode side
     // (code assignment) and the query side (LUT values); any drift
@@ -1393,11 +1421,13 @@ object Similarity {
     * [[annIvfPqSqrtSql]] (the [[sqrtCells]] schedule, two-level), so
     * the oracles cannot drift. The PQ codebook stays 16 codewords (the
     * `j*16` LUT stride) — independent of the cell count by design. */
-  private def ivfPqPipelineSql(kcDef: String, skBound: Option[String]): String =
+  private def ivfPqPipelineSql(kcDef: String, skBound: Option[String],
+      centsCtes: String =
+        "cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < (SELECT k FROM kc))"): String =
     s"""WITH $vectorsCte,
        |$queryIdsCte,
        |kc AS ($kcDef),
-       |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < (SELECT k FROM kc)),
+       |$centsCtes,
        |${assignCtesSql("", "cents", "", "", skBound)},
        |res AS (
        |  SELECT vv.vec_id, a.cell, vv.nrm,
@@ -1469,6 +1499,11 @@ object Similarity {
   val annIvfPqSqrtSql: String = ivfPqPipelineSql(
     "SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k FROM v",
     Some("(SELECT greatest(4, CAST(floor(sqrt(k)) AS BIGINT)) FROM kc)"))
+
+  val annIvfPqTrainedSql: String = ivfPqPipelineSql(
+    "SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k FROM v",
+    Some("(SELECT greatest(4, CAST(floor(sqrt(k)) AS BIGINT)) FROM kc)"),
+    centsCtes = ivfTrainCtesSql("", "(SELECT k FROM kc)"))
 
   /** Measured recall card for the index-structured ANN variants — the
     * decision table for trading index pruning against answer quality
@@ -1816,6 +1851,7 @@ object Similarity {
 
   def queries: Map[String, Q] = Map(
     "ann_ivfpq_sqrt" -> annIvfPqSqrt,
+    "ann_ivfpq_trained" -> annIvfPqTrained,
     "ann_ivf_sqrt" -> annIvfSqrt,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_ivf_health" -> annIvfHealth,
@@ -1832,6 +1868,7 @@ object Similarity {
 
   def oracleSql: Map[String, String] = Map(
     "ann_ivfpq_sqrt" -> annIvfPqSqrtSql,
+    "ann_ivfpq_trained" -> annIvfPqTrainedSql,
     "ann_ivf_sqrt" -> annIvfSqrtSql,
     "ann_ivf_trained" -> annIvfTrainedSql,
     "ann_ivf_health" -> annIvfHealthSql,

@@ -1273,6 +1273,13 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // measured 0.758 vs 0.998 on this seed — pin a wide margin so the
     // assertion survives fixture noise but a training regression cannot
     rTrained should be > (rSeeded + 0.15)
+    // the IVF-PQ composition inherits the same uplift: identical
+    // pipeline, residual coding and re-rank, only the coarse book swaps
+    val rPqSeeded = recall(operators.Similarity.annIvfPqFor(v, qs,
+      residual = true, nCells = operators.Similarity.sqrtCells(1240), twoLevel = true))
+    val rPqTrained = recall(operators.Similarity.annIvfPqTrainedFor(v, qs))
+    info(f"IVF-PQ recall@5 on id-ordered clusters: first-K=$rPqSeeded%.3f trained=$rPqTrained%.3f")
+    rPqTrained should be > rPqSeeded
   }
 
   it should "keep two-level coarse assignment in near-exact agreement with one-level" in {

@@ -163,7 +163,13 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // ann_ivf_sqrt's 6 (which derives cents/super-cells from vec_id-
     // pruned scans), the final plan scans only the corpus assignment
     // pass and the budgeted query fetch
-    "ann_ivf_trained" -> 2)
+    "ann_ivf_trained" -> 2,
+    // trained IVF-PQ keeps ann_ivfpq_sqrt's audited shape minus the
+    // cents-derived metadata fetches (LocalRelation book)
+    "ann_ivfpq_trained" -> 8,
+    // ql_pr_curve: the scoring pass lands inside the 20-row histogram
+    // pin; the sweep joins pinned metadata only
+    "ql_pr_curve" -> 0)
 
   behavior of "post-execution scan counts"
 
