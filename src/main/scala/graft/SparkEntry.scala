@@ -16,7 +16,7 @@ object SparkEntry {
       StatsOps.queries ++ StreamSemantics.queries ++
       EventAnalytics.queries ++ EventValue.queries ++ Joins.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ TextCorpus.queries ++
-      QualityClassifier.queries ++
+      QualityClassifier.queries ++ Retrieval.queries ++
       Similarity.queries ++ Clustering.queries ++
       Multimodal.queries ++ Pipeline.queries
 
@@ -27,7 +27,7 @@ object SparkEntry {
       StatsOps.oracleSql ++ StreamSemantics.oracleSql ++
       EventAnalytics.oracleSql ++ EventValue.oracleSql ++ Joins.oracleSql ++
       Dedup.oracleSql ++ TextAnalysis.oracleSql ++ TextCorpus.oracleSql ++
-      QualityClassifier.oracleSql ++
+      QualityClassifier.oracleSql ++ Retrieval.oracleSql ++
       Similarity.oracleSql ++ Clustering.oracleSql ++
       Multimodal.oracleSql ++ Pipeline.oracleSql
 }

@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over `documents` (SURVEY.md §2f) — the corpus
+  * search primitive a training-data pipeline runs for decontamination
+  * audits ("which corpus docs answer this benchmark query?"), curation
+  * spot-checks and targeted sampling. `ta_tfidf` ranks a document's own
+  * terms; this ranks DOCUMENTS for a query — the Okapi BM25 form every
+  * published text pipeline (CCNet, Dolma, RefinedWeb audits) reaches for.
+  *
+  * Reference analog: the loader ships data INTO engines whose first
+  * consumer query is retrieval-shaped (`clickhouse/ClickHouseLoader.scala`
+  * semantics); here the index build and the scoring are the engine.
+  *
+  * Scale shape (the inverted-index argument): the query set is a FIXED
+  * budget (the ANN [[Similarity.QueryBudget]] discipline — a sample whose
+  * size buys confidence, not corpus coverage), so query terms are
+  * metadata-sized and BROADCAST onto the postings stream. The only
+  * corpus-sized shuffle is the (doc_id, term) term-frequency aggregation;
+  * document frequencies are a re-aggregation of the query-term-restricted
+  * postings (map-side partial collapse — the `ta_tfidf` exchange-reuse
+  * shape), and the per-(query, doc) score aggregation runs on the
+  * restricted stream. Top-k rides [[graft.plans.TopKPerGroup]] bounded
+  * heaps; the rank window only ever sees k·|Q| rows.
+  *
+  * Cross-engine exactness: every per-(doc, term) BM25 term is pure double
+  * arithmetic with operator order mirrored in the oracle (bit-identical —
+  * ln parity included), per-(query, doc) sums go through decimal(38,18)
+  * (Exact idiom 3, order-independent), and the top-k cut ranks on the
+  * ROUNDED score with a doc_id tie-break (the ev_bot_census discipline:
+  * a sub-1e-6 cross-engine residual in the decimal cast can never flip
+  * an emitted rank).
+  */
+object Retrieval {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed retrieval-evaluation budget: how many corpus docs pose as
+    * queries (hash-stratified sample — the [[Similarity.QueryBudget]]
+    * argument: a card's query set must not grow with the corpus). */
+  private[graft] val QueryDocs = 16
+
+  /** Query length: the first `QueryTerms` tokens of each sampled doc. */
+  private[graft] val QueryTerms = 6
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** Okapi BM25 top-10 docs per query. Queries are the [[QueryDocs]]
+    * corpus docs with the smallest md5(doc_id) (each contributes its
+    * first [[QueryTerms]] distinct tokens); scores use the standard
+    * `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with the
+    * non-negative idf `ln(1 + (N − df + ½)/(df + ½))` (the Lucene form).
+    * Self-hits are kept — a query doc failing to retrieve itself is the
+    * card's own sanity signal. */
+  def irBm25: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    // corpus stats: one aggregate pass pinned to a 1-row broadcast
+    val stats = base
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(col("tk")).cast("long")).as("n_toks"))
+      .select(col("n_docs"),
+        (col("n_toks").cast("double") / col("n_docs")).as("avgdl"))
+      .localCheckpoint(false)
+    // query sample + terms: ≤ QueryDocs·QueryTerms rows, metadata pins
+    // (TakeOrderedAndProject — bounded heap, never a global sort)
+    val qdocs = docs
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      .limit(QueryDocs)
+      .select(col("doc_id").as("query_id"),
+        slice(tokens(col("text")), 1, QueryTerms).as("qt"))
+    val qterms = qdocs
+      .select(col("query_id"), explode(col("qt")).as("term"))
+      .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("_c"))
+      .drop("_c")
+      .localCheckpoint(false)
+    val qt = qterms.select(col("term")).distinct().localCheckpoint(false)
+    // postings restricted to query terms BEFORE any shuffle: the corpus
+    // scan meets a broadcast semi-filter, so the (doc_id, term) agg only
+    // carries matching tokens however large the corpus
+    val tfq = base
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .join(broadcast(qt), "term")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // df = re-aggregation of the restricted postings (its rows are unique
+    // per (doc, term), so count ≡ document frequency); the tf > 0
+    // predicate keeps the subtree canonically identical to the scoring
+    // branch so AQE reuses one tokenize scan (the ta_tfidf lesson)
+    val dfF = tfq.groupBy(col("term"))
+      .agg(count(when(col("tf") > 0, lit(1))).as("df"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    // operator order mirrors the oracle EXACTLY — ((idf · num) / den),
+    // never idf · (num/den): the two associations differ by an ulp,
+    // which is a 6-dp knife-edge hazard (the Exact idiom-2 discipline)
+    val st = idf * (col("tf") * (lit(K1) + lit(1.0))) /
+      (col("tf") + lit(K1) * (lit(1.0) - lit(B) +
+        lit(B) * (col("dl").cast("double") / col("avgdl"))))
+    val scored = tfq
+      .join(broadcast(dfF), "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("st", st)
+    val perDoc = scored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("st").cast("decimal(38,18)")).as("sdec"),
+        count(lit(1)).cast("long").as("n_terms"))
+      .withColumn("score", round(col("sdec"), 6).cast("double"))
+    val top = graft.plans.TopKPerGroup.transform(perDoc,
+      Seq(col("query_id")), Seq(col("score").desc, col("doc_id").asc), 10)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("n_terms"),
+        col("score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val irBm25Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+       |  FROM base),
+       |qdocs AS (
+       |  SELECT doc_id AS query_id, tk[1:$QueryTerms] AS qt FROM base
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $QueryDocs),
+       |qterms AS (SELECT DISTINCT query_id, unnest(qt) AS term FROM qdocs),
+       |qt AS (SELECT DISTINCT term FROM qterms),
+       |tfq AS (
+       |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM base)
+       |  JOIN qt USING (term) GROUP BY 1, 2),
+       |dff AS (SELECT term, count(*) AS df FROM tfq WHERE tf > 0 GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+       |      (t.tf * ($K1 + 1.0)) /
+       |      (t.tf + $K1 * (1.0 - $B + $B * (CAST(t.dl AS DOUBLE) / s.avgdl))) AS st
+       |  FROM tfq t JOIN dff f USING (term) JOIN qterms q USING (term)
+       |  CROSS JOIN stats s),
+       |perdoc AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(round(sum(CAST(st AS DECIMAL(38,18))), 6) AS DOUBLE) AS score,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM scored GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY score DESC, doc_id) AS rnk
+       |  FROM perdoc)
+       |SELECT query_id, rnk, doc_id, n_terms, score
+       |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  /** Driver-side frozen retrieval stats — the TRAIN half of the
+    * [[graft.streaming.Transforms.bm25Score]] online split (the dsirScore
+    * convention: fit offline over the corpus, apply record-locally
+    * online). Returns (nDocs, avgdl, queries, df): corpus size, average
+    * doc length (the exact double the batch scorer divides by), the
+    * sampled query terms per query id, and the document frequency of
+    * every query term. All four are metadata-sized (the fixed
+    * [[QueryDocs]]·[[QueryTerms]] budget bounds the term set) however
+    * large the corpus; the corpus passes behind them are the same
+    * aggregations [[irBm25]] runs. */
+  def frozenStats(s: SparkSession, d: String)
+      : (Long, Double, Map[Long, Seq[String]], Map[String, Long]) = {
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val st = base
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(col("tk")).cast("long")).as("n_toks"))
+      .collect()(0)
+    val nDocs = st.getAs[Long]("n_docs")
+    val avgdl =
+      if (nDocs == 0 || st.isNullAt(1)) 0.0
+      else st.getAs[Long]("n_toks").toDouble / nDocs
+    val qterms = docs
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      .limit(QueryDocs)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(tokens(col("text")), 1, QueryTerms)).as("term"))
+      .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("_c"))
+      .collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[String]("term"))
+    val queries = qterms.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sorted).toMap
+    val terms = qterms.map(_._2).distinct
+    val dfRows =
+      if (terms.isEmpty) Array.empty[(String, Long)]
+      else base
+        .select(col("doc_id"), explode(col("tk")).as("term"))
+        .filter(col("term").isin(terms.toSeq.map(x => x: Any): _*))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .collect()
+        .map(r => r.getAs[String]("term") -> r.getAs[Long]("df"))
+    (nDocs, avgdl, queries, dfRows.toMap)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ir_bm25" -> irBm25)
+
+  val oracleSql: Map[String, String] = Map(
+    "ir_bm25" -> irBm25Sql)
+}

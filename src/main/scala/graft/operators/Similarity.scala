@@ -1849,7 +1849,170 @@ object Similarity {
        |UNION ALL SELECT * FROM trained_card
        |ORDER BY scheme, cid""".stripMargin
 
+  /** Int8 scalar-quantization retrieval card (round 14) — the third
+    * member of the FAISS quantizer trio alongside PQ/OPQ ([[annPq]],
+    * [[annOpq]]) and the truncation card ([[annDimTrunc]]): each
+    * dimension quantizes independently to an 8-bit code against trained
+    * per-dim [min, max] bounds (`c = clamp₀₂₅₅(⌊(x−mn)/(mx−mn)·255+½⌋)`,
+    * reconstruct `x̂ = mn + c·(mx−mn)/255`) — 4× compression with
+    * record-local encode/decode and NO codebook training beyond one
+    * min/max pass (the trade against PQ: worse ratio, zero training
+    * sensitivity, exact per-dim error bound ≤ span/510). The card scores
+    * the corpus by reconstructed cosine (queries stay full-precision —
+    * the ADC convention), keeps a top-50 shortlist, re-ranks exactly,
+    * and reports both recalls against the exact top-5 truth plus the
+    * mean squared reconstruction error — the decision numbers for "can
+    * this index serve from int8 in memory and re-rank from the parquet?"
+    *
+    * Scale shape: the trained bounds are one 128-aggregate corpus pass
+    * pinned to a 1-row broadcast; quantize/reconstruct/score is one
+    * record-local broadcast-query scan (narrow: id + recon + norm);
+    * the exact re-rank touches only the 50·|Q| shortlist through the
+    * [[annDimTrunc]] broadcast-fetch idiom; MSE is a second record-local
+    * pass partial-agged to one row. Everything else joins pinned
+    * metadata. Exactness: quantization and cosine are pure mirrored
+    * double arithmetic (bit-identical — ranks cut on raw cos with
+    * vec_id tie-breaks, the bruteforce discipline); the MSE corpus sum
+    * goes through decimal(38,18) (order-independent), quotients
+    * 6-dp floor-rounded. Zero-norm reconstructions are excluded from
+    * the scored scan on both engines (no ranking signal, 0/0 guard). */
+  def annSq8: Q = (s, d) => {
+    val v = vectors(s, d)
+    val q = defaultQueries(v)
+    val truth = annBruteforceFor(v, q).filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(false) // feeds both hit joins + nq
+    val nq = truth.agg(countDistinct(col("query_id")).as("n_queries"))
+      .localCheckpoint(false)
+    val ed = graft.functions.VecFns.toDouble(col("e"))
+    val train = v.agg(
+      array((1 to 64).map(i => min(element_at(ed, i))): _*).as("mn"),
+      array((1 to 64).map(i => max(element_at(ed, i))): _*).as("mx"))
+      .localCheckpoint(false) // 1-row trained bounds, broadcast
+    def reconAt(i: Column): Column = {
+      val x = element_at(ed, i)
+      val mn = element_at(col("mn"), i)
+      val sp = element_at(col("mx"), i) - mn
+      when(sp > 0,
+        mn + least(lit(255.0), greatest(lit(0.0),
+          floor((x - mn) / sp * lit(255.0) + lit(0.5)))) * sp / lit(255.0))
+        .otherwise(mn)
+    }
+    val vq = v.crossJoin(broadcast(train))
+      .withColumn("recon", transform(sequence(lit(1), lit(64)), reconAt _))
+    val mseAgg = vq
+      .select(foldSum(transform(sequence(lit(1), lit(64)), i => {
+        val dif = element_at(ed, i) - element_at(col("recon"), i)
+        dif * dif
+      })).cast("decimal(38,18)").as("se"))
+      .agg(sum(col("se")).as("sse"), count(lit(1)).cast("long").as("n_vec"))
+      .localCheckpoint(false)
+    val scored = vq
+      .select(col("vec_id"), col("recon"), l2norm(col("recon")).as("nr"))
+      .filter(col("nr") > 0)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qe"), col("recon")) / (col("qn") * col("nr"))).as("cosq"))
+    val shortIds = graft.plans.TopKPerGroup.transform(scored,
+      Seq(col("query_id")), Seq(col("cosq").desc, col("vec_id").asc), 50)
+    // exact re-rank fetch: corpus streamed, shortlist broadcast (the
+    // annDimTrunc discipline — only shortlist-sized frames broadcast)
+    val withVec = v.select(col("vec_id"), col("e"), col("nrm"))
+      .join(broadcast(shortIds), "vec_id")
+    val short = q.select(col("query_id"), col("qe"), col("qn"))
+      .join(broadcast(withVec), "query_id")
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosq"), col("cos"))
+      .localCheckpoint(false) // feeds the sq5 + re-rank hit joins
+    val sq5 = graft.plans.TopKPerGroup.transform(short,
+      Seq(col("query_id")), Seq(col("cosq").desc, col("neighbor_id").asc), 5)
+    val fin = graft.plans.TopKPerGroup.transform(short,
+      Seq(col("query_id")), Seq(col("cos").desc, col("neighbor_id").asc), 5)
+    val sHits = sq5.join(truth, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_sq_hits"))
+    val fHits = fin.join(truth, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    nq.crossJoin(sHits).crossJoin(fHits).crossJoin(broadcast(mseAgg))
+      .select(col("n_queries"), col("n_vec"), col("n_sq_hits"), col("n_hits"),
+        when(col("n_queries") > 0, Exact.floorRound(
+          col("n_sq_hits").cast("double") / (lit(5.0) * col("n_queries")), 6))
+          .as("recall_sq5"),
+        when(col("n_queries") > 0, Exact.floorRound(
+          col("n_hits").cast("double") / (lit(5.0) * col("n_queries")), 6))
+          .as("recall_at_5"),
+        Exact.floorRound(
+          col("sse").cast("double") / col("n_vec") / lit(64.0), 6).as("mse"))
+  }
+
+  val annSq8Sql: String = {
+    val dot64 = (a: String, b: String) =>
+      s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    val mnList = (1 to 64).map(i => s"min(e[$i])").mkString("[", ", ", "]")
+    val mxList = (1 to 64).map(i => s"max(e[$i])").mkString("[", ", ", "]")
+    s"""WITH $vectorsCte,
+       |$queryIdsCte,
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v JOIN qids USING (vec_id)),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM ($annBruteforceSql) WHERE rnk <= 5),
+       |train AS (SELECT $mnList AS mn, $mxList AS mx FROM v),
+       |vq AS (
+       |  SELECT vec_id, e, list_transform(generate_series(1, 64), i ->
+       |      CASE WHEN (mx[i] - mn[i]) > 0 THEN
+       |        mn[i] + least(255.0, greatest(0.0,
+       |          floor((e[i] - mn[i]) / (mx[i] - mn[i]) * 255.0 + 0.5))) * (mx[i] - mn[i]) / 255.0
+       |      ELSE mn[i] END) AS recon
+       |  FROM v CROSS JOIN train),
+       |mse AS (
+       |  SELECT sum(CAST(list_reduce(list_transform(generate_series(1, 64),
+       |      i -> (e[i] - recon[i]) * (e[i] - recon[i])), (x, y) -> x + y)
+       |      AS DECIMAL(38,18))) AS sse,
+       |    CAST(count(*) AS BIGINT) AS n_vec
+       |  FROM vq),
+       |vqn AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, recon,
+       |      sqrt(${dot64("recon", "recon")}) AS nr
+       |    FROM vq)
+       |  WHERE nr > 0),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    ${dot64("qe", "recon")} / (qn * nr) AS cosq
+       |  FROM q JOIN vqn c ON c.vec_id <> q.query_id),
+       |sh AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cosq DESC, vec_id) AS rn
+       |  FROM scored),
+       |shl AS (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id, s.cosq,
+       |    ${dot64("qq.qe", "vv.e")} / (qq.qn * vv.nrm) AS cos
+       |  FROM sh s JOIN v vv ON vv.vec_id = s.vec_id
+       |  JOIN q qq ON qq.query_id = s.query_id
+       |  WHERE s.rn <= 50),
+       |sq5 AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosq DESC, neighbor_id) AS rk FROM shl) WHERE rk <= 5),
+       |fin AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS rk FROM shl) WHERE rk <= 5),
+       |card AS (SELECT
+       |    (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM truth) AS n_queries,
+       |    (SELECT n_vec FROM mse) AS n_vec,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM sq5 JOIN truth USING (query_id, neighbor_id)) AS n_sq_hits,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM fin JOIN truth USING (query_id, neighbor_id)) AS n_hits,
+       |    (SELECT CAST(sse AS DOUBLE) / n_vec / 64.0 FROM mse) AS mse_raw)
+       |SELECT n_queries, n_vec, n_sq_hits, n_hits,
+       |  CASE WHEN n_queries > 0 THEN ${Exact.floorRoundSql(
+        "CAST(n_sq_hits AS DOUBLE) / (5.0 * n_queries)", 6)} END AS recall_sq5,
+       |  CASE WHEN n_queries > 0 THEN ${Exact.floorRoundSql(
+        "CAST(n_hits AS DOUBLE) / (5.0 * n_queries)", 6)} END AS recall_at_5,
+       |  ${Exact.floorRoundSql("mse_raw", 6)} AS mse
+       |FROM card""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "ann_sq8" -> annSq8,
     "ann_ivfpq_sqrt" -> annIvfPqSqrt,
     "ann_ivfpq_trained" -> annIvfPqTrained,
     "ann_ivf_sqrt" -> annIvfSqrt,
@@ -1867,6 +2030,7 @@ object Similarity {
     "ann_nndescent" -> annNnDescent)
 
   def oracleSql: Map[String, String] = Map(
+    "ann_sq8" -> annSq8Sql,
     "ann_ivfpq_sqrt" -> annIvfPqSqrtSql,
     "ann_ivfpq_trained" -> annIvfPqTrainedSql,
     "ann_ivf_sqrt" -> annIvfSqrtSql,

@@ -402,6 +402,66 @@ object Transforms {
         col("n_feats") > 0 && (wsum / col("n_feats")) >= minScore)
   }
 
+  /** Streaming BM25 standing-query scorer (round 14) — the ONLINE half
+    * of the [[graft.operators.Retrieval]] pair (the dsirScore split:
+    * corpus stats fit offline, scoring applied record-locally online).
+    * Production shape: standing queries (benchmark prompts for
+    * decontamination review, topic probes for targeted sampling) are
+    * registered against FROZEN corpus statistics
+    * ([[graft.operators.Retrieval.frozenStats]]: N, avgdl, per-term df);
+    * each arriving document emits one row per query it matches (≥ 1
+    * query term present) carrying the match count and the BM25 score —
+    * a router: downstream sinks subscribe per query id.
+    *
+    * Exactness contract: per-term scores run the batch scorer's exact
+    * arithmetic (idf is precomputed driver-side with the same IEEE op
+    * sequence the batch Catalyst expression folds), and the per-(doc,
+    * query) sum goes through the same decimal(38,18) route — a streamed
+    * score EQUALS the batch `ir_bm25` score bit-for-bit under the same
+    * frozen stats (spec-pinned, exact equality, not tolerance). A term
+    * absent from the df map scores idf against df = 0 (maximal
+    * novelty — the stream may drift past the frozen corpus); a doc
+    * matching no query (or with null text) emits nothing.
+    *
+    * Scale: stats and queries are literals bounded by the query budget,
+    * scoring is record-local (tokenize once per record, ≤ |terms| array
+    * scans) — no state, no shuffle, any throughput. */
+  def bm25Score(docs: DataFrame, queries: Map[Long, Seq[String]],
+      df: Map[String, Long], nDocs: Long, avgdl: Double,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.Column
+    val toks = col("_toks")
+    val dl = size(toks).cast("long")
+    val tfNormDen = (tf: Column) =>
+      tf + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * (dl.cast("double") / lit(avgdl)))
+    val zeroD = lit(0).cast("decimal(38,18)")
+    val perQuery: Seq[Column] = queries.toSeq.sortBy(_._1).map {
+      case (qid, terms) =>
+        val parts = terms.distinct.map { t =>
+          val dft = df.getOrElse(t, 0L)
+          val idf = math.log((nDocs - dft + 0.5) / (dft + 0.5) + 1.0)
+          val tf = size(filter(toks, x => x === lit(t)))
+          val st = lit(idf) * (tf * (lit(k1) + lit(1.0))) / tfNormDen(tf)
+          (when(tf > 0, st.cast("decimal(38,18)")).otherwise(zeroD),
+            when(tf > 0, lit(1L)).otherwise(lit(0L)))
+        }
+        val sdec = parts.map(_._1).reduceOption(_ + _).getOrElse(zeroD)
+        val nTerms = parts.map(_._2).reduceOption(_ + _)
+          .getOrElse(lit(0L)).cast("long")
+        struct(lit(qid).as("query_id"), nTerms.as("n_terms"),
+          sdec.as("sdec"))
+    }
+    val keep = docs.columns.map(col).toSeq
+    docs
+      .withColumn("_toks", graft.functions.TextFns.tokens(col("text")))
+      .withColumn("_m", explode(array(perQuery: _*)))
+      .filter(col("_m.n_terms") > 0)
+      .select(keep ++ Seq(col("_m.query_id").as("query_id"),
+        col("_m.n_terms").as("n_terms"),
+        round(col("_m.sdec"), 6).cast("double").as("score")): _*)
+  }
+
   /** Streaming IVF cell router (round 13) — the INGEST half of the IVF
     * index pair: the batch build (`ann_ivf_sqrt` / `ann_ivfpq_sqrt`)
     * trains and freezes the coarse codebook; this routes each ARRIVING

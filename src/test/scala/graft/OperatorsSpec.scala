@@ -790,6 +790,83 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "rank BM25 retrieval identically to a driver-side replay" in {
+    // independent recompute of the whole card (tokenize → md5 query
+    // sample → df/avgdl → Okapi scoring → rounded-score top-10) in pure
+    // Scala — pins the operator end to end without the oracle in the loop
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text")).getOrElse(""))
+    def toks(t: String): Array[String] = t.split("\\s+").filter(_.nonEmpty)
+    val tk = docs.map { case (id, t) => id -> toks(t) }.toMap
+    val n = docs.length.toLong
+    n should be > 16L
+    val avgdl = tk.values.map(_.length.toLong).sum.toDouble / n
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val qids = docs.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(16)
+    val queries = qids.map(id => id -> tk(id).take(6).distinct.toSeq)
+    val dfm = queries.flatMap(_._2).distinct
+      .map(t => t -> tk.values.count(_.contains(t)).toLong).toMap
+    val (k1, b) = (1.2, 0.75)
+    val expect = queries.filter(_._2.nonEmpty).flatMap { case (qid, terms) =>
+      val scored = tk.toSeq.flatMap { case (did, dtk) =>
+        val dl = dtk.length
+        val sts = terms.flatMap { t =>
+          val tf = dtk.count(_ == t).toLong
+          if (tf == 0) None
+          else Some(math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0) *
+            (tf * (k1 + 1.0)) /
+            (tf + k1 * (1.0 - b + b * (dl.toDouble / avgdl))))
+        }
+        if (sts.isEmpty) None
+        else Some((did, math.floor(sts.sum * 1e6 + 0.5) / 1e6, sts.length.toLong))
+      }
+      scored.sortBy { case (did, r, _) => (-r, did) }.take(10)
+        .zipWithIndex.map { case ((did, r, nt), i) =>
+          (qid, (i + 1).toLong, did, nt, r)
+        }
+    }.sortBy(t => (t._1, t._2)) // the op presents in (query_id, rnk) order
+    val got = operators.Retrieval.irBm25(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"),
+        r.getAs[Double]("score")))
+    got.length shouldBe expect.length
+    got.zip(expect).foreach {
+      case ((gq, gr, gd, gn, gs), (eq, er, ed, en, es)) =>
+        withClue(s"query $eq rank $er: ") {
+          (gq, gr, gd, gn) shouldBe ((eq, er, ed, en))
+          gs shouldBe es +- 2e-6 // replay sums doubles, op sums decimals
+        }
+    }
+  }
+
+  it should "reconstruct int8-exactly on two-level dims and never lose recall to the re-rank" in {
+    import spark.implicits._
+    // fixture: every dim takes exactly its per-dim {min, max} values, so
+    // codes land on 0/255 and reconstruction is bit-exact — mse must be
+    // EXACTLY 0 and both recalls exactly 1 (cosq == cos, same tie rule)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    (0 until 64).map { i =>
+      val e = Array.tabulate(64)(j => (1 + ((i >> (j % 6)) & 1)).toFloat)
+      (i.toLong, e, i % 4)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val exact = operators.Similarity.annSq8(spark, dir).collect()(0)
+    exact.getAs[Double]("mse") shouldBe 0.0
+    exact.getAs[Double]("recall_sq5") shouldBe 1.0
+    exact.getAs[Double]("recall_at_5") shouldBe 1.0
+    // corpus invariants: the exact re-rank can only ADD recall over the
+    // raw int8 top-5 (shortlist containment argument), bounds hold
+    val c = operators.Similarity.annSq8(spark, sf).collect()(0)
+    c.getAs[Long]("n_vec") should be > 0L
+    c.getAs[Double]("recall_at_5") should be >= c.getAs[Double]("recall_sq5")
+    c.getAs[Double]("recall_sq5") should (be >= 0.0 and be <= 1.0)
+    c.getAs[Double]("recall_at_5") should (be >= 0.0 and be <= 1.0)
+    c.getAs[Double]("mse") should be >= 0.0
+    c.getAs[Long]("n_hits") should be <= 5L * c.getAs[Long]("n_queries")
+  }
+
   it should "recommend the minimal power-of-two band count reaching each target catch" in {
     import spark.implicits._
     // driver recompute from the SAME measured truth-set J distribution:

@@ -169,7 +169,12 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "ann_ivfpq_trained" -> 8,
     // ql_pr_curve: the scoring pass lands inside the 20-row histogram
     // pin; the sweep joins pinned metadata only
-    "ql_pr_curve" -> 0)
+    "ql_pr_curve" -> 0,
+    // round-14 retrieval: ir_bm25 keeps the ta_tfidf exchange-reuse
+    // shape (tf pass + the df re-aggregation branch); ann_sq8's trained
+    // bounds, MSE and shortlist frames all land in pins, so the final
+    // plan joins pinned metadata only
+    "ir_bm25" -> 2, "ann_sq8" -> 0)
 
   behavior of "post-execution scan counts"
 

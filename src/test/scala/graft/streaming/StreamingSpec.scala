@@ -1586,6 +1586,50 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     oov.getAs[Long]("n_feats") shouldBe 3L
   }
 
+  it should "score streamed documents bit-identically to batch BM25 under frozen stats" in {
+    // the standing-query scorer must agree with ir_bm25 EXACTLY (not
+    // within tolerance): both sides run the same IEEE op sequence per
+    // term and the same decimal(38,18) sum route (round 14 — the
+    // dsirScore split for retrieval)
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val (n, avgdl, queries, dfm) =
+      graft.operators.Retrieval.frozenStats(spark, sf)
+    queries.nonEmpty shouldBe true
+    val docs = graft.Tables.documents(spark, sf)
+    val src = tmp()
+    docs.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(docs.schema).parquet(src)
+    val q = Transforms.bm25Score(stream, queries, dfm, n, avgdl)
+      .select(col("query_id"), col("doc_id"), col("n_terms"), col("score"))
+      .writeStream.format("memory").queryName("bm25").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("bm25").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val batch = graft.operators.Retrieval.irBm25(spark, sf).collect()
+    batch.length should be > 0
+    batch.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      withClue(s"pair $key: ") {
+        val (nt, sc) = streamed(key)
+        nt shouldBe r.getAs[Long]("n_terms")
+        sc shouldBe r.getAs[Double]("score") // EXACT, by construction
+      }
+    }
+    // a doc matching no standing query emits nothing (router semantics);
+    // an unknown term scores against df = 0, it does not error
+    import spark.implicits._
+    Transforms.bm25Score(Seq((1L, "no match here")).toDF("doc_id", "text"),
+      Map(7L -> Seq("needle")), Map.empty, 100L, 10.0)
+      .collect().length shouldBe 0
+    val hit = Transforms.bm25Score(Seq((2L, "a needle")).toDF("doc_id", "text"),
+      Map(7L -> Seq("needle")), Map.empty, 100L, 10.0).collect()
+    hit.length shouldBe 1
+    hit(0).getAs[Long]("query_id") shouldBe 7L
+    hit(0).getAs[Double]("score") should be > 0.0
+  }
+
   it should "route streamed vectors to the exact cells the batch build assigns" in {
     // the ingest router must agree with the batch index build under the
     // same frozen codebook (round 13 — one assignBook + one kernel, so
