@@ -265,7 +265,13 @@ object ScalePlan {
     "dd_line_trim" -> 30.0,
     "dd_dup_span" -> 30.0,
     "ta_dsir" -> 30.0,
-    "mm_phash" -> 12.0)
+    "mm_phash" -> 12.0,
+    // round 14: BM25 retrieval — fixed 16-doc query budget, so the card
+    // is one restricted-postings corpus scan + a query-term-bounded
+    // aggregation (linear class; ceiling ≈ 3× the measured factor-32
+    // ratio). A query sample growing with the corpus would push this
+    // toward the Θ(N·Q) band and through the ceiling.
+    "ir_bm25" -> 12.0)
 
   /** Factor-32 EMBEDDINGS-ONLY slope plan (round 13, r12 verdict item
     * 1): the build-side measurement behind the √N IVF family's
@@ -293,7 +299,12 @@ object ScalePlan {
     // means the TRAINING stage went corpus-shaped (ceiling ≈ 3× the
     // round-14 measured ratio); the health card's ceiling moves 6→8 for
     // its third (trained) scheme's extra ≤K-row audit pass
-    "ann_ivf_trained" -> 8.0)
+    "ann_ivf_trained" -> 8.0,
+    // round 14: int8 scalar quantization — a fixed-budget evaluation
+    // card (Q = 256 at any corpus): min/max train, MSE and the ADC scan
+    // are each one linear corpus pass (the ann_pq class; ceiling ≈ 3×
+    // the measured factor-32 ratio)
+    "ann_sq8" -> 8.0)
 
   /** Name → plan, for ScaleCheck's `plan=` selector. */
   val byName: Map[String, Seq[(String, Double)]] = Map(
