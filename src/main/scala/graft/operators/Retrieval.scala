@@ -162,6 +162,91 @@ object Retrieval {
        |SELECT query_id, rnk, doc_id, n_terms, score
        |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
+  /** Exact phrase search over a POSITIONAL inverted index (round 14) —
+    * the second classic index structure next to [[irBm25]]'s frequency
+    * postings: each sampled query doc contributes one 3-token contiguous
+    * phrase (tokens 2–4), and the operator finds every corpus document
+    * containing that exact phrase via the standard positional-postings
+    * adjacency join (`term` matches at position `start + offset` for all
+    * offsets ⇒ the phrase starts at `start`). The pipeline's use: literal
+    * benchmark-string contamination lookups and boilerplate provenance
+    * ("which docs carry this exact sentence?") where token-set overlap
+    * (`dd_decontaminate`) is too coarse.
+    *
+    * Scale shape: ONE corpus tokenize → positional explode, restricted
+    * by a broadcast join on the ≤ 3·[[QueryDocs]] phrase terms BEFORE
+    * any shuffle (each posting meets at most |phrase terms| offsets, so
+    * the joined stream is bounded by the restricted postings × 3); the
+    * (query, doc, start) aggregation and everything after runs on the
+    * restricted stream. Pure integer arithmetic end to end — positions,
+    * counts and offsets hash-match trivially cross-engine. */
+  def irPhrase: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    // phrase per sampled query doc: tokens 2-4 (0-based offsets 0..2),
+    // eligible when the doc has ≥ 4 tokens; ≤ QueryDocs·3 rows, pinned
+    val qdocs = docs
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      .limit(QueryDocs)
+      .select(col("doc_id").as("query_id"),
+        slice(tokens(col("text")), 2, 3).as("ph"))
+      .filter(size(col("ph")) === 3)
+    val qphrase = qdocs
+      .select(col("query_id"), concat_ws(" ", col("ph")).as("phrase"))
+      .localCheckpoint(false)
+    val qterms = qdocs
+      .select(col("query_id"), posexplode(col("ph")).as(Seq("off", "term")))
+      .localCheckpoint(false)
+    // positional postings restricted to phrase terms before the shuffle
+    val hits = base
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "term")))
+      .join(broadcast(qterms), "term")
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("off")).cast("long").as("start"))
+      .groupBy(col("query_id"), col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("n_off"))
+      .filter(col("n_off") === 3 && col("start") >= 0)
+    hits
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"), min(col("start")).as("first_pos"))
+      .join(broadcast(qphrase), "query_id")
+      .select(col("query_id"), col("phrase"), col("doc_id"), col("n_occ"),
+        col("first_pos"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  val irPhraseSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+       |  FROM documents),
+       |qdocs AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id AS query_id, tk[2:4] AS ph FROM base
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $QueryDocs)
+       |  WHERE len(ph) = 3),
+       |qphrase AS (
+       |  SELECT query_id, list_reduce(ph, (a, b) -> a || ' ' || b) AS phrase
+       |  FROM qdocs),
+       |qterms AS (
+       |  SELECT query_id, i - 1 AS off, ph[i] AS term
+       |  FROM qdocs CROSS JOIN UNNEST(generate_series(1, 3)) AS u(i)),
+       |postings AS (
+       |  SELECT doc_id, p - 1 AS pos, tk[p] AS term
+       |  FROM base CROSS JOIN UNNEST(generate_series(1, len(tk))) AS s(p)),
+       |starts AS (
+       |  SELECT query_id, doc_id, CAST(pos - off AS BIGINT) AS start,
+       |    count(*) AS n_off
+       |  FROM postings JOIN qterms USING (term)
+       |  GROUP BY 1, 2, 3),
+       |occs AS (
+       |  SELECT query_id, doc_id, count(*) AS n_occ, min(start) AS first_pos
+       |  FROM starts WHERE n_off = 3 AND start >= 0
+       |  GROUP BY 1, 2)
+       |SELECT query_id, phrase, doc_id, n_occ, first_pos
+       |FROM occs JOIN qphrase USING (query_id)
+       |ORDER BY query_id, doc_id""".stripMargin
+
   /** Driver-side frozen retrieval stats — the TRAIN half of the
     * [[graft.streaming.Transforms.bm25Score]] online split (the dsirScore
     * convention: fit offline over the corpus, apply record-locally
@@ -208,8 +293,10 @@ object Retrieval {
   }
 
   val queries: Map[String, Q] = Map(
-    "ir_bm25" -> irBm25)
+    "ir_bm25" -> irBm25,
+    "ir_phrase" -> irPhrase)
 
   val oracleSql: Map[String, String] = Map(
-    "ir_bm25" -> irBm25Sql)
+    "ir_bm25" -> irBm25Sql,
+    "ir_phrase" -> irPhraseSql)
 }

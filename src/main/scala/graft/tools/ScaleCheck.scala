@@ -271,7 +271,10 @@ object ScalePlan {
     // aggregation (linear class; ceiling ≈ 3× the measured factor-32
     // ratio). A query sample growing with the corpus would push this
     // toward the Θ(N·Q) band and through the ceiling.
-    "ir_bm25" -> 12.0)
+    "ir_bm25" -> 12.0,
+    // ir_phrase: positional postings restricted to ≤ 48 broadcast phrase
+    // terms — the same linear restricted-scan class
+    "ir_phrase" -> 12.0)
 
   /** Factor-32 EMBEDDINGS-ONLY slope plan (round 13, r12 verdict item
     * 1): the build-side measurement behind the √N IVF family's

@@ -841,6 +841,43 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "find exact phrase occurrences identically to a driver-side sliding-window scan" in {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text")).getOrElse(""))
+    val tk = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty)
+    }.toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val qs = docs.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(16)
+      .map(id => id -> tk(id).slice(1, 4).toSeq).filter(_._2.length == 3)
+    qs.length should be > 0
+    val expect = qs.flatMap { case (qid, ph) =>
+      tk.toSeq.flatMap { case (did, dtk) =>
+        val starts = dtk.sliding(3).zipWithIndex
+          .collect { case (w, i) if w.length == 3 && w.toSeq == ph => i }
+          .toSeq
+        if (starts.isEmpty) None
+        else Some((qid, ph.mkString(" "), did, starts.length.toLong,
+          starts.min.toLong))
+      }
+    }.sortBy(t => (t._1, t._3))
+    val got = operators.Retrieval.irPhrase(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("phrase"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_occ"),
+        r.getAs[Long]("first_pos"))).toSeq
+    got shouldBe expect
+    // each eligible query doc contains its own phrase (it was cut from
+    // position 1, so the first occurrence can be no later than that)
+    val byKey = got.map(t => (t._1, t._3) -> t._5).toMap
+    qs.foreach { case (qid, _) =>
+      withClue(s"query $qid self-occurrence: ") {
+        byKey((qid, qid)) should be <= 1L
+      }
+    }
+  }
+
   it should "reconstruct int8-exactly on two-level dims and never lose recall to the re-rank" in {
     import spark.implicits._
     // fixture: every dim takes exactly its per-dim {min, max} values, so

@@ -174,7 +174,10 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // shape (tf pass + the df re-aggregation branch); ann_sq8's trained
     // bounds, MSE and shortlist frames all land in pins, so the final
     // plan joins pinned metadata only
-    "ir_bm25" -> 2, "ann_sq8" -> 0)
+    "ir_bm25" -> 2, "ann_sq8" -> 0,
+    // ir_phrase: phrase terms + phrase strings are metadata pins; the
+    // one live scan is the positional-postings pass
+    "ir_phrase" -> 1)
 
   behavior of "post-execution scan counts"
 
