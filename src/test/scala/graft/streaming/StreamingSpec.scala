@@ -1745,6 +1745,66 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     served(0).getAs[Long]("seq") shouldBe Long.MaxValue
   }
 
+  it should "split streamed documents into quarantine and clean exactly as the batch scorer" in {
+    // the end-to-end standing-query loader (round 14): stream the corpus
+    // → bm25Score under frozen stats → two-way snapshot split; the
+    // quarantine table must hold EXACTLY the (query, doc) pairs the
+    // batch scorer puts at or above τ, the clean table exactly the
+    // complement by doc_id — a partition, nothing lost, nothing doubled
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val (n, avgdl, queries, dfm) =
+      graft.operators.Retrieval.frozenStats(spark, sf)
+    val docs = graft.Tables.documents(spark, sf)
+    val batchScores = Transforms.bm25Score(docs, queries, dfm, n, avgdl)
+      .select(col("query_id"), col("doc_id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    batchScores.length should be > 0
+    // τ at the match-score median: real subsets on both sides
+    val tau = batchScores.map(_._3).sorted.apply(batchScores.length / 2)
+    val expQuar = batchScores.filter(_._3 >= tau).map(t => (t._1, t._2)).toSet
+    val expScore = batchScores.map(t => (t._1, t._2) -> t._3).toMap
+    val expHitDocs = expQuar.map(_._2)
+    expQuar.nonEmpty shouldBe true
+    (batchScores.length - expQuar.size) should be > 0
+    val src = tmp(); val clean = tmp(); val quar = tmp(); val cp = tmp()
+    // two source files → two epochs: the split must hold across commits
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StandingQueryLoader.attach(stream, queries, dfm, n, avgdl, tau,
+      clean, quar, cp)
+    q.awaitTermination()
+    val gotQuar = new SnapshotTableSink(quar, Seq("query_id")).read(spark)
+      .select(col("query_id"), col("doc_id"), col("score")).collect()
+      .map(r => (r.getAs[Number]("query_id").longValue, r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score")))
+    gotQuar.map(t => (t._1, t._2)).toSet shouldBe expQuar
+    gotQuar.length shouldBe expQuar.size // once per matching query, ever
+    gotQuar.foreach { case (qid, did, sc) =>
+      withClue(s"pair ($qid, $did): ") { sc shouldBe expScore((qid, did)) }
+    }
+    // quarantine table is genuinely query_id-partitioned on disk
+    val dataDirs = new java.io.File(s"$quar/data").listFiles().filter(_.isDirectory)
+    dataDirs.nonEmpty shouldBe true
+    dataDirs.foreach { epoch =>
+      epoch.listFiles().filter(_.isDirectory)
+        .forall(_.getName.startsWith("query_id=")) shouldBe true
+    }
+    // the reviewer's queue reads one query's pairs only
+    val someQ = expQuar.head._1
+    StandingQueryLoader.reviewQueue(spark, quar, someQ).collect()
+      .map(_.getAs[Long]("doc_id")).toSet shouldBe
+      expQuar.filter(_._1 == someQ).map(_._2)
+    // conservation: clean ⊎ quarantined-doc-ids = the corpus, disjoint
+    val allDocs = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotClean = StandingQueryLoader.cleanCorpus(spark, clean)
+      .select("doc_id").collect().map(_.getLong(0))
+    gotClean.length shouldBe gotClean.toSet.size
+    gotClean.toSet.intersect(expHitDocs) shouldBe Set.empty
+    (gotClean.toSet ++ expHitDocs) shouldBe allDocs
+  }
+
   it should "alert once on metronomic users and never on bursty ones" in {
     // the online half of the regularity pair: a 600 s metronome must
     // alert exactly when its 9th gap lands (cv 0), a bursty user with
