@@ -841,6 +841,40 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "score retrieval quality against a driver-replayed Jaccard truth" in {
+    // the truth side (token-set Jaccard >= 1/2 via 2*inter >= union)
+    // recomputed independently in Scala; the metric side checked for
+    // its arithmetic identities against the replayed truth
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text")).getOrElse(""))
+    val tk = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSet
+    }.toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val qids = docs.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(16)
+    val truth = qids.flatMap { qid =>
+      val a = tk(qid)
+      docs.map(_._1).filter { did =>
+        val b = tk(did)
+        val inter = (a & b).size
+        did != qid && 2 * inter >= a.size + b.size - inter
+      }.map(qid -> _)
+    }
+    val withRel = truth.groupBy(_._1)
+    val r = operators.Retrieval.irEval(spark, sf).collect()(0)
+    r.getAs[Long]("n_queries") shouldBe withRel.size.toLong
+    r.getAs[Long]("n_rel") shouldBe truth.length.toLong
+    val (nq, nh) = (r.getAs[Long]("n_queries"), r.getAs[Long]("n_hits"))
+    nh should be <= math.min(10 * nq, r.getAs[Long]("n_rel"))
+    // macro precision@10 is exactly n_hits / (10 * n_queries)
+    r.getAs[Double]("precision_at_10") shouldBe
+      (math.floor(nh.toDouble / (10.0 * nq) * 1e6 + 0.5) / 1e6) +- 1e-9
+    r.getAs[Double]("recall_at_10") should (be >= 0.0 and be <= 1.0)
+    r.getAs[Double]("mrr") should (be >= 0.0 and be <= 1.0)
+  }
+
   it should "find exact phrase occurrences identically to a driver-side sliding-window scan" in {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") ->

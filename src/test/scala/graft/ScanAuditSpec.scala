@@ -177,7 +177,11 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "ir_bm25" -> 2, "ann_sq8" -> 0,
     // ir_phrase: phrase terms + phrase strings are metadata pins; the
     // one live scan is the positional-postings pass
-    "ir_phrase" -> 1)
+    "ir_phrase" -> 1,
+    // ir_eval: the truth side's distinct-token/intersection pass + the
+    // doc-size branch (the bm25 ranking runs inside its own audited
+    // 2-scan shape whose exchanges AQE reuses here)
+    "ir_eval" -> 4)
 
   behavior of "post-execution scan counts"
 
