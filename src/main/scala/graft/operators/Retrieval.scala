@@ -387,6 +387,20 @@ object Retrieval {
        |FROM occs JOIN qphrase USING (query_id)
        |ORDER BY query_id, doc_id""".stripMargin
 
+  /** Driver-side frozen phrase registry — the TRAIN half of the
+    * [[graft.streaming.Transforms.phraseGate]] online split: the same
+    * md5-sampled 3-token phrases [[irPhrase]] searches, keyed by query
+    * id. Metadata-sized by the [[QueryDocs]] budget. */
+  def frozenPhrases(s: SparkSession, d: String): Map[Long, Seq[String]] =
+    Tables.documents(s, d)
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      .limit(QueryDocs)
+      .select(col("doc_id").as("query_id"),
+        slice(tokens(col("text")), 2, 3).as("ph"))
+      .filter(size(col("ph")) === 3)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getSeq[String](1).toList).toMap
+
   /** Driver-side frozen retrieval stats — the TRAIN half of the
     * [[graft.streaming.Transforms.bm25Score]] online split (the dsirScore
     * convention: fit offline over the corpus, apply record-locally

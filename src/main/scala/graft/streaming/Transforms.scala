@@ -462,6 +462,45 @@ object Transforms {
         round(col("_m.sdec"), 6).cast("double").as("score")): _*)
   }
 
+  /** Streaming verbatim-phrase contamination gate (round 14) — the
+    * ONLINE half of the `ir_phrase` pair: registered phrases (tokenized
+    * benchmark strings, [[graft.operators.Retrieval.frozenPhrases]])
+    * are checked against each arriving document by the same positional
+    * adjacency rule the batch search runs (every phrase token at
+    * `start + offset`), record-locally over the token array — the
+    * ingest enforcement of literal-string decontamination, where
+    * `ir_phrase` is the batch audit. Emits `matched_phrases` (the ids
+    * of every phrase the doc contains, ascending) and `contaminated`;
+    * a gate caller drops or quarantines on `contaminated`, an audit
+    * caller keeps the ids. A doc with null/short text matches nothing
+    * and passes clean (phrase evidence requires the phrase). Stateless,
+    * no shuffle; cost is ≤ |phrases| array scans per record, bounded by
+    * the registry budget. StreamingSpec pins streamed verdicts ≡ the
+    * batch `ir_phrase` hit set over the same corpus and registry. */
+  def phraseGate(docs: DataFrame,
+      phrases: Map[Long, Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.Column
+    val toks = col("_toks")
+    val perPhrase: Seq[Column] = phrases.toSeq.sortBy(_._1).map {
+      case (pid, terms) =>
+        val len = terms.length
+        val windowHit = (i: Column) =>
+          terms.zipWithIndex.map { case (t, off) =>
+            element_at(toks, i + off) === lit(t)
+          }.reduce(_ && _)
+        val hit = when(size(toks) >= len,
+          exists(sequence(lit(1), size(toks) - (len - 1)), windowHit))
+          .otherwise(lit(false))
+        when(hit, lit(pid)).otherwise(lit(null).cast("long"))
+    }
+    docs
+      .withColumn("_toks", graft.functions.TextFns.tokens(col("text")))
+      .withColumn("matched_phrases",
+        filter(array(perPhrase: _*), x => x.isNotNull))
+      .withColumn("contaminated", size(col("matched_phrases")) > 0)
+      .drop("_toks")
+  }
+
   /** Streaming IVF cell router (round 13) — the INGEST half of the IVF
     * index pair: the batch build (`ann_ivf_sqrt` / `ann_ivfpq_sqrt`)
     * trains and freezes the coarse codebook; this routes each ARRIVING

@@ -1745,6 +1745,44 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     served(0).getAs[Long]("seq") shouldBe Long.MaxValue
   }
 
+  it should "flag streamed documents containing registered phrases exactly as the batch search" in {
+    // the phrase gate must agree with ir_phrase doc-for-doc: same
+    // adjacency rule, same registry (round 14 — literal-string
+    // decontamination's online half)
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val phrases = graft.operators.Retrieval.frozenPhrases(spark, sf)
+    phrases.nonEmpty shouldBe true
+    val docs = graft.Tables.documents(spark, sf)
+    val src = tmp()
+    docs.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(docs.schema).parquet(src)
+    val q = Transforms.phraseGate(stream, phrases)
+      .select(col("doc_id"), col("matched_phrases"), col("contaminated"))
+      .writeStream.format("memory").queryName("phrasegate")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("phrasegate").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toSet, r.getBoolean(2)))).toMap
+    val expected = graft.operators.Retrieval.irPhrase(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    streamed.size.toLong shouldBe docs.count()
+    streamed.foreach { case (did, (ids, cont)) =>
+      withClue(s"doc $did: ") {
+        ids shouldBe expected.getOrElse(did, Set.empty[Long])
+        cont shouldBe expected.contains(did)
+      }
+    }
+    // a null-text doc carries no phrase evidence and passes clean
+    import spark.implicits._
+    val r0 = Transforms.phraseGate(
+      Seq((9L, null: String)).toDF("doc_id", "text"), phrases).collect()(0)
+    r0.getAs[Boolean]("contaminated") shouldBe false
+    r0.getSeq[Long](r0.fieldIndex("matched_phrases")) shouldBe empty
+  }
+
   it should "split streamed documents into quarantine and clean exactly as the batch scorer" in {
     // the end-to-end standing-query loader (round 14): stream the corpus
     // → bm25Score under frozen stats → two-way snapshot split; the
