@@ -193,9 +193,9 @@ object Retrieval {
     * the cheap 6-term probe almost always fills its page with true
     * vocabulary near-dups and puts one at rank 1.
     *
-    * Scale shape: the truth side is ONE corpus distinct-shingle pass;
-    * the (query, doc) intersection keys on the shingle with the 16
-    * query-doc shingle sets BROADCAST, so the pair stream is Θ(16·N)
+    * Scale shape: the truth side is ONE corpus distinct-token pass;
+    * the (query, doc) intersection keys on the token with the 16
+    * query-doc token sets BROADCAST, so the pair stream is Θ(16·N)
     * worst case (a constant multiple of the corpus scan, never
     * all-pairs), partial-agg-collapsed map-side; doc sizes join keyed.
     * Truth and the metadata frames pin; metrics join pinned frames.

@@ -2018,12 +2018,17 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     import org.apache.spark.sql.functions.col
     val card = operators.Similarity.annRecallCard(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
-    card.keySet shouldBe Set("ivf", "lsh")
+    // round 14: the two √N serving schedules audit side by side with
+    // the fixed-K pipelines, so the trained-codebook uplift is a card
+    // number — every method row ties out against its own pipeline
+    card.keySet shouldBe Set("ivf", "ivf_sqrt", "ivf_trained", "lsh")
     val truth = operators.Similarity.annBruteforce(spark, sf)
       .filter(col("rnk") <= 5).select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val nQueries = truth.map(_._1).size.toLong
     Seq("ivf" -> operators.Similarity.annIvf(spark, sf),
+      "ivf_sqrt" -> operators.Similarity.annIvfSqrt(spark, sf),
+      "ivf_trained" -> operators.Similarity.annIvfTrained(spark, sf),
       "lsh" -> operators.Similarity.annLsh(spark, sf)).foreach { case (m, df) =>
       val pairs = df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
@@ -2160,9 +2165,11 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .filter(col("embedding").isNotNull).count()
     val rows = operators.Similarity.annIvfHealth(spark, sf).collect()
     val bySch = rows.groupBy(_.getAs[String]("scheme"))
-    bySch.keySet shouldBe Set("fixed16", "sqrtn")
+    // round 14: the trained √N codebook audits as a third scheme
+    bySch.keySet shouldBe Set("fixed16", "sqrtn", "trained")
     bySch("fixed16").length shouldBe 16
     bySch("sqrtn").length shouldBe operators.Similarity.sqrtCells(n)
+    bySch("trained").length shouldBe operators.Similarity.sqrtCells(n)
     bySch.foreach { case (sch, rs) =>
       withClue(s"scheme $sch: ") {
         // every vector lands in exactly one cell
