@@ -1884,8 +1884,13 @@ object Similarity {
       .localCheckpoint(false) // feeds both hit joins + nq
     val nq = truth.agg(countDistinct(col("query_id")).as("n_queries"))
       .localCheckpoint(false)
-    val ed = graft.functions.VecFns.toDouble(col("e"))
-    val train = v.agg(
+    // the cast array MATERIALIZES once per row ("ed"): element_at over
+    // the bare transform(e, cast) expression re-builds the whole cast
+    // array per element access — O(64²) casts per row across the train,
+    // recon and MSE passes (measured ~2× the card's whole price)
+    val vd = v.withColumn("ed", graft.functions.VecFns.toDouble(col("e")))
+    val ed = col("ed")
+    val train = vd.agg(
       array((1 to 64).map(i => min(element_at(ed, i))): _*).as("mn"),
       array((1 to 64).map(i => max(element_at(ed, i))): _*).as("mx"))
       .localCheckpoint(false) // 1-row trained bounds, broadcast
@@ -1898,7 +1903,7 @@ object Similarity {
           floor((x - mn) / sp * lit(255.0) + lit(0.5)))) * sp / lit(255.0))
         .otherwise(mn)
     }
-    val vq = v.crossJoin(broadcast(train))
+    val vq = vd.crossJoin(broadcast(train))
       .withColumn("recon", transform(sequence(lit(1), lit(64)), reconAt _))
     val mseAgg = vq
       .select(foldSum(transform(sequence(lit(1), lit(64)), i => {
