@@ -50,7 +50,7 @@ class DirtyTextSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   private def textOps: Seq[(String, (SparkSession, String) => DataFrame)] =
     SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       n.startsWith("ta_") || n.startsWith("dd_") || n.startsWith("pipe_") ||
-        n.startsWith("mm_")
+        n.startsWith("mm_") || n.startsWith("ir_")
     }
 
   behavior of "text-family operators"
