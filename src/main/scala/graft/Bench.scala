@@ -188,6 +188,15 @@ object Bench {
       System.err.println(s"[bench] ivf train FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       -1.0
     }
+    val irStats = try {
+      operators.Retrieval.evictSample(spark)
+      val t0 = System.nanoTime()
+      operators.Retrieval.corpusSample(spark, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ir stats FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      -1.0
+    }
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -350,7 +359,7 @@ object Bench {
     val bloomRatesJson = bloomRates.map(r => fmt(r)).mkString("[", ",", "]")
     // stream_reruns derives from the actual run count (runs beyond the
     // first timed pass), never a literal — a self-describing artifact
-    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"opq_train_sec":${fmt(opqTrain)},"ivf_train_sec":${fmt(ivfTrain)},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
+    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"opq_train_sec":${fmt(opqTrain)},"ivf_train_sec":${fmt(ivfTrain)},"ir_stats_sec":${fmt(irStats)},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
     // FULL artifact: every per-query number. Printed first for
     // collectors that keep whole stdout AND written to a file so the
     // full per-query map survives even when only the stdout tail does.

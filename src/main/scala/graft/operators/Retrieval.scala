@@ -51,6 +51,83 @@ object Retrieval {
   private val K1 = 1.2
   private val B = 0.75
 
+  // Sampled queries + corpus stats memoized per (session, dir + data
+  // fingerprint) — the Similarity.corpusCount / QualityClassifier
+  // trained-model discipline (the r13-verdict memo family): ir_bm25 /
+  // ir_phrase / ir_eval each need the SAME md5-stratified 16-doc sample,
+  // and BM25 additionally the corpus length stats; previously every
+  // invocation re-ran the sample and stats passes. One computation per
+  // (session, dir) now serves the whole family plus the frozen-stats
+  // helpers, entering each plan as a LocalRelation — zero
+  // plan-construction jobs after the first. The file-listing fingerprint
+  // invalidates on a rewritten dir; session keys are weak.
+  private val sampleCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String,
+        (String, (Long, Double, Seq[(Long, Seq[String])]))]]())
+
+  private def dataFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) ""
+    else fs.listStatus(p).map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+  }
+
+  /** Bench hook: drop the memo so a timed run prices the computation. */
+  private[graft] def evictSample(s: SparkSession): Unit =
+    sampleCache.synchronized { sampleCache.remove(s); () }
+
+  /** Memoized (nDocs, avgdl, sample) — corpus size, average doc length
+    * (driver IEEE division of the exact longs ≡ the Catalyst/DuckDB
+    * division it replaces), and the [[QueryDocs]] sampled docs' first
+    * [[QueryTerms]] tokens (the phrase sample tokens 2–4 are a slice of
+    * this prefix, so one sample serves both index families). */
+  private[graft] def corpusSample(s: SparkSession, d: String)
+      : (Long, Double, Seq[(Long, Seq[String])]) = {
+    val perSession = sampleCache.synchronized {
+      var m = sampleCache.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map
+          .empty[String, (String, (Long, Double, Seq[(Long, Seq[String])]))]
+        sampleCache.put(s, m)
+      }
+      m
+    }
+    val fp = dataFingerprint(s, d)
+    perSession.synchronized {
+      perSession.get(d) match {
+        case Some((cachedFp, v)) if cachedFp == fp => v
+        case _ =>
+          val docs = Tables.documents(s, d)
+          val st = docs.select(tokens(col("text")).as("tk"))
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              sum(size(col("tk")).cast("long")).as("n_toks"))
+            .collect()(0)
+          val nDocs = st.getAs[Long]("n_docs")
+          val avgdl =
+            if (nDocs == 0 || st.isNullAt(1)) 0.0
+            else st.getAs[Long]("n_toks").toDouble / nDocs
+          val sample = docs
+            .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+              col("doc_id"))
+            .limit(QueryDocs)
+            .select(col("doc_id").as("query_id"),
+              slice(tokens(col("text")), 1, QueryTerms).as("qt"))
+            .collect()
+            .map(r => r.getAs[Long]("query_id") ->
+              // null-text sampled doc → null slice → no query terms
+              // (the explode/filter semantics of the pre-memo frames)
+              Option(r.getSeq[String](1)).map(_.toList).getOrElse(Nil))
+            .toSeq
+          val v = (nDocs, avgdl, sample)
+          perSession.put(d, (fp, v))
+          v
+      }
+    }
+  }
+
   /** Okapi BM25 top-10 docs per query. Queries are the [[QueryDocs]]
     * corpus docs with the smallest md5(doc_id) (each contributes its
     * first [[QueryTerms]] distinct tokens); scores use the standard
@@ -67,26 +144,14 @@ object Retrieval {
       excludeSelf: Boolean): DataFrame = {
     val docs = Tables.documents(s, d)
     val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-    // corpus stats: one aggregate pass pinned to a 1-row broadcast
-    val stats = base
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(size(col("tk")).cast("long")).as("n_toks"))
-      .select(col("n_docs"),
-        (col("n_toks").cast("double") / col("n_docs")).as("avgdl"))
-      .localCheckpoint(false)
-    // query sample + terms: ≤ QueryDocs·QueryTerms rows, metadata pins
-    // (TakeOrderedAndProject — bounded heap, never a global sort)
-    val qdocs = docs
-      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
-      .limit(QueryDocs)
-      .select(col("doc_id").as("query_id"),
-        slice(tokens(col("text")), 1, QueryTerms).as("qt"))
-    val qterms = qdocs
-      .select(col("query_id"), explode(col("qt")).as("term"))
-      .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("_c"))
-      .drop("_c")
-      .localCheckpoint(false)
-    val qt = qterms.select(col("term")).distinct().localCheckpoint(false)
+    // stats + query terms from the memoized sample — LocalRelations,
+    // no plan-construction jobs (≤ QueryDocs·QueryTerms rows)
+    val (nDocs, avgdl, sample) = corpusSample(s, d)
+    import s.implicits._
+    val stats = Seq((nDocs, avgdl)).toDF("n_docs", "avgdl")
+    val qtermRows = sample.flatMap { case (q, ts) => ts.distinct.map(q -> _) }
+    val qterms = qtermRows.toDF("query_id", "term")
+    val qt = qtermRows.map(_._2).distinct.toDF("term")
     // postings restricted to query terms BEFORE any shuffle: the corpus
     // scan meets a broadcast semi-filter, so the (doc_id, term) agg only
     // carries matching tokens however large the corpus
@@ -208,11 +273,8 @@ object Retrieval {
     val dtk = base.select(col("doc_id"),
       explode(array_distinct(col("tk"))).as("t"))
     val sizes = dtk.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val qids = docs
-      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
-      .limit(QueryDocs)
-      .select(col("doc_id").as("query_id"))
-      .localCheckpoint(false)
+    val sparkS = s; import sparkS.implicits._
+    val qids = corpusSample(s, d)._3.map(_._1).toDF("query_id")
     val qtok = dtk.join(broadcast(qids), col("doc_id") === col("query_id"))
       .select(col("query_id"), col("t"))
       .localCheckpoint(false)
@@ -324,19 +386,17 @@ object Retrieval {
     val docs = Tables.documents(s, d)
     val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
     // phrase per sampled query doc: tokens 2-4 (0-based offsets 0..2),
-    // eligible when the doc has ≥ 4 tokens; ≤ QueryDocs·3 rows, pinned
-    val qdocs = docs
-      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
-      .limit(QueryDocs)
-      .select(col("doc_id").as("query_id"),
-        slice(tokens(col("text")), 2, 3).as("ph"))
-      .filter(size(col("ph")) === 3)
-    val qphrase = qdocs
-      .select(col("query_id"), concat_ws(" ", col("ph")).as("phrase"))
-      .localCheckpoint(false)
-    val qterms = qdocs
-      .select(col("query_id"), posexplode(col("ph")).as(Seq("off", "term")))
-      .localCheckpoint(false)
+    // eligible when the doc has ≥ 4 tokens — a slice of the memoized
+    // sample prefix, entering the plan as ≤ QueryDocs·3 LocalRelation rows
+    val phs = corpusSample(s, d)._3
+      .map { case (q, ts) => q -> ts.slice(1, 4) }
+      .filter(_._2.length == 3)
+    import s.implicits._
+    val qphrase = phs.map { case (q, ph) => q -> ph.mkString(" ") }
+      .toDF("query_id", "phrase")
+    val qterms = phs.flatMap { case (q, ph) =>
+      ph.zipWithIndex.map { case (t, o) => (q, o, t) }
+    }.toDF("query_id", "off", "term")
     // positional postings restricted to phrase terms before the shuffle
     val hits = base
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "term")))
@@ -392,14 +452,9 @@ object Retrieval {
     * md5-sampled 3-token phrases [[irPhrase]] searches, keyed by query
     * id. Metadata-sized by the [[QueryDocs]] budget. */
   def frozenPhrases(s: SparkSession, d: String): Map[Long, Seq[String]] =
-    Tables.documents(s, d)
-      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
-      .limit(QueryDocs)
-      .select(col("doc_id").as("query_id"),
-        slice(tokens(col("text")), 2, 3).as("ph"))
-      .filter(size(col("ph")) === 3)
-      .collect()
-      .map(r => r.getAs[Long]("query_id") -> r.getSeq[String](1).toList).toMap
+    corpusSample(s, d)._3
+      .map { case (q, ts) => q -> ts.slice(1, 4) }
+      .filter(_._2.length == 3).toMap
 
   /** Driver-side frozen retrieval stats — the TRAIN half of the
     * [[graft.streaming.Transforms.bm25Score]] online split (the dsirScore
@@ -413,32 +468,16 @@ object Retrieval {
     * aggregations [[irBm25]] runs. */
   def frozenStats(s: SparkSession, d: String)
       : (Long, Double, Map[Long, Seq[String]], Map[String, Long]) = {
-    val docs = Tables.documents(s, d)
-    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-    val st = base
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(size(col("tk")).cast("long")).as("n_toks"))
-      .collect()(0)
-    val nDocs = st.getAs[Long]("n_docs")
-    val avgdl =
-      if (nDocs == 0 || st.isNullAt(1)) 0.0
-      else st.getAs[Long]("n_toks").toDouble / nDocs
-    val qterms = docs
-      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
-      .limit(QueryDocs)
-      .select(col("doc_id").as("query_id"),
-        explode(slice(tokens(col("text")), 1, QueryTerms)).as("term"))
-      .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("_c"))
-      .collect()
-      .map(r => r.getAs[Long]("query_id") -> r.getAs[String]("term"))
-    val queries = qterms.groupBy(_._1).view
-      .mapValues(_.map(_._2).toSeq.sorted).toMap
-    val terms = qterms.map(_._2).distinct
+    val (nDocs, avgdl, sample) = corpusSample(s, d)
+    val queries = sample
+      .map { case (q, ts) => q -> ts.distinct.sorted }
+      .filter(_._2.nonEmpty).toMap
+    val terms = sample.flatMap(_._2).distinct
     val dfRows =
       if (terms.isEmpty) Array.empty[(String, Long)]
-      else base
-        .select(col("doc_id"), explode(col("tk")).as("term"))
-        .filter(col("term").isin(terms.toSeq.map(x => x: Any): _*))
+      else Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term").isin(terms.map(x => x: Any): _*))
         .groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .collect()

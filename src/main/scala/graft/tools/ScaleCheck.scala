@@ -106,7 +106,11 @@ object ScaleCheck {
     "ann_ivf_health" -> Seq("emb-count", "ivf-train"),
     "ann_ivf_trained" -> Seq("emb-count", "ivf-train"),
     "ann_recall_card" -> Seq("emb-count", "ivf-train"),
-    "ann_opq" -> Seq("opq-rot"))
+    "ann_opq" -> Seq("opq-rot"),
+    // the retrieval family shares the memoized md5 sample + corpus
+    // stats (round 14 — the ir-sample group)
+    "ir_bm25" -> Seq("ir-sample"), "ir_phrase" -> Seq("ir-sample"),
+    "ir_eval" -> Seq("ir-sample"))
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,

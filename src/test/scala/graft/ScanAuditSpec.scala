@@ -179,9 +179,9 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // one live scan is the positional-postings pass
     "ir_phrase" -> 1,
     // ir_eval: the truth side's distinct-token/intersection pass + the
-    // doc-size branch (the bm25 ranking runs inside its own audited
-    // 2-scan shape whose exchanges AQE reuses here)
-    "ir_eval" -> 4)
+    // doc-size branch (the bm25 ranking's own 2 scans share AQE-reused
+    // exchanges here; the sample/stats passes live in the session memo)
+    "ir_eval" -> 2)
 
   behavior of "post-execution scan counts"
 
