@@ -430,6 +430,17 @@ object Transforms {
       df: Map[String, Long], nDocs: Long, avgdl: Double,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.Column
+    // no standing queries → nothing can match: an empty scored frame
+    // with the contract schema (a zero-arg array() literal is
+    // void-typed and would fail analysis, so the degenerate registry
+    // needs its own branch — e.g. frozenStats over an empty corpus)
+    if (queries.isEmpty) {
+      return docs
+        .withColumn("query_id", lit(null).cast("long"))
+        .withColumn("n_terms", lit(null).cast("long"))
+        .withColumn("score", lit(null).cast("double"))
+        .filter(lit(false))
+    }
     val toks = col("_toks")
     val dl = size(toks).cast("long")
     val tfNormDen = (tf: Column) =>
@@ -480,6 +491,13 @@ object Transforms {
   def phraseGate(docs: DataFrame,
       phrases: Map[Long, Seq[String]]): DataFrame = {
     import org.apache.spark.sql.Column
+    // empty registry → every doc passes clean (same void-typed-array()
+    // hazard as bm25Score's degenerate branch)
+    if (phrases.isEmpty) {
+      return docs
+        .withColumn("matched_phrases", array().cast("array<long>"))
+        .withColumn("contaminated", lit(false))
+    }
     val toks = col("_toks")
     val perPhrase: Seq[Column] = phrases.toSeq.sortBy(_._1).map {
       case (pid, terms) =>

@@ -1628,6 +1628,14 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     hit.length shouldBe 1
     hit(0).getAs[Long]("query_id") shouldBe 7L
     hit(0).getAs[Double]("score") should be > 0.0
+    // an EMPTY standing-query registry scores nothing but keeps the
+    // contract schema (the degenerate branch — e.g. frozen stats over
+    // an empty corpus)
+    val none = Transforms.bm25Score(
+      Seq((3L, "text")).toDF("doc_id", "text"),
+      Map.empty[Long, Seq[String]], Map.empty, 0L, 0.0)
+    none.columns should contain allOf ("query_id", "n_terms", "score")
+    none.collect().length shouldBe 0
   }
 
   it should "route streamed vectors to the exact cells the batch build assigns" in {
@@ -1781,6 +1789,13 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       Seq((9L, null: String)).toDF("doc_id", "text"), phrases).collect()(0)
     r0.getAs[Boolean]("contaminated") shouldBe false
     r0.getSeq[Long](r0.fieldIndex("matched_phrases")) shouldBe empty
+    // an EMPTY registry gates nothing and keeps the contract schema
+    // (a zero-arg array() would be void-typed — the degenerate branch)
+    val r1 = Transforms.phraseGate(
+      Seq((1L, "any text here")).toDF("doc_id", "text"),
+      Map.empty[Long, Seq[String]]).collect()(0)
+    r1.getAs[Boolean]("contaminated") shouldBe false
+    r1.getSeq[Long](r1.fieldIndex("matched_phrases")) shouldBe empty
   }
 
   it should "split streamed documents into quarantine and clean exactly as the batch scorer" in {
