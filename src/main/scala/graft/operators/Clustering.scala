@@ -68,9 +68,8 @@ object Clustering {
   // the key): a refreshed corpus under the same dir REPLACES the stale
   // entry instead of stranding it for the session lifetime — the bounded-
   // cache behavior a long-lived session needs.
-  private val centsCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (String, Seq[(Int, Seq[Double])])]]())
+  private val centsMemo =
+    new graft.util.SessionMemo[Seq[(Int, Seq[Double])]]("embeddings")
 
   // The thresholded similarity-edge PAIRS (ddEmbedCosFor's sign-bucket
   // LSH candidates filtered by cosine > threshold) are the shared input
@@ -88,33 +87,19 @@ object Clustering {
   // replaces the stale entry, whose checkpoint blocks the ContextCleaner
   // reclaims once the dropped frame reference is GC'd — no strand for
   // the session lifetime.
-  private val pairsCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, Double), (String, DataFrame)]]())
+  private val pairsMemo =
+    new graft.util.SessionMemo.Keyed[(String, Double), DataFrame]("embeddings")
 
   /** Memoized undirected similarity candidate pairs (vec_a < vec_b). */
   private[graft] def simEdgePairs(s: SparkSession, d: String,
-      threshold: Double): DataFrame = {
-    val perSession = pairsCache.synchronized {
-      var m = pairsCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; pairsCache.put(s, m) }
-      m
+      threshold: Double): DataFrame =
+    pairsMemo.getOrCompute(s, d, (d, threshold)) {
+      val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding").as("e"))
+      Dedup.ddEmbedCosFor(emb, Seq(1, 2, 3, 4), threshold)
+        .select(col("vec_a"), col("vec_b"))
+        .localCheckpoint(false)
     }
-    val fp = dataFingerprint(s, d)
-    perSession.synchronized {
-      perSession.get((d, threshold)) match {
-        case Some((cachedFp, frame)) if cachedFp == fp => frame
-        case _ => // miss, or the corpus under this dir changed: rebuild
-          val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
-            .select(col("vec_id"), col("embedding").as("e"))
-          val frame = Dedup.ddEmbedCosFor(emb, Seq(1, 2, 3, 4), threshold)
-            .select(col("vec_a"), col("vec_b"))
-            .localCheckpoint(false)
-          perSession.put((d, threshold), (fp, frame))
-          frame
-      }
-    }
-  }
 
   /** The threshold cl_pagerank/cl_dbscan share (their one memo entry). */
   private[graft] val SimEdgeThreshold = 0.25
@@ -125,32 +110,13 @@ object Clustering {
     * the warm run and shared thereafter, which is the production shape
     * but not a comparable per-query timing). */
   private[graft] def evictSimEdgePairs(s: SparkSession): Unit =
-    pairsCache.synchronized {
-      val m = pairsCache.get(s)
-      if (m != null) m.synchronized { m.clear() }
-    }
+    pairsMemo.evict(s)
 
   /** Bench hook, the [[evictSimEdgePairs]] twin for the OTHER memo: drop
     * the trained centroids so a timed [[trainedCents]] call measures the
     * Iters-round training sweep every cl_* query amortizes. */
   private[graft] def evictTrainedCentroids(s: SparkSession): Unit =
-    centsCache.synchronized {
-      val m = centsCache.get(s)
-      if (m != null) m.synchronized { m.clear() }
-    }
-
-  private def dataFingerprint(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) ""
-    // the FULL listing string, not a 32-bit hashCode of it: two corpus
-    // states colliding on hashCode would silently reuse stale trained
-    // centroids — the exact hazard this fingerprint exists to close
-    // (driver-side and tiny, so the long key costs nothing)
-    else fs.listStatus(p).map(st =>
-      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString(",")
-  }
+    centsMemo.evict(s)
 
   /** Train `Iters` rounds and return the final per-vector assignment
     * (vec_id, e, label, cid, d) — the shared frame behind all cl_*
@@ -171,20 +137,9 @@ object Clustering {
     * the training half, split out so operators needing more than the
     * nearest centroid, e.g. [[clSilhouette]]'s second-nearest, can reuse
     * the same run). */
-  private[graft] def trainedCents(s: SparkSession, d: String): Seq[(Int, Seq[Double])] = {
+  private[graft] def trainedCents(s: SparkSession, d: String): Seq[(Int, Seq[Double])] =
+      centsMemo.getOrCompute(s, d) {
     val v = cleanVectors(s, d)
-    val perSession = centsCache.synchronized {
-      var m = centsCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; centsCache.put(s, m) }
-      m
-    }
-    val fp = dataFingerprint(s, d)
-    perSession.synchronized {
-      perSession.get(d) match {
-        case Some((cachedFp, cached)) if cachedFp == fp => return cached
-        case _ => // miss, or stale fingerprint: retrain below and replace
-      }
-    }
     // seeds: the first K vectors by id, used RAW (no rounding) — the
     // oracle's c0 CTE is equally raw; only the UPDATED centroids are
     // rounded to 6 dp on both sides. Round one side's seeds without the
@@ -210,7 +165,6 @@ object Clustering {
         .map(r => r.getInt(0) -> (1 to Dim).map(i => r.getDouble(i)).toSeq).toMap
       cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
     }
-    perSession.synchronized { perSession.update(d, (fp, cents)) }
     cents
   }
 

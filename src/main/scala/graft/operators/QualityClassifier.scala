@@ -105,54 +105,28 @@ object QualityClassifier {
   // is the (1-row target pin, B-row weight pin) PAIR — scoring needs
   // the same frozen target the weights were trained against, and
   // caching them together keeps the two from ever drifting.
-  private val modelCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (String, (DataFrame, DataFrame))]]())
+  private val modelMemo =
+    new graft.util.SessionMemo[(DataFrame, DataFrame)]("documents")
 
   /** Bench hook (the Clustering.evictTrainedCentroids twin): drop this
     * session's memoized ql model so a timed [[trainedModel]] call
     * measures the training sweep the five ql_* queries amortize. */
   private[graft] def evictTrainedModel(s: SparkSession): Unit =
-    modelCache.synchronized {
-      val m = modelCache.get(s)
-      if (m != null) m.synchronized { m.clear() }
-    }
-
-  private def dataFingerprint(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) ""
-    // the FULL listing string, not a hashCode — a collision would
-    // silently score under stale weights (the Clustering rationale)
-    else fs.listStatus(p).map(st =>
-      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString(",")
-  }
+    modelMemo.evict(s)
 
   /** The memoized (target pin, weight-table pin) pair — ONE training
     * run per (session, dir) shared by all five ql_* queries and
     * [[trainedWeights]]. Both frames are lazily checkpoint-pinned, so
     * the corpus passes behind them execute once at first action and
-    * every later consumer reads the materialized RDDs. */
-  private[graft] def trainedModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val perSession = modelCache.synchronized {
-      var m = modelCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; modelCache.put(s, m) }
-      m
+    * every later consumer reads the materialized RDDs. Caching them
+    * TOGETHER keeps the frozen target and the weights trained against
+    * it from ever drifting. */
+  private[graft] def trainedModel(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    modelMemo.getOrCompute(s, d) {
+      val docs = corpus(s, d)
+      val target = targetOf(docs)
+      (target, weightTableFor(docs, target))
     }
-    val fp = dataFingerprint(s, d)
-    perSession.synchronized {
-      perSession.get(d) match {
-        case Some((cachedFp, model)) if cachedFp == fp => model
-        case _ => // miss, or the corpus under this dir changed: retrain
-          val docs = corpus(s, d)
-          val target = targetOf(docs)
-          val model = (target, weightTableFor(docs, target))
-          perSession.put(d, (fp, model))
-          model
-      }
-    }
-  }
 
   /** B-row weight table (b, tc, rc, u, w) — histogram + gradient chain.
     * localCheckpoint-pinned and memoized ([[trainedModel]]):

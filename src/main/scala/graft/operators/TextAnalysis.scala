@@ -851,37 +851,20 @@ object TextAnalysis {
     merges.foldLeft(split(word, ""): Column) {
       case (syms, (l, r)) => bpeFuse(syms, l, r) }
 
-  // Merge tables memoized per (session, data fingerprint) — training is
-  // fully deterministic, so taBpeTrain / taBpeApply / the streaming
-  // tokenizer share one run instead of each paying BpeMerges corpus
-  // actions (the Clustering.trainedCents idiom: weak session keys, full
-  // listing-string fingerprint so an overwritten dir cannot silently
-  // reuse stale merges).
-  private val mergeCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, Seq[(Long, String, String, String, Long)]]]())
-
-  private def docsFingerprint(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) ""
-    else fs.listStatus(p).map(st =>
-      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString(",")
-  }
+  // Merge tables memoized per (session, dir + data fingerprint) —
+  // training is fully deterministic, so taBpeTrain / taBpeApply / the
+  // streaming tokenizer share one run instead of each paying BpeMerges
+  // corpus actions. Round 15: moved onto the shared
+  // [[graft.util.SessionMemo]], which also upgrades this cache to the
+  // family's replace-on-refresh contract (the old dir|fp key stranded
+  // stale entries for the session lifetime).
+  private val mergeMemo =
+    new graft.util.SessionMemo[Seq[(Long, String, String, String, Long)]](
+      "documents")
 
   private[graft] def trainedBpeMerges(
-      s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] = {
-    val perSession = mergeCache.synchronized {
-      var m = mergeCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; mergeCache.put(s, m) }
-      m
-    }
-    val key = s"$d|${docsFingerprint(s, d)}"
-    perSession.synchronized {
-      perSession.getOrElseUpdate(key, trainBpe(s, d))
-    }
-  }
+      s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] =
+    mergeMemo.getOrCompute(s, d) { trainBpe(s, d) }
 
   private def trainBpe(s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] = {
     graft.plans.GraftFunctions.register(s) // graft_bpe_fuse below

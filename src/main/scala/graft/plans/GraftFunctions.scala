@@ -154,6 +154,22 @@ object GraftFunctions {
         graft.functions.GramBuckets(args(0),
           intLit(1, "n"), intLit(2, "hexDigits"), intLit(3, "mod"))
       }),
+    (new FunctionIdentifier("graft_span_trim"),
+      new ExpressionInfo(classOf[graft.functions.SpanTrim].getName, "graft_span_trim"),
+      (args: Seq[Expression]) => {
+        arity("graft_span_trim", args, 4)
+        def intLit(i: Int, what: String): Int = {
+          val e = args(i)
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"graft_span_trim: $what must be an integer literal")
+          val v = e.eval()
+          if (v == null) throw new IllegalArgumentException(
+            s"graft_span_trim: $what must be non-null")
+          v.toString.toInt
+        }
+        graft.functions.SpanTrim(args(0), args(1),
+          intLit(2, "width"), intLit(3, "minTokens"))
+      }),
     // Spark ships distributed Bloom build/probe as CATALYST expressions
     // (the runtime-filter machinery) but does not register them as SQL
     // functions; graft exposes them for the ingest dedup gate

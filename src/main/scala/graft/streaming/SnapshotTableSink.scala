@@ -115,7 +115,7 @@ class SnapshotTableSink(tableDir: String,
     if (paths.isEmpty) spark.emptyDataFrame
     else if (partitionCols.isEmpty)
       spark.read.option("mergeSchema", "true").parquet(paths: _*)
-    else
+    else {
       // partitioned epochs read PER DIR: a multi-path read would try to
       // discover one partition layout across batch=/compact= roots and
       // throw CONFLICTING_DIRECTORY_STRUCTURES; per-dir discovery
@@ -124,8 +124,46 @@ class SnapshotTableSink(tableDir: String,
       // mergeSchema gives unpartitioned ones (an empty epoch writes an
       // unpartitioned schema-only file — its missing partition column
       // null-fills over zero rows)
-      paths.map(p => spark.read.option("mergeSchema", "true").parquet(p))
+      val merged = paths
+        .map(p => spark.read.option("mergeSchema", "true").parquet(p))
         .reduce(_.unionByName(_, allowMissingColumns = true))
+      // restore the WRITTEN partition-column types (round 15, r14
+      // advice): partition discovery re-infers types from directory
+      // names (a BIGINT `cell` written as cell=3 reads back INT), so
+      // the published table's schema would silently change across the
+      // write/read round-trip; the writer records the pre-write DDL in
+      // the PART_TYPES sidecar and every read path casts the discovered
+      // column back through it
+      readPartTypes(spark).foldLeft(merged) { case (df, (c, ddl)) =>
+        if (df.columns.contains(c)) df.withColumn(c, col(c).cast(ddl)) else df
+      }
+    }
+  }
+
+  /** The recorded partition-column DDL types (name → ddl), empty when no
+    * writer has published them (pre-round-15 tables keep the old
+    * inferred-type behavior — no silent cast against unknown intent). */
+  private def readPartTypes(spark: SparkSession): Seq[(String, String)] = {
+    val p = new Path(tableDir, "_snapshots/PART_TYPES")
+    if (!fs(spark).exists(p)) Seq.empty
+    else readFile(spark, p).linesIterator.toSeq
+      .map(_.split("\t", 2)).collect { case Array(n, ddl) => (n, ddl) }
+  }
+
+  /** Publish the partition columns' pre-write DDL types. Overwrite-last-
+    * wins: an evolved writer's types supersede (the union read coerces
+    * older epochs' discovered values before the cast). Tiny and
+    * idempotent — same discipline as the snapshot JSONs. */
+  private def writePartTypes(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val lines = partitionCols.flatMap(c =>
+      schema.find(_.name == c).map(f => s"$c\t${f.dataType.sql}"))
+    if (lines.nonEmpty) {
+      val f = fs(spark)
+      f.mkdirs(new Path(tableDir, "_snapshots"))
+      val out = f.create(new Path(tableDir, "_snapshots/PART_TYPES"), true)
+      out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+    }
   }
 
   /** Read the table as of the latest snapshot (only committed files). */
@@ -278,6 +316,7 @@ class SnapshotTableSink(tableDir: String,
     // inference fails); the unpartitioned empty write keeps a
     // schema-bearing file, and readDirs null-fills the partition column
     val w = batch.write.mode("overwrite")
+    if (partitionCols.nonEmpty) writePartTypes(spark, batch.schema)
     (if (partitionCols.nonEmpty && !batch.isEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$tableDir/data/batch=$batchId")
     // consumed ranges recorded with the commit (StreamRange analog); the
@@ -317,8 +356,9 @@ class SnapshotTableSink(tableDir: String,
       case Some(s) =>
         val snapshotId = s.id + 1
         val dir = s"compact=$snapshotId"
-        val cw = readLatest(spark, keyCols, versionCol)
-          .write.mode("overwrite")
+        val latestView = readLatest(spark, keyCols, versionCol)
+        if (partitionCols.nonEmpty) writePartTypes(spark, latestView.schema)
+        val cw = latestView.write.mode("overwrite")
         (if (partitionCols.nonEmpty) cw.partitionBy(partitionCols: _*) else cw)
           .parquet(s"$tableDir/data/$dir")
         publishSnapshot(spark, Snap(snapshotId, s.committed, Seq(dir)),

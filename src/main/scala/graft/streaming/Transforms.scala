@@ -1261,6 +1261,80 @@ object Transforms {
     merged
   }
 
+  /** [[buildBloom]] at SPAN granularity (round 15): the filter holds the
+    * fused 8-gram window hash (`graft_gram_buckets`, the SAME hash the
+    * batch `dd_span_trim` census counts — gate and census can never
+    * disagree on what a "window" is) for every window of the history
+    * corpus. `expectedGrams` sizes the filter in WINDOWS (a doc of n
+    * tokens inserts n−7 keys); under-sizing degrades fpp, never
+    * correctness. The gram value keys the filter directly (insertion
+    * and probe share the pipeline; the Bloom hashes the long
+    * internally). */
+  def buildSpanBloom(historical: DataFrame, expectedGrams: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    require(expectedGrams > 0, s"expectedGrams must be positive (got $expectedGrams)")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1) (got $fpp)")
+    val numBits = math.ceil(
+      -expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    graft.plans.GraftFunctions.register(historical.sparkSession)
+    historical
+      .select(explode(call_function("graft_gram_buckets",
+        graft.functions.TextFns.tokens(col("text")),
+        lit(8), lit(8), lit(0))).as("h"))
+      .agg(call_function("graft_bloom_agg", col("h"),
+        lit(expectedGrams), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** [[extendBloom]] for the span filter: OR the new batch's window
+    * keys into the saved history — one pass over the increment. */
+  def extendSpanBloom(spark: SparkSession, path: String, newDocs: DataFrame,
+      expectedGrams: Long, fpp: Double = 0.01): Array[Byte] = {
+    val merged = mergeBloom(loadBloom(spark, path),
+      buildSpanBloom(newDocs, expectedGrams, fpp))
+    saveBloom(spark, merged, path)
+    merged
+  }
+
+  /** Verbatim duplicated-span TRIM at ingest (round 15) — the streaming
+    * twin of the batch `dd_span_trim` operator, completing the span
+    * family's stream side the way [[lineTrim]] completes the line
+    * family's: windows whose 8-gram hash the history filter CONTAINS
+    * are flagged, consecutive flagged windows merge into runs, and runs
+    * of `Dedup.SpanTrimTokens`+ tokens are excised record-locally by
+    * the fused [[graft.functions.SpanTrim]] kernel (the span fold
+    * consumes the flags array once — the HOF composition would re-derive
+    * it per token, the minhash alias-inlining hazard). `text` is
+    * replaced by the kept tokens (original order, space-joined — the
+    * batch operator's token-normalized output) and the per-doc token
+    * ledger (`n_tokens`, `kept_tokens`, `removed_tokens`) is appended.
+    * Bloom false positives can only flag ~fpp extra WINDOWS, and a
+    * false window still needs a ≥[[graft.operators.Dedup.SpanTrimTokens]]-token
+    * run around it to cut anything — never a resurrection. Docs with NO
+    * tokens (null/empty/whitespace text) pass through UNCHANGED with
+    * zero accounting — a trim transform never drops rows. STATELESS,
+    * record-local; each column expression is referenced a bounded
+    * constant number of times per row (the lineDupGate contract).
+    * StreamingSpec pins cleaned-text equality against `dd_span_trim`
+    * on a corpus whose duplicated grams are all in the history. */
+  def spanTrim(docs: DataFrame, filter: Array[Byte]): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val tk = graft.functions.TextFns.tokens(col("text"))
+    val flags = transform(
+      call_function("graft_gram_buckets", tk, lit(8), lit(8), lit(0)),
+      h => call_function("graft_bloom_contains", lit(filter), h))
+    val kept = call_function("graft_span_trim", tk, flags,
+      lit(8), lit(graft.operators.Dedup.SpanTrimTokens))
+    val ntk = coalesce(size(tk), lit(-1)) // -1 for null text
+    docs
+      .withColumn("n_tokens", greatest(ntk, lit(0)).cast("long"))
+      .withColumn("kept_tokens",
+        when(ntk <= 0, 0L).otherwise(size(kept)).cast("long"))
+      .withColumn("removed_tokens", col("n_tokens") - col("kept_tokens"))
+      .withColumn("text",
+        when(ntk <= 0, col("text")).otherwise(concat_ws(" ", kept)))
+  }
+
   private val SigCol = "__graft_nd_sig"
 
   /** Stage the minhash signature as a materialized column via the FUSED

@@ -2140,6 +2140,80 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "cut exactly the 50-token duplicated spans and tie out against dd_dup_span" in {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-spantrim-op").toString
+    // docs 0/1 share a 60-token span (>= SpanTrimTokens: cut) AND a
+    // 12-token span (< threshold: kept); doc 2 is untouched
+    val big = (1 to 60).map(i => s"big$i").mkString(" ")
+    val small = (1 to 12).map(i => s"small$i").mkString(" ")
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    Seq(
+      (0L, s"${uniq("a", 10)} $big ${uniq("b", 10)} $small ${uniq("c", 10)}", "en", "src0", 100L),
+      (1L, s"${uniq("d", 10)} $big ${uniq("e", 10)} $small ${uniq("f", 10)}", "en", "src0", 100L),
+      (2L, uniq("u", 30), "en", "src0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Dedup.ddSpanTrim(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    got.keySet shouldBe Set(0L, 1L, 2L) // a trim emits the whole corpus
+    Seq(0L -> ("a", "b", "c"), 1L -> ("d", "e", "f")).foreach { case (id, (x, y, z)) =>
+      withClue(s"doc $id: ") {
+        got(id).getAs[String]("cleaned_text") shouldBe
+          s"${uniq(x, 10)} ${uniq(y, 10)} $small ${uniq(z, 10)}"
+        got(id).getAs[Long]("removed_tokens") shouldBe 60L
+        got(id).getAs[Long]("n_spans_cut") shouldBe 1L
+        got(id).getAs[Long]("n_tokens") shouldBe 102L
+      }
+    }
+    got(2L).getAs[String]("cleaned_text") shouldBe uniq("u", 30)
+    got(2L).getAs[Long]("removed_tokens") shouldBe 0L
+    got(2L).getAs[Long]("n_spans_cut") shouldBe 0L
+  }
+
+  it should "lose tokens exactly where dd_dup_span measures a threshold run, and re-trim to a fixpoint" in {
+    import org.apache.spark.sql.functions._
+    val trim = operators.Dedup.ddSpanTrim(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the trim emits the whole corpus; ledger balances per doc
+    trim.size.toLong shouldBe Tables.documents(spark, sf).count()
+    trim.values.foreach { r =>
+      r.getAs[Long]("kept_tokens") + r.getAs[Long]("removed_tokens") shouldBe
+        r.getAs[Long]("n_tokens")
+    }
+    // islands tie-out: a doc loses tokens IFF its longest duplicated run
+    // reaches the threshold the census measures against
+    val census = operators.Dedup.ddDupSpan(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("max_run_tokens")).toMap
+    val losers = trim.collect { case (id, r) if r.getAs[Long]("removed_tokens") > 0 => id }.toSet
+    val thresholdDocs = census.collect {
+      case (id, mx) if mx >= operators.Dedup.SpanTrimTokens => id }.toSet
+    losers shouldBe thresholdDocs
+    losers.nonEmpty shouldBe true // the sf corpus exercises the cut path
+    // every loser removes at least its longest qualifying run's tokens
+    losers.foreach { id =>
+      trim(id).getAs[Long]("removed_tokens") should be >= census(id)
+    }
+    // Re-trim closure: running the trim over the CLEANED corpus removes
+    // nothing — excising the threshold runs leaves no threshold run
+    // (surviving duplicated windows all sit in sub-threshold islands,
+    // and no seam across a cut re-creates one on this corpus).
+    val spark2 = spark
+    import spark2.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-spantrim-fix").toString
+    trim.values.toSeq
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("cleaned_text"),
+        "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val second = operators.Dedup.ddSpanTrim(spark, dir2)
+      .agg(sum(col("removed_tokens")).as("rm"),
+        sum(col("kept_tokens")).as("kp")).collect()(0)
+    second.getAs[Long]("rm") shouldBe 0L
+    second.getAs[Long]("kp") shouldBe trim.values.map(_.getAs[Long]("kept_tokens")).sum
+  }
+
   it should "tie the post-trim budget card out against dd_line_trim totals" in {
     import org.apache.spark.sql.functions._
     val card = operators.Pipeline.pipeTrimBudget(spark, sf).collect()

@@ -871,6 +871,59 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     got shouldBe edges.map(segsOf)
   }
 
+  it should "cut known duplicated spans in-stream exactly as the batch dd_span_trim" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Corpus where every duplicated span is shared ACROSS docs (no
+    // intra-doc repeats — the history rule and the corpus-count rule
+    // coincide there) and bodies are unique: batch dd_span_trim cuts
+    // exactly the threshold spans. Stream side builds its history from
+    // the OTHER docs (the lineTrim leave-one-out shape), so a doc's
+    // duplicated windows are all IN history and its unique body is not
+    // — streamed cleaned text must equal the batch's per doc.
+    val big = (1 to 60).map(i => s"big$i").mkString(" ")     // >= 50: cut
+    val small = (1 to 12).map(i => s"small$i").mkString(" ") // < 50: kept
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      0L -> s"${uniq("a", 10)} $big ${uniq("b", 10)} $small ${uniq("c", 10)}",
+      1L -> s"${uniq("d", 10)} $big ${uniq("e", 10)} $small ${uniq("f", 10)}",
+      2L -> uniq("u", 30), // untouched: token-normalized passthrough
+      3L -> "",            // no tokens: unchanged passthrough, zero ledger
+      4L -> big)           // all one shared span: cleaned text is empty
+    val dir = java.nio.file.Files.createTempDirectory("graft-spantrim-st").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Dedup.ddSpanTrim(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("cleaned_text"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("removed_tokens"))).toMap
+    batch(0L)._3 shouldBe 60L // precondition: the fixture exercises the cut
+    val results = docs.map { case (id, text) =>
+      val history = docs.filter(_._1 != id).map(_._2).toDF("text")
+      val bf = Transforms.buildSpanBloom(history, 512L, fpp = 1e-6)
+      val ms = MemoryStream[(Long, Timestamp, String)]
+      ms.addData((id, ts(id.toInt + 1), text))
+      val q = Transforms.spanTrim(ms.toDF().toDF("doc_id", "ts", "text"), bf)
+        .writeStream.format("memory").queryName(s"strim$id")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      id -> spark.table(s"strim$id").collect().head
+    }.toMap
+    // doc 3 has no tokens: unchanged passthrough, zero accounting
+    results(3L).getAs[String]("text") shouldBe ""
+    results(3L).getAs[Long]("n_tokens") shouldBe 0L
+    results(3L).getAs[Long]("removed_tokens") shouldBe 0L
+    docs.map(_._1).filter(_ != 3L).foreach { id =>
+      val (cleaned, kept, removed) = batch(id)
+      val s = results(id)
+      withClue(s"doc $id: ") {
+        s.getAs[String]("text") shouldBe cleaned
+        s.getAs[Long]("kept_tokens") shouldBe kept
+        s.getAs[Long]("removed_tokens") shouldBe removed
+      }
+    }
+  }
+
   it should "trim known boilerplate lines in-stream exactly as the batch dd_line_trim" in {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1830,7 +1883,10 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     q.awaitTermination()
     val gotQuar = new SnapshotTableSink(quar, Seq("query_id")).read(spark)
       .select(col("query_id"), col("doc_id"), col("score")).collect()
-      .map(r => (r.getAs[Number]("query_id").longValue, r.getAs[Long]("doc_id"),
+      // getAs[Long] directly: the sink's PART_TYPES sidecar (round 15)
+      // restores the written BIGINT through partition discovery — this
+      // read IS the round-trip pin
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
         r.getAs[Double]("score")))
     gotQuar.map(t => (t._1, t._2)).toSet shouldBe expQuar
     gotQuar.length shouldBe expQuar.size // once per matching query, ever
