@@ -197,6 +197,32 @@ object Bench {
       System.err.println(s"[bench] ir stats FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       -1.0
     }
+    // The exact brute-force truth pass the ANN evaluation cards amortize
+    // (round 15 memo — previously re-executed inside ann_recall_card /
+    // ann_dim_trunc / ann_sq8, the bench's three heaviest lines): timed
+    // after eviction, forced to materialize via a count on the pinned
+    // ≤5·|Q|-row frame.
+    val annTruth = try {
+      operators.Similarity.evictAnnTruth(spark)
+      val t0 = System.nanoTime()
+      operators.Similarity.annTruth(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ann truth FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      -1.0
+    }
+    // The NN-descent graph build ann_nndescent/ann_beam amortize
+    // (round 15 memo — the pair_build_sec pattern): timed after
+    // eviction; the build's own checkpoints materialize inside the call.
+    val nnGraph = try {
+      operators.Similarity.evictNnGraph(spark)
+      val t0 = System.nanoTime()
+      operators.Similarity.nnDescentGraph(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] nn graph FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      -1.0
+    }
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -359,7 +385,7 @@ object Bench {
     val bloomRatesJson = bloomRates.map(r => fmt(r)).mkString("[", ",", "]")
     // stream_reruns derives from the actual run count (runs beyond the
     // first timed pass), never a literal — a self-describing artifact
-    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"opq_train_sec":${fmt(opqTrain)},"ivf_train_sec":${fmt(ivfTrain)},"ir_stats_sec":${fmt(irStats)},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
+    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"opq_train_sec":${fmt(opqTrain)},"ivf_train_sec":${fmt(ivfTrain)},"ir_stats_sec":${fmt(irStats)},"ann_truth_sec":${fmt(annTruth)},"nn_graph_sec":${fmt(nnGraph)},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
     // FULL artifact: every per-query number. Printed first for
     // collectors that keep whole stdout AND written to a file so the
     // full per-query map survives even when only the stdout tail does.

@@ -254,7 +254,16 @@ object Retrieval {
     * Exactness: truth is pure integers; per-query precision/recall/rr
     * are exact integer quotients (bit-identical doubles); the three
     * macro means go through decimal(38,18) sums, 6-dp floor-rounded. */
-  def irEval: Q = (s, d) => {
+  def irEval: Q = (s, d) => evalMetrics(
+    bm25TopK(s, d, excludeSelf = true)
+      .select(col("query_id"), col("rnk"), col("doc_id")),
+    truthFrame(s, d))
+
+  /** The relevance-truth frame (query_id, doc_id) — token-set Jaccard
+    * ≥ ½ against the sampled query docs, self excluded; ONE rule behind
+    * [[irEval]] and every [[irFusion]] method row. Pinned: feeds the
+    * hit joins + the per-query census. */
+  private def truthFrame(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
     val dtk = base.select(col("doc_id"),
@@ -275,18 +284,22 @@ object Retrieval {
     val inter = dtk.join(qtok.hint("shuffle_hash"), "t")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("ni"))
-    val truth = inter
+    inter
       .join(sizes, "doc_id")
       .join(broadcast(qsizes), "query_id")
       .filter(col("doc_id") =!= col("query_id") &&
         lit(2) * col("ni") >= col("nq") + col("n") - col("ni"))
       .select(col("query_id"), col("doc_id"))
-      .localCheckpoint(false) // feeds the hit join + the per-query census
-    val top = bm25TopK(s, d, excludeSelf = true)
-      .select(col("query_id"), col("rnk"), col("doc_id"))
-    // broadcast the ≤10·QueryDocs-row top, STREAM the corpus-dependent
-    // truth (r14 advice, the line-295 finding: on a near-dup-heavy
-    // corpus truth is Θ(16·N) rows — broadcasting it risks OOM)
+      .localCheckpoint(false)
+  }
+
+  /** The macro P@10 / recall@10 / MRR aggregate over one retriever's
+    * (query_id, rnk, doc_id) top-10 — the metric block [[irEval]] and
+    * every [[irFusion]] row share. Broadcasts the ≤10·[[QueryDocs]]-row
+    * top and STREAMS the corpus-dependent truth (r14 advice: on a
+    * near-dup-heavy corpus truth is Θ(16·N) rows — the wrong side to
+    * materialize). */
+  private def evalMetrics(top: DataFrame, truth: DataFrame): DataFrame = {
     val hits = truth.join(broadcast(top), Seq("query_id", "doc_id"))
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("nh"), min(col("rnk")).as("fr"))
@@ -312,8 +325,10 @@ object Retrieval {
           col("rrs").cast("double") / col("n_queries"), 6)).as("mrr"))
   }
 
-  val irEvalSql: String =
-    s"""WITH base AS (
+  /** Truth CTE chain ending in `truth` (query_id, doc_id) — the SQL
+    * twin of [[truthFrame]], shared by [[irEvalSql]] / [[irFusionSql]]. */
+  private val irTruthCtesSql: String =
+    s"""base AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
        |  FROM documents),
@@ -331,21 +346,14 @@ object Retrieval {
        |  SELECT i.query_id, i.doc_id
        |  FROM inter i JOIN sizes s ON s.doc_id = i.doc_id
        |  JOIN qsizes qs ON qs.query_id = i.query_id
-       |  WHERE i.doc_id <> i.query_id AND 2 * i.ni >= qs.nq + s.n - i.ni),
-       |top AS (
-       |  SELECT query_id, rnk, doc_id
-       |  FROM (${bm25FullSql("WHERE query_id <> doc_id")})),
-       |hits AS (
-       |  SELECT t.query_id, count(*) AS nh, min(t.rnk) AS fr
-       |  FROM top t JOIN truth USING (query_id, doc_id) GROUP BY 1),
-       |tc AS (SELECT query_id, count(*) AS n_rel FROM truth GROUP BY 1),
-       |pq AS (
-       |  SELECT tc.query_id, tc.n_rel, coalesce(h.nh, 0) AS nh,
-       |    CAST(coalesce(h.nh, 0) AS DOUBLE) / 10.0 AS precision,
-       |    CAST(coalesce(h.nh, 0) AS DOUBLE) / tc.n_rel AS recall,
-       |    CASE WHEN h.fr IS NULL THEN 0.0 ELSE 1.0 / h.fr END AS rr
-       |  FROM tc LEFT JOIN hits h USING (query_id))
-       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  WHERE i.doc_id <> i.query_id AND 2 * i.ni >= qs.nq + s.n - i.ni)""".stripMargin
+
+  /** Metric SELECT over a (query_id, rnk, doc_id) top-10 CTE — the SQL
+    * twin of [[evalMetrics]]; `method` prepends the fusion card's label
+    * column (None = [[irEvalSql]]'s original schema). */
+  private def evalSqlFor(method: Option[String], topCte: String): String = {
+    val methodCol = method.map(m => s"'$m' AS method, ").getOrElse("")
+    s"""SELECT ${methodCol}CAST(count(*) AS BIGINT) AS n_queries,
        |  CAST(sum(n_rel) AS BIGINT) AS n_rel,
        |  CAST(sum(nh) AS BIGINT) AS n_hits,
        |  CASE WHEN count(*) > 0 THEN ${Exact.floorRoundSql(
@@ -357,7 +365,133 @@ object Retrieval {
        |  CASE WHEN count(*) > 0 THEN ${Exact.floorRoundSql(
         "CAST(sum(CAST(rr AS DECIMAL(38,18))) AS DOUBLE) / count(*)", 6)}
        |  END AS mrr
-       |FROM pq""".stripMargin
+       |FROM (
+       |  SELECT tc.query_id, tc.n_rel, coalesce(h.nh, 0) AS nh,
+       |    CAST(coalesce(h.nh, 0) AS DOUBLE) / 10.0 AS precision,
+       |    CAST(coalesce(h.nh, 0) AS DOUBLE) / tc.n_rel AS recall,
+       |    CASE WHEN h.fr IS NULL THEN 0.0 ELSE 1.0 / h.fr END AS rr
+       |  FROM (SELECT query_id, count(*) AS n_rel FROM truth GROUP BY 1) tc
+       |  LEFT JOIN (
+       |    SELECT t.query_id, count(*) AS nh, min(t.rnk) AS fr
+       |    FROM $topCte t JOIN truth USING (query_id, doc_id) GROUP BY 1) h
+       |  USING (query_id)) pq""".stripMargin
+  }
+
+  val irEvalSql: String =
+    s"""WITH $irTruthCtesSql,
+       |top AS (
+       |  SELECT query_id, rnk, doc_id
+       |  FROM (${bm25FullSql("WHERE query_id <> doc_id")}))
+       |${evalSqlFor(None, "top")}""".stripMargin
+
+  /** Reciprocal-rank-fusion constant — the standard k=60 (Cormack &
+    * Clarke's RRF): score(d) = Σ 1/(k + rank_d) over the retrievers
+    * that returned d. */
+  private[graft] val RrfK = 60
+
+  /** Hybrid-retrieval fusion card (round 15, r14 verdict item 4) — the
+    * first place the repo's LEXICAL retriever ([[irBm25]]) and its
+    * VECTOR family meet: for the same [[QueryDocs]] sampled queries,
+    * rank documents three ways — BM25 top-10, embedding-cosine top-10
+    * (doc_id ≡ vec_id, the hygiene `mm_integrity` audits), and their
+    * reciprocal-rank fusion `Σ 1/(60 + rank)` — and report each
+    * method's [[irEval]] metrics against the SAME token-Jaccard truth.
+    * This is the "which retriever for contamination review" decision
+    * card: one table answers whether the cheap lexical probe, the
+    * embedding index, or the standard fusion of the two surfaces the
+    * near-duplicates the dedup suite measures.
+    *
+    * Exactness: RRF is rank arithmetic — `1.0/(60 + rank)` doubles
+    * summed in a fixed written order (two terms, coalesce-mirrored), so
+    * scores are bit-identical cross-engine; the fused cut ranks on
+    * (score DESC, doc_id). Cosine ranks cut on the raw fold with
+    * doc_id tie-breaks (the bruteforce discipline); metrics are the
+    * shared [[evalMetrics]] block.
+    *
+    * Scale shape: the vector side is ONE broadcast-query corpus scan
+    * through TopKPerGroup heaps (the [[Similarity.annBruteforceFor]]
+    * contract — the 16-query frame is the broadcast side); the fusion
+    * join unions two ≤10·[[QueryDocs]]-row frames; truth streams
+    * against broadcast tops (the r14-advice direction). */
+  def irFusion: Q = (s, d) => {
+    val truth = truthFrame(s, d)
+    val bmTop = bm25TopK(s, d, excludeSelf = true)
+      .select(col("query_id"), col("rnk"), col("doc_id"))
+      .localCheckpoint(false) // feeds its metric row + the fusion join
+    val v = Similarity.vectors(s, d)
+    val sparkS = s; import sparkS.implicits._
+    val qids = corpusSample(s, d)._3.map(_._1).toDF("query_id")
+    val q = v.join(broadcast(qids), col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        (graft.functions.VecFns.dot(col("qe"), col("e")) /
+          (col("qn") * col("nrm"))).as("cos"))
+    val vecCut = graft.plans.TopKPerGroup.transform(scored,
+      Seq(col("query_id")), Seq(col("cos").desc, col("doc_id").asc), 10)
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val vecTop = vecCut.withColumn("rnk", row_number().over(wv).cast("long"))
+      .select(col("query_id"), col("rnk"), col("doc_id"))
+      .localCheckpoint(false) // feeds its metric row + the fusion join
+    val fused = bmTop.select(col("query_id"), col("doc_id"),
+        col("rnk").as("brnk"))
+      .join(vecTop.select(col("query_id"), col("doc_id"),
+        col("rnk").as("vrnk")), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("brnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vrnk")), lit(0.0))).as("score"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val rrfTop = fused.withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk"), col("doc_id"))
+    evalMetrics(bmTop, truth).select(lit("bm25").as("method"), col("*"))
+      .unionByName(evalMetrics(rrfTop, truth)
+        .select(lit("rrf").as("method"), col("*")))
+      .unionByName(evalMetrics(vecTop, truth)
+        .select(lit("vector").as("method"), col("*")))
+      .orderBy(col("method"))
+  }
+
+  val irFusionSql: String = {
+    val cos = "list_reduce(list_transform(generate_series(1, 64), " +
+      "i -> vq.qe[i] * ve.e[i]), (x, y) -> x + y) / (vq.qn * ve.nrm)"
+    s"""WITH $irTruthCtesSql,
+       |bm_top AS (
+       |  SELECT query_id, rnk, doc_id
+       |  FROM (${bm25FullSql("WHERE query_id <> doc_id")})),
+       |${Similarity.vectorsCteSql("ve")},
+       |vq AS (
+       |  SELECT query_id, e AS qe, nrm AS qn
+       |  FROM ve JOIN qids ON ve.vec_id = qids.query_id),
+       |vs AS (
+       |  SELECT vq.query_id, ve.vec_id AS doc_id, $cos AS cos
+       |  FROM ve JOIN vq ON ve.vec_id <> vq.query_id),
+       |vec_top AS (
+       |  SELECT query_id, rn AS rnk, doc_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, doc_id) AS rn FROM vs) WHERE rn <= 10),
+       |rj AS (
+       |  SELECT coalesce(b.query_id, vt.query_id) AS query_id,
+       |    coalesce(b.doc_id, vt.doc_id) AS doc_id,
+       |    coalesce(1.0 / ($RrfK + b.rnk), 0.0) +
+       |      coalesce(1.0 / ($RrfK + vt.rnk), 0.0) AS score
+       |  FROM bm_top b FULL OUTER JOIN vec_top vt
+       |    ON b.query_id = vt.query_id AND b.doc_id = vt.doc_id),
+       |rrf_top AS (
+       |  SELECT query_id, rn AS rnk, doc_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rn FROM rj) WHERE rn <= 10)
+       |SELECT * FROM (
+       |  ${evalSqlFor(Some("bm25"), "bm_top")}
+       |  UNION ALL
+       |  ${evalSqlFor(Some("rrf"), "rrf_top")}
+       |  UNION ALL
+       |  ${evalSqlFor(Some("vector"), "vec_top")})
+       |ORDER BY method""".stripMargin
+  }
 
   /** Exact phrase search over a POSITIONAL inverted index (round 14) —
     * the second classic index structure next to [[irBm25]]'s frequency
@@ -489,10 +623,12 @@ object Retrieval {
   val queries: Map[String, Q] = Map(
     "ir_bm25" -> irBm25,
     "ir_phrase" -> irPhrase,
-    "ir_eval" -> irEval)
+    "ir_eval" -> irEval,
+    "ir_fusion" -> irFusion)
 
   val oracleSql: Map[String, String] = Map(
     "ir_bm25" -> irBm25Sql,
     "ir_phrase" -> irPhraseSql,
-    "ir_eval" -> irEvalSql)
+    "ir_eval" -> irEvalSql,
+    "ir_fusion" -> irFusionSql)
 }

@@ -38,7 +38,7 @@ object Similarity {
       Seq(col("query_id")), Seq(col("cos").desc, col("vec_id").asc), k))
 
 
-  private def vectors(s: SparkSession, d: String): DataFrame = {
+  private[operators] def vectors(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       // a vector that failed to embed upstream cannot be indexed or
@@ -80,15 +80,20 @@ object Similarity {
       .limit(QueryBudget)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
 
-  private val vectorsCte: String =
-    """v AS (
-      |  SELECT * FROM (
-      |    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
-      |      sqrt(list_reduce(list_transform(generate_series(1, 64),
-      |        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
-      |    FROM embeddings
-      |    WHERE embedding IS NOT NULL)
-      |  WHERE nrm > 0)""".stripMargin
+  /** The indexable-vector CTE (null / zero-norm vectors dropped — the
+    * [[vectors]] rule) under a caller-chosen CTE name; `private[operators]`
+    * so the retrieval fusion card reuses the identical text. */
+  private[operators] def vectorsCteSql(name: String): String =
+    s"""$name AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+       |      sqrt(list_reduce(list_transform(generate_series(1, 64),
+       |        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+       |    FROM embeddings
+       |    WHERE embedding IS NOT NULL)
+       |  WHERE nrm > 0)""".stripMargin
+
+  private val vectorsCte: String = vectorsCteSql("v")
 
   /** SQL twin of [[defaultQueries]]'s id rule (over the unrotated ids —
     * the rule is content-independent, so one CTE serves the OPQ path's
@@ -123,6 +128,33 @@ object Similarity {
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
     rankTopK(scored, 10)
   }
+
+  // Exact top-5 truth memoized per (session, dir + data fingerprint) —
+  // round 15, r14 verdict item 2: the brute-force truth set re-executed
+  // independently inside ann_recall_card, ann_dim_trunc and ann_sq8
+  // (the bench's three heaviest lines — three redundant Θ(Q·N) passes
+  // per session over the same corpus). The truth definition is
+  // deterministic (exact cosine, vec_id tie-breaks), so the memo is
+  // exact; one lazily-pinned ≤5·|Q|-row frame now serves every
+  // evaluation card, and the bench prices the pass as its own
+  // ann_truth_sec line after eviction (the ir-sample discipline).
+  private val truthMemo = new graft.util.SessionMemo[DataFrame]("embeddings")
+
+  /** Bench hook: drop the memoized truth so a timed [[annTruth]] call
+    * prices the Θ(Q·N) exact pass the cards amortize. */
+  private[graft] def evictAnnTruth(s: SparkSession): Unit = truthMemo.evict(s)
+
+  /** The memoized exact top-5 truth (query_id, neighbor_id) for the
+    * default budgeted queries — lazily checkpoint-pinned, so the
+    * brute-force pass executes once at first action and every card's
+    * hit joins / query censuses read the materialized ≤5·|Q| rows. */
+  private[graft] def annTruth(s: SparkSession, d: String): DataFrame =
+    truthMemo.getOrCompute(s, d) {
+      val v = vectors(s, d)
+      annBruteforceFor(v, defaultQueries(v)).filter(col("rnk") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(false)
+    }
 
   val annBruteforceSql: String =
     s"""WITH $vectorsCte,
@@ -251,41 +283,12 @@ object Similarity {
   // as a plan literal (K = sqrtCells(N), the cl_kmeans train-small
   // discipline) and previously each paid its own eager column-pruned
   // count at plan-construction time. One count per (session, dir) now
-  // serves the whole √N family; the file-listing fingerprint invalidates
-  // on a rewritten dir (the Clustering memo discipline — keyed by dir
-  // with the fingerprint alongside, weak session keys).
-  private val countCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (String, Long)]]())
+  // serves the whole √N family; invalidation/locking semantics live in
+  // the shared [[graft.util.SessionMemo]] (round 15, r14 advice 3).
+  private val countMemo = new graft.util.SessionMemo[Long]("embeddings")
 
-  private[graft] def corpusCount(s: SparkSession, d: String): Long = {
-    val perSession = countCache.synchronized {
-      var m = countCache.get(s)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, (String, Long)]
-        countCache.put(s, m)
-      }
-      m
-    }
-    val fp = dataFingerprint(s, d)
-    perSession.synchronized {
-      perSession.get(d) match {
-        case Some((cachedFp, n)) if cachedFp == fp => n
-        case _ =>
-          val n = vectors(s, d).count()
-          perSession.put(d, (fp, n)); n
-      }
-    }
-  }
-
-  private def dataFingerprint(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) ""
-    else fs.listStatus(p).map(st =>
-      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString(",")
-  }
+  private[graft] def corpusCount(s: SparkSession, d: String): Long =
+    countMemo.getOrCompute(s, d) { vectors(s, d).count() }
 
   /** Coarse cell assignment — (vec_id[, carry…], cell), the argmax rule
     * (cosine DESC, ties to lowest cid) every IVF-family op shares.
@@ -474,34 +477,18 @@ object Similarity {
   // serves ann_ivf_trained, the health card's trained scheme and the
   // recall card; the bench prices the sweep as ivf_train_sec after
   // eviction.
-  private val ivfCentsCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (String, Seq[(Long, Seq[Double])])]]())
+  private val ivfCentsMemo =
+    new graft.util.SessionMemo[Seq[(Long, Seq[Double])]]("embeddings")
 
   /** Bench hook: drop the memoized trained codebook so a timed
     * [[trainedIvfCents]] call measures the Lloyd sweep. */
   private[graft] def evictTrainedIvfCents(s: SparkSession): Unit =
-    ivfCentsCache.synchronized {
-      val m = ivfCentsCache.get(s)
-      if (m != null) m.synchronized { m.clear() }
-    }
+    ivfCentsMemo.evict(s)
 
-  private[graft] def trainedIvfCents(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
-    val perSession = ivfCentsCache.synchronized {
-      var m = ivfCentsCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; ivfCentsCache.put(s, m) }
-      m
+  private[graft] def trainedIvfCents(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
+    ivfCentsMemo.getOrCompute(s, d) {
+      trainIvfCents(vectors(s, d), sqrtCells(corpusCount(s, d)))
     }
-    val fp = dataFingerprint(s, d)
-    perSession.synchronized {
-      perSession.get(d) match {
-        case Some((cachedFp, cents)) if cachedFp == fp => cents
-        case _ =>
-          val cents = trainIvfCents(vectors(s, d), sqrtCells(corpusCount(s, d)))
-          perSession.put(d, (fp, cents)); cents
-      }
-    }
-  }
 
   /** √N-cells IVF (round 12, r11 verdict item 1b): [[annIvf]]'s exact
     * pipeline with the [[sqrtCells]] K schedule instead of fixed K=16.
@@ -623,14 +610,19 @@ object Similarity {
 
   /** The coarse-assignment CTE body — ONE definition of the argmax rule
     * (cosine DESC, ties to lowest cid) shared by the IVF retrieval
-    * oracles AND the health card, so the audited index can never drift
-    * from the served one. `carry` lists extra v columns to keep. */
-  private def ivfAssignScoredSql(cents: String, carry: String): String =
-    s"""SELECT v.vec_id,$carry c.cid,
-       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-       |      list_reduce(list_transform(generate_series(1, 64), i -> v.e[i] * c.ce[i]), (x, y) -> x + y) / (v.nrm * c.cn) DESC,
+    * oracles, the health card AND the training rounds (round 15, r14
+    * advice 4: [[ivfTrainCtesSql]] previously re-stated this rule
+    * inline, a second SQL copy that could drift the trained oracle's
+    * Lloyd assignment from the served one). `carry` lists extra vector
+    * columns to keep; `vTable`/`vAlias` parameterize the vector side so
+    * the training sample replays the identical text. */
+  private def ivfAssignScoredSql(cents: String, carry: String,
+      vTable: String = "v", vAlias: String = "v"): String =
+    s"""SELECT $vAlias.vec_id,$carry c.cid,
+       |    row_number() OVER (PARTITION BY $vAlias.vec_id ORDER BY
+       |      list_reduce(list_transform(generate_series(1, 64), i -> $vAlias.e[i] * c.ce[i]), (x, y) -> x + y) / ($vAlias.nrm * c.cn) DESC,
        |      c.cid) AS crnk
-       |  FROM v, $cents c""".stripMargin
+       |  FROM $vTable $vAlias, $cents c""".stripMargin
 
   /** Assignment CTE chain ending in `<p>assigned` (vec_id,<carryOut>
     * cell) — ONE builder for both rules so every IVF oracle replays the
@@ -687,15 +679,11 @@ object Similarity {
       s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (x, y) -> x + y)"
     val rounds = (1 to IvfTrainRounds).map { r =>
       s"""${p}tr${r}_scored AS (
-         |  SELECT s.vec_id, s.e, c.cid,
-         |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
-         |      ${dotSql("s.e", "c.ce")} / (s.nrm * c.cn) DESC,
-         |      c.cid) AS rn
-         |  FROM ${p}samp s, ${p}tc${r - 1} c),
+         |  ${ivfAssignScoredSql(s"${p}tc${r - 1}", " s.e,", s"${p}samp", "s")}),
          |${p}tr${r}_m AS (
          |  SELECT cid, i AS pos,
          |    round(sum(e[i]::DECIMAL(38,18))::DOUBLE / count(*), 6) AS m
-         |  FROM (SELECT cid, e FROM ${p}tr${r}_scored WHERE rn = 1) a
+         |  FROM (SELECT cid, e FROM ${p}tr${r}_scored WHERE crnk = 1) a
          |  CROSS JOIN generate_series(1, 64) AS t(i)
          |  GROUP BY 1, 2),
          |${p}tc${r}_u AS (SELECT cid, list(m ORDER BY pos) AS ce FROM ${p}tr${r}_m GROUP BY 1),
@@ -1004,35 +992,16 @@ object Similarity {
   // trainedCents discipline — dir-keyed, fingerprint-validated, weak
   // session keys. Bench prices the training as its own artifact line
   // (opq_train_sec) after eviction, the pair_build_sec pattern.
-  private val opqCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (String, Seq[Double])]]())
+  private val opqMemo = new graft.util.SessionMemo[Seq[Double]]("embeddings")
 
   /** Bench hook: drop this session's memoized rotation so a timed
     * [[trainedRotation]] call measures the moment sweep ann_opq
     * amortizes. */
   private[graft] def evictTrainedRotation(s: SparkSession): Unit =
-    opqCache.synchronized {
-      val m = opqCache.get(s)
-      if (m != null) m.synchronized { m.clear() }
-    }
+    opqMemo.evict(s)
 
-  private[graft] def trainedRotation(s: SparkSession, d: String): Seq[Double] = {
-    val perSession = opqCache.synchronized {
-      var m = opqCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; opqCache.put(s, m) }
-      m
-    }
-    val fp = dataFingerprint(s, d)
-    perSession.synchronized {
-      perSession.get(d) match {
-        case Some((cachedFp, theta)) if cachedFp == fp => theta
-        case _ =>
-          val theta = rotationAngles(vectors(s, d))
-          perSession.put(d, (fp, theta)); theta
-      }
-    }
-  }
+  private[graft] def trainedRotation(s: SparkSession, d: String): Seq[Double] =
+    opqMemo.getOrCompute(s, d) { rotationAngles(vectors(s, d)) }
 
   def annOpq: Q = (s, d) => {
     val vr = applyRotation(vectors(s, d), trainedRotation(s, d))
@@ -1102,34 +1071,57 @@ object Similarity {
     * both rounds as unrolled CTEs. On isotropic random test vectors the
     * NoN rounds add little (no manifold structure to exploit); on real
     * embedding manifolds they are the workhorse. */
-  def annNnDescent: Q = (s, d) => {
-    val dims = Seq(1, 8, 22, 43)
-    val v = vectors(s, d)
-    val b = v.select(col("vec_id"), signBucket(col("e"), dims).as("sig"))
-    val probed = b.select(col("vec_id"),
-      explode(multiProbe(col("sig"), dims.length)).as("psig"))
-    val cand0 = probed.as("a").join(b.as("c"), col("a.psig") === col("c.sig") &&
-        col("a.vec_id") =!= col("c.vec_id"))
-      .select(col("a.vec_id").as("src"), col("c.vec_id").as("nb"))
-    // localCheckpoint per round: the neighbor table feeds BOTH sides of
-    // the next round's self-join. Spark's ReusedExchange usually dedups
-    // the identical subplan (measured ~equal at sf0.1), but materializing
-    // guarantees single execution independent of optimizer reuse and
-    // keeps the plan O(1) nodes per round instead of O(2^rounds) —
-    // at production round counts the planner itself becomes the bottleneck
-    var nbrs = scoreTop5(cand0, v).localCheckpoint()
-    for (_ <- 1 to 2) {
-      val fwd = nbrs.select(col("src"), col("nb"))
-      val non = fwd.as("x").join(fwd.as("y"), col("x.nb") === col("y.src"))
-        .filter(col("y.nb") =!= col("x.src"))
-        .select(col("x.src").as("src"), col("y.nb").as("nb"))
-      nbrs = scoreTop5(non.union(fwd).distinct(), v).localCheckpoint()
-    }
-    formatRanked(nbrs.select(col("src").as("query_id"),
+  def annNnDescent: Q = (s, d) =>
+    formatRanked(nnDescentGraph(s, d).select(col("src").as("query_id"),
       col("nb").as("vec_id"), col("cos")))
-  }
 
-  val annNnDescentSql: String = {
+  // The refined k-NN graph memoized per (session, dir + fingerprint) —
+  // round 15: the graph is now a shared artifact (ann_nndescent presents
+  // it; ann_beam SERVES from it — the HNSW-style split between index
+  // build and query traversal), the simEdgePairs discipline: build is
+  // deterministic, the pinned frame is the memo value, and the bench
+  // prices the build as nn_graph_sec after eviction so the queries'
+  // lines read as marginal costs over the shared graph.
+  private val graphMemo = new graft.util.SessionMemo[DataFrame]("embeddings")
+
+  /** Bench hook: drop the memoized graph so a timed [[nnDescentGraph]]
+    * call prices the seed+2-round refinement build. */
+  private[graft] def evictNnGraph(s: SparkSession): Unit = graphMemo.evict(s)
+
+  /** The NN-descent neighbor table (src, nb, cos) — 5 best neighbors
+    * per node after LSH seeding + 2 neighbor-of-neighbor rounds. */
+  private[graft] def nnDescentGraph(s: SparkSession, d: String): DataFrame =
+    graphMemo.getOrCompute(s, d) {
+      val dims = Seq(1, 8, 22, 43)
+      val v = vectors(s, d)
+      val b = v.select(col("vec_id"), signBucket(col("e"), dims).as("sig"))
+      val probed = b.select(col("vec_id"),
+        explode(multiProbe(col("sig"), dims.length)).as("psig"))
+      val cand0 = probed.as("a").join(b.as("c"), col("a.psig") === col("c.sig") &&
+          col("a.vec_id") =!= col("c.vec_id"))
+        .select(col("a.vec_id").as("src"), col("c.vec_id").as("nb"))
+      // localCheckpoint per round: the neighbor table feeds BOTH sides of
+      // the next round's self-join. Spark's ReusedExchange usually dedups
+      // the identical subplan (measured ~equal at sf0.1), but materializing
+      // guarantees single execution independent of optimizer reuse and
+      // keeps the plan O(1) nodes per round instead of O(2^rounds) —
+      // at production round counts the planner itself becomes the bottleneck
+      var nbrs = scoreTop5(cand0, v).localCheckpoint()
+      for (_ <- 1 to 2) {
+        val fwd = nbrs.select(col("src"), col("nb"))
+        val non = fwd.as("x").join(fwd.as("y"), col("x.nb") === col("y.src"))
+          .filter(col("y.nb") =!= col("x.src"))
+          .select(col("x.src").as("src"), col("y.nb").as("nb"))
+        nbrs = scoreTop5(non.union(fwd).distinct(), v).localCheckpoint()
+      }
+      nbrs
+    }
+
+  /** CTE chain building the refined k-NN graph, ending in `n2`
+    * (src, nb, cos) — ONE SQL text behind [[annNnDescentSql]] (which
+    * presents it) and [[annBeamSql]] (which traverses it), so the
+    * served graph can never drift from the audited one. */
+  private def nnGraphCtesSql: String = {
     def sig(tbl: String) = Seq(1, 8, 22, 43)
       .map(i => s"CASE WHEN $tbl.e[$i] >= 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
@@ -1149,8 +1141,7 @@ object Similarity {
          |    SELECT x.src, y.nb FROM $prev x JOIN $prev y ON x.nb = y.src
          |    WHERE y.nb <> x.src
          |    UNION ALL SELECT src, nb FROM $prev))""".stripMargin
-    s"""WITH $vectorsCte,
-       |b AS (SELECT vec_id, ${sig("v")} AS sig FROM v),
+    s"""b AS (SELECT vec_id, ${sig("v")} AS sig FROM v),
        |probed AS (SELECT vec_id, unnest(${multiProbeSqlList("sig", 4)}) AS psig FROM b),
        |cand0 AS (
        |  SELECT a.vec_id AS src, c.vec_id AS nb
@@ -1159,11 +1150,146 @@ object Similarity {
        |${nonCte("n0", "cand1")},
        |${scoreTop("cand1", "n1")},
        |${nonCte("n1", "cand2")},
-       |${scoreTop("cand2", "n2")}
+       |${scoreTop("cand2", "n2")}""".stripMargin
+  }
+
+  val annNnDescentSql: String =
+    s"""WITH $vectorsCte,
+       |$nnGraphCtesSql
        |SELECT src AS query_id,
        |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, nb) AS rnk,
        |  nb AS neighbor_id, round(cos, 6) AS cos
        |FROM n2 ORDER BY query_id, rnk""".stripMargin
+
+  /** Beam width: unexpanded nodes expanded per query per round. */
+  private[graft] val BeamWidth = 8
+
+  /** Beam rounds: graph hops from the entry points. */
+  private[graft] val BeamRounds = 3
+
+  /** Shared entry points: the lowest vec_ids (the first-K seed
+    * convention — fixed, corpus-independent rule). */
+  private[graft] val BeamEntries = 4
+
+  /** Graph-ANN beam-search SERVING over the NN-descent graph (round 15,
+    * r14 verdict item 3) — the missing half of the HNSW-style story:
+    * [[annNnDescent]] BUILDS a k-NN graph; nothing previously answered
+    * queries by traversing it. Best-first beam search from
+    * [[BeamEntries]] fixed entry points: each of [[BeamRounds]] rounds
+    * expands the [[BeamWidth]] best not-yet-expanded visited nodes per
+    * query through the graph's out-edges, scores the newly discovered
+    * nodes by exact cosine, and the final answer is the top-5 of
+    * everything visited. Deterministic throughout (ties to the lowest
+    * node id), so the oracle replays the rounds as unrolled CTEs over
+    * the SAME graph CTE chain the build oracle uses.
+    *
+    * Why it matters at 100 TB: beam serving touches
+    * Θ(entries + rounds·width·k) graph nodes per query — independent of
+    * corpus size, the property that makes graph indexes the
+    * state-of-the-art serving structure — where IVF probes Θ(N/K·nprobe)
+    * rows. The recall price on THIS corpus is measured as the `graph`
+    * row of [[annRecallCard]] (isotropic random vectors are the
+    * adversarial case for graph search: no manifold shortcuts, so the
+    * row is an honest lower bound).
+    *
+    * Scale shape: the graph (k·N rows) and the corpus stay partitioned —
+    * every per-round frame (state, frontier, fresh candidates) is
+    * BOUNDED by the beam parameters times the fixed [[QueryBudget]]
+    * (≤ ~10⁵ rows), so those are the broadcast sides: expansion streams
+    * the graph against a broadcast frontier, scoring streams the corpus
+    * against a broadcast candidate set (the annDimTrunc shortlist-fetch
+    * idiom — corpus streamed, shortlist broadcast, never the reverse).
+    * State pins lazily per round (shared by the flag-join and the
+    * union; plans stay O(1) per round). */
+  def annBeam: Q = (s, d) => {
+    val v = vectors(s, d)
+    val q = defaultQueries(v)
+    val graph = nnDescentGraph(s, d).select(col("src"), col("nb"))
+    val entries = v.select(col("vec_id").as("node")).orderBy(col("node"))
+      .limit(BeamEntries)
+    // score a bounded (query_id, node) frame: corpus streamed, frame
+    // broadcast; self-pairs never scored (the bruteforce rule)
+    def score(cand: DataFrame): DataFrame =
+      v.select(col("vec_id").as("node"), col("e"), col("nrm"))
+        .join(broadcast(cand.filter(col("query_id") =!= col("node"))), "node")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("node"),
+          (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+    var state = score(q.select(col("query_id")).crossJoin(entries))
+      .withColumn("exp", lit(false))
+      .localCheckpoint(false)
+    for (_ <- 1 to BeamRounds) {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("node"))
+      val frontier = state.filter(!col("exp"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= BeamWidth)
+        .select(col("query_id"), col("node"))
+        .localCheckpoint(false) // feeds the expansion AND the flag join
+      val fresh = graph.join(broadcast(frontier), col("src") === col("node"))
+        .select(col("query_id"), col("nb").as("node"))
+        .distinct()
+        .join(state.select(col("query_id"), col("node")),
+          Seq("query_id", "node"), "left_anti")
+      state = state
+        .join(frontier.withColumn("f", lit(true)),
+          Seq("query_id", "node"), "left")
+        .select(col("query_id"), col("node"), col("cos"),
+          (col("exp") || col("f").isNotNull).as("exp"))
+        .unionByName(score(fresh).withColumn("exp", lit(false)))
+        .localCheckpoint(false)
+    }
+    rankTopK(state.select(col("query_id"), col("node").as("vec_id"),
+      col("cos")), 5)
+  }
+
+  val annBeamSql: String = {
+    def cosSql(qe: String, qn: String, e: String, n: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> $qe[i] * $e[i]), (x, y) -> x + y) / ($qn * $n)"
+    def round(r: Int): String = {
+      val prev = s"s${r - 1}"
+      s"""fr$r AS (
+         |  SELECT query_id, node FROM (
+         |    SELECT query_id, node,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+         |    FROM $prev WHERE NOT exp) WHERE rn <= $BeamWidth),
+         |nw$r AS (
+         |  SELECT e.query_id, e.node FROM (
+         |    SELECT DISTINCT f.query_id, g.nb AS node
+         |    FROM fr$r f JOIN graph g ON g.src = f.node
+         |    WHERE g.nb <> f.query_id) e
+         |  LEFT JOIN $prev s ON s.query_id = e.query_id AND s.node = e.node
+         |  WHERE s.node IS NULL),
+         |s$r AS (
+         |  SELECT s.query_id, s.node, s.cos,
+         |    (s.exp OR f.node IS NOT NULL) AS exp
+         |  FROM $prev s LEFT JOIN fr$r f
+         |    ON f.query_id = s.query_id AND f.node = s.node
+         |  UNION ALL
+         |  SELECT n.query_id, n.node,
+         |    ${cosSql("qv.qe", "qv.qn", "nv.e", "nv.nrm")} AS cos, false AS exp
+         |  FROM nw$r n
+         |  JOIN v nv ON nv.vec_id = n.node
+         |  JOIN qv ON qv.query_id = n.query_id)""".stripMargin
+    }
+    s"""WITH $vectorsCte,
+       |$queryIdsCte,
+       |$nnGraphCtesSql,
+       |graph AS (SELECT src, nb FROM n2),
+       |qv AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v JOIN qids USING (vec_id)),
+       |entries AS (SELECT vec_id AS node FROM v ORDER BY vec_id LIMIT $BeamEntries),
+       |s0 AS (
+       |  SELECT qv.query_id, en.node,
+       |    ${cosSql("qv.qe", "qv.qn", "nv.e", "nv.nrm")} AS cos, false AS exp
+       |  FROM qv CROSS JOIN entries en
+       |  JOIN v nv ON nv.vec_id = en.node
+       |  WHERE qv.query_id <> en.node),
+       |${(1 to BeamRounds).map(round).mkString(",\n")}
+       |SELECT query_id, rn AS rnk, node AS neighbor_id, round(cos, 6) AS cos
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+       |  FROM s$BeamRounds) t
+       |WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
   /** Radius (range) search: every (query, corpus) pair with cosine ≥ τ
@@ -1538,9 +1664,7 @@ object Similarity {
     // eager checkpoints would serialize them at plan construction; the
     // shared RDD still guarantees each pipeline executes once (the
     // ev_rfm idiom)
-    val truth = annBruteforce(s, d).filter(col("rnk") <= 5)
-      .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(false)
+    val truth = annTruth(s, d) // memoized + pinned (round 15)
     val cand = annLsh(s, d)
       .select(lit("lsh").as("method"), col("query_id"), col("neighbor_id"))
       .unionByName(annIvf(s, d)
@@ -1553,10 +1677,16 @@ object Similarity {
         .select(lit("ivf_sqrt").as("method"), col("query_id"), col("neighbor_id")))
       .unionByName(annIvfTrained(s, d)
         .select(lit("ivf_trained").as("method"), col("query_id"), col("neighbor_id")))
+      // round 15 (r14 verdict item 3): the graph-serving row — beam
+      // search over the nndescent graph, the HNSW-style method family,
+      // measured against the same truth as the bucket/cell methods
+      .unionByName(annBeam(s, d)
+        .select(lit("graph").as("method"), col("query_id"), col("neighbor_id")))
       .localCheckpoint(false)
     val methods = s.range(1)
       .select(explode(array(
-        lit("ivf"), lit("ivf_sqrt"), lit("ivf_trained"), lit("lsh"))).as("method"))
+        lit("graph"), lit("ivf"), lit("ivf_sqrt"), lit("ivf_trained"),
+        lit("lsh"))).as("method"))
     val nq = truth.agg(countDistinct(col("query_id")).as("n_queries"))
     val cc = cand.groupBy(col("method")).agg(count(lit(1)).as("n_cand"))
     val hits = cand.join(truth, Seq("query_id", "neighbor_id"))
@@ -1582,8 +1712,10 @@ object Similarity {
        |  UNION ALL
        |  SELECT 'ivf_sqrt' AS method, query_id, neighbor_id FROM ($annIvfSqrtSql)
        |  UNION ALL
-       |  SELECT 'ivf_trained' AS method, query_id, neighbor_id FROM ($annIvfTrainedSql)),
-       |m AS (SELECT unnest(['ivf', 'ivf_sqrt', 'ivf_trained', 'lsh']) AS method),
+       |  SELECT 'ivf_trained' AS method, query_id, neighbor_id FROM ($annIvfTrainedSql)
+       |  UNION ALL
+       |  SELECT 'graph' AS method, query_id, neighbor_id FROM ($annBeamSql)),
+       |m AS (SELECT unnest(['graph', 'ivf', 'ivf_sqrt', 'ivf_trained', 'lsh']) AS method),
        |cc AS (SELECT method, count(*) AS n_cand FROM cand GROUP BY 1),
        |h AS (SELECT method, count(*) AS n_hits
        |  FROM cand JOIN truth USING (query_id, neighbor_id) GROUP BY 1),
@@ -1630,9 +1762,8 @@ object Similarity {
   def annDimTrunc: Q = (s, d) => {
     val v = vectors(s, d)
     val q = defaultQueries(v)
-    val truth = annBruteforceFor(v, q).filter(col("rnk") <= 5)
-      .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(false) // feeds the two hit joins per width + nq
+    // memoized + pinned (round 15); feeds the two hit joins per width + nq
+    val truth = annTruth(s, d)
     val nq = truth.agg(countDistinct(col("query_id")).as("n_queries"))
       .localCheckpoint(false)
     val cards = DimTruncWidths.map { w =>
@@ -1879,9 +2010,8 @@ object Similarity {
   def annSq8: Q = (s, d) => {
     val v = vectors(s, d)
     val q = defaultQueries(v)
-    val truth = annBruteforceFor(v, q).filter(col("rnk") <= 5)
-      .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(false) // feeds both hit joins + nq
+    // memoized + pinned (round 15); feeds both hit joins + nq
+    val truth = annTruth(s, d)
     val nq = truth.agg(countDistinct(col("query_id")).as("n_queries"))
       .localCheckpoint(false)
     // the cast array MATERIALIZES once per row ("ed"): element_at over
@@ -2032,7 +2162,8 @@ object Similarity {
     "ann_ivf" -> annIvf,
     "ann_pq" -> annPq,
     "ann_opq" -> annOpq,
-    "ann_nndescent" -> annNnDescent)
+    "ann_nndescent" -> annNnDescent,
+    "ann_beam" -> annBeam)
 
   def oracleSql: Map[String, String] = Map(
     "ann_sq8" -> annSq8Sql,
@@ -2050,5 +2181,6 @@ object Similarity {
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,
     "ann_opq" -> annOpqSql,
-    "ann_nndescent" -> annNnDescentSql)
+    "ann_nndescent" -> annNnDescentSql,
+    "ann_beam" -> annBeamSql)
 }

@@ -2021,12 +2021,13 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // round 14: the two √N serving schedules audit side by side with
     // the fixed-K pipelines, so the trained-codebook uplift is a card
     // number — every method row ties out against its own pipeline
-    card.keySet shouldBe Set("ivf", "ivf_sqrt", "ivf_trained", "lsh")
+    card.keySet shouldBe Set("graph", "ivf", "ivf_sqrt", "ivf_trained", "lsh")
     val truth = operators.Similarity.annBruteforce(spark, sf)
       .filter(col("rnk") <= 5).select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val nQueries = truth.map(_._1).size.toLong
-    Seq("ivf" -> operators.Similarity.annIvf(spark, sf),
+    Seq("graph" -> operators.Similarity.annBeam(spark, sf),
+      "ivf" -> operators.Similarity.annIvf(spark, sf),
       "ivf_sqrt" -> operators.Similarity.annIvfSqrt(spark, sf),
       "ivf_trained" -> operators.Similarity.annIvfTrained(spark, sf),
       "lsh" -> operators.Similarity.annLsh(spark, sf)).foreach { case (m, df) =>
@@ -2041,6 +2042,76 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
         r.getAs[Double]("recall_at_5") shouldBe
           (math.floor(hits / (5.0 * nQueries) * 1e6 + 0.5) / 1e6 +- 1e-9)
       }
+    }
+  }
+
+  it should "serve beam-search results that are exact-cosine-consistent and graph-reachable" in {
+    import org.apache.spark.sql.functions.col
+    val S = operators.Similarity
+    val beam = S.annBeam(spark, sf).collect()
+    beam.nonEmpty shouldBe true
+    // per query: ranks are 1..k (k <= 5), neighbors distinct, no self hits
+    beam.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rows) =>
+      withClue(s"query $qid: ") {
+        rows.map(_.getAs[Long]("rnk")).sorted.toSeq shouldBe
+          (1L to rows.length.toLong)
+        rows.map(_.getAs[Long]("neighbor_id")).distinct.length shouldBe rows.length
+        rows.foreach(_.getAs[Long]("neighbor_id") should not be qid)
+        // ranked by descending rounded cos (raw-cos ordering implies it)
+        rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cos")).toSeq
+          .sliding(2).foreach { w => if (w.length == 2) w(0) should be >= w(1) }
+      }
+    }
+    // every served neighbor is REACHABLE: within BeamRounds+1 hops of an
+    // entry point through the graph (entries themselves count as hop 0)
+    val graph = S.nnDescentGraph(spark, sf).select("src", "nb").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // driver-side replay of the indexable-vector rule (non-null, nrm > 0)
+    val vecs: Map[Long, (Seq[Double], Double)] =
+      Tables.embeddings(spark, sf).select("vec_id", "embedding")
+        .filter(col("embedding").isNotNull).collect()
+        .map { r =>
+          val e: Seq[Double] = r.getSeq[Float](1).map(_.toDouble)
+          r.getLong(0) -> ((e, math.sqrt(e.foldLeft(0.0)((a, x) => a + x * x))))
+        }.filter(_._2._2 > 0).toMap
+    val entries = vecs.keys.toSeq.sorted.take(S.BeamEntries).toSet
+    var reach = entries
+    for (_ <- 1 to S.BeamRounds)
+      reach = reach ++ reach.flatMap(n => graph.getOrElse(n, Set.empty))
+    beam.foreach { r =>
+      withClue(s"(${r.getAs[Long]("query_id")}, ${r.getAs[Long]("neighbor_id")}): ") {
+        reach should contain(r.getAs[Long]("neighbor_id"))
+      }
+    }
+    // the reported cosine is the EXACT cosine (beam scores are never
+    // approximations): cross-check a sample against the driver
+    beam.take(50).foreach { r =>
+      val (qe, qn) = vecs(r.getAs[Long]("query_id"))
+      val (ne, nn) = vecs(r.getAs[Long]("neighbor_id"))
+      val cos = qe.zip(ne).foldLeft(0.0)((a, p) => a + p._1 * p._2) / (qn * nn)
+      r.getAs[Double]("cos") shouldBe (math.floor(cos * 1e6 + 0.5) / 1e6 +- 1e-9)
+    }
+  }
+
+  it should "report fusion metrics whose bm25 row is exactly ir_eval" in {
+    val fusion = operators.Retrieval.irFusion(spark, sf).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    fusion.keySet shouldBe Set("bm25", "rrf", "vector")
+    // the bm25 row IS ir_eval (same top, same truth, same metric block)
+    val ev = operators.Retrieval.irEval(spark, sf).collect()(0)
+    val bm = fusion("bm25")
+    Seq("n_queries", "n_rel", "n_hits").foreach(c =>
+      bm.getAs[Long](c) shouldBe ev.getAs[Long](c))
+    Seq("precision_at_10", "recall_at_10", "mrr").foreach(c =>
+      bm.getAs[Double](c) shouldBe ev.getAs[Double](c))
+    // shared truth: every method row evaluates the same queries/truth
+    fusion.values.foreach { r =>
+      r.getAs[Long]("n_queries") shouldBe ev.getAs[Long]("n_queries")
+      r.getAs[Long]("n_rel") shouldBe ev.getAs[Long]("n_rel")
+      r.getAs[Long]("n_hits") should be <= 10 * r.getAs[Long]("n_queries")
+      Seq("precision_at_10", "recall_at_10", "mrr").foreach(c =>
+        r.getAs[Double](c) should (be >= 0.0 and be <= 1.0))
     }
   }
 
