@@ -223,6 +223,55 @@ object Bench {
       System.err.println(s"[bench] nn graph FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       -1.0
     }
+    // 1,000-standing-query registry cost (round 15, r14 verdict item 6):
+    // rows/sec of the token-keyed INDEXED scorer vs the per-term SCAN
+    // form over the same corpus and synthetic 1k registry — the measured
+    // basis for the "large registries want the indexed form" design
+    // note. COLD single runs on purpose: at this registry size the scan
+    // form's cost IS substantially its 4,000-expression plan/codegen,
+    // which a deployment pays too (a standing-query set changes per
+    // epoch); the indexed form's plan is registry-size-independent.
+    val (reg1kIndexed, reg1kScan) = try {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull).localCheckpoint()
+      val nd = docs.count()
+      // MID-TAIL vocabulary (ranks 2000+): standing queries are
+      // benchmark prompts / topic probes whose terms are selective —
+      // a head-token registry would make every doc match every query,
+      // which is neither the production shape nor what either form is
+      // for (the indexed form's per-record work is proportional to the
+      // MATCHED set by design)
+      val allVocab = docs
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(6000)
+        .collect().map(_.getString(0))
+      val vocab = allVocab.drop(allVocab.length / 2)
+      val rng = new scala.util.Random(42)
+      val reg = (0 until 1000).map(q =>
+        q.toLong -> Seq.fill(4)(vocab(rng.nextInt(vocab.length))).distinct).toMap
+      val dfm = reg.values.flatten.toSeq.distinct.map(_ -> 3L).toMap
+      def rate(n: Long)(f: => Long): Double = {
+        val t0 = System.nanoTime()
+        f
+        n / ((System.nanoTime() - t0) / 1e9)
+      }
+      val ri = rate(nd)(streaming.Transforms
+        .bm25ScoreIndexed(docs, reg, dfm, nd, 50.0).count())
+      // the scan form runs on a 500-doc slice: its measured per-row
+      // cost is registry-bound and constant (sf0.1 probe: 11 rows/s —
+      // the full corpus would add ~8 min of bench wall for the same
+      // rate number)
+      val nScan = math.min(nd, 500L)
+      val scanDocs = docs.limit(nScan.toInt).localCheckpoint()
+      val rs = rate(nScan)(streaming.Transforms
+        .bm25Score(scanDocs, reg, dfm, nd, 50.0).count())
+      (ri, rs)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] 1k registry FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      (-1.0, -1.0)
+    }
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -385,7 +434,7 @@ object Bench {
     val bloomRatesJson = bloomRates.map(r => fmt(r)).mkString("[", ",", "]")
     // stream_reruns derives from the actual run count (runs beyond the
     // first timed pass), never a literal — a self-describing artifact
-    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"opq_train_sec":${fmt(opqTrain)},"ivf_train_sec":${fmt(ivfTrain)},"ir_stats_sec":${fmt(irStats)},"ann_truth_sec":${fmt(annTruth)},"nn_graph_sec":${fmt(nnGraph)},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
+    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"opq_train_sec":${fmt(opqTrain)},"ivf_train_sec":${fmt(ivfTrain)},"ir_stats_sec":${fmt(irStats)},"ann_truth_sec":${fmt(annTruth)},"nn_graph_sec":${fmt(nnGraph)},"bm25_reg1k_indexed_rows_per_sec":${reg1kIndexed.toLong},"bm25_reg1k_scan_rows_per_sec":${reg1kScan.toLong},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
     // FULL artifact: every per-query number. Printed first for
     // collectors that keep whole stdout AND written to a file so the
     // full per-query map survives even when only the stdout tail does.

@@ -154,6 +154,54 @@ object GraftFunctions {
         graft.functions.GramBuckets(args(0),
           intLit(1, "n"), intLit(2, "hexDigits"), intLit(3, "mod"))
       }),
+    (new FunctionIdentifier("graft_bm25_probe"),
+      new ExpressionInfo(classOf[graft.functions.Bm25Probe].getName, "graft_bm25_probe"),
+      (args: Seq[Expression]) => {
+        arity("graft_bm25_probe", args, 8)
+        def ad(i: Int, what: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+          val e = args(i)
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"graft_bm25_probe: $what must be an array literal")
+          val v = e.eval()
+          if (v == null) throw new IllegalArgumentException(
+            s"graft_bm25_probe: $what must be non-null")
+          v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        }
+        def dbl(i: Int, what: String): Double = {
+          val e = args(i)
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"graft_bm25_probe: $what must be a numeric literal")
+          e.eval().toString.toDouble
+        }
+        import org.apache.spark.sql.types.StringType
+        graft.functions.Bm25Probe(args(0),
+          ad(1, "terms").toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+            .map(_.toString).toSeq,
+          ad(2, "idfs").toDoubleArray().toSeq,
+          ad(3, "qoffs").toIntArray().toSeq,
+          ad(4, "qids").toLongArray().toSeq,
+          dbl(5, "k1"), dbl(6, "b"), dbl(7, "avgdl"))
+      }),
+    (new FunctionIdentifier("graft_phrase_probe"),
+      new ExpressionInfo(classOf[graft.functions.PhraseProbe].getName, "graft_phrase_probe"),
+      (args: Seq[Expression]) => {
+        arity("graft_phrase_probe", args, 4)
+        def ad(i: Int, what: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+          val e = args(i)
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"graft_phrase_probe: $what must be an array literal")
+          val v = e.eval()
+          if (v == null) throw new IllegalArgumentException(
+            s"graft_phrase_probe: $what must be non-null")
+          v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        }
+        import org.apache.spark.sql.types.StringType
+        graft.functions.PhraseProbe(args(0),
+          ad(1, "pids").toLongArray().toSeq,
+          ad(2, "poffs").toIntArray().toSeq,
+          ad(3, "terms").toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+            .map(_.toString).toSeq)
+      }),
     (new FunctionIdentifier("graft_span_trim"),
       new ExpressionInfo(classOf[graft.functions.SpanTrim].getName, "graft_span_trim"),
       (args: Seq[Expression]) => {

@@ -473,6 +473,73 @@ object Transforms {
         round(col("_m.sdec"), 6).cast("double").as("score")): _*)
   }
 
+  /** Token-keyed registry form of [[bm25Score]] (round 15, r14 verdict
+    * item 6) — the LARGE-registry scorer: [[bm25Score]] scans the token
+    * array once per registered TERM (|registry terms| scans per record
+    * — right at the 16-query audit budget, wrong at a production
+    * standing-query set of thousands); this form tokenizes once and
+    * probes a literal term → (idf, query ids) INVERTED map, so
+    * per-record cost is one distinct+probe pass plus work proportional
+    * to the terms that actually MATCH, independent of registry size.
+    * CONTRACT: standing-query registries are SELECTIVE (benchmark
+    * prompts, topic probes — a record matches few queries); the
+    * per-record grouping stage costs Θ(matched queries × matched
+    * entries), so a registry of head tokens that every record matches
+    * wholesale degrades BOTH forms and this one first — measured in
+    * the bench's 1k-registry line, which draws mid-tail vocabulary
+    * (the production shape) for exactly that reason.
+    *
+    * Equality with [[bm25Score]] (StreamingSpec pins row-set equality
+    * on the audit registry AND a 1,000-query synthetic registry): idf
+    * is the same driver-side IEEE computation baked into the kernel's
+    * registry, the kernel's per-term st runs the identical JVM op
+    * sequence, and the per-query sums run the same Catalyst
+    * decimal(38,18) route on the emitted rows — the kernel only
+    * gathers; every exactness-critical step stays in Catalyst. (Term
+    * order inside a sum differs — term-sorted vs registration order —
+    * which can move a sum by ~1e-17 before the 6-dp round, the same
+    * sub-ulp residue the scan form already carries against the batch
+    * SUM aggregate.) */
+  def bm25ScoreIndexed(docs: DataFrame, queries: Map[Long, Seq[String]],
+      df: Map[String, Long], nDocs: Long, avgdl: Double,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    if (queries.isEmpty) {
+      return docs
+        .withColumn("query_id", lit(null).cast("long"))
+        .withColumn("n_terms", lit(null).cast("long"))
+        .withColumn("score", lit(null).cast("double"))
+        .filter(lit(false))
+    }
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    // inverted registry: term -> (idf, ascending query ids), CSR-flat;
+    // idf is the scan form's exact driver-side arithmetic
+    val inv: Seq[(String, Double, Seq[Long])] = queries.toSeq
+      .flatMap { case (qid, terms) => terms.distinct.map(_ -> qid) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (t, qs) =>
+        val dft = df.getOrElse(t, 0L)
+        val idf = math.log((nDocs - dft + 0.5) / (dft + 0.5) + 1.0)
+        (t, idf, qs.map(_._2).distinct.sorted)
+      }
+    val qoffs = inv.scanLeft(0)((acc, e) => acc + e._3.length)
+    val zeroD = lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)")
+    val probe = call_function("graft_bm25_probe",
+      graft.functions.TextFns.tokens(col("text")),
+      typedLit(inv.map(_._1)), typedLit(inv.map(_._2)),
+      typedLit(qoffs), typedLit(inv.flatMap(_._3)),
+      lit(k1), lit(b), lit(avgdl))
+    val keep = docs.columns.map(col).toSeq
+    docs
+      .withColumn("_m", explode(probe)) // no matches / null text: no rows
+      .select(keep ++ Seq(col("_m.qid").as("query_id"),
+        size(col("_m.sts")).cast("long").as("n_terms"),
+        // the scan form's decimal route: per-term cast, (38,17)-rounded
+        // adds widened back to the fixed accumulator scale, 6-dp round
+        round(aggregate(col("_m.sts"), zeroD, (acc, x) =>
+          (acc + x.cast("decimal(38,18)")).cast("decimal(38,18)")), 6)
+          .cast("double").as("score")): _*)
+  }
+
   /** Streaming verbatim-phrase contamination gate (round 14) — the
     * ONLINE half of the `ir_phrase` pair: registered phrases (tokenized
     * benchmark strings, [[graft.operators.Retrieval.frozenPhrases]])
@@ -517,6 +584,39 @@ object Transforms {
         filter(array(perPhrase: _*), x => x.isNotNull))
       .withColumn("contaminated", size(col("matched_phrases")) > 0)
       .drop("_toks")
+  }
+
+  /** Token-keyed registry form of [[phraseGate]] (round 15, r14 verdict
+    * item 6) — the LARGE-registry gate: [[phraseGate]] runs one
+    * positional exists-scan per registered PHRASE; this form walks the
+    * token array once and probes a literal FIRST-TOKEN → candidate
+    * phrases map, verifying only the (rare) candidate windows by slice
+    * equality — per-record cost one pass plus work proportional to
+    * first-token matches, independent of registry size. Emits the same
+    * `matched_phrases` (ascending, deduplicated — the scan form's
+    * one-entry-per-phrase order) and `contaminated` columns;
+    * StreamingSpec pins verdict equality against the scan form on the
+    * audit registry and a 1,000-phrase synthetic registry. */
+  def phraseGateIndexed(docs: DataFrame,
+      phrases: Map[Long, Seq[String]]): DataFrame = {
+    val nonEmpty = phrases.filter(_._2.nonEmpty)
+    if (nonEmpty.isEmpty) {
+      return docs
+        .withColumn("matched_phrases", array().cast("array<long>"))
+        .withColumn("contaminated", lit(false))
+    }
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    // CSR phrase registry, pid-sorted for deterministic construction
+    val ordered = nonEmpty.toSeq.sortBy(_._1)
+    val poffs = ordered.scanLeft(0)((acc, p) => acc + p._2.length)
+    val hits = call_function("graft_phrase_probe",
+      graft.functions.TextFns.tokens(col("text")),
+      typedLit(ordered.map(_._1)), typedLit(poffs),
+      typedLit(ordered.flatMap(_._2)))
+    docs
+      .withColumn("matched_phrases",
+        coalesce(hits, array().cast("array<long>"))) // null text: clean
+      .withColumn("contaminated", size(col("matched_phrases")) > 0)
   }
 
   /** Streaming IVF cell router (round 13) — the INGEST half of the IVF

@@ -105,12 +105,20 @@ object ScaleCheck {
     "ann_ivf_sqrt" -> Seq("emb-count"), "ann_ivfpq_sqrt" -> Seq("emb-count"),
     "ann_ivf_health" -> Seq("emb-count", "ivf-train"),
     "ann_ivf_trained" -> Seq("emb-count", "ivf-train"),
-    "ann_recall_card" -> Seq("emb-count", "ivf-train"),
+    // round 15: the recall card gained the graph row (nn-graph) and its
+    // truth set is memoized (ann-truth); the other truth consumers and
+    // the graph pair likewise
+    "ann_recall_card" -> Seq("emb-count", "ivf-train", "ann-truth", "nn-graph"),
+    "ann_dim_trunc" -> Seq("ann-truth"),
+    "ann_sq8" -> Seq("ann-truth"),
+    "ann_nndescent" -> Seq("nn-graph"),
+    "ann_beam" -> Seq("nn-graph"),
     "ann_opq" -> Seq("opq-rot"),
     // the retrieval family shares the memoized md5 sample + corpus
     // stats (round 14 — the ir-sample group)
     "ir_bm25" -> Seq("ir-sample"), "ir_phrase" -> Seq("ir-sample"),
-    "ir_eval" -> Seq("ir-sample"))
+    "ir_eval" -> Seq("ir-sample"), "ir_eval_strict" -> Seq("ir-sample"),
+    "ir_fusion" -> Seq("ir-sample"))
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
@@ -278,7 +286,16 @@ object ScalePlan {
     "ir_bm25" -> 12.0,
     // ir_phrase: positional postings restricted to ≤ 48 broadcast phrase
     // terms — the same linear restricted-scan class
-    "ir_phrase" -> 12.0)
+    "ir_phrase" -> 12.0,
+    // round 15: span trim = dd_dup_span's census + a doc_id-keyed
+    // join-back + record-local cut — the dd_line_trim linear class
+    "dd_span_trim" -> 30.0,
+    // round 15: the dual-truth card — two Θ(16·N) truth chains + the
+    // bm25 ranking, all query-budget-restricted linear passes
+    "ir_eval_strict" -> 12.0,
+    // round 15: fusion's DOCUMENT side (truth + bm25) scales here; the
+    // vector side rides the unscaled embeddings (checks32e gates it)
+    "ir_fusion" -> 12.0)
 
   /** Factor-32 EMBEDDINGS-ONLY slope plan (round 13, r12 verdict item
     * 1): the build-side measurement behind the √N IVF family's
@@ -311,7 +328,22 @@ object ScalePlan {
     // card (Q = 256 at any corpus): min/max train, MSE and the ADC scan
     // are each one linear corpus pass (the ann_pq class; ceiling ≈ 3×
     // the measured factor-32 ratio)
-    "ann_sq8" -> 8.0)
+    "ann_sq8" -> 8.0,
+    // round 15: the graph pair, in deliberate capture order — the BUILD
+    // (ann_nndescent, cold nn-graph: LSH-bucket self-join + 2 NoN
+    // rounds, the Q = N graph class whose candidate pairs grow as
+    // Σ bucket² over the fixed 16-bucket sign space; the one
+    // by-design super-linear build, gated so a further blowup still
+    // fails) and then SERVING (ann_beam, warm graph: per query
+    // Θ(entries + rounds·width·k) graph nodes + bounded broadcast
+    // scoring scans — the corpus-size-independent path the graph
+    // exists for; its slope must track the linear band)
+    "ann_nndescent" -> 200.0,
+    "ann_beam" -> 10.0,
+    // round 15: fusion's VECTOR side (broadcast-query cosine scan over
+    // the scaled embeddings) — the ann_bruteforce linear class; the
+    // document side rides the unscaled base here (checks32 gates it)
+    "ir_fusion" -> 8.0)
 
   /** Name → plan, for ScaleCheck's `plan=` selector. */
   val byName: Map[String, Seq[(String, Double)]] = Map(

@@ -46,17 +46,85 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: ScaleGen <srcSfDir> <outDir> <factor> [tables...]")
-    val (src, out, factor) = (args(0), args(1), args(2).toInt)
-    val only = if (args.length > 3) Some(args.drop(3).toSet) else None
+    require(args.length >= 3,
+      "usage: ScaleGen <srcSfDir> <outDir> <factor|shingle> [tables...|perQuery]")
+    val (src, out) = (args(0), args(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = GraftSession.create(s"local[$cpus]", 32)
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.graft.lint", "off")
-    generate(spark, src, out, factor, only)
-    println(s"[scalegen] wrote ${factor}x of $src to $out" +
-      only.fold("")(t => s" (scaled tables: ${t.toSeq.sorted.mkString(",")})"))
+    if (args(2) == "shingle") {
+      val perQuery = if (args.length > 3) args(3).toInt else 3
+      shingleDups(spark, src, out, perQuery)
+      println(s"[scalegen] wrote shingle-dup corpus of $src to $out (perQuery=$perQuery)")
+    } else {
+      val factor = args(2).toInt
+      val only = if (args.length > 3) Some(args.drop(3).toSet) else None
+      generate(spark, src, out, factor, only)
+      println(s"[scalegen] wrote ${factor}x of $src to $out" +
+        only.fold("")(t => s" (scaled tables: ${t.toSeq.sorted.mkString(",")})"))
+    }
     spark.stop()
+  }
+
+  /** Shingle-near-dup corpus (round 15, r14 verdict item 5): the source
+    * documents plus TRUNCATION near-dups — prefix copies keeping
+    * 70–95% of each donor's tokens, so donor↔copy 3-gram shingle
+    * Jaccard is (keep−2)/(n−2) ≈ the kept fraction, comfortably ≥ ½ —
+    * the dense verbatim-overlap structure the `ir_eval_strict` shingle
+    * truth needs to be statistically meaningful (the driver testdata's
+    * near-dups are vocabulary-level only: 2 shingle-truth queries at
+    * sf0.01).
+    *
+    * The retrieval sample rule (16 smallest md5(doc_id)) is computed
+    * over the FINAL id set driver-side, and donors are assigned so
+    * every final query doc participates in a dup cluster: source-id
+    * queries donate (their copies are the relevant docs), new-id
+    * queries ARE copies (their donor is the relevant doc) — so the
+    * strict truth row is populated by construction, not by luck.
+    * Deterministic: ids, donors and kept fractions derive from the
+    * sample rule and fixed arithmetic — no RNG. */
+  def shingleDups(spark: org.apache.spark.sql.SparkSession, src: String,
+      out: String, perQuery: Int): Unit = {
+    require(perQuery >= 1, s"perQuery must be >= 1 (got $perQuery)")
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val rowsById = docs.select("doc_id", "text", "lang", "source").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ids = rowsById.keys.toSeq
+    val dM = ids.max + 1
+    val nQ = graft.operators.Retrieval.QueryDocs
+    val newIds = (0 until nQ * perQuery).map(dM + _)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val finalQ = (ids ++ newIds).sortBy(id => (md5hex(id.toString), id)).take(nQ)
+    val srcQ = finalQ.filter(_ < dM).sorted
+    // donors: every source-id query donates; if the whole final sample
+    // landed on new ids (vanishingly unlikely), fall back to the
+    // lowest source ids so the corpus still gains dup clusters
+    val donorPool = if (srcQ.nonEmpty) srcQ else ids.sorted.take(4)
+    val newRows = newIds.zipWithIndex.map { case (nid, i) =>
+      val donor = donorPool(i % donorPool.length)
+      val r = rowsById(donor)
+      val tk = Option(r.getAs[String]("text")).getOrElse("")
+        .split("\\s+").filter(_.nonEmpty)
+      val level = i / donorPool.length + 1
+      val frac = 0.70 + 0.25 * level / (perQuery + 1.0)
+      val keep = math.max(math.min(tk.length, 3),
+        math.ceil(tk.length * frac).toInt)
+      (nid, tk.take(keep).mkString(" "),
+        r.getAs[String]("lang"), r.getAs[String]("source"))
+    }
+    val newDf = newRows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.unionByName(newDf.select(docs.columns.map(col): _*))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // the rest of the layout rides along verbatim
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "embeddings").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
   }
 
   /** The generation itself, session-agnostic — ScaleGenSpec pins the

@@ -2094,6 +2094,60 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  it should "populate the shingle-strict truth on a shingle-dup corpus, contained in the token truth" in {
+    import org.apache.spark.sql.functions.col
+    // on the DRIVER corpus the strict row exists but is sparse by
+    // design (vocabulary-level near-dups only) and the token row IS
+    // ir_eval
+    val plain = operators.Retrieval.irEvalStrict(spark, sf).collect()
+      .map(r => r.getAs[String]("truth_def") -> r).toMap
+    plain.keySet shouldBe Set("shingle", "token")
+    val ev = operators.Retrieval.irEval(spark, sf).collect()(0)
+    Seq("n_queries", "n_rel", "n_hits").foreach(c =>
+      plain("token").getAs[Long](c) shouldBe ev.getAs[Long](c))
+    plain("shingle").getAs[Long]("n_queries") should
+      be < plain("token").getAs[Long]("n_queries")
+    // the ScaleGen truncation corpus makes the shingle truth meaningful
+    val dir = java.nio.file.Files.createTempDirectory("graft-shingledup").toString
+    graft.tools.ScaleGen.shingleDups(spark, sf, dir, perQuery = 3)
+    val strict = operators.Retrieval.irEvalStrict(spark, dir).collect()
+      .map(r => r.getAs[String]("truth_def") -> r).toMap
+    strict("shingle").getAs[Long]("n_queries") should be >= 8L
+    strict("shingle").getAs[Long]("n_hits") should be >= 1L
+    // containment: every shingle-truth pair is a token-truth pair
+    // (driver-side replay of both definitions over the new corpus)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text")).getOrElse(""))
+    val tok = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty) }.toMap
+    val tokSet = tok.map { case (id, tk) => id -> tk.toSet }
+    val shSet = tok.map { case (id, tk) =>
+      id -> tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet }
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val qids = docs.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(16)
+    def truthOf(sets: Map[Long, Set[String]]): Set[(Long, Long)] =
+      qids.flatMap { q =>
+        val a = sets(q)
+        docs.map(_._1).filter { d =>
+          val b = sets(d)
+          val i = (a & b).size
+          d != q && 2 * i >= a.size + b.size - i
+        }.map(q -> _)
+      }.toSet
+    val shTruth = truthOf(shSet)
+    val tokTruth = truthOf(tokSet)
+    shTruth.nonEmpty shouldBe true
+    withClue(s"shingle pairs not in token truth: ${(shTruth -- tokTruth).take(5)}: ") {
+      (shTruth -- tokTruth) shouldBe empty
+    }
+    // and the card's strict row agrees with the replayed truth census
+    strict("shingle").getAs[Long]("n_rel") shouldBe shTruth.size.toLong
+    strict("shingle").getAs[Long]("n_queries") shouldBe
+      shTruth.map(_._1).size.toLong
+  }
+
   it should "report fusion metrics whose bm25 row is exactly ir_eval" in {
     val fusion = operators.Retrieval.irFusion(spark, sf).collect()
       .map(r => r.getAs[String]("method") -> r).toMap

@@ -181,7 +181,12 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // ir_eval: the truth side's distinct-token/intersection pass + the
     // doc-size branch (the bm25 ranking's own 2 scans share AQE-reused
     // exchanges here; the sample/stats passes live in the session memo)
-    "ir_eval" -> 2)
+    "ir_eval" -> 2,
+    // round-15 ops: dd_span_trim's one live scan is the corpus
+    // join-back (the position frame is pinned); ann_beam's graph +
+    // per-round states and ir_fusion's truth/top frames all live in
+    // pins, so their final plans join pinned metadata only
+    "dd_span_trim" -> 1, "ann_beam" -> 0, "ir_fusion" -> 0)
 
   behavior of "post-execution scan counts"
 
@@ -211,5 +216,8 @@ class ScanAuditSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // dd_line_trim reassembles per doc via aggregation (collect_list),
     // never a corpus-hash window
     winCount("dd_line_trim") shouldBe 0
+    // dd_span_trim keeps the census's shape: at most the doc-keyed
+    // island window; the cut itself is a record-local array filter
+    winCount("dd_span_trim") should be <= 1
   }
 }

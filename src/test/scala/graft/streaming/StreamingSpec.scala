@@ -1691,6 +1691,71 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     none.collect().length shouldBe 0
   }
 
+  it should "score and gate identically through the token-keyed registry forms, up to 1k queries" in {
+    // round 15 (r14 verdict item 6): the indexed forms must be
+    // DROP-IN — exact row-set equality with the scan forms, on the
+    // audit-budget registry AND a 1,000-entry synthetic registry (the
+    // scale the indexed form exists for)
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    def bm25Rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("query_id"), col("n_terms"), col("score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val (n, avgdl, queries, dfm) =
+      graft.operators.Retrieval.frozenStats(spark, sf)
+    bm25Rows(Transforms.bm25ScoreIndexed(docs, queries, dfm, n, avgdl)) shouldBe
+      bm25Rows(Transforms.bm25Score(docs, queries, dfm, n, avgdl))
+    // 1k-query registry drawn from the corpus's own vocabulary (seeded)
+    // mid-tail vocabulary: the selective-registry production shape the
+    // indexed form contracts for (a head-token registry matches every
+    // doc against every query — a shape neither form is meant for)
+    val allVocab = docs.filter(col("text").isNotNull)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(4000)
+      .collect().map(_.getString(0))
+    val vocab = allVocab.drop(allVocab.length / 2)
+    val rng = new scala.util.Random(42)
+    val reg1k = (0 until 1000).map(q =>
+      q.toLong -> Seq.fill(4)(vocab(rng.nextInt(vocab.length))).distinct).toMap
+    val df1k = reg1k.values.flatten.toSeq.distinct
+      .map(t => t -> dfm.getOrElse(t, 3L)).toMap
+    val small = docs.limit(50) // plan size dominates the scan form here
+    bm25Rows(Transforms.bm25ScoreIndexed(small, reg1k, df1k, n, avgdl)) shouldBe
+      bm25Rows(Transforms.bm25Score(small, reg1k, df1k, n, avgdl))
+    // phrase gate: audit registry, then 1k phrases cut from real docs
+    def gateRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("matched_phrases"), col("contaminated"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getBoolean(2)))
+      .toSet
+    val phrases = graft.operators.Retrieval.frozenPhrases(spark, sf)
+    phrases.nonEmpty shouldBe true
+    gateRows(Transforms.phraseGateIndexed(docs, phrases)) shouldBe
+      gateRows(Transforms.phraseGate(docs, phrases))
+    val dtk = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("tk"))
+      .filter(org.apache.spark.sql.functions.size(col("tk")) >= 5)
+      .limit(200).collect()
+      .map(r => r.getSeq[String](1))
+    val rng2 = new scala.util.Random(7)
+    val ph1k = (0 until 1000).map { p =>
+      val tk = dtk(rng2.nextInt(dtk.length))
+      val s = rng2.nextInt(tk.length - 2)
+      p.toLong -> tk.slice(s, s + 3).toSeq
+    }.toMap
+    gateRows(Transforms.phraseGateIndexed(small, ph1k)) shouldBe
+      gateRows(Transforms.phraseGate(small, ph1k))
+    // empty-registry degenerate branches agree too
+    Transforms.bm25ScoreIndexed(small, Map.empty, Map.empty, 0L, 0.0)
+      .collect().length shouldBe 0
+    gateRows(Transforms.phraseGateIndexed(small, Map.empty)) shouldBe
+      gateRows(Transforms.phraseGate(small, Map.empty))
+  }
+
   it should "route streamed vectors to the exact cells the batch build assigns" in {
     // the ingest router must agree with the batch index build under the
     // same frozen codebook (round 13 — one assignBook + one kernel, so
