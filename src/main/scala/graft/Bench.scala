@@ -197,6 +197,40 @@ object Bench {
       System.err.println(s"[bench] ir stats FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       -1.0
     }
+    // The retrieval family's shared evaluation artifacts (round-15
+    // optimization — the annTruth discipline): the self-excluded BM25
+    // top-10 and the token/shingle Jaccard truths each serve ir_eval /
+    // ir_eval_strict / ir_fusion from one memoized, pinned frame; the
+    // builds are priced here after eviction so the per-card timings
+    // above are marginal costs and the shared passes never vanish from
+    // the artifact.
+    val irTop = try {
+      operators.Retrieval.evictEvalTop(spark)
+      val t0 = System.nanoTime()
+      operators.Retrieval.bm25EvalTop(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ir top FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      -1.0
+    }
+    val irTruth = try {
+      operators.Retrieval.evictTruth(spark)
+      val t0 = System.nanoTime()
+      operators.Retrieval.truthFrame(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ir truth FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      -1.0
+    }
+    val irTruthShingle = try {
+      operators.Retrieval.evictTruthShingle(spark)
+      val t0 = System.nanoTime()
+      operators.Retrieval.truthFrameShingle(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ir shingle truth FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      -1.0
+    }
     // The exact brute-force truth pass the ANN evaluation cards amortize
     // (round 15 memo — previously re-executed inside ann_recall_card /
     // ann_dim_trunc / ann_sq8, the bench's three heaviest lines): timed
@@ -434,7 +468,7 @@ object Bench {
     val bloomRatesJson = bloomRates.map(r => fmt(r)).mkString("[", ",", "]")
     // stream_reruns derives from the actual run count (runs beyond the
     // first timed pass), never a literal — a self-describing artifact
-    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"opq_train_sec":${fmt(opqTrain)},"ivf_train_sec":${fmt(ivfTrain)},"ir_stats_sec":${fmt(irStats)},"ann_truth_sec":${fmt(annTruth)},"nn_graph_sec":${fmt(nnGraph)},"bm25_reg1k_indexed_rows_per_sec":${reg1kIndexed.toLong},"bm25_reg1k_scan_rows_per_sec":${reg1kScan.toLong},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
+    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"opq_train_sec":${fmt(opqTrain)},"ivf_train_sec":${fmt(ivfTrain)},"ir_stats_sec":${fmt(irStats)},"ir_top_sec":${fmt(irTop)},"ir_truth_sec":${fmt(irTruth)},"ir_truth_shingle_sec":${fmt(irTruthShingle)},"ann_truth_sec":${fmt(annTruth)},"nn_graph_sec":${fmt(nnGraph)},"bm25_reg1k_indexed_rows_per_sec":${reg1kIndexed.toLong},"bm25_reg1k_scan_rows_per_sec":${reg1kScan.toLong},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
     // FULL artifact: every per-query number. Printed first for
     // collectors that keep whole stdout AND written to a file so the
     // full per-query map survives even when only the stdout tail does.

@@ -71,10 +71,34 @@ object Retrieval {
   // additional caller. Same table, same invalidation.
   private val dfMemo = new graft.util.SessionMemo[Map[String, Long]]("documents")
 
+  // Round-15 optimization (the annTruth discipline applied to this
+  // family's own evaluation artifacts): the token/shingle relevance
+  // truths and the self-excluded BM25 top-10 were each rebuilt from the
+  // corpus inside EVERY card that consumes them — ir_eval, ir_eval_strict
+  // and ir_fusion re-ran the same Θ(16·N) truth pass (up to 4 rebuilds
+  // per session: 2 token + 1 shingle + the tops) and the same BM25
+  // ranking (3 rebuilds). All three artifacts are deterministic
+  // functions of the corpus (exact integer truth; decimal-rounded,
+  // tie-broken ranks), so the memo is exact; each is lazily
+  // checkpoint-pinned ≤ shortlist/truth-sized, and the bench prices the
+  // builds as their own ir_top_sec / ir_truth_sec / ir_truth_shingle_sec
+  // lines after eviction (the pair_build_sec pattern).
+  private val truthMemo = new graft.util.SessionMemo[DataFrame]("documents")
+  private val truthShingleMemo = new graft.util.SessionMemo[DataFrame]("documents")
+  private val topMemo = new graft.util.SessionMemo[DataFrame]("documents")
+
   /** Bench hook: drop the memos so a timed run prices the computation. */
   private[graft] def evictSample(s: SparkSession): Unit = {
     sampleMemo.evict(s); dfMemo.evict(s)
+    truthMemo.evict(s); truthShingleMemo.evict(s); topMemo.evict(s)
   }
+
+  /** Bench hooks: price each derived evaluation artifact separately
+    * (evictSample drops these too — corpus stats feed all of them). */
+  private[graft] def evictEvalTop(s: SparkSession): Unit = topMemo.evict(s)
+  private[graft] def evictTruth(s: SparkSession): Unit = truthMemo.evict(s)
+  private[graft] def evictTruthShingle(s: SparkSession): Unit =
+    truthShingleMemo.evict(s)
 
   /** Memoized (nDocs, avgdl, sample) — corpus size, average doc length
     * (driver IEEE division of the exact longs ≡ the Catalyst/DuckDB
@@ -254,17 +278,26 @@ object Retrieval {
     * Exactness: truth is pure integers; per-query precision/recall/rr
     * are exact integer quotients (bit-identical doubles); the three
     * macro means go through decimal(38,18) sums, 6-dp floor-rounded. */
-  def irEval: Q = (s, d) => evalMetrics(
-    bm25TopK(s, d, excludeSelf = true)
-      .select(col("query_id"), col("rnk"), col("doc_id")),
-    truthFrame(s, d))
+  def irEval: Q = (s, d) => evalMetrics(bm25EvalTop(s, d), truthFrame(s, d))
+
+  /** The memoized self-excluded BM25 top-10 (query_id, rnk, doc_id) —
+    * ONE ranking pass per (session, dir + fingerprint) behind [[irEval]],
+    * [[irEvalStrict]] and [[irFusion]] (each previously re-ran the whole
+    * corpus scoring). Lazily pinned at ≤ 10·[[QueryDocs]] rows. */
+  private[graft] def bm25EvalTop(s: SparkSession, d: String): DataFrame =
+    topMemo.getOrCompute(s, d) {
+      bm25TopK(s, d, excludeSelf = true)
+        .select(col("query_id"), col("rnk"), col("doc_id"))
+        .localCheckpoint(false)
+    }
 
   /** The relevance-truth frame (query_id, doc_id) — token-set Jaccard
     * ≥ ½ against the sampled query docs, self excluded; ONE rule behind
-    * [[irEval]] and every [[irFusion]] method row. Pinned: feeds the
-    * hit joins + the per-query census. */
-  private def truthFrame(s: SparkSession, d: String): DataFrame =
-    truthFrameBy(s, d, tk => tk)
+    * [[irEval]] and every [[irFusion]] method row. Memoized + pinned
+    * (round 15): feeds the hit joins + the per-query census of three
+    * cards, previously rebuilt per card. */
+  private[graft] def truthFrame(s: SparkSession, d: String): DataFrame =
+    truthMemo.getOrCompute(s, d)(truthFrameBy(s, d, tk => tk))
 
   /** The SHINGLE-STRICT truth (round 15, r14 verdict item 5): relevance
     * = 3-gram shingle-set Jaccard ≥ ½ ([[shingles3]] — the exact
@@ -275,8 +308,8 @@ object Retrieval {
     * `shingleDups` mode synthesizes the dense-truncation corpora where
     * it becomes statistically meaningful (spec-pinned there, with the
     * shingle ⊆ token containment). */
-  private def truthFrameShingle(s: SparkSession, d: String): DataFrame =
-    truthFrameBy(s, d, tk => shingles3(tk))
+  private[graft] def truthFrameShingle(s: SparkSession, d: String): DataFrame =
+    truthShingleMemo.getOrCompute(s, d)(truthFrameBy(s, d, tk => shingles3(tk)))
 
   /** Generalized truth builder: relevance = Jaccard ≥ ½ over
     * `featsOf(tokens)` distinct-feature sets. */
@@ -433,9 +466,7 @@ object Retrieval {
     * there). Same bm25 top-10 evaluated against both pinned truths —
     * the top is built once. */
   def irEvalStrict: Q = (s, d) => {
-    val top = bm25TopK(s, d, excludeSelf = true)
-      .select(col("query_id"), col("rnk"), col("doc_id"))
-      .localCheckpoint(false) // both truth rows evaluate the same top
+    val top = bm25EvalTop(s, d) // both truth rows evaluate the same top
     evalMetrics(top, truthFrameShingle(s, d))
       .select(lit("shingle").as("truth_def"), col("*"))
       .unionByName(evalMetrics(top, truthFrame(s, d))
@@ -487,9 +518,7 @@ object Retrieval {
     * against broadcast tops (the r14-advice direction). */
   def irFusion: Q = (s, d) => {
     val truth = truthFrame(s, d)
-    val bmTop = bm25TopK(s, d, excludeSelf = true)
-      .select(col("query_id"), col("rnk"), col("doc_id"))
-      .localCheckpoint(false) // feeds its metric row + the fusion join
+    val bmTop = bm25EvalTop(s, d) // feeds its metric row + the fusion join
     val v = Similarity.vectors(s, d)
     val sparkS = s; import sparkS.implicits._
     val qids = corpusSample(s, d)._3.map(_._1).toDF("query_id")
