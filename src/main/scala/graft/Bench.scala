@@ -197,6 +197,19 @@ object Bench {
       System.err.println(s"[bench] ir stats FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       -1.0
     }
+    // The exact PPJoin truth-pair set five dedup queries amortize
+    // (round-15 optimization — dd_ppjoin presents it, the four banding
+    // cards evaluate against it): timed after eviction, forced to
+    // materialize via a count on the pinned truth-pair frame.
+    val ddTruth = try {
+      operators.Dedup.evictPpjoinTruth(spark)
+      val t0 = System.nanoTime()
+      operators.Dedup.ppjoinPairsUnsorted(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] dd truth FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      -1.0
+    }
     // The retrieval family's shared evaluation artifacts (round-15
     // optimization — the annTruth discipline): the self-excluded BM25
     // top-10 and the token/shingle Jaccard truths each serve ir_eval /
@@ -468,7 +481,7 @@ object Bench {
     val bloomRatesJson = bloomRates.map(r => fmt(r)).mkString("[", ",", "]")
     // stream_reruns derives from the actual run count (runs beyond the
     // first timed pass), never a literal — a self-describing artifact
-    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"opq_train_sec":${fmt(opqTrain)},"ivf_train_sec":${fmt(ivfTrain)},"ir_stats_sec":${fmt(irStats)},"ir_top_sec":${fmt(irTop)},"ir_truth_sec":${fmt(irTruth)},"ir_truth_shingle_sec":${fmt(irTruthShingle)},"ann_truth_sec":${fmt(annTruth)},"nn_graph_sec":${fmt(nnGraph)},"bm25_reg1k_indexed_rows_per_sec":${reg1kIndexed.toLong},"bm25_reg1k_scan_rows_per_sec":${reg1kScan.toLong},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
+    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"opq_train_sec":${fmt(opqTrain)},"ivf_train_sec":${fmt(ivfTrain)},"ir_stats_sec":${fmt(irStats)},"dd_truth_sec":${fmt(ddTruth)},"ir_top_sec":${fmt(irTop)},"ir_truth_sec":${fmt(irTruth)},"ir_truth_shingle_sec":${fmt(irTruthShingle)},"ann_truth_sec":${fmt(annTruth)},"nn_graph_sec":${fmt(nnGraph)},"bm25_reg1k_indexed_rows_per_sec":${reg1kIndexed.toLong},"bm25_reg1k_scan_rows_per_sec":${reg1kScan.toLong},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
     // FULL artifact: every per-query number. Printed first for
     // collectors that keep whole stdout AND written to a file so the
     // full per-query map survives even when only the stdout tail does.

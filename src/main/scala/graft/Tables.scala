@@ -16,6 +16,25 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Widen a NARROW scan ahead of kernel-heavy record-local work (the
+    * [[graft.operators.Similarity]] balanceNarrow discipline, shared —
+    * round 15): parquet row-group granularity caps scan splits, so a
+    * single-small-file table feeds every map-only kernel downstream of
+    * it from ONE task and serializes the per-record compute (measured:
+    * mm_phash_pairs ran its whole 5k-doc hash fold + verify in ≤2 of 32
+    * cores). At cluster scale the scan is already ≥ the core count and
+    * NO exchange enters the plan; when the guard does fire the exchange
+    * is one round-robin pass over the scanned rows — strictly less work
+    * than leaving 31/32 cores idle through the kernel stage. Only safe
+    * on exchange-free scan lineage (scan→filter→project): `.rdd` on a
+    * plan with broadcast/AQE subtrees would materialize query stages at
+    * plan-construction time. */
+  private[graft] def widen(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions >= sc.defaultParallelism) df
+    else df.repartition(sc.defaultParallelism)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -75,7 +75,7 @@ object Dedup {
         element_at(col("tk"), i + 2), element_at(col("tk"), i + 3),
         element_at(col("tk"), i + 4))))
       .otherwise(array().cast("array<string>"))
-    val srcsPerGram = Tables.documents(s, d)
+    val srcsPerGram = Tables.widen(Tables.documents(s, d))
       .select(col("source"), tokens(col("text")).as("tk"))
       .select(col("source"), explode(grams).as("gram"))
       .groupBy(col("gram"))
@@ -151,7 +151,7 @@ object Dedup {
     // (band keys read `sig` 8×) then read the attribute. Docs with <3
     // tokens have no shingles so every slot is null — the same exclusion
     // the old size(tk)>=3 filter expressed.
-    Tables.documents(s, d)
+    Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"),
         call_function("graft_minhash_tokens", tokens(col("text"))).as("sig"))
       .filter(element_at(col("sig"), 1).isNotNull)
@@ -1284,10 +1284,29 @@ object Dedup {
   def ddPpjoin: Q = (s, d) =>
     ppjoinPairsUnsorted(s, d).orderBy(col("doc_a"), col("doc_b"))
 
+  // The exact J ≥ 0.9 truth-pair set memoized per (session, dir + data
+  // fingerprint) — round-15 optimization (the annTruth discipline): FIVE
+  // queries consume this pass (dd_ppjoin presents it; dd_lsh_recall,
+  // dd_lsh_tuning, dd_sig_width and dd_sig_plan evaluate against it) and
+  // each previously re-ran the whole shingle/prefix/verify pipeline. The
+  // pass is deterministic (integer cross-multiplication thresholds,
+  // exact overlap counts), so the memo is exact; the pinned frame is
+  // truth-pair-sized (never O(n²), the prefix-filter contract) and the
+  // bench prices the build as dd_truth_sec after eviction.
+  private val ppjoinMemo = new graft.util.SessionMemo[DataFrame]("documents")
+
+  /** Bench hook: drop the memoized truth so a timed call prices the
+    * shingle/prefix/verify build the banding cards amortize. */
+  private[graft] def evictPpjoinTruth(s: SparkSession): Unit = ppjoinMemo.evict(s)
+
   /** [[ddPpjoin]] without the presentation sort (internal reuse —
     * [[ddLshRecall]] joins/aggregates downstream, so sorting first is
-    * wasted work). */
-  private[graft] def ppjoinPairsUnsorted(s: SparkSession, d: String): DataFrame = {
+    * wasted work). Memoized + lazily pinned (round 15). */
+  private[graft] def ppjoinPairsUnsorted(s: SparkSession, d: String): DataFrame =
+    ppjoinMemo.getOrCompute(s, d)(
+      ppjoinPairsBuild(s, d).localCheckpoint(false))
+
+  private def ppjoinPairsBuild(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val (tNum, tDen) = (9, 10) // J >= 9/10 as an exact rational
     // Shingles WITHOUT higher-order functions: posexplode materializes
@@ -1301,7 +1320,7 @@ object Dedup {
     // tokenizes once per pass; localCheckpoint then pins the kilobyte
     // (doc, shingle) table so all four consumers share ONE corpus scan.
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val shingled = Tables.documents(s, d)
+    val shingled = Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .withColumn("t1", lead(col("tok"), 1).over(w))
       .withColumn("t2", lead(col("tok"), 2).over(w))
@@ -1450,7 +1469,7 @@ object Dedup {
     * for no decision value). */
   def ddSigWidth: Q = (s, d) => {
     graft.plans.GraftFunctions.register(s)
-    val wide = Tables.documents(s, d)
+    val wide = Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"),
         call_function("graft_minhash_tokens_w", tokens(col("text")), lit(8)).as("sig"))
       .filter(element_at(col("sig"), 1).isNotNull)

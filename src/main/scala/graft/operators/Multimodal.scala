@@ -378,7 +378,7 @@ object Multimodal {
   }
 
   def mmPhash: Q = (s, d) =>
-    Tables.documents(s, d)
+    Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"), formatOf(col("doc_id")).as("format"),
         octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
         phashOfText.as("phash"))
@@ -423,7 +423,7 @@ object Multimodal {
     * near-dup result the caller asked for; cap via dd_lsh_pairs'
     * frequency-cap contract when the corpus makes that unwanted. */
   def mmPhashPairs: Q = (s, d) => {
-    val p = Tables.documents(s, d)
+    val p = Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"), phashOfText.as("phash"))
       .filter(col("phash").isNotNull)
       .localCheckpoint(false)
