@@ -67,6 +67,24 @@ object Similarity {
     * growing with the corpus. With Q fixed, every card is Θ(N). */
   private[graft] val QueryBudget = 256
 
+  // The budgeted query sample memoized per (session, dir + fingerprint)
+  // — round-15 optimization: ~14 ANN queries each re-ran the
+  // TakeOrdered sample pass (and its corpus scan), often at 2–3 plan
+  // sites per query; the sample is deterministic (md5-stratified) and
+  // ≤ QueryBudget rows, so the memo is exact and the pinned frame
+  // enters every plan as a checkpoint scan instead of a corpus
+  // sort+limit subtree. Priced as ann_queries_sec after eviction.
+  private val queriesMemo = new graft.util.SessionMemo[DataFrame]("embeddings")
+
+  /** Bench hook: drop the memoized sample so a timed call prices it. */
+  private[graft] def evictQueries(s: SparkSession): Unit = queriesMemo.evict(s)
+
+  /** The memoized [[defaultQueries]] over the (session, dir) corpus —
+    * the form every declared ANN query serves from. */
+  private[graft] def budgetQueries(s: SparkSession, d: String): DataFrame =
+    queriesMemo.getOrCompute(s, d)(
+      defaultQueries(vectors(s, d)).localCheckpoint(false))
+
   /** Query-side adapter for the bench/oracle ids: the [[QueryBudget]]
     * corpus vectors with the smallest md5(vec_id) — a deterministic
     * hash-stratified sample both engines compute identically (Spark's
@@ -111,7 +129,7 @@ object Similarity {
     * pair. The rank window afterwards only sees k×queries rows. */
   def annBruteforce: Q = (s, d) => {
     val v = vectors(s, d)
-    annBruteforceFor(v, defaultQueries(v))
+    annBruteforceFor(v, budgetQueries(s, d))
   }
 
   /** General form. CONTRACT: `queries` (query_id, qe, qn) is the SMALL
@@ -151,7 +169,7 @@ object Similarity {
   private[graft] def annTruth(s: SparkSession, d: String): DataFrame =
     truthMemo.getOrCompute(s, d) {
       val v = vectors(s, d)
-      annBruteforceFor(v, defaultQueries(v)).filter(col("rnk") <= 5)
+      annBruteforceFor(v, budgetQueries(s, d)).filter(col("rnk") <= 5)
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(false)
     }
@@ -178,7 +196,7 @@ object Similarity {
     * while keeping the join keyed and the pruning ~3×. */
   def annLsh: Q = (s, d) => {
     val v = vectors(s, d)
-    annLshFor(v, defaultQueries(v))
+    annLshFor(v, budgetQueries(s, d))
   }
 
   /** Multi-probe set for a sign bucket: the bucket itself plus the
@@ -246,7 +264,7 @@ object Similarity {
     * size. Top-k via TopKPerGroup (bounded heaps). */
   def annIvf: Q = (s, d) => {
     val v = vectors(s, d)
-    annIvfFor(v, defaultQueries(v))
+    annIvfFor(v, budgetQueries(s, d))
   }
 
   /** General form. CONTRACT: `queries` (query_id, qe, qn) is broadcast
@@ -503,7 +521,7 @@ object Similarity {
     * so the cents filter still pushes to the scan. */
   def annIvfSqrt: Q = (s, d) => {
     val v = vectors(s, d)
-    annIvfK(v, defaultQueries(v), sqrtCells(corpusCount(s, d)), twoLevel = true)
+    annIvfK(v, budgetQueries(s, d), sqrtCells(corpusCount(s, d)), twoLevel = true)
   }
 
   /** General form of [[annIvfSqrt]]; broadcast contract = [[annIvfFor]]'s
@@ -526,7 +544,7 @@ object Similarity {
     * (session, dir), priced as its own bench line. */
   def annIvfTrained: Q = (s, d) => {
     val v = vectors(s, d)
-    annIvfWith(v, defaultQueries(v), centsDf(s, trainedIvfCents(s, d)),
+    annIvfWith(v, budgetQueries(s, d), centsDf(s, trainedIvfCents(s, d)),
       sqrtCells(corpusCount(s, d)), twoLevel = true)
   }
 
@@ -770,7 +788,7 @@ object Similarity {
     * TopKPerGroup bounded heaps. */
   def annPq: Q = (s, d) => {
     val v = vectors(s, d)
-    annPqFor(v, defaultQueries(v))
+    annPqFor(v, budgetQueries(s, d))
   }
 
   /** General form. CONTRACT: `queries` (query_id, qe, qn) is broadcast as
@@ -1203,7 +1221,7 @@ object Similarity {
     * union; plans stay O(1) per round). */
   def annBeam: Q = (s, d) => {
     val v = vectors(s, d)
-    val q = defaultQueries(v)
+    val q = budgetQueries(s, d)
     val graph = nnDescentGraph(s, d).select(col("src"), col("nb"))
     val entries = v.select(col("vec_id").as("node")).orderBy(col("node"))
       .limit(BeamEntries)
@@ -1307,7 +1325,7 @@ object Similarity {
     * filter applied per bucket. */
   def annRadius: Q = (s, d) => {
     val v = vectors(s, d)
-    annRadiusFor(v, defaultQueries(v), 0.3)
+    annRadiusFor(v, budgetQueries(s, d), 0.3)
   }
 
   /** General form of [[annRadius]]; see the broadcast-side contract on
@@ -1360,7 +1378,7 @@ object Similarity {
     * codegen'd `graft_pq_score` lookup loop. */
   def annIvfPq: Q = (s, d) => {
     val v = vectors(s, d)
-    annIvfPqFor(v, defaultQueries(v), residual = true)
+    annIvfPqFor(v, budgetQueries(s, d), residual = true)
   }
 
   /** IVF-PQ under the √N coarse-cell schedule (round 12) — the
@@ -1374,7 +1392,7 @@ object Similarity {
     * — Θ(N·N^¼) instead of the brute-force Θ(N·√N)). */
   def annIvfPqSqrt: Q = (s, d) => {
     val v = vectors(s, d)
-    annIvfPqFor(v, defaultQueries(v), residual = true,
+    annIvfPqFor(v, budgetQueries(s, d), residual = true,
       nCells = sqrtCells(corpusCount(s, d)), twoLevel = true)
   }
 
@@ -1389,7 +1407,7 @@ object Similarity {
     * comparison is spec-pinned on the id-ordered-cluster fixture. */
   def annIvfPqTrained: Q = (s, d) => {
     val v = vectors(s, d)
-    annIvfPqFor(v, defaultQueries(v), residual = true,
+    annIvfPqFor(v, budgetQueries(s, d), residual = true,
       nCells = sqrtCells(corpusCount(s, d)), twoLevel = true,
       centsOverride = Some(centsDf(s, trainedIvfCents(s, d))))
   }
@@ -1761,7 +1779,7 @@ object Similarity {
     * are exact longs; recalls 6-dp floor-rounded exact quotients. */
   def annDimTrunc: Q = (s, d) => {
     val v = vectors(s, d)
-    val q = defaultQueries(v)
+    val q = budgetQueries(s, d)
     // memoized + pinned (round 15); feeds the two hit joins per width + nq
     val truth = annTruth(s, d)
     val nq = truth.agg(countDistinct(col("query_id")).as("n_queries"))
@@ -2009,7 +2027,7 @@ object Similarity {
     * the scored scan on both engines (no ranking signal, 0/0 guard). */
   def annSq8: Q = (s, d) => {
     val v = vectors(s, d)
-    val q = defaultQueries(v)
+    val q = budgetQueries(s, d)
     // memoized + pinned (round 15); feeds both hit joins + nq
     val truth = annTruth(s, d)
     val nq = truth.agg(countDistinct(col("query_id")).as("n_queries"))

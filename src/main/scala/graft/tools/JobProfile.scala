@@ -20,11 +20,19 @@ object JobProfile {
     val stages = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
     val taskTime = new java.util.concurrent.atomic.AtomicLong
+    val stageRows = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Int, String)]())
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        val info = sc.stageInfo
+        val dur = (for (a <- info.completionTime; b <- info.submissionTime)
+          yield a - b).getOrElse(0L)
+        stageRows.add((dur, info.numTasks,
+          info.name.linesIterator.next().take(100)))
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         if (t.taskInfo != null) taskTime.addAndGet(t.taskInfo.duration)
@@ -35,12 +43,20 @@ object JobProfile {
       fn(spark, sfDir).count() // warm (also populates session memos)
       Thread.sleep(300) // let queued listener events drain
       jobs.set(0); stages.set(0); tasks.set(0); taskTime.set(0)
+      stageRows.clear()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let queued listener events drain
       println(f"JOBPROFILE $name%-22s wall=$wall%7.3f s jobs=${jobs.get}%3d " +
         f"stages=${stages.get}%4d tasks=${tasks.get}%5d taskTime=${taskTime.get / 1e3}%8.2f s")
+      if (sys.env.contains("GRAFT_PROFILE_STAGES")) {
+        import scala.jdk.CollectionConverters._
+        stageRows.asScala.toSeq.sortBy(-_._1).take(8).foreach {
+          case (dur, nt, nm) =>
+            println(f"  STAGE ${dur / 1e3}%7.3f s tasks=$nt%4d  $nm")
+        }
+      }
     }
     spark.stop()
   }
