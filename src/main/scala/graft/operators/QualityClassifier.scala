@@ -87,7 +87,9 @@ object QualityClassifier {
 
   private def corpus(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    Tables.documents(s, d)
+    // widened (round 15): the gram-bucket kernel + feature explode run
+    // directly on this scan, which a single small file serializes
+    Tables.widen(Tables.documents(s, d))
       .filter(col("text").isNotNull && col("source").isNotNull)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 1)

@@ -50,6 +50,16 @@ case class TopKPerGroupExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupExprs))
 
+  // Heap reduction is mapPartitions-shaped: rows never move between
+  // partitions, so the child's partitioning survives verbatim. Without
+  // this override the exec reports UnknownPartitioning and EVERY
+  // downstream same-key operator (the rank window in rankTopK, the
+  // band-key groupBy in lshPairsUnsorted) re-exchanges rows that are
+  // already clustered — one redundant shuffle per consumer (round 15,
+  // guide §2.4: two operations keyed the same way share one exchange).
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val groupLocal = groupExprs
