@@ -1378,7 +1378,8 @@ object Similarity {
     * codegen'd `graft_pq_score` lookup loop. */
   def annIvfPq: Q = (s, d) => {
     val v = vectors(s, d)
-    annIvfPqFor(v, budgetQueries(s, d), residual = true)
+    annIvfPqFor(v, budgetQueries(s, d), residual = true,
+      memoKey = Some((s, d, "fixed16")))
   }
 
   /** IVF-PQ under the √N coarse-cell schedule (round 12) — the
@@ -1393,7 +1394,8 @@ object Similarity {
   def annIvfPqSqrt: Q = (s, d) => {
     val v = vectors(s, d)
     annIvfPqFor(v, budgetQueries(s, d), residual = true,
-      nCells = sqrtCells(corpusCount(s, d)), twoLevel = true)
+      nCells = sqrtCells(corpusCount(s, d)), twoLevel = true,
+      memoKey = Some((s, d, "sqrt")))
   }
 
   /** IVF-PQ under the TRAINED coarse codebook (round 14) — the shape
@@ -1409,7 +1411,8 @@ object Similarity {
     val v = vectors(s, d)
     annIvfPqFor(v, budgetQueries(s, d), residual = true,
       nCells = sqrtCells(corpusCount(s, d)), twoLevel = true,
-      centsOverride = Some(centsDf(s, trainedIvfCents(s, d))))
+      centsOverride = Some(centsDf(s, trainedIvfCents(s, d))),
+      memoKey = Some((s, d, "trained")))
   }
 
   /** General form of [[annIvfPqTrained]] for fixture specs. */
@@ -1417,6 +1420,82 @@ object Similarity {
     val k = sqrtCells(v.count())
     annIvfPqFor(v, queries, residual = true, nCells = k, twoLevel = true,
       centsOverride = Some(centsDf(v.sparkSession, trainIvfCents(v, k))))
+  }
+
+  // The 16-codeword residual codebook memoized per (session, dir +
+  // fingerprint, variant) — round-15 optimization: the book derives
+  // deterministically from ≤16 seed vectors per coarse-cents variant (a
+  // TRAINED quantizer artifact, the OPQ-rotation/ivf-cents class), but
+  // each ann_ivfpq* invocation re-ran its build including an eager
+  // checkpoint + diagnostic count — two blocking driver actions per
+  // timed run. Priced as pq_book_sec after eviction (sum of the three
+  // declared variants). Fixture paths (*For with no memoKey) still
+  // build fresh.
+  private val bookMemo =
+    new graft.util.SessionMemo.Keyed[(String, String), DataFrame]("embeddings")
+
+  /** Bench hook: drop the memoized residual codebooks. */
+  private[graft] def evictResidualBooks(s: SparkSession): Unit = bookMemo.evict(s)
+
+  /** Bench hook: force the three declared variants' residual books
+    * through the memo (the exact frames the ann_ivfpq* queries serve
+    * from) and return the summed build cost in seconds. */
+  private[graft] def priceResidualBooks(s: SparkSession, d: String): Double = {
+    val t0 = System.nanoTime()
+    val v = vectors(s, d)
+    def seeded(n: Int) = denseSeeds(v, n)
+      .select(col("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    bookMemo.getOrCompute(s, d, (d, "fixed16"))(
+      residualBook(v, seeded(16), 16, twoLevel = false, 16)).count()
+    val kc = sqrtCells(corpusCount(s, d))
+    bookMemo.getOrCompute(s, d, (d, "sqrt"))(
+      residualBook(v, seeded(kc), kc, twoLevel = true, 16)).count()
+    bookMemo.getOrCompute(s, d, (d, "trained"))(
+      residualBook(v, centsDf(s, trainedIvfCents(s, d)), kc, twoLevel = true, 16)).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The residual-codebook build — seed vectors [nCells, nCells+k)
+    * coded w.r.t. their own nearest cells. Seed assignment goes through
+    * the SAME assignCells rule (incl. twoLevel) as the corpus encode —
+    * the oracle derives the residual codebook from the corpus-wide
+    * assignment, so a rule split here would silently drift the codebook
+    * cells from the oracle's. Eagerly pinned (≤k rows). */
+  private def residualBook(v: DataFrame, cents: DataFrame, nCells: Int,
+      twoLevel: Boolean, k: Int): DataFrame = {
+    val frame = assignCells(
+        v.filter(col("vec_id") >= nCells && col("vec_id") < nCells.toLong + k),
+        cents, nCells, twoLevel, carry = Seq("e"))
+      .join(broadcast(cents.select(col("cid").as("cell"), col("ce"))), "cell")
+      // DENSE rid via re-id (the denseSeeds discipline): a dirty corpus
+      // can lose seeds 16..31 to null-embedding drops, and code values
+      // must stay < |codebook| or graft_pq_score's range check fires.
+      // On a clean corpus rid == vec_id − 16, which is what the oracle
+      // mirrors. ≤16-row window — metadata, not data.
+      .withColumn("rid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+      .select(col("rid"), zip_with(col("e"), col("ce"), (a, b) => a - b).as("rce"))
+      .localCheckpoint()
+    // Codebook-health guard (mirrors the denseSeeds discipline's
+    // explicit handling): null-embedding drops silently SHRINK the
+    // codebook (the dense re-id keeps graft_pq_score consistent, so no
+    // range error fires) and recall quietly falls below the
+    // spec-pinned clustered-fixture gain; an entirely missing seed
+    // range would yield zero ANN results with no diagnostic at all.
+    val n = frame.count()
+    // warning, not require: an EMPTY corpus legitimately yields an
+    // empty codebook and empty ANN results (EmptyInputSpec's
+    // contract); the diagnostic exists so the zero-result case is
+    // never SILENT on a corpus that does have vectors
+    if (n == 0) System.err.println(
+      s"[graft] ann_ivfpq: residual codebook is EMPTY (seed vectors " +
+        s"$nCells..${nCells + k - 1} missing) — ANN results will be empty; " +
+        "expected only if the corpus itself is empty")
+    else if (n < k) System.err.println(
+      s"[graft] ann_ivfpq: residual codebook has $n/$k codewords " +
+        "(seed vectors dropped by the null-embedding filter) — " +
+        "recall will degrade below the spec-pinned fixture gain")
+    frame
   }
 
   /** General form. `nCells` is the COARSE cell count (the K schedule);
@@ -1430,7 +1509,8 @@ object Similarity {
   private[graft] def annIvfPqFor(
       v: DataFrame, queries: DataFrame, residual: Boolean,
       nCells: Int = 16, twoLevel: Boolean = false,
-      centsOverride: Option[DataFrame] = None): DataFrame = {
+      centsOverride: Option[DataFrame] = None,
+      memoKey: Option[(SparkSession, String, String)] = None): DataFrame = {
     require(!twoLevel || residual,
       "twoLevel assignment is wired for the residual path (the deployed √N form)")
     val m = 8; val subDim = 8; val nProbe = 4; val k = 16
@@ -1447,44 +1527,10 @@ object Similarity {
     // Seeds 16..31's residuals w.r.t. their own nearest cells (seeds
     // 0..15 ARE the centroids, residual zero); the vec_id range predicate
     // pushes to the scan, so this is a 16-row broadcast at any scale.
-    lazy val rcbs = {
-      // Seed assignment goes through the SAME assignCells rule (incl.
-      // twoLevel) as the corpus below — the oracle derives the residual
-      // codebook from the corpus-wide assignment, so a rule split here
-      // would silently drift the codebook cells from the oracle's.
-      val frame = assignCells(
-          v.filter(col("vec_id") >= nCells && col("vec_id") < nCells.toLong + k),
-          cents, nCells, twoLevel, carry = Seq("e"))
-        .join(broadcast(cents.select(col("cid").as("cell"), col("ce"))), "cell")
-        // DENSE rid via re-id (the denseSeeds discipline): a dirty corpus
-        // can lose seeds 16..31 to null-embedding drops, and code values
-        // must stay < |codebook| or graft_pq_score's range check fires.
-        // On a clean corpus rid == vec_id − 16, which is what the oracle
-        // mirrors. ≤16-row window — metadata, not data.
-        .withColumn("rid",
-          (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
-        .select(col("rid"), zip_with(col("e"), col("ce"), (a, b) => a - b).as("rce"))
-        .localCheckpoint()
-      // Codebook-health guard (mirrors the denseSeeds discipline's
-      // explicit handling): null-embedding drops silently SHRINK the
-      // codebook (the dense re-id keeps graft_pq_score consistent, so no
-      // range error fires) and recall quietly falls below the
-      // spec-pinned clustered-fixture gain; an entirely missing seed
-      // range would yield zero ANN results with no diagnostic at all.
-      val n = frame.count()
-      // warning, not require: an EMPTY corpus legitimately yields an
-      // empty codebook and empty ANN results (EmptyInputSpec's
-      // contract); the diagnostic exists so the zero-result case is
-      // never SILENT on a corpus that does have vectors
-      if (n == 0) System.err.println(
-        s"[graft] ann_ivfpq: residual codebook is EMPTY (seed vectors " +
-          s"$nCells..${nCells + k - 1} missing) — ANN results will be empty; " +
-          "expected only if the corpus itself is empty")
-      else if (n < k) System.err.println(
-        s"[graft] ann_ivfpq: residual codebook has $n/$k codewords " +
-          "(seed vectors dropped by the null-embedding filter) — " +
-          "recall will degrade below the spec-pinned fixture gain")
-      frame
+    lazy val rcbs = memoKey match {
+      case Some((ms, dir, variant)) => bookMemo.getOrCompute(ms, dir, (dir, variant))(
+        residualBook(v, cents, nCells, twoLevel, k))
+      case None => residualBook(v, cents, nCells, twoLevel, k)
     }
     // The whole encode — coarse assignment, residual, codes — is
     // MAP-ONLY (round 13): assignCells' graft_ivf_assign kernel, a
