@@ -151,7 +151,11 @@ object Dedup {
     // (band keys read `sig` 8×) then read the attribute. Docs with <3
     // tokens have no shingles so every slot is null — the same exclusion
     // the old size(tk)>=3 filter expressed.
-    Tables.widen(Tables.documents(s, d))
+    // NOT widened (round 15): measured — the 8-slot kernel is light
+    // enough that the widening exchange costs more than the extra
+    // parallelism buys (dd_minhash_est 0.32→0.60 s with it); the 32-slot
+    // pass in ddSigWidth and the shingle/phash kernels keep theirs.
+    Tables.documents(s, d)
       .select(col("doc_id"),
         call_function("graft_minhash_tokens", tokens(col("text"))).as("sig"))
       .filter(element_at(col("sig"), 1).isNotNull)
