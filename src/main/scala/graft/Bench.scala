@@ -166,6 +166,21 @@ object Bench {
       System.err.println(s"[bench] ql train FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       -1.0
     }
+    // The corpus scoring pass the five ql_* evaluation cards amortize
+    // (round-15 optimization — the trainedModel memo stopped
+    // re-training, this prices the once-per-session re-SCORING the
+    // cards now share): timed after eviction, forced to materialize via
+    // a count on the pinned per-doc frame. Note trainedModel stays
+    // memoized here, so this line prices the scoring pass alone.
+    val qlScored = try {
+      operators.QualityClassifier.evictScored(spark)
+      val t0 = System.nanoTime()
+      operators.QualityClassifier.scored(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ql scored FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      -1.0
+    }
     // The OPQ rotation training ann_opq amortizes (round 14 memo — the
     // chronic rerun-flag fix: training no longer re-pays per timing run).
     val opqTrain = try {
@@ -503,7 +518,7 @@ object Bench {
     val bloomRatesJson = bloomRates.map(r => fmt(r)).mkString("[", ",", "]")
     // stream_reruns derives from the actual run count (runs beyond the
     // first timed pass), never a literal — a self-describing artifact
-    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"opq_train_sec":${fmt(opqTrain)},"ivf_train_sec":${fmt(ivfTrain)},"ir_stats_sec":${fmt(irStats)},"dd_truth_sec":${fmt(ddTruth)},"ir_top_sec":${fmt(irTop)},"ir_truth_sec":${fmt(irTruth)},"ir_truth_shingle_sec":${fmt(irTruthShingle)},"ann_queries_sec":${fmt(annQueries)},"pq_book_sec":${fmt(pqBook)},"ann_truth_sec":${fmt(annTruth)},"nn_graph_sec":${fmt(nnGraph)},"bm25_reg1k_indexed_rows_per_sec":${reg1kIndexed.toLong},"bm25_reg1k_scan_rows_per_sec":${reg1kScan.toLong},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
+    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"ql_scored_sec":${fmt(qlScored)},"opq_train_sec":${fmt(opqTrain)},"ivf_train_sec":${fmt(ivfTrain)},"ir_stats_sec":${fmt(irStats)},"dd_truth_sec":${fmt(ddTruth)},"ir_top_sec":${fmt(irTop)},"ir_truth_sec":${fmt(irTruth)},"ir_truth_shingle_sec":${fmt(irTruthShingle)},"ann_queries_sec":${fmt(annQueries)},"pq_book_sec":${fmt(pqBook)},"ann_truth_sec":${fmt(annTruth)},"nn_graph_sec":${fmt(nnGraph)},"bm25_reg1k_indexed_rows_per_sec":${reg1kIndexed.toLong},"bm25_reg1k_scan_rows_per_sec":${reg1kScan.toLong},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
     // FULL artifact: every per-query number. Printed first for
     // collectors that keep whole stdout AND written to a file so the
     // full per-query map survives even when only the stdout tail does.

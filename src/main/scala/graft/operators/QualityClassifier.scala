@@ -158,22 +158,43 @@ object QualityClassifier {
       .localCheckpoint(false)
   }
 
+  // The scored frame memoized per (session, dir + data fingerprint) —
+  // round-15 optimization (guide §2.4, remove redundant passes): the
+  // five ql_* consumers each re-ran the gram-bucket feature explode +
+  // weight join + per-doc combine behind their own aggregates — four
+  // redundant full-corpus scoring passes per evaluation suite (the
+  // trainedModel memo stopped re-TRAINING in r14; this stops
+  // re-SCORING). Production shape: a deployed filter scores the corpus
+  // once and every card reads the score column. One narrow row per doc
+  // (7 flat columns), lazily checkpoint-pinned — MEMORY_AND_DISK, so at
+  // cluster scale it spills to local disk like any scored-corpus
+  // artifact. The bench prices the pass after eviction (ql_scored_sec).
+  private val scoredMemo = new graft.util.SessionMemo[DataFrame]("documents")
+
+  /** Bench hook: drop the memoized scored frame so a timed call prices
+    * the scoring pass the five ql_* queries amortize. */
+  private[graft] def evictScored(s: SparkSession): Unit = scoredMemo.evict(s)
+
   /** Per-doc scores (doc_id, source, label, n_feats, score, prob, keep)
     * with score/prob UNROUNDED — [[qlScore]] presents the rounded card;
-    * ql_eval aggregates the raw values. */
-  private def scored(s: SparkSession, d: String): DataFrame = {
-    val docs = corpus(s, d)
-    val (target, weights) = trainedModel(s, d)
-    val w = weights.select(col("b"), col("w"))
-    labeledFeats(docs, target)
-      .join(broadcast(w), "b")
-      .groupBy(col("doc_id"), col("source"))
-      .agg(max(when(col("y"), 1L).otherwise(0L)).as("label"), // constant per doc
-        count(lit(1)).as("n_feats"),
-        (sum(col("w").cast("decimal(38,18)")).cast("double") / count(lit(1))).as("score"))
-      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("score"))))
-      .withColumn("keep", when(col("score") >= 0, 1L).otherwise(0L))
-  }
+    * ql_eval aggregates the raw values. Memoized + pinned: the scoring
+    * pass executes once per (session, dir); every consumer reads the
+    * materialized frame. */
+  private[graft] def scored(s: SparkSession, d: String): DataFrame =
+    scoredMemo.getOrCompute(s, d) {
+      val docs = corpus(s, d)
+      val (target, weights) = trainedModel(s, d)
+      val w = weights.select(col("b"), col("w"))
+      labeledFeats(docs, target)
+        .join(broadcast(w), "b")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(max(when(col("y"), 1L).otherwise(0L)).as("label"), // constant per doc
+          count(lit(1)).as("n_feats"),
+          (sum(col("w").cast("decimal(38,18)")).cast("double") / count(lit(1))).as("score"))
+        .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("score"))))
+        .withColumn("keep", when(col("score") >= 0, 1L).otherwise(0L))
+        .localCheckpoint(false)
+    }
 
   /** The trained-model card: per bucket its class counts, smoothed
     * target share and trained weight. */

@@ -28,7 +28,8 @@ object Similarity {
   // card's own fan-out — this is job-level overlap, not a data pool.
   private[operators] lazy val cardPool: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(5,
+      java.util.concurrent.Executors.newFixedThreadPool(
+        sys.env.get("GRAFT_CARD_POOL").map(_.toInt).getOrElse(5),
         new java.util.concurrent.ThreadFactory {
           private val n = new java.util.concurrent.atomic.AtomicInteger
           override def newThread(r: Runnable): Thread = {

@@ -56,6 +56,9 @@ object ConnectedComponents {
     val e = edges.repartition(col("a")).cache()
     try {
       var lbl = nodes.select(col("node"), col("node").as("lbl")).localCheckpoint()
+      // the actual checkpointed frame behind `lbl` (lbl itself may be a
+      // projection of it; the unpersist shim needs the LogicalRDD leaf)
+      var pinned = lbl
       var changed = 1L
       var rounds = 0
       while (changed > 0) {
@@ -64,26 +67,39 @@ object ConnectedComponents {
         // (plain hash-min legitimately takes diameter rounds; no cap)
         if (jump && rounds >= 64) throw new IllegalStateException(
           s"ConnectedComponents: pointer-jumped propagation not converged after $rounds rounds")
+        // round-15 optimization (guide §2.4): the old label rides the
+        // union as a `prev` column (every node contributes exactly one
+        // base row, so max(prev) over the group IS its previous label),
+        // which turns the per-round convergence probe from a
+        // merged⋈lbl join + shuffle into a filter-count over the frame
+        // just checkpointed — one exchange and one |nodes|-row scan
+        // fewer per round, labels bit-identical.
+        val base = lbl.withColumn("prev", col("lbl"))
         val msgs = e.join(lbl.withColumnRenamed("node", "a"), "a")
-          .select(col("b").as("node"), col("lbl"))
+          .select(col("b").as("node"), col("lbl"),
+            lit(null).cast(base.schema("prev").dataType).as("prev"))
         val jumped = if (!jump) Seq.empty[DataFrame] else Seq(
           lbl.join(
             lbl.select(col("node").as("__j"), col("lbl").as("__jl")),
             col("lbl") === col("__j"))
-            .select(col("node"), col("__jl").as("lbl")))
-        val merged = (Seq(lbl, msgs) ++ jumped).reduce(_ unionByName _)
-          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+            .select(col("node"), col("__jl").as("lbl"),
+              lit(null).cast(base.schema("prev").dataType).as("prev")))
+        val merged = (Seq(base, msgs) ++ jumped).reduce(_ unionByName _)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"),
+            max(col("prev")).as("prev"))
           .localCheckpoint()
-        changed = merged.join(lbl.withColumnRenamed("lbl", "prev"), "node")
-          .filter(col("lbl") < col("prev")).count()
+        changed = merged.filter(col("lbl") < col("prev")).count()
         // release the superseded round's |nodes|-row checkpoint blocks
         // now, not when GC + ContextCleaner get to them — a long-diameter
         // run would otherwise stack rounds × |nodes| blocks in executor
         // storage (the Dedup.distributedMinLabel discipline)
-        org.apache.spark.sql.GraftShim.unpersistLocalCheckpoint(lbl)
-        lbl = merged
+        org.apache.spark.sql.GraftShim.unpersistLocalCheckpoint(pinned)
+        pinned = merged
+        lbl = merged.select(col("node"), col("lbl"))
         rounds += 1
       }
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc-debug] jump=$jump rounds=$rounds")
       (lbl.withColumnRenamed("lbl", "component"), rounds)
     } finally e.unpersist(false) // the returned labels are a checkpointed RDD
   }
