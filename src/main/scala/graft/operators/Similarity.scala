@@ -2139,7 +2139,11 @@ object Similarity {
     val train = vd.agg(
       array((1 to 64).map(i => min(element_at(ed, i))): _*).as("mn"),
       array((1 to 64).map(i => max(element_at(ed, i))): _*).as("mx"))
-      .localCheckpoint(false) // 1-row trained bounds, broadcast
+      // 1-row trained bounds, broadcast. EAGER pin: both overlapped
+      // passes below embed this frame — a lazy pin would race its
+      // materialization across the two pool threads and run the
+      // bounds pass twice
+      .localCheckpoint(true)
     def reconAt(i: Column): Column = {
       val x = element_at(ed, i)
       val mn = element_at(col("mn"), i)
@@ -2151,32 +2155,44 @@ object Similarity {
     }
     val vq = vd.crossJoin(broadcast(train))
       .withColumn("recon", transform(sequence(lit(1), lit(64)), reconAt _))
-    val mseAgg = vq
+    // The MSE pass and the serving chain both re-derive recon from the
+    // broadcast bounds (map-only — cheaper at any scale than pinning a
+    // corpus×64-array frame) and are INDEPENDENT until the final 1-row
+    // assembly; round-15 (guide §2.6): pin both concurrently from the
+    // card pool so the two corpus passes overlap instead of queueing.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = cardPool
+    val mseF = Future(vq
       .select(foldSum(transform(sequence(lit(1), lit(64)), i => {
         val dif = element_at(ed, i) - element_at(col("recon"), i)
         dif * dif
       })).cast("decimal(38,18)").as("se"))
       .agg(sum(col("se")).as("sse"), count(lit(1)).cast("long").as("n_vec"))
-      .localCheckpoint(false)
-    val scored = vq
-      .select(col("vec_id"), col("recon"), l2norm(col("recon")).as("nr"))
-      .filter(col("nr") > 0)
-      .crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (dot(col("qe"), col("recon")) / (col("qn") * col("nr"))).as("cosq"))
-    val shortIds = graft.plans.TopKPerGroup.transform(scored,
-      Seq(col("query_id")), Seq(col("cosq").desc, col("vec_id").asc), 50)
-    // exact re-rank fetch: corpus streamed, shortlist broadcast (the
-    // annDimTrunc discipline — only shortlist-sized frames broadcast)
-    val withVec = v.select(col("vec_id"), col("e"), col("nrm"))
-      .join(broadcast(shortIds), "vec_id")
-    val short = q.select(col("query_id"), col("qe"), col("qn"))
-      .join(broadcast(withVec), "query_id")
-      .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cosq"), col("cos"))
-      .localCheckpoint(false) // feeds the sq5 + re-rank hit joins
+      .localCheckpoint(true))
+    val shortF = Future {
+      val scored = vq
+        .select(col("vec_id"), col("recon"), l2norm(col("recon")).as("nr"))
+        .filter(col("nr") > 0)
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dot(col("qe"), col("recon")) / (col("qn") * col("nr"))).as("cosq"))
+      val shortIds = graft.plans.TopKPerGroup.transform(scored,
+        Seq(col("query_id")), Seq(col("cosq").desc, col("vec_id").asc), 50)
+      // exact re-rank fetch: corpus streamed, shortlist broadcast (the
+      // annDimTrunc discipline — only shortlist-sized frames broadcast)
+      val withVec = v.select(col("vec_id"), col("e"), col("nrm"))
+        .join(broadcast(shortIds), "vec_id")
+      q.select(col("query_id"), col("qe"), col("qn"))
+        .join(broadcast(withVec), "query_id")
+        .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cosq"), col("cos"))
+        .localCheckpoint(true) // feeds the sq5 + re-rank hit joins
+    }
+    val mseAgg = Await.result(mseF, Duration.Inf)
+    val short = Await.result(shortF, Duration.Inf)
     val sq5 = graft.plans.TopKPerGroup.transform(short,
       Seq(col("query_id")), Seq(col("cosq").desc, col("neighbor_id").asc), 5)
     val fin = graft.plans.TopKPerGroup.transform(short,
