@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Per-test durations in the report (round 16): the r15 driver run was
+// killed mid-suite on wall time — without -oD the suite's time sinks
+// are invisible, so every budget fix would be a guess.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
+Test / logBuffered := false
 run / fork := true
 // Forked run output goes straight to stdout/stderr WITHOUT sbt's
 // "[info] " line prefix, so Bench's single JSON line stays parseable by

@@ -343,11 +343,16 @@ object Bench {
       }
       val ri = rate(nd)(streaming.Transforms
         .bm25ScoreIndexed(docs, reg, dfm, nd, 50.0).count())
-      // the scan form runs on a 500-doc slice: its measured per-row
-      // cost is registry-bound and constant (sf0.1 probe: 11 rows/s —
-      // the full corpus would add ~8 min of bench wall for the same
-      // rate number)
-      val nScan = math.min(nd, 500L)
+      // the scan form runs on a 50-doc slice (round 16, r15 verdict
+      // item 1: the 500-doc slice burned ~8 min of bench wall at 32
+      // cores and starved the driver's verify budget): its measured
+      // per-row cost is registry-bound and constant — dominated by the
+      // 4,000-expression plan/codegen every deployment pays once per
+      // registry epoch — so the rate number is the same design-note
+      // measurement at a tenth of the wall. Env-overridable for the
+      // occasional full-form capture.
+      val nScan = math.min(nd, sys.env.get("GRAFT_BENCH_REG1K_SCAN_DOCS")
+        .flatMap(_.toLongOption).filter(_ > 0).getOrElse(50L))
       val scanDocs = docs.limit(nScan.toInt).localCheckpoint()
       val rs = rate(nScan)(streaming.Transforms
         .bm25Score(scanDocs, reg, dfm, nd, 50.0).count())
@@ -361,6 +366,16 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
+    // total_with_shared_sec (round 16, r15 verdict item 3): "total" sums
+    // only the per-query timings, which after the memo family are
+    // MARGINAL costs — landing a memo mechanically lowers the headline
+    // while the build cost moves into a priced line. This field adds
+    // every priced shared-build line back so round-over-round totals
+    // compare like for like; "total" keeps its historical meaning.
+    val sharedBuilds = Seq(pairBuild, centroidTrain, qlTrain, qlScored,
+      opqTrain, ivfTrain, irStats, ddTruth, irTop, irTruth, irTruthShingle,
+      annQueries, pqBook, annTruth, nnGraph)
+    val totalWithShared = total + sharedBuilds.filter(_ >= 0).sum
     // Loader throughput (the reference's headline number): stream the
     // events table through the exactly-once partitioned file sink and
     // measure end-to-end records/sec, plus per-epoch commit latency
@@ -518,7 +533,7 @@ object Bench {
     val bloomRatesJson = bloomRates.map(r => fmt(r)).mkString("[", ",", "]")
     // stream_reruns derives from the actual run count (runs beyond the
     // first timed pass), never a literal — a self-describing artifact
-    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"ql_scored_sec":${fmt(qlScored)},"opq_train_sec":${fmt(opqTrain)},"ivf_train_sec":${fmt(ivfTrain)},"ir_stats_sec":${fmt(irStats)},"dd_truth_sec":${fmt(ddTruth)},"ir_top_sec":${fmt(irTop)},"ir_truth_sec":${fmt(irTruth)},"ir_truth_shingle_sec":${fmt(irTruthShingle)},"ann_queries_sec":${fmt(annQueries)},"pq_book_sec":${fmt(pqBook)},"ann_truth_sec":${fmt(annTruth)},"nn_graph_sec":${fmt(nnGraph)},"bm25_reg1k_indexed_rows_per_sec":${reg1kIndexed.toLong},"bm25_reg1k_scan_rows_per_sec":${reg1kScan.toLong},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
+    val streamFields = s""""failed":$failed,"reruns":$reruns,"sf":"$sfDir","stream_load_rows_per_sec":${loadRate.toLong},"epoch_latency_ms_p50":$epochP50,"epoch_latency_ms_p99":$epochP99,"bloom_gate_rows_per_sec":${bloomRate.toLong},"stream_reruns":${math.max(0, streamRates.length - 1)},"stream_rates":$streamRatesJson,"bloom_rates":$bloomRatesJson,"pair_build_sec":${fmt(pairBuild)},"centroid_train_sec":${fmt(centroidTrain)},"ql_train_sec":${fmt(qlTrain)},"ql_scored_sec":${fmt(qlScored)},"opq_train_sec":${fmt(opqTrain)},"ivf_train_sec":${fmt(ivfTrain)},"ir_stats_sec":${fmt(irStats)},"dd_truth_sec":${fmt(ddTruth)},"ir_top_sec":${fmt(irTop)},"ir_truth_sec":${fmt(irTruth)},"ir_truth_shingle_sec":${fmt(irTruthShingle)},"ann_queries_sec":${fmt(annQueries)},"pq_book_sec":${fmt(pqBook)},"ann_truth_sec":${fmt(annTruth)},"nn_graph_sec":${fmt(nnGraph)},"bm25_reg1k_indexed_rows_per_sec":${reg1kIndexed.toLong},"bm25_reg1k_scan_rows_per_sec":${reg1kScan.toLong},"total_with_shared_sec":${fmt(totalWithShared)},"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_ref_sec":$ReferenceCalibSec,${hostNormFields(hostFactor, total, fmt)}"""
     // FULL artifact: every per-query number. Printed first for
     // collectors that keep whole stdout AND written to a file so the
     // full per-query map survives even when only the stdout tail does.

@@ -193,7 +193,13 @@ object QualityClassifier {
           (sum(col("w").cast("decimal(38,18)")).cast("double") / count(lit(1))).as("score"))
         .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("score"))))
         .withColumn("keep", when(col("score") >= 0, 1L).otherwise(0L))
-        .localCheckpoint(false)
+        // EAGER pin (round 16, r15 advice item 2): a lazy pin here races
+        // if two consumers materialize concurrently (e.g. a future
+        // card-pool migration of the ql cards) and the corpus scoring
+        // pass would silently run twice — the exact race annSq8's
+        // bounds pin went eager for. Inside the memo compute, so the
+        // pass still runs exactly once per (session, dir).
+        .localCheckpoint(true)
     }
 
   /** The trained-model card: per bucket its class counts, smoothed

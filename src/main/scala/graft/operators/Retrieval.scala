@@ -312,14 +312,35 @@ object Retrieval {
     truthShingleMemo.getOrCompute(s, d)(truthFrameBy(s, d, tk => shingles3(tk)))
 
   /** Generalized truth builder: relevance = Jaccard ≥ ½ over
-    * `featsOf(tokens)` distinct-feature sets. */
+    * `featsOf(tokens)` distinct-feature sets.
+    *
+    * Round-16 scale fixes (r15 verdict item 3/4 — the c8 capture
+    * measured the priced shingle-truth build at 127× its c32 time, far
+    * beyond the 4× core cut):
+    *  - per-doc feature counts are now MAP-ONLY (`size(fs)` on the
+    *    pre-explode array ≡ the explode + groupBy-count they replaced) —
+    *    one corpus-sized explode + exchange gone (guide §2.3/§2.4);
+    *  - the intersection join's corpus side is pre-filtered by a BLOOM
+    *    filter over the query feature set (guide §3.2) BEFORE the
+    *    feature-keyed exchange: a corpus feature matching no query
+    *    feature can never contribute to `ni`, so dropping it map-side
+    *    is exact (false positives are removed by the join itself), and
+    *    the shuffle carries only the Θ(16·N)-bounded matching stream
+    *    instead of the full corpus feature explode. The filter is built
+    *    from the pinned qtok frame (one small job) and is metadata-sized
+    *    by the [[QueryDocs]] budget — the same xxhash64 build/probe
+    *    pipeline as the streaming history gate. */
   private def truthFrameBy(s: SparkSession, d: String,
       featsOf: Column => Column): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
     val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-    val dtk = base.select(col("doc_id"),
-      explode(array_distinct(featsOf(col("tk")))).as("t"))
-    val sizes = dtk.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val feats = base
+      .select(col("doc_id"), array_distinct(featsOf(col("tk"))).as("fs"))
+      .filter(col("fs").isNotNull)
+    val dtk = feats.select(col("doc_id"), explode(col("fs")).as("t"))
+    val sizes = feats.select(col("doc_id"),
+      size(col("fs")).cast("long").as("n"))
     val sparkS = s; import sparkS.implicits._
     val qids = corpusSample(s, d)._3.map(_._1).toDF("query_id")
     val qtok = dtk.join(broadcast(qids), col("doc_id") === col("query_id"))
@@ -327,12 +348,29 @@ object Retrieval {
       .localCheckpoint(false)
     val qsizes = qtok.groupBy(col("query_id")).agg(count(lit(1)).as("nq"))
       .localCheckpoint(false)
+    // the count materializes the qtok pin (its first consumer would
+    // anyway) and sizes the filter; clamps respect Spark's
+    // BloomFilterAggregate caps (4M items / 64Mbit)
+    val nQtok = qtok.count()
+    val items = math.min(math.max(1L, nQtok), 4000000L)
+    val numBits = math.min(67108864L, math.max(64L, math.ceil(
+      -items * math.log(0.01) / (math.log(2) * math.log(2))).toLong))
+    val bfRow = qtok.select(xxhash64(col("t")).as("h"))
+      .agg(call_function("graft_bloom_agg", col("h"),
+        lit(items), lit(numBits)).as("bf"))
+      .head()
+    // empty query set → null aggregate → no pre-filter (the join below
+    // is empty either way; EmptyInputSpec's contract)
+    val dtkF =
+      if (bfRow.isNullAt(0)) dtk
+      else dtk.filter(call_function("graft_bloom_contains",
+        lit(bfRow.getAs[Array[Byte]](0)), xxhash64(col("t"))))
     // shuffle-hash, not broadcast: qtok is bounded by the sampled docs'
     // VOCABULARY (unbounded per doc length), and the joined stream must
     // shuffle for the (query, doc) agg regardless — the hash build side
     // is partition-sliced, so no driver/executor materialization of the
     // whole token set (r14 advice, the line-283 finding)
-    val inter = dtk.join(qtok.hint("shuffle_hash"), "t")
+    val inter = dtkF.join(qtok.hint("shuffle_hash"), "t")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("ni"))
     inter
@@ -368,6 +406,54 @@ object Retrieval {
         sum(col("recall").cast("decimal(38,18)")).as("rs"),
         sum(col("rr").cast("decimal(38,18)")).as("rrs"))
       .select(col("n_queries"), col("n_rel"), col("n_hits"),
+        when(col("n_queries") > 0, Exact.floorRound(
+          col("ps").cast("double") / col("n_queries"), 6)).as("precision_at_10"),
+        when(col("n_queries") > 0, Exact.floorRound(
+          col("rs").cast("double") / col("n_queries"), 6)).as("recall_at_10"),
+        when(col("n_queries") > 0, Exact.floorRound(
+          col("rrs").cast("double") / col("n_queries"), 6)).as("mrr"))
+  }
+
+  /** The union-keyed twin of [[evalMetrics]] (round 16, r15 verdict
+    * item 7): the multi-row cards previously ran one [[evalMetrics]]
+    * block PER row — three truth joins + three truth censuses for
+    * [[irFusion]], two for [[irEvalStrict]] — over the same pinned
+    * frames. Here both sides arrive labeled (`labelCol` rides the union
+    * of the tops and/or the truth), so ONE hit join + ONE truth census
+    * serve every row, and the per-label aggregation reproduces each
+    * row's [[evalMetrics]] arithmetic exactly: the per-(label, query)
+    * precision/recall/rr quotients are identical, and the decimal(38,18)
+    * macro sums are order-independent by construction. The `labels`
+    * spine left-join reproduces the agg-without-groupBy contract on an
+    * empty truth (every label still reports one row: n_queries 0, null
+    * sums/metrics — bit-identical to the per-row blocks). */
+  private def evalMetricsBy(tops: DataFrame, truth: DataFrame,
+      labelCol: String, labels: Seq[String]): DataFrame = {
+    val sparkS = truth.sparkSession
+    import sparkS.implicits._
+    val hits = truth.join(broadcast(tops),
+        Seq(labelCol, "query_id", "doc_id"))
+      .groupBy(col(labelCol), col("query_id"))
+      .agg(count(lit(1)).as("nh"), min(col("rnk")).as("fr"))
+    val tc = truth.groupBy(col(labelCol), col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val pq = tc.join(hits, Seq(labelCol, "query_id"), "left")
+      .select(col(labelCol), col("query_id"), col("n_rel"),
+        coalesce(col("nh"), lit(0L)).as("nh"),
+        (coalesce(col("nh"), lit(0L)).cast("double") / lit(10.0)).as("precision"),
+        (coalesce(col("nh"), lit(0L)).cast("double") / col("n_rel")).as("recall"),
+        when(col("fr").isNull, lit(0.0)).otherwise(lit(1.0) / col("fr")).as("rr"))
+    val agg = pq.groupBy(col(labelCol))
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        sum(col("n_rel")).cast("long").as("n_rel"),
+        sum(col("nh")).cast("long").as("n_hits"),
+        sum(col("precision").cast("decimal(38,18)")).as("ps"),
+        sum(col("recall").cast("decimal(38,18)")).as("rs"),
+        sum(col("rr").cast("decimal(38,18)")).as("rrs"))
+    labels.toDF(labelCol).join(agg, Seq(labelCol), "left")
+      .select(col(labelCol),
+        coalesce(col("n_queries"), lit(0L)).as("n_queries"),
+        col("n_rel"), col("n_hits"),
         when(col("n_queries") > 0, Exact.floorRound(
           col("ps").cast("double") / col("n_queries"), 6)).as("precision_at_10"),
         when(col("n_queries") > 0, Exact.floorRound(
@@ -467,10 +553,18 @@ object Retrieval {
     * the top is built once. */
   def irEvalStrict: Q = (s, d) => {
     val top = bm25EvalTop(s, d) // both truth rows evaluate the same top
-    evalMetrics(top, truthFrameShingle(s, d))
-      .select(lit("shingle").as("truth_def"), col("*"))
-      .unionByName(evalMetrics(top, truthFrame(s, d))
-        .select(lit("token").as("truth_def"), col("*")))
+    // ONE union-keyed metrics pass (round 16): the two pinned truths
+    // ride the label column, so the card runs one hit join + one truth
+    // census instead of two of each (r15 verdict item 7's discipline,
+    // applied to this card too)
+    val truths = truthFrameShingle(s, d)
+      .select(lit("shingle").as("truth_def"), col("query_id"), col("doc_id"))
+      .unionByName(truthFrame(s, d)
+        .select(lit("token").as("truth_def"), col("query_id"), col("doc_id")))
+    val sparkS = s; import sparkS.implicits._
+    val tops = top.crossJoin(
+      broadcast(Seq("shingle", "token").toDF("truth_def")))
+    evalMetricsBy(tops, truths, "truth_def", Seq("shingle", "token"))
       .orderBy(col("truth_def"))
   }
 
@@ -548,11 +642,20 @@ object Retrieval {
     val rrfTop = fused.withColumn("rnk", row_number().over(wr).cast("long"))
       .filter(col("rnk") <= 10)
       .select(col("query_id"), col("rnk"), col("doc_id"))
-    evalMetrics(bmTop, truth).select(lit("bm25").as("method"), col("*"))
-      .unionByName(evalMetrics(rrfTop, truth)
-        .select(lit("rrf").as("method"), col("*")))
-      .unionByName(evalMetrics(vecTop, truth)
-        .select(lit("vector").as("method"), col("*")))
+    // ONE union-keyed metrics pass (round 16, r15 verdict item 7): the
+    // three method tops ride the label column and the pinned truth is
+    // replicated per label in ONE scan, so the card runs one hit join +
+    // one truth census instead of three of each
+    val methods = Seq("bm25", "rrf", "vector")
+    val tops = bmTop.select(lit("bm25").as("method"), col("query_id"),
+        col("rnk"), col("doc_id"))
+      .unionByName(rrfTop.select(lit("rrf").as("method"), col("query_id"),
+        col("rnk"), col("doc_id")))
+      .unionByName(vecTop.select(lit("vector").as("method"), col("query_id"),
+        col("rnk"), col("doc_id")))
+    val truths = truth.crossJoin(broadcast(methods.toDF("method")))
+      .select(col("method"), col("query_id"), col("doc_id"))
+    evalMetricsBy(tops, truths, "method", methods)
       .orderBy(col("method"))
   }
 

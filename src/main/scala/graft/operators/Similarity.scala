@@ -29,7 +29,11 @@ object Similarity {
   private[operators] lazy val cardPool: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutor(
       java.util.concurrent.Executors.newFixedThreadPool(
-        sys.env.get("GRAFT_CARD_POOL").map(_.toInt).getOrElse(5),
+        // tolerant parse (round 16, r15 advice item 1): a non-numeric
+        // or non-positive override must fall back to the default, not
+        // throw inside the lazy initializer and opaquely fail every card
+        sys.env.get("GRAFT_CARD_POOL").flatMap(_.toIntOption)
+          .filter(_ > 0).getOrElse(5),
         new java.util.concurrent.ThreadFactory {
           private val n = new java.util.concurrent.atomic.AtomicInteger
           override def newThread(r: Runnable): Thread = {
@@ -37,6 +41,23 @@ object Similarity {
             t.setDaemon(true); t
           }
         }))
+
+  /** Bounded wait for card-pool futures (round 16, r15 verdict item
+    * 10): `Duration.Inf` turned an executor wedge into a silent
+    * forever-hang; a generous finite bound (far beyond any sane job,
+    * far below a CI budget) fails VISIBLY with the card named instead.
+    */
+  private[operators] def awaitCards[T](f: scala.concurrent.Future[T],
+      what: String): T =
+    try scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration(30, "min"))
+    catch {
+      case e: java.util.concurrent.TimeoutException =>
+        throw new IllegalStateException(
+          s"[graft] $what: card-pool pipelines did not complete within " +
+            "30 min — a wedged executor or deadlocked job, not a slow " +
+            "query; inspect the Spark UI thread dumps", e)
+    }
 
   /** Shared output contract of every ANN variant: rank the per-query
     * candidates (already ≤k per query) with the (cos desc, vec_id)
@@ -1775,7 +1796,7 @@ object Similarity {
       Future(m -> fn().select(lit(m).as("method"), col("query_id"),
         col("neighbor_id")).localCheckpoint(true))
     }
-    val cand = Await.result(Future.sequence(pinned), Duration.Inf)
+    val cand = awaitCards(Future.sequence(pinned), "ann_recall_card")
       .sortBy(_._1).map(_._2).reduce(_ unionByName _)
     val methods = s.range(1)
       .select(explode(array(
@@ -1867,7 +1888,7 @@ object Similarity {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = cardPool
-    val shorts = Await.result(Future.sequence(DimTruncWidths.map { w =>
+    val shorts = awaitCards(Future.sequence(DimTruncWidths.map { w =>
       Future(w -> {
       val vw = v
         .select(col("vec_id"), col("e"), col("nrm"),
@@ -1902,7 +1923,7 @@ object Similarity {
         .localCheckpoint(true) // feeds the trunc5 + re-rank hit joins
       short
       })
-    }), Duration.Inf)
+    }), "ann_dim_trunc")
     val cards = shorts.map { case (w, short) =>
       // no-re-rank baseline: the truncated top-5 is the shortlist's own
       // head (the shortlist IS the cosw order)
@@ -2015,7 +2036,7 @@ object Similarity {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = cardPool
-    val pinned = Await.result(Future.sequence(Seq(
+    val pinned = awaitCards(Future.sequence(Seq(
       ("fixed16", 16, false, () => seedCents(16)),
       ("sqrtn", kSqrt, true, () => seedCents(kSqrt)),
       ("trained", kSqrt, true, () => centsDf(s, trainedIvfCents(s, d))))
@@ -2034,7 +2055,7 @@ object Similarity {
         .select(lit(name).as("scheme"), col("cid"),
           coalesce(col("pop"), lit(0L)).as("pop"))
         .localCheckpoint(true) // ≤K rows; feeds the totals agg + the output
-    }}), Duration.Inf)
+    }}), "ann_ivf_health")
     val cards = pinned.map { case (name, cells) =>
       val tot = cells.agg(count(lit(1)).as("n_cells"),
         sum(col("pop")).as("n_assigned"),
@@ -2191,8 +2212,8 @@ object Similarity {
           col("cosq"), col("cos"))
         .localCheckpoint(true) // feeds the sq5 + re-rank hit joins
     }
-    val mseAgg = Await.result(mseF, Duration.Inf)
-    val short = Await.result(shortF, Duration.Inf)
+    val mseAgg = awaitCards(mseF, "ann_sq8")
+    val short = awaitCards(shortF, "ann_sq8")
     val sq5 = graft.plans.TopKPerGroup.transform(short,
       Seq(col("query_id")), Seq(col("cosq").desc, col("neighbor_id").asc), 5)
     val fin = graft.plans.TopKPerGroup.transform(short,

@@ -77,9 +77,13 @@ private[graft] object SessionMemo {
       m.synchronized {
         m.get(key) match {
           case Some((cachedFp, v)) if cachedFp == fp => v
-          case _ =>
+          case stale =>
             val v = compute
             m.put(key, (fp, v))
+            // a fingerprint-superseded value is released AFTER the
+            // replacement computes: the stale frame's pinned blocks
+            // would otherwise strand until GC + ContextCleaner
+            stale.foreach { case (_, old) => release(old) }
             v
         }
       }
@@ -87,7 +91,29 @@ private[graft] object SessionMemo {
 
     def evict(s: SparkSession): Unit = cache.synchronized {
       val m = cache.get(s)
-      if (m != null) m.synchronized { m.clear() }
+      if (m != null) m.synchronized {
+        m.values.foreach { case (_, v) => release(v) }
+        m.clear()
+      }
+    }
+
+    /** Release checkpoint/cache block storage behind an evicted or
+      * fingerprint-superseded value (round 16, r15 advice item 3):
+      * `Dataset.unpersist` covers CacheManager entries and the shim
+      * covers localCheckpoint RDD blocks — without this, Bench's
+      * evict-then-reprice transiently doubles the pinned footprint and
+      * a refreshed corpus strands the old corpus-sized pin for the
+      * session lifetime. Values nested one Product level deep (e.g.
+      * the (model, frame) pairs) are walked; release failures are
+      * non-fatal by design — eviction is hygiene, not correctness. */
+    private def release(v: Any): Unit = v match {
+      case df: org.apache.spark.sql.Dataset[_] =>
+        try {
+          df.unpersist(false)
+          org.apache.spark.sql.GraftShim.unpersistLocalCheckpoint(df)
+        } catch { case scala.util.control.NonFatal(_) => () }
+      case p: Product => p.productIterator.foreach(release)
+      case _ => ()
     }
   }
 }
