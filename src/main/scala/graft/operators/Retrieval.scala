@@ -314,33 +314,33 @@ object Retrieval {
   /** Generalized truth builder: relevance = Jaccard ≥ ½ over
     * `featsOf(tokens)` distinct-feature sets.
     *
-    * Round-16 scale fixes (r15 verdict item 3/4 — the c8 capture
-    * measured the priced shingle-truth build at 127× its c32 time, far
-    * beyond the 4× core cut):
-    *  - per-doc feature counts are now MAP-ONLY (`size(fs)` on the
-    *    pre-explode array ≡ the explode + groupBy-count they replaced) —
-    *    one corpus-sized explode + exchange gone (guide §2.3/§2.4);
-    *  - the intersection join's corpus side is pre-filtered by a BLOOM
-    *    filter over the query feature set (guide §3.2) BEFORE the
-    *    feature-keyed exchange: a corpus feature matching no query
-    *    feature can never contribute to `ni`, so dropping it map-side
-    *    is exact (false positives are removed by the join itself), and
-    *    the shuffle carries only the Θ(16·N)-bounded matching stream
-    *    instead of the full corpus feature explode. The filter is built
-    *    from the pinned qtok frame (one small job) and is metadata-sized
-    *    by the [[QueryDocs]] budget — the same xxhash64 build/probe
-    *    pipeline as the streaming history gate. */
+    * Round-16 scale fix (r15 verdict item 4 — the c8 capture measured
+    * the priced shingle-truth build at 127× its c32 time, far beyond
+    * the 4× core cut): the intersection join's corpus side is
+    * pre-filtered by a BLOOM filter over the query feature set (guide
+    * §3.2) BEFORE the feature-keyed exchange. A corpus feature matching
+    * no query feature can never contribute to `ni`, so dropping it
+    * map-side is exact (false positives are removed by the join
+    * itself), and the shuffle carries only the Θ(16·N)-bounded matching
+    * stream instead of the full corpus feature explode. The filter is
+    * built from the pinned qtok frame (one small job) and is
+    * metadata-sized by the [[QueryDocs]] budget — the same xxhash64
+    * build/probe pipeline as the streaming history gate.
+    *
+    * Negative result, kept on purpose (§1.2 measure-first): replacing
+    * the sizes explode+groupBy with a map-only `size(array_distinct(…))`
+    * projection measured 1.6 → 35 s at sf0.1/c32 — materializing the
+    * per-doc feature ARRAY as projected row data (instead of streaming
+    * it through Generate) is ~20× the cost of the exchange it saves.
+    * The dtk/sizes shapes below are therefore exactly r15's. */
   private def truthFrameBy(s: SparkSession, d: String,
       featsOf: Column => Column): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
     val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-    val feats = base
-      .select(col("doc_id"), array_distinct(featsOf(col("tk"))).as("fs"))
-      .filter(col("fs").isNotNull)
-    val dtk = feats.select(col("doc_id"), explode(col("fs")).as("t"))
-    val sizes = feats.select(col("doc_id"),
-      size(col("fs")).cast("long").as("n"))
+    val dtk = base.select(col("doc_id"),
+      explode(array_distinct(featsOf(col("tk")))).as("t"))
+    val sizes = dtk.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sparkS = s; import sparkS.implicits._
     val qids = corpusSample(s, d)._3.map(_._1).toDF("query_id")
     val qtok = dtk.join(broadcast(qids), col("doc_id") === col("query_id"))
