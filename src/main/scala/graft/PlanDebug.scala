@@ -16,7 +16,17 @@ object PlanDebug {
     val names = if (args.nonEmpty) args.toSeq else Seq("q6_filter_agg", "q5_region_join", "q1_pricing")
     names.foreach { n =>
       println(s"========== $n ==========")
-      println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
+      // "build:<artifact>" pseudo-names print the shared-build frames
+      // the bench prices (round 16 — the bloom-bounded truth joins live
+      // in builds, not in any declared query's plan)
+      val df = n match {
+        case "build:ir_truth" =>
+          operators.Retrieval.truthBuildPlan(spark, d, shingle = false)
+        case "build:ir_truth_shingle" =>
+          operators.Retrieval.truthBuildPlan(spark, d, shingle = true)
+        case _ => SparkEntry.queries(n)(spark, d)
+      }
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()

@@ -297,7 +297,8 @@ object Retrieval {
     * (round 15): feeds the hit joins + the per-query census of three
     * cards, previously rebuilt per card. */
   private[graft] def truthFrame(s: SparkSession, d: String): DataFrame =
-    truthMemo.getOrCompute(s, d)(truthFrameBy(s, d, tk => tk))
+    truthMemo.getOrCompute(s, d)(
+      truthFrameBy(s, d, tk => tk).localCheckpoint(false))
 
   /** The SHINGLE-STRICT truth (round 15, r14 verdict item 5): relevance
     * = 3-gram shingle-set Jaccard ≥ ½ ([[shingles3]] — the exact
@@ -309,7 +310,16 @@ object Retrieval {
     * it becomes statistically meaningful (spec-pinned there, with the
     * shingle ⊆ token containment). */
   private[graft] def truthFrameShingle(s: SparkSession, d: String): DataFrame =
-    truthShingleMemo.getOrCompute(s, d)(truthFrameBy(s, d, tk => shingles3(tk)))
+    truthShingleMemo.getOrCompute(s, d)(
+      truthFrameBy(s, d, tk => shingles3(tk)).localCheckpoint(false))
+
+  /** Plan-evidence hooks (round 16): the UNPINNED truth-build frames,
+    * so PlanDebug can dump the bloom-bounded join plan the memo hides
+    * behind a checkpoint scan. */
+  private[graft] def truthBuildPlan(s: SparkSession, d: String,
+      shingle: Boolean): DataFrame =
+    if (shingle) truthFrameBy(s, d, tk => shingles3(tk))
+    else truthFrameBy(s, d, tk => tk)
 
   /** Generalized truth builder: relevance = Jaccard ≥ ½ over
     * `featsOf(tokens)` distinct-feature sets.
@@ -379,7 +389,6 @@ object Retrieval {
       .filter(col("doc_id") =!= col("query_id") &&
         lit(2) * col("ni") >= col("nq") + col("n") - col("ni"))
       .select(col("query_id"), col("doc_id"))
-      .localCheckpoint(false)
   }
 
   /** The macro P@10 / recall@10 / MRR aggregate over one retriever's
