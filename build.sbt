@@ -15,6 +15,25 @@ Test / fork := true
 // are invisible, so every budget fix would be a guess.
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 Test / logBuffered := false
+// Round 16 (r15 verdict item 1 — the driver killed the r15 gate on test
+// wall): the 37 suites ran sequentially in ONE forked JVM, 92.5 min in
+// this round's baseline run. The suites are independent (each owns its
+// SparkSession over immutable sf0.001 fixtures and private temp dirs),
+// so they now fork as round-robin groups of parallel JVMs. Heap per
+// test JVM is 6g, not the bench's 48g: these are local[2..4] sessions
+// over sf0.001 — the big heap exists for the local[32] sf0.1 bench and
+// would overcommit the box 37-fold here.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.filterNot(_.startsWith("-Xmx")) :+ "-Xmx6g"
+  val fork = ForkOptions().withRunJVMOptions(opts.toVector)
+  val n = 8
+  tests.sortBy(_.name).zipWithIndex
+    .groupBy(_._2 % n).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(s"group$i", ts.map(_._1), Tests.SubProcess(fork))
+    }
+}
 run / fork := true
 // Forked run output goes straight to stdout/stderr WITHOUT sbt's
 // "[info] " line prefix, so Bench's single JSON line stays parseable by
@@ -44,3 +63,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // single-JVM driver+executors room.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+// sbt serializes forked test groups by default (ForkedTestGroup limit
+// 1) — lift it so the groups above actually run concurrently.
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 8),
+  Tags.limitAll(16))

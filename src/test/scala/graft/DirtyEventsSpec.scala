@@ -73,7 +73,7 @@ class DirtyEventsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   behavior of "event-family operators"
 
   it should "run deterministically on a stream with replays, ties, and clock skew" in {
-    val failures = eventOps.flatMap { case (name, fn) =>
+    val failures = TestSweep.collectFailures(eventOps) { case (name, fn) =>
       try {
         val a = fn(spark, dirtyDir).collect().map(_.toString).sorted
         val b = fn(spark, dirtyDir).collect().map(_.toString).sorted

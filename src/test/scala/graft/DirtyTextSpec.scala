@@ -68,7 +68,7 @@ class DirtyTextSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       (8L, "hello world plain ascii text goes here", "en", "mirror", 38L), // exact dup of 0
       (9L, "a b c d e f g h i j k l m n o p q r s t", "en", "web", 39L))
     val dir = writeDocs(zoo)
-    val failures = textOps.flatMap { case (name, fn) =>
+    val failures = TestSweep.collectFailures(textOps) { case (name, fn) =>
       try { fn(spark, dir).collect(); None }
       catch { case e: Throwable =>
         Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")

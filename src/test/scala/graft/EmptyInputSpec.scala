@@ -39,7 +39,8 @@ class EmptyInputSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   behavior of "every registered operator"
 
   it should "run to completion on empty tables" in {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val failures = TestSweep.collectFailures(
+        SparkEntry.queries.toSeq.sortBy(_._1)) { case (name, fn) =>
       try { fn(spark, emptyDir).collect(); None }
       catch { case e: Throwable =>
         Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")

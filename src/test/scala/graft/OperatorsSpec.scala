@@ -39,16 +39,23 @@ class OperatorsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   }
 
   it should "run every registered query non-empty and deterministically" in {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      withClue(s"query $name: ") {
+    val failures = TestSweep.collectFailures(
+        SparkEntry.queries.toSeq.sortBy(_._1)) { case (name, fn) =>
+      try {
         val first = fn(spark, sf)
         val n = first.count()
-        n should be > 0L
         // determinism: same plan re-run hashes identically
         val a = first.collect().map(_.toString).mkString("\n")
         val b = fn(spark, sf).collect().map(_.toString).mkString("\n")
-        a shouldBe b
+        if (n == 0L) Some(s"$name: EMPTY result")
+        else if (a != b) Some(s"$name: NONDETERMINISTIC re-run")
+        else None
+      } catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
+    }
+    withClue(s"queries failing the non-empty/determinism sweep:\n${failures.mkString("\n")}\n") {
+      failures shouldBe empty
     }
   }
 
